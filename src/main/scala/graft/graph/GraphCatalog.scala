@@ -1,0 +1,105 @@
+package graft.graph
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Multi-graph catalog over a warehouse directory.
+  *
+  * Spark-native analog of the reference's `StorageManager` /
+  * `MultiGraphManager` (storage/storage_manager.rs:42-64, get_graph:153,
+  * save_graph:209): graphs live under `/<schema>/<graph>/` paths, persisted
+  * as parquet — `nodes_<label>/` and `edges_<label>/` datasets plus a tiny
+  * `_meta` file recording edge endpoints. Saves are copy-on-write (Spark
+  * overwrite), giving snapshot semantics instead of the reference's WAL
+  * (txn/wal.rs) — documented divergence, SURVEY.md §7.3.
+  */
+final class GraphCatalog(spark: SparkSession, warehouse: String) {
+
+  private def graphDir(schema: String, name: String) = s"$warehouse/$schema/$name"
+
+  def createSchema(schema: String): Unit =
+    Files.createDirectories(Paths.get(s"$warehouse/$schema"))
+
+  def listSchemas(): Seq[String] = {
+    val p = Paths.get(warehouse)
+    if (!Files.exists(p)) Seq.empty
+    else Files.list(p).iterator.asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def listGraphs(schema: String): Seq[String] = {
+    val p = Paths.get(s"$warehouse/$schema")
+    if (!Files.exists(p)) Seq.empty
+    else Files.list(p).iterator.asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def saveGraph(schema: String, name: String, g: PropertyGraph): Unit = {
+    val dir = graphDir(schema, name)
+    g.nodeTables.foreach { case (label, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes_$label")
+    }
+    g.edgeTables.foreach { case (label, (et, df)) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_$label")
+    }
+    val meta = g.edgeTables.map { case (label, (et, _)) =>
+      s"$label\t${et.srcLabel}\t${et.dstLabel}"
+    }.mkString("\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/_meta"), meta)
+  }
+
+  def loadGraph(schema: String, name: String): PropertyGraph = {
+    val dir = graphDir(schema, name)
+    val p = Paths.get(dir)
+    require(Files.exists(p), s"no such graph: $schema/$name")
+    val entries = Files.list(p).iterator.asScala.map(_.getFileName.toString).toSeq
+    val nodes = entries.filter(_.startsWith("nodes_")).map { e =>
+      e.stripPrefix("nodes_") -> spark.read.parquet(s"$dir/$e")
+    }.toMap
+    val meta = if (Files.exists(Paths.get(s"$dir/_meta")))
+      Files.readString(Paths.get(s"$dir/_meta")).split("\n").filter(_.nonEmpty)
+        .map { l => val Array(lbl, s, d) = l.split("\t"); lbl -> EdgeType(lbl, s, d) }
+        .toMap
+    else Map.empty[String, EdgeType]
+    val edges = entries.filter(_.startsWith("edges_")).map { e =>
+      val label = e.stripPrefix("edges_")
+      val et = meta.getOrElse(label, EdgeType(label, "", ""))
+      label -> (et, spark.read.parquet(s"$dir/$e"))
+    }.toMap
+    new PropertyGraph(nodes, edges)
+  }
+
+  def dropGraph(schema: String, name: String): Boolean = {
+    val p = Paths.get(graphDir(schema, name))
+    if (!Files.exists(p)) false
+    else {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      true
+    }
+  }
+
+  /** FROM g1 UNION g2 — graph union (storage_manager.rs:400). */
+  def unionGraphs(a: PropertyGraph, b: PropertyGraph): PropertyGraph = {
+    def merge(x: Map[String, DataFrame], y: Map[String, DataFrame]) =
+      (x.keySet ++ y.keySet).map { k =>
+        (x.get(k), y.get(k)) match {
+          case (Some(l), Some(r)) => k -> l.unionByName(r, allowMissingColumns = true).distinct()
+          case (Some(l), None)    => k -> l
+          case (None, Some(r))    => k -> r
+          case _ => throw new IllegalStateException
+        }
+      }.toMap
+    val edges = (a.edgeTables.keySet ++ b.edgeTables.keySet).map { k =>
+      (a.edgeTables.get(k), b.edgeTables.get(k)) match {
+        case (Some((et, l)), Some((_, r))) =>
+          k -> (et, l.unionByName(r, allowMissingColumns = true).distinct())
+        case (Some(v), None) => k -> v
+        case (None, Some(v)) => k -> v
+        case _ => throw new IllegalStateException
+      }
+    }.toMap
+    new PropertyGraph(merge(a.nodeTables, b.nodeTables), edges)
+  }
+}

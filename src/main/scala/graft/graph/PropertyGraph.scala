@@ -1,0 +1,228 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Direction of an edge traversal — reference: ast.rs:347-353
+  * (Outgoing / Incoming / Both / Undirected).
+  */
+sealed trait Direction
+object Direction {
+  case object Out extends Direction
+  case object In extends Direction
+  case object Both extends Direction
+}
+
+/** Variable-length path semantics — reference: ast.rs:275-308
+  * (WALK allows any revisit; TRAIL forbids edge revisit; ACYCLIC forbids
+  * node revisit; SIMPLE forbids node revisit except first==last).
+  */
+sealed trait PathSemantics
+object PathSemantics {
+  case object Walk extends PathSemantics
+  case object Trail extends PathSemantics
+  case object Acyclic extends PathSemantics
+  case object Simple extends PathSemantics
+}
+
+/** Metadata for one edge table. */
+final case class EdgeType(label: String, srcLabel: String, dstLabel: String)
+
+/** A property graph as per-label columnar tables.
+  *
+  * The reference keeps one in-memory map of nodes/edges plus label indexes
+  * (graph_cache.rs:16-38); the Spark-native analog is a *table per label*:
+  * each label gets its own typed, prunable, independently-partitionable
+  * DataFrame. Node tables carry `(id: long, <typed property columns>)`;
+  * edge tables carry `(src: long, dst: long, eid: long, <props>)`.
+  *
+  * Per-label tables are the 100 TB design point: label predicates become
+  * table selection (no scan-and-filter over a mixed bag), property
+  * predicates push down to parquet, and src/dst stay 8-byte join keys.
+  * Cross-label identity (for identity-based set ops, executor.rs:7865-7894)
+  * is the (label, id) pair.
+  */
+final class PropertyGraph(
+    val nodeTables: Map[String, DataFrame],
+    val edgeTables: Map[String, (EdgeType, DataFrame)]) extends Serializable {
+
+  def nodeLabels: Seq[String] = nodeTables.keys.toSeq.sorted
+  def edgeLabels: Seq[String] = edgeTables.keys.toSeq.sorted
+
+  /** NodeScan (logical.rs:94-99): scan one label, optional predicate.
+    * Predicates/projections push to the parquet scan via Catalyst.
+    */
+  def nodeScan(label: String, pred: Option[Column] = None): DataFrame = {
+    val df = nodeTables.getOrElse(label,
+      throw new IllegalArgumentException(s"unknown node label: $label"))
+    pred.fold(df)(df.filter)
+  }
+
+  /** EdgeScan (logical.rs:101-106). */
+  def edgeScan(label: String, pred: Option[Column] = None): DataFrame = {
+    val (_, df) = edgeTables.getOrElse(label,
+      throw new IllegalArgumentException(s"unknown edge label: $label"))
+    pred.fold(df)(df.filter)
+  }
+
+  def edgeType(label: String): EdgeType = edgeTables(label)._1
+
+  /** Expand (logical.rs:108-117): one traversal hop from a binding table.
+    *
+    * `binding` must carry column `<from>_id`; the result adds `<to>_id`
+    * plus the edge's property columns prefixed `<edgeVar>_`. Compiles to
+    * at most two equi-joins (edge, then destination node when `dstProps`);
+    * Spark picks broadcast vs shuffle join per side sizes (AQE).
+    */
+  def expand(
+      binding: DataFrame,
+      from: String,
+      to: String,
+      edgeVar: String,
+      edgeLabel: String,
+      direction: Direction = Direction.Out,
+      edgePred: Option[Column] = None,
+      dstProps: Boolean = false): DataFrame = {
+    val (et, raw0) = edgeTables(edgeLabel)
+    val raw = edgePred.fold(raw0)(raw0.filter)
+    val e = direction match {
+      case Direction.Out => raw
+      case Direction.In  => raw.withColumnRenamed("src", "__s")
+        .withColumnRenamed("dst", "src").withColumnRenamed("__s", "dst")
+      case Direction.Both =>
+        raw.unionByName(raw
+          .withColumnRenamed("src", "__s")
+          .withColumnRenamed("dst", "src").withColumnRenamed("__s", "dst"))
+    }
+    val props = e.columns.filterNot(c => c == "src" || c == "dst")
+    val renamed = props.foldLeft(e)((d, c) => d.withColumnRenamed(c, s"${edgeVar}_$c"))
+      .withColumnRenamed("src", s"${from}_id").withColumnRenamed("dst", s"${to}_id")
+    val joined = binding.join(renamed, s"${from}_id")
+    if (!dstProps) joined
+    else {
+      val dstLabel = direction match {
+        case Direction.In => et.srcLabel
+        case _            => et.dstLabel
+      }
+      val n = nodeTables(dstLabel)
+      val nRenamed = n.columns.foldLeft(n)((d, c) =>
+        d.withColumnRenamed(c, if (c == "id") s"${to}_id" else s"${to}_$c"))
+      joined.join(nRenamed, s"${to}_id")
+    }
+  }
+
+  /** Degree of each node for one edge label (adjacency-index analog,
+    * graph_cache.rs:31-38). A single map-side-combinable aggregation.
+    */
+  def degrees(edgeLabel: String, direction: Direction = Direction.Out): DataFrame = {
+    val (_, e) = edgeTables(edgeLabel)
+    direction match {
+      case Direction.Out => e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      case Direction.In  => e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("degree"))
+      case Direction.Both => e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+    }
+  }
+
+  /** PathTraversal (logical.rs:119-126, exec executor.rs:6338-6664):
+    * variable-length paths via bounded iterative joins.
+    *
+    * Returns `(start_id, end_id, depth, path: array<long>)` for every path
+    * of depth in [minHops, maxHops] starting from `start` (a DataFrame with
+    * column `start_id`). Semantics enforce the reference's revisit rules by
+    * carrying the visited node (and, for TRAIL, edge) arrays through the
+    * joins. maxHops is capped at 10 — parity with the reference's quantifier
+    * cap (executor.rs:6505-6510).
+    *
+    * Scale note: this *enumerates* paths, which is exponential in dense
+    * graphs by nature; for reachability/shortest-distance style questions
+    * use [[bfs]], which keeps per-node state instead of per-path state.
+    */
+  def paths(
+      start: DataFrame,
+      edgeLabel: String,
+      minHops: Int,
+      maxHops: Int,
+      semantics: PathSemantics = PathSemantics.Walk,
+      direction: Direction = Direction.Out): DataFrame = {
+    require(minHops >= 0, "minHops must be >= 0")
+    val cap = math.min(maxHops, 10)
+    val (_, raw) = edgeTables(edgeLabel)
+    val e = (direction match {
+      case Direction.Out => raw
+      case Direction.In  => raw.select(col("dst").as("src"), col("src").as("dst"),
+        col("eid"))
+      case Direction.Both => raw.select(col("src"), col("dst"), col("eid"))
+        .unionAll(raw.select(col("dst").as("src"), col("src").as("dst"), col("eid")))
+    }).select(col("src"), col("dst"), col("eid"))
+
+    var frontier = start.select(
+      col("start_id"), col("start_id").as("end_id"),
+      lit(0).as("depth"),
+      array(col("start_id")).as("path"),
+      array().cast("array<long>").as("epath"))
+    var acc = if (minHops == 0) frontier else frontier.limit(0)
+    var k = 1
+    while (k <= cap) {
+      val step = frontier.join(e, frontier("end_id") === e("src"))
+      val legal = semantics match {
+        case PathSemantics.Walk  => step
+        case PathSemantics.Trail => step.filter(!array_contains(col("epath"), col("eid")))
+        case PathSemantics.Acyclic => step.filter(!array_contains(col("path"), col("dst")))
+        case PathSemantics.Simple => step.filter(
+          !array_contains(col("path"), col("dst")) || col("dst") === col("start_id"))
+      }
+      frontier = legal.select(
+        col("start_id"), col("dst").as("end_id"),
+        (col("depth") + 1).as("depth"),
+        concat(col("path"), array(col("dst"))).as("path"),
+        concat(col("epath"), array(col("eid"))).as("epath"))
+      if (k >= minHops) acc = acc.unionByName(frontier)
+      k += 1
+    }
+    acc.select("start_id", "end_id", "depth", "path")
+  }
+
+  /** Multi-source BFS distances (GraphIndexScan IsReachable/ShortestPath
+    * analog, physical.rs:42-67) as iterative frontier joins with per-node —
+    * not per-path — state, so it survives dense graphs at scale.
+    *
+    * `sources`: DataFrame with column `root_id` (one BFS per root).
+    * Returns `(root_id, id, dist)` for nodes within `maxIter` hops.
+    */
+  def bfs(sources: DataFrame, edgeLabel: String, maxIter: Int,
+      direction: Direction = Direction.Out): DataFrame = {
+    val (_, raw) = edgeTables(edgeLabel)
+    val e = (direction match {
+      case Direction.Out => raw
+      case Direction.In  => raw.select(col("dst").as("src"), col("src").as("dst"))
+      case Direction.Both => raw.select("src", "dst")
+        .unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
+    }).select("src", "dst")
+
+    var visited = sources.select(col("root_id"), col("root_id").as("id"),
+      lit(0L).as("dist"))
+    var frontier = visited
+    var k = 1
+    var done = false
+    while (k <= maxIter && !done) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("root_id"), col("dst").as("id"), lit(k.toLong).as("dist"))
+        .distinct()
+        .join(visited.select(col("root_id").as("vr"), col("id").as("vi")),
+          col("root_id") === col("vr") && col("id") === col("vi"), "left_anti")
+      // materialize each frontier: keeps the plan linear instead of an
+      // exponentially deepening self-referential tree, same reason GraphX
+      // checkpoints Pregel iterations
+      val mat = next.localCheckpoint(true)
+      if (mat.isEmpty) done = true
+      else {
+        visited = visited.unionByName(mat).localCheckpoint(true)
+        frontier = mat
+      }
+      k += 1
+    }
+    visited.withColumnRenamed("id", "node_id")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Property-graph view of the driver's TPC-H-ish tables (TESTDATA.md,
+  * FIXTURES.md §3): the large-scale analog of the reference's fraud
+  * fixture (test_fixture.rs:135-190).
+  *
+  * Nodes: customer, order, part, supplier, nation, region.
+  * Edges:
+  *  - PLACED     customer → order   (props: totalprice, orderdate, priority)
+  *  - CONTAINS   order    → part    (props: quantity, extendedprice; from lineitem)
+  *  - SUPPLIED_BY part    → supplier (distinct pairs from lineitem, n_lines)
+  *  - IN_NATION  customer → nation
+  *  - IN_REGION  nation   → region
+  *  - NEXT       customer → customer (custkey chain within a nation — a
+  *    deterministic long-path topology for traversal tests)
+  */
+object TpchGraph {
+
+  def build(s: SparkSession, dir: String): PropertyGraph = {
+    import s.implicits._
+    val customer = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val part = Tables.part(s, dir)
+    val supplier = Tables.supplier(s, dir)
+    val nation = Tables.nation(s, dir)
+    val region = Tables.region(s, dir)
+
+    val nodes = Map(
+      "customer" -> customer.select($"c_custkey".as("id"), $"c_name".as("name"),
+        $"c_nationkey".cast("long").as("nationkey"), $"c_acctbal".as("acctbal"),
+        $"c_mktsegment".as("mktsegment")),
+      "order" -> orders.select($"o_orderkey".as("id"), $"o_orderstatus".as("status"),
+        $"o_totalprice".as("totalprice"), $"o_orderdate".as("orderdate"),
+        $"o_orderpriority".as("priority")),
+      "part" -> part.select($"p_partkey".as("id"), $"p_name".as("name"),
+        $"p_brand".as("brand"), $"p_type".as("ptype"),
+        $"p_size".cast("long").as("psize"), $"p_retailprice".as("retailprice")),
+      "supplier" -> supplier.select($"s_suppkey".as("id"), $"s_name".as("name"),
+        $"s_nationkey".cast("long").as("nationkey"), $"s_acctbal".as("acctbal")),
+      "nation" -> nation.select($"n_nationkey".cast("long").as("id"),
+        $"n_name".as("name"), $"n_regionkey".cast("long").as("regionkey")),
+      "region" -> region.select($"r_regionkey".cast("long").as("id"),
+        $"r_name".as("name")))
+
+    // eid: unique edge id per label (needed for TRAIL path semantics).
+    val placed = orders.select($"o_custkey".as("src"), $"o_orderkey".as("dst"),
+      $"o_orderkey".as("eid"), $"o_totalprice".as("totalprice"),
+      $"o_orderdate".as("orderdate"), $"o_orderpriority".as("priority"))
+    val contains = lineitem.select($"l_orderkey".as("src"), $"l_partkey".as("dst"),
+      ($"l_orderkey" * 10 + $"l_linenumber").as("eid"),
+      $"l_quantity".as("quantity"), $"l_extendedprice".as("extendedprice"))
+    val suppliedBy = lineitem.groupBy($"l_partkey".as("src"), $"l_suppkey".as("dst"))
+      .agg(count(lit(1)).as("n_lines"))
+      .withColumn("eid", $"src" * 100000 + $"dst")
+    val inNation = customer.select($"c_custkey".as("src"),
+      $"c_nationkey".cast("long").as("dst"), $"c_custkey".as("eid"))
+    val inRegion = nation.select($"n_nationkey".cast("long").as("src"),
+      $"n_regionkey".cast("long").as("dst"), $"n_nationkey".cast("long").as("eid"))
+    // custkey chain within each nation: deterministic long paths.
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_custkey")
+    val next = customer
+      .select($"c_custkey".as("src"), lead($"c_custkey", 1).over(w).as("dst"))
+      .filter($"dst".isNotNull)
+      .withColumn("eid", $"src")
+
+    val edges = Map(
+      "PLACED" -> (EdgeType("PLACED", "customer", "order"), placed),
+      "CONTAINS" -> (EdgeType("CONTAINS", "order", "part"), contains),
+      "SUPPLIED_BY" -> (EdgeType("SUPPLIED_BY", "part", "supplier"), suppliedBy),
+      "IN_NATION" -> (EdgeType("IN_NATION", "customer", "nation"), inNation),
+      "IN_REGION" -> (EdgeType("IN_REGION", "nation", "region"), inRegion),
+      "NEXT" -> (EdgeType("NEXT", "customer", "customer"), next))
+
+    new PropertyGraph(nodes, edges)
+  }
+}
