@@ -10,10 +10,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.GraphQueries.queries
+    graft.queries.Relational.queries ++ graft.queries.GraphQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.GraphQueries.oracle
+    graft.queries.Relational.oracle ++ graft.queries.GraphQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }

@@ -1,0 +1,130 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * group-by), MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Design for 100 TB: every stage is a narrow map (Column expressions in
+  * whole-stage codegen) followed by exactly one shuffle on a compact key
+  * (fingerprint / LSH bucket), never an all-pairs compare. Candidate
+  * generation via LSH band buckets keeps the self-join confined to
+  * same-bucket groups; exact Jaccard runs only on candidates.
+  *
+  * MinHash permutations use the classic (a*h + b) mod p family over an
+  * engine-stable 60-bit md5-based base hash reduced to 30 bits, so every
+  * number fits i64 multiplication without overflow on any engine and the
+  * DuckDB oracle can reproduce signatures bit-for-bit.
+  */
+object Dedup {
+
+  val MinhashPrime: Long = 1073741789L // largest prime < 2^30
+
+  /** Deterministic LCG over 31-bit space for permutation constants —
+    * fixed seed, no runtime randomness.
+    */
+  private def lcgStream(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => (x * 48271L) % 2147483647L).drop(1)
+
+  /** Permutation constants (a_i odd-ish nonzero, b_i) for i < n. */
+  def permutations(n: Int): Seq[(Long, Long)] = {
+    val it = lcgStream(20240101L)
+    Seq.fill(n)((it.next() % MinhashPrime, it.next() % MinhashPrime))
+      .map { case (a, b) => (if (a == 0) 1L else a, b) }
+  }
+
+  /** Word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** 30-bit engine-stable hash of each shingle. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n),
+      sh => pmod(TextAnalysis.stableHash60(sh), lit(1073741824L))))
+
+  /** MinHash signature: array of `numHashes` minima over the permuted
+    * shingle hashes.
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val hs = shingleHashes(text, n)
+    val sig = permutations(numHashes).map { case (a, b) =>
+      array_min(transform(hs, h => (h * a + b) % MinhashPrime))
+    }
+    array(sig: _*)
+  }
+
+  /** Exact duplicate groups by normalized-text fingerprint: one shuffle
+    * on the 128-bit digest. Returns (fp, n_dups, keep_id).
+    */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** LSH candidate pairs: band the signature, bucket-join within bands.
+    * `bands * rowsPerBand` must equal the signature length. Output
+    * (id_a, id_b) with id_a < id_b, distinct across bands.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("id"), col("pos").as("band"),
+        TextAnalysis.stableHash60(to_json(col("col"))).as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-hash arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Near-dup pairs: LSH candidates verified by exact Jaccard >= tau.
+    * The expensive exact measure touches only same-bucket candidates.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8, tau: Double = 0.7): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("shingles"),
+      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val cands = lshCandidatePairs(sigs, "id", "sig", bands, numHashes / bands)
+    val withSets = cands
+      .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    withSets.select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** SimHash (60-bit): per-token stable hashes vote per bit; the sign of
+    * each bit-column sum forms the fingerprint. Near-dups differ in few
+    * bits (Hamming). Pure Column composition; a custom codegen Expression
+    * is the planned fast path at scale.
+    */
+  def simhash60(text: Column): Column = {
+    val hs = transform(TextAnalysis.tokens(text), t => TextAnalysis.stableHash60(t))
+    val bitSums: Seq[Column] = (0 until 60).map { b =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+    }
+    bitSums.zipWithIndex.map { case (s, b) =>
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+}

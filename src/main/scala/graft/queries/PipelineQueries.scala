@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.streaming.EventPipeline
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operator battery: deduplication, text analysis,
+  * similarity search, multimodal plumbing, and event-window analytics over
+  * the documents / embeddings / events tables.
+  *
+  * Where the operator is SQL-expressible the DuckDB oracle replicates the
+  * exact formula (shared constants come from the same Scala code); MinHash
+  * LSH pair generation, ANN, and the stubbed multimodal decode are
+  * rows-only checks (no oracle) with their semantics pinned by ScalaTest
+  * specs instead.
+  */
+object PipelineQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared constants (also interpolated into the oracle SQL) ----
+  private val ShingleN = 3
+  private val NumHashes = 8
+  private val perms = Dedup.permutations(NumHashes)
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup: hash group-by on normalized fingerprint
+    "d01_exact_dedup" -> ((s: SparkSession, d: String) => {
+      Tables.documents(s, d).transform(df =>
+        Dedup.exactDupGroups(df, "text", "doc_id")).orderBy("fp")
+    }),
+
+    // ---- token counting
+    "d02_token_count" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- quality scoring (lengths, punctuation, stopwords, logistic)
+    "d03_quality" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          length($"text").cast("long").as("n_chars"),
+          TextAnalysis.punctCount($"text").as("n_punct"),
+          TextAnalysis.stopHits($"text").as("stop_hits"),
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- language id (marker n-gram heuristic + CJK class)
+    "d04_langid" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- document fingerprint (md5 of normalized text)
+    "d05_fingerprint" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- SimHash (60-bit, token-vote construction)
+    "d06_simhash" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", Dedup.simhash60($"text").as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- MinHash signatures (engine-stable permutation family)
+    "d07_minhash_sig" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          Dedup.minhashSignature($"text", ShingleN, NumHashes).as("sig"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only;
+    // corpus salted with known duplicates so the check has signal)
+    "d08_neardup_pairs" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val salted = docs.unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      Dedup.nearDupPairs(salted, "doc_id", "text",
+          n = ShingleN, numHashes = 32, bands = 8, tau = 0.7)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- exact KNN by cosine (brute force, broadcast queries)
+    "e01_knn_exact" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter($"vec_id" < 5)
+      Similarity.knnBruteForce(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", 10)
+        .orderBy($"qid", $"rk")
+    }),
+
+    // ---- ANN via random-hyperplane LSH + exact rerank (rows-only)
+    "e02_ann_lsh" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter($"vec_id" < 5)
+      new Similarity.RandomHyperplaneLsh(64, 16, 4)
+        .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
+        .orderBy($"qid", $"rk")
+    }),
+
+    // ---- embedding-cosine near-dup pairs above threshold (rows-only;
+    // corpus salted with duplicate vectors so the check has signal)
+    "e03_embed_neardup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+      val emb = base.unionByName(base.filter($"vec_id" < 50)
+        .withColumn("vec_id", $"vec_id" + 10000))
+      val lsh = new Similarity.RandomHyperplaneLsh(64, 16, 4)
+      val cb = lsh.buckets(emb, "vec_id", "embedding")
+      val pairs = cb.join(
+          cb.select($"band", $"bucket", $"id".as("id_b")), Seq("band", "bucket"))
+        .filter($"id" < $"id_b")
+        .select($"id".as("id_a"), $"id_b").distinct()
+      val v = emb.select($"vec_id", $"embedding")
+      pairs
+        .join(v.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
+        .join(v.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
+        .select($"id_a", $"id_b",
+          round(Similarity.cosine($"va", $"vb"), 6).as("cos"))
+        .filter($"cos" >= 0.95)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- multimodal: binary payload -> batched feature extraction
+    // (decode STUBBED — see Multimodal.StubCodec; plumbing is real)
+    "m01_multimodal_features" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      Multimodal.extractFeatures(media).toDF()
+        .orderBy($"media_id")
+    }),
+
+    // ---- tumbling event windows
+    "ev01_tumbling" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      EventPipeline.windowedCounts(Tables.events(s, d), "1 hour")
+        .orderBy($"wstart", $"event_type")
+    }),
+
+    // ---- hopping (sliding) event windows
+    "ev02_hopping" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("wstart"), $"event_type", $"n")
+        .orderBy($"wstart", $"event_type")
+    }),
+
+    // ---- sessionization (30-minute gap), batch mode
+    "ev03_session" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      EventPipeline.sessionized(Tables.events(s, d), "30 minutes")
+        .orderBy($"user_id", $"sstart")
+    })
+  )
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val hash60Sql = (x: String) =>
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  private def markerCountSql(padded: String, m: String): String =
+    s"(len($padded) - len(replace($padded, '$m', ''))) / ${m.length}"
+
+  private val langCaseSql: String = {
+    val padded = "(' ' || lower(text) || ' ')"
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(markerCountSql(padded, _)).mkString(" + ")
+    }
+    val defs = scores.map { case (l, e) => s"($e) AS sc_$l" }.mkString(", ")
+    val langs = scores.map(_._1)
+    val arms = langs.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val geConds = (Seq(s"sc_$l > 0") ++ rest.map(r => s"sc_$l >= sc_$r")).mkString(" AND ")
+      s"WHEN $geConds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, text, $defs FROM documents)
+       |SELECT doc_id, CASE
+       | WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       | $arms ELSE 'unknown' END AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val bits = (0 until 60).map { b =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1) * 2 - 1)) > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform($toksSql, tk -> ${hash60Sql("tk")}) AS hs
+       | FROM documents)
+       |SELECT doc_id, $bits AS simhash FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  private val minhashSql: String = {
+    val sig = perms.map { case (a, b) =>
+      s"list_min(list_transform(h30, h -> (h * $a + $b) % ${Dedup.MinhashPrime}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) < $ShingleN
+       |  THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(1, len(toks) - ${ShingleN - 2}),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shs
+       | FROM t),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(shs,
+       |  sg -> ${hash60Sql("sg")} % 1073741824)) AS h30 FROM sh)
+       |SELECT doc_id, $sig AS sig FROM hs ORDER BY doc_id""".stripMargin
+  }
+
+  private val qualitySql: String = {
+    val padded = "(' ' || lower(text) || ' ')"
+    val stopHits = TextAnalysis.stopMarkers
+      .map(markerCountSql(padded, _)).mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST($stopHits AS BIGINT) AS stop_hits,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) /
+       |    CAST(length(text) AS DOUBLE) AS punct_ratio
+       | FROM documents)
+       |SELECT doc_id, n_chars, n_punct, stop_hits, n_tokens,
+       | round(1.0 / (1.0 + exp(-(-2.0 + 20.0 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+       |   + 0.1 * ln(1.0 + n_tokens) - 5.0 * punct_ratio))), 4) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  private val knnSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |s AS (SELECT qid, vec_id AS id,
+      |  CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)) = 0
+      |   THEN 0.0
+      |   ELSE list_dot_product(qv, v) /
+      |     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) END AS score
+      | FROM q, e WHERE vec_id <> qid),
+      |r AS (SELECT qid, id, score,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk FROM s)
+      |SELECT qid, id, round(score, 6) AS score, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      s"""SELECT md5($normSql) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "d02_token_count" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d03_quality" -> qualitySql,
+    "d04_langid" -> langCaseSql,
+    "d05_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""".stripMargin,
+    "d06_simhash" -> simhashSql,
+    "d07_minhash_sig" -> minhashSql,
+    "e01_knn_exact" -> knnSql,
+    "ev01_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "ev02_hopping" ->
+      """SELECT wstart, event_type, count(*) AS n FROM (
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, event_type FROM events
+        | UNION ALL
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type
+        | FROM events) t
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "ev03_session" ->
+      """WITH ev AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        |  FROM events),
+        |b AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM b)
+        |SELECT min(ts) AS sstart, max(ts) + INTERVAL 30 MINUTE AS send,
+        | user_id, count(*) AS n_events, round(sum(value), 2) AS total
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin
+  )
+}

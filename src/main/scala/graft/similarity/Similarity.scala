@@ -1,0 +1,112 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers, per SURVEY.md §M6 and the 100 TB design point:
+  *  - [[knnBruteForce]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one scan, no shuffle of the corpus, then a
+  *    per-query top-k window. The baseline and the verifier for ANN.
+  *  - [[RandomHyperplaneLsh]]: sign-random-projection LSH — corpus hashed
+  *    once into band buckets (narrow map + one shuffle), probes join only
+  *    their buckets, exact rerank confined to candidates. This is the path
+  *    that survives a 10^9-row corpus where brute force cannot.
+  *
+  * All math in double precision via explicit fold (deterministic
+  * accumulation order → bit-identical across engines, oracle-friendly).
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision (0 when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Exact top-k by cosine: for each row of `queries` (qid, qvec) return
+    * the k nearest rows of `corpus` (id, vec), excluding self-matches on
+    * id. The query side is broadcast — the corpus is scanned exactly once
+    * with no shuffle; ranking is a per-query window.
+    */
+  def knnBruteForce(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), round(col("score"), 6).as("score"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Sign-random-projection (SimHash-style) LSH for cosine similarity.
+    *
+    * `planes(p)(i)` are deterministic pseudo-random ±1 hyperplane weights
+    * from a fixed-seed LCG (no runtime randomness — resumable, and the
+    * same buckets on every engine/run). Signature bit p = sign(v · plane_p);
+    * `bands` groups of `rowsPerBand` bits form bucket keys.
+    */
+  final class RandomHyperplaneLsh(dim: Int, numPlanes: Int, bands: Int) {
+    require(numPlanes % bands == 0, "numPlanes must divide into bands")
+    val rowsPerBand: Int = numPlanes / bands
+
+    private val planes: Array[Array[Double]] = {
+      var state = 20240202L
+      def next(): Long = { state = (state * 48271L) % 2147483647L; state }
+      Array.fill(numPlanes, dim)(if ((next() & 1L) == 0L) -1.0 else 1.0)
+    }
+
+    /** Signature bits as array<int> of 0/1. */
+    def signature(vec: Column): Column = {
+      val bits = planes.map { p =>
+        val planeLit = array(p.map(lit): _*)
+        when(dot(vec, planeLit) >= 0, lit(1)).otherwise(lit(0))
+      }
+      array(bits.toIndexedSeq: _*)
+    }
+
+    /** (id, band, bucket) — one row per band per input row. */
+    def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol).as("id"), signature(col(vecCol)).as("sig"))
+        .select(col("id"), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => to_json(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+
+    /** Approximate top-k: candidates = corpus rows sharing >= 1 band
+      * bucket with the query; exact cosine rerank on candidates only.
+      */
+    def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+        queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+      val cb = buckets(corpus, idCol, vecCol)
+      val qb = buckets(queries, qidCol, qvecCol)
+        .withColumnRenamed("id", "qid")
+      val cands = cb.join(qb, Seq("band", "bucket"))
+        .filter(col("id") =!= col("qid"))
+        .select("qid", "id").distinct()
+      val withVecs = cands
+        .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+        .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))), "qid")
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+      withVecs.select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"),
+          col("rk").cast("long").as("rk"))
+    }
+  }
+}

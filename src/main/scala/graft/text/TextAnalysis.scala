@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language id, quality scoring, fingerprinting.
+  *
+  * Everything is a pure `Column` composition (codegen'd by Catalyst, no
+  * UDFs), so the operators inline into whole-stage codegen and scale
+  * linearly with the scan. Formulas are deliberately expressible in ANSI
+  * SQL so the DuckDB oracle can replicate them exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace-normalized lowercase form (basis for fingerprints). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace token count. Empty-ish text still counts 1 (split
+    * semantics match DuckDB's regexp split on both engines).
+    */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** Tokens of the raw text (whitespace split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Engine-stable 60-bit hash: first 15 hex digits of md5 as a long.
+    * Reproducible in DuckDB as
+    * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.
+    */
+  def stableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Document fingerprint: md5 of the normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Count occurrences of a literal marker inside ` lower(text) `
+    * (length-difference trick — same formula runs in DuckDB).
+    */
+  private def markerCount(padded: Column, marker: String): Column =
+    (length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(marker), ""))) / marker.length
+
+  /** Marker-word tables for the n-gram language heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " y ", " los "))
+
+  /** Language id: CJK characters → zh; otherwise argmax of marker-word
+    * counts with first-listed-language tie-break; all-zero → 'unknown'.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> ms.map(markerCount(padded, _)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("unknown")) { case (acc, (lang, sc)) =>
+      when(sc > 0 && sc === best, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Number of punctuation characters (simple class, oracle-parity). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("long")
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text))
+
+  /** Ratio of digit characters. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  /** English stopword markers used by [[stopHits]] / [[stopwordRatio]]. */
+  val stopMarkers: Seq[String] = Seq(" the ", " and ", " of ", " a ", " in ", " to ")
+
+  /** Total stopword-marker occurrences (integer-valued). */
+  def stopHits(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    stopMarkers.map(markerCount(padded, _)).reduce(_ + _).cast("long")
+  }
+
+  /** English stopword-token ratio. */
+  def stopwordRatio(text: Column): Column =
+    stopHits(text).cast("double") / tokenCount(text)
+
+  /** Composite quality score in (0,1): logistic over stopword density,
+    * length, and punctuation noise. Same closed form runs in the oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val z = lit(-2.0) + lit(20.0) * stopwordRatio(text) +
+      lit(0.1) * log(lit(1.0) + tokenCount(text)) -
+      lit(5.0) * punctRatio(text)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+  }
+}
