@@ -4,18 +4,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: full GQL stack (parse → compile → Catalyst) over the
+    * TPC-H property graph at sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_agg_groupby")(spark, "/root/testdata/sf0.001")
+    queries("gql01_flagship")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.GraphQueries.queries ++
-      graft.queries.PipelineQueries.queries
+    graft.queries.Relational.queries ++
+      graft.queries.GraphQueries.queries ++
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.GqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.GraphQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+    graft.queries.Relational.oracle ++
+      graft.queries.GraphQueries.oracle ++
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.GqlQueries.oracle
 }

@@ -1,0 +1,77 @@
+package graft.gql
+
+/** AST for the ISO-GQL subset (shape mirrors the reference's
+  * graphlite/src/ast/ast.rs for auditability; the grammar source of truth
+  * is /root/reference/grammar/ISO_GQL_Grammar_BNF.txt).
+  */
+object Ast {
+
+  // ---- expressions (ast.rs:497-517) ----
+  sealed trait Expr
+  case class NullLit() extends Expr
+  case class BoolLit(v: Boolean) extends Expr
+  case class NumLit(v: Double, isInt: Boolean) extends Expr
+  case class StrLit(v: String) extends Expr
+  case class ListLit(items: Seq[Expr]) extends Expr
+  /** Bare variable reference (node/edge var, or alias from WITH/RETURN). */
+  case class Ident(name: String) extends Expr
+  /** `a.prop` property access. */
+  case class Prop(variable: String, prop: String) extends Expr
+  /** Function call; `distinct` per ast.rs:537-543. */
+  case class Fn(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
+  case class CountStar() extends Expr
+  /** Binary op: + - * / % || = <> < <= > >= AND OR XOR */
+  case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  case class Not(e: Expr) extends Expr
+  case class Neg(e: Expr) extends Expr
+  /** IS [NOT] NULL (ast.rs:1580-1611 subset). */
+  case class IsNull(e: Expr, negated: Boolean) extends Expr
+  case class InList(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
+  /** STARTS WITH / ENDS WITH / CONTAINS / LIKE (executor.rs:5353-5412). */
+  case class StringPred(op: String, l: Expr, r: Expr, negated: Boolean) extends Expr
+  /** CASE (ast.rs:1279-1316): simple (subject defined) or searched. */
+  case class CaseExpr(subject: Option[Expr], whens: Seq[(Expr, Expr)],
+      otherwise: Option[Expr]) extends Expr
+  case class Cast(e: Expr, toType: String) extends Expr
+  /** arr[i] (ast.rs:1591-1596). */
+  case class Index(e: Expr, idx: Expr) extends Expr
+
+  // ---- patterns (ast.rs pattern structures) ----
+  sealed trait Direction
+  case object Out extends Direction      // -[]->
+  case object In extends Direction       // <-[]-
+  case object Undirected extends Direction // -[]-
+
+  /** (v:Label {p: lit, ...}) — any part optional. */
+  case class NodePattern(variable: Option[String], labels: Seq[String],
+      props: Seq[(String, Expr)])
+  /** -[v:TYPE {..} ]-> with optional quantifier for var-length paths. */
+  case class EdgePattern(variable: Option[String], types: Seq[String],
+      props: Seq[(String, Expr)], direction: Direction,
+      quantifier: Option[(Int, Int)])
+  /** Alternating node-edge-node chain. */
+  case class PathPattern(start: NodePattern, hops: Seq[(EdgePattern, NodePattern)])
+
+  // ---- query clauses (ast.rs:183-193 BasicQuery + WithQuery ast.rs:140-180)
+  case class ReturnItem(expr: Expr, alias: Option[String])
+  case class SortItem(expr: Expr, ascending: Boolean)
+
+  /** One MATCH…[WHERE]… segment followed by WITH or RETURN projection. */
+  case class Segment(
+      matches: Seq[PathPattern],
+      optionalMatches: Seq[PathPattern],
+      where: Option[Expr],
+      unwind: Option[(Expr, String)],
+      projection: Seq[ReturnItem],
+      /** WHERE after WITH — filters the projected columns. */
+      postWhere: Option[Expr],
+      distinct: Boolean,
+      groupBy: Seq[Expr],
+      having: Option[Expr],
+      orderBy: Seq[SortItem],
+      skip: Option[Long],
+      limit: Option[Long])
+
+  /** Full query: WITH-chained segments; last one is the RETURN. */
+  case class Query(segments: Seq[Segment])
+}

@@ -1,0 +1,648 @@
+package graft.gql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.{Direction => GDir, PathSemantics, PropertyGraph}
+import Ast._
+
+class GqlCompileException(msg: String) extends RuntimeException(msg)
+
+/** Compiles the GQL AST straight to DataFrame transformations.
+  *
+  * This replaces the reference's logical/physical planner + interpreter
+  * (plan/operators/logical.rs, physical.rs, exec/executor.rs): we emit a
+  * declarative Catalyst
+  * plan and let Spark do predicate pushdown, join selection, partial
+  * aggregation and codegen (SURVEY.md §4.1 — most reference rewrites are
+  * Catalyst built-ins).
+  *
+  * Binding model: node variable `a` occupies columns `a_id`, `a_<prop>`;
+  * edge variable `e` occupies `e_eid`, `e_<prop>`; WITH/UNWIND aliases are
+  * plain columns. Entity identity (executor.rs:7865-7894) is the id
+  * column — `RETURN a` yields `a_id`, so DISTINCT and set ops are
+  * identity-based exactly like the reference.
+  */
+final class Compiler(graph: PropertyGraph) {
+
+  sealed trait Binding
+  case class NodeBinding(label: String) extends Binding
+  case class EdgeBinding(label: String) extends Binding
+  case object ValueBinding extends Binding
+
+  private case class Ctx(bindings: Map[String, Binding]) {
+    def nodeLabel(v: String): Option[String] = bindings.get(v) match {
+      case Some(NodeBinding(l)) => Some(l)
+      case _ => None
+    }
+  }
+
+  private var freshId = 0
+  private def fresh(prefix: String): String = { freshId += 1; s"__$prefix$freshId" }
+
+  private lazy val singleRow: DataFrame =
+    graph.nodeTables.values.headOption
+      .map(_.sparkSession.range(1).toDF(fresh("one")))
+      .getOrElse(throw new GqlCompileException("empty graph"))
+
+  def compile(q: Query): DataFrame = {
+    var df: Option[DataFrame] = None
+    var bindings = Map.empty[String, Binding]
+    q.segments.foreach { seg =>
+      val (d2, b2) = compileSegment(seg, df, bindings)
+      df = Some(d2)
+      bindings = b2
+    }
+    df.get
+  }
+
+  // ------------------------------------------------------------------
+  // segment
+  // ------------------------------------------------------------------
+  private def compileSegment(seg: Segment, prev: Option[DataFrame],
+      prevBindings: Map[String, Binding]): (DataFrame, Map[String, Binding]) = {
+    var ctx = Ctx(prevBindings)
+    var df = prev
+
+    // MATCH patterns
+    seg.matches.foreach { path =>
+      val (d2, c2) = compilePath(path, df, ctx)
+      df = Some(d2); ctx = c2
+    }
+    // OPTIONAL MATCH: compile standalone, left-join on shared columns
+    seg.optionalMatches.foreach { path =>
+      val (optDf, c2) = compilePath(path, None, Ctx(Map.empty))
+      val base = df.getOrElse(throw new GqlCompileException(
+        "OPTIONAL MATCH requires a preceding MATCH"))
+      val shared = base.columns.toSet.intersect(optDf.columns.toSet).toSeq
+      if (shared.isEmpty)
+        throw new GqlCompileException("OPTIONAL MATCH must share a variable")
+      df = Some(base.join(optDf, shared, "left_outer"))
+      ctx = Ctx(ctx.bindings ++ c2.bindings)
+    }
+    // WHERE (pre-projection)
+    seg.where.foreach { w =>
+      df = Some(df.getOrElse(throw new GqlCompileException("WHERE without input"))
+        .filter(compileExpr(w, ctx)))
+    }
+    // UNWIND
+    seg.unwind.foreach { case (e, as) =>
+      val in = df.getOrElse(singleRow)
+      df = Some(in.withColumn(as, explode(compileExpr(e, ctx))))
+      ctx = Ctx(ctx.bindings + (as -> ValueBinding))
+    }
+
+    // standalone RETURN (no MATCH): evaluate over one synthetic row
+    val base = df.getOrElse(singleRow)
+
+    // ---- projection (+ implicit/explicit grouping) ----
+    val items = seg.projection.zipWithIndex.map { case (it, i) =>
+      (it, itemName(it, i))
+    }
+    val itemMap: Map[Expr, String] = items.map { case (it, n) => it.expr -> n }.toMap
+
+    val hasAgg = items.exists { case (it, _) => containsAgg(it.expr) } ||
+      seg.groupBy.nonEmpty || seg.having.exists(containsAgg)
+
+    // hidden aggregates needed by HAVING / ORDER BY but not projected
+    val hiddenAggs = scala.collection.mutable.LinkedHashMap[Expr, String]()
+
+    var out: DataFrame =
+      if (!hasAgg) {
+        val cols = items.map { case (it, n) => compileExpr(it.expr, ctx).as(n) }
+        base.select(cols: _*)
+      } else {
+        val keyExprs: Seq[Expr] =
+          if (seg.groupBy.nonEmpty) seg.groupBy
+          else items.collect { case (it, _) if !containsAgg(it.expr) => it.expr }
+        val keyCols = keyExprs.zipWithIndex.map { case (e, i) =>
+          compileExpr(e, ctx).as(itemMap.getOrElse(e, s"__k$i"))
+        }
+        // aggregate columns from items (non-key items must contain aggs)
+        val aggCols = items.collect {
+          case (it, n) if containsAgg(it.expr) =>
+            compileAggExpr(it.expr, ctx).as(n)
+        }
+        def registerHidden(e: Expr): Unit = aggSubtrees(e).foreach { a =>
+          if (!itemMap.contains(a) && !hiddenAggs.contains(a))
+            hiddenAggs(a) = fresh("agg")
+        }
+        seg.having.foreach(registerHidden)
+        seg.orderBy.foreach(s => registerHidden(s.expr))
+        val hiddenCols = hiddenAggs.map { case (e, n) =>
+          compileAggExpr(e, ctx).as(n)
+        }.toSeq
+
+        val allAgg = aggCols ++ hiddenCols
+        val grouped =
+          if (allAgg.isEmpty) base.groupBy(keyCols: _*).agg(count(lit(1)).as(fresh("cnt")))
+          else base.groupBy(keyCols: _*).agg(allAgg.head, allAgg.tail: _*)
+
+        val postCtx = PostCtx(itemMap ++ hiddenAggs, ctx)
+        var g = grouped
+        seg.having.foreach(h => g = g.filter(compilePost(h, postCtx)))
+        g
+      }
+
+    val postCtx = PostCtx(itemMap ++ hiddenAggs, ctx)
+
+    // WITH … WHERE (post-projection filter)
+    seg.postWhere.foreach(w => out = out.filter(compilePost(w, postCtx)))
+
+    if (seg.distinct)
+      out = out.select(items.map { case (_, n) => col(n) }: _*).distinct()
+
+    // ORDER BY resolved against output columns / hidden aggs
+    if (seg.orderBy.nonEmpty) {
+      val sortCols = seg.orderBy.map { s =>
+        val c = s.expr match {
+          case NumLit(v, true) if v >= 1 && v <= items.size =>
+            col(items(v.toInt - 1)._2) // ORDER BY <position>
+          case e => compilePost(e, postCtx)
+        }
+        if (s.ascending) c.asc else c.desc
+      }
+      out = out.orderBy(sortCols: _*)
+    }
+    // drop hidden agg columns, keep declared items in order
+    out = out.select(items.map { case (_, n) => col(n) }: _*)
+
+    seg.skip.foreach(n => out = out.offset(n.toInt))
+    seg.limit.foreach(n => out = out.limit(n.toInt))
+
+    // next-segment bindings: node/edge vars survive only if projected bare
+    val nextBindings: Map[String, Binding] = items.map {
+      case (ReturnItem(Ident(v), None), n) if ctx.bindings.contains(v) =>
+        n -> ValueBinding
+      case (_, n) => n -> ValueBinding
+    }.toMap
+    (out, nextBindings)
+  }
+
+  private def itemName(it: ReturnItem, i: Int): String = it.alias.getOrElse(it.expr match {
+    case Ident(v) => v
+    case Prop(_, p) => p
+    case CountStar() => "count"
+    case Fn(n, _, _) => n.toLowerCase
+    case _ => s"col$i"
+  })
+
+  // ------------------------------------------------------------------
+  // patterns
+  // ------------------------------------------------------------------
+  private def compilePath(path: PathPattern, dfIn: Option[DataFrame],
+      ctxIn: Ctx): (DataFrame, Ctx) = {
+    var ctx = ctxIn
+    var df = dfIn
+
+    // label inference (node without label takes the adjacent edge's endpoint)
+    def inferStart(np: NodePattern, firstEdge: Option[EdgePattern]): String =
+      np.labels.headOption
+        .orElse(np.variable.flatMap(ctx.nodeLabel))
+        .orElse(firstEdge.flatMap(e => e.types.headOption.map { t =>
+          val et = graph.edgeType(t)
+          if (e.direction == In) et.dstLabel else et.srcLabel
+        }))
+        .getOrElse(throw new GqlCompileException(
+          s"cannot infer label for node ${np.variable.getOrElse("(anon)")}"))
+
+    // start node
+    val startVar = path.start.variable.getOrElse(fresh("n"))
+    if (ctx.bindings.contains(startVar)) {
+      // already bound: apply inline props as filters
+      path.start.props.foreach { case (k, v) =>
+        df = df.map(_.filter(col(s"${startVar}_$k") === compileExpr(v, ctx)))
+      }
+    } else {
+      val label = inferStart(path.start, path.hops.headOption.map(_._1))
+      val scan = scanNode(label, startVar, path.start.props, ctx)
+      df = Some(df.fold(scan)(_.crossJoin(scan)))
+      ctx = Ctx(ctx.bindings + (startVar -> NodeBinding(label)))
+    }
+
+    var prevVar = startVar
+    path.hops.foreach { case (edge, node) =>
+      val (d2, c2, nv) = hop(df.get, ctx, prevVar, edge, node)
+      df = Some(d2); ctx = c2; prevVar = nv
+    }
+    (df.get, ctx)
+  }
+
+  private def scanNode(label: String, v: String,
+      props: Seq[(String, Expr)], ctx: Ctx): DataFrame = {
+    val t = graph.nodeTables.getOrElse(label,
+      throw new GqlCompileException(s"unknown node label: $label"))
+    var d = t.columns.foldLeft(t)((acc, c) =>
+      acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
+    props.foreach { case (k, lit) =>
+      d = d.filter(col(s"${v}_$k") === compileExpr(lit, ctx))
+    }
+    d
+  }
+
+  /** One hop: join edge table (oriented), then bind/join the target node. */
+  private def hop(df: DataFrame, ctxIn: Ctx, fromVar: String,
+      edge: EdgePattern, node: NodePattern): (DataFrame, Ctx, String) = {
+    var ctx = ctxIn
+    if (edge.quantifier.isDefined) return varLengthHop(df, ctx, fromVar, edge, node)
+
+    val eTypes =
+      if (edge.types.nonEmpty) edge.types
+      else graph.edgeLabels
+    val eVar = edge.variable.getOrElse(fresh("e"))
+    if (ctx.bindings.contains(eVar))
+      throw new GqlCompileException(s"edge variable $eVar already bound")
+    val nVar = node.variable.getOrElse(fresh("n"))
+
+    // Valid (type, orientation) combos. Each orientation of each edge type
+    // implies endpoint labels (EdgeType src/dst); an orientation whose
+    // labels contradict the pattern's labels (or already-bound variables)
+    // can never match — per-label id spaces make the guard mandatory, not
+    // an optimization.
+    val fromLabel: Option[String] = ctx.nodeLabel(fromVar)
+    val toLabel: Option[String] =
+      node.labels.headOption.orElse(ctx.nodeLabel(nVar))
+    val orientations: Seq[Direction] = edge.direction match {
+      case Undirected => Seq(Out, In)
+      case d => Seq(d)
+    }
+    val combos = for {
+      t <- eTypes
+      o <- orientations
+      et = graph.edgeType(t)
+      startLabel = if (o == Out) et.srcLabel else et.dstLabel
+      endLabel = if (o == Out) et.dstLabel else et.srcLabel
+      if fromLabel.forall(_ == startLabel)
+      if toLabel.forall(_ == endLabel)
+    } yield (t, o)
+    if (combos.isEmpty)
+      throw new GqlCompileException(
+        s"pattern can never match: no orientation of [${eTypes.mkString("|")}] " +
+          s"connects ${fromLabel.getOrElse("?")} to ${toLabel.getOrElse("?")}")
+    val endLabels = combos.map { case (t, o) =>
+      val et = graph.edgeType(t)
+      if (o == Out) et.dstLabel else et.srcLabel
+    }.distinct
+    if (endLabels.size > 1)
+      throw new GqlCompileException(
+        s"ambiguous target label for $nVar: ${endLabels.mkString(", ")} — add a label")
+
+    // edge table: union of valid oriented combos
+    val srcCol = fresh("src"); val dstCol = fresh("dst")
+    def orient(t: String, o: Direction): DataFrame = {
+      val (_, raw) = graph.edgeTables(t)
+      val base = raw.withColumn("__label", lit(t))
+      o match {
+        case In => base.withColumnRenamed("dst", srcCol).withColumnRenamed("src", dstCol)
+        case _ => base.withColumnRenamed("src", srcCol).withColumnRenamed("dst", dstCol)
+      }
+    }
+    var e = combos.map { case (t, o) => orient(t, o) }.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
+    // prefix edge prop columns
+    val keep = e.columns.filterNot(c => c == srcCol || c == dstCol || c == "__label")
+    e = keep.foldLeft(e)((acc, c) =>
+      acc.withColumnRenamed(c, if (c == "eid") s"${eVar}_eid" else s"${eVar}_$c"))
+      .withColumnRenamed("__label", s"${eVar}_label")
+    var joined = df.join(e, col(s"${fromVar}_id") === col(srcCol))
+    edge.props.foreach { case (k, v) =>
+      joined = joined.filter(col(s"${eVar}_$k") === compileExpr(v, ctx))
+    }
+    ctx = Ctx(ctx.bindings + (eVar -> EdgeBinding(combos.head._1)))
+
+    // target node
+    if (ctx.bindings.contains(nVar)) {
+      val out = joined.filter(col(dstCol) === col(s"${nVar}_id"))
+        .drop(srcCol, dstCol)
+      var out2 = out
+      node.props.foreach { case (k, v) =>
+        out2 = out2.filter(col(s"${nVar}_$k") === compileExpr(v, ctx))
+      }
+      (out2, ctx, nVar)
+    } else {
+      val label = endLabels.head
+      val n = scanNode(label, nVar, node.props, ctx)
+      val out = joined.join(n, col(dstCol) === col(s"${nVar}_id"))
+        .drop(srcCol, dstCol)
+      ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(label)))
+      (out, ctx, nVar)
+    }
+  }
+
+  /** Variable-length hop via PropertyGraph.paths (WALK semantics, cap 10 —
+    * parity with executor.rs:6505-6510). Edge variables are not bindable
+    * across a quantified edge.
+    */
+  private def varLengthHop(df: DataFrame, ctxIn: Ctx, fromVar: String,
+      edge: EdgePattern, node: NodePattern): (DataFrame, Ctx, String) = {
+    var ctx = ctxIn
+    if (edge.variable.isDefined)
+      throw new GqlCompileException("edge variable not supported on quantified edges")
+    val t = edge.types.headOption.getOrElse(
+      throw new GqlCompileException("quantified edge requires a type"))
+    val (lo, hi) = edge.quantifier.get
+    val dir = edge.direction match {
+      case Out => GDir.Out
+      case In => GDir.In
+      case Undirected => GDir.Both
+    }
+    val start = df.select(col(s"${fromVar}_id").as("start_id")).distinct()
+    val reach = graph.paths(start, t, lo, hi, PathSemantics.Walk, dir)
+      .select(col("start_id"), col("end_id")).distinct()
+    val nVar = node.variable.getOrElse(fresh("n"))
+    val joined = df.join(reach, col(s"${fromVar}_id") === col("start_id"))
+    if (ctx.bindings.contains(nVar)) {
+      (joined.filter(col("end_id") === col(s"${nVar}_id"))
+        .drop("start_id", "end_id"), ctx, nVar)
+    } else {
+      val label = node.labels.headOption.getOrElse(graph.edgeType(t).dstLabel)
+      val n = scanNode(label, nVar, node.props, ctx)
+      val out = joined.join(n, col("end_id") === col(s"${nVar}_id"))
+        .drop("start_id", "end_id")
+      ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(label)))
+      (out, ctx, nVar)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // expressions
+  // ------------------------------------------------------------------
+  private val aggNames = Set("COUNT", "SUM", "AVG", "AVERAGE", "MIN", "MAX", "COLLECT")
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case CountStar() => true
+    case Fn(n, args, _) =>
+      aggNames.contains(n) || args.exists(containsAgg)
+    case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Not(x) => containsAgg(x)
+    case Neg(x) => containsAgg(x)
+    case IsNull(x, _) => containsAgg(x)
+    case InList(x, items, _) => containsAgg(x) || items.exists(containsAgg)
+    case StringPred(_, l, r, _) => containsAgg(l) || containsAgg(r)
+    case CaseExpr(s, ws, o) => s.exists(containsAgg) ||
+      ws.exists { case (c, v) => containsAgg(c) || containsAgg(v) } ||
+      o.exists(containsAgg)
+    case Cast(x, _) => containsAgg(x)
+    case Index(x, i) => containsAgg(x) || containsAgg(i)
+    case _ => false
+  }
+
+  private def aggSubtrees(e: Expr): Seq[Expr] = e match {
+    case CountStar() => Seq(e)
+    case Fn(n, _, _) if aggNames.contains(n) => Seq(e)
+    case Fn(_, args, _) => args.flatMap(aggSubtrees)
+    case Bin(_, l, r) => aggSubtrees(l) ++ aggSubtrees(r)
+    case Not(x) => aggSubtrees(x)
+    case Neg(x) => aggSubtrees(x)
+    case IsNull(x, _) => aggSubtrees(x)
+    case InList(x, items, _) => aggSubtrees(x) ++ items.flatMap(aggSubtrees)
+    case StringPred(_, l, r, _) => aggSubtrees(l) ++ aggSubtrees(r)
+    case CaseExpr(s, ws, o) => s.toSeq.flatMap(aggSubtrees) ++
+      ws.flatMap { case (c, v) => aggSubtrees(c) ++ aggSubtrees(v) } ++
+      o.toSeq.flatMap(aggSubtrees)
+    case Cast(x, _) => aggSubtrees(x)
+    case Index(x, i) => aggSubtrees(x) ++ aggSubtrees(i)
+    case _ => Seq.empty
+  }
+
+  /** Compile an expression that may contain aggregate calls (agg context). */
+  private def compileAggExpr(e: Expr, ctx: Ctx): Column = e match {
+    case CountStar() => count(lit(1))
+    case Fn("COUNT", Seq(a), true) => countDistinct(compileExpr(a, ctx))
+    case Fn("COUNT", Seq(a), false) => count(compileExpr(a, ctx))
+    case Fn("SUM", Seq(a), d) =>
+      val c = compileExpr(a, ctx); if (d) sum_distinct(c) else sum(c)
+    case Fn("AVG" | "AVERAGE", Seq(a), _) => avg(compileExpr(a, ctx))
+    case Fn("MIN", Seq(a), _) => min(compileExpr(a, ctx))
+    case Fn("MAX", Seq(a), _) => max(compileExpr(a, ctx))
+    case Fn("COLLECT", Seq(a), d) =>
+      if (d) collect_set(compileExpr(a, ctx)) else collect_list(compileExpr(a, ctx))
+    case Bin(op, l, r) => binOp(op, compileAggExpr(l, ctx), compileAggExpr(r, ctx))
+    case Neg(x) => -compileAggExpr(x, ctx)
+    case Cast(x, t) => compileAggExpr(x, ctx).cast(sparkType(t))
+    case other => compileExpr(other, ctx)
+  }
+
+  /** Post-aggregation / post-projection resolution: aliases and
+    * pre-registered aggregate columns.
+    */
+  private case class PostCtx(exprCols: Map[Expr, String], ctx: Ctx)
+  private def compilePost(e: Expr, pc: PostCtx): Column =
+    pc.exprCols.get(e) match {
+      case Some(n) => col(n)
+      case None => e match {
+        case Ident(v) => col(v)
+        case Bin(op, l, r) => binOp(op, compilePost(l, pc), compilePost(r, pc))
+        case Not(x) => !compilePost(x, pc)
+        case Neg(x) => -compilePost(x, pc)
+        case IsNull(x, neg) =>
+          val c = compilePost(x, pc); if (neg) c.isNotNull else c.isNull
+        case InList(x, items, neg) =>
+          val c = compilePost(x, pc).isin(items.map(litValue): _*)
+          if (neg) !c else c
+        case StringPred(op, l, r, neg) =>
+          val c = stringPred(op, compilePost(l, pc), r, x => compilePost(x, pc))
+          if (neg) !c else c
+        case CaseExpr(s, ws, o) => caseExpr(s, ws, o, x => compilePost(x, pc))
+        case Cast(x, t) => compilePost(x, pc).cast(sparkType(t))
+        case NumLit(v, isInt) => if (isInt) lit(v.toLong) else lit(v)
+        case StrLit(s) => lit(s)
+        case BoolLit(b) => lit(b)
+        case NullLit() => lit(null)
+        case other => compileExpr(other, pc.ctx)
+      }
+    }
+
+  def compileExpr(e: Expr, ctx: Ctx): Column = e match {
+    case NullLit() => lit(null)
+    case BoolLit(b) => lit(b)
+    case NumLit(v, isInt) => if (isInt) lit(v.toLong) else lit(v)
+    case StrLit(s) => lit(s)
+    case ListLit(items) => array(items.map(compileExpr(_, ctx)): _*)
+    case Ident(v) => ctx.bindings.get(v) match {
+      case Some(NodeBinding(_)) => col(s"${v}_id")
+      case Some(EdgeBinding(_)) => col(s"${v}_eid")
+      case _ => col(v)
+    }
+    case Prop(v, p) => col(s"${v}_$p")
+    case CountStar() =>
+      throw new GqlCompileException("count(*) outside aggregation context")
+    case Fn(n, args, d) if aggNames.contains(n) =>
+      throw new GqlCompileException(s"aggregate $n outside aggregation context")
+    case Fn(name, args, _) => scalarFn(name, args, ctx)
+    case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx))
+    case Not(x) => !compileExpr(x, ctx)
+    case Neg(x) => -compileExpr(x, ctx)
+    case IsNull(x, neg) =>
+      val c = compileExpr(x, ctx); if (neg) c.isNotNull else c.isNull
+    case InList(x, items, neg) =>
+      val c = compileExpr(x, ctx).isin(items.map(litValue): _*)
+      if (neg) !c else c
+    case StringPred(op, l, r, neg) =>
+      val c = stringPred(op, compileExpr(l, ctx), r, x => compileExpr(x, ctx))
+      if (neg) !c else c
+    case CaseExpr(s, ws, o) => caseExpr(s, ws, o, x => compileExpr(x, ctx))
+    case Cast(x, t) => compileExpr(x, ctx).cast(sparkType(t))
+    case Index(x, i) =>
+      element_at(compileExpr(x, ctx), compileExpr(i, ctx).cast("int") + 1)
+  }
+
+  private def caseExpr(subject: Option[Expr], whens: Seq[(Expr, Expr)],
+      otherwise: Option[Expr], comp: Expr => Column): Column = {
+    val base = subject match {
+      case Some(s) =>
+        val sc = comp(s)
+        whens.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
+          val w = acc match {
+            case None => when(sc === comp(c), comp(v))
+            case Some(a) => a.when(sc === comp(c), comp(v))
+          }
+          Some(w)
+        }
+      case None =>
+        whens.foldLeft(Option.empty[Column]) { case (acc, (c, v)) =>
+          val w = acc match {
+            case None => when(comp(c), comp(v))
+            case Some(a) => a.when(comp(c), comp(v))
+          }
+          Some(w)
+        }
+    }
+    otherwise.fold(base.get)(o => base.get.otherwise(comp(o)))
+  }
+
+  private def binOp(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+    case "%" => l % r
+    case "||" => concat(l, r)
+    case "=" => l === r
+    case "<>" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+    case "AND" => l && r
+    case "OR" => l || r
+    case "XOR" => l =!= r
+    case other => throw new GqlCompileException(s"unknown operator $other")
+  }
+
+  private def stringPred(op: String, l: Column, r: Expr,
+      comp: Expr => Column): Column = op match {
+    case "STARTS WITH" => l.startsWith(comp(r))
+    case "ENDS WITH" => l.endsWith(comp(r))
+    case "CONTAINS" => l.contains(comp(r))
+    // Spark's like() takes a literal pattern (the only form the
+    // reference grammar allows as well — executor.rs:5461-5573)
+    case "LIKE" => r match {
+      case StrLit(s) => l.like(s)
+      case _ => throw new GqlCompileException("LIKE requires a literal pattern")
+    }
+  }
+
+  private def litValue(e: Expr): Any = e match {
+    case NumLit(v, true) => v.toLong
+    case NumLit(v, false) => v
+    case StrLit(s) => s
+    case BoolLit(b) => b
+    case NullLit() => null
+    case other => throw new GqlCompileException(s"IN list requires literals, got $other")
+  }
+
+  private def sparkType(t: String): String = t.toUpperCase match {
+    case "STRING" | "VARCHAR" | "TEXT" => "string"
+    case "INTEGER" | "INT" | "BIGINT" | "SMALLINT" => "long"
+    case "FLOAT" | "DOUBLE" | "REAL" | "FLOAT64" => "double"
+    case "BOOLEAN" | "BOOL" => "boolean"
+    case "DATE" => "date"
+    case "TIMESTAMP" | "DATETIME" => "timestamp"
+    case "DECIMAL" => "decimal(38,18)"
+    case other => throw new GqlCompileException(s"unsupported cast target $other")
+  }
+
+  /** Scalar function registry — mirrors functions/mod.rs:39-256; each maps
+    * to org.apache.spark.sql.functions (codegen'd, no UDFs).
+    */
+  private def scalarFn(name: String, args: Seq[Expr], ctx: Ctx): Column = {
+    def a(i: Int): Column = compileExpr(args(i), ctx)
+    def varName(i: Int): String = args(i) match {
+      case Ident(v) => v
+      case other => throw new GqlCompileException(s"$name expects a variable, got $other")
+    }
+    name match {
+      // string (string_functions.rs)
+      case "UPPER" => upper(a(0))
+      case "LOWER" => lower(a(0))
+      case "TRIM" => trim(a(0))
+      case "SUBSTRING" =>
+        if (args.size == 3) a(0).substr(a(1), a(2))
+        else a(0).substr(a(1), lit(Int.MaxValue))
+      case "REPLACE" => replace(a(0), a(1), a(2))
+      case "REVERSE" => reverse(a(0))
+      // math (mathematical_functions.rs, numeric_functions.rs)
+      case "ABS" => abs(a(0))
+      case "CEIL" | "CEILING" => ceil(a(0))
+      case "FLOOR" => floor(a(0))
+      case "SQRT" => sqrt(a(0))
+      case "POWER" | "POW" => pow(a(0), a(1))
+      case "LOG" => log(a(0))
+      case "LOG10" => log10(a(0))
+      case "EXP" => exp(a(0))
+      case "SIN" => sin(a(0))
+      case "COS" => cos(a(0))
+      case "TAN" => tan(a(0))
+      case "PI" => lit(math.Pi)
+      case "SIGN" => signum(a(0))
+      case "MOD" => a(0) % a(1)
+      case "ROUND" => if (args.size == 2) round(a(0), intLit(args(1))) else round(a(0))
+      // null (null_functions.rs)
+      case "NULLIF" => nullif(a(0), a(1))
+      case "COALESCE" => coalesce(args.map(compileExpr(_, ctx)): _*)
+      // list (list_functions.rs)
+      case "LIST_CONTAINS" => array_contains(a(0), a(1))
+      case "LIST_LENGTH" | "SIZE" => size(a(0)).cast("long")
+      case "LIST_APPEND" => concat(a(0), array(a(1)))
+      case "LIST_PREPEND" => concat(array(a(1)), a(0))
+      case "LIST_REVERSE" => reverse(a(0))
+      case "LIST_SLICE" => slice(a(0), a(1).cast("int") + 1, (a(2) - a(1)).cast("int"))
+      // temporal (temporal_functions.rs subset)
+      case "DATETIME" => to_timestamp(a(0))
+      case "NOW" => current_timestamp()
+      case "CURRENT_DATE" => current_date()
+      case "DATE_ADD" => date_add(a(0), a(1).cast("int"))
+      case "DATE_SUB" => date_sub(a(0), a(1).cast("int"))
+      case "EXTRACT_YEAR" | "YEAR" => year(a(0)).cast("long")
+      case "EXTRACT_MONTH" | "MONTH" => month(a(0)).cast("long")
+      case "EXTRACT_DAY" | "DAY" => dayofmonth(a(0)).cast("long")
+      // graph (graph_functions.rs)
+      case "ID" => ctx.bindings.get(varName(0)) match {
+        case Some(NodeBinding(_)) => col(s"${varName(0)}_id")
+        case Some(EdgeBinding(_)) => col(s"${varName(0)}_eid")
+        case _ => throw new GqlCompileException(s"ID() expects a node/edge variable")
+      }
+      case "LABELS" => ctx.bindings.get(varName(0)) match {
+        case Some(NodeBinding(l)) => array(lit(l))
+        case _ => throw new GqlCompileException("LABELS() expects a node variable")
+      }
+      case "TYPE" => ctx.bindings.get(varName(0)) match {
+        case Some(EdgeBinding(_)) => col(s"${varName(0)}_label")
+        case _ => throw new GqlCompileException("TYPE() expects an edge variable")
+      }
+      case "KEYS" => ctx.bindings.get(varName(0)) match {
+        case Some(NodeBinding(l)) =>
+          val cols = graph.nodeTables(l).columns.sorted
+          array(cols.map(lit): _*)
+        case _ => throw new GqlCompileException("KEYS() expects a node variable")
+      }
+      case other =>
+        throw new GqlCompileException(s"unknown function $other")
+    }
+  }
+
+  private def intLit(e: Expr): Int = e match {
+    case NumLit(v, true) => v.toInt
+    case other => throw new GqlCompileException(s"expected integer literal, got $other")
+  }
+}

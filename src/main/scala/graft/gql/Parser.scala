@@ -1,0 +1,432 @@
+package graft.gql
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent parser for the GQL subset (structure mirrors the
+  * reference's hand-written ast/parser.rs; grammar per
+  * grammar/ISO_GQL_Grammar_BNF.txt).
+  *
+  * Supported: MATCH / OPTIONAL MATCH pattern lists with labels, inline
+  * property maps, directions and bounded quantifiers; WHERE; UNWIND;
+  * WITH-chained segments; RETURN [DISTINCT]; GROUP BY; HAVING; ORDER BY;
+  * SKIP/OFFSET; LIMIT; full expression grammar with precedence
+  * (OR < XOR < AND < NOT < comparison/IS/IN/LIKE < additive <
+  * multiplicative < unary < postfix).
+  */
+final class Parser(tokens: Vector[Token]) {
+  private var p = 0
+
+  private def cur: Token = tokens(p)
+  private def advance(): Token = { val t = tokens(p); p += 1; t }
+  private def err(msg: String): Nothing =
+    throw new GqlParseException(s"$msg at position ${cur.pos} (token $cur)")
+
+  private def isKw(s: String): Boolean = cur match {
+    case TKw(k, _) => k == s
+    case _ => false
+  }
+  private def eatKw(s: String): Unit =
+    if (isKw(s)) p += 1 else err(s"expected $s")
+  private def tryKw(s: String): Boolean =
+    if (isKw(s)) { p += 1; true } else false
+  private def isPunct(s: String): Boolean = cur match {
+    case TPunct(k, _) => k == s
+    case _ => false
+  }
+  private def eatPunct(s: String): Unit =
+    if (isPunct(s)) p += 1 else err(s"expected '$s'")
+  private def tryPunct(s: String): Boolean =
+    if (isPunct(s)) { p += 1; true } else false
+  private def ident(): String = cur match {
+    case TIdent(s, _) => p += 1; s
+    case TKw(s, _) => p += 1; s // allow keywords as identifiers in safe spots
+    case _ => err("expected identifier")
+  }
+
+  // ---- entry ----
+  def parseQuery(): Query = {
+    val segs = Vector.newBuilder[Segment]
+    var done = false
+    while (!done) {
+      val (seg, isReturn) = parseSegment()
+      segs += seg
+      if (isReturn) done = true
+      else if (cur.isInstanceOf[TEnd]) err("query must end with RETURN")
+    }
+    cur match {
+      case TEnd(_) => ()
+      case _ => err("unexpected trailing input")
+    }
+    Query(segs.result())
+  }
+
+  /** Parse one segment ending in WITH (false) or RETURN (true). */
+  private def parseSegment(): (Segment, Boolean) = {
+    var matches = Vector.empty[PathPattern]
+    var optMatches = Vector.empty[PathPattern]
+    var where: Option[Expr] = None
+    var unwind: Option[(Expr, String)] = None
+
+    var reading = true
+    while (reading) {
+      if (tryKw("MATCH")) {
+        matches ++= parsePatternList()
+        if (tryKw("WHERE")) where = Some(combineWhere(where, parseExpr()))
+      } else if (isKw("OPTIONAL")) {
+        eatKw("OPTIONAL"); eatKw("MATCH")
+        optMatches ++= parsePatternList()
+      } else if (tryKw("UNWIND")) {
+        val e = parseExpr()
+        eatKw("AS")
+        unwind = Some((e, ident()))
+      } else reading = false
+    }
+
+    val isReturn =
+      if (tryKw("RETURN")) true
+      else if (tryKw("WITH")) false
+      else err("expected MATCH, UNWIND, WITH or RETURN")
+
+    val distinct = tryKw("DISTINCT")
+    val items = parseReturnItems()
+    val postWhere = if (tryKw("WHERE")) Some(parseExpr()) else None
+    var groupBy = Vector.empty[Expr]
+    if (tryKw("GROUP")) { eatKw("BY"); groupBy = parseExprList() }
+    var having: Option[Expr] = None
+    if (tryKw("HAVING")) having = Some(parseExpr())
+    var orderBy = Vector.empty[SortItem]
+    if (tryKw("ORDER")) {
+      eatKw("BY")
+      orderBy = parseSortItems()
+    }
+    var skip: Option[Long] = None
+    var limit: Option[Long] = None
+    var more = true
+    while (more) {
+      if (tryKw("SKIP") || tryKw("OFFSET")) skip = Some(parseLongLit())
+      else if (tryKw("LIMIT")) limit = Some(parseLongLit())
+      else more = false
+    }
+    (Segment(matches, optMatches, where, unwind, items, postWhere, distinct,
+      groupBy, having, orderBy, skip, limit), isReturn)
+  }
+
+  private def combineWhere(acc: Option[Expr], e: Expr): Expr =
+    acc.fold(e)(a => Bin("AND", a, e))
+
+  private def parseLongLit(): Long = cur match {
+    case TNum(s, _) => p += 1; s.toLong
+    case _ => err("expected integer literal")
+  }
+
+  private def parseReturnItems(): Seq[ReturnItem] = {
+    val items = Vector.newBuilder[ReturnItem]
+    var more = true
+    while (more) {
+      val e = parseExpr()
+      val alias = if (tryKw("AS")) Some(ident()) else None
+      items += ReturnItem(e, alias)
+      more = tryPunct(",")
+    }
+    items.result()
+  }
+
+  private def parseExprList(): Vector[Expr] = {
+    val items = Vector.newBuilder[Expr]
+    var more = true
+    while (more) { items += parseExpr(); more = tryPunct(",") }
+    items.result()
+  }
+
+  private def parseSortItems(): Vector[SortItem] = {
+    val items = Vector.newBuilder[SortItem]
+    var more = true
+    while (more) {
+      val e = parseExpr()
+      val asc =
+        if (tryKw("DESC") || tryKw("DESCENDING")) false
+        else { tryKw("ASC"); tryKw("ASCENDING"); true }
+      items += SortItem(e, asc)
+      more = tryPunct(",")
+    }
+    items.result()
+  }
+
+  // ---- patterns ----
+  private def parsePatternList(): Seq[PathPattern] = {
+    val paths = Vector.newBuilder[PathPattern]
+    var more = true
+    while (more) { paths += parsePathPattern(); more = tryPunct(",") }
+    paths.result()
+  }
+
+  private def parsePathPattern(): PathPattern = {
+    val start = parseNodePattern()
+    val hops = Vector.newBuilder[(EdgePattern, NodePattern)]
+    var more = true
+    while (more) {
+      if (isPunct("-") || isPunct("<-")) {
+        val e = parseEdgePattern()
+        val n = parseNodePattern()
+        hops += ((e, n))
+      } else more = false
+    }
+    PathPattern(start, hops.result())
+  }
+
+  private def parseNodePattern(): NodePattern = {
+    eatPunct("(")
+    var variable: Option[String] = None
+    cur match {
+      case TIdent(s, _) => variable = Some(s); p += 1
+      case _ => ()
+    }
+    val labels = Vector.newBuilder[String]
+    while (tryPunct(":")) labels += ident()
+    val props = if (isPunct("{")) parsePropMap() else Seq.empty
+    eatPunct(")")
+    NodePattern(variable, labels.result(), props)
+  }
+
+  private def parseEdgePattern(): EdgePattern = {
+    // <-[e:T]-  |  -[e:T]->  |  -[e:T]-
+    val leftArrow = tryPunct("<-")
+    if (!leftArrow) eatPunct("-")
+    var variable: Option[String] = None
+    var types = Vector.empty[String]
+    var props: Seq[(String, Expr)] = Seq.empty
+    var quant: Option[(Int, Int)] = None
+    if (tryPunct("[")) {
+      cur match {
+        case TIdent(s, _) => variable = Some(s); p += 1
+        case _ => ()
+      }
+      if (tryPunct(":")) {
+        types = types :+ ident()
+        while (tryPunct("|")) types = types :+ ident()
+      }
+      if (tryPunct("*")) { // var-length: *, *n, *n..m, *..m
+        var lo = 1
+        var hi = 10
+        cur match {
+          case TNum(s, _) => lo = s.toInt; hi = lo; p += 1
+          case _ => ()
+        }
+        if (tryPunct("..")) {
+          hi = 10
+          cur match {
+            case TNum(s, _) => hi = s.toInt; p += 1
+            case _ => ()
+          }
+        }
+        quant = Some((lo, hi))
+      }
+      if (isPunct("{")) props = parsePropMap()
+      eatPunct("]")
+    }
+    val rightArrow = tryPunct("->")
+    if (!rightArrow) eatPunct("-") // <-[…]- and -[…]- end with a bare dash
+    val dir =
+      if (leftArrow && rightArrow) err("edge cannot have arrows on both sides")
+      else if (leftArrow) In
+      else if (rightArrow) Out
+      else Undirected
+    EdgePattern(variable, types, props, dir, quant)
+  }
+
+  private def parsePropMap(): Seq[(String, Expr)] = {
+    eatPunct("{")
+    val props = Vector.newBuilder[(String, Expr)]
+    if (!isPunct("}")) {
+      var more = true
+      while (more) {
+        val k = ident()
+        eatPunct(":")
+        props += ((k, parseExpr()))
+        more = tryPunct(",")
+      }
+    }
+    eatPunct("}")
+    props.result()
+  }
+
+  // ---- expressions, precedence-climbing ----
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var l = parseXor()
+    while (tryKw("OR")) l = Bin("OR", l, parseXor())
+    l
+  }
+  private def parseXor(): Expr = {
+    var l = parseAnd()
+    while (tryKw("XOR")) l = Bin("XOR", l, parseAnd())
+    l
+  }
+  private def parseAnd(): Expr = {
+    var l = parseNot()
+    while (tryKw("AND")) l = Bin("AND", l, parseNot())
+    l
+  }
+  private def parseNot(): Expr =
+    if (tryKw("NOT")) Not(parseNot()) else parseComparison()
+
+  private def parseComparison(): Expr = {
+    val l = parseAdditive()
+    if (isPunct("=") || isPunct("<>") || isPunct("<") || isPunct("<=") ||
+        isPunct(">") || isPunct(">=")) {
+      val op = advance().asInstanceOf[TPunct].s
+      Bin(op, l, parseAdditive())
+    } else if (isKw("IS")) {
+      eatKw("IS")
+      val negated = tryKw("NOT")
+      eatKw("NULL")
+      IsNull(l, negated)
+    } else if (isKw("IN") || (isKw("NOT") && peekKwAfterNot("IN"))) {
+      val negated = tryKw("NOT")
+      eatKw("IN")
+      eatPunct("[")
+      val items = if (isPunct("]")) Vector.empty[Expr] else parseExprList()
+      eatPunct("]")
+      InList(l, items, negated)
+    } else if (isKw("STARTS") || isKw("ENDS") || isKw("CONTAINS") || isKw("LIKE") ||
+        (isKw("NOT") && (peekKwAfterNot("LIKE") || peekKwAfterNot("CONTAINS") ||
+          peekKwAfterNot("STARTS") || peekKwAfterNot("ENDS")))) {
+      val negated = tryKw("NOT")
+      val op =
+        if (tryKw("STARTS")) { eatKw("WITH"); "STARTS WITH" }
+        else if (tryKw("ENDS")) { eatKw("WITH"); "ENDS WITH" }
+        else if (tryKw("CONTAINS")) "CONTAINS"
+        else { eatKw("LIKE"); "LIKE" }
+      StringPred(op, l, parseAdditive(), negated)
+    } else l
+  }
+
+  private def peekKwAfterNot(kw: String): Boolean = tokens(p + 1) match {
+    case TKw(k, _) => k == kw
+    case _ => false
+  }
+
+  private def parseAdditive(): Expr = {
+    var l = parseMultiplicative()
+    var more = true
+    while (more) {
+      if (tryPunct("+")) l = Bin("+", l, parseMultiplicative())
+      else if (tryPunct("-")) l = Bin("-", l, parseMultiplicative())
+      else if (tryPunct("||")) l = Bin("||", l, parseMultiplicative())
+      else more = false
+    }
+    l
+  }
+
+  private def parseMultiplicative(): Expr = {
+    var l = parseUnary()
+    var more = true
+    while (more) {
+      if (tryPunct("*")) l = Bin("*", l, parseUnary())
+      else if (tryPunct("/")) l = Bin("/", l, parseUnary())
+      else if (tryPunct("%")) l = Bin("%", l, parseUnary())
+      else more = false
+    }
+    l
+  }
+
+  private def parseUnary(): Expr =
+    if (tryPunct("-")) Neg(parseUnary())
+    else if (tryPunct("+")) parseUnary()
+    else parsePostfix()
+
+  private def parsePostfix(): Expr = {
+    var e = parsePrimary()
+    var more = true
+    while (more) {
+      if (isPunct(".") ) {
+        e match {
+          case Ident(v) =>
+            eatPunct(".")
+            e = Prop(v, ident())
+          case Prop(_, _) | Index(_, _) | Fn(_, _, _) =>
+            err("chained property access beyond var.prop is not supported yet")
+          case _ => more = false
+        }
+      } else if (tryPunct("[")) {
+        val idx = parseExpr()
+        eatPunct("]")
+        e = Index(e, idx)
+      } else more = false
+    }
+    e
+  }
+
+  private def parsePrimary(): Expr = {
+    cur match {
+      case TKw("NULL", _) => p += 1; NullLit()
+      case TKw("TRUE", _) => p += 1; BoolLit(true)
+      case TKw("FALSE", _) => p += 1; BoolLit(false)
+      case TKw("COUNT", _) =>
+        p += 1
+        eatPunct("(")
+        if (tryPunct("*")) { eatPunct(")"); CountStar() }
+        else {
+          val distinct = tryKw("DISTINCT")
+          val arg = parseExpr()
+          eatPunct(")")
+          Fn("COUNT", Seq(arg), distinct)
+        }
+      case TKw("CASE", _) =>
+        p += 1
+        val subject = if (!isKw("WHEN")) Some(parseExpr()) else None
+        val whens = Vector.newBuilder[(Expr, Expr)]
+        while (tryKw("WHEN")) {
+          val c = parseExpr()
+          eatKw("THEN")
+          whens += ((c, parseExpr()))
+        }
+        val otherwise = if (tryKw("ELSE")) Some(parseExpr()) else None
+        eatKw("END")
+        CaseExpr(subject, whens.result(), otherwise)
+      case TKw("CAST", _) =>
+        p += 1
+        eatPunct("(")
+        val e = parseExpr()
+        eatKw("AS")
+        val t = ident()
+        eatPunct(")")
+        Cast(e, t)
+      case TNum(s, _) =>
+        p += 1
+        NumLit(s.toDouble, isInt = !s.contains('.'))
+      case TStr(s, _) => p += 1; StrLit(s)
+      case TPunct("(", _) =>
+        p += 1
+        val e = parseExpr()
+        eatPunct(")")
+        e
+      case TPunct("[", _) =>
+        p += 1
+        val items = if (isPunct("]")) Vector.empty[Expr] else parseExprList()
+        eatPunct("]")
+        ListLit(items)
+      case TIdent(s, _) =>
+        p += 1
+        if (tryPunct("(")) {
+          val distinct = tryKw("DISTINCT")
+          val args = if (isPunct(")")) Vector.empty[Expr] else parseExprList()
+          eatPunct(")")
+          Fn(s.toUpperCase, args, distinct)
+        } else Ident(s)
+      case t => err(s"unexpected token")
+    }
+  }
+}
+
+class GqlParseException(msg: String) extends RuntimeException(msg)
+
+object Parser {
+  def parse(query: String): Ast.Query =
+    Lexer.tokenize(query) match {
+      case Left(e) => throw new GqlParseException(e)
+      case Right(toks) => new Parser(toks).parseQuery()
+    }
+}

@@ -9,10 +9,11 @@ import graft.Tables
   * FIXTURES.md §3): the large-scale analog of the reference's fraud
   * fixture (test_fixture.rs:135-190).
   *
-  * Nodes: customer, order, part, supplier, nation, region.
+  * Nodes: customer, orders, part, supplier, nation, region (the order
+  * label is plural to stay clear of the GQL ORDER keyword).
   * Edges:
-  *  - PLACED     customer → order   (props: totalprice, orderdate, priority)
-  *  - CONTAINS   order    → part    (props: quantity, extendedprice; from lineitem)
+  *  - PLACED     customer → orders  (props: totalprice, orderdate, priority)
+  *  - CONTAINS   orders   → part    (props: quantity, extendedprice; from lineitem)
   *  - SUPPLIED_BY part    → supplier (distinct pairs from lineitem, n_lines)
   *  - IN_NATION  customer → nation
   *  - IN_REGION  nation   → region
@@ -35,7 +36,7 @@ object TpchGraph {
       "customer" -> customer.select($"c_custkey".as("id"), $"c_name".as("name"),
         $"c_nationkey".cast("long").as("nationkey"), $"c_acctbal".as("acctbal"),
         $"c_mktsegment".as("mktsegment")),
-      "order" -> orders.select($"o_orderkey".as("id"), $"o_orderstatus".as("status"),
+      "orders" -> orders.select($"o_orderkey".as("id"), $"o_orderstatus".as("status"),
         $"o_totalprice".as("totalprice"), $"o_orderdate".as("orderdate"),
         $"o_orderpriority".as("priority")),
       "part" -> part.select($"p_partkey".as("id"), $"p_name".as("name"),
@@ -70,8 +71,8 @@ object TpchGraph {
       .withColumn("eid", $"src")
 
     val edges = Map(
-      "PLACED" -> (EdgeType("PLACED", "customer", "order"), placed),
-      "CONTAINS" -> (EdgeType("CONTAINS", "order", "part"), contains),
+      "PLACED" -> (EdgeType("PLACED", "customer", "orders"), placed),
+      "CONTAINS" -> (EdgeType("CONTAINS", "orders", "part"), contains),
       "SUPPLIED_BY" -> (EdgeType("SUPPLIED_BY", "part", "supplier"), suppliedBy),
       "IN_NATION" -> (EdgeType("IN_NATION", "customer", "nation"), inNation),
       "IN_REGION" -> (EdgeType("IN_REGION", "nation", "region"), inRegion),

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.GraphLiteSpark
+import graft.graph.TpchGraph
+
+/** End-to-end GQL queries over the TPC-H property graph: text → lexer →
+  * parser → compiler → Catalyst → results, checked against relational
+  * DuckDB oracles. This exercises the full stack the way a reference user
+  * would (sdk session API), not the operator internals.
+  */
+object GqlQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def run(s: SparkSession, d: String, q: String): DataFrame =
+    GraphLiteSpark.open(s, "/tmp/graft-warehouse").session("driver")
+      .useGraph(TpchGraph.build(s, d)).gql(q)
+
+  val queries: Map[String, Q] = Map(
+    // flagship: scan + expand + implicit grouping + order
+    "gql01_flagship" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (c:customer)-[p:PLACED]->(o:orders)
+        |WHERE c.acctbal > 1000
+        |RETURN c.mktsegment AS seg, count(o) AS n_orders,
+        |       max(o.totalprice) AS max_price
+        |ORDER BY seg""".stripMargin)),
+
+    // 2-hop pattern with edge + node predicates
+    "gql02_twohop" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (c:customer)-[:PLACED]->(o:orders)-[l:CONTAINS]->(p:part)
+        |WHERE p.ptype = 'ECONOMY'
+        |RETURN c.mktsegment AS seg, count(l) AS n, sum(l.quantity) AS qty
+        |ORDER BY seg""".stripMargin)),
+
+    // variable-length traversal over the custkey chain
+    "gql03_varpath" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (c:customer {id: 100})-[:NEXT*1..3]->(d:customer)
+        |RETURN d.id AS id ORDER BY id""".stripMargin)),
+
+    // WITH pipeline + post-projection WHERE (HAVING shape)
+    "gql04_with_having" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (c:customer)-[:PLACED]->(o:orders)
+        |WITH c.nationkey AS nk, count(o) AS n
+        |WHERE n > 5
+        |RETURN nk, n ORDER BY nk""".stripMargin)),
+
+    // OPTIONAL MATCH with incoming direction + count of matched
+    "gql05_optional" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (n:nation)
+        |OPTIONAL MATCH (n)<-[:IN_NATION]-(c:customer)
+        |RETURN n.name AS nname, count(c) AS n_cust
+        |GROUP BY n.name
+        |ORDER BY nname""".stripMargin))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "gql01_flagship" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_orders,
+        | max(o_totalprice) AS max_price
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_acctbal > 1000
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
+    "gql02_twohop" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n, sum(l_quantity) AS qty
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
+    "gql03_varpath" ->
+      """WITH e AS (SELECT c_custkey AS src,
+        |  lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
+        | FROM customer)
+        |SELECT DISTINCT id FROM (
+        | SELECT e1.dst AS id FROM e e1 WHERE e1.src = 100
+        | UNION ALL
+        | SELECT e2.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst WHERE e1.src = 100
+        | UNION ALL
+        | SELECT e3.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e2.dst WHERE e1.src = 100) t
+        |WHERE id IS NOT NULL ORDER BY id""".stripMargin,
+    "gql04_with_having" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 HAVING count(*) > 5 ORDER BY nk""".stripMargin,
+    "gql05_optional" ->
+      """SELECT n_name AS nname, count(c_custkey) AS n_cust
+        |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nname""".stripMargin
+  )
+}

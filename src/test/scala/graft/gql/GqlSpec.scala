@@ -1,0 +1,174 @@
+package graft.gql
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.SparkFixture
+
+/** GQL end-to-end over the fraud fixture — expected values mirror the
+  * reference's integration tests (aggregation_tests.rs:26-41,
+  * dql_tests.rs:27-40: count(Account)=50, active=45, transactions=100,
+  * sum(amount)=6360 exactly for the deterministic generator).
+  */
+class GqlSpec extends AnyFunSuite {
+  private lazy val s = SparkFixture.gqlSession()
+
+  private def one(q: String): Any = s.gql(q).collect().head.get(0)
+
+  test("node scan count") {
+    assert(one("MATCH (a:Account) RETURN count(a) AS n") == 50L)
+    assert(one("MATCH (m:Merchant) RETURN count(m) AS n") == 20L)
+  }
+
+  test("property filter") {
+    assert(one("MATCH (a:Account) WHERE a.status = 'active' RETURN count(a) AS n") == 45L)
+    assert(one("MATCH (a:Account) WHERE a.balance > 1000 RETURN count(a) AS n") == 40L)
+  }
+
+  test("inline property map") {
+    assert(one("MATCH (a:Account {status: 'inactive'}) RETURN count(a) AS n") == 5L)
+  }
+
+  test("expand with aggregates") {
+    val r = s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "RETURN count(t) AS n, sum(t.amount) AS total, avg(t.amount) AS av")
+      .collect().head
+    assert(r.getLong(0) == 100L)
+    assert(math.abs(r.getDouble(1) - 6360.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 63.6) < 1e-9)
+  }
+
+  test("edge property filter") {
+    assert(one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE t.amount > 70 RETURN count(t) AS n") == 27L)
+  }
+
+  test("grouped aggregation with ORDER BY") {
+    val rows = s.gql("MATCH (a:Account) RETURN a.account_type AS ty, " +
+      "count(a) AS n ORDER BY ty").collect()
+    assert(rows.toSeq == Seq(Row("business", 13L), Row("checking", 12L),
+      Row("investment", 12L), Row("savings", 13L)))
+  }
+
+  test("ORDER BY DESC LIMIT") {
+    val rows = s.gql("MATCH (a:Account) RETURN a.id AS id, a.balance AS b " +
+      "ORDER BY b DESC LIMIT 3").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(50L, 49L, 48L))
+  }
+
+  test("SKIP and LIMIT") {
+    val rows = s.gql("MATCH (a:Account) RETURN a.id AS id ORDER BY id SKIP 10 LIMIT 5")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(11L, 12L, 13L, 14L, 15L))
+  }
+
+  test("DISTINCT is identity-based for entities") {
+    // 100 transaction rows but 50 distinct source accounts
+    assert(s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "RETURN DISTINCT a").count() == 50L)
+  }
+
+  test("WITH pipeline and post-WHERE") {
+    val rows = s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH m.name AS mname, count(t) AS n WHERE n >= 5 " +
+      "RETURN mname, n ORDER BY mname").collect()
+    assert(rows.length == 20) // every merchant receives exactly 5
+    assert(rows.forall(_.getLong(1) == 5L))
+  }
+
+  test("HAVING with hidden aggregate") {
+    val rows = s.gql("MATCH (a:Account) RETURN a.account_type AS ty " +
+      "GROUP BY a.account_type HAVING count(a) > 12 ORDER BY ty").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("business", "savings"))
+  }
+
+  test("ORDER BY hidden aggregate") {
+    val rows = s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "RETURN m.id AS mid GROUP BY m.id ORDER BY sum(t.amount) DESC, mid LIMIT 3")
+      .collect()
+    assert(rows.length == 3)
+  }
+
+  test("string predicates") {
+    assert(one("MATCH (a:Account) WHERE a.name STARTS WITH 'Account1' " +
+      "RETURN count(a) AS n") == 11L) // 1, 10..19
+    assert(one("MATCH (a:Account) WHERE a.name ENDS WITH '0' RETURN count(a) AS n") == 5L)
+    assert(one("MATCH (a:Account) WHERE a.name CONTAINS 'count5' RETURN count(a) AS n") == 2L)
+    assert(one("MATCH (a:Account) WHERE a.name LIKE 'Account_' RETURN count(a) AS n") == 9L)
+  }
+
+  test("IN list and boolean ops") {
+    assert(one("MATCH (a:Account) WHERE a.id IN [1, 2, 3] RETURN count(a) AS n") == 3L)
+    assert(one("MATCH (a:Account) WHERE NOT a.status = 'active' AND a.balance >= 1000 " +
+      "RETURN count(a) AS n") == 5L) // 10,20,30,40,50
+    assert(one("MATCH (a:Account) WHERE a.id <= 10 XOR a.id <= 20 RETURN count(a) AS n") == 10L)
+  }
+
+  test("CASE and arithmetic") {
+    val rows = s.gql("MATCH (a:Account) RETURN " +
+      "CASE WHEN a.balance >= 2500 THEN 'hi' ELSE 'lo' END AS b, count(a) AS n " +
+      "GROUP BY CASE WHEN a.balance >= 2500 THEN 'hi' ELSE 'lo' END ORDER BY b")
+      .collect()
+    assert(rows.toSeq == Seq(Row("hi", 26L), Row("lo", 24L)))
+    assert(one("MATCH (a:Account {id: 7}) RETURN a.balance * 2 + 1 AS x") == 1401.0)
+  }
+
+  test("scalar functions") {
+    assert(one("MATCH (a:Account {id: 3}) RETURN upper(a.name) AS u") == "ACCOUNT3")
+    assert(one("MATCH (a:Account {id: 3}) RETURN substring(a.name, 1, 7) AS s") == "Account")
+    assert(one("RETURN abs(-5) AS x") == 5L)
+    assert(one("RETURN coalesce(NULL, 'x') AS x") == "x")
+    assert(one("RETURN size([1,2,3]) AS x") == 3L)
+  }
+
+  test("graph functions: ID, LABELS, TYPE") {
+    assert(one("MATCH (a:Account {id: 9}) RETURN id(a) AS x") == 9L)
+    assert(one("MATCH (a:Account {id: 9}) RETURN labels(a) AS x")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("Account"))
+    assert(one("MATCH (a:Account {id: 1})-[t:Transaction]->(m) RETURN type(t) AS x, " +
+      "count(t) AS n GROUP BY type(t)") == "Transaction")
+  }
+
+  test("UNWIND standalone and chained") {
+    assert(s.gql("UNWIND [1,2,3] AS x RETURN x").count() == 3L)
+    val rows = s.gql("UNWIND [10, 20] AS x RETURN x * 2 AS y ORDER BY y").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(20L, 40L))
+  }
+
+  test("OPTIONAL MATCH preserves unmatched rows") {
+    val rows = s.gql("MATCH (a:Account) " +
+      "OPTIONAL MATCH (a)-[t:Transaction {timestamp: 1}]->(m:Merchant) " +
+      "RETURN a.id AS id, count(t) AS n GROUP BY a.id ORDER BY id").collect()
+    assert(rows.length == 50)
+    assert(rows.head.getLong(1) == 1L)      // account 1 has transaction ts=1
+    assert(rows(1).getLong(1) == 0L)        // account 2 does not
+  }
+
+  test("undirected edge matches both orientations") {
+    val n = s.gql("MATCH (a:Account {id: 1})-[t:Transaction]-(m:Merchant) " +
+      "RETURN count(t) AS n").collect().head.getLong(0)
+    assert(n == 2L) // account 1 has transactions i=1 and i=51 (both outgoing)
+  }
+
+  test("multi-segment WITH chaining") {
+    val r = s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH a.id AS aid, sum(t.amount) AS spent " +
+      "RETURN count(aid) AS n, min(spent) AS mn").collect().head
+    assert(r.getLong(0) == 50L)
+  }
+
+  test("simple dataset chain traversal") {
+    val sim = SparkFixture.gqlSession(SparkFixture.simpleGraph)
+    assert(sim.gql("MATCH (n:TestNode) RETURN count(n) AS c").collect()
+      .head.getLong(0) == 20L)
+    // variable-length path over the 1→2→…→10 chain
+    val rows = sim.gql("MATCH (n:TestNode {id: 1})-[:CONNECTS_TO*1..3]->(m:TestNode) " +
+      "RETURN m.id AS id ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("parse errors are reported") {
+    intercept[GqlParseException](s.gql("MATCH (a:Account) RETURN"))
+    intercept[GqlParseException](s.gql("MATCHX foo"))
+    intercept[GqlCompileException](s.gql("MATCH (a:Nope) RETURN count(a) AS n"))
+  }
+}
