@@ -48,16 +48,25 @@ object Dedup {
     array_distinct(transform(shingles(text, n),
       sh => pmod(TextAnalysis.stableHash60(sh), lit(1073741824L))))
 
-  /** MinHash signature: array of `numHashes` minima over the permuted
-    * shingle hashes.
+  /** MinHash signature from an already-computed shingle-hash array column.
+    * Keep the hash array materialized (cached column) when computing many
+    * permutations — referencing `shingleHashes(text)` directly here would
+    * re-run the md5 pass once per permutation (no CSE across projection
+    * expressions).
     */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val hs = shingleHashes(text, n)
+  def minhashFromHashes(hs: Column, numHashes: Int): Column = {
     val sig = permutations(numHashes).map { case (a, b) =>
       array_min(transform(hs, h => (h * a + b) % MinhashPrime))
     }
     array(sig: _*)
   }
+
+  /** MinHash signature of a text column (single-expression form; for the
+    * multi-use pipeline see [[nearDupPairs]], which materializes the
+    * shingle hashes first).
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    minhashFromHashes(shingleHashes(text, n), numHashes)
 
   /** Exact duplicate groups by normalized-text fingerprint: one shuffle
     * on the 128-bit digest. Returns (fp, n_dups, keep_id).
@@ -96,9 +105,13 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8, tau: Double = 0.7): DataFrame = {
+    // one md5 pass over the shingles; signatures derive from the cached
+    // array, and the cache serves the three downstream uses (banding +
+    // both sides of the candidate join)
     val sigs = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), n).as("shingles"),
-      minhashSignature(col(textCol), n, numHashes).as("sig"))
+        shingleHashes(col(textCol), n).as("shingles"))
+      .withColumn("sig", minhashFromHashes(col("shingles"), numHashes))
+      .cache()
     val cands = lshCandidatePairs(sigs, "id", "sig", bands, numHashes / bands)
     val withSets = cands
       .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")

@@ -44,7 +44,58 @@ final class Compiler(graph: PropertyGraph) {
       .map(_.sparkSession.range(1).toDF(fresh("one")))
       .getOrElse(throw new GqlCompileException("empty graph"))
 
+  /** Property references per variable across the whole query — lets the
+    * pattern compiler skip joining a node table whose properties are never
+    * read (the edge's dst column already carries the identity, and the
+    * edge type guarantees label membership). At scale that elides a full
+    * shuffle join per unreferenced pattern node.
+    */
+  private var usedProps: Map[String, Set[String]] = Map.empty
+
+  private def collectProps(e: Expr, acc: scala.collection.mutable.Map[String, Set[String]]): Unit = e match {
+    case Prop(v, p) => acc(v) = acc.getOrElse(v, Set.empty) + p
+    case Fn(_, args, _) => args.foreach(collectProps(_, acc))
+    case Bin(_, l, r) => collectProps(l, acc); collectProps(r, acc)
+    case Not(x) => collectProps(x, acc)
+    case Neg(x) => collectProps(x, acc)
+    case IsNull(x, _) => collectProps(x, acc)
+    case InList(x, items, _) => collectProps(x, acc); items.foreach(collectProps(_, acc))
+    case StringPred(_, l, r, _) => collectProps(l, acc); collectProps(r, acc)
+    case CaseExpr(s, ws, o) =>
+      s.foreach(collectProps(_, acc))
+      ws.foreach { case (c, v) => collectProps(c, acc); collectProps(v, acc) }
+      o.foreach(collectProps(_, acc))
+    case Cast(x, _) => collectProps(x, acc)
+    case Index(x, i) => collectProps(x, acc); collectProps(i, acc)
+    case ListLit(items) => items.foreach(collectProps(_, acc))
+    case _ => ()
+  }
+
   def compile(q: Query): DataFrame = {
+    val acc = scala.collection.mutable.Map[String, Set[String]]()
+    q.segments.foreach { seg =>
+      seg.where.foreach(collectProps(_, acc))
+      seg.postWhere.foreach(collectProps(_, acc))
+      seg.having.foreach(collectProps(_, acc))
+      seg.unwind.foreach { case (e, _) => collectProps(e, acc) }
+      seg.projection.foreach(it => collectProps(it.expr, acc))
+      seg.groupBy.foreach(collectProps(_, acc))
+      seg.orderBy.foreach(s => collectProps(s.expr, acc))
+      (seg.matches ++ seg.optionalMatches).foreach { p =>
+        (p.start +: p.hops.map(_._2)).foreach { np =>
+          np.props.foreach { case (_, e) => collectProps(e, acc) }
+          // inline prop maps filter on the variable's columns — count as use
+          np.variable.foreach { v =>
+            val keys = np.props.map(_._1).toSet
+            if (keys.nonEmpty) acc(v) = acc.getOrElse(v, Set.empty) ++ keys
+          }
+        }
+        p.hops.map(_._1).foreach(_.props.foreach { case (_, e) =>
+          collectProps(e, acc) })
+      }
+    }
+    usedProps = acc.toMap
+
     var df: Option[DataFrame] = None
     var bindings = Map.empty[String, Binding]
     q.segments.foreach { seg =>
@@ -320,11 +371,18 @@ final class Compiler(graph: PropertyGraph) {
       (out2, ctx, nVar)
     } else {
       val label = endLabels.head
-      val n = scanNode(label, nVar, node.props, ctx)
-      val out = joined.join(n, col(dstCol) === col(s"${nVar}_id"))
-        .drop(srcCol, dstCol)
       ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(label)))
-      (out, ctx, nVar)
+      if (node.props.isEmpty && usedProps.getOrElse(nVar, Set.empty).isEmpty) {
+        // no property of nVar is ever read: the edge's dst column IS the
+        // node identity and the edge type guarantees the label — elide
+        // the node-table join entirely
+        (joined.withColumnRenamed(dstCol, s"${nVar}_id").drop(srcCol), ctx, nVar)
+      } else {
+        val n = scanNode(label, nVar, node.props, ctx)
+        val out = joined.join(n, col(dstCol) === col(s"${nVar}_id"))
+          .drop(srcCol, dstCol)
+        (out, ctx, nVar)
+      }
     }
   }
 
@@ -353,6 +411,10 @@ final class Compiler(graph: PropertyGraph) {
     if (ctx.bindings.contains(nVar)) {
       (joined.filter(col("end_id") === col(s"${nVar}_id"))
         .drop("start_id", "end_id"), ctx, nVar)
+    } else if (node.props.isEmpty && usedProps.getOrElse(nVar, Set.empty).isEmpty) {
+      val label = node.labels.headOption.getOrElse(graph.edgeType(t).dstLabel)
+      ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(label)))
+      (joined.withColumnRenamed("end_id", s"${nVar}_id").drop("start_id"), ctx, nVar)
     } else {
       val label = node.labels.headOption.getOrElse(graph.edgeType(t).dstLabel)
       val n = scanNode(label, nVar, node.props, ctx)

@@ -117,7 +117,7 @@ object PipelineQueries {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       val qs = emb.filter($"vec_id" < 5)
-      new Similarity.RandomHyperplaneLsh(64, 16, 4)
+      new Similarity.RandomHyperplaneLsh(64, 32, 4)
         .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
         .orderBy($"qid", $"rk")
     }),
@@ -129,7 +129,9 @@ object PipelineQueries {
       val base = Tables.embeddings(s, d)
       val emb = base.unionByName(base.filter($"vec_id" < 50)
         .withColumn("vec_id", $"vec_id" + 10000))
-      val lsh = new Similarity.RandomHyperplaneLsh(64, 16, 4)
+      // 8 bits per band: ~256 buckets/band keeps candidate pairs ~n²/256
+      // instead of n²/16 — the interpreted cosine rerank is the hot path
+      val lsh = new Similarity.RandomHyperplaneLsh(64, 32, 4)
       val cb = lsh.buckets(emb, "vec_id", "embedding")
       val pairs = cb.join(
           cb.select($"band", $"bucket", $"id".as("id_b")), Seq("band", "bucket"))
