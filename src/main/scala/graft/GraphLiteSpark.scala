@@ -30,6 +30,13 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
   private var currentGraph: Option[PropertyGraph] = None
   private var currentName: Option[String] = None
 
+  def currentGraphName: Option[String] = currentName
+
+  /** CALL gql.* — system procedures (system_procedures.rs:60-91). */
+  def call(procedure: String, args: Seq[String] = Seq.empty):
+      org.apache.spark.sql.DataFrame =
+    SystemProcedures.call(gls, this, procedure, args)
+
   /** SESSION SET GRAPH — by catalog path "/schema/graph". */
   def useGraph(path: String): this.type = {
     val parts = path.stripPrefix("/").split("/")

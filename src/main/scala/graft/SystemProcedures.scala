@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** System procedures — the `CALL gql.*` surface
+  * (reference: catalog/system_procedures.rs:60-91). Each returns a
+  * DataFrame, mirroring the reference's YIELD-able rowsets.
+  */
+object SystemProcedures {
+
+  /** Names the session API dispatches on. */
+  val names: Seq[String] = Seq(
+    "gql.list_schemas", "gql.list_graphs", "gql.list_functions",
+    "gql.show_session")
+
+  def call(gls: GraphLiteSpark, session: GqlSession, name: String,
+      args: Seq[String] = Seq.empty): DataFrame = {
+    val spark = gls.spark
+    import spark.implicits._
+    name match {
+      case "gql.list_schemas" =>
+        gls.catalog.listSchemas().toDF("schema_name")
+      case "gql.list_graphs" =>
+        val schemas = if (args.nonEmpty) args else gls.catalog.listSchemas()
+        schemas.flatMap(s => gls.catalog.listGraphs(s).map(g => (s, g)))
+          .toDF("schema_name", "graph_name")
+      case "gql.list_functions" =>
+        gqlFunctions.toDF("function_name", "category")
+      case "gql.show_session" =>
+        Seq((session.user, session.currentGraphName.getOrElse(""))).toDF(
+          "user", "current_graph")
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure: $other")
+    }
+  }
+
+  /** Function registry listing (mirrors functions/mod.rs:39-256). */
+  val gqlFunctions: Seq[(String, String)] = Seq(
+    "COUNT" -> "aggregate", "SUM" -> "aggregate", "AVG" -> "aggregate",
+    "MIN" -> "aggregate", "MAX" -> "aggregate", "COLLECT" -> "aggregate",
+    "UPPER" -> "string", "LOWER" -> "string", "TRIM" -> "string",
+    "SUBSTRING" -> "string", "REPLACE" -> "string", "REVERSE" -> "string",
+    "ABS" -> "math", "CEIL" -> "math", "FLOOR" -> "math", "SQRT" -> "math",
+    "POWER" -> "math", "LOG" -> "math", "LOG10" -> "math", "EXP" -> "math",
+    "SIN" -> "math", "COS" -> "math", "TAN" -> "math", "PI" -> "math",
+    "SIGN" -> "math", "MOD" -> "math", "ROUND" -> "math",
+    "NULLIF" -> "null", "COALESCE" -> "null",
+    "LIST_CONTAINS" -> "list", "LIST_LENGTH" -> "list", "LIST_APPEND" -> "list",
+    "LIST_PREPEND" -> "list", "LIST_REVERSE" -> "list", "LIST_SLICE" -> "list",
+    "SIZE" -> "list",
+    "DATETIME" -> "temporal", "NOW" -> "temporal", "CURRENT_DATE" -> "temporal",
+    "DATE_ADD" -> "temporal", "DATE_SUB" -> "temporal",
+    "YEAR" -> "temporal", "MONTH" -> "temporal", "DAY" -> "temporal",
+    "ID" -> "graph", "LABELS" -> "graph", "TYPE" -> "graph", "KEYS" -> "graph")
+}

@@ -1,0 +1,124 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DML over property graphs, copy-on-write (SURVEY.md §2.11 mapping of
+  * the reference's write engine, exec/write_engine/operations/):
+  * every mutation returns a NEW PropertyGraph whose tables are derived
+  * DataFrames; persisting a version is `GraphCatalog.saveGraph` (the
+  * snapshot-isolation analog of the reference's WAL+txn machinery —
+  * interactive multi-statement transactions are documented out of scope,
+  * SURVEY.md §7.4.4).
+  *
+  * All operations are single narrow transformations or anti-joins — no
+  * collect, no driver-side loops; they scale with the table, not the
+  * mutation count.
+  */
+object GraphMutations {
+
+  /** INSERT nodes (write_engine/operations/insert.rs analog). Rows must
+    * carry an `id` column; duplicate ids with existing rows are rejected
+    * like the reference's duplicate-insert tests.
+    */
+  def insertNodes(g: PropertyGraph, label: String, rows: DataFrame,
+      failOnDuplicate: Boolean = true): PropertyGraph = {
+    val updated = g.nodeTables.get(label) match {
+      case None => rows
+      case Some(existing) =>
+        if (failOnDuplicate) {
+          val dups = rows.join(existing.select("id"), "id")
+          if (!dups.isEmpty)
+            throw new IllegalArgumentException(
+              s"duplicate node id(s) on insert into $label")
+        }
+        existing.unionByName(rows, allowMissingColumns = true)
+    }
+    new PropertyGraph(g.nodeTables + (label -> updated), g.edgeTables)
+  }
+
+  /** INSERT edges. Rows carry (src, dst, eid, props…). */
+  def insertEdges(g: PropertyGraph, label: String, et: EdgeType,
+      rows: DataFrame): PropertyGraph = {
+    val updated = g.edgeTables.get(label) match {
+      case None => (et, rows)
+      case Some((t, existing)) =>
+        (t, existing.unionByName(rows, allowMissingColumns = true))
+    }
+    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> updated))
+  }
+
+  /** MATCH … SET (match_set.rs analog): for rows matching `pred`, assign
+    * each property column its new expression; other rows unchanged.
+    */
+  def setNodeProps(g: PropertyGraph, label: String, pred: Column,
+      assignments: Map[String, Column]): PropertyGraph = {
+    val t = g.nodeTables(label)
+    val updated = assignments.foldLeft(t) { case (df, (k, v)) =>
+      if (df.columns.contains(k)) df.withColumn(k, when(pred, v).otherwise(col(k)))
+      else df.withColumn(k, when(pred, v)) // new property: NULL elsewhere
+    }
+    new PropertyGraph(g.nodeTables + (label -> updated), g.edgeTables)
+  }
+
+  /** MATCH … REMOVE (match_remove.rs analog): null out properties on
+    * matching rows (per-label tables keep the column; value semantics
+    * match the reference's property removal).
+    */
+  def removeNodeProps(g: PropertyGraph, label: String, pred: Column,
+      props: Seq[String]): PropertyGraph =
+    setNodeProps(g, label, pred, props.map(p => p -> lit(null)).toMap)
+
+  /** DELETE [DETACH] nodes (delete.rs / match_delete.rs analog).
+    * Without DETACH, deleting a node with incident edges is an error
+    * (ISO GQL semantics the reference enforces); with DETACH, incident
+    * edges go too — both via anti-joins, no driver iteration.
+    */
+  def deleteNodes(g: PropertyGraph, label: String, pred: Column,
+      detach: Boolean = false): PropertyGraph = {
+    val t = g.nodeTables(label)
+    val doomed = t.filter(pred).select(col("id")).cache()
+    val incidentTables = g.edgeTables.filter { case (_, (et, _)) =>
+      et.srcLabel == label || et.dstLabel == label
+    }
+    if (!detach) {
+      val hasIncident = incidentTables.exists { case (_, (et, e)) =>
+        val srcHit = et.srcLabel == label &&
+          !e.join(doomed, e("src") === doomed("id"), "left_semi").isEmpty
+        val dstHit = et.dstLabel == label &&
+          !e.join(doomed, e("dst") === doomed("id"), "left_semi").isEmpty
+        srcHit || dstHit
+      }
+      if (hasIncident)
+        throw new IllegalStateException(
+          s"cannot DELETE $label nodes with incident edges — use DETACH DELETE")
+    }
+    val newNodes = t.join(doomed, t("id") === doomed("id"), "left_anti")
+    val newEdges = g.edgeTables.map { case (l, (et, e)) =>
+      var out = e
+      if (detach && et.srcLabel == label)
+        out = out.join(doomed, out("src") === doomed("id"), "left_anti")
+      if (detach && et.dstLabel == label)
+        out = out.join(doomed, out("dst") === doomed("id"), "left_anti")
+      l -> (et, out)
+    }
+    new PropertyGraph(g.nodeTables + (label -> newNodes), newEdges)
+  }
+
+  /** DELETE edges matching a predicate. */
+  def deleteEdges(g: PropertyGraph, label: String, pred: Column): PropertyGraph = {
+    val (et, e) = g.edgeTables(label)
+    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> (et, e.filter(!pred))))
+  }
+
+  /** MATCH … SET on edge properties. */
+  def setEdgeProps(g: PropertyGraph, label: String, pred: Column,
+      assignments: Map[String, Column]): PropertyGraph = {
+    val (et, e) = g.edgeTables(label)
+    val updated = assignments.foldLeft(e) { case (df, (k, v)) =>
+      if (df.columns.contains(k)) df.withColumn(k, when(pred, v).otherwise(col(k)))
+      else df.withColumn(k, when(pred, v))
+    }
+    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> (et, updated)))
+  }
+}

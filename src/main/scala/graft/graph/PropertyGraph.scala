@@ -179,6 +179,10 @@ final class PropertyGraph(
         concat(col("path"), array(col("dst"))).as("path"),
         concat(col("epath"), array(col("eid"))).as("epath"))
       if (k >= minHops) acc = acc.unionByName(frontier)
+      // SIMPLE: a closed path (returned to start) is complete — it cannot
+      // be extended, or the start node would appear mid-path
+      if (semantics == PathSemantics.Simple)
+        frontier = frontier.filter(col("end_id") =!= col("start_id"))
       k += 1
     }
     acc.select("start_id", "end_id", "depth", "path")

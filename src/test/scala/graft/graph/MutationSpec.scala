@@ -1,0 +1,87 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** DML semantics mirror the reference's write-engine tests
+  * (dml_tests.rs, duplicate_insert_test.rs, match_set/delete tests).
+  */
+class MutationSpec extends AnyFunSuite {
+  private def g = SparkFixture.fraudGraph
+  private lazy val spark = SparkFixture.spark
+  import GraphMutations._
+
+  test("insert nodes appends and rejects duplicates") {
+    import spark.implicits._
+    val newAcc = Seq((51L, "ACC51", "Account51", 5100.0, "active",
+      "checking", 1.0)).toDF("id", "account_number", "name", "balance",
+      "status", "account_type", "risk_score")
+    val g2 = insertNodes(g, "Account", newAcc)
+    assert(g2.nodeScan("Account").count() == 51)
+    assert(g.nodeScan("Account").count() == 50) // copy-on-write: original intact
+    intercept[IllegalArgumentException] {
+      insertNodes(g2, "Account", newAcc)
+    }
+  }
+
+  test("insert edges appends") {
+    import spark.implicits._
+    val e = Seq((1L, 1L, 9999L, 123.0, 500L))
+      .toDF("src", "dst", "eid", "amount", "timestamp")
+    val g2 = insertEdges(g, "Transaction",
+      EdgeType("Transaction", "Account", "Merchant"), e)
+    assert(g2.edgeScan("Transaction").count() == 101)
+  }
+
+  test("MATCH SET updates only matching rows") {
+    val g2 = setNodeProps(g, "Account", col("status") === "inactive",
+      Map("balance" -> lit(0.0)))
+    val zeroed = g2.nodeScan("Account", Some(col("balance") === 0.0)).count()
+    assert(zeroed == 5)
+    val untouched = g2.nodeScan("Account", Some(col("id") === 1)).collect().head
+    assert(untouched.getAs[Double]("balance") == 100.0)
+  }
+
+  test("SET can add a new property column") {
+    val g2 = setNodeProps(g, "Account", col("id") <= 10,
+      Map("flagged" -> lit(true)))
+    assert(g2.nodeScan("Account", Some(col("flagged"))).count() == 10)
+    assert(g2.nodeScan("Account", Some(col("flagged").isNull)).count() == 40)
+  }
+
+  test("REMOVE nulls out properties") {
+    val g2 = removeNodeProps(g, "Account", col("id") === 5, Seq("risk_score"))
+    assert(g2.nodeScan("Account", Some(col("risk_score").isNull)).count() == 1)
+  }
+
+  test("DELETE without DETACH fails on connected nodes") {
+    intercept[IllegalStateException] {
+      deleteNodes(g, "Account", col("id") === 1, detach = false)
+    }
+  }
+
+  test("DETACH DELETE removes node and incident edges") {
+    val g2 = deleteNodes(g, "Account", col("id") === 1, detach = true)
+    assert(g2.nodeScan("Account").count() == 49)
+    // account 1 had transactions i=1 and i=51 plus purchase i=1
+    assert(g2.edgeScan("Transaction").count() == 98)
+    assert(g2.edgeScan("Purchase").count() == 49)
+  }
+
+  test("delete edges by predicate") {
+    val g2 = deleteEdges(g, "Transaction", col("amount") > 70)
+    assert(g2.edgeScan("Transaction").count() == 73) // 27 edges had amount>70
+  }
+
+  test("catalog roundtrip of a mutated graph keeps the version") {
+    val wh = java.nio.file.Files.createTempDirectory("wh-mut").toString
+    val cat = new GraphCatalog(spark, wh)
+    val g2 = setNodeProps(g, "Account", col("id") === 2,
+      Map("balance" -> lit(777.0)))
+    cat.saveGraph("s", "v2", g2)
+    val loaded = cat.loadGraph("s", "v2")
+    assert(loaded.nodeScan("Account", Some(col("id") === 2))
+      .collect().head.getAs[Double]("balance") == 777.0)
+  }
+}

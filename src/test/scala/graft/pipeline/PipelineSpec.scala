@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("token counting edge cases") {
+    import spark.implicits._
+    val df = Seq("one two three", "single", "  padded  words  ", "a  b")
+      .toDF("text").select(TextAnalysis.tokenCount($"text").as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L, 2L))
+  }
+
+  test("langId marker heuristic") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog of the house", "en"),
+      ("der hund und die katze und der vogel", "de"),
+      ("le chat et le chien et les oiseaux", "fr"),
+      ("el gato y el perro y los pajaros", "es"),
+      ("xyzzy qwerty", "unknown")).toDF("text", "expected")
+    val got = df.select(TextAnalysis.langId($"text").as("got"), $"expected")
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"langId mismatch: ${r}"))
+  }
+
+  test("quality score bounded and monotone in stopwords") {
+    import spark.implicits._
+    val df = Seq("the cat and the dog of it in a tree",
+      "xxxx yyyy zzzz !!!! ???? ....").toDF("text")
+      .select(TextAnalysis.qualityScore($"text").as("q")).collect()
+    val Seq(good, bad) = df.map(_.getDouble(0)).toSeq
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("exact dedup groups identical normalized text") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world"),
+      (3L, "different")).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 2)
+    val dupGroup = groups.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash signatures identical for identical text, close for near-dup") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, base.replace("epsilon", "EPSILON")),
+      (4L, "completely unrelated words here nothing shared at all ok"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.minhashSignature($"text", 3, 16).as("sig"))
+    val sigs = docs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree13 > agree14)
+    assert(agree14 == 0)
+  }
+
+  test("nearDupPairs finds planted duplicates and respects tau") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "totally different content with no overlap whatsoever in words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, tau = 0.7).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L)
+    assert(pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical text => hamming 0; different text => > 0") {
+    import spark.implicits._
+    val df = Seq((1L, "spark graph query engine"), (2L, "spark graph query engine"),
+      (3L, "entirely other thing")).toDF("id", "text")
+      .select($"id", Dedup.simhash60($"text").as("h"))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) == 0)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 0)
+  }
+
+  test("cosine and knn") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = vecs.filter($"vec_id" === 1)
+      .crossJoin(vecs.filter($"vec_id" === 4).select($"embedding".as("other")))
+      .select(Similarity.cosine($"embedding", $"other")).collect().head.getDouble(0)
+    assert(math.abs(c + 1.0) < 1e-12)
+    val knn = Similarity.knnBruteForce(vecs, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 1), "vec_id", "embedding", 2).collect()
+    assert(knn.length == 2)
+    assert(knn.head.getAs[Long]("id") == 2L) // the duplicate vector ranks first
+    assert(knn.head.getAs[Double]("score") == 1.0)
+  }
+
+  test("ann finds the exact duplicate via LSH buckets") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0 until 32).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dup = vecs.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(99L))
+    val corpus = vecs.unionByName(dup)
+    val lsh = new Similarity.RandomHyperplaneLsh(dim, 16, 4)
+    val res = lsh.annTopK(corpus, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 0), "vec_id", "embedding", 3).collect()
+    assert(res.nonEmpty)
+    assert(res.head.getAs[Long]("id") == 99L) // identical vector found first
+  }
+
+  test("multimodal plumbing produces typed features") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc", "en", "s", 3L), (2L, "defghij", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.mediaFromDocuments(docs)).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(f => f.n_bytes > 0 && f.width >= 64 && f.n_frames >= 1))
+  }
+
+  test("streaming windowed counts equal batch") {
+    val dir = java.nio.file.Files.createTempDirectory("evs").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = graft.streaming.EventPipeline.readEventStream(spark, dir)
+    val q = graft.streaming.EventPipeline.windowedCounts(stream, "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("winspec").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("select * from winspec order by wstart, event_type").collect()
+    val batch = graft.streaming.EventPipeline.windowedCounts(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"), "1 hour")
+      .orderBy("wstart", "event_type").collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("system procedures") {
+    val gls = graft.GraphLiteSpark.open(spark,
+      java.nio.file.Files.createTempDirectory("wh-proc").toString)
+    gls.catalog.createSchema("s1")
+    val sess = gls.session("alice")
+    assert(sess.call("gql.list_schemas").collect().map(_.getString(0)).toSeq == Seq("s1"))
+    assert(sess.call("gql.list_functions").count() > 40)
+    assert(sess.call("gql.show_session").collect().head.getString(0) == "alice")
+  }
+}
