@@ -1,0 +1,82 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph => XGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics procedures over a PropertyGraph, backed by GraphX
+  * (the Spark-native answer to the reference's GraphIndexScan operations —
+  * physical.rs:42-67: FindNeighbors / ShortestPath / IsReachable /
+  * PatternMatch — plus the analytics the reference roadmap lists).
+  *
+  * Exposed CALL-style (each returns a DataFrame), like the reference's
+  * system procedures. Vertex ids are the per-label node ids; callers pick
+  * one node label + one edge label so the id space is coherent (for
+  * cross-label analytics, build a dedicated projection first).
+  */
+object Analytics {
+
+  private def toGraphX(g: PropertyGraph, nodeLabel: String,
+      edgeLabel: String): XGraph[Long, Long] = {
+    val vertices = g.nodeTables(nodeLabel).select(col("id"))
+      .rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val edges = g.edgeTables(edgeLabel)._2.select(col("src"), col("dst"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+    XGraph(vertices, edges, defaultVertexAttr = -1L,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** PageRank (damping 0.85). Returns (id, rank rounded to 6). */
+  def pageRank(spark: SparkSession, g: PropertyGraph, nodeLabel: String,
+      edgeLabel: String, iterations: Int = 10): DataFrame = {
+    import spark.implicits._
+    toGraphX(g, nodeLabel, edgeLabel)
+      .staticPageRank(iterations).vertices
+      .map { case (id, rank) => (id, math.rint(rank * 1e6) / 1e6) }
+      .toDF("id", "rank")
+  }
+
+  /** Connected components (undirected). Returns (id, component) where
+    * component = smallest node id in the component (GraphX convention).
+    */
+  def connectedComponents(spark: SparkSession, g: PropertyGraph,
+      nodeLabel: String, edgeLabel: String): DataFrame = {
+    import spark.implicits._
+    toGraphX(g, nodeLabel, edgeLabel)
+      .connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }
+      .toDF("id", "component")
+  }
+
+  /** Triangle count per vertex (undirected, deduped edges). */
+  def triangleCount(spark: SparkSession, g: PropertyGraph,
+      nodeLabel: String, edgeLabel: String): DataFrame = {
+    import spark.implicits._
+    val canonical = g.edgeTables(edgeLabel)._2
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val vertices = g.nodeTables(nodeLabel).select(col("id"))
+      .rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val edges = canonical.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+    XGraph(vertices, edges, defaultVertexAttr = -1L)
+      .triangleCount().vertices
+      .map { case (id, n) => (id, n.toLong) }
+      .toDF("id", "n_triangles")
+  }
+
+  /** Single-source shortest path lengths (hop counts) to all reachable
+    * nodes — GraphX Pregel ShortestPaths (physical.rs:50-61 analog).
+    */
+  def shortestPathLengths(spark: SparkSession, g: PropertyGraph,
+      nodeLabel: String, edgeLabel: String, landmarks: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    org.apache.spark.graphx.lib.ShortestPaths
+      .run(toGraphX(g, nodeLabel, edgeLabel), landmarks)
+      .vertices
+      .flatMap { case (id, m) => m.map { case (lm, d) => (id, lm, d.toLong) } }
+      .toDF("id", "landmark", "dist")
+  }
+}

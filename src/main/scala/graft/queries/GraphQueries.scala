@@ -144,6 +144,40 @@ object GraphQueries {
         .agg(sort_array(collect_list($"name")).as("names"))
         .select($"rk", explode($"names").as("name"))
         .orderBy($"rk", $"name")
+    }),
+
+    // ---- GraphX PageRank over the NEXT chain (rows-only: float ranks)
+    "g12_pagerank" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val g = TpchGraph.build(s, d)
+      graft.graph.Analytics.pageRank(s, g, "customer", "NEXT", 5)
+        .orderBy($"id")
+    }),
+
+    // ---- GraphX connected components: NEXT chains = one component per
+    // nation, labeled by its minimum custkey (GraphX convention)
+    "g13_connected_components" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val g = TpchGraph.build(s, d)
+      graft.graph.Analytics.connectedComponents(s, g, "customer", "NEXT")
+        .orderBy($"id")
+    }),
+
+    // ---- GraphX triangle count on same-region nation cliques:
+    // a nation in a region of k nations closes C(k-1, 2) triangles
+    "g14_triangles" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val g = TpchGraph.build(s, d)
+      val nation = g.nodeScan("nation")
+      val a = nation.select($"id".as("src"), $"regionkey")
+      val b = nation.select($"id".as("dst"), $"regionkey".as("rk2"))
+      val adj = a.join(b, $"regionkey" === $"rk2" && $"src" =!= $"dst")
+        .select($"src", $"dst").withColumn("eid", $"src" * 100 + $"dst")
+      val ag = new graft.graph.PropertyGraph(
+        Map("nation" -> nation),
+        Map("ADJ" -> (graft.graph.EdgeType("ADJ", "nation", "nation"), adj)))
+      graft.graph.Analytics.triangleCount(s, ag, "nation", "ADJ")
+        .orderBy($"id")
     })
   )
 
@@ -218,6 +252,16 @@ object GraphQueries {
       """SELECT rk, unnest(names) AS name FROM (
         | SELECT CAST(n_regionkey AS BIGINT) AS rk, list_sort(list(n_name)) AS names
         | FROM nation GROUP BY 1) t
-        |ORDER BY rk, name""".stripMargin
+        |ORDER BY rk, name""".stripMargin,
+    "g13_connected_components" ->
+      """SELECT c_custkey AS id,
+        | min(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+        |FROM customer ORDER BY id""".stripMargin,
+    "g14_triangles" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        | CAST(((c - 1) * (c - 2)) // 2 AS BIGINT) AS n_triangles
+        |FROM (SELECT n_nationkey,
+        |  count(*) OVER (PARTITION BY n_regionkey) AS c FROM nation) t
+        |ORDER BY id""".stripMargin
   )
 }

@@ -336,6 +336,37 @@ object Relational {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- CUBE grouping sets (beyond-reference; SURVEY.md §2.4 headroom)
+    "q29_cube" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_mktsegment", $"c_nationkey".cast("long").as("nk"))
+        .cube($"c_mktsegment", $"nk")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("nk"))
+    }),
+
+    // ---- quantified comparison < ANY (ast.rs:1326-1334 -> min/max rewrite)
+    "q30_quantified_any" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val mx = Tables.customer(s, d).agg(max($"c_acctbal").as("mx"))
+      o.crossJoin(mx).filter($"o_totalprice" < $"mx")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- approximate distinct (HLL; beyond-reference extension) —
+    // rows-only check: sketch estimates are engine-specific by design
+    "q31_approx_distinct" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- FULL OUTER join
     "q28_full_outer" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -493,6 +524,14 @@ object Relational {
     "q27_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.9
+        |ORDER BY o_orderkey""".stripMargin,
+    "q29_cube" ->
+      """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n
+        |FROM customer GROUP BY CUBE(c_mktsegment, CAST(c_nationkey AS BIGINT))
+        |ORDER BY c_mktsegment NULLS FIRST, nk NULLS FIRST""".stripMargin,
+    "q30_quantified_any" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice < ANY (SELECT c_acctbal FROM customer)
         |ORDER BY o_orderkey""".stripMargin,
     "q28_full_outer" ->
       """SELECT coalesce(cn.nk, sn.snk) AS nationkey,
