@@ -63,4 +63,16 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     */
   def gql(query: String): DataFrame =
     new Compiler(graph).compile(Parser.parse(query))
+
+  /** EXPLAIN surface (reference: plan/trace.rs phases,
+    * query_coordinator.rs:783): returns the parsed AST plus Catalyst's
+    * formatted physical plan for a GQL query.
+    */
+  def explain(query: String): String = {
+    val ast = Parser.parse(query)
+    val df = new Compiler(graph).compile(ast)
+    s"=== AST ===\n$ast\n\n=== Physical plan ===\n" +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+  }
 }

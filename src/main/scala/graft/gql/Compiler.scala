@@ -98,8 +98,9 @@ final class Compiler(graph: PropertyGraph) {
 
     var df: Option[DataFrame] = None
     var bindings = Map.empty[String, Binding]
-    q.segments.foreach { seg =>
-      val (d2, b2) = compileSegment(seg, df, bindings)
+    q.segments.zipWithIndex.foreach { case (seg, i) =>
+      val (d2, b2) = compileSegment(seg, df, bindings,
+        isFinal = i == q.segments.size - 1)
       df = Some(d2)
       bindings = b2
     }
@@ -110,9 +111,25 @@ final class Compiler(graph: PropertyGraph) {
   // segment
   // ------------------------------------------------------------------
   private def compileSegment(seg: Segment, prev: Option[DataFrame],
-      prevBindings: Map[String, Binding]): (DataFrame, Map[String, Binding]) = {
+      prevBindings: Map[String, Binding], isFinal: Boolean): (DataFrame, Map[String, Binding]) = {
     var ctx = Ctx(prevBindings)
     var df = prev
+
+    // Node variables carried through WITH keep only their id column; if
+    // this or a later segment reads their properties, re-join the node
+    // table once up front (label known from the binding).
+    prevBindings.foreach {
+      case (v, NodeBinding(label)) if df.isDefined =>
+        val needed = usedProps.getOrElse(v, Set.empty)
+        val missing = needed.filterNot(pr => df.get.columns.contains(s"${v}_$pr"))
+        if (missing.nonEmpty) {
+          val t = graph.nodeTables(label)
+          val renamed = t.columns.foldLeft(t)((acc, c) =>
+            acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
+          df = Some(df.get.join(renamed, s"${v}_id"))
+        }
+      case _ => ()
+    }
 
     // MATCH patterns
     seg.matches.foreach { path =>
@@ -147,7 +164,7 @@ final class Compiler(graph: PropertyGraph) {
 
     // ---- projection (+ implicit/explicit grouping) ----
     val items = seg.projection.zipWithIndex.map { case (it, i) =>
-      (it, itemName(it, i))
+      (it, itemName(it, i, ctx, isFinal))
     }
     val itemMap: Map[Expr, String] = items.map { case (it, n) => it.expr -> n }.toMap
 
@@ -220,22 +237,33 @@ final class Compiler(graph: PropertyGraph) {
     seg.skip.foreach(n => out = out.offset(n.toInt))
     seg.limit.foreach(n => out = out.limit(n.toInt))
 
-    // next-segment bindings: node/edge vars survive only if projected bare
+    // next-segment bindings: bare unaliased node/edge vars stay entities
     val nextBindings: Map[String, Binding] = items.map {
-      case (ReturnItem(Ident(v), None), n) if ctx.bindings.contains(v) =>
-        n -> ValueBinding
+      case (ReturnItem(Ident(v), None), _)
+          if !isFinal && ctx.bindings.get(v).exists(_.isInstanceOf[NodeBinding]) =>
+        v -> ctx.bindings(v)
+      case (ReturnItem(Ident(v), None), _)
+          if !isFinal && ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) =>
+        v -> ctx.bindings(v)
       case (_, n) => n -> ValueBinding
     }.toMap
     (out, nextBindings)
   }
 
-  private def itemName(it: ReturnItem, i: Int): String = it.alias.getOrElse(it.expr match {
-    case Ident(v) => v
-    case Prop(_, p) => p
-    case CountStar() => "count"
-    case Fn(n, _, _) => n.toLowerCase
-    case _ => s"col$i"
-  })
+  private def itemName(it: ReturnItem, i: Int, ctx: Ctx, isFinal: Boolean): String =
+    it.alias.getOrElse(it.expr match {
+      // a bare node/edge var carried through WITH keeps its id column
+      // name so later segments can keep treating it as an entity
+      case Ident(v) if !isFinal &&
+          ctx.bindings.get(v).exists(_.isInstanceOf[NodeBinding]) => s"${v}_id"
+      case Ident(v) if !isFinal &&
+          ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) => s"${v}_eid"
+      case Ident(v) => v
+      case Prop(_, p) => p
+      case CountStar() => "count"
+      case Fn(n, _, _) => n.toLowerCase
+      case _ => s"col$i"
+    })
 
   // ------------------------------------------------------------------
   // patterns

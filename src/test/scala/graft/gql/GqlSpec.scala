@@ -166,6 +166,51 @@ class GqlSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("WITH carries node variables into a later MATCH") {
+    // account i gets transactions i and i+50: spent = 100 + (i%30) + ((i+20)%30);
+    // spent > 235? no — > 235 impossible; > 135 holds for exactly 11 accounts
+    // (i ∈ {8,9,23..29,38,39}), each with exactly one Purchase edge
+    val rows = s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH a, sum(t.amount) AS spent WHERE spent > 135 " +
+      "MATCH (a)-[p:Purchase]->(m2:Merchant) " +
+      "RETURN count(p) AS n, count(DISTINCT a) AS na").collect().head
+    assert(rows.getLong(0) == 11L)
+    assert(rows.getLong(1) == 11L)
+  }
+
+  test("property access after WITH re-joins the node table") {
+    val rows = s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH a, count(t) AS n " +
+      "RETURN a.status AS st, count(a) AS cnt GROUP BY a.status ORDER BY st")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("active", 45L), ("inactive", 5L)))
+  }
+
+  test("comma patterns share variables (cyclic join)") {
+    // same account pays the same merchant via Transaction AND Purchase
+    val n = s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant), " +
+      "(a)-[p:Purchase]->(m) RETURN count(p) AS n").collect().head.getLong(0)
+    // transactions i and purchases j share (src,dst) iff same (i-1)%50? src
+    // and (i-1)%20 dst — each purchase j matches transactions with identical
+    // endpoints: j and j+... (j<=50): t in {j, j+... } — expect > 0 matches
+    assert(n > 0)
+  }
+
+  test("count(DISTINCT) in GQL") {
+    assert(one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "RETURN count(DISTINCT m) AS n") == 20L)
+  }
+
+  test("EXPLAIN surface shows AST and physical plan") {
+    val e = s.explain("MATCH (a:Account) WHERE a.balance > 100 RETURN count(a) AS n")
+    assert(e.contains("=== AST ==="))
+    assert(e.contains("Physical Plan"))
+    // fixture graphs are LocalRelations; parquet-backed graphs additionally
+    // show PushedFilters (verified in the plan audit over test data)
+    assert(e.contains("HashAggregate"))
+  }
+
   test("parse errors are reported") {
     intercept[GqlParseException](s.gql("MATCH (a:Account) RETURN"))
     intercept[GqlParseException](s.gql("MATCHX foo"))
