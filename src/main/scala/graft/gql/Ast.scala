@@ -35,6 +35,10 @@ object Ast {
   case class Cast(e: Expr, toType: String) extends Expr
   /** arr[i] (ast.rs:1591-1596). */
   case class Index(e: Expr, idx: Expr) extends Expr
+  /** EXISTS { pattern, … } — pattern-as-predicate (executor.rs:9351-9394);
+    * compiled to a semi-join (anti under NOT).
+    */
+  case class ExistsPattern(paths: Seq[PathPattern]) extends Expr
 
   // ---- patterns (ast.rs pattern structures) ----
   sealed trait Direction

@@ -54,6 +54,18 @@ final class Compiler(graph: PropertyGraph) {
 
   private def collectProps(e: Expr, acc: scala.collection.mutable.Map[String, Set[String]]): Unit = e match {
     case Prop(v, p) => acc(v) = acc.getOrElse(v, Set.empty) + p
+    case ExistsPattern(paths) =>
+      paths.foreach { pp =>
+        (pp.start +: pp.hops.map(_._2)).foreach { np =>
+          np.props.foreach { case (_, pe) => collectProps(pe, acc) }
+          np.variable.foreach { v =>
+            val keys = np.props.map(_._1).toSet
+            if (keys.nonEmpty) acc(v) = acc.getOrElse(v, Set.empty) ++ keys
+          }
+        }
+        pp.hops.map(_._1).foreach(_.props.foreach { case (_, pe) =>
+          collectProps(pe, acc) })
+      }
     case Fn(_, args, _) => args.foreach(collectProps(_, acc))
     case Bin(_, l, r) => collectProps(l, acc); collectProps(r, acc)
     case Not(x) => collectProps(x, acc)
@@ -147,10 +159,17 @@ final class Compiler(graph: PropertyGraph) {
       df = Some(base.join(optDf, shared, "left_outer"))
       ctx = Ctx(ctx.bindings ++ c2.bindings)
     }
-    // WHERE (pre-projection)
+    // WHERE (pre-projection). EXISTS / NOT EXISTS pattern predicates at
+    // top-level conjuncts become semi/anti joins (the reference's subquery
+    // unnesting, logical_optimizer.rs:283-516); everything else filters.
     seg.where.foreach { w =>
-      df = Some(df.getOrElse(throw new GqlCompileException("WHERE without input"))
-        .filter(compileExpr(w, ctx)))
+      var base = df.getOrElse(throw new GqlCompileException("WHERE without input"))
+      splitAnd(w).foreach {
+        case ExistsPattern(paths) => base = existsJoin(base, paths, ctx, "left_semi")
+        case Not(ExistsPattern(paths)) => base = existsJoin(base, paths, ctx, "left_anti")
+        case other => base = base.filter(compileExpr(other, ctx))
+      }
+      df = Some(base)
     }
     // UNWIND
     seg.unwind.foreach { case (e, as) =>
@@ -264,6 +283,37 @@ final class Compiler(graph: PropertyGraph) {
       case Fn(n, _, _) => n.toLowerCase
       case _ => s"col$i"
     })
+
+  private def splitAnd(e: Expr): Seq[Expr] = e match {
+    case Bin("AND", l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** EXISTS { pattern } — compile the pattern standalone (outer labels
+    * injected into shared unlabeled vars) and semi/anti-join on the
+    * shared columns.
+    */
+  private def existsJoin(base: DataFrame, paths: Seq[PathPattern],
+      ctx: Ctx, joinType: String): DataFrame = {
+    def inject(np: NodePattern): NodePattern =
+      if (np.labels.isEmpty)
+        np.variable.flatMap(ctx.nodeLabel)
+          .map(l => np.copy(labels = Seq(l))).getOrElse(np)
+      else np
+    val rewritten = paths.map(p => p.copy(start = inject(p.start),
+      hops = p.hops.map { case (e2, n2) => (e2, inject(n2)) }))
+    var inner: Option[DataFrame] = None
+    var innerCtx = Ctx(Map.empty)
+    rewritten.foreach { pp =>
+      val (d, c) = compilePath(pp, inner, innerCtx)
+      inner = Some(d); innerCtx = c
+    }
+    val innerDf = inner.getOrElse(throw new GqlCompileException("empty EXISTS"))
+    val shared = base.columns.toSet.intersect(innerDf.columns.toSet).toSeq.sorted
+    if (shared.isEmpty)
+      throw new GqlCompileException("EXISTS pattern must share a variable")
+    base.join(innerDf.select(shared.map(col): _*).distinct(), shared, joinType)
+  }
 
   // ------------------------------------------------------------------
   // patterns
@@ -574,6 +624,9 @@ final class Compiler(graph: PropertyGraph) {
     case Cast(x, t) => compileExpr(x, ctx).cast(sparkType(t))
     case Index(x, i) =>
       element_at(compileExpr(x, ctx), compileExpr(i, ctx).cast("int") + 1)
+    case ExistsPattern(_) =>
+      throw new GqlCompileException(
+        "EXISTS patterns are supported only as top-level WHERE conjuncts")
   }
 
   private def caseExpr(subject: Option[Expr], whens: Seq[(Expr, Expr)],

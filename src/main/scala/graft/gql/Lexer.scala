@@ -19,7 +19,7 @@ object Lexer {
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "ASCENDING", "DESC",
     "DESCENDING", "LIMIT", "SKIP", "OFFSET", "UNWIND",
     "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE",
-    "STARTS", "ENDS", "CONTAINS", "LIKE", "CASE", "WHEN", "THEN", "ELSE",
+    "STARTS", "ENDS", "CONTAINS", "LIKE", "CASE", "WHEN", "THEN", "ELSE", "EXISTS",
     "END", "CAST", "COUNT")
 
   private val punct2 = Seq("<>", "<=", ">=", "->", "<-", "||", "..")

@@ -374,6 +374,12 @@ final class Parser(tokens: Vector[Token]) {
           eatPunct(")")
           Fn("COUNT", Seq(arg), distinct)
         }
+      case TKw("EXISTS", _) =>
+        p += 1
+        val open = if (tryPunct("{")) "}" else { eatPunct("("); ")" }
+        val paths = parsePatternList()
+        eatPunct(open)
+        ExistsPattern(paths)
       case TKw("CASE", _) =>
         p += 1
         val subject = if (!isKw("WHEN")) Some(parseExpr()) else None

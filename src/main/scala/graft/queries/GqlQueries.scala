@@ -45,6 +45,18 @@ object GqlQueries {
         |WHERE n > 5
         |RETURN nk, n ORDER BY nk""".stripMargin)),
 
+    // EXISTS pattern predicate -> semi-join with inline edge-node props
+    "gql06_exists" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (c:customer)
+        |WHERE c.acctbal > 9000 AND EXISTS { (c)-[:PLACED]->(o:orders {status: 'F'}) }
+        |RETURN c.id AS id ORDER BY id""".stripMargin)),
+
+    // NOT EXISTS -> anti-join
+    "gql07_not_exists" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (p:part)
+        |WHERE NOT EXISTS { (o:orders)-[:CONTAINS]->(p) }
+        |RETURN count(p) AS n""".stripMargin)),
+
     // OPTIONAL MATCH with incoming direction + count of matched
     "gql05_optional" -> ((s: SparkSession, d: String) => run(s, d,
       """MATCH (n:nation)
@@ -85,6 +97,14 @@ object GqlQueries {
       """SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |GROUP BY 1 HAVING count(*) > 5 ORDER BY nk""".stripMargin,
+    "gql06_exists" ->
+      """SELECT c_custkey AS id FROM customer
+        |WHERE c_acctbal > 9000 AND EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY id""".stripMargin,
+    "gql07_not_exists" ->
+      """SELECT count(*) AS n FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
     "gql05_optional" ->
       """SELECT n_name AS nname, count(c_custkey) AS n_cust
         |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey

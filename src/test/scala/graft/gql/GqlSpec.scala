@@ -211,6 +211,23 @@ class GqlSpec extends AnyFunSuite {
     assert(e.contains("HashAggregate"))
   }
 
+  test("EXISTS pattern predicate becomes a semi-join") {
+    // accounts with a Transaction of amount > 75 (i%30 > 25 → 4 per cycle
+    // ×3 cycles + i=91..100 none → 12 transactions over ≤12 accounts)
+    val n = one("MATCH (a:Account) WHERE EXISTS { (a)-[:Transaction {timestamp: 1}]->(m:Merchant) } " +
+      "RETURN count(a) AS n")
+    assert(n == 1L) // only transaction i=1 has timestamp 1 (account 1)
+    val both = one("MATCH (a:Account) WHERE a.balance > 4000 AND " +
+      "EXISTS { (a)-[:Purchase]->(m:Merchant) } RETURN count(a) AS n")
+    assert(both == 10L) // balance>4000: accounts 41..50, all have purchases
+  }
+
+  test("NOT EXISTS pattern predicate becomes an anti-join") {
+    val n = one("MATCH (m:Merchant) WHERE NOT EXISTS { (a:Account)-[:Transaction {timestamp: 1}]->(m) } " +
+      "RETURN count(m) AS n")
+    assert(n == 19L) // only merchant 1 receives transaction ts=1
+  }
+
   test("parse errors are reported") {
     intercept[GqlParseException](s.gql("MATCH (a:Account) RETURN"))
     intercept[GqlParseException](s.gql("MATCHX foo"))
