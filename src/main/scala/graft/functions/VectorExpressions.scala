@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for cosine similarity over float-array
+  * embedding columns — the hot inner loop of KNN / ANN / embedding
+  * dedup. Generates a tight Java loop (whole-stage codegen) instead of
+  * the interpreted zip_with+aggregate higher-order functions; identical
+  * numerics (sequential double accumulation over float inputs), so
+  * results are bit-equal to the pure-Column formulation and the DuckDB
+  * oracle.
+  *
+  * This is preference tier (b) from the build guide: a custom
+  * `Expression` with `doGenCode`, reached only because built-in operator
+  * composition (zip_with/aggregate) cannot be codegen'd.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else dot / nn
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = (double) $a.getFloat(i);
+         |  double y = (double) $b.getFloat(i);
+         |  dot += x * y; na += x * x; nb += y * y;
+         |}
+         |double nn = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+         |${ev.value} = (nn == 0.0) ? 0.0 : dot / nn;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  val CosineName = "graft_cosine"
+
+  /** Register the expression in the session's function registry (the
+    * Spark-4 path for building Columns from custom expressions).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+
+  /** Codegen'd cosine similarity column (registers on first use). */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(CosineName, a, b)
+  }
+}

@@ -142,7 +142,7 @@ object PipelineQueries {
         .join(v.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
         .join(v.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
         .select($"id_a", $"id_b",
-          round(Similarity.cosine($"va", $"vb"), 6).as("cos"))
+          round(graft.functions.VectorFunctions.cosine(s, $"va", $"vb"), 6).as("cos"))
         .filter($"cos" >= 0.95)
         .orderBy($"id_a", $"id_b")
     }),

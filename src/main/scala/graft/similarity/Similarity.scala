@@ -41,11 +41,12 @@ object Similarity {
     */
   def knnBruteForce(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val cos = graft.functions.VectorFunctions
+      .cosine(corpus.sparkSession, col("qvec"), col("vec"))
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        cosine(col("qvec"), col("vec")).as("score"))
+      .select(col("qid"), col("id"), cos.as("score"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -70,18 +71,23 @@ object Similarity {
       Array.fill(numPlanes, dim)(if ((next() & 1L) == 0L) -1.0 else 1.0)
     }
 
-    /** Signature bits as array<int> of 0/1. */
-    def signature(vec: Column): Column = {
+    /** Signature bits as array<int> of 0/1. sign(v·plane) == sign of the
+      * cosine, so the codegen'd CosineSimilarity expression serves here
+      * too (planes are ±1.0, exact in float).
+      */
+    def signature(spark: org.apache.spark.sql.SparkSession, vec: Column): Column = {
       val bits = planes.map { p =>
-        val planeLit = array(p.map(lit): _*)
-        when(dot(vec, planeLit) >= 0, lit(1)).otherwise(lit(0))
+        val planeLit = array(p.map(x => lit(x.toFloat)): _*)
+        when(graft.functions.VectorFunctions.cosine(spark, vec, planeLit) >= 0,
+          lit(1)).otherwise(lit(0))
       }
       array(bits.toIndexedSeq: _*)
     }
 
     /** (id, band, bucket) — one row per band per input row. */
     def buckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-      df.select(col(idCol).as("id"), signature(col(vecCol)).as("sig"))
+      df.select(col(idCol).as("id"),
+        signature(df.sparkSession, col(vecCol)).as("sig"))
         .select(col("id"), posexplode(
           transform(sequence(lit(0), lit(bands - 1)),
             b => to_json(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -102,7 +108,9 @@ object Similarity {
         .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
         .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))), "qid")
       val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-      withVecs.select(col("qid"), col("id"), cosine(col("qvec"), col("vec")).as("score"))
+      val cos = graft.functions.VectorFunctions
+        .cosine(corpus.sparkSession, col("qvec"), col("vec"))
+      withVecs.select(col("qid"), col("id"), cos.as("score"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"),
