@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.gql.{Compiler, Parser}
-import graft.graph.{GraphCatalog, PropertyGraph}
+import org.apache.spark.sql.functions.{col, lit}
+import graft.gql.{Ast, Compiler, GqlCompileException, Parser}
+import graft.graph.{GraphCatalog, PropertyGraph, GraphMutations => graph2}
 
 /** Public entry point — the Spark-native analog of the reference's
   * embedded API (sdk-rust/src/connection.rs: `GraphLite::open(path)` →
@@ -63,6 +64,175 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     */
   def gql(query: String): DataFrame =
     new Compiler(graph).compile(Parser.parse(query))
+
+  /** Execute any GQL statement (ast.rs:24-39 dispatch): queries return
+    * their result; DML mutates the session's current graph copy-on-write
+    * and returns affected counts; DDL touches the catalog. Persist a
+    * mutated graph with [[saveGraphAs]].
+    */
+  def execute(text: String): DataFrame = {
+    import Ast._
+    val spark = gls.spark
+    import spark.implicits._
+    Parser.parseStatement(text) match {
+      case QueryStmt(q) => new Compiler(graph).compile(q)
+
+      case InsertStmt(nodes) =>
+        val byLabel = nodes.groupBy(np => np.labels.headOption.getOrElse(
+          throw new GqlCompileException("INSERT nodes need a label")))
+        val counts = byLabel.toSeq.sortBy(_._1).map { case (label, nps) =>
+          val keys = nps.head.props.map(_._1)
+          if (nps.exists(_.props.map(_._1) != keys))
+            throw new GqlCompileException(
+              s"INSERT: all $label nodes must list the same properties")
+          if (!keys.contains("id"))
+            throw new GqlCompileException("INSERT nodes need an id property")
+          val schema = org.apache.spark.sql.types.StructType(
+            nps.head.props.map { case (k, v) =>
+              org.apache.spark.sql.types.StructField(k, litType(v))
+            })
+          val rows = nps.map(np => org.apache.spark.sql.Row(
+            np.props.map { case (_, v) => litValue(v) }: _*))
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq), schema)
+          currentGraph = Some(graph2.insertNodes(graph, label, df))
+          label -> nps.size.toLong
+        }
+        counts.toDF("label", "inserted")
+
+      case MatchSetStmt(pattern, where, assignments) =>
+        val (label, isEdge, v) = dmlTarget(pattern,
+          assignments.head._1.variable)
+        val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
+        val assigns = assignments.map { case (Prop(_, p), e) =>
+          p -> rawColumn(e, v) }.toMap
+        val affected =
+          if (isEdge) graph.edgeScan(label, Some(pred)).count()
+          else graph.nodeScan(label, Some(pred)).count()
+        currentGraph = Some(
+          if (isEdge) graph2.setEdgeProps(graph, label, pred, assigns)
+          else graph2.setNodeProps(graph, label, pred, assigns))
+        Seq(affected).toDF("properties_set")
+
+      case MatchRemoveStmt(pattern, where, props) =>
+        val (label, isEdge, v) = dmlTarget(pattern, props.head.variable)
+        if (isEdge) throw new GqlCompileException("REMOVE on edges: use SET to null")
+        val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
+        val affected = graph.nodeScan(label, Some(pred)).count()
+        currentGraph = Some(graph2.removeNodeProps(graph, label, pred,
+          props.map(_.prop)))
+        Seq(affected).toDF("properties_removed")
+
+      case MatchDeleteStmt(pattern, where, target, detach) =>
+        val (label, isEdge, v) = dmlTarget(pattern, target)
+        val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
+        if (isEdge) {
+          val affected = graph.edgeScan(label, Some(pred)).count()
+          currentGraph = Some(graph2.deleteEdges(graph, label, pred))
+          Seq(affected).toDF("edges_deleted")
+        } else {
+          val affected = graph.nodeScan(label, Some(pred)).count()
+          currentGraph = Some(graph2.deleteNodes(graph, label, pred, detach))
+          Seq(affected).toDF("nodes_deleted")
+        }
+
+      case CatalogStmt(op, kind, schema, g) => (op, kind) match {
+        case ("CREATE", "SCHEMA") =>
+          gls.catalog.createSchema(schema); Seq(s"/$schema").toDF("created")
+        case ("CREATE", "GRAPH") =>
+          gls.catalog.createSchema(schema)
+          gls.catalog.saveGraph(schema, g.get,
+            new PropertyGraph(Map.empty, Map.empty))
+          Seq(s"/$schema/${g.get}").toDF("created")
+        case ("DROP", "SCHEMA") =>
+          Seq(gls.catalog.dropSchema(schema)).toDF("dropped")
+        case ("DROP", "GRAPH") =>
+          Seq(gls.catalog.dropGraph(schema, g.get)).toDF("dropped")
+        case other => throw new GqlCompileException(s"unsupported DDL $other")
+      }
+
+      case SessionSetGraph(path) =>
+        useGraph(path); Seq(path).toDF("current_graph")
+    }
+  }
+
+  /** Persist the session's (possibly mutated) graph as a new version. */
+  def saveGraphAs(path: String): Unit = {
+    val parts = path.stripPrefix("/").split("/")
+    require(parts.length == 2, s"graph path must be /schema/graph, got $path")
+    gls.catalog.createSchema(parts(0))
+    gls.catalog.saveGraph(parts(0), parts(1), graph)
+    currentName = Some(path)
+  }
+
+  /** Resolve the single DML variable to (label, isEdge). */
+  private def dmlTarget(pattern: Ast.PathPattern, v: String): (String, Boolean, String) = {
+    pattern match {
+      case Ast.PathPattern(np, Seq()) if np.variable.contains(v) =>
+        (np.labels.headOption.getOrElse(
+          throw new GqlCompileException("DML pattern needs a label")), false, v)
+      case Ast.PathPattern(_, Seq((ep, _))) if ep.variable.contains(v) =>
+        (ep.types.headOption.getOrElse(
+          throw new GqlCompileException("DML edge pattern needs a type")), true, v)
+      case _ => throw new GqlCompileException(
+        s"DML target $v must be the pattern's single node or edge variable")
+    }
+  }
+
+  /** Compile a DML expression against the raw (unprefixed) table columns
+    * of the single pattern variable.
+    */
+  private def rawColumn(e: Ast.Expr, v: String): org.apache.spark.sql.Column = {
+    import Ast._
+    e match {
+      case Prop(`v`, p) => col(p)
+      case Ident(`v`) => col("id")
+      case Prop(other, _) => throw new GqlCompileException(
+        s"DML expressions may only reference $v, got $other")
+      case NumLit(x, isInt) => if (isInt) lit(x.toLong) else lit(x)
+      case StrLit(s0) => lit(s0)
+      case BoolLit(b) => lit(b)
+      case NullLit() => lit(null)
+      case Bin(op, l, r) =>
+        val (lc, rc) = (rawColumn(l, v), rawColumn(r, v))
+        op match {
+          case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+          case "/" => lc / rc; case "%" => lc % rc
+          case "=" => lc === rc; case "<>" => lc =!= rc
+          case "<" => lc < rc; case "<=" => lc <= rc
+          case ">" => lc > rc; case ">=" => lc >= rc
+          case "AND" => lc && rc; case "OR" => lc || rc
+          case "||" => org.apache.spark.sql.functions.concat(lc, rc)
+          case o => throw new GqlCompileException(s"unsupported DML operator $o")
+        }
+      case Not(x) => !rawColumn(x, v)
+      case Neg(x) => -rawColumn(x, v)
+      case IsNull(x, n) =>
+        val c = rawColumn(x, v); if (n) c.isNotNull else c.isNull
+      case InList(x, items, n) =>
+        val c = rawColumn(x, v).isin(items.map(litValue): _*)
+        if (n) !c else c
+      case other => throw new GqlCompileException(
+        s"unsupported expression in DML: $other")
+    }
+  }
+
+  private def litValue(e: Ast.Expr): Any = e match {
+    case Ast.NumLit(v, true) => v.toLong
+    case Ast.NumLit(v, false) => v
+    case Ast.StrLit(s0) => s0
+    case Ast.BoolLit(b) => b
+    case Ast.NullLit() => null
+    case other => throw new GqlCompileException(s"expected literal, got $other")
+  }
+
+  private def litType(e: Ast.Expr): org.apache.spark.sql.types.DataType = e match {
+    case Ast.NumLit(_, true) => org.apache.spark.sql.types.LongType
+    case Ast.NumLit(_, false) => org.apache.spark.sql.types.DoubleType
+    case Ast.StrLit(_) => org.apache.spark.sql.types.StringType
+    case Ast.BoolLit(_) => org.apache.spark.sql.types.BooleanType
+    case other => throw new GqlCompileException(s"expected literal, got $other")
+  }
 
   /** EXPLAIN surface (reference: plan/trace.rs phases,
     * query_coordinator.rs:783): returns the parsed AST plus Catalyst's

@@ -78,4 +78,24 @@ object Ast {
 
   /** Full query: WITH-chained segments; last one is the RETURN. */
   case class Query(segments: Seq[Segment])
+
+  // ---- statements (ast.rs:24-39 Statement enum subset) ----
+  sealed trait Statement
+  case class QueryStmt(q: Query) extends Statement
+  /** INSERT (:L {p: v}), … — literal node creation (insert.rs analog). */
+  case class InsertStmt(nodes: Seq[NodePattern]) extends Statement
+  /** MATCH (v:L) [WHERE e] SET v.p = expr, … (match_set.rs analog). */
+  case class MatchSetStmt(pattern: PathPattern, where: Option[Expr],
+      assignments: Seq[(Prop, Expr)]) extends Statement
+  /** MATCH … [WHERE e] [DETACH] DELETE v (match_delete.rs analog). */
+  case class MatchDeleteStmt(pattern: PathPattern, where: Option[Expr],
+      target: String, detach: Boolean) extends Statement
+  /** MATCH … [WHERE e] REMOVE v.p, … (match_remove.rs analog). */
+  case class MatchRemoveStmt(pattern: PathPattern, where: Option[Expr],
+      props: Seq[Prop]) extends Statement
+  /** CREATE/DROP SCHEMA|GRAPH /schema[/graph] (catalog DDL, ast.rs:625-644). */
+  case class CatalogStmt(op: String, kind: String, schema: String,
+      graph: Option[String]) extends Statement
+  /** SESSION SET GRAPH /schema/graph (ast.rs:992-1063). */
+  case class SessionSetGraph(path: String) extends Statement
 }

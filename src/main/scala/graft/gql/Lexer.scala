@@ -20,7 +20,8 @@ object Lexer {
     "DESCENDING", "LIMIT", "SKIP", "OFFSET", "UNWIND",
     "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE",
     "STARTS", "ENDS", "CONTAINS", "LIKE", "CASE", "WHEN", "THEN", "ELSE", "EXISTS",
-    "END", "CAST", "COUNT")
+    "END", "CAST", "COUNT", "INSERT", "SET", "DELETE", "DETACH", "REMOVE",
+    "CREATE", "DROP", "SCHEMA", "GRAPH", "SESSION")
 
   private val punct2 = Seq("<>", "<=", ">=", "->", "<-", "||", "..")
   private val punct1 = "()[]{},.:;*/%+-<>=|"

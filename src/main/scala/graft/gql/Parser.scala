@@ -44,6 +44,71 @@ final class Parser(tokens: Vector[Token]) {
     case _ => err("expected identifier")
   }
 
+  // ---- statement entry (ast.rs:24-39 dispatch) ----
+  def parseStatement(): Statement = {
+    cur match {
+      case TKw("INSERT", _) =>
+        p += 1
+        val nodes = Vector.newBuilder[NodePattern]
+        var more = true
+        while (more) { nodes += parseNodePattern(); more = tryPunct(",") }
+        expectEnd(); InsertStmt(nodes.result())
+      case TKw("CREATE", _) | TKw("DROP", _) =>
+        val op = advance().asInstanceOf[TKw].s
+        val kind =
+          if (tryKw("SCHEMA")) "SCHEMA"
+          else { eatKw("GRAPH"); "GRAPH" }
+        eatPunct("/")
+        val schema = ident()
+        val graph = if (tryPunct("/")) Some(ident()) else None
+        if (kind == "GRAPH" && graph.isEmpty) err("GRAPH path needs /schema/graph")
+        expectEnd(); CatalogStmt(op, kind, schema, graph)
+      case TKw("SESSION", _) =>
+        p += 1; eatKw("SET"); eatKw("GRAPH"); eatPunct("/")
+        val schema = ident(); eatPunct("/"); val g = ident()
+        expectEnd(); SessionSetGraph(s"/$schema/$g")
+      case TKw("MATCH", _) if containsDmlKeyword =>
+        p += 1
+        val pattern = parsePathPattern()
+        val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+        if (tryKw("SET")) {
+          val as = Vector.newBuilder[(Prop, Expr)]
+          var more = true
+          while (more) {
+            val v = ident(); eatPunct("."); val pr = ident(); eatPunct("=")
+            as += ((Prop(v, pr), parseExpr()))
+            more = tryPunct(",")
+          }
+          expectEnd(); MatchSetStmt(pattern, where, as.result())
+        } else if (tryKw("REMOVE")) {
+          val ps = Vector.newBuilder[Prop]
+          var more = true
+          while (more) {
+            val v = ident(); eatPunct("."); ps += Prop(v, ident())
+            more = tryPunct(",")
+          }
+          expectEnd(); MatchRemoveStmt(pattern, where, ps.result())
+        } else {
+          val detach = tryKw("DETACH")
+          eatKw("DELETE")
+          val target = ident()
+          expectEnd(); MatchDeleteStmt(pattern, where, target, detach)
+        }
+      case _ => QueryStmt(parseQuery())
+    }
+  }
+
+  private def expectEnd(): Unit = cur match {
+    case TEnd(_) => ()
+    case _ => err("unexpected trailing input")
+  }
+
+  /** DML keywords can only appear in DML statements (never in queries). */
+  private def containsDmlKeyword: Boolean = tokens.exists {
+    case TKw("SET" | "DELETE" | "REMOVE", _) => true
+    case _ => false
+  }
+
   // ---- entry ----
   def parseQuery(): Query = {
     val segs = Vector.newBuilder[Segment]
@@ -434,5 +499,11 @@ object Parser {
     Lexer.tokenize(query) match {
       case Left(e) => throw new GqlParseException(e)
       case Right(toks) => new Parser(toks).parseQuery()
+    }
+
+  def parseStatement(text: String): Ast.Statement =
+    Lexer.tokenize(text) match {
+      case Left(e) => throw new GqlParseException(e)
+      case Right(toks) => new Parser(toks).parseStatement()
     }
 }

@@ -71,6 +71,15 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     new PropertyGraph(nodes, edges)
   }
 
+  def dropSchema(schema: String): Boolean = {
+    val p = Paths.get(s"$warehouse/$schema")
+    if (!Files.exists(p)) false
+    else {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      true
+    }
+  }
+
   def dropGraph(schema: String, name: String): Boolean = {
     val p = Paths.get(graphDir(schema, name))
     if (!Files.exists(p)) false

@@ -1,0 +1,85 @@
+package graft.gql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** GQL statement surface: INSERT / MATCH SET / REMOVE / DELETE / DDL /
+  * SESSION — semantics mirror the reference's dml_tests.rs and
+  * ddl_independent_tests.rs shapes.
+  */
+class StatementSpec extends AnyFunSuite {
+
+  private def freshSession() = SparkFixture.gqlSession(SparkFixture.fraudGraph)
+
+  test("INSERT literal nodes") {
+    val s = freshSession()
+    val r = s.execute("INSERT (:Account {id: 51, account_number: 'ACC51', " +
+      "name: 'Account51', balance: 5100.0, status: 'active', " +
+      "account_type: 'checking', risk_score: 0.1}), " +
+      "(:Account {id: 52, account_number: 'ACC52', name: 'Account52', " +
+      "balance: 5200.0, status: 'active', account_type: 'savings', risk_score: 0.2})")
+    assert(r.collect().head.getLong(1) == 2L)
+    assert(s.execute("MATCH (a:Account) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 52L)
+  }
+
+  test("MATCH SET updates matching rows in the session graph") {
+    val s = freshSession()
+    val r = s.execute("MATCH (a:Account) WHERE a.status = 'inactive' " +
+      "SET a.balance = 0.0, a.risk_score = 10.0")
+    assert(r.collect().head.getLong(0) == 5L)
+    assert(s.execute("MATCH (a:Account) WHERE a.balance = 0.0 RETURN count(a) AS n")
+      .collect().head.getLong(0) == 5L)
+    // arithmetic on existing value
+    s.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = a.balance * 2")
+    assert(s.execute("MATCH (a:Account {id: 1}) RETURN a.balance AS b")
+      .collect().head.getDouble(0) == 200.0)
+  }
+
+  test("MATCH REMOVE nulls out properties") {
+    val s = freshSession()
+    s.execute("MATCH (a:Account) WHERE a.id <= 3 REMOVE a.risk_score")
+    assert(s.execute("MATCH (a:Account) WHERE a.risk_score IS NULL RETURN count(a) AS n")
+      .collect().head.getLong(0) == 3L)
+  }
+
+  test("MATCH DELETE edges and DETACH DELETE nodes") {
+    val s = freshSession()
+    val r = s.execute("MATCH (a)-[t:Transaction]->(m) WHERE t.amount > 70 DELETE t")
+    assert(r.collect().head.getLong(0) == 27L)
+    assert(s.execute("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "RETURN count(t) AS n").collect().head.getLong(0) == 73L)
+    val r2 = s.execute("MATCH (a:Account) WHERE a.id = 1 DETACH DELETE a")
+    assert(r2.collect().head.getLong(0) == 1L)
+    assert(s.execute("MATCH (a:Account) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 49L)
+  }
+
+  test("DELETE without DETACH errors on connected nodes") {
+    val s = freshSession()
+    intercept[IllegalStateException] {
+      s.execute("MATCH (a:Account) WHERE a.id = 2 DELETE a")
+    }
+  }
+
+  test("catalog DDL + SESSION SET GRAPH + persistence roundtrip") {
+    val s = freshSession()
+    s.execute("CREATE SCHEMA /prod")
+    s.execute("CREATE GRAPH /prod/scratch")
+    assert(s.call("gql.list_graphs").collect()
+      .exists(r => r.getString(0) == "prod" && r.getString(1) == "scratch"))
+    // mutate the fraud graph, persist, then re-point the session at it
+    s.execute("MATCH (a:Account) WHERE a.id = 9 SET a.status = 'frozen'")
+    s.saveGraphAs("/prod/fraud_v2")
+    s.execute("SESSION SET GRAPH /prod/fraud_v2")
+    assert(s.execute("MATCH (a:Account {status: 'frozen'}) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 1L)
+    assert(s.execute("DROP GRAPH /prod/scratch").collect().head.getBoolean(0))
+  }
+
+  test("execute dispatches plain queries too") {
+    val s = freshSession()
+    assert(s.execute("MATCH (m:Merchant) RETURN count(m) AS n")
+      .collect().head.getLong(0) == 20L)
+  }
+}
