@@ -367,6 +367,32 @@ object Relational {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- timezone functions (timezone_functions.rs: AT_TIME_ZONE /
+    // CONVERT_TZ analogs) + month arithmetic + last_day
+    "q32_timezone" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          from_utc_timestamp($"o_orderdate", "America/New_York").as("ny"),
+          to_utc_timestamp($"o_orderdate", "Asia/Tokyo").as("from_tokyo"),
+          ($"o_orderdate" + expr("INTERVAL 3 MONTHS")).as("plus3m"),
+          last_day($"o_orderdate").as("eom"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- TIME_WINDOW / WITHIN predicate (temporal_functions.rs:938):
+    // half-open interval containment
+    "q33_within_window" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val t1 = lit("1996-01-01").cast("timestamp")
+      val t2 = lit("1998-01-01").cast("timestamp")
+      Tables.orders(s, d)
+        .filter($"o_orderdate" >= t1 && $"o_orderdate" < t2)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // ---- FULL OUTER join
     "q28_full_outer" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -533,6 +559,18 @@ object Relational {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice < ANY (SELECT c_acctbal FROM customer)
         |ORDER BY o_orderkey""".stripMargin,
+    "q32_timezone" ->
+      """SELECT o_orderkey,
+        | CAST(timezone('America/New_York', o_orderdate::TIMESTAMPTZ) AS TIMESTAMP) AS ny,
+        | CAST(timezone('Asia/Tokyo', o_orderdate) AS TIMESTAMP) AS from_tokyo,
+        | o_orderdate + INTERVAL 3 MONTH AS plus3m,
+        | last_day(o_orderdate) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q33_within_window" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q28_full_outer" ->
       """SELECT coalesce(cn.nk, sn.snk) AS nationkey,
         | coalesce(cn.nc, 0) AS n_customers, coalesce(sn.ns, 0) AS n_suppliers
