@@ -100,6 +100,38 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         }
         counts.toDF("label", "inserted")
 
+      case MatchInsertStmt(matches, where, insert) =>
+        // INSERT (x)-[:T {props}]->(y): one new edge per distinct matched
+        // (x, y) pair; engine-stable eid from (label, src, dst)
+        val (edgePat, dstNode) = insert.hops match {
+          case Seq((e, n2)) => (e, n2)
+          case _ => throw new GqlCompileException(
+            "MATCH…INSERT supports a single (x)-[:T]->(y) edge pattern")
+        }
+        if (edgePat.direction != Ast.Out)
+          throw new GqlCompileException("MATCH…INSERT edges must be directed ->")
+        val xVar = insert.start.variable.getOrElse(
+          throw new GqlCompileException("INSERT edge endpoints must be bound variables"))
+        val yVar = dstNode.variable.getOrElse(
+          throw new GqlCompileException("INSERT edge endpoints must be bound variables"))
+        val label = edgePat.types.headOption.getOrElse(
+          throw new GqlCompileException("INSERT edge needs a type"))
+        val (binding, varLabels) = new Compiler(graph).compileBinding(matches, where)
+        for (v <- Seq(xVar, yVar) if !binding.columns.contains(s"${v}_id"))
+          throw new GqlCompileException(s"INSERT endpoint $v is not bound by MATCH")
+        var rows = binding.select(col(s"${xVar}_id").as("src"),
+            col(s"${yVar}_id").as("dst")).distinct()
+          .withColumn("eid", graft.text.TextAnalysis.stableHash60(
+            org.apache.spark.sql.functions.concat_ws("#",
+              lit(label), col("src"), col("dst"))))
+        edgePat.props.foreach { case (k, ve) =>
+          rows = rows.withColumn(k, lit(litValue(ve))) }
+        val n = rows.count()
+        val et = graft.graph.EdgeType(label,
+          varLabels.getOrElse(xVar, ""), varLabels.getOrElse(yVar, ""))
+        currentGraph = Some(graph2.insertEdges(graph, label, et, rows))
+        Seq(n).toDF("edges_inserted")
+
       case MatchSetStmt(pattern, where, assignments) =>
         val (label, isEdge, v) = dmlTarget(pattern,
           assignments.head._1.variable)

@@ -84,6 +84,11 @@ object Ast {
   case class QueryStmt(q: Query) extends Statement
   /** INSERT (:L {p: v}), … — literal node creation (insert.rs analog). */
   case class InsertStmt(nodes: Seq[NodePattern]) extends Statement
+  /** MATCH … [WHERE e] INSERT (x)-[:T {props}]->(y) — edge creation from
+    * matched bindings (match_insert.rs analog).
+    */
+  case class MatchInsertStmt(matches: Seq[PathPattern], where: Option[Expr],
+      insert: PathPattern) extends Statement
   /** MATCH (v:L) [WHERE e] SET v.p = expr, … (match_set.rs analog). */
   case class MatchSetStmt(pattern: PathPattern, where: Option[Expr],
       assignments: Seq[(Prop, Expr)]) extends Statement

@@ -119,6 +119,43 @@ final class Compiler(graph: PropertyGraph) {
     df.get
   }
 
+  /** Compile MATCH patterns + WHERE into a binding table (used by
+    * MATCH…INSERT). Returns the DataFrame (columns `<var>_id`, props)
+    * plus each variable's node label.
+    */
+  def compileBinding(matches: Seq[PathPattern],
+      where: Option[Expr]): (DataFrame, Map[String, String]) = {
+    // prop collection so scans/hops behave as in full queries
+    val acc = scala.collection.mutable.Map[String, Set[String]]()
+    where.foreach(collectProps(_, acc))
+    matches.foreach { p =>
+      (p.start +: p.hops.map(_._2)).foreach { np =>
+        np.props.foreach { case (_, e) => collectProps(e, acc) }
+        np.variable.foreach { v =>
+          val keys = np.props.map(_._1).toSet
+          if (keys.nonEmpty) acc(v) = acc.getOrElse(v, Set.empty) ++ keys
+        }
+      }
+    }
+    usedProps = acc.toMap
+    var df: Option[DataFrame] = None
+    var ctx = Ctx(Map.empty)
+    matches.foreach { path =>
+      val (d2, c2) = compilePath(path, df, ctx)
+      df = Some(d2); ctx = c2
+    }
+    var out = df.getOrElse(throw new GqlCompileException("empty MATCH"))
+    where.foreach { w =>
+      splitAnd(w).foreach {
+        case ExistsPattern(paths) => out = existsJoin(out, paths, ctx, "left_semi")
+        case Not(ExistsPattern(paths)) => out = existsJoin(out, paths, ctx, "left_anti")
+        case other => out = out.filter(compileExpr(other, ctx))
+      }
+    }
+    val labels = ctx.bindings.collect { case (v, NodeBinding(l)) => v -> l }
+    (out, labels)
+  }
+
   // ------------------------------------------------------------------
   // segment
   // ------------------------------------------------------------------

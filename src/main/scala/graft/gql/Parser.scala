@@ -69,9 +69,14 @@ final class Parser(tokens: Vector[Token]) {
         expectEnd(); SessionSetGraph(s"/$schema/$g")
       case TKw("MATCH", _) if containsDmlKeyword =>
         p += 1
-        val pattern = parsePathPattern()
+        val patterns = parsePatternList()
+        val pattern = patterns.head
         val where = if (tryKw("WHERE")) Some(parseExpr()) else None
-        if (tryKw("SET")) {
+        if (tryKw("INSERT")) {
+          val ins = parsePathPattern()
+          expectEnd()
+          MatchInsertStmt(patterns, where, ins)
+        } else if (tryKw("SET")) {
           val as = Vector.newBuilder[(Prop, Expr)]
           var more = true
           while (more) {
@@ -105,7 +110,7 @@ final class Parser(tokens: Vector[Token]) {
 
   /** DML keywords can only appear in DML statements (never in queries). */
   private def containsDmlKeyword: Boolean = tokens.exists {
-    case TKw("SET" | "DELETE" | "REMOVE", _) => true
+    case TKw("SET" | "DELETE" | "REMOVE" | "INSERT", _) => true
     case _ => false
   }
 

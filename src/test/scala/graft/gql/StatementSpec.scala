@@ -77,6 +77,29 @@ class StatementSpec extends AnyFunSuite {
     assert(s.execute("DROP GRAPH /prod/scratch").collect().head.getBoolean(0))
   }
 
+  test("MATCH INSERT creates edges from matched pairs") {
+    val s = freshSession()
+    // connect every high-risk account to merchant 1 with a REVIEW edge
+    val r = s.execute("MATCH (a:Account), (m:Merchant) " +
+      "WHERE a.risk_score >= 4.5 AND m.id = 1 " +
+      "INSERT (a)-[:REVIEW {flagged: true}]->(m)")
+    assert(r.collect().head.getLong(0) == 6L) // risk >= 4.5: accounts 45..50
+    val n = s.execute("MATCH (a:Account)-[rv:REVIEW]->(m:Merchant) " +
+      "RETURN count(rv) AS n").collect().head.getLong(0)
+    assert(n == 6L)
+    // edge properties are queryable
+    assert(s.execute("MATCH (a:Account)-[rv:REVIEW]->(m:Merchant) " +
+      "WHERE rv.flagged = TRUE RETURN count(rv) AS n")
+      .collect().head.getLong(0) == 6L)
+  }
+
+  test("MATCH INSERT requires bound endpoints") {
+    val s = freshSession()
+    intercept[GqlCompileException] {
+      s.execute("MATCH (a:Account) WHERE a.id = 1 INSERT (a)-[:X]->(zz)")
+    }
+  }
+
   test("execute dispatches plain queries too") {
     val s = freshSession()
     assert(s.execute("MATCH (m:Merchant) RETURN count(m) AS n")
