@@ -26,6 +26,8 @@ object Ast {
   case class Neg(e: Expr) extends Expr
   /** IS [NOT] NULL (ast.rs:1580-1611 subset). */
   case class IsNull(e: Expr, negated: Boolean) extends Expr
+  /** IS [NOT] TRUE | FALSE | UNKNOWN (ast.rs:1580-1611). */
+  case class IsTruth(e: Expr, truth: String, negated: Boolean) extends Expr
   case class InList(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
   /** STARTS WITH / ENDS WITH / CONTAINS / LIKE (executor.rs:5353-5412). */
   case class StringPred(op: String, l: Expr, r: Expr, negated: Boolean) extends Expr

@@ -71,6 +71,7 @@ final class Compiler(graph: PropertyGraph) {
     case Not(x) => collectProps(x, acc)
     case Neg(x) => collectProps(x, acc)
     case IsNull(x, _) => collectProps(x, acc)
+    case IsTruth(x, _, _) => collectProps(x, acc)
     case InList(x, items, _) => collectProps(x, acc); items.foreach(collectProps(_, acc))
     case StringPred(_, l, r, _) => collectProps(l, acc); collectProps(r, acc)
     case CaseExpr(s, ws, o) =>
@@ -553,6 +554,7 @@ final class Compiler(graph: PropertyGraph) {
     case Not(x) => containsAgg(x)
     case Neg(x) => containsAgg(x)
     case IsNull(x, _) => containsAgg(x)
+    case IsTruth(x, _, _) => containsAgg(x)
     case InList(x, items, _) => containsAgg(x) || items.exists(containsAgg)
     case StringPred(_, l, r, _) => containsAgg(l) || containsAgg(r)
     case CaseExpr(s, ws, o) => s.exists(containsAgg) ||
@@ -571,6 +573,7 @@ final class Compiler(graph: PropertyGraph) {
     case Not(x) => aggSubtrees(x)
     case Neg(x) => aggSubtrees(x)
     case IsNull(x, _) => aggSubtrees(x)
+    case IsTruth(x, _, _) => aggSubtrees(x)
     case InList(x, items, _) => aggSubtrees(x) ++ items.flatMap(aggSubtrees)
     case StringPred(_, l, r, _) => aggSubtrees(l) ++ aggSubtrees(r)
     case CaseExpr(s, ws, o) => s.toSeq.flatMap(aggSubtrees) ++
@@ -613,6 +616,9 @@ final class Compiler(graph: PropertyGraph) {
         case Neg(x) => -compilePost(x, pc)
         case IsNull(x, neg) =>
           val c = compilePost(x, pc); if (neg) c.isNotNull else c.isNull
+        case IsTruth(x, truth, neg) =>
+          val c = isTruth(compilePost(x, pc), truth)
+          if (neg) !c else c
         case InList(x, items, neg) =>
           val c = compilePost(x, pc).isin(items.map(litValue): _*)
           if (neg) !c else c
@@ -651,6 +657,9 @@ final class Compiler(graph: PropertyGraph) {
     case Neg(x) => -compileExpr(x, ctx)
     case IsNull(x, neg) =>
       val c = compileExpr(x, ctx); if (neg) c.isNotNull else c.isNull
+    case IsTruth(x, truth, neg) =>
+      val c = isTruth(compileExpr(x, ctx), truth)
+      if (neg) !c else c
     case InList(x, items, neg) =>
       val c = compileExpr(x, ctx).isin(items.map(litValue): _*)
       if (neg) !c else c
@@ -688,6 +697,13 @@ final class Compiler(graph: PropertyGraph) {
         }
     }
     otherwise.fold(base.get)(o => base.get.otherwise(comp(o)))
+  }
+
+  /** IS TRUE/FALSE/UNKNOWN — null-safe truth tests (ISO 3VL). */
+  private def isTruth(c: Column, truth: String): Column = truth match {
+    case "TRUE" => c <=> lit(true)
+    case "FALSE" => c <=> lit(false)
+    case _ => c.isNull // UNKNOWN
   }
 
   private def binOp(op: String, l: Column, r: Column): Column = op match {
@@ -809,6 +825,33 @@ final class Compiler(graph: PropertyGraph) {
       case "TYPE" => ctx.bindings.get(varName(0)) match {
         case Some(EdgeBinding(_)) => col(s"${varName(0)}_label")
         case _ => throw new GqlCompileException("TYPE() expects an edge variable")
+      }
+      // special (special_functions.rs:29-178)
+      case "ALL_DIFFERENT" =>
+        val cols = args.map(compileExpr(_, ctx))
+        cols.combinations(2).map { case Seq(x, y) => x =!= y }
+          .reduce(_ && _)
+      case "SAME" =>
+        args.map(compileExpr(_, ctx)).sliding(2).map {
+          case Seq(x, y) => x === y
+        }.reduce(_ && _)
+      case "PROPERTY_EXISTS" =>
+        val v = varName(0)
+        val propName = args(1) match {
+          case StrLit(s0) => s0
+          case other => throw new GqlCompileException(
+            s"PROPERTY_EXISTS expects a literal property name, got $other")
+        }
+        ctx.bindings.get(v) match {
+          case Some(NodeBinding(l)) =>
+            lit(graph.nodeTables(l).columns.contains(propName))
+          case _ => throw new GqlCompileException(
+            "PROPERTY_EXISTS expects a node variable")
+        }
+      case "INFERRED_LABELS" => ctx.bindings.get(varName(0)) match {
+        case Some(NodeBinding(l)) => array(lit(l))
+        case _ => throw new GqlCompileException(
+          "INFERRED_LABELS() expects a node variable")
       }
       case "KEYS" => ctx.bindings.get(varName(0)) match {
         case Some(NodeBinding(l)) =>

@@ -351,8 +351,16 @@ final class Parser(tokens: Vector[Token]) {
     } else if (isKw("IS")) {
       eatKw("IS")
       val negated = tryKw("NOT")
-      eatKw("NULL")
-      IsNull(l, negated)
+      if (tryKw("NULL")) IsNull(l, negated)
+      else if (tryKw("TRUE")) IsTruth(l, "TRUE", negated)
+      else if (tryKw("FALSE")) IsTruth(l, "FALSE", negated)
+      else { // IS [NOT] UNKNOWN — UNKNOWN is not a reserved keyword
+        cur match {
+          case TIdent(s0, _) if s0.equalsIgnoreCase("UNKNOWN") =>
+            p += 1; IsTruth(l, "UNKNOWN", negated)
+          case _ => err("expected NULL, TRUE, FALSE or UNKNOWN after IS")
+        }
+      }
     } else if (isKw("IN") || (isKw("NOT") && peekKwAfterNot("IN"))) {
       val negated = tryKw("NOT")
       eatKw("IN")

@@ -218,11 +218,13 @@ final class PropertyGraph(
           col("root_id") === col("vr") && col("id") === col("vi"), "left_anti")
       // materialize each frontier: keeps the plan linear instead of an
       // exponentially deepening self-referential tree, same reason GraphX
-      // checkpoints Pregel iterations
+      // checkpoints Pregel iterations; visited checkpoints every other
+      // round (a 2-join lineage is fine, half the checkpoint jobs)
       val mat = next.localCheckpoint(true)
       if (mat.isEmpty) done = true
       else {
-        visited = visited.unionByName(mat).localCheckpoint(true)
+        val vis = visited.unionByName(mat)
+        visited = if (k % 2 == 0) vis.localCheckpoint(true) else vis
         frontier = mat
       }
       k += 1

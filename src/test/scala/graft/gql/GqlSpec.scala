@@ -228,6 +228,27 @@ class GqlSpec extends AnyFunSuite {
     assert(n == 19L) // only merchant 1 receives transaction ts=1
   }
 
+  test("IS TRUE / FALSE / UNKNOWN (3VL truth tests)") {
+    assert(one("MATCH (a:Account) WHERE (a.balance > 2500) IS TRUE " +
+      "RETURN count(a) AS n") == 25L)
+    assert(one("MATCH (a:Account) WHERE (a.balance > 2500) IS FALSE " +
+      "RETURN count(a) AS n") == 25L)
+    // null comparison is UNKNOWN
+    assert(one("RETURN (NULL = 1) IS UNKNOWN AS x") == true)
+    assert(one("MATCH (a:Account) WHERE (a.balance > 2500) IS NOT UNKNOWN " +
+      "RETURN count(a) AS n") == 50L)
+  }
+
+  test("special functions: ALL_DIFFERENT, SAME, PROPERTY_EXISTS") {
+    // pairs of distinct accounts: 50*49 ordered pairs where ids differ
+    assert(one("MATCH (a:Account), (b:Account) WHERE all_different(a, b) " +
+      "RETURN count(a) AS n") == 2450L)
+    assert(one("MATCH (a:Account), (b:Account) WHERE same(a, b) " +
+      "RETURN count(a) AS n") == 50L)
+    assert(one("MATCH (a:Account {id: 1}) RETURN property_exists(a, 'balance') AS x") == true)
+    assert(one("MATCH (a:Account {id: 1}) RETURN property_exists(a, 'nope') AS x") == false)
+  }
+
   test("parse errors are reported") {
     intercept[GqlParseException](s.gql("MATCH (a:Account) RETURN"))
     intercept[GqlParseException](s.gql("MATCHX foo"))
