@@ -804,6 +804,27 @@ final class Compiler(graph: PropertyGraph) {
       case "LIST_REVERSE" => reverse(a(0))
       case "LIST_SLICE" => slice(a(0), a(1).cast("int") + 1, (a(2) - a(1)).cast("int"))
       // temporal (temporal_functions.rs subset)
+      case "DURATION" => args(0) match {
+        // ISO-8601 duration literal -> Spark interval
+        // (temporal_functions.rs:284; day/time parts only, like the ref)
+        case StrLit(iso) =>
+          val re = """P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
+          iso match {
+            case re(dd, hh, mm, ss) =>
+              val parts = Seq(
+                Option(dd).map(x => s"$x days"),
+                Option(hh).map(x => s"$x hours"),
+                Option(mm).map(x => s"$x minutes"),
+                Option(ss).map(x => s"$x seconds")).flatten
+              if (parts.isEmpty)
+                throw new GqlCompileException(s"empty duration: $iso")
+              expr(s"INTERVAL '${parts.mkString(" ")}'")
+            case _ =>
+              throw new GqlCompileException(s"unsupported ISO-8601 duration: $iso")
+          }
+        case other =>
+          throw new GqlCompileException("DURATION expects a string literal")
+      }
       case "DATETIME" => to_timestamp(a(0))
       case "NOW" => current_timestamp()
       case "CURRENT_DATE" => current_date()

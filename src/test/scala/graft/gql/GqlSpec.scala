@@ -249,6 +249,13 @@ class GqlSpec extends AnyFunSuite {
     assert(one("MATCH (a:Account {id: 1}) RETURN property_exists(a, 'nope') AS x") == false)
   }
 
+  test("DURATION literal and timestamp arithmetic") {
+    val t = one("RETURN cast('2024-01-01' AS TIMESTAMP) + duration('P1DT2H30M') AS t")
+    assert(t.toString == "2024-01-02 02:30:00.0")
+    assert(one("RETURN cast('2024-01-10' AS TIMESTAMP) - duration('P10D') < " +
+      "cast('2024-01-01' AS TIMESTAMP) + duration('PT1S') AS x") == true)
+  }
+
   test("parse errors are reported") {
     intercept[GqlParseException](s.gql("MATCH (a:Account) RETURN"))
     intercept[GqlParseException](s.gql("MATCHX foo"))
