@@ -60,6 +60,8 @@ object Ast {
 
   // ---- query clauses (ast.rs:183-193 BasicQuery + WithQuery ast.rs:140-180)
   case class ReturnItem(expr: Expr, alias: Option[String])
+  /** RETURN * marker (expand_select_items, executor.rs:8446). */
+  case class Star() extends Expr
   case class SortItem(expr: Expr, ascending: Boolean)
 
   /** One MATCH…[WHERE]… segment followed by WITH or RETURN projection. */

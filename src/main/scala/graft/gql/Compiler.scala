@@ -220,7 +220,15 @@ final class Compiler(graph: PropertyGraph) {
     val base = df.getOrElse(singleRow)
 
     // ---- projection (+ implicit/explicit grouping) ----
-    val items = seg.projection.zipWithIndex.map { case (it, i) =>
+    // RETURN * expands to every bound variable (entities as ids), sorted
+    val expanded: Seq[ReturnItem] = seg.projection match {
+      case Seq(ReturnItem(Star(), _)) =>
+        ctx.bindings.toSeq.sortBy(_._1).filterNot(_._1.startsWith("__")).map {
+          case (v, _) => ReturnItem(Ident(v), None)
+        }
+      case other => other
+    }
+    val items = expanded.zipWithIndex.map { case (it, i) =>
       (it, itemName(it, i, ctx, isFinal))
     }
     val itemMap: Map[Expr, String] = items.map { case (it, n) => it.expr -> n }.toMap

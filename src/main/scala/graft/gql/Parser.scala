@@ -191,6 +191,7 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseReturnItems(): Seq[ReturnItem] = {
+    if (isPunct("*")) { p += 1; return Seq(ReturnItem(Star(), None)) }
     val items = Vector.newBuilder[ReturnItem]
     var more = true
     while (more) {

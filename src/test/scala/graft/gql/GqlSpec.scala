@@ -256,6 +256,12 @@ class GqlSpec extends AnyFunSuite {
       "cast('2024-01-01' AS TIMESTAMP) + duration('PT1S') AS x") == true)
   }
 
+  test("RETURN * expands bound variables") {
+    val df = s.gql("MATCH (a:Account {id: 2})-[t:Transaction]->(m:Merchant) RETURN *")
+    assert(df.columns.toSeq == Seq("a", "m", "t"))
+    assert(df.count() == 2L) // account 2 has transactions i=2 and i=52
+  }
+
   test("parse errors are reported") {
     intercept[GqlParseException](s.gql("MATCH (a:Account) RETURN"))
     intercept[GqlParseException](s.gql("MATCHX foo"))
