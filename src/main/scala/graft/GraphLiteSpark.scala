@@ -124,6 +124,15 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           .withColumn("eid", graft.text.TextAnalysis.stableHash60(
             org.apache.spark.sql.functions.concat_ws("#",
               lit(label), col("src"), col("dst"))))
+        // idempotent insert: an edge with the same (src, dst) already in
+        // the table would get an identical eid (eid = hash(label#src#dst)),
+        // and duplicate eids break TRAIL dedup and edge identity — so
+        // anti-join new rows against the existing table first. Re-running
+        // the same statement inserts 0.
+        graph.edgeTables.get(label).foreach { case (_, existing) =>
+          rows = rows.join(existing.select(col("src"), col("dst")),
+            Seq("src", "dst"), "left_anti")
+        }
         edgePat.props.foreach { case (k, ve) =>
           rows = rows.withColumn(k, lit(litValue(ve))) }
         val n = rows.count()
@@ -188,12 +197,16 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     }
   }
 
-  /** Persist the session's (possibly mutated) graph as a new version. */
+  /** Persist the session's (possibly mutated) graph as a new version,
+    * then rebind the session to the persisted snapshot — the in-memory
+    * copy-on-write tables may lazily read files the save just replaced.
+    */
   def saveGraphAs(path: String): Unit = {
     val parts = path.stripPrefix("/").split("/")
     require(parts.length == 2, s"graph path must be /schema/graph, got $path")
     gls.catalog.createSchema(parts(0))
     gls.catalog.saveGraph(parts(0), parts(1), graph)
+    currentGraph = Some(gls.catalog.loadGraph(parts(0), parts(1)))
     currentName = Some(path)
   }
 

@@ -67,12 +67,35 @@ final class Parser(tokens: Vector[Token]) {
         p += 1; eatKw("SET"); eatKw("GRAPH"); eatPunct("/")
         val schema = ident(); eatPunct("/"); val g = ident()
         expectEnd(); SessionSetGraph(s"/$schema/$g")
-      case TKw("MATCH", _) if containsDmlKeyword =>
-        p += 1
-        val patterns = parsePatternList()
-        val pattern = patterns.head
-        val where = if (tryKw("WHERE")) Some(parseExpr()) else None
-        if (tryKw("INSERT")) {
+      case TKw("MATCH", _) =>
+        // A MATCH statement is either a read query or MATCH-prefixed DML.
+        // Don't sniff the token stream for SET/DELETE/… — a read query can
+        // legitimately contain those as property names (MATCH (a) RETURN
+        // a.set). Parse as a query first; only on failure re-parse as DML,
+        // and surface whichever parse progressed further if both fail.
+        val mark = p
+        try QueryStmt(parseQuery())
+        catch {
+          case qe: GqlParseException =>
+            val qFail = p
+            p = mark
+            try parseMatchDml()
+            catch {
+              case de: GqlParseException =>
+                throw (if (p > qFail) de else qe)
+            }
+        }
+      case _ => QueryStmt(parseQuery())
+    }
+  }
+
+  /** MATCH … INSERT/SET/REMOVE/[DETACH] DELETE (match_set.rs etc.). */
+  private def parseMatchDml(): Statement = {
+    eatKw("MATCH")
+    val patterns = parsePatternList()
+    val pattern = patterns.head
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    if (tryKw("INSERT")) {
           val ins = parsePathPattern()
           expectEnd()
           MatchInsertStmt(patterns, where, ins)
@@ -99,19 +122,11 @@ final class Parser(tokens: Vector[Token]) {
           val target = ident()
           expectEnd(); MatchDeleteStmt(pattern, where, target, detach)
         }
-      case _ => QueryStmt(parseQuery())
-    }
   }
 
   private def expectEnd(): Unit = cur match {
     case TEnd(_) => ()
     case _ => err("unexpected trailing input")
-  }
-
-  /** DML keywords can only appear in DML statements (never in queries). */
-  private def containsDmlKeyword: Boolean = tokens.exists {
-    case TKw("SET" | "DELETE" | "REMOVE" | "INSERT", _) => true
-    case _ => false
   }
 
   // ---- entry ----

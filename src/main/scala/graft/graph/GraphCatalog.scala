@@ -25,30 +25,45 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val p = Paths.get(warehouse)
     if (!Files.exists(p)) Seq.empty
     else Files.list(p).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
   }
 
   def listGraphs(schema: String): Seq[String] = {
     val p = Paths.get(s"$warehouse/$schema")
     if (!Files.exists(p)) Seq.empty
     else Files.list(p).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
   }
 
+  /** Save a graph version. Writes go to a hidden staging dir first, then
+    * the target dir is swapped in whole: this (a) lets a copy-on-write
+    * graph whose tables still lazily read the target path be saved back to
+    * it — Spark refuses a direct overwrite of a path being read — and
+    * (b) drops stale `nodes_* / edges_*` datasets of labels that no longer
+    * exist in the graph, which a per-table overwrite would resurrect on
+    * the next load.
+    */
   def saveGraph(schema: String, name: String, g: PropertyGraph): Unit = {
     val dir = graphDir(schema, name)
+    val staging = s"$warehouse/$schema/.staging_${name}_${System.nanoTime}"
     g.nodeTables.foreach { case (label, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes_$label")
+      df.write.mode(SaveMode.Overwrite).parquet(s"$staging/nodes_$label")
     }
-    g.edgeTables.foreach { case (label, (et, df)) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_$label")
+    g.edgeTables.foreach { case (label, (_, df)) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$staging/edges_$label")
     }
     val meta = g.edgeTables.map { case (label, (et, _)) =>
       s"$label\t${et.srcLabel}\t${et.dstLabel}"
     }.mkString("\n")
-    Files.createDirectories(Paths.get(dir))
-    Files.writeString(Paths.get(s"$dir/_meta"), meta)
+    Files.createDirectories(Paths.get(staging))
+    Files.writeString(Paths.get(s"$staging/_meta"), meta)
+    deleteRecursive(Paths.get(dir))
+    Files.move(Paths.get(staging), Paths.get(dir))
   }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
 
   def loadGraph(schema: String, name: String): PropertyGraph = {
     val dir = graphDir(schema, name)
@@ -74,19 +89,13 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   def dropSchema(schema: String): Boolean = {
     val p = Paths.get(s"$warehouse/$schema")
     if (!Files.exists(p)) false
-    else {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
-      true
-    }
+    else { deleteRecursive(p); true }
   }
 
   def dropGraph(schema: String, name: String): Boolean = {
     val p = Paths.get(graphDir(schema, name))
     if (!Files.exists(p)) false
-    else {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
-      true
-    }
+    else { deleteRecursive(p); true }
   }
 
   /** FROM g1 UNION g2 — graph union (storage_manager.rs:400). */

@@ -105,10 +105,15 @@ object GraphMutations {
     new PropertyGraph(g.nodeTables + (label -> newNodes), newEdges)
   }
 
-  /** DELETE edges matching a predicate. */
+  /** DELETE edges matching a predicate. Only rows where `pred` evaluates
+    * to TRUE are removed — under SQL 3VL, `!pred` is NULL (not TRUE) when
+    * `pred` is NULL, so a plain `filter(!pred)` would silently drop
+    * NULL-predicate rows too. Keep rows where pred is not TRUE.
+    */
   def deleteEdges(g: PropertyGraph, label: String, pred: Column): PropertyGraph = {
     val (et, e) = g.edgeTables(label)
-    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> (et, e.filter(!pred))))
+    val kept = e.filter(!coalesce(pred, lit(false)))
+    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> (et, kept)))
   }
 
   /** MATCH … SET on edge properties. */

@@ -13,9 +13,13 @@ object Direction {
   case object Both extends Direction
 }
 
-/** Variable-length path semantics — reference: ast.rs:275-308
-  * (WALK allows any revisit; TRAIL forbids edge revisit; ACYCLIC forbids
-  * node revisit; SIMPLE forbids node revisit except first==last).
+/** Variable-length path semantics — reference: ast.rs:275-308 and
+  * executor.rs:6623-6641 (WALK allows any revisit; TRAIL forbids edge
+  * revisit; SIMPLE and ACYCLIC both forbid any node revisit — the
+  * reference's SimplePath checks `!path.contains(next)` where `path`
+  * includes the start node, so even closing a cycle back to the start is
+  * rejected; we match that, diverging from ISO GQL's first==last
+  * exception the way the reference does).
   */
 sealed trait PathSemantics
 object PathSemantics {
@@ -169,9 +173,10 @@ final class PropertyGraph(
       val legal = semantics match {
         case PathSemantics.Walk  => step
         case PathSemantics.Trail => step.filter(!array_contains(col("epath"), col("eid")))
-        case PathSemantics.Acyclic => step.filter(!array_contains(col("path"), col("dst")))
-        case PathSemantics.Simple => step.filter(
-          !array_contains(col("path"), col("dst")) || col("dst") === col("start_id"))
+        // SIMPLE matches the reference (executor.rs:6632-6635): no vertex
+        // revisit at all, start included — same constraint as ACYCLIC here.
+        case PathSemantics.Acyclic | PathSemantics.Simple =>
+          step.filter(!array_contains(col("path"), col("dst")))
       }
       frontier = legal.select(
         col("start_id"), col("dst").as("end_id"),
@@ -179,10 +184,6 @@ final class PropertyGraph(
         concat(col("path"), array(col("dst"))).as("path"),
         concat(col("epath"), array(col("eid"))).as("epath"))
       if (k >= minHops) acc = acc.unionByName(frontier)
-      // SIMPLE: a closed path (returned to start) is complete — it cannot
-      // be extended, or the start node would appear mid-path
-      if (semantics == PathSemantics.Simple)
-        frontier = frontier.filter(col("end_id") =!= col("start_id"))
       k += 1
     }
     acc.select("start_id", "end_id", "depth", "path")

@@ -93,6 +93,50 @@ class StatementSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 6L)
   }
 
+  test("MATCH INSERT is idempotent — re-running inserts 0 duplicates") {
+    val s = freshSession()
+    val stmt = "MATCH (a:Account), (m:Merchant) " +
+      "WHERE a.risk_score >= 4.5 AND m.id = 1 " +
+      "INSERT (a)-[:REVIEW {flagged: true}]->(m)"
+    assert(s.execute(stmt).collect().head.getLong(0) == 6L)
+    // same statement again: every (src, dst) already exists → 0 inserted,
+    // and no duplicate eids appear in the edge table
+    assert(s.execute(stmt).collect().head.getLong(0) == 0L)
+    assert(s.execute("MATCH (a:Account)-[rv:REVIEW]->(m:Merchant) " +
+      "RETURN count(rv) AS n").collect().head.getLong(0) == 6L)
+  }
+
+  test("DELETE edges leaves NULL-predicate rows in place (3VL)") {
+    val s = freshSession()
+    // null out some amounts, then DELETE on amount > 70: rows whose
+    // predicate is UNKNOWN must survive
+    s.execute("MATCH (a)-[t:Transaction]->(m) WHERE t.eid <= 5 SET t.amount = NULL")
+    val deleted = s.execute(
+      "MATCH (a)-[t:Transaction]->(m) WHERE t.amount > 70 DELETE t")
+      .collect().head.getLong(0)
+    val remaining = s.execute(
+      "MATCH (a)-[t:Transaction]->(m) RETURN count(t) AS n")
+      .collect().head.getLong(0)
+    assert(deleted + remaining == 100L) // nothing silently dropped
+    assert(s.execute("MATCH (a)-[t:Transaction]->(m) " +
+      "WHERE t.amount IS NULL RETURN count(t) AS n")
+      .collect().head.getLong(0) == 5L)
+  }
+
+  test("a read query with DML-keyword property names parses as a query") {
+    // `set` / `delete` as property names must not route into the DML branch
+    assert(Parser.parseStatement("MATCH (a:Job) RETURN a.set AS x")
+      .isInstanceOf[Ast.QueryStmt])
+    assert(Parser.parseStatement(
+      "MATCH (a:X) WHERE a.remove = 1 RETURN a.delete AS d, a.insert AS i")
+      .isInstanceOf[Ast.QueryStmt])
+    // and real DML still routes correctly
+    assert(Parser.parseStatement("MATCH (a:X) WHERE a.y = 1 SET a.z = 2")
+      .isInstanceOf[Ast.MatchSetStmt])
+    assert(Parser.parseStatement("MATCH (a:X) DETACH DELETE a")
+      .isInstanceOf[Ast.MatchDeleteStmt])
+  }
+
   test("MATCH INSERT requires bound endpoints") {
     val s = freshSession()
     intercept[GqlCompileException] {

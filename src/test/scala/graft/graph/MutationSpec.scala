@@ -74,6 +74,45 @@ class MutationSpec extends AnyFunSuite {
     assert(g2.edgeScan("Transaction").count() == 73) // 27 edges had amount>70
   }
 
+  test("delete edges keeps rows where the predicate is NULL (3VL)") {
+    import spark.implicits._
+    // amount NULL on the new edge: pred `amount > 70` is UNKNOWN there —
+    // DELETE must only remove pred=TRUE rows, not NULL-predicate rows
+    val e = Seq((1L, 1L, 7777L, Option.empty[Double], 500L))
+      .toDF("src", "dst", "eid", "amount", "timestamp")
+    val g2 = insertEdges(g, "Transaction",
+      EdgeType("Transaction", "Account", "Merchant"), e)
+    val g3 = deleteEdges(g2, "Transaction", col("amount") > 70)
+    assert(g3.edgeScan("Transaction", Some(col("eid") === 7777L)).count() == 1)
+    // deleted count still matches the TRUE-only predicate count
+    assert(g3.edgeScan("Transaction").count() == 74) // 101 - 27 deleted
+  }
+
+  test("saveGraph to a path the graph is reading from (copy-on-write flow)") {
+    val wh = java.nio.file.Files.createTempDirectory("wh-cow").toString
+    val cat = new GraphCatalog(spark, wh)
+    cat.saveGraph("s", "g", g)
+    // load lazily, mutate copy-on-write, save back to the SAME path
+    val loaded = cat.loadGraph("s", "g")
+    val mutated = setNodeProps(loaded, "Account", col("id") === 3,
+      Map("balance" -> lit(999.0)))
+    cat.saveGraph("s", "g", mutated) // must not hit "cannot overwrite path being read"
+    val reloaded = cat.loadGraph("s", "g")
+    assert(reloaded.nodeScan("Account", Some(col("id") === 3))
+      .collect().head.getAs[Double]("balance") == 999.0)
+  }
+
+  test("saveGraph drops stale label datasets of removed labels") {
+    val wh = java.nio.file.Files.createTempDirectory("wh-stale").toString
+    val cat = new GraphCatalog(spark, wh)
+    cat.saveGraph("s", "g", g)
+    val withoutPurchase = new PropertyGraph(g.nodeTables,
+      g.edgeTables - "Purchase")
+    cat.saveGraph("s", "g", withoutPurchase)
+    val reloaded = cat.loadGraph("s", "g")
+    assert(!reloaded.edgeLabels.contains("Purchase"))
+  }
+
   test("catalog roundtrip of a mutated graph keeps the version") {
     val wh = java.nio.file.Files.createTempDirectory("wh-mut").toString
     val cat = new GraphCatalog(spark, wh)

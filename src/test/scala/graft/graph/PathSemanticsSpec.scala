@@ -40,11 +40,13 @@ class PathSemanticsSpec extends AnyFunSuite {
     assert(p == Seq((2L, 1), (3L, 1), (3L, 2)))
   }
 
-  test("SIMPLE allows only first==last revisit") {
+  test("SIMPLE forbids any node revisit, start included (executor.rs:6632-6635)") {
     val p = pathsFrom(PathSemantics.Simple, 3)
-    // adds the closed cycles 1→2→3→1 and 1→3→1 to the acyclic set
-    assert(p.contains((1L, 3)) && p.contains((1L, 2)))
-    assert(!p.contains((2L, 3))) // 1→3→1→2 revisits 1 mid-path: not simple
+    // the reference's SimplePath checks !path.contains(next) with the start
+    // in `path`, so closed cycles 1→2→3→1 / 1→3→1 are rejected too —
+    // identical result set to ACYCLIC on this graph
+    assert(p == Seq((2L, 1), (3L, 1), (3L, 2)))
+    assert(!p.exists(_._1 == 1L)) // no path returns to start
   }
 
   test("TRAIL never reuses an edge but may revisit nodes") {
