@@ -110,14 +110,16 @@ object GraphQueries {
         .orderBy($"root_id", $"dist")
     }),
 
-    // ---- graph introspection: id()/labels()/keys() (graph_functions.rs)
+    // ---- graph introspection: id()/labels()/keys() (graph_functions.rs).
+    // keys() output is a joined string, not array<string>: the driver's
+    // pandas compare can't sort array cells (unhashable ndarray).
     "g09_graph_funcs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val g = TpchGraph.build(s, d)
       def describe(label: String): DataFrame = {
         val df = g.nodeScan(label)
         df.select($"id", lit(label).as("label"),
-          sort_array(array(df.columns.sorted.map(lit): _*)).as("keys"))
+          lit(df.columns.sorted.mkString(",")).as("keys"))
       }
       describe("nation").unionByName(describe("region"))
         .orderBy($"label", $"id")
@@ -237,9 +239,9 @@ object GraphQueries {
         |WHERE dist <= 10 ORDER BY root_id, dist""".stripMargin,
     "g09_graph_funcs" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, 'nation' AS label,
-        | ['id','name','regionkey'] AS keys FROM nation
+        | 'id,name,regionkey' AS keys FROM nation
         |UNION ALL
-        |SELECT CAST(r_regionkey AS BIGINT), 'region', ['id','name'] FROM region
+        |SELECT CAST(r_regionkey AS BIGINT), 'region', 'id,name' FROM region
         |ORDER BY label, id""".stripMargin,
     "g10_identity_intersect" ->
       """SELECT c_custkey AS id, c_name AS name FROM customer

@@ -80,12 +80,15 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
-    // ---- MinHash signatures (engine-stable permutation family)
+    // ---- MinHash signatures (engine-stable permutation family). The
+    // signature goes out as a comma-joined string — the driver's pandas
+    // compare can't sort array cells (unhashable ndarray).
     "d07_minhash_sig" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       Tables.documents(s, d)
         .select($"doc_id",
-          Dedup.minhashSignature($"text", ShingleN, NumHashes).as("sig"))
+          array_join(Dedup.minhashSignature($"text", ShingleN, NumHashes)
+            .cast("array<string>"), ",").as("sig"))
         .orderBy($"doc_id")
     }),
 
@@ -234,7 +237,8 @@ object PipelineQueries {
        | FROM t),
        |hs AS (SELECT doc_id, list_distinct(list_transform(shs,
        |  sg -> ${hash60Sql("sg")} % 1073741824)) AS h30 FROM sh)
-       |SELECT doc_id, $sig AS sig FROM hs ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, array_to_string($sig, ',') AS sig
+       |FROM hs ORDER BY doc_id""".stripMargin
   }
 
   private val qualitySql: String = {

@@ -307,13 +307,15 @@ object Relational {
         .orderBy($"l_returnflag")
     }),
 
-    // ---- COLLECT -> sorted list (aggregate_functions.rs:365)
+    // ---- COLLECT -> sorted list (aggregate_functions.rs:365). Output as
+    // a joined string, not array<string>: the driver's pandas compare
+    // can't sort array cells (unhashable ndarray).
     "q25_collect_list" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       Tables.nation(s, d)
         .select($"n_regionkey".cast("long").as("rk"), $"n_name")
         .groupBy($"rk")
-        .agg(sort_array(collect_list($"n_name")).as("names"))
+        .agg(array_join(sort_array(collect_list($"n_name")), ",").as("names"))
         .orderBy($"rk")
     }),
 
@@ -542,7 +544,8 @@ object Relational {
         | count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q25_collect_list" ->
-      """SELECT CAST(n_regionkey AS BIGINT) AS rk, list_sort(list(n_name)) AS names
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk,
+        | array_to_string(list_sort(list(n_name)), ',') AS names
         |FROM nation GROUP BY 1 ORDER BY rk""".stripMargin,
     "q26_cross_join" ->
       """SELECT r1.r_name AS a, r2.r_name AS b
