@@ -116,8 +116,11 @@ object Dedup {
     val withSets = cands
       .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    // raw jaccard, not rounded: i/u ratios of small ints can land exactly
+    // on decimal rounding boundaries where engines disagree; the raw IEEE
+    // division is bit-reproducible everywhere
     withSets.select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 

@@ -148,7 +148,11 @@ object GraphQueries {
         .orderBy($"rk", $"name")
     }),
 
-    // ---- GraphX PageRank over the NEXT chain (rows-only: float ranks)
+    // ---- GraphX PageRank over the NEXT chain. Oracle-able: on a chain
+    // every node has indegree <= 1, so the message sum has at most one
+    // term — no summation-order nondeterminism — and GraphX's exact
+    // iteration (rank_0 = 1.0; rank_k = 0.15 + (1.0-0.15) * msg) unrolls
+    // into 5 window-lag steps in SQL with bit-identical double math.
     "g12_pagerank" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val g = TpchGraph.build(s, d)
@@ -255,6 +259,32 @@ object GraphQueries {
         | SELECT CAST(n_regionkey AS BIGINT) AS rk, list_sort(list(n_name)) AS names
         | FROM nation GROUP BY 1) t
         |ORDER BY rk, name""".stripMargin,
+    // GraphX staticPageRank unrolled over the NEXT chains: rank_0 = 1.0,
+    // rank_k = 0.15 + (1.0 - 0.15) * lag(rank_{k-1}) — (1.0 - 0.15) is
+    // written as the runtime subtraction to match GraphX's double exactly;
+    // the final n/sum(rank) factor mirrors GraphX's rank-sum normalization
+    // (SPARK-18847), and round_even(x * 1e6) / 1e6 mirrors Scala's
+    // math.rint(x * 1e6) / 1e6. The sum's accumulation-order difference is
+    // ~1e-16 relative — far below the 6-decimal rounding granularity.
+    "g12_pagerank" ->
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+        | FROM customer),
+        |r0 AS (SELECT id, nk, pos, 1.0::DOUBLE AS rank FROM c),
+        |r1 AS (SELECT id, nk, pos, 0.15::DOUBLE + (1.0::DOUBLE - 0.15::DOUBLE) *
+        |  COALESCE(lag(rank) OVER (PARTITION BY nk ORDER BY pos), 0.0::DOUBLE) AS rank FROM r0),
+        |r2 AS (SELECT id, nk, pos, 0.15::DOUBLE + (1.0::DOUBLE - 0.15::DOUBLE) *
+        |  COALESCE(lag(rank) OVER (PARTITION BY nk ORDER BY pos), 0.0::DOUBLE) AS rank FROM r1),
+        |r3 AS (SELECT id, nk, pos, 0.15::DOUBLE + (1.0::DOUBLE - 0.15::DOUBLE) *
+        |  COALESCE(lag(rank) OVER (PARTITION BY nk ORDER BY pos), 0.0::DOUBLE) AS rank FROM r2),
+        |r4 AS (SELECT id, nk, pos, 0.15::DOUBLE + (1.0::DOUBLE - 0.15::DOUBLE) *
+        |  COALESCE(lag(rank) OVER (PARTITION BY nk ORDER BY pos), 0.0::DOUBLE) AS rank FROM r3),
+        |r5 AS (SELECT id, nk, pos, 0.15::DOUBLE + (1.0::DOUBLE - 0.15::DOUBLE) *
+        |  COALESCE(lag(rank) OVER (PARTITION BY nk ORDER BY pos), 0.0::DOUBLE) AS rank FROM r4)
+        |SELECT id, round_even(rank * ((SELECT count(*) FROM r5)::DOUBLE /
+        |    (SELECT sum(rank) FROM r5)) * 1000000.0::DOUBLE, 0)
+        |  / 1000000.0::DOUBLE AS rank
+        |FROM r5 ORDER BY id""".stripMargin,
     "g13_connected_components" ->
       """SELECT c_custkey AS id,
         | min(c_custkey) OVER (PARTITION BY c_nationkey) AS component

@@ -259,6 +259,103 @@ object PipelineQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Full MinHash+LSH near-dup oracle: the whole pipeline — shingle
+    * hashes, 32-perm signatures, 8-band bucketing, candidate join, exact
+    * Jaccard ≥ 0.7 — re-derived in DuckDB from the same engine-stable
+    * constants, so the check is a bit-exact hash match, not rows-only.
+    */
+  private val neardupSql: String = {
+    val perms32 = Dedup.permutations(32)
+    val sig = perms32.map { case (a, b) =>
+      s"list_min(list_transform(h30, h -> (h * $a + $b) % ${Dedup.MinhashPrime}))"
+    }.mkString("[", ", ", "]")
+    val bucket = hash60Sql(
+      "CAST(to_json(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)) AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM base),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) < $ShingleN
+       |  THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(1, len(toks) - ${ShingleN - 2}),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shs
+       | FROM t),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(shs,
+       |  sg -> ${hash60Sql("sg")} % 1073741824)) AS h30 FROM sh),
+       |sg AS (SELECT doc_id, h30, $sig AS sig FROM hs),
+       |banded AS (SELECT doc_id, b.band AS band, $bucket AS bucket
+       |  FROM sg CROSS JOIN range(8) AS b(band)),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(x.h30, y.h30)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_cat(x.h30, y.h30))) AS DOUBLE) AS jaccard
+       | FROM cand JOIN sg x ON x.doc_id = id_a JOIN sg y ON y.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** LSH signature bits as DuckDB SQL: the same deterministic ±1
+    * hyperplanes as [[Similarity.RandomHyperplaneLsh]], interpolated as
+    * DOUBLE[] literals. sign(cos(v, p)) == sign(dot(v, p)) and
+    * `list_dot_product` on DOUBLE[] matches the codegen'd sequential
+    * double accumulation bit-for-bit (proved by e01).
+    */
+  private def lshSigSql(vcol: String): String = {
+    val lsh = new Similarity.RandomHyperplaneLsh(64, 32, 4)
+    lsh.planeRows.map { p =>
+      val planeLit = p.map(x => if (x < 0) "-1.0" else "1.0")
+        .mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product($vcol, $planeLit) >= 0 THEN 1 ELSE 0 END"
+    }.mkString("[", ", ", "]")
+  }
+
+  private val cosSql = (a: String, b: String) =>
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0
+       | THEN 0.0
+       | ELSE list_dot_product($a, $b) /
+       |   (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"""
+      .stripMargin.replace("\n", " ")
+
+  private val annLshSql: String = {
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sg AS (SELECT vec_id, v, ${lshSigSql("v")} AS sig FROM e),
+       |bk AS (SELECT vec_id, b.band AS band,
+       |  CAST(to_json(list_slice(sig, b.band * 8 + 1, b.band * 8 + 8)) AS VARCHAR) AS bucket
+       | FROM sg CROSS JOIN range(4) AS b(band)),
+       |qb AS (SELECT vec_id AS qid, band, bucket FROM bk WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT qb.qid, bk.vec_id AS id
+       |  FROM bk JOIN qb ON bk.band = qb.band AND bk.bucket = qb.bucket
+       |  WHERE bk.vec_id <> qb.qid),
+       |s AS (SELECT qid, id, ${cosSql("qv.v", "cv.v")} AS score
+       | FROM cand JOIN e cv ON cv.vec_id = cand.id
+       |   JOIN e qv ON qv.vec_id = cand.qid),
+       |r AS (SELECT qid, id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk FROM s)
+       |SELECT qid, id, round(score, 6) AS score, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
+  private val embedNeardupSql: String = {
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 10000, v FROM base WHERE vec_id < 50),
+       |sg AS (SELECT vec_id, v, ${lshSigSql("v")} AS sig FROM e),
+       |bk AS (SELECT vec_id, b.band AS band,
+       |  CAST(to_json(list_slice(sig, b.band * 8 + 1, b.band * 8 + 8)) AS VARCHAR) AS bucket
+       | FROM sg CROSS JOIN range(4) AS b(band)),
+       |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+       |  FROM bk l JOIN bk r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |s AS (SELECT id_a, id_b, round(${cosSql("va.v", "vb.v")}, 6) AS cos
+       | FROM cand JOIN e va ON va.vec_id = id_a JOIN e vb ON vb.vec_id = id_b)
+       |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.95
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val knnSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
@@ -286,7 +383,10 @@ object PipelineQueries {
       s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""".stripMargin,
     "d06_simhash" -> simhashSql,
     "d07_minhash_sig" -> minhashSql,
+    "d08_neardup_pairs" -> neardupSql,
     "e01_knn_exact" -> knnSql,
+    "e02_ann_lsh" -> annLshSql,
+    "e03_embed_neardup" -> embedNeardupSql,
     "ev01_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         | count(*) AS n, round(sum(value), 2) AS total

@@ -360,12 +360,20 @@ object Relational {
 
     // ---- approximate distinct (HLL; beyond-reference extension) —
     // rows-only check: sketch estimates are engine-specific by design
+    // HLL sketch values differ per engine, so the oracle checks the
+    // APPROXIMATION CONTRACT instead: the exact count plus a pass/fail
+    // on |approx - exact| / exact <= 5% (HLL++ default rsd is 0.05).
     "q31_approx_distinct" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
           count(lit(1)).as("n"))
+        .select($"l_returnflag", $"exact_parts", $"n",
+          when(abs($"approx_parts" - $"exact_parts").cast("double") /
+            $"exact_parts".cast("double") <= 0.05, "within_5pct")
+            .otherwise("out_of_tolerance").as("approx_check"))
         .orderBy($"l_returnflag")
     }),
 
@@ -562,6 +570,10 @@ object Relational {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice < ANY (SELECT c_acctbal FROM customer)
         |ORDER BY o_orderkey""".stripMargin,
+    "q31_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | count(*) AS n, 'within_5pct' AS approx_check
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q32_timezone" ->
       """SELECT o_orderkey,
         | CAST(timezone('America/New_York', o_orderdate::TIMESTAMPTZ) AS TIMESTAMP) AS ny,

@@ -71,6 +71,11 @@ object Similarity {
       Array.fill(numPlanes, dim)(if ((next() & 1L) == 0L) -1.0 else 1.0)
     }
 
+    /** The hyperplane matrix (for oracle SQL generation — the same ±1
+      * constants interpolate into DuckDB `list_dot_product` literals).
+      */
+    def planeRows: Seq[Seq[Double]] = planes.map(_.toSeq).toSeq
+
     /** Signature bits as array<int> of 0/1. sign(v·plane) == sign of the
       * cosine, so the codegen'd CosineSimilarity expression serves here
       * too (planes are ±1.0, exact in float).
