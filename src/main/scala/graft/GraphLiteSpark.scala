@@ -30,8 +30,13 @@ object GraphLiteSpark {
 final class GqlSession(gls: GraphLiteSpark, val user: String) {
   private var currentGraph: Option[PropertyGraph] = None
   private var currentName: Option[String] = None
+  /** Transaction snapshots (START TRANSACTION pushes, COMMIT pops,
+    * ROLLBACK restores) — copy-on-write graphs make these O(1).
+    */
+  private var txStack: List[(Option[PropertyGraph], Option[String])] = Nil
 
   def currentGraphName: Option[String] = currentName
+  def inTransaction: Boolean = txStack.nonEmpty
 
   /** CALL gql.* — system procedures (system_procedures.rs:60-91). */
   def call(procedure: String, args: Seq[String] = Seq.empty):
@@ -194,6 +199,68 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
 
       case SessionSetGraph(path) =>
         useGraph(path); Seq(path).toDF("current_graph")
+
+      case SessionCtl(op) => op match {
+        case "RESET" =>
+          currentGraph = None; currentName = None; txStack = Nil
+          Seq("reset").toDF("session")
+        case "CLOSE" =>
+          currentGraph = None; currentName = None; txStack = Nil
+          Seq("closed").toDF("session")
+        case other => throw new GqlCompileException(s"unknown SESSION op $other")
+      }
+
+      // transactions (ast.rs:1620-1679): snapshot semantics over the
+      // copy-on-write session graph — START pushes the current version,
+      // ROLLBACK restores it, COMMIT discards the snapshot. Multi-statement
+      // atomicity across concurrent sessions stays out of scope (the
+      // documented divergence from the reference's WAL, SURVEY.md §7.4.4).
+      case TransactionStmt(op) => op match {
+        case "START" =>
+          txStack = (currentGraph, currentName) :: txStack
+          Seq("started").toDF("transaction")
+        case "COMMIT" =>
+          if (txStack.isEmpty)
+            throw new IllegalStateException("COMMIT outside a transaction")
+          txStack = txStack.tail
+          Seq("committed").toDF("transaction")
+        case "ROLLBACK" =>
+          if (txStack.isEmpty)
+            throw new IllegalStateException("ROLLBACK outside a transaction")
+          val (g, n) = txStack.head
+          currentGraph = g; currentName = n
+          txStack = txStack.tail
+          Seq("rolled_back").toDF("transaction")
+        case other => throw new GqlCompileException(s"unknown transaction op $other")
+      }
+
+      case SecurityStmt(op, kind, name, target) => (op, kind) match {
+        case ("CREATE", k) =>
+          Seq(gls.catalog.createPrincipal(k, name)).toDF("created")
+        case ("DROP", k) =>
+          Seq(gls.catalog.dropPrincipal(k, name)).toDF("dropped")
+        case ("GRANT", _) =>
+          Seq(gls.catalog.grantRole(name, target.get)).toDF("granted")
+        case other => throw new GqlCompileException(s"unsupported security op $other")
+      }
+
+      case ProcedureStmt(op, name, body) => op match {
+        case "CREATE" =>
+          gls.catalog.saveProcedure(name, body.get)
+          Seq(name).toDF("procedure_created")
+        case "DROP" =>
+          Seq(gls.catalog.dropProcedure(name)).toDF("dropped")
+        case other => throw new GqlCompileException(s"unknown procedure op $other")
+      }
+
+      case CallStmt(name, args) =>
+        if (name.startsWith("gql.")) {
+          val strArgs = args.map(litValue).map(v => if (v == null) "" else v.toString)
+          SystemProcedures.call(gls, this, name, strArgs)
+        } else gls.catalog.loadProcedure(name) match {
+          case Some(body) => execute(body)
+          case None => throw new IllegalArgumentException(s"unknown procedure: $name")
+        }
     }
   }
 

@@ -11,7 +11,8 @@ object SystemProcedures {
   /** Names the session API dispatches on. */
   val names: Seq[String] = Seq(
     "gql.list_schemas", "gql.list_graphs", "gql.list_functions",
-    "gql.show_session")
+    "gql.show_session", "gql.list_users", "gql.list_roles",
+    "gql.list_grants", "gql.list_procedures")
 
   def call(gls: GraphLiteSpark, session: GqlSession, name: String,
       args: Seq[String] = Seq.empty): DataFrame = {
@@ -29,6 +30,14 @@ object SystemProcedures {
       case "gql.show_session" =>
         Seq((session.user, session.currentGraphName.getOrElse(""))).toDF(
           "user", "current_graph")
+      case "gql.list_users" =>
+        gls.catalog.listPrincipals("USER").toDF("user_name")
+      case "gql.list_roles" =>
+        gls.catalog.listPrincipals("ROLE").toDF("role_name")
+      case "gql.list_grants" =>
+        gls.catalog.listGrants().toDF("role_name", "user_name")
+      case "gql.list_procedures" =>
+        gls.catalog.listProcedures().toDF("procedure_name")
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: $other")
     }

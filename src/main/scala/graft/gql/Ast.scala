@@ -38,9 +38,24 @@ object Ast {
   /** arr[i] (ast.rs:1591-1596). */
   case class Index(e: Expr, idx: Expr) extends Expr
   /** EXISTS { pattern, … } — pattern-as-predicate (executor.rs:9351-9394);
-    * compiled to a semi-join (anti under NOT).
+    * compiled to a semi-join (anti under NOT) at top-level conjuncts, or a
+    * marker-join boolean column in arbitrary boolean positions.
     */
   case class ExistsPattern(paths: Seq[PathPattern]) extends Expr
+  /** `x IS [NOT] SOURCE OF e` / `DESTINATION OF e` (ast.rs:1598-1611
+    * IsPredicateType::Source/Destination — the reference stubs these to
+    * false; we implement the real topology test, documented divergence).
+    */
+  case class IsSrcDst(node: Expr, edge: Expr, dest: Boolean,
+      negated: Boolean) extends Expr
+  /** `e IS [NOT] DIRECTED` — all edges in this model are directed. */
+  case class IsDirected(e: Expr, negated: Boolean) extends Expr
+  /** `s IS [NOT] NORMALIZED` — reference semantics (executor.rs:8871-8881):
+    * strings are considered normalized; non-strings are not.
+    */
+  case class IsNormalized(e: Expr, negated: Boolean) extends Expr
+  /** `n IS [NOT] :Label` — label membership test (IsPredicateType::Label). */
+  case class IsLabeled(e: Expr, label: String, negated: Boolean) extends Expr
 
   // ---- patterns (ast.rs pattern structures) ----
   sealed trait Direction
@@ -64,12 +79,24 @@ object Ast {
   case class Star() extends Expr
   case class SortItem(expr: Expr, ascending: Boolean)
 
+  /** Linear reading steps between the MATCH section and the projection
+    * (ast.rs Query::Let / Query::For / Query::Unwind / Query::Filter) —
+    * order-preserving, so LET can feed FOR can feed FILTER.
+    */
+  sealed trait Step
+  /** UNWIND e AS x, and FOR x IN e (ForStatement — same semantics). */
+  case class StUnwind(e: Expr, as: String) extends Step
+  /** LET x = e, y = e2, … (LetStatement). */
+  case class StLet(defs: Seq[(String, Expr)]) extends Step
+  /** FILTER [WHERE] e (FilterStatement). */
+  case class StFilter(e: Expr) extends Step
+
   /** One MATCH…[WHERE]… segment followed by WITH or RETURN projection. */
   case class Segment(
       matches: Seq[PathPattern],
       optionalMatches: Seq[PathPattern],
       where: Option[Expr],
-      unwind: Option[(Expr, String)],
+      steps: Seq[Step],
       projection: Seq[ReturnItem],
       /** WHERE after WITH — filters the projected columns. */
       postWhere: Option[Expr],
@@ -80,12 +107,19 @@ object Ast {
       skip: Option[Long],
       limit: Option[Long])
 
+  /** A query expression: WITH-chained segments, or a set operation
+    * between two queries (ast.rs:208-228 SetOperation).
+    */
+  sealed trait QueryExpr
   /** Full query: WITH-chained segments; last one is the RETURN. */
-  case class Query(segments: Seq[Segment])
+  case class Query(segments: Seq[Segment]) extends QueryExpr
+  /** q1 UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL] q2. */
+  case class SetOpQuery(op: String, all: Boolean, left: QueryExpr,
+      right: QueryExpr) extends QueryExpr
 
   // ---- statements (ast.rs:24-39 Statement enum subset) ----
   sealed trait Statement
-  case class QueryStmt(q: Query) extends Statement
+  case class QueryStmt(q: QueryExpr) extends Statement
   /** INSERT (:L {p: v}), … — literal node creation (insert.rs analog). */
   case class InsertStmt(nodes: Seq[NodePattern]) extends Statement
   /** MATCH … [WHERE e] INSERT (x)-[:T {props}]->(y) — edge creation from
@@ -107,4 +141,22 @@ object Ast {
       graph: Option[String]) extends Statement
   /** SESSION SET GRAPH /schema/graph (ast.rs:992-1063). */
   case class SessionSetGraph(path: String) extends Statement
+  /** SESSION RESET | SESSION CLOSE (ast.rs:992-1063). */
+  case class SessionCtl(op: String) extends Statement
+  /** START TRANSACTION | COMMIT | ROLLBACK (ast.rs:1620-1679) — mapped to
+    * session graph snapshots (copy-on-write makes these O(1)).
+    */
+  case class TransactionStmt(op: String) extends Statement
+  /** CREATE/DROP USER|ROLE name; GRANT role TO user
+    * (exec/schema_engine/operations/security analog).
+    */
+  case class SecurityStmt(op: String, kind: String, name: String,
+      target: Option[String]) extends Statement
+  /** CREATE PROCEDURE name AS <gql text> | DROP PROCEDURE name
+    * (catalog procedures, ast.rs:625-644).
+    */
+  case class ProcedureStmt(op: String, name: String,
+      body: Option[String]) extends Statement
+  /** CALL name(arg, …) — system or stored procedure. */
+  case class CallStmt(name: String, args: Seq[Expr]) extends Statement
 }

@@ -81,16 +81,47 @@ final class Compiler(graph: PropertyGraph) {
     case Cast(x, _) => collectProps(x, acc)
     case Index(x, i) => collectProps(x, acc); collectProps(i, acc)
     case ListLit(items) => items.foreach(collectProps(_, acc))
+    case IsSrcDst(n, e, _, _) => collectProps(n, acc); collectProps(e, acc)
+    case IsNormalized(x, _) => collectProps(x, acc)
+    case IsDirected(x, _) => collectProps(x, acc)
+    case IsLabeled(x, _, _) => collectProps(x, acc)
     case _ => ()
   }
 
-  def compile(q: Query): DataFrame = {
+  /** Compile a query expression: a pipeline query or a set operation
+    * between two (ast.rs:208-228). Set-op alignment is positional with the
+    * left side's column names, SQL-style; UNION dedups, UNION ALL keeps
+    * duplicates, INTERSECT/EXCEPT get their ALL variants via Spark's
+    * intersectAll/exceptAll.
+    */
+  def compile(q: QueryExpr): DataFrame = q match {
+    case SetOpQuery(op, all, l, r) =>
+      val ld = compile(l)
+      val rd = compile(r)
+      if (ld.columns.length != rd.columns.length)
+        throw new GqlCompileException(
+          s"$op sides have ${ld.columns.length} vs ${rd.columns.length} columns")
+      val ra = rd.toDF(ld.columns.toIndexedSeq: _*)
+      op match {
+        case "UNION" => if (all) ld.unionAll(ra) else ld.unionAll(ra).distinct()
+        case "INTERSECT" => if (all) ld.intersectAll(ra) else ld.intersect(ra)
+        case "EXCEPT" => if (all) ld.exceptAll(ra) else ld.except(ra)
+        case other => throw new GqlCompileException(s"unknown set op $other")
+      }
+    case q: Query => compileQuery(q)
+  }
+
+  def compileQuery(q: Query): DataFrame = {
     val acc = scala.collection.mutable.Map[String, Set[String]]()
     q.segments.foreach { seg =>
       seg.where.foreach(collectProps(_, acc))
       seg.postWhere.foreach(collectProps(_, acc))
       seg.having.foreach(collectProps(_, acc))
-      seg.unwind.foreach { case (e, _) => collectProps(e, acc) }
+      seg.steps.foreach {
+        case StUnwind(e, _) => collectProps(e, acc)
+        case StLet(defs) => defs.foreach { case (_, e) => collectProps(e, acc) }
+        case StFilter(e) => collectProps(e, acc)
+      }
       seg.projection.foreach(it => collectProps(it.expr, acc))
       seg.groupBy.foreach(collectProps(_, acc))
       seg.orderBy.foreach(s => collectProps(s.expr, acc))
@@ -150,6 +181,9 @@ final class Compiler(graph: PropertyGraph) {
       splitAnd(w).foreach {
         case ExistsPattern(paths) => out = existsJoin(out, paths, ctx, "left_semi")
         case Not(ExistsPattern(paths)) => out = existsJoin(out, paths, ctx, "left_anti")
+        case other if containsExists(other) =>
+          val (d2, e2) = materializeExists(out, other, ctx)
+          out = d2.filter(compileExpr(e2, ctx))
         case other => out = out.filter(compileExpr(other, ctx))
       }
     }
@@ -199,21 +233,37 @@ final class Compiler(graph: PropertyGraph) {
     }
     // WHERE (pre-projection). EXISTS / NOT EXISTS pattern predicates at
     // top-level conjuncts become semi/anti joins (the reference's subquery
-    // unnesting, logical_optimizer.rs:283-516); everything else filters.
-    seg.where.foreach { w =>
+    // unnesting, logical_optimizer.rs:283-516); EXISTS in any other
+    // boolean position becomes a marker-join boolean column; everything
+    // else filters.
+    def applyWhere(w: Expr): Unit = {
       var base = df.getOrElse(throw new GqlCompileException("WHERE without input"))
       splitAnd(w).foreach {
         case ExistsPattern(paths) => base = existsJoin(base, paths, ctx, "left_semi")
         case Not(ExistsPattern(paths)) => base = existsJoin(base, paths, ctx, "left_anti")
+        case other if containsExists(other) =>
+          val (d2, e2) = materializeExists(base, other, ctx)
+          base = d2.filter(compileExpr(e2, ctx))
         case other => base = base.filter(compileExpr(other, ctx))
       }
       df = Some(base)
     }
-    // UNWIND
-    seg.unwind.foreach { case (e, as) =>
-      val in = df.getOrElse(singleRow)
-      df = Some(in.withColumn(as, explode(compileExpr(e, ctx))))
-      ctx = Ctx(ctx.bindings + (as -> ValueBinding))
+    seg.where.foreach(applyWhere)
+
+    // linear steps: UNWIND / FOR / LET / FILTER, in statement order
+    seg.steps.foreach {
+      case StUnwind(e, as) =>
+        val in = df.getOrElse(singleRow)
+        df = Some(in.withColumn(as, explode(compileExpr(e, ctx))))
+        ctx = Ctx(ctx.bindings + (as -> ValueBinding))
+      case StLet(defs) =>
+        var in = df.getOrElse(singleRow)
+        defs.foreach { case (v, e) =>
+          in = in.withColumn(v, compileExpr(e, ctx))
+          ctx = Ctx(ctx.bindings + (v -> ValueBinding))
+        }
+        df = Some(in)
+      case StFilter(e) => applyWhere(e)
     }
 
     // standalone RETURN (no MATCH): evaluate over one synthetic row
@@ -335,12 +385,12 @@ final class Compiler(graph: PropertyGraph) {
     case other => Seq(other)
   }
 
-  /** EXISTS { pattern } — compile the pattern standalone (outer labels
-    * injected into shared unlabeled vars) and semi/anti-join on the
-    * shared columns.
+  /** Compile an EXISTS pattern standalone (outer labels injected into
+    * shared unlabeled vars); returns the inner DataFrame and the shared
+    * join columns against `base`.
     */
-  private def existsJoin(base: DataFrame, paths: Seq[PathPattern],
-      ctx: Ctx, joinType: String): DataFrame = {
+  private def existsInner(base: DataFrame, paths: Seq[PathPattern],
+      ctx: Ctx): (DataFrame, Seq[String]) = {
     def inject(np: NodePattern): NodePattern =
       if (np.labels.isEmpty)
         np.variable.flatMap(ctx.nodeLabel)
@@ -358,7 +408,70 @@ final class Compiler(graph: PropertyGraph) {
     val shared = base.columns.toSet.intersect(innerDf.columns.toSet).toSeq.sorted
     if (shared.isEmpty)
       throw new GqlCompileException("EXISTS pattern must share a variable")
+    (innerDf, shared)
+  }
+
+  /** EXISTS at a top-level WHERE conjunct — semi/anti join. */
+  private def existsJoin(base: DataFrame, paths: Seq[PathPattern],
+      ctx: Ctx, joinType: String): DataFrame = {
+    val (innerDf, shared) = existsInner(base, paths, ctx)
     base.join(innerDf.select(shared.map(col): _*).distinct(), shared, joinType)
+  }
+
+  private def containsExists(e: Expr): Boolean = e match {
+    case ExistsPattern(_) => true
+    case Bin(_, l, r) => containsExists(l) || containsExists(r)
+    case Not(x) => containsExists(x)
+    case Neg(x) => containsExists(x)
+    case IsNull(x, _) => containsExists(x)
+    case IsTruth(x, _, _) => containsExists(x)
+    case InList(x, items, _) => containsExists(x) || items.exists(containsExists)
+    case StringPred(_, l, r, _) => containsExists(l) || containsExists(r)
+    case CaseExpr(s, ws, o) => s.exists(containsExists) ||
+      ws.exists { case (c, v) => containsExists(c) || containsExists(v) } ||
+      o.exists(containsExists)
+    case Cast(x, _) => containsExists(x)
+    case Index(x, i) => containsExists(x) || containsExists(i)
+    case Fn(_, args, _) => args.exists(containsExists)
+    case _ => false
+  }
+
+  /** EXISTS in an arbitrary boolean position (under OR/NOT/CASE/…): each
+    * EXISTS subtree becomes a boolean marker column — a left-outer join
+    * against the distinct inner key set with a TRUE flag, coalesced to
+    * FALSE — and the subtree is replaced by a reference to that column.
+    * This is the relational equivalent of the reference's row-at-a-time
+    * pattern-predicate evaluation (executor.rs:9351-9394), kept as joins
+    * so it stays distributed.
+    */
+  private def materializeExists(base: DataFrame, e: Expr,
+      ctx: Ctx): (DataFrame, Expr) = {
+    var df = base
+    def rewrite(x: Expr): Expr = x match {
+      case ExistsPattern(paths) =>
+        val name = fresh("exists")
+        val (innerDf, shared) = existsInner(df, paths, ctx)
+        val marked = innerDf.select(shared.map(col): _*).distinct()
+          .withColumn(name, lit(true))
+        df = df.join(marked, shared, "left_outer")
+          .withColumn(name, coalesce(col(name), lit(false)))
+        Ident(name)
+      case Bin(op, l, r) => Bin(op, rewrite(l), rewrite(r))
+      case Not(y) => Not(rewrite(y))
+      case Neg(y) => Neg(rewrite(y))
+      case IsNull(y, n) => IsNull(rewrite(y), n)
+      case IsTruth(y, t, n) => IsTruth(rewrite(y), t, n)
+      case InList(y, items, n) => InList(rewrite(y), items.map(rewrite), n)
+      case StringPred(op, l, r, n) => StringPred(op, rewrite(l), rewrite(r), n)
+      case CaseExpr(s, ws, o) => CaseExpr(s.map(rewrite),
+        ws.map { case (c, v) => (rewrite(c), rewrite(v)) }, o.map(rewrite))
+      case Cast(y, t) => Cast(rewrite(y), t)
+      case Index(y, i) => Index(rewrite(y), rewrite(i))
+      case Fn(n, args, d) => Fn(n, args.map(rewrite), d)
+      case other => other
+    }
+    val e2 = rewrite(e)
+    (df, e2)
   }
 
   // ------------------------------------------------------------------
@@ -461,11 +574,17 @@ final class Compiler(graph: PropertyGraph) {
       throw new GqlCompileException(
         s"ambiguous target label for $nVar: ${endLabels.mkString(", ")} — add a label")
 
-    // edge table: union of valid oriented combos
+    // edge table: union of valid oriented combos. For named edge vars the
+    // raw (pre-orientation) endpoints survive as <eVar>_src/<eVar>_dst —
+    // IS SOURCE/DESTINATION OF and SOURCE()/DESTINATION() read them;
+    // Catalyst prunes them when unused.
+    val named = edge.variable.isDefined
     val srcCol = fresh("src"); val dstCol = fresh("dst")
     def orient(t: String, o: Direction): DataFrame = {
       val (_, raw) = graph.edgeTables(t)
-      val base = raw.withColumn("__label", lit(t))
+      var base = raw.withColumn("__label", lit(t))
+      if (named) base = base.withColumn("__esrc", col("src"))
+        .withColumn("__edst", col("dst"))
       o match {
         case In => base.withColumnRenamed("dst", srcCol).withColumnRenamed("src", dstCol)
         case _ => base.withColumnRenamed("src", srcCol).withColumnRenamed("dst", dstCol)
@@ -474,10 +593,13 @@ final class Compiler(graph: PropertyGraph) {
     var e = combos.map { case (t, o) => orient(t, o) }.reduce((a, b) =>
       a.unionByName(b, allowMissingColumns = true))
     // prefix edge prop columns
-    val keep = e.columns.filterNot(c => c == srcCol || c == dstCol || c == "__label")
+    val keep = e.columns.filterNot(c =>
+      c == srcCol || c == dstCol || c == "__label" || c == "__esrc" || c == "__edst")
     e = keep.foldLeft(e)((acc, c) =>
       acc.withColumnRenamed(c, if (c == "eid") s"${eVar}_eid" else s"${eVar}_$c"))
       .withColumnRenamed("__label", s"${eVar}_label")
+    if (named) e = e.withColumnRenamed("__esrc", s"${eVar}_src")
+      .withColumnRenamed("__edst", s"${eVar}_dst")
     var joined = df.join(e, col(s"${fromVar}_id") === col(srcCol))
     edge.props.foreach { case (k, v) =>
       joined = joined.filter(col(s"${eVar}_$k") === compileExpr(v, ctx))
@@ -678,9 +800,44 @@ final class Compiler(graph: PropertyGraph) {
     case Cast(x, t) => compileExpr(x, ctx).cast(sparkType(t))
     case Index(x, i) =>
       element_at(compileExpr(x, ctx), compileExpr(i, ctx).cast("int") + 1)
+    // IS predicates beyond NULL/TRUTH (ast.rs:1598-1611). The reference
+    // stubs DIRECTED/SOURCE/DESTINATION to false (executor.rs:8808-8821);
+    // we implement the real topology tests — documented divergence.
+    case IsSrcDst(n, e, dest, neg) =>
+      val (nv, ev) = (n, e) match {
+        case (Ident(a), Ident(b)) => (a, b)
+        case _ => throw new GqlCompileException(
+          "IS SOURCE/DESTINATION OF expects node and edge variables")
+      }
+      if (!ctx.bindings.get(nv).exists(_.isInstanceOf[NodeBinding]))
+        throw new GqlCompileException(s"$nv is not a node variable")
+      if (!ctx.bindings.get(ev).exists(_.isInstanceOf[EdgeBinding]))
+        throw new GqlCompileException(s"$ev is not an edge variable")
+      val c = col(s"${nv}_id") === col(s"${ev}_${if (dest) "dst" else "src"}")
+      if (neg) !c else c
+    case IsDirected(x, neg) =>
+      x match {
+        case Ident(v) if ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) =>
+          lit(!neg) // every edge in this model is directed
+        case _ => throw new GqlCompileException("IS DIRECTED expects an edge variable")
+      }
+    case IsNormalized(x, neg) =>
+      // reference semantics (executor.rs:8871-8881): strings count as
+      // normalized, non-strings don't — a per-schema constant here
+      val c = call_function("typeof", compileExpr(x, ctx)) === lit("string")
+      if (neg) !c else c
+    case IsLabeled(x, label, neg) =>
+      x match {
+        case Ident(v) => ctx.bindings.get(v) match {
+          case Some(NodeBinding(l)) => lit((l == label) != neg)
+          case Some(EdgeBinding(l)) => lit((l == label) != neg)
+          case _ => throw new GqlCompileException(s"IS :$label expects a node/edge variable")
+        }
+        case _ => throw new GqlCompileException(s"IS :$label expects a variable")
+      }
     case ExistsPattern(_) =>
       throw new GqlCompileException(
-        "EXISTS patterns are supported only as top-level WHERE conjuncts")
+        "EXISTS patterns are supported only in WHERE / FILTER positions")
   }
 
   private def caseExpr(subject: Option[Expr], whens: Seq[(Expr, Expr)],
@@ -888,6 +1045,31 @@ final class Compiler(graph: PropertyGraph) {
           array(cols.map(lit): _*)
         case _ => throw new GqlCompileException("KEYS() expects a node variable")
       }
+      // PROPERTIES(v) -> map<string,string> of the variable's properties
+      // (graph_functions.rs properties accessor); values string-cast so the
+      // map has one value type
+      case "PROPERTIES" =>
+        val v = varName(0)
+        ctx.bindings.get(v) match {
+          case Some(NodeBinding(l)) =>
+            val props = graph.nodeTables(l).columns.filterNot(_ == "id").sorted
+            map(props.flatMap(p =>
+              Seq(lit(p), col(s"${v}_$p").cast("string"))): _*)
+          case Some(EdgeBinding(l)) =>
+            val (_, e) = graph.edgeTables(l)
+            val props = e.columns
+              .filterNot(c => c == "src" || c == "dst" || c == "eid").sorted
+            map(props.flatMap(p =>
+              Seq(lit(p), col(s"${v}_$p").cast("string"))): _*)
+          case _ => throw new GqlCompileException(
+            "PROPERTIES() expects a node/edge variable")
+        }
+      // SOURCE(e)/DESTINATION(e): endpoint node ids of a bound edge
+      case "SOURCE" | "DESTINATION" =>
+        val v = varName(0)
+        if (!ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]))
+          throw new GqlCompileException(s"$name() expects an edge variable")
+        col(s"${v}_${if (name == "SOURCE") "src" else "dst"}")
       case other =>
         throw new GqlCompileException(s"unknown function $other")
     }

@@ -21,7 +21,12 @@ object Lexer {
     "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE",
     "STARTS", "ENDS", "CONTAINS", "LIKE", "CASE", "WHEN", "THEN", "ELSE", "EXISTS",
     "END", "CAST", "COUNT", "INSERT", "SET", "DELETE", "DETACH", "REMOVE",
-    "CREATE", "DROP", "SCHEMA", "GRAPH", "SESSION")
+    "CREATE", "DROP", "SCHEMA", "GRAPH", "SESSION",
+    "LET", "FOR", "FILTER", "UNION", "INTERSECT", "EXCEPT", "ALL", "CALL")
+  // Soft keywords (recognized positionally as TIdent, so they stay usable
+  // as identifiers): UNKNOWN, NORMALIZED, DIRECTED, SOURCE, DESTINATION,
+  // OF, START, TRANSACTION, COMMIT, ROLLBACK, USER, ROLE, GRANT, TO,
+  // PROCEDURE, RESET, CLOSE.
 
   private val punct2 = Seq("<>", "<=", ">=", "->", "<-", "||", "..")
   private val punct1 = "()[]{},.:;*/%+-<>=|"

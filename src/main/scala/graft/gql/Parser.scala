@@ -43,6 +43,17 @@ final class Parser(tokens: Vector[Token]) {
     case TKw(s, _) => p += 1; s // allow keywords as identifiers in safe spots
     case _ => err("expected identifier")
   }
+  /** Soft keyword: a TIdent matched case-insensitively (stays usable as a
+    * normal identifier elsewhere).
+    */
+  private def isSoftKw(s: String): Boolean = cur match {
+    case TIdent(k, _) => k.equalsIgnoreCase(s)
+    case _ => false
+  }
+  private def trySoftKw(s: String): Boolean =
+    if (isSoftKw(s)) { p += 1; true } else false
+  private def eatSoftKw(s: String): Unit =
+    if (!trySoftKw(s)) err(s"expected $s")
 
   // ---- statement entry (ast.rs:24-39 dispatch) ----
   def parseStatement(): Statement = {
@@ -55,18 +66,60 @@ final class Parser(tokens: Vector[Token]) {
         expectEnd(); InsertStmt(nodes.result())
       case TKw("CREATE", _) | TKw("DROP", _) =>
         val op = advance().asInstanceOf[TKw].s
-        val kind =
-          if (tryKw("SCHEMA")) "SCHEMA"
-          else { eatKw("GRAPH"); "GRAPH" }
-        eatPunct("/")
-        val schema = ident()
-        val graph = if (tryPunct("/")) Some(ident()) else None
-        if (kind == "GRAPH" && graph.isEmpty) err("GRAPH path needs /schema/graph")
-        expectEnd(); CatalogStmt(op, kind, schema, graph)
+        if (isSoftKw("USER") || isSoftKw("ROLE")) {
+          val kind = ident().toUpperCase
+          val name = ident()
+          expectEnd(); SecurityStmt(op, kind, name, None)
+        } else if (isSoftKw("PROCEDURE")) {
+          p += 1
+          val name = ident()
+          if (op == "DROP") { expectEnd(); ProcedureStmt("DROP", name, None) }
+          else err("CREATE PROCEDURE is handled textually") // see Parser.parseStatement
+        } else {
+          val kind =
+            if (tryKw("SCHEMA")) "SCHEMA"
+            else { eatKw("GRAPH"); "GRAPH" }
+          eatPunct("/")
+          val schema = ident()
+          val graph = if (tryPunct("/")) Some(ident()) else None
+          if (kind == "GRAPH" && graph.isEmpty) err("GRAPH path needs /schema/graph")
+          expectEnd(); CatalogStmt(op, kind, schema, graph)
+        }
       case TKw("SESSION", _) =>
-        p += 1; eatKw("SET"); eatKw("GRAPH"); eatPunct("/")
-        val schema = ident(); eatPunct("/"); val g = ident()
-        expectEnd(); SessionSetGraph(s"/$schema/$g")
+        p += 1
+        if (trySoftKw("RESET")) { expectEnd(); SessionCtl("RESET") }
+        else if (trySoftKw("CLOSE")) { expectEnd(); SessionCtl("CLOSE") }
+        else {
+          eatKw("SET"); eatKw("GRAPH"); eatPunct("/")
+          val schema = ident(); eatPunct("/"); val g = ident()
+          expectEnd(); SessionSetGraph(s"/$schema/$g")
+        }
+      case TKw("CALL", _) =>
+        p += 1
+        var name = ident()
+        while (tryPunct(".")) name = name + "." + ident()
+        val args = Vector.newBuilder[Expr]
+        if (tryPunct("(")) {
+          if (!isPunct(")")) {
+            var more = true
+            while (more) { args += parseExpr(); more = tryPunct(",") }
+          }
+          eatPunct(")")
+        }
+        expectEnd(); CallStmt(name, args.result())
+      case TIdent(s, _) if s.equalsIgnoreCase("START") =>
+        p += 1; eatSoftKw("TRANSACTION")
+        expectEnd(); TransactionStmt("START")
+      case TIdent(s, _) if s.equalsIgnoreCase("COMMIT") =>
+        p += 1; expectEnd(); TransactionStmt("COMMIT")
+      case TIdent(s, _) if s.equalsIgnoreCase("ROLLBACK") =>
+        p += 1; expectEnd(); TransactionStmt("ROLLBACK")
+      case TIdent(s, _) if s.equalsIgnoreCase("GRANT") =>
+        p += 1
+        val role = ident()
+        eatSoftKw("TO")
+        val user = ident()
+        expectEnd(); SecurityStmt("GRANT", "ROLE", role, Some(user))
       case TKw("MATCH", _) =>
         // A MATCH statement is either a read query or MATCH-prefixed DML.
         // Don't sniff the token stream for SET/DELETE/… — a read query can
@@ -130,7 +183,33 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   // ---- entry ----
-  def parseQuery(): Query = {
+  /** Full query expression: pipeline queries chained by set operations
+    * (ast.rs:208-228; left-associative like the reference's parser).
+    */
+  def parseQuery(): QueryExpr = {
+    var left: QueryExpr = parsePipelineQuery()
+    var more = true
+    while (more) {
+      val op =
+        if (tryKw("UNION")) Some("UNION")
+        else if (tryKw("INTERSECT")) Some("INTERSECT")
+        else if (tryKw("EXCEPT")) Some("EXCEPT")
+        else None
+      op match {
+        case Some(o) =>
+          val all = tryKw("ALL")
+          left = SetOpQuery(o, all, left, parsePipelineQuery())
+        case None => more = false
+      }
+    }
+    cur match {
+      case TEnd(_) => ()
+      case _ => err("unexpected trailing input")
+    }
+    left
+  }
+
+  private def parsePipelineQuery(): Query = {
     val segs = Vector.newBuilder[Segment]
     var done = false
     while (!done) {
@@ -138,10 +217,6 @@ final class Parser(tokens: Vector[Token]) {
       segs += seg
       if (isReturn) done = true
       else if (cur.isInstanceOf[TEnd]) err("query must end with RETURN")
-    }
-    cur match {
-      case TEnd(_) => ()
-      case _ => err("unexpected trailing input")
     }
     Query(segs.result())
   }
@@ -151,7 +226,7 @@ final class Parser(tokens: Vector[Token]) {
     var matches = Vector.empty[PathPattern]
     var optMatches = Vector.empty[PathPattern]
     var where: Option[Expr] = None
-    var unwind: Option[(Expr, String)] = None
+    val steps = Vector.newBuilder[Step]
 
     var reading = true
     while (reading) {
@@ -164,7 +239,28 @@ final class Parser(tokens: Vector[Token]) {
       } else if (tryKw("UNWIND")) {
         val e = parseExpr()
         eatKw("AS")
-        unwind = Some((e, ident()))
+        steps += StUnwind(e, ident())
+      } else if (tryKw("FOR")) {
+        // FOR [alias:] var IN expr (parser.rs:787-808) — iteration over a
+        // list: same row-expansion semantics as UNWIND
+        val v0 = ident()
+        val v = if (tryPunct(":")) ident() else v0
+        eatKw("IN")
+        steps += StUnwind(parseExpr(), v)
+      } else if (tryKw("LET")) {
+        // LET v = expr [, v = expr]* (parser.rs:760-785)
+        val defs = Vector.newBuilder[(String, Expr)]
+        var more = true
+        while (more) {
+          val v = ident(); eatPunct("=")
+          defs += ((v, parseExpr()))
+          more = tryPunct(",")
+        }
+        steps += StLet(defs.result())
+      } else if (tryKw("FILTER")) {
+        // FILTER [WHERE] expr (parser.rs:810-835)
+        tryKw("WHERE")
+        steps += StFilter(parseExpr())
       } else reading = false
     }
 
@@ -193,8 +289,8 @@ final class Parser(tokens: Vector[Token]) {
       else if (tryKw("LIMIT")) limit = Some(parseLongLit())
       else more = false
     }
-    (Segment(matches, optMatches, where, unwind, items, postWhere, distinct,
-      groupBy, having, orderBy, skip, limit), isReturn)
+    (Segment(matches, optMatches, where, steps.result(), items, postWhere,
+      distinct, groupBy, having, orderBy, skip, limit), isReturn)
   }
 
   private def combineWhere(acc: Option[Expr], e: Expr): Expr =
@@ -370,13 +466,18 @@ final class Parser(tokens: Vector[Token]) {
       if (tryKw("NULL")) IsNull(l, negated)
       else if (tryKw("TRUE")) IsTruth(l, "TRUE", negated)
       else if (tryKw("FALSE")) IsTruth(l, "FALSE", negated)
-      else { // IS [NOT] UNKNOWN — UNKNOWN is not a reserved keyword
-        cur match {
-          case TIdent(s0, _) if s0.equalsIgnoreCase("UNKNOWN") =>
-            p += 1; IsTruth(l, "UNKNOWN", negated)
-          case _ => err("expected NULL, TRUE, FALSE or UNKNOWN after IS")
-        }
-      }
+      else if (trySoftKw("UNKNOWN")) IsTruth(l, "UNKNOWN", negated)
+      // IS [NOT] NORMALIZED / DIRECTED / SOURCE OF e / DESTINATION OF e /
+      // :Label — IsPredicateType (ast.rs:1598-1611); soft keywords
+      else if (trySoftKw("NORMALIZED")) IsNormalized(l, negated)
+      else if (trySoftKw("DIRECTED")) IsDirected(l, negated)
+      else if (trySoftKw("SOURCE")) {
+        eatSoftKw("OF"); IsSrcDst(l, parseAdditive(), dest = false, negated)
+      } else if (trySoftKw("DESTINATION")) {
+        eatSoftKw("OF"); IsSrcDst(l, parseAdditive(), dest = true, negated)
+      } else if (tryPunct(":")) IsLabeled(l, ident(), negated)
+      else err("expected NULL, TRUE, FALSE, UNKNOWN, NORMALIZED, DIRECTED, " +
+        "SOURCE OF, DESTINATION OF or :Label after IS")
     } else if (isKw("IN") || (isKw("NOT") && peekKwAfterNot("IN"))) {
       val negated = tryKw("NOT")
       eatKw("IN")
@@ -524,15 +625,23 @@ final class Parser(tokens: Vector[Token]) {
 class GqlParseException(msg: String) extends RuntimeException(msg)
 
 object Parser {
-  def parse(query: String): Ast.Query =
+  def parse(query: String): Ast.QueryExpr =
     Lexer.tokenize(query) match {
       case Left(e) => throw new GqlParseException(e)
       case Right(toks) => new Parser(toks).parseQuery()
     }
 
-  def parseStatement(text: String): Ast.Statement =
-    Lexer.tokenize(text) match {
-      case Left(e) => throw new GqlParseException(e)
-      case Right(toks) => new Parser(toks).parseStatement()
-    }
+  // CREATE PROCEDURE keeps its body as raw text (re-parsed at CALL time),
+  // like the reference's stored-procedure catalog entries.
+  private val CreateProcRe =
+    """(?is)\s*CREATE\s+PROCEDURE\s+(\w+)\s+AS\s+(.+)""".r
+
+  def parseStatement(text: String): Ast.Statement = text match {
+    case CreateProcRe(name, body) => Ast.ProcedureStmt("CREATE", name, Some(body.trim))
+    case _ =>
+      Lexer.tokenize(text) match {
+        case Left(e) => throw new GqlParseException(e)
+        case Right(toks) => new Parser(toks).parseStatement()
+      }
+  }
 }

@@ -98,6 +98,80 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     else { deleteRecursive(p); true }
   }
 
+  // ---- security metadata (exec/schema_engine/operations/security analog):
+  // users / roles / grants persisted as a TSV under the warehouse root.
+  // Metadata-only, like the reference's catalog security tables — the
+  // enforcement point is session creation / graph access in the embedding
+  // application.
+
+  private def securityFile = Paths.get(s"$warehouse/_security")
+
+  private def readSecurity(): Seq[(String, String, String)] =
+    if (!Files.exists(securityFile)) Seq.empty
+    else Files.readString(securityFile).split("\n").filter(_.nonEmpty).toSeq
+      .map { l => val a = l.split("\t", 3); (a(0), a(1), if (a.length > 2) a(2) else "") }
+
+  private def writeSecurity(rows: Seq[(String, String, String)]): Unit = {
+    Files.createDirectories(Paths.get(warehouse))
+    Files.writeString(securityFile,
+      rows.map { case (k, n, t) => s"$k\t$n\t$t" }.mkString("\n"))
+  }
+
+  def createPrincipal(kind: String, name: String): Boolean = {
+    val rows = readSecurity()
+    if (rows.exists(r => r._1 == kind && r._2 == name)) false
+    else { writeSecurity(rows :+ ((kind, name, ""))); true }
+  }
+
+  def dropPrincipal(kind: String, name: String): Boolean = {
+    val rows = readSecurity()
+    val kept = rows.filterNot(r =>
+      (r._1 == kind && r._2 == name) || (r._1 == "GRANT" && (r._2 == name || r._3 == name)))
+    if (kept.size == rows.size) false else { writeSecurity(kept); true }
+  }
+
+  def grantRole(role: String, user: String): Boolean = {
+    val rows = readSecurity()
+    if (!rows.exists(r => r._1 == "ROLE" && r._2 == role))
+      throw new IllegalArgumentException(s"unknown role: $role")
+    if (!rows.exists(r => r._1 == "USER" && r._2 == user))
+      throw new IllegalArgumentException(s"unknown user: $user")
+    if (rows.exists(r => r._1 == "GRANT" && r._2 == role && r._3 == user)) false
+    else { writeSecurity(rows :+ (("GRANT", role, user))); true }
+  }
+
+  def listPrincipals(kind: String): Seq[String] =
+    readSecurity().filter(_._1 == kind).map(_._2).sorted
+
+  def listGrants(): Seq[(String, String)] =
+    readSecurity().filter(_._1 == "GRANT").map(r => (r._2, r._3)).sorted
+
+  // ---- stored procedures (catalog procedures, ast.rs:625-644): GQL text
+  // under warehouse/_procedures/<name>.gql, re-parsed at CALL time.
+
+  def saveProcedure(name: String, body: String): Unit = {
+    val dir = Paths.get(s"$warehouse/_procedures")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(s"$name.gql"), body)
+  }
+
+  def dropProcedure(name: String): Boolean = {
+    val f = Paths.get(s"$warehouse/_procedures/$name.gql")
+    if (!Files.exists(f)) false else { Files.delete(f); true }
+  }
+
+  def loadProcedure(name: String): Option[String] = {
+    val f = Paths.get(s"$warehouse/_procedures/$name.gql")
+    if (Files.exists(f)) Some(Files.readString(f)) else None
+  }
+
+  def listProcedures(): Seq[String] = {
+    val dir = Paths.get(s"$warehouse/_procedures")
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator.asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".gql")).map(_.stripSuffix(".gql")).toSeq.sorted
+  }
+
   /** FROM g1 UNION g2 — graph union (storage_manager.rs:400). */
   def unionGraphs(a: PropertyGraph, b: PropertyGraph): PropertyGraph = {
     def merge(x: Map[String, DataFrame], y: Map[String, DataFrame]) =

@@ -1,0 +1,201 @@
+package graft.gql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Round-2 GQL surface: set operations, LET/FOR/FILTER, EXISTS in
+  * arbitrary boolean positions, IS predicates, PROPERTIES/SOURCE/
+  * DESTINATION, transactions, security DDL, stored procedures, CALL.
+  * Expected values mirror the reference's set_operations_tests.rs /
+  * simple_let_test.rs / role_management_tests.rs shapes on the fraud
+  * fixture (test_fixture.rs:135-190).
+  */
+class SurfaceSpec extends AnyFunSuite {
+  private def fresh() = SparkFixture.gqlSession(SparkFixture.fraudGraph)
+  private lazy val s = fresh()
+
+  private def one(q: String): Any = s.gql(q).collect().head.get(0)
+  private def count(q: String): Long = s.gql(q).count()
+
+  // ---- set operations (set_operations_tests.rs:116-137) ----
+
+  test("UNION dedups across branch results") {
+    // balances <= 500 → ids 1..5; risk >= 4.5 → ids 45..50; disjoint
+    val n = count("MATCH (a:Account) WHERE a.balance <= 500 RETURN a.name " +
+      "UNION MATCH (a:Account) WHERE a.risk_score >= 4.5 RETURN a.name")
+    assert(n == 11L)
+    // overlapping branches dedup
+    val n2 = count("MATCH (a:Account) WHERE a.balance <= 500 RETURN a.name " +
+      "UNION MATCH (a:Account) WHERE a.balance <= 300 RETURN a.name")
+    assert(n2 == 5L)
+  }
+
+  test("UNION ALL keeps duplicates") {
+    val n = count("MATCH (a:Account) WHERE a.balance <= 500 RETURN a.name " +
+      "UNION ALL MATCH (a:Account) WHERE a.balance <= 300 RETURN a.name")
+    assert(n == 8L) // 5 + 3
+  }
+
+  test("INTERSECT and EXCEPT") {
+    val n = count("MATCH (a:Account) WHERE a.balance <= 500 RETURN a.name " +
+      "INTERSECT MATCH (a:Account) WHERE a.status = 'active' RETURN a.name")
+    assert(n == 5L) // ids 1..5 all active (inactive = multiples of 10)
+    val n2 = count("MATCH (a:Account) WHERE a.balance <= 1000 RETURN a.name " +
+      "EXCEPT MATCH (a:Account) WHERE a.status = 'inactive' RETURN a.name")
+    assert(n2 == 9L) // ids 1..10 minus id 10 (inactive)
+  }
+
+  // ---- LET / FOR / FILTER (simple_let_test.rs:19; parser.rs:760-835) ----
+
+  test("LET binds values, standalone and over MATCH rows") {
+    assert(one("LET x = 2 + 3 RETURN x") == 5L)
+    assert(one("MATCH (a:Account) LET fee = a.balance * 0.01 " +
+      "FILTER fee > 45 RETURN count(a) AS n") == 5L) // balance > 4500: ids 46..50
+  }
+
+  test("FOR iterates a list like UNWIND") {
+    assert(count("FOR x IN [1, 2, 3] RETURN x") == 3L)
+    assert(one("FOR x IN [1, 2, 3] RETURN sum(x) AS s") == 6L)
+  }
+
+  test("LET feeds FOR feeds FILTER in statement order") {
+    val n = count("LET xs = [10, 20, 30, 40] FOR x IN xs FILTER x >= 25 RETURN x")
+    assert(n == 2L)
+  }
+
+  // ---- EXISTS in arbitrary boolean positions ----
+
+  test("EXISTS under OR (marker-join rewrite)") {
+    // high-amount transactions exist for some accounts; OR catches the
+    // inactive ones too — not expressible as a plain semi-join
+    val n = one("MATCH (a:Account) WHERE a.status = 'inactive' " +
+      "OR EXISTS ((a)-[:Transaction {amount: 79.0}]->(m:Merchant)) " +
+      "RETURN count(a) AS n")
+    // amount 79.0: i%30==29 → i=29,59,89 → src accounts 29, 9, 39; all
+    // active; plus 5 inactive accounts
+    assert(n == 8L)
+  }
+
+  test("NOT(EXISTS OR pred) via marker still matches semi-join complement") {
+    val direct = one("MATCH (a:Account) WHERE EXISTS " +
+      "((a)-[:Transaction {amount: 79.0}]->(m:Merchant)) RETURN count(a) AS n")
+    val viaOr = one("MATCH (a:Account) WHERE EXISTS " +
+      "((a)-[:Transaction {amount: 79.0}]->(m:Merchant)) OR FALSE " +
+      "RETURN count(a) AS n")
+    assert(direct == viaOr)
+  }
+
+  // ---- IS predicates (ast.rs:1598-1611) ----
+
+  test("IS SOURCE OF / DESTINATION OF test real topology") {
+    val n = one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE a IS SOURCE OF t RETURN count(t) AS n")
+    assert(n == 100L)
+    val n2 = one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE m IS DESTINATION OF t RETURN count(t) AS n")
+    assert(n2 == 100L)
+    // a_id === t_dst only where src and dst collide numerically:
+    // ((i-1)%50)+1 == ((i-1)%20)+1 ⟺ (i-1) < 20 → transactions 1..20
+    val n3 = one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE a IS DESTINATION OF t RETURN count(t) AS n")
+    assert(n3 == 20L)
+  }
+
+  test("IS DIRECTED and IS :Label") {
+    assert(one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE t IS DIRECTED RETURN count(t) AS n") == 100L)
+    assert(one("MATCH (a:Account) WHERE a IS :Account RETURN count(a) AS n") == 50L)
+    assert(one("MATCH (a:Account) WHERE a IS NOT :Merchant RETURN count(a) AS n") == 50L)
+  }
+
+  test("IS NORMALIZED follows reference string semantics") {
+    assert(one("MATCH (a:Account) WHERE a.name IS NORMALIZED " +
+      "RETURN count(a) AS n") == 50L)
+    assert(one("MATCH (a:Account) WHERE a.balance IS NORMALIZED " +
+      "RETURN count(a) AS n") == 0L) // non-strings are not normalized
+  }
+
+  // ---- PROPERTIES / SOURCE / DESTINATION functions ----
+
+  test("PROPERTIES returns the property map") {
+    val r = s.gql("MATCH (a:Account) WHERE a.id = 1 " +
+      "RETURN properties(a) AS p").collect().head
+    val m = r.getMap[String, String](0)
+    assert(m("name") == "Account1" && m("balance") == "100.0")
+  }
+
+  test("SOURCE and DESTINATION return endpoint ids") {
+    val r = s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE a.id = 1 AND t.eid = 1 " +
+      "RETURN source(t) AS s, destination(t) AS d").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+  }
+
+  // ---- transactions (ast.rs:1620-1679) ----
+
+  test("ROLLBACK restores the pre-transaction graph version") {
+    val t = fresh()
+    t.execute("START TRANSACTION")
+    t.execute("MATCH (a:Account) WHERE a.id <= 10 SET a.balance = 0.0")
+    assert(t.execute("MATCH (a:Account) WHERE a.balance = 0.0 " +
+      "RETURN count(a) AS n").collect().head.getLong(0) == 10L)
+    t.execute("ROLLBACK")
+    assert(t.execute("MATCH (a:Account) WHERE a.balance = 0.0 " +
+      "RETURN count(a) AS n").collect().head.getLong(0) == 0L)
+  }
+
+  test("COMMIT keeps the mutation; nesting pairs correctly") {
+    val t = fresh()
+    t.execute("START TRANSACTION")
+    t.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 777.0")
+    t.execute("COMMIT")
+    assert(t.execute("MATCH (a:Account {id: 1}) RETURN a.balance AS b")
+      .collect().head.getDouble(0) == 777.0)
+    intercept[IllegalStateException] { t.execute("COMMIT") }
+    intercept[IllegalStateException] { t.execute("ROLLBACK") }
+  }
+
+  // ---- security DDL (role_management_tests.rs shapes) ----
+
+  test("users, roles, grants round-trip through the catalog") {
+    val t = fresh()
+    t.execute("CREATE USER alice")
+    t.execute("CREATE ROLE analyst")
+    t.execute("GRANT analyst TO alice")
+    assert(t.call("gql.list_users").collect().map(_.getString(0)).contains("alice"))
+    assert(t.call("gql.list_roles").collect().map(_.getString(0)).contains("analyst"))
+    val grants = t.call("gql.list_grants").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(grants.contains(("analyst", "alice")))
+    assert(t.execute("DROP USER alice").collect().head.getBoolean(0))
+    assert(t.call("gql.list_grants").count() == 0L)
+    intercept[IllegalArgumentException] { t.execute("GRANT analyst TO nobody") }
+  }
+
+  // ---- stored procedures ----
+
+  test("CREATE PROCEDURE stores GQL; CALL executes it") {
+    val t = fresh()
+    t.execute("CREATE PROCEDURE high_risk AS " +
+      "MATCH (a:Account) WHERE a.risk_score >= 4.5 RETURN count(a) AS n")
+    assert(t.call("gql.list_procedures").collect()
+      .map(_.getString(0)).contains("high_risk"))
+    assert(t.execute("CALL high_risk()").collect().head.getLong(0) == 6L)
+    assert(t.execute("DROP PROCEDURE high_risk").collect().head.getBoolean(0))
+    intercept[IllegalArgumentException] { t.execute("CALL high_risk()") }
+  }
+
+  test("CALL dispatches system procedures with args") {
+    val t = fresh()
+    val r = t.execute("CALL gql.show_session()").collect().head
+    assert(r.getString(0) == "test")
+  }
+
+  // ---- SESSION RESET ----
+
+  test("SESSION RESET clears the current graph") {
+    val t = fresh()
+    t.execute("SESSION RESET")
+    intercept[IllegalStateException] { t.gql("MATCH (a:Account) RETURN a.id") }
+  }
+}
