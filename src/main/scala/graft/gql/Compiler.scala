@@ -25,14 +25,32 @@ class GqlCompileException(msg: String) extends RuntimeException(msg)
 final class Compiler(graph: PropertyGraph) {
 
   sealed trait Binding
-  case class NodeBinding(label: String) extends Binding
+  /** A node variable constrained to ALL of `labels` (multi-label pattern
+    * `(a:L1:L2)` = intersection of the per-label tables; labels.head is
+    * the carrier table for identity/props).
+    */
+  case class NodeBinding(labels: Seq[String]) extends Binding {
+    def primary: String = labels.head
+  }
+  object NodeBinding {
+    def one(label: String): NodeBinding = NodeBinding(Seq(label))
+  }
+  /** A label-less node variable `(n)` — the union of every label table,
+    * with the label carried per-row in `<v>_label` (identity stays the
+    * (label, id) pair, matching executor.rs:7865-7894).
+    */
+  case object UnionNode extends Binding
   case class EdgeBinding(label: String) extends Binding
   case object ValueBinding extends Binding
 
   private case class Ctx(bindings: Map[String, Binding]) {
     def nodeLabel(v: String): Option[String] = bindings.get(v) match {
-      case Some(NodeBinding(l)) => Some(l)
+      case Some(b: NodeBinding) => Some(b.primary)
       case _ => None
+    }
+    def isNodeLike(v: String): Boolean = bindings.get(v) match {
+      case Some(_: NodeBinding) | Some(UnionNode) => true
+      case _ => false
     }
   }
 
@@ -187,7 +205,7 @@ final class Compiler(graph: PropertyGraph) {
         case other => out = out.filter(compileExpr(other, ctx))
       }
     }
-    val labels = ctx.bindings.collect { case (v, NodeBinding(l)) => v -> l }
+    val labels = ctx.bindings.collect { case (v, b: NodeBinding) => v -> b.primary }
     (out, labels)
   }
 
@@ -203,11 +221,11 @@ final class Compiler(graph: PropertyGraph) {
     // this or a later segment reads their properties, re-join the node
     // table once up front (label known from the binding).
     prevBindings.foreach {
-      case (v, NodeBinding(label)) if df.isDefined =>
+      case (v, b: NodeBinding) if df.isDefined =>
         val needed = usedProps.getOrElse(v, Set.empty)
         val missing = needed.filterNot(pr => df.get.columns.contains(s"${v}_$pr"))
         if (missing.nonEmpty) {
-          val t = graph.nodeTables(label)
+          val t = graph.nodeTables(b.primary)
           val renamed = t.columns.foldLeft(t)((acc, c) =>
             acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
           df = Some(df.get.join(renamed, s"${v}_id"))
@@ -482,16 +500,16 @@ final class Compiler(graph: PropertyGraph) {
     var ctx = ctxIn
     var df = dfIn
 
-    // label inference (node without label takes the adjacent edge's endpoint)
-    def inferStart(np: NodePattern, firstEdge: Option[EdgePattern]): String =
-      np.labels.headOption
-        .orElse(np.variable.flatMap(ctx.nodeLabel))
+    // label inference (node without label takes the adjacent edge's
+    // endpoint; a node with neither label nor adjacent typed edge scans
+    // the union of all labels)
+    def inferStart(np: NodePattern, firstEdge: Option[EdgePattern]): Option[Seq[String]] =
+      (if (np.labels.nonEmpty) Some(np.labels) else None)
+        .orElse(np.variable.flatMap(ctx.nodeLabel).map(Seq(_)))
         .orElse(firstEdge.flatMap(e => e.types.headOption.map { t =>
           val et = graph.edgeType(t)
-          if (e.direction == In) et.dstLabel else et.srcLabel
+          Seq(if (e.direction == In) et.dstLabel else et.srcLabel)
         }))
-        .getOrElse(throw new GqlCompileException(
-          s"cannot infer label for node ${np.variable.getOrElse("(anon)")}"))
 
     // start node
     val startVar = path.start.variable.getOrElse(fresh("n"))
@@ -501,10 +519,16 @@ final class Compiler(graph: PropertyGraph) {
         df = df.map(_.filter(col(s"${startVar}_$k") === compileExpr(v, ctx)))
       }
     } else {
-      val label = inferStart(path.start, path.hops.headOption.map(_._1))
-      val scan = scanNode(label, startVar, path.start.props, ctx)
-      df = Some(df.fold(scan)(_.crossJoin(scan)))
-      ctx = Ctx(ctx.bindings + (startVar -> NodeBinding(label)))
+      inferStart(path.start, path.hops.headOption.map(_._1)) match {
+        case Some(labels) =>
+          val scan = scanNodeMulti(labels, startVar, path.start.props, ctx)
+          df = Some(df.fold(scan)(_.crossJoin(scan)))
+          ctx = Ctx(ctx.bindings + (startVar -> NodeBinding(labels)))
+        case None =>
+          val scan = scanAllLabels(startVar, path.start.props, ctx)
+          df = Some(df.fold(scan)(_.crossJoin(scan)))
+          ctx = Ctx(ctx.bindings + (startVar -> UnionNode))
+      }
     }
 
     var prevVar = startVar
@@ -521,6 +545,49 @@ final class Compiler(graph: PropertyGraph) {
       throw new GqlCompileException(s"unknown node label: $label"))
     var d = t.columns.foldLeft(t)((acc, c) =>
       acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
+    props.foreach { case (k, lit) =>
+      d = d.filter(col(s"${v}_$k") === compileExpr(lit, ctx))
+    }
+    d
+  }
+
+  /** Multi-label scan `(a:L1:L2)` — intersection semantics: the carrier
+    * (first) label provides identity and its properties; each further
+    * label constrains membership, joining in any property columns the
+    * carrier doesn't already have (so props of every label are readable,
+    * like the reference's label-set nodes).
+    */
+  private def scanNodeMulti(labels: Seq[String], v: String,
+      props: Seq[(String, Expr)], ctx: Ctx): DataFrame = {
+    var d = scanNode(labels.head, v, Seq.empty, ctx)
+    labels.tail.foreach { l =>
+      val t = graph.nodeTables.getOrElse(l,
+        throw new GqlCompileException(s"unknown node label: $l"))
+      val extra = t.columns.filterNot(c =>
+        c == "id" || d.columns.contains(s"${v}_$c"))
+      val side = t.select((Seq(col("id").as(s"${v}_id")) ++
+        extra.map(c => col(c).as(s"${v}_$c"))): _*)
+      d = d.join(side, s"${v}_id")
+    }
+    props.foreach { case (k, lit) =>
+      d = d.filter(col(s"${v}_$k") === compileExpr(lit, ctx))
+    }
+    d
+  }
+
+  /** Label-less scan `(n)` — union of every label table; the matched
+    * label travels per-row in `<v>_label` so identity stays (label, id)
+    * and downstream hops can re-constrain. Missing properties pad to
+    * NULL (3VL filters then behave like the reference's dynamic rows).
+    */
+  private def scanAllLabels(v: String, props: Seq[(String, Expr)],
+      ctx: Ctx): DataFrame = {
+    val scans = graph.nodeTables.toSeq.sortBy(_._1).map { case (l, t) =>
+      t.columns.foldLeft(t)((acc, c) =>
+        acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
+        .withColumn(s"${v}_label", lit(l))
+    }
+    var d = scans.reduce(_.unionByName(_, allowMissingColumns = true))
     props.foreach { case (k, lit) =>
       d = d.filter(col(s"${v}_$k") === compileExpr(lit, ctx))
     }
@@ -545,10 +612,21 @@ final class Compiler(graph: PropertyGraph) {
     // implies endpoint labels (EdgeType src/dst); an orientation whose
     // labels contradict the pattern's labels (or already-bound variables)
     // can never match — per-label id spaces make the guard mandatory, not
-    // an optimization.
-    val fromLabel: Option[String] = ctx.nodeLabel(fromVar)
-    val toLabel: Option[String] =
-      node.labels.headOption.orElse(ctx.nodeLabel(nVar))
+    // an optimization. Multi-label vars match on ANY of their labels;
+    // union (label-less) vars match every orientation, with the per-row
+    // label re-checked in the join condition.
+    val fromLabels: Seq[String] = ctx.bindings.get(fromVar) match {
+      case Some(b: NodeBinding) => b.labels
+      case _ => Seq.empty // UnionNode or unbound: all orientations allowed
+    }
+    val fromUnion = ctx.bindings.get(fromVar).contains(UnionNode)
+    val toLabels: Seq[String] =
+      if (node.labels.nonEmpty) node.labels
+      else ctx.bindings.get(nVar) match {
+        case Some(b: NodeBinding) => b.labels
+        case _ => Seq.empty
+      }
+    val toUnion = ctx.bindings.get(nVar).contains(UnionNode)
     val orientations: Seq[Direction] = edge.direction match {
       case Undirected => Seq(Out, In)
       case d => Seq(d)
@@ -559,32 +637,37 @@ final class Compiler(graph: PropertyGraph) {
       et = graph.edgeType(t)
       startLabel = if (o == Out) et.srcLabel else et.dstLabel
       endLabel = if (o == Out) et.dstLabel else et.srcLabel
-      if fromLabel.forall(_ == startLabel)
-      if toLabel.forall(_ == endLabel)
+      if fromLabels.isEmpty || fromLabels.contains(startLabel)
+      if toLabels.isEmpty || toLabels.contains(endLabel)
     } yield (t, o)
     if (combos.isEmpty)
       throw new GqlCompileException(
         s"pattern can never match: no orientation of [${eTypes.mkString("|")}] " +
-          s"connects ${fromLabel.getOrElse("?")} to ${toLabel.getOrElse("?")}")
+          s"connects ${fromLabels.mkString("|")} to ${toLabels.mkString("|")}")
     val endLabels = combos.map { case (t, o) =>
       val et = graph.edgeType(t)
       if (o == Out) et.dstLabel else et.srcLabel
     }.distinct
-    if (endLabels.size > 1)
-      throw new GqlCompileException(
-        s"ambiguous target label for $nVar: ${endLabels.mkString(", ")} — add a label")
 
     // edge table: union of valid oriented combos. For named edge vars the
     // raw (pre-orientation) endpoints survive as <eVar>_src/<eVar>_dst —
     // IS SOURCE/DESTINATION OF and SOURCE()/DESTINATION() read them;
-    // Catalyst prunes them when unused.
+    // Catalyst prunes them when unused. When an endpoint var is
+    // label-less (UnionNode), the combo's endpoint label rides along so
+    // the join can match ids within the right label's id space only.
     val named = edge.variable.isDefined
     val srcCol = fresh("src"); val dstCol = fresh("dst")
+    val fromLabelCol = fresh("fromLabel"); val endLabelCol = fresh("endLabel")
     def orient(t: String, o: Direction): DataFrame = {
       val (_, raw) = graph.edgeTables(t)
+      val et = graph.edgeType(t)
       var base = raw.withColumn("__label", lit(t))
       if (named) base = base.withColumn("__esrc", col("src"))
         .withColumn("__edst", col("dst"))
+      if (fromUnion) base = base.withColumn(fromLabelCol,
+        lit(if (o == Out) et.srcLabel else et.dstLabel))
+      if (toUnion || endLabels.size > 1) base = base.withColumn(endLabelCol,
+        lit(if (o == Out) et.dstLabel else et.srcLabel))
       o match {
         case In => base.withColumnRenamed("dst", srcCol).withColumnRenamed("src", dstCol)
         case _ => base.withColumnRenamed("src", srcCol).withColumnRenamed("dst", dstCol)
@@ -594,13 +677,20 @@ final class Compiler(graph: PropertyGraph) {
       a.unionByName(b, allowMissingColumns = true))
     // prefix edge prop columns
     val keep = e.columns.filterNot(c =>
-      c == srcCol || c == dstCol || c == "__label" || c == "__esrc" || c == "__edst")
+      c == srcCol || c == dstCol || c == "__label" || c == "__esrc" ||
+        c == "__edst" || c == fromLabelCol || c == endLabelCol)
     e = keep.foldLeft(e)((acc, c) =>
       acc.withColumnRenamed(c, if (c == "eid") s"${eVar}_eid" else s"${eVar}_$c"))
       .withColumnRenamed("__label", s"${eVar}_label")
     if (named) e = e.withColumnRenamed("__esrc", s"${eVar}_src")
       .withColumnRenamed("__edst", s"${eVar}_dst")
-    var joined = df.join(e, col(s"${fromVar}_id") === col(srcCol))
+    val joinCond =
+      if (fromUnion)
+        col(s"${fromVar}_id") === col(srcCol) &&
+          col(s"${fromVar}_label") === col(fromLabelCol)
+      else col(s"${fromVar}_id") === col(srcCol)
+    var joined = df.join(e, joinCond)
+    if (fromUnion) joined = joined.drop(fromLabelCol)
     edge.props.foreach { case (k, v) =>
       joined = joined.filter(col(s"${eVar}_$k") === compileExpr(v, ctx))
     }
@@ -608,25 +698,44 @@ final class Compiler(graph: PropertyGraph) {
 
     // target node
     if (ctx.bindings.contains(nVar)) {
-      val out = joined.filter(col(dstCol) === col(s"${nVar}_id"))
-        .drop(srcCol, dstCol)
-      var out2 = out
+      var out = joined.filter(
+        if (toUnion)
+          col(dstCol) === col(s"${nVar}_id") &&
+            col(s"${nVar}_label") === col(endLabelCol)
+        else col(dstCol) === col(s"${nVar}_id"))
+        .drop(srcCol, dstCol, endLabelCol)
       node.props.foreach { case (k, v) =>
-        out2 = out2.filter(col(s"${nVar}_$k") === compileExpr(v, ctx))
+        out = out.filter(col(s"${nVar}_$k") === compileExpr(v, ctx))
       }
-      (out2, ctx, nVar)
+      (out, ctx, nVar)
+    } else if (endLabels.size > 1) {
+      // several possible target labels (e.g. label-less target over mixed
+      // edge types): bind as a union var, label carried per-row
+      if (node.props.nonEmpty || usedProps.getOrElse(nVar, Set.empty).nonEmpty)
+        throw new GqlCompileException(
+          s"ambiguous target label for $nVar (${endLabels.mkString(", ")}) — " +
+            "add a label to read its properties")
+      ctx = Ctx(ctx.bindings + (nVar -> UnionNode))
+      (joined.withColumnRenamed(dstCol, s"${nVar}_id")
+        .withColumnRenamed(endLabelCol, s"${nVar}_label")
+        .drop(srcCol), ctx, nVar)
     } else {
       val label = endLabels.head
-      ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(label)))
-      if (node.props.isEmpty && usedProps.getOrElse(nVar, Set.empty).isEmpty) {
+      ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(
+        if (node.labels.nonEmpty) node.labels else Seq(label))))
+      if (node.props.isEmpty && usedProps.getOrElse(nVar, Set.empty).isEmpty &&
+          node.labels.size <= 1) {
         // no property of nVar is ever read: the edge's dst column IS the
         // node identity and the edge type guarantees the label — elide
         // the node-table join entirely
-        (joined.withColumnRenamed(dstCol, s"${nVar}_id").drop(srcCol), ctx, nVar)
+        (joined.withColumnRenamed(dstCol, s"${nVar}_id")
+          .drop(srcCol, endLabelCol), ctx, nVar)
       } else {
-        val n = scanNode(label, nVar, node.props, ctx)
+        val n = scanNodeMulti(
+          if (node.labels.nonEmpty) node.labels else Seq(label),
+          nVar, node.props, ctx)
         val out = joined.join(n, col(dstCol) === col(s"${nVar}_id"))
-          .drop(srcCol, dstCol)
+          .drop(srcCol, dstCol, endLabelCol)
         (out, ctx, nVar)
       }
     }
@@ -649,24 +758,36 @@ final class Compiler(graph: PropertyGraph) {
       case In => GDir.In
       case Undirected => GDir.Both
     }
-    val start = df.select(col(s"${fromVar}_id").as("start_id")).distinct()
+    // a label-less (union) start var must be restricted to the edge
+    // type's start-label id space before the traversal
+    val et0 = graph.edgeType(t)
+    val startLabels = dir match {
+      case GDir.Out => Seq(et0.srcLabel)
+      case GDir.In => Seq(et0.dstLabel)
+      case GDir.Both => Seq(et0.srcLabel, et0.dstLabel).distinct
+    }
+    val dfR =
+      if (ctx.bindings.get(fromVar).contains(UnionNode))
+        df.filter(col(s"${fromVar}_label").isin(startLabels.map(x => x: Any): _*))
+      else df
+    val start = dfR.select(col(s"${fromVar}_id").as("start_id")).distinct()
     val reach = graph.paths(start, t, lo, hi, PathSemantics.Walk, dir)
       .select(col("start_id"), col("end_id")).distinct()
     val nVar = node.variable.getOrElse(fresh("n"))
-    val joined = df.join(reach, col(s"${fromVar}_id") === col("start_id"))
+    val joined = dfR.join(reach, col(s"${fromVar}_id") === col("start_id"))
     if (ctx.bindings.contains(nVar)) {
       (joined.filter(col("end_id") === col(s"${nVar}_id"))
         .drop("start_id", "end_id"), ctx, nVar)
     } else if (node.props.isEmpty && usedProps.getOrElse(nVar, Set.empty).isEmpty) {
       val label = node.labels.headOption.getOrElse(graph.edgeType(t).dstLabel)
-      ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(label)))
+      ctx = Ctx(ctx.bindings + (nVar -> NodeBinding.one(label)))
       (joined.withColumnRenamed("end_id", s"${nVar}_id").drop("start_id"), ctx, nVar)
     } else {
       val label = node.labels.headOption.getOrElse(graph.edgeType(t).dstLabel)
       val n = scanNode(label, nVar, node.props, ctx)
       val out = joined.join(n, col("end_id") === col(s"${nVar}_id"))
         .drop("start_id", "end_id")
-      ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(label)))
+      ctx = Ctx(ctx.bindings + (nVar -> NodeBinding.one(label)))
       (out, ctx, nVar)
     }
   }
@@ -772,7 +893,7 @@ final class Compiler(graph: PropertyGraph) {
     case StrLit(s) => lit(s)
     case ListLit(items) => array(items.map(compileExpr(_, ctx)): _*)
     case Ident(v) => ctx.bindings.get(v) match {
-      case Some(NodeBinding(_)) => col(s"${v}_id")
+      case Some(NodeBinding(_)) | Some(UnionNode) => col(s"${v}_id")
       case Some(EdgeBinding(_)) => col(s"${v}_eid")
       case _ => col(v)
     }
@@ -809,7 +930,7 @@ final class Compiler(graph: PropertyGraph) {
         case _ => throw new GqlCompileException(
           "IS SOURCE/DESTINATION OF expects node and edge variables")
       }
-      if (!ctx.bindings.get(nv).exists(_.isInstanceOf[NodeBinding]))
+      if (!ctx.isNodeLike(nv))
         throw new GqlCompileException(s"$nv is not a node variable")
       if (!ctx.bindings.get(ev).exists(_.isInstanceOf[EdgeBinding]))
         throw new GqlCompileException(s"$ev is not an edge variable")
@@ -829,7 +950,10 @@ final class Compiler(graph: PropertyGraph) {
     case IsLabeled(x, label, neg) =>
       x match {
         case Ident(v) => ctx.bindings.get(v) match {
-          case Some(NodeBinding(l)) => lit((l == label) != neg)
+          case Some(NodeBinding(ls)) => lit(ls.contains(label) != neg)
+          case Some(UnionNode) =>
+            val c = col(s"${v}_label") === lit(label)
+            if (neg) !c else c
           case Some(EdgeBinding(l)) => lit((l == label) != neg)
           case _ => throw new GqlCompileException(s"IS :$label expects a node/edge variable")
         }
@@ -1000,12 +1124,13 @@ final class Compiler(graph: PropertyGraph) {
       case "EXTRACT_DAY" | "DAY" => dayofmonth(a(0)).cast("long")
       // graph (graph_functions.rs)
       case "ID" => ctx.bindings.get(varName(0)) match {
-        case Some(NodeBinding(_)) => col(s"${varName(0)}_id")
+        case Some(NodeBinding(_)) | Some(UnionNode) => col(s"${varName(0)}_id")
         case Some(EdgeBinding(_)) => col(s"${varName(0)}_eid")
         case _ => throw new GqlCompileException(s"ID() expects a node/edge variable")
       }
       case "LABELS" => ctx.bindings.get(varName(0)) match {
-        case Some(NodeBinding(l)) => array(lit(l))
+        case Some(NodeBinding(ls)) => array(ls.map(lit): _*)
+        case Some(UnionNode) => array(col(s"${varName(0)}_label"))
         case _ => throw new GqlCompileException("LABELS() expects a node variable")
       }
       case "TYPE" => ctx.bindings.get(varName(0)) match {
@@ -1029,19 +1154,20 @@ final class Compiler(graph: PropertyGraph) {
             s"PROPERTY_EXISTS expects a literal property name, got $other")
         }
         ctx.bindings.get(v) match {
-          case Some(NodeBinding(l)) =>
-            lit(graph.nodeTables(l).columns.contains(propName))
+          case Some(NodeBinding(ls)) =>
+            lit(ls.exists(l => graph.nodeTables(l).columns.contains(propName)))
           case _ => throw new GqlCompileException(
             "PROPERTY_EXISTS expects a node variable")
         }
       case "INFERRED_LABELS" => ctx.bindings.get(varName(0)) match {
-        case Some(NodeBinding(l)) => array(lit(l))
+        case Some(NodeBinding(ls)) => array(ls.map(lit): _*)
+        case Some(UnionNode) => array(col(s"${varName(0)}_label"))
         case _ => throw new GqlCompileException(
           "INFERRED_LABELS() expects a node variable")
       }
       case "KEYS" => ctx.bindings.get(varName(0)) match {
-        case Some(NodeBinding(l)) =>
-          val cols = graph.nodeTables(l).columns.sorted
+        case Some(NodeBinding(ls)) =>
+          val cols = ls.flatMap(l => graph.nodeTables(l).columns).distinct.sorted
           array(cols.map(lit): _*)
         case _ => throw new GqlCompileException("KEYS() expects a node variable")
       }
@@ -1051,8 +1177,9 @@ final class Compiler(graph: PropertyGraph) {
       case "PROPERTIES" =>
         val v = varName(0)
         ctx.bindings.get(v) match {
-          case Some(NodeBinding(l)) =>
-            val props = graph.nodeTables(l).columns.filterNot(_ == "id").sorted
+          case Some(NodeBinding(ls)) =>
+            val props = ls.flatMap(l => graph.nodeTables(l).columns)
+              .distinct.filterNot(_ == "id").sorted
             map(props.flatMap(p =>
               Seq(lit(p), col(s"${v}_$p").cast("string"))): _*)
           case Some(EdgeBinding(l)) =>

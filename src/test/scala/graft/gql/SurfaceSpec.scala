@@ -191,6 +191,41 @@ class SurfaceSpec extends AnyFunSuite {
     assert(r.getString(0) == "test")
   }
 
+  // ---- label-less and multi-label patterns ----
+
+  test("label-less MATCH scans the union of all labels") {
+    // the reference's session benchmark query (session_throughput.rs:24-70)
+    assert(one("MATCH (n) RETURN count(n) AS n") == 70L) // 50 accounts + 20 merchants
+    assert(one("MATCH (n) RETURN count(DISTINCT labels(n)) AS n") == 2L)
+  }
+
+  test("label-less node properties pad to NULL across labels") {
+    // balance exists only on Account: Merchant rows are NULL → filtered
+    assert(one("MATCH (n) WHERE n.balance > 1000 RETURN count(n) AS n") == 40L)
+    // category exists only on Merchant
+    assert(one("MATCH (n) WHERE n.category = 'retail' RETURN count(n) AS n") == 20L)
+  }
+
+  test("label-less var constrains per-row label through a hop") {
+    // (n)-[t:Transaction]->(m): only Account rows can be transaction
+    // sources — merchant ids 1..20 must not leak in via numeric overlap
+    assert(one("MATCH (n)-[t:Transaction]->(m:Merchant) " +
+      "RETURN count(t) AS n") == 100L)
+    assert(one("MATCH (n) WHERE n IS :Account RETURN count(n) AS n") == 50L)
+  }
+
+  test("multi-label pattern is the intersection of label tables") {
+    // storage convention: a multi-label node is the same id present in
+    // each label's table — fraud ids 1..20 exist in both Account and
+    // Merchant, so the intersection binds those (with merged properties)
+    assert(one("MATCH (x:Account:Merchant) RETURN count(x) AS n") == 20L)
+    val r = s.gql("MATCH (x:Account:Merchant) WHERE x.id = 3 " +
+      "RETURN x.balance AS b, x.category AS c").collect().head
+    assert(r.getDouble(0) == 300.0 && r.getString(1) == "retail")
+    // same label twice: idempotent
+    assert(one("MATCH (x:Account:Account) RETURN count(x) AS n") == 50L)
+  }
+
   // ---- SESSION RESET ----
 
   test("SESSION RESET clears the current graph") {
