@@ -43,23 +43,27 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** 30-bit engine-stable hash of each shingle. */
+  /** 30-bit engine-stable hash of each shingle — the fused codegen
+    * [[graft.functions.ShingleHash]] expression (shingle build + md5 +
+    * mod + distinct in one loop); bit-identical to
+    * `array_distinct(transform(shingles(text, n), sh ->
+    * pmod(stableHash60(sh), 2^30)))`, which runs interpreted.
+    */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n),
-      sh => pmod(TextAnalysis.stableHash60(sh), lit(1073741824L))))
+    graft.functions.TextHashFunctions.shingleHashes(
+      org.apache.spark.sql.SparkSession.active,
+      TextAnalysis.tokens(text), n, 1073741824L)
 
   /** MinHash signature from an already-computed shingle-hash array column.
-    * Keep the hash array materialized (cached column) when computing many
-    * permutations — referencing `shingleHashes(text)` directly here would
-    * re-run the md5 pass once per permutation (no CSE across projection
-    * expressions).
+    * Computed by the fused codegen [[graft.functions.MinHashSignature]]
+    * expression (one pass over the hash array for all permutations) —
+    * the equivalent `array_min(transform(...))` per permutation runs
+    * Spark's higher-order functions interpreted and is ~5× slower
+    * end-to-end at 32 permutations. Bit-identical output.
     */
-  def minhashFromHashes(hs: Column, numHashes: Int): Column = {
-    val sig = permutations(numHashes).map { case (a, b) =>
-      array_min(transform(hs, h => (h * a + b) % MinhashPrime))
-    }
-    array(sig: _*)
-  }
+  def minhashFromHashes(hs: Column, numHashes: Int): Column =
+    graft.functions.MinHashFunctions.minhash(
+      org.apache.spark.sql.SparkSession.active, hs, numHashes)
 
   /** MinHash signature of a text column (single-expression form; for the
     * multi-use pipeline see [[nearDupPairs]], which materializes the
@@ -126,19 +130,13 @@ object Dedup {
 
   /** SimHash (60-bit): per-token stable hashes vote per bit; the sign of
     * each bit-column sum forms the fingerprint. Near-dups differ in few
-    * bits (Hamming). Pure Column composition; a custom codegen Expression
-    * is the planned fast path at scale.
+    * bits (Hamming). Computed by the fused codegen
+    * [[graft.functions.SimHash60]] expression — bit-identical to the
+    * 60-interpreted-`aggregate` Column formulation it replaces.
     */
-  def simhash60(text: Column): Column = {
-    val hs = transform(TextAnalysis.tokens(text), t => TextAnalysis.stableHash60(t))
-    val bitSums: Seq[Column] = (0 until 60).map { b =>
-      aggregate(hs, lit(0L), (acc, h) =>
-        acc + shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-    }
-    bitSums.zipWithIndex.map { case (s, b) =>
-      when(s > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash60(text: Column): Column =
+    graft.functions.TextHashFunctions.simhash(
+      org.apache.spark.sql.SparkSession.active, TextAnalysis.tokens(text))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =
