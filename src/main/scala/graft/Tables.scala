@@ -35,6 +35,21 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The text/vector tables feed CPU-heavy per-row operators (md5
+    * shingling, minhash, cosine). The local test files are single-row-
+    * group parquet, so the scan plans as ONE task and serializes all that
+    * compute; when scan parallelism is far below the session's cores,
+    * redistribute once up front. On a real multi-file warehouse the scan
+    * already parallelizes and this is a no-op.
+    */
+  private def widen(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    widen(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    widen(s, load(s, d, "embeddings"))
 }

@@ -153,13 +153,16 @@ final class PropertyGraph(
     require(minHops >= 0, "minHops must be >= 0")
     val cap = math.min(maxHops, 10)
     val (_, raw) = edgeTables(edgeLabel)
-    val e = (direction match {
+    val e0 = (direction match {
       case Direction.Out => raw
       case Direction.In  => raw.select(col("dst").as("src"), col("src").as("dst"),
         col("eid"))
       case Direction.Both => raw.select(col("src"), col("dst"), col("eid"))
         .unionAll(raw.select(col("dst").as("src"), col("src").as("dst"), col("eid")))
     }).select(col("src"), col("dst"), col("eid"))
+    // materialize once when iterating multiple hops — a derived edge
+    // frame would otherwise recompute per hop
+    val e = if (cap >= 2) e0.localCheckpoint(true) else e0
 
     var frontier = start.select(
       col("start_id"), col("start_id").as("end_id"),
@@ -199,36 +202,52 @@ final class PropertyGraph(
   def bfs(sources: DataFrame, edgeLabel: String, maxIter: Int,
       direction: Direction = Direction.Out): DataFrame = {
     val (_, raw) = edgeTables(edgeLabel)
+    // materialize once: a derived edge frame (e.g. built from a window
+    // function) would otherwise recompute on every BFS level
     val e = (direction match {
       case Direction.Out => raw
       case Direction.In  => raw.select(col("dst").as("src"), col("src").as("dst"))
       case Direction.Both => raw.select("src", "dst")
         .unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
-    }).select("src", "dst")
+    }).select("src", "dst").localCheckpoint(true)
 
     var visited = sources.select(col("root_id"), col("root_id").as("id"),
       lit(0L).as("dist"))
     var frontier = visited
     var k = 1
     var done = false
-    while (k <= maxIter && !done) {
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(col("root_id"), col("dst").as("id"), lit(k.toLong).as("dist"))
+    // Two BFS levels per materialization: the localCheckpoint job is the
+    // dominant per-iteration cost (scheduling, not data), so halving the
+    // checkpoint count nearly halves wall-clock; a 2-join lineage between
+    // checkpoints stays linear, and Catalyst's exchange reuse shares the
+    // level-1 subplan between the union's two branches.
+    def expand(f: DataFrame, dist: Int, alsoVisited: Option[DataFrame]): DataFrame = {
+      var nx = f.join(e, f("id") === e("src"))
+        .select(col("root_id"), col("dst").as("id"), lit(dist.toLong).as("dist"))
         .distinct()
         .join(visited.select(col("root_id").as("vr"), col("id").as("vi")),
           col("root_id") === col("vr") && col("id") === col("vi"), "left_anti")
-      // materialize each frontier: keeps the plan linear instead of an
-      // exponentially deepening self-referential tree, same reason GraphX
-      // checkpoints Pregel iterations; visited checkpoints every other
-      // round (a 2-join lineage is fine, half the checkpoint jobs)
-      val mat = next.localCheckpoint(true)
+      alsoVisited.foreach { av =>
+        nx = nx.join(av.select(col("root_id").as("vr2"), col("id").as("vi2")),
+          col("root_id") === col("vr2") && col("id") === col("vi2"), "left_anti")
+      }
+      nx
+    }
+    while (k <= maxIter && !done) {
+      val steps = math.min(2, maxIter - k + 1)
+      val f1 = expand(frontier, k, None)
+      val batch =
+        if (steps == 2) f1.unionByName(expand(f1, k + 1, Some(f1)))
+        else f1
+      val mat = batch.localCheckpoint(true)
       if (mat.isEmpty) done = true
       else {
-        val vis = visited.unionByName(mat)
-        visited = if (k % 2 == 0) vis.localCheckpoint(true) else vis
-        frontier = mat
+        visited = visited.unionByName(mat).localCheckpoint(true)
+        frontier =
+          if (steps == 2) mat.filter(col("dist") === lit((k + 1).toLong))
+          else mat
       }
-      k += 1
+      k += steps
     }
     visited.withColumnRenamed("id", "node_id")
   }
