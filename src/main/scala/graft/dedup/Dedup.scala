@@ -106,9 +106,13 @@ object Dedup {
 
   /** Near-dup pairs: LSH candidates verified by exact Jaccard >= tau.
     * The expensive exact measure touches only same-bucket candidates.
+    * `bands <= 0` auto-tunes the banding from the target threshold
+    * ([[graft.similarity.Similarity.tuneBanding]] S-curve rule).
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 8, tau: Double = 0.7): DataFrame = {
+      n: Int = 3, numHashes: Int = 32, bands: Int = 0, tau: Double = 0.7): DataFrame = {
+    val nBands = if (bands > 0) bands
+      else graft.similarity.Similarity.tuneBanding(numHashes, tau)._1
     // one md5 pass over the shingles; signatures derive from the cached
     // array, and the cache serves the three downstream uses (banding +
     // both sides of the candidate join)
@@ -116,7 +120,7 @@ object Dedup {
         shingleHashes(col(textCol), n).as("shingles"))
       .withColumn("sig", minhashFromHashes(col("shingles"), numHashes))
       .cache()
-    val cands = lshCandidatePairs(sigs, "id", "sig", bands, numHashes / bands)
+    val cands = lshCandidatePairs(sigs, "id", "sig", nBands, numHashes / nBands)
     val withSets = cands
       .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")

@@ -495,8 +495,39 @@ final class Compiler(graph: PropertyGraph) {
   // ------------------------------------------------------------------
   // patterns
   // ------------------------------------------------------------------
-  private def compilePath(path: PathPattern, dfIn: Option[DataFrame],
+  /** Anchor selection (the planner's join-order seed — the reference
+    * builds patterns left-to-right, executor.rs pattern matching; we pick
+    * the more selective end): when the pattern's first element is an
+    * unconstrained scan but its last element carries inline props or is
+    * already bound, compile the path reversed so the selective element
+    * anchors the join chain. Every hop join stays an equi-join, so
+    * results are identical; what changes is the size of the intermediate
+    * bindings — at scale the difference between starting from 10 rows vs
+    * 10^9.
+    */
+  private def shouldReverse(p: PathPattern, ctx: Ctx): Boolean = {
+    if (p.hops.isEmpty || p.hops.exists(_._1.quantifier.isDefined)) return false
+    val startBound = p.start.variable.exists(ctx.bindings.contains)
+    val startSelective = startBound || p.start.props.nonEmpty
+    val last = p.hops.last._2
+    val lastBound = last.variable.exists(ctx.bindings.contains)
+    val lastSelective = lastBound || last.props.nonEmpty
+    !startSelective && lastSelective
+  }
+
+  private def reversePath(p: PathPattern): PathPattern = {
+    val nodes = (p.start +: p.hops.map(_._2)).reverse
+    val edges = p.hops.map(_._1).reverse.map(e => e.copy(direction = e.direction match {
+      case Out => In
+      case In => Out
+      case Undirected => Undirected
+    }))
+    PathPattern(nodes.head, edges.zip(nodes.tail))
+  }
+
+  private def compilePath(path0: PathPattern, dfIn: Option[DataFrame],
       ctxIn: Ctx): (DataFrame, Ctx) = {
+    val path = if (shouldReverse(path0, ctxIn)) reversePath(path0) else path0
     var ctx = ctxIn
     var df = dfIn
 

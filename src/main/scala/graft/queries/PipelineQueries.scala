@@ -125,6 +125,18 @@ object PipelineQueries {
         .orderBy($"qid", $"rk")
     }),
 
+    // ---- ANN via IVF (k-means coarse quantizer + nprobe posting-list
+    // probe + exact rerank) — the second scale path next to LSH
+    // (rows-only: k-means float sums are partition-order dependent)
+    "e04_ann_ivf" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter($"vec_id" < 5)
+      new Similarity.IvfIndex(k = 16, nprobe = 4)
+        .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
+        .orderBy($"qid", $"rk")
+    }),
+
     // ---- embedding-cosine near-dup pairs above threshold (rows-only;
     // corpus salted with duplicate vectors so the check has signal)
     "e03_embed_neardup" -> ((s: SparkSession, d: String) => {

@@ -54,6 +54,88 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus;
+    * each vector lives in the posting list of its nearest centroid, and a
+    * query proves only its `nprobe` nearest centroids' lists before the
+    * exact cosine rerank. The second scale path next to hyperplane LSH
+    * (ROADMAP §pipeline): for a 10^9-row corpus, nprobe/k bound the
+    * scanned fraction to nprobe/k of the data.
+    *
+    * Train is one Spark ML KMeans fit (seeded, deterministic); assignment
+    * and probing are narrow maps against the broadcast centroid matrix —
+    * the only shuffle is the candidate equi-join on centroid id.
+    */
+  final class IvfIndex(k: Int, nprobe: Int, seed: Long = 20240303L) {
+    require(nprobe <= k, "nprobe must be <= k")
+
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    /** Train centroids on (vecCol: array<float>) and return the corpus
+      * tagged with its centroid id: (id, vec, cid).
+      */
+    def assign(corpus: DataFrame, idCol: String, vecCol: String): (DataFrame, Array[Array[Double]]) = {
+      val spark = corpus.sparkSession
+      val feat = corpus.select(col(idCol).as("id"),
+          col(vecCol).as("vec"))
+        .withColumn("features", array_to_vector(
+          col("vec").cast("array<double>")))
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+        .fit(feat)
+      val centroids = model.clusterCenters.map(_.toArray)
+      val assigned = model.transform(feat)
+        .select(col("id"), col("vec"), col("prediction").as("cid"))
+      (assigned, centroids)
+    }
+
+    /** Nearest-`nprobe` centroid ids of a vector column, as array<int>. */
+    private def probeCids(vec: Column, centroids: Array[Array[Double]]): Column = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(x => lit(x.toFloat)): _*)
+        struct(graft.functions.VectorFunctions
+          .cosine(org.apache.spark.sql.SparkSession.active, vec, cLit).as("sim"),
+          lit(i).as("cid"))
+      }
+      // top-nprobe by cosine: sort the k (sim, cid) structs descending
+      slice(reverse(array_sort(array(dists: _*))), 1, nprobe)
+        .getField("cid")
+    }
+
+    /** Approximate top-k neighbors: probe nprobe centroid posting lists,
+      * exact-cosine rerank candidates.
+      */
+    def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+        queries: DataFrame, qidCol: String, qvecCol: String, topK: Int): DataFrame = {
+      val spark = corpus.sparkSession
+      val (assigned, centroids) = assign(corpus, idCol, vecCol)
+      val probed = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+        .withColumn("cid", explode(probeCids(col("qvec"), centroids)))
+      val cands = probed.join(assigned.withColumnRenamed("id", "cand_id"), "cid")
+        .filter(col("cand_id") =!= col("qid"))
+      val cos = graft.functions.VectorFunctions
+        .cosine(spark, col("qvec"), col("vec"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+      cands.select(col("qid"), col("cand_id").as("id"), cos.as("score"))
+        .distinct()
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"),
+          col("rk").cast("long").as("rk"))
+    }
+  }
+
+  /** Solve LSH banding parameters for a target Jaccard threshold: among
+    * (bands, rowsPerBand) factorizations of `numHashes`, pick the one
+    * whose S-curve inflection (1/b)^(1/r) lands nearest the threshold —
+    * the standard Leskovec/Rajaraman/Ullman tuning rule.
+    */
+  def tuneBanding(numHashes: Int, tau: Double): (Int, Int) = {
+    val options = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    options.minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - tau) }
+  }
+
   /** Sign-random-projection (SimHash-style) LSH for cosine similarity.
     *
     * `planes(p)(i)` are deterministic pseudo-random ±1 hyperplane weights

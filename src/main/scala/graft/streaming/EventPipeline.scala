@@ -53,4 +53,55 @@ object EventPipeline {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** One event for the typed custom-state pipeline. */
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Custom per-user running state: event count + value sum so far. */
+  final case class UserRunning(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom arbitrary-state aggregation via
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` — the escape hatch
+    * for state machines `session_window` can't express (here: a running
+    * per-user profile updated per micro-batch, emitted on every update).
+    * Works identically over a batch Dataset (state spans the whole input)
+    * so the batch run is the streaming oracle.
+    */
+  def runningUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)({
+        (uid: Long, it: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          Iterator(next)
+      })
+  }
+
+  /** Stream-stream inner join with watermarks: click-like events joined
+    * to purchase-like events of the same user within ±30 minutes. Both
+    * sides carry watermarks so Spark can expire join state — the pattern
+    * that keeps state bounded on unbounded inputs.
+    */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val l = clicks.select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val r = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    l.join(r,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
 }

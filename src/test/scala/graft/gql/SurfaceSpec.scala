@@ -226,6 +226,20 @@ class SurfaceSpec extends AnyFunSuite {
     assert(one("MATCH (x:Account:Account) RETURN count(x) AS n") == 50L)
   }
 
+  // ---- anchor selection ----
+
+  test("anchored-at-end patterns return identical results reversed") {
+    // end node carries the only selective element → compiler anchors there
+    assert(one("MATCH (a:Account)-[t:Transaction]->(m:Merchant {id: 1}) " +
+      "RETURN count(t) AS n") == 5L) // dst=1 ⟺ i ≡ 1 (mod 20): 5 of 100
+    // multi-hop with a selective far end, includes an incoming hop
+    val viaEnd = one("MATCH (a:Account)-[t:Transaction]->(m:Merchant)" +
+      "<-[p:Purchase]-(b:Account {id: 5}) RETURN count(t) AS n")
+    val viaStart = one("MATCH (b:Account {id: 5})-[p:Purchase]->(m:Merchant)" +
+      "<-[t:Transaction]-(a:Account) RETURN count(t) AS n")
+    assert(viaEnd == viaStart)
+  }
+
   // ---- SESSION RESET ----
 
   test("SESSION RESET clears the current graph") {

@@ -110,6 +110,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(knn.head.getAs[Double]("score") == 1.0)
   }
 
+  test("banding auto-tune follows the S-curve rule") {
+    // 32 hashes at tau=0.7: (8 bands, 4 rows) has threshold (1/8)^(1/4)≈.59,
+    // nearest to .7 among the factorizations
+    assert(Similarity.tuneBanding(32, 0.7) == (8, 4))
+    // tau=0.9: (2,16) threshold .9576 (diff .058) edges out (4,8) at .841
+    assert(Similarity.tuneBanding(32, 0.9) == (2, 16))
+    // auto-tuned nearDupPairs still finds planted dups
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "totally different content with no overlap whatsoever in words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text").collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("ivf ann finds the exact duplicate through centroid probing") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dup = vecs.filter($"vec_id" === 0).withColumn("vec_id", lit(99L))
+    val corpus = vecs.unionByName(dup)
+    val ivf = new Similarity.IvfIndex(k = 8, nprobe = 3)
+    val res = ivf.annTopK(corpus, "vec_id", "embedding",
+      vecs.filter($"vec_id" === 0), "vec_id", "embedding", 3).collect()
+    assert(res.nonEmpty)
+    // the planted duplicate shares vec 0's centroid, so nprobe>=1 finds it
+    assert(res.head.getAs[Long]("id") == 99L)
+    assert(res.head.getAs[Double]("score") == 1.0)
+  }
+
   test("ann finds the exact duplicate via LSH buckets") {
     import spark.implicits._
     val dim = 8
@@ -151,6 +185,51 @@ class PipelineSpec extends AnyFunSuite {
       graft.Tables.events(spark, "/root/testdata/sf0.001"), "1 hour")
       .orderBy("wstart", "event_type").collect()
     assert(streamed.sameElements(batch))
+  }
+
+  test("flatMapGroupsWithState running totals equal batch aggregation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evs2").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = graft.streaming.EventPipeline.readEventStream(spark, dir)
+    val q = graft.streaming.EventPipeline.runningUserTotals(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("running").start()
+    q.processAllAvailable(); q.stop()
+    // last update per user == whole-input totals
+    val streamed = spark.sql(
+      """select user_id, max_by(n_events, n_events) n, max_by(total, n_events) t
+        |from running group by user_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 100) / 100)).toSet
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 100) / 100)).toSet
+    assert(streamed == batch)
+  }
+
+  test("stream-stream join with watermarks equals the batch join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evs3").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter($"event_type" === "click"),
+        df.filter($"event_type" === "purchase"))
+    val (sc, sp) = split(graft.streaming.EventPipeline.readEventStream(spark, dir))
+    val q = graft.streaming.EventPipeline.streamStreamJoin(sc, sp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("select * from ssjoin").count()
+    val (bc, bp) = split(graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    val batch = graft.streaming.EventPipeline.streamStreamJoin(bc, bp).count()
+    assert(streamed == batch && batch > 0)
   }
 
   test("system procedures") {
