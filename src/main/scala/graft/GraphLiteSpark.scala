@@ -253,6 +253,23 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         case other => throw new GqlCompileException(s"unknown procedure op $other")
       }
 
+      case IndexStmt(op, name, table, cols) => op match {
+        case "CREATE" =>
+          val created = gls.catalog.createIndex(name, table, cols)
+          // apply the clustered layout now if the session graph is
+          // catalog-backed; in-memory graphs pick it up on save
+          if (created) currentName.foreach(saveGraphAs)
+          Seq(created).toDF("created")
+        case "DROP" =>
+          Seq(gls.catalog.dropIndex(name)).toDF("dropped")
+        case "REINDEX" =>
+          // rebuild = rewrite the persisted graph through the clustered
+          // layout (OPTIMIZE/REINDEX analog)
+          currentName.foreach(saveGraphAs)
+          Seq(name).toDF("reindexed")
+        case other => throw new GqlCompileException(s"unknown index op $other")
+      }
+
       case CallStmt(name, args) =>
         if (name.startsWith("gql.")) {
           val strArgs = args.map(litValue).map(v => if (v == null) "" else v.toString)

@@ -12,7 +12,7 @@ object SystemProcedures {
   val names: Seq[String] = Seq(
     "gql.list_schemas", "gql.list_graphs", "gql.list_functions",
     "gql.show_session", "gql.list_users", "gql.list_roles",
-    "gql.list_grants", "gql.list_procedures")
+    "gql.list_grants", "gql.list_procedures", "gql.list_indexes")
 
   def call(gls: GraphLiteSpark, session: GqlSession, name: String,
       args: Seq[String] = Seq.empty): DataFrame = {
@@ -38,6 +38,9 @@ object SystemProcedures {
         gls.catalog.listGrants().toDF("role_name", "user_name")
       case "gql.list_procedures" =>
         gls.catalog.listProcedures().toDF("procedure_name")
+      case "gql.list_indexes" =>
+        gls.catalog.listIndexes().map { case (n, t, cs) =>
+          (n, t, cs.mkString(",")) }.toDF("index_name", "table_name", "columns")
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: $other")
     }

@@ -159,4 +159,12 @@ object Ast {
       body: Option[String]) extends Statement
   /** CALL name(arg, …) — system or stored procedure. */
   case class CallStmt(name: String, args: Seq[Expr]) extends Statement
+  /** CREATE [GRAPH] INDEX name ON table (cols) | DROP INDEX name |
+    * REINDEX name (ast.rs:1707-1787). The Spark-native index is a
+    * clustered layout: the persisted dataset is range-partitioned and
+    * sorted on the indexed columns so parquet min/max stats prune
+    * row groups/files for predicates on them.
+    */
+  case class IndexStmt(op: String, name: String, table: String,
+      columns: Seq[String]) extends Statement
 }

@@ -75,16 +75,29 @@ final class Parser(tokens: Vector[Token]) {
           val name = ident()
           if (op == "DROP") { expectEnd(); ProcedureStmt("DROP", name, None) }
           else err("CREATE PROCEDURE is handled textually") // see Parser.parseStatement
+        } else if (isSoftKw("INDEX")) {
+          p += 1
+          parseIndexTail(op)
         } else {
           val kind =
             if (tryKw("SCHEMA")) "SCHEMA"
             else { eatKw("GRAPH"); "GRAPH" }
-          eatPunct("/")
-          val schema = ident()
-          val graph = if (tryPunct("/")) Some(ident()) else None
-          if (kind == "GRAPH" && graph.isEmpty) err("GRAPH path needs /schema/graph")
-          expectEnd(); CatalogStmt(op, kind, schema, graph)
+          // CREATE GRAPH INDEX … (ast.rs:4845-4860) vs CREATE GRAPH /path
+          if (kind == "GRAPH" && isSoftKw("INDEX")) {
+            p += 1
+            parseIndexTail(op)
+          } else {
+            eatPunct("/")
+            val schema = ident()
+            val graph = if (tryPunct("/")) Some(ident()) else None
+            if (kind == "GRAPH" && graph.isEmpty) err("GRAPH path needs /schema/graph")
+            expectEnd(); CatalogStmt(op, kind, schema, graph)
+          }
         }
+      case TIdent(s, _) if s.equalsIgnoreCase("REINDEX") =>
+        p += 1
+        val name = ident()
+        expectEnd(); IndexStmt("REINDEX", name, "", Seq.empty)
       case TKw("SESSION", _) =>
         p += 1
         if (trySoftKw("RESET")) { expectEnd(); SessionCtl("RESET") }
@@ -139,6 +152,31 @@ final class Parser(tokens: Vector[Token]) {
             }
         }
       case _ => QueryStmt(parseQuery())
+    }
+  }
+
+  /** `[IF NOT EXISTS] name ON table (col, …)` after CREATE [GRAPH] INDEX,
+    * or `name` after DROP INDEX (parser.rs:4842-4960).
+    */
+  private def parseIndexTail(op: String): Statement = {
+    if (op == "DROP") {
+      val name = ident()
+      expectEnd(); IndexStmt("DROP", name, "", Seq.empty)
+    } else {
+      // optional IF NOT EXISTS
+      if (isSoftKw("IF")) { p += 1; eatKw("NOT"); eatKw("EXISTS") }
+      val name = ident()
+      eatSoftKw("ON")
+      val table = ident()
+      val cols = Vector.newBuilder[String]
+      if (tryPunct("(")) {
+        var more = true
+        while (more) { cols += ident(); more = tryPunct(",") }
+        eatPunct(")")
+      }
+      // optional USING <type> — accepted, layout is always clustered
+      if (trySoftKw("USING")) ident()
+      expectEnd(); IndexStmt("CREATE", name, table, cols.result())
     }
   }
 

@@ -47,10 +47,12 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val dir = graphDir(schema, name)
     val staging = s"$warehouse/$schema/.staging_${name}_${System.nanoTime}"
     g.nodeTables.foreach { case (label, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$staging/nodes_$label")
+      clustered(s"nodes_$label", df)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/nodes_$label")
     }
     g.edgeTables.foreach { case (label, (_, df)) =>
-      df.write.mode(SaveMode.Overwrite).parquet(s"$staging/edges_$label")
+      clustered(s"edges_$label", df)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/edges_$label")
     }
     val meta = g.edgeTables.map { case (label, (et, _)) =>
       s"$label\t${et.srcLabel}\t${et.dstLabel}"
@@ -64,6 +66,54 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p))
       Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+
+  // ---- graph indexes (ast.rs:1707-1787 IndexStatement): the Spark-native
+  // index is a CLUSTERED LAYOUT — the persisted dataset range-partitioned
+  // and sorted on the indexed columns, so parquet min/max statistics
+  // prune files and row groups for predicates on them (the data-clustering
+  // analog of the reference's sled B-tree property indexes).
+
+  private def indexFile = Paths.get(s"$warehouse/_indexes")
+
+  private def readIndexes(): Seq[(String, String, Seq[String])] =
+    if (!Files.exists(indexFile)) Seq.empty
+    else Files.readString(indexFile).split("\n").filter(_.nonEmpty).toSeq
+      .map { l =>
+        val a = l.split("\t", 3)
+        (a(0), a(1), a(2).split(",").toSeq.filter(_.nonEmpty))
+      }
+
+  private def writeIndexes(rows: Seq[(String, String, Seq[String])]): Unit = {
+    Files.createDirectories(Paths.get(warehouse))
+    Files.writeString(indexFile,
+      rows.map { case (n, t, cs) => s"$n\t$t\t${cs.mkString(",")}" }.mkString("\n"))
+  }
+
+  def createIndex(name: String, table: String, columns: Seq[String]): Boolean = {
+    val rows = readIndexes()
+    if (rows.exists(_._1 == name)) false
+    else { writeIndexes(rows :+ ((name, table, columns))); true }
+  }
+
+  def dropIndex(name: String): Boolean = {
+    val rows = readIndexes()
+    val kept = rows.filterNot(_._1 == name)
+    if (kept.size == rows.size) false else { writeIndexes(kept); true }
+  }
+
+  def listIndexes(): Seq[(String, String, Seq[String])] = readIndexes()
+
+  /** Apply the clustered layout for `table` (e.g. "nodes_Account") if an
+    * index covers it and the columns exist in the frame.
+    */
+  private def clustered(table: String, df: DataFrame): DataFrame =
+    readIndexes().find(ix => ix._2 == table &&
+        ix._3.nonEmpty && ix._3.forall(df.columns.contains)) match {
+      case Some((_, _, cols)) =>
+        import org.apache.spark.sql.functions.col
+        df.repartitionByRange(cols.map(col): _*).sortWithinPartitions(cols.map(col): _*)
+      case None => df
+    }
 
   def loadGraph(schema: String, name: String): PropertyGraph = {
     val dir = graphDir(schema, name)

@@ -240,6 +240,24 @@ class SurfaceSpec extends AnyFunSuite {
     assert(viaEnd == viaStart)
   }
 
+  // ---- graph indexes (ast.rs:1707-1787) ----
+
+  test("CREATE INDEX clusters the persisted layout; queries unchanged") {
+    val t = fresh()
+    t.execute("CREATE SCHEMA /ix")
+    t.saveGraphAs("/ix/g")
+    assert(t.execute("CREATE GRAPH INDEX acct_bal ON nodes_Account (balance)")
+      .collect().head.getBoolean(0))
+    assert(t.call("gql.list_indexes").collect()
+      .exists(r => r.getString(0) == "acct_bal" && r.getString(2) == "balance"))
+    // the rewrite kept semantics: predicate on the indexed column
+    assert(t.execute("MATCH (a:Account) WHERE a.balance > 4500 " +
+      "RETURN count(a) AS n").collect().head.getLong(0) == 5L)
+    assert(t.execute("REINDEX acct_bal").collect().head.getString(0) == "acct_bal")
+    assert(t.execute("DROP INDEX acct_bal").collect().head.getBoolean(0))
+    assert(t.call("gql.list_indexes").count() == 0L)
+  }
+
   // ---- SESSION RESET ----
 
   test("SESSION RESET clears the current graph") {
