@@ -270,6 +270,15 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         case other => throw new GqlCompileException(s"unknown index op $other")
       }
 
+      case SelectStmt(path, q) =>
+        val g = path match {
+          case Some(pth) =>
+            val parts = pth.stripPrefix("/").split("/")
+            gls.catalog.loadGraph(parts(0), parts(1))
+          case None => graph
+        }
+        new Compiler(g).compile(q)
+
       case CallStmt(name, args) =>
         if (name.startsWith("gql.")) {
           val strArgs = args.map(litValue).map(v => if (v == null) "" else v.toString)

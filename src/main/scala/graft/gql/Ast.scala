@@ -167,4 +167,10 @@ object Ast {
     */
   case class IndexStmt(op: String, name: String, table: String,
       columns: Seq[String]) extends Statement
+  /** SQL-style `SELECT … FROM [/s/g] MATCH … [WHERE …] [GROUP BY …]
+    * [HAVING …] [ORDER BY …] [LIMIT n]` (ast.rs:43-80 SelectStatement) —
+    * sugar over a single-segment query, optionally against an explicit
+    * catalog graph.
+    */
+  case class SelectStmt(graphPath: Option[String], q: Query) extends Statement
 }

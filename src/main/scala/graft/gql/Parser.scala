@@ -98,6 +98,9 @@ final class Parser(tokens: Vector[Token]) {
         p += 1
         val name = ident()
         expectEnd(); IndexStmt("REINDEX", name, "", Seq.empty)
+      case TIdent(s, _) if s.equalsIgnoreCase("SELECT") =>
+        val (path, q) = parseSelect()
+        expectEnd(); SelectStmt(path, q)
       case TKw("SESSION", _) =>
         p += 1
         if (trySoftKw("RESET")) { expectEnd(); SessionCtl("RESET") }
@@ -248,6 +251,12 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parsePipelineQuery(): Query = {
+    if (isSoftKw("SELECT")) {
+      val (path, q) = parseSelect()
+      if (path.isDefined)
+        err("SELECT … FROM /schema/graph needs session context — use execute()")
+      return q
+    }
     val segs = Vector.newBuilder[Segment]
     var done = false
     while (!done) {
@@ -257,6 +266,41 @@ final class Parser(tokens: Vector[Token]) {
       else if (cur.isInstanceOf[TEnd]) err("query must end with RETURN")
     }
     Query(segs.result())
+  }
+
+  /** SQL-style SELECT (ast.rs:43-80): `SELECT [DISTINCT] items FROM
+    * [/schema/graph] MATCH patterns [WHERE e] [GROUP BY…] [HAVING e]
+    * [ORDER BY…] [SKIP n] [LIMIT n]` — desugars to one query segment.
+    */
+  private def parseSelect(): (Option[String], Query) = {
+    eatSoftKw("SELECT")
+    val distinct = tryKw("DISTINCT")
+    val items = parseReturnItems()
+    eatSoftKw("FROM")
+    val path =
+      if (isPunct("/")) {
+        eatPunct("/"); val schema = ident(); eatPunct("/"); val g = ident()
+        Some(s"/$schema/$g")
+      } else None
+    eatKw("MATCH")
+    val matches = parsePatternList()
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    var groupBy = Vector.empty[Expr]
+    if (tryKw("GROUP")) { eatKw("BY"); groupBy = parseExprList() }
+    var having: Option[Expr] = None
+    if (tryKw("HAVING")) having = Some(parseExpr())
+    var orderBy = Vector.empty[SortItem]
+    if (tryKw("ORDER")) { eatKw("BY"); orderBy = parseSortItems() }
+    var skip: Option[Long] = None
+    var limit: Option[Long] = None
+    var more = true
+    while (more) {
+      if (tryKw("SKIP") || tryKw("OFFSET")) skip = Some(parseLongLit())
+      else if (tryKw("LIMIT")) limit = Some(parseLongLit())
+      else more = false
+    }
+    (path, Query(Seq(Segment(matches, Seq.empty, where, Seq.empty, items,
+      None, distinct, groupBy, having, orderBy, skip, limit))))
   }
 
   /** Parse one segment ending in WITH (false) or RETURN (true). */

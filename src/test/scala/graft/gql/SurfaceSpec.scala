@@ -240,6 +240,28 @@ class SurfaceSpec extends AnyFunSuite {
     assert(viaEnd == viaStart)
   }
 
+  // ---- SQL-style SELECT (ast.rs:43-80; dql_tests.rs:233-285) ----
+
+  test("SELECT ... FROM MATCH mirrors the reference's DQL surface") {
+    assert(one("SELECT count(*) AS total_nodes FROM MATCH (n)") == 70L)
+    val rows = s.gql("SELECT a.id, a.balance FROM MATCH (a:Account) " +
+      "WHERE a.balance > 1000 ORDER BY a.balance DESC LIMIT 10").collect()
+    assert(rows.length == 10 && rows.head.getDouble(1) == 5000.0)
+    assert(count("SELECT DISTINCT m.category FROM MATCH (m:Merchant) " +
+      "ORDER BY m.category") == 1L)
+    val grouped = s.gql("SELECT a.status, count(*) AS account_count " +
+      "FROM MATCH (a:Account) GROUP BY a.status HAVING count(*) > 5 " +
+      "ORDER BY account_count DESC").collect()
+    assert(grouped.length == 1 && grouped.head.getLong(1) == 45L)
+    // explicit graph path via execute()
+    val t = fresh()
+    t.execute("CREATE SCHEMA /dql")
+    t.saveGraphAs("/dql/fraud")
+    t.execute("SESSION RESET")
+    assert(t.execute("SELECT count(*) AS n FROM /dql/fraud MATCH (a:Account)")
+      .collect().head.getLong(0) == 50L)
+  }
+
   // ---- graph indexes (ast.rs:1707-1787) ----
 
   test("CREATE INDEX clusters the persisted layout; queries unchanged") {
