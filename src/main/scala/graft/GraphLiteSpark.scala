@@ -270,6 +270,63 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         case other => throw new GqlCompileException(s"unknown index op $other")
       }
 
+      case PipelineMutationStmt(q, op, target, assigns, removeProps, detach) =>
+        val compiler = new Compiler(graph)
+        val mutExprs: Seq[Ast.Expr] = assigns.map(_._2)
+        val (bdf, bindings) = compiler.compileMutationPipeline(q, mutExprs)
+        val idCol = s"${target}_id"
+        bindings.get(target) match {
+          case Some(nb: compiler.NodeBinding) =>
+            val label = nb.primary
+            op match {
+              case "DELETE" =>
+                val ids = bdf.select(col(idCol).as("id")).distinct()
+                  .localCheckpoint(true)
+                val n = ids.count()
+                currentGraph = Some(graph2.deleteNodesIn(graph, label, ids, detach))
+                Seq(n).toDF("nodes_deleted")
+              case "SET" =>
+                // one update row per id; multi-row matches collapse via max
+                // (document: last-writer order is undefined in the reference
+                // too — a deterministic reduction beats arbitrary-row wins)
+                val valueCols = assigns.map { case (Ast.Prop(_, p), e) =>
+                  org.apache.spark.sql.functions.max(
+                    compiler.columnFor(e, bindings)).as(p)
+                }
+                val updates = bdf.groupBy(col(idCol).as("id"))
+                  .agg(valueCols.head, valueCols.tail: _*)
+                  .localCheckpoint(true)
+                val n = updates.count()
+                currentGraph = Some(graph2.setNodePropsFrom(graph, label,
+                  updates, assigns.map(_._1.prop)))
+                Seq(n).toDF("properties_set")
+              case "REMOVE" =>
+                val updates = bdf.select(col(idCol).as("id")).distinct()
+                  .localCheckpoint(true)
+                val withNulls = removeProps.foldLeft(updates)((d, pr) =>
+                  d.withColumn(pr.prop, lit(null)))
+                val n = updates.count()
+                currentGraph = Some(graph2.setNodePropsFrom(graph, label,
+                  withNulls, removeProps.map(_.prop)))
+                Seq(n).toDF("properties_removed")
+              case other => throw new GqlCompileException(s"unknown mutation $other")
+            }
+          case Some(eb: compiler.EdgeBinding) =>
+            val label = eb.label
+            op match {
+              case "DELETE" =>
+                val eids = bdf.select(col(s"${target}_eid").as("eid")).distinct()
+                  .localCheckpoint(true)
+                val n = eids.count()
+                currentGraph = Some(graph2.deleteEdgesIn(graph, label, eids))
+                Seq(n).toDF("edges_deleted")
+              case other => throw new GqlCompileException(
+                s"pipeline $other on edges is not supported — use the simple form")
+            }
+          case _ => throw new GqlCompileException(
+            s"mutation target $target is not bound by the pipeline")
+        }
+
       case SelectStmt(path, q) =>
         val g = path match {
           case Some(pth) =>

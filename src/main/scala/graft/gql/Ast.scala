@@ -173,4 +173,13 @@ object Ast {
     * catalog graph.
     */
   case class SelectStmt(graphPath: Option[String], q: Query) extends Statement
+  /** MutationPipeline (ast.rs:140-180, executor.rs:7186): a WITH-chained
+    * read pipeline whose final clause mutates — `MATCH … WITH … SET v.p =
+    * expr | REMOVE v.p | [DETACH] DELETE v`. The pipeline computes the
+    * affected (id, value) set; the mutation applies it to the session
+    * graph copy-on-write.
+    */
+  case class PipelineMutationStmt(q: Query, op: String, target: String,
+      assignments: Seq[(Prop, Expr)], props: Seq[Prop],
+      detach: Boolean) extends Statement
 }

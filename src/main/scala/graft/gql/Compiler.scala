@@ -129,6 +129,85 @@ final class Compiler(graph: PropertyGraph) {
     case q: Query => compileQuery(q)
   }
 
+  /** Compile a MutationPipeline's read part (ast.rs:140-180): all
+    * segments run in WITH mode (entities keep their `<v>_id` columns and
+    * bindings), and the properties the final mutation clause reads are
+    * appended to the last projection. Returns the binding table plus the
+    * final variable bindings for the session's mutation step.
+    */
+  def compileMutationPipeline(q: Query,
+      mutationExprs: Seq[Expr]): (DataFrame, Map[String, Binding]) = {
+    val acc = scala.collection.mutable.Map[String, Set[String]]()
+    collectQueryProps(q, acc)
+    mutationExprs.foreach(collectProps(_, acc))
+    usedProps = acc.toMap
+
+    val propRefs = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    def refs(e: Expr): Unit = e match {
+      case Prop(v, p) => propRefs += ((v, p))
+      case Bin(_, l, r) => refs(l); refs(r)
+      case Not(x) => refs(x); case Neg(x) => refs(x)
+      case IsNull(x, _) => refs(x); case IsTruth(x, _, _) => refs(x)
+      case InList(x, items, _) => refs(x); items.foreach(refs)
+      case StringPred(_, l, r, _) => refs(l); refs(r)
+      case CaseExpr(s, ws, o) =>
+        s.foreach(refs); ws.foreach { case (c, v) => refs(c); refs(v) }
+        o.foreach(refs)
+      case Cast(x, _) => refs(x); case Index(x, i) => refs(x); refs(i)
+      case Fn(_, args, _) => args.foreach(refs)
+      case _ => ()
+    }
+    mutationExprs.foreach(refs)
+    val extraItems = propRefs.toSeq.map { case (v, pr) =>
+      ReturnItem(Prop(v, pr), Some(s"${v}_$pr"))
+    }
+    val last = q.segments.last
+    val segs = q.segments.init :+ last.copy(
+      projection = last.projection ++ extraItems)
+
+    var df: Option[DataFrame] = None
+    var bindings = Map.empty[String, Binding]
+    segs.foreach { seg =>
+      val (d2, b2) = compileSegment(seg, df, bindings, isFinal = false)
+      df = Some(d2)
+      bindings = b2
+    }
+    (df.get, bindings)
+  }
+
+  /** Compile an expression against a binding table produced by
+    * [[compileMutationPipeline]] (session mutation support).
+    */
+  def columnFor(e: Expr, bindings: Map[String, Binding]): Column =
+    compileExpr(e, Ctx(bindings))
+
+  private def collectQueryProps(q: Query,
+      acc: scala.collection.mutable.Map[String, Set[String]]): Unit =
+    q.segments.foreach { seg =>
+      seg.where.foreach(collectProps(_, acc))
+      seg.postWhere.foreach(collectProps(_, acc))
+      seg.having.foreach(collectProps(_, acc))
+      seg.steps.foreach {
+        case StUnwind(e, _) => collectProps(e, acc)
+        case StLet(defs) => defs.foreach { case (_, e) => collectProps(e, acc) }
+        case StFilter(e) => collectProps(e, acc)
+      }
+      seg.projection.foreach(it => collectProps(it.expr, acc))
+      seg.groupBy.foreach(collectProps(_, acc))
+      seg.orderBy.foreach(s => collectProps(s.expr, acc))
+      (seg.matches ++ seg.optionalMatches).foreach { p =>
+        (p.start +: p.hops.map(_._2)).foreach { np =>
+          np.props.foreach { case (_, e) => collectProps(e, acc) }
+          np.variable.foreach { v =>
+            val keys = np.props.map(_._1).toSet
+            if (keys.nonEmpty) acc(v) = acc.getOrElse(v, Set.empty) ++ keys
+          }
+        }
+        p.hops.map(_._1).foreach(_.props.foreach { case (_, e) =>
+          collectProps(e, acc) })
+      }
+    }
+
   def compileQuery(q: Query): DataFrame = {
     val acc = scala.collection.mutable.Map[String, Set[String]]()
     q.segments.foreach { seg =>
@@ -288,13 +367,15 @@ final class Compiler(graph: PropertyGraph) {
     val base = df.getOrElse(singleRow)
 
     // ---- projection (+ implicit/explicit grouping) ----
-    // RETURN * expands to every bound variable (entities as ids), sorted
-    val expanded: Seq[ReturnItem] = seg.projection match {
-      case Seq(ReturnItem(Star(), _)) =>
+    // RETURN * expands to every bound variable (entities as ids), sorted;
+    // a Star may also appear alongside explicit items (mutation pipelines
+    // append the properties the final SET reads)
+    val expanded: Seq[ReturnItem] = seg.projection.flatMap {
+      case ReturnItem(Star(), _) =>
         ctx.bindings.toSeq.sortBy(_._1).filterNot(_._1.startsWith("__")).map {
           case (v, _) => ReturnItem(Ident(v), None)
         }
-      case other => other
+      case other => Seq(other)
     }
     val items = expanded.zipWithIndex.map { case (it, i) =>
       (it, itemName(it, i, ctx, isFinal))
@@ -975,9 +1056,10 @@ final class Compiler(graph: PropertyGraph) {
       }
     case IsNormalized(x, neg) =>
       // reference semantics (executor.rs:8871-8881): strings count as
-      // normalized, non-strings don't — a per-schema constant here
-      val c = call_function("typeof", compileExpr(x, ctx)) === lit("string")
-      if (neg) !c else c
+      // normalized, non-strings don't. The subject's type is static per
+      // schema, so this resolves at compile time (also avoids Spark
+      // 4.1.2's broken `typeof` codegen).
+      lit(isStringTyped(x, ctx) != neg)
     case IsLabeled(x, label, neg) =>
       x match {
         case Ident(v) => ctx.bindings.get(v) match {
@@ -993,6 +1075,31 @@ final class Compiler(graph: PropertyGraph) {
     case ExistsPattern(_) =>
       throw new GqlCompileException(
         "EXISTS patterns are supported only in WHERE / FILTER positions")
+  }
+
+  /** Static string-typedness of an expression (for IS NORMALIZED). */
+  private def isStringTyped(e: Expr, ctx: Ctx): Boolean = e match {
+    case StrLit(_) => true
+    case NumLit(_, _) | BoolLit(_) | NullLit() | ListLit(_) => false
+    case Prop(v, p) => ctx.bindings.get(v) match {
+      case Some(NodeBinding(ls)) => ls.exists(l =>
+        graph.nodeTables(l).schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(p) &&
+            f.dataType == org.apache.spark.sql.types.StringType))
+      case Some(EdgeBinding(l)) =>
+        graph.edgeTables(l)._2.schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(p) &&
+            f.dataType == org.apache.spark.sql.types.StringType)
+      case _ => false
+    }
+    case Ident(_) => false // entities/ids are not strings
+    case Fn(n, _, _) => Set("UPPER", "LOWER", "TRIM", "SUBSTRING",
+      "REPLACE", "REVERSE")(n)
+    case Bin("||", _, _) => true
+    case Cast(_, t) => Set("STRING", "VARCHAR", "TEXT")(t.toUpperCase)
+    case CaseExpr(_, ws, o) =>
+      (ws.map(_._2) ++ o.toSeq).forall(isStringTyped(_, ctx))
+    case _ => false
   }
 
   private def caseExpr(subject: Option[Expr], whens: Seq[(Expr, Expr)],

@@ -16,6 +16,11 @@ import Lexer._
   */
 final class Parser(tokens: Vector[Token]) {
   private var p = 0
+  /** Set while parsing MATCH-prefixed DML: lets a segment end at a
+    * mutation keyword (SET/REMOVE/DELETE/INSERT) instead of RETURN/WITH.
+    */
+  private var allowMutationEnd = false
+  private var mutationEnd = false
 
   private def cur: Token = tokens(p)
   private def advance(): Token = { val t = tokens(p); p += 1; t }
@@ -183,39 +188,66 @@ final class Parser(tokens: Vector[Token]) {
     }
   }
 
-  /** MATCH … INSERT/SET/REMOVE/[DETACH] DELETE (match_set.rs etc.). */
+  /** MATCH … [WITH …]* INSERT/SET/REMOVE/[DETACH] DELETE — both the
+    * simple single-segment DML (match_set.rs etc.) and the WITH-chained
+    * MutationPipeline (ast.rs:140-180).
+    */
   private def parseMatchDml(): Statement = {
-    eatKw("MATCH")
-    val patterns = parsePatternList()
-    val pattern = patterns.head
-    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    allowMutationEnd = true
+    val segsB = Vector.newBuilder[Segment]
+    var done = false
+    while (!done) {
+      val (seg, isReturn) = parseSegment()
+      segsB += seg
+      if (isReturn) done = true
+      else if (cur.isInstanceOf[TEnd]) err("DML must end with a mutation clause")
+    }
+    allowMutationEnd = false
+    if (!mutationEnd) err("expected SET, REMOVE, DELETE or INSERT")
+    mutationEnd = false
+    val segs = segsB.result()
+    val simple = segs.size == 1 && segs.head.steps.isEmpty
+    val pattern = segs.head.matches.headOption.getOrElse(
+      err("DML needs a MATCH pattern"))
+    val where = segs.head.where
+
     if (tryKw("INSERT")) {
-          val ins = parsePathPattern()
-          expectEnd()
-          MatchInsertStmt(patterns, where, ins)
-        } else if (tryKw("SET")) {
-          val as = Vector.newBuilder[(Prop, Expr)]
-          var more = true
-          while (more) {
-            val v = ident(); eatPunct("."); val pr = ident(); eatPunct("=")
-            as += ((Prop(v, pr), parseExpr()))
-            more = tryPunct(",")
-          }
-          expectEnd(); MatchSetStmt(pattern, where, as.result())
-        } else if (tryKw("REMOVE")) {
-          val ps = Vector.newBuilder[Prop]
-          var more = true
-          while (more) {
-            val v = ident(); eatPunct("."); ps += Prop(v, ident())
-            more = tryPunct(",")
-          }
-          expectEnd(); MatchRemoveStmt(pattern, where, ps.result())
-        } else {
-          val detach = tryKw("DETACH")
-          eatKw("DELETE")
-          val target = ident()
-          expectEnd(); MatchDeleteStmt(pattern, where, target, detach)
-        }
+      if (!simple) err("MATCH…INSERT does not take WITH segments")
+      val ins = parsePathPattern()
+      expectEnd()
+      MatchInsertStmt(segs.head.matches, where, ins)
+    } else if (tryKw("SET")) {
+      val as = Vector.newBuilder[(Prop, Expr)]
+      var more = true
+      while (more) {
+        val v = ident(); eatPunct("."); val pr = ident(); eatPunct("=")
+        as += ((Prop(v, pr), parseExpr()))
+        more = tryPunct(",")
+      }
+      expectEnd()
+      if (simple) MatchSetStmt(pattern, where, as.result())
+      else PipelineMutationStmt(Query(segs), "SET",
+        as.result().head._1.variable, as.result(), Seq.empty, detach = false)
+    } else if (tryKw("REMOVE")) {
+      val ps = Vector.newBuilder[Prop]
+      var more = true
+      while (more) {
+        val v = ident(); eatPunct("."); ps += Prop(v, ident())
+        more = tryPunct(",")
+      }
+      expectEnd()
+      if (simple) MatchRemoveStmt(pattern, where, ps.result())
+      else PipelineMutationStmt(Query(segs), "REMOVE",
+        ps.result().head.variable, Seq.empty, ps.result(), detach = false)
+    } else {
+      val detach = tryKw("DETACH")
+      eatKw("DELETE")
+      val target = ident()
+      expectEnd()
+      if (simple) MatchDeleteStmt(pattern, where, target, detach)
+      else PipelineMutationStmt(Query(segs), "DELETE", target,
+        Seq.empty, Seq.empty, detach)
+    }
   }
 
   private def expectEnd(): Unit = cur match {
@@ -346,6 +378,15 @@ final class Parser(tokens: Vector[Token]) {
       } else reading = false
     }
 
+    if (allowMutationEnd && (isKw("SET") || isKw("REMOVE") ||
+        isKw("DELETE") || isKw("DETACH") || isKw("INSERT"))) {
+      // mutation terminator: expose every binding (RETURN *-like) for the
+      // final mutation clause; the keyword itself stays unconsumed
+      mutationEnd = true
+      return (Segment(matches, optMatches, where, steps.result(),
+        Seq(ReturnItem(Star(), None)), None, distinct = false,
+        Vector.empty, None, Vector.empty, None, None), true)
+    }
     val isReturn =
       if (tryKw("RETURN")) true
       else if (tryKw("WITH")) false

@@ -77,7 +77,21 @@ object GraphMutations {
   def deleteNodes(g: PropertyGraph, label: String, pred: Column,
       detach: Boolean = false): PropertyGraph = {
     val t = g.nodeTables(label)
-    val doomed = t.filter(pred).select(col("id")).cache()
+    deleteNodesDoomed(g, label, t.filter(pred).select(col("id")), detach)
+  }
+
+  /** DELETE nodes whose ids appear in `ids` (column `id`) — the
+    * MutationPipeline path (executor.rs:7186): the pipeline computes the
+    * doomed set, this applies it.
+    */
+  def deleteNodesIn(g: PropertyGraph, label: String, ids: DataFrame,
+      detach: Boolean): PropertyGraph =
+    deleteNodesDoomed(g, label, ids.select(col("id")).distinct(), detach)
+
+  private def deleteNodesDoomed(g: PropertyGraph, label: String,
+      doomed0: DataFrame, detach: Boolean): PropertyGraph = {
+    val t = g.nodeTables(label)
+    val doomed = doomed0.cache()
     val incidentTables = g.edgeTables.filter { case (_, (et, _)) =>
       et.srcLabel == label || et.dstLabel == label
     }
@@ -114,6 +128,38 @@ object GraphMutations {
     val (et, e) = g.edgeTables(label)
     val kept = e.filter(!coalesce(pred, lit(false)))
     new PropertyGraph(g.nodeTables, g.edgeTables + (label -> (et, kept)))
+  }
+
+  /** DELETE edges whose eids appear in `eids` (column `eid`). */
+  def deleteEdgesIn(g: PropertyGraph, label: String, eids: DataFrame): PropertyGraph = {
+    val (et, e) = g.edgeTables(label)
+    val doomed = eids.select(col("eid")).distinct()
+    val kept = e.join(doomed, e("eid") === doomed("eid"), "left_anti")
+    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> (et, kept)))
+  }
+
+  /** SET properties from a computed updates table `(id, <prop>, …)` — the
+    * MutationPipeline path: rows joined by id take the new values, others
+    * keep theirs (including genuinely setting NULLs, which a coalesce
+    * would lose — hence the match flag).
+    */
+  def setNodePropsFrom(g: PropertyGraph, label: String, updates: DataFrame,
+      props: Seq[String]): PropertyGraph = {
+    val t = g.nodeTables(label)
+    var u = props.foldLeft(updates.select((col("id") +:
+      props.map(col)): _*))((d, p) => d.withColumnRenamed(p, s"__new_$p"))
+    u = u.withColumn("__matched", lit(true)).withColumnRenamed("id", "__uid")
+    var joined = t.join(u, t("id") === u("__uid"), "left_outer")
+    props.foreach { p =>
+      joined =
+        if (joined.columns.contains(p))
+          joined.withColumn(p,
+            when(col("__matched"), col(s"__new_$p")).otherwise(col(p)))
+        else joined.withColumn(p, when(col("__matched"), col(s"__new_$p")))
+    }
+    val cleaned = joined.drop("__matched", "__uid")
+      .drop(props.map(p => s"__new_$p"): _*)
+    new PropertyGraph(g.nodeTables + (label -> cleaned), g.edgeTables)
   }
 
   /** MATCH … SET on edge properties. */

@@ -144,6 +144,47 @@ class StatementSpec extends AnyFunSuite {
     }
   }
 
+  test("MutationPipeline: MATCH…WITH…SET writes aggregated values") {
+    val s = freshSession()
+    // per-account transaction count becomes a stored property
+    val r = s.execute("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH a, count(t) AS n SET a.tx_count = n")
+    assert(r.collect().head.getLong(0) == 50L)
+    assert(s.execute("MATCH (a:Account) WHERE a.tx_count = 2 " +
+      "RETURN count(a) AS c").collect().head.getLong(0) == 50L)
+    // expressions over pipeline aliases AND target props
+    s.execute("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH a, sum(t.amount) AS total SET a.balance = a.balance + total")
+    assert(s.execute("MATCH (a:Account {id: 1}) RETURN a.balance AS b")
+      .collect().head.getDouble(0) == 100.0 + 51.0 + 71.0) // t1 + t51 amounts
+  }
+
+  test("MutationPipeline: WITH-filtered DETACH DELETE") {
+    val s = freshSession()
+    // delete accounts whose transaction total exceeds a threshold:
+    // total(k) = 100 + (k%30) + ((k+20)%30) > 135 → 11 accounts
+    val r = s.execute("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH a, sum(t.amount) AS total WHERE total > 135 DETACH DELETE a")
+    val deleted = r.collect().head.getLong(0)
+    assert(deleted == 11L)
+    assert(s.execute("MATCH (a:Account) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 50L - deleted)
+  }
+
+  test("MutationPipeline: WITH-filtered REMOVE and edge DELETE") {
+    val s = freshSession()
+    s.execute("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH a, a.risk_score AS risk, count(t) AS n " +
+      "WHERE risk > 4.0 REMOVE a.risk_score")
+    assert(s.execute("MATCH (a:Account) WHERE a.risk_score IS NULL " +
+      "RETURN count(a) AS c").collect().head.getLong(0) == 10L) // ids 41..50
+    val r = s.execute("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH t, t.amount AS amt WHERE amt > 70 DELETE t")
+    assert(r.collect().head.getLong(0) == 27L)
+    assert(s.execute("MATCH (a)-[t:Transaction]->(m) RETURN count(t) AS n")
+      .collect().head.getLong(0) == 73L)
+  }
+
   test("execute dispatches plain queries too") {
     val s = freshSession()
     assert(s.execute("MATCH (m:Merchant) RETURN count(m) AS n")
