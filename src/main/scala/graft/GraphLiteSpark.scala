@@ -338,7 +338,10 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
 
       case CallStmt(name, args) =>
         if (name.startsWith("gql.")) {
-          val strArgs = args.map(litValue).map(v => if (v == null) "" else v.toString)
+          val strArgs = args.map {
+            case Ast.Ident(s) => s // bare identifiers pass as strings
+            case e => Option(litValue(e)).map(_.toString).getOrElse("")
+          }
           SystemProcedures.call(gls, this, name, strArgs)
         } else gls.catalog.loadProcedure(name) match {
           case Some(body) => execute(body)

@@ -12,7 +12,9 @@ object SystemProcedures {
   val names: Seq[String] = Seq(
     "gql.list_schemas", "gql.list_graphs", "gql.list_functions",
     "gql.show_session", "gql.list_users", "gql.list_roles",
-    "gql.list_grants", "gql.list_procedures", "gql.list_indexes")
+    "gql.list_grants", "gql.list_procedures", "gql.list_indexes",
+    "gql.list_graph_types", "gql.authenticate_user", "gql.cache_stats",
+    "gql.clear_cache")
 
   def call(gls: GraphLiteSpark, session: GqlSession, name: String,
       args: Seq[String] = Seq.empty): DataFrame = {
@@ -41,6 +43,25 @@ object SystemProcedures {
       case "gql.list_indexes" =>
         gls.catalog.listIndexes().map { case (n, t, cs) =>
           (n, t, cs.mkString(",")) }.toDF("index_name", "table_name", "columns")
+      case "gql.list_graph_types" =>
+        // graph types are a schema-DDL concept the catalog doesn't
+        // populate yet — an empty typed rowset, like a fresh reference
+        // install (catalog/system_procedures.rs)
+        Seq.empty[(String, String)].toDF("schema_name", "graph_type_name")
+      case "gql.authenticate_user" =>
+        val user = args.headOption.getOrElse(session.user)
+        Seq((user, gls.catalog.listPrincipals("USER").contains(user)))
+          .toDF("user_name", "authenticated")
+      case "gql.cache_stats" =>
+        val rdds = gls.spark.sparkContext.getPersistentRDDs
+        Seq((rdds.size.toLong,
+            rdds.values.map(_.partitions.length.toLong).sum))
+          .toDF("cached_datasets", "cached_partitions")
+      case "gql.clear_cache" =>
+        gls.spark.catalog.clearCache()
+        gls.spark.sparkContext.getPersistentRDDs.values.foreach(
+          _.unpersist(blocking = false))
+        Seq(true).toDF("cleared")
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: $other")
     }

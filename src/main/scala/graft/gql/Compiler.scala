@@ -1255,11 +1255,83 @@ final class Compiler(graph: PropertyGraph) {
       case "DATETIME" => to_timestamp(a(0))
       case "NOW" => current_timestamp()
       case "CURRENT_DATE" => current_date()
+      case "CURRENT_TIME" => date_format(current_timestamp(), "HH:mm:ss")
       case "DATE_ADD" => date_add(a(0), a(1).cast("int"))
       case "DATE_SUB" => date_sub(a(0), a(1).cast("int"))
       case "EXTRACT_YEAR" | "YEAR" => year(a(0)).cast("long")
       case "EXTRACT_MONTH" | "MONTH" => month(a(0)).cast("long")
       case "EXTRACT_DAY" | "DAY" => dayofmonth(a(0)).cast("long")
+      case "HOUR" => hour(a(0)).cast("long")
+      case "MINUTE" => minute(a(0)).cast("long")
+      case "SECOND" => second(a(0)).cast("long")
+      // EXTRACT(field, ts) (temporal_functions.rs:502)
+      case "EXTRACT" =>
+        val field = args(0) match {
+          case Ident(f) => f.toUpperCase
+          case StrLit(f) => f.toUpperCase
+          case other => throw new GqlCompileException(
+            s"EXTRACT expects a field name, got $other")
+        }
+        (field match {
+          case "YEAR" => year(a(1))
+          case "MONTH" => month(a(1))
+          case "DAY" => dayofmonth(a(1))
+          case "HOUR" => hour(a(1))
+          case "MINUTE" => minute(a(1))
+          case "SECOND" => second(a(1))
+          case "DOW" | "DAYOFWEEK" => dayofweek(a(1))
+          case other => throw new GqlCompileException(s"EXTRACT field $other")
+        }).cast("long")
+      // DURATION_NUMERIC(n, 'MINUTES') -> seconds (temporal_functions
+      // .rs:348: returns the scalar second count, not an interval)
+      case "DURATION_NUMERIC" =>
+        val unit = args(1) match {
+          case StrLit(u) => u.toUpperCase
+          case other => throw new GqlCompileException(
+            s"DURATION_NUMERIC expects a unit string, got $other")
+        }
+        val mult = unit match {
+          case "MILLISECOND" | "MILLISECONDS" | "MS" => 0.001
+          case "SECOND" | "SECONDS" | "S" => 1.0
+          case "MINUTE" | "MINUTES" | "M" | "MIN" => 60.0
+          case "HOUR" | "HOURS" | "H" => 3600.0
+          case "DAY" | "DAYS" | "D" => 86400.0
+          case "WEEK" | "WEEKS" | "W" => 604800.0
+          case other => throw new GqlCompileException(s"unknown unit $other")
+        }
+        a(0).cast("double") * lit(mult)
+      // TIME_WINDOW(ts, '<n unit>') -> tumbling window start the row
+      // falls in (temporal_functions.rs:938)
+      case "TIME_WINDOW" =>
+        val widthSecs = args(1) match {
+          case StrLit(w) =>
+            val re = """(\d+)\s*(\w+)""".r
+            w.trim match {
+              case re(n, u) =>
+                val unit = u.toUpperCase match {
+                  case "SECOND" | "SECONDS" => 1L
+                  case "MINUTE" | "MINUTES" => 60L
+                  case "HOUR" | "HOURS" => 3600L
+                  case "DAY" | "DAYS" => 86400L
+                  case other => throw new GqlCompileException(s"window unit $other")
+                }
+                n.toLong * unit
+              case _ => throw new GqlCompileException(s"bad window width: $w")
+            }
+          case other => throw new GqlCompileException(
+            s"TIME_WINDOW expects a width string, got $other")
+        }
+        timestamp_seconds(
+          floor(unix_timestamp(a(0)) / widthSecs) * widthSecs)
+      // timezone functions (timezone_functions.rs). Timestamps are
+      // session-UTC; AT_TIME_ZONE/TIMEZONE re-express them in a zone.
+      case "AT_TIME_ZONE" => from_utc_timestamp(a(0), strArg(args(1)))
+      case "TIMEZONE" => from_utc_timestamp(a(1), strArg(args(0))) // reversed args
+      case "CONVERT_TZ" =>
+        from_utc_timestamp(to_utc_timestamp(a(0), strArg(args(1))), strArg(args(2)))
+      case "GET_TIMEZONE_OFFSET" =>
+        (unix_timestamp(from_utc_timestamp(a(1), strArg(args(0)))) -
+          unix_timestamp(a(1))).cast("long")
       // graph (graph_functions.rs)
       case "ID" => ctx.bindings.get(varName(0)) match {
         case Some(NodeBinding(_)) | Some(UnionNode) => col(s"${varName(0)}_id")
@@ -1343,5 +1415,11 @@ final class Compiler(graph: PropertyGraph) {
   private def intLit(e: Expr): Int = e match {
     case NumLit(v, true) => v.toInt
     case other => throw new GqlCompileException(s"expected integer literal, got $other")
+  }
+
+  private def strArg(e: Expr): String = e match {
+    case StrLit(s) => s
+    case Ident(s) => s
+    case other => throw new GqlCompileException(s"expected string literal, got $other")
   }
 }

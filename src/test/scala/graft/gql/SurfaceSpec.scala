@@ -280,6 +280,34 @@ class SurfaceSpec extends AnyFunSuite {
     assert(t.call("gql.list_indexes").count() == 0L)
   }
 
+  // ---- temporal/timezone function registry completions (§2.8) ----
+
+  test("EXTRACT, DURATION_NUMERIC, TIME_WINDOW, timezone functions") {
+    assert(one("LET ts = datetime('2024-03-15 10:42:30') " +
+      "RETURN extract(HOUR, ts) AS h") == 10L)
+    assert(one("RETURN duration_numeric(30, 'MINUTES') AS s") == 1800.0)
+    assert(one("LET ts = datetime('2024-03-15 10:42:30') " +
+      "RETURN time_window(ts, '1 hour') AS w").toString
+      .startsWith("2024-03-15 10:00"))
+    // UTC 10:42 in New York (EDT, -4) = 06:42
+    assert(one("LET ts = datetime('2024-03-15 10:42:30') " +
+      "RETURN at_time_zone(ts, 'America/New_York') AS t").toString
+      .contains("06:42:30"))
+    assert(one("LET ts = datetime('2024-03-15 10:42:30') " +
+      "RETURN get_timezone_offset('America/New_York', ts) AS o") == -14400L)
+  }
+
+  test("new system procedures") {
+    val t = fresh()
+    t.execute("CREATE USER bob")
+    val auth = t.execute("CALL gql.authenticate_user(bob)").collect().head
+    assert(auth.getString(0) == "bob" && auth.getBoolean(1))
+    assert(t.call("gql.list_graph_types").count() == 0L)
+    assert(t.execute("CALL gql.clear_cache()").collect().head.getBoolean(0))
+    assert(t.call("gql.cache_stats").columns.sameElements(
+      Array("cached_datasets", "cached_partitions")))
+  }
+
   // ---- SESSION RESET ----
 
   test("SESSION RESET clears the current graph") {
