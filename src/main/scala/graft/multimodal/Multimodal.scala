@@ -84,6 +84,60 @@ object Multimodal {
     }
   }
 
+  /** A resized media record (STUB-derived dimensions; the payload stays
+    * opaque — a real resize would transform it).
+    */
+  final case class ResizedMedia(media_id: Long, kind: String,
+      src_width: Int, src_height: Int, width: Int, height: Int,
+      scale: Double)
+
+  /** One sampled frame of a video/audio payload. */
+  final case class SampledFrame(media_id: Long, kind: String,
+      frame_index: Int, frame_hash: Long)
+
+  /** Resize stage: batched per partition with an explicit `batchSize`
+    * knob — the unit a real decoder/resizer would process per call
+    * (exactly the `mapInPandas` batch shape). Aspect-preserving fit into
+    * (targetW, targetH); decode is STUBBED, the batching/schema plumbing
+    * is real.
+    */
+  def resizeStage(media: Dataset[MediaRecord], targetW: Int, targetH: Int,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch init would go here (resizer handles, buffers)
+        batch.iterator.map { r =>
+          val (w, h, _) = StubCodec.decodeFake(r.kind, r.payload)
+          val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
+          ResizedMedia(r.media_id, r.kind, w, h,
+            math.max(1, math.round(w * scale).toInt),
+            math.max(1, math.round(h * scale).toInt), scale)
+        }
+      }
+    }
+  }
+
+  /** Frame-sampling stage: every `everyN`-th frame of video/audio media,
+    * batched like [[resizeStage]]. Frame "hashes" derive deterministically
+    * from the payload hash + index (STUB for a real frame decode).
+    */
+  def frameSampleStage(media: Dataset[MediaRecord], everyN: Int,
+      batchSize: Int = 64): Dataset[SampledFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.kind == "video" || r.kind == "audio")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val (_, _, frames) = StubCodec.decodeFake(r.kind, r.payload)
+            val base = r.payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+            (0 until frames by everyN).map(i =>
+              SampledFrame(r.media_id, r.kind, i, base * 31 + i))
+          }
+        }
+      }
+  }
+
   /** Build a media table from the documents table (text bytes as payload)
     * — gives the pipeline a deterministic binary corpus to flow through.
     */

@@ -170,6 +170,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.forall(f => f.n_bytes > 0 && f.width >= 64 && f.n_frames >= 1))
   }
 
+  test("multimodal resize and frame-sample stages batch correctly") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, "x" * (i.toInt * 7), "en", "s", i * 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
+    val resized = graft.multimodal.Multimodal
+      .resizeStage(media, 128, 128, batchSize = 3).collect()
+    assert(resized.length == 10)
+    assert(resized.forall(r => r.width <= 128 && r.height <= 128 &&
+      r.width >= 1 && (r.width == 128 || r.height == 128)))
+    // batch size must not change results
+    val resized1 = graft.multimodal.Multimodal
+      .resizeStage(media, 128, 128, batchSize = 1000).collect()
+    assert(resized.sortBy(_.media_id).sameElements(resized1.sortBy(_.media_id)))
+    val frames = graft.multimodal.Multimodal
+      .frameSampleStage(media, everyN = 5, batchSize = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => f.frame_index % 5 == 0 &&
+      (f.kind == "video" || f.kind == "audio")))
+  }
+
   test("streaming windowed counts equal batch") {
     val dir = java.nio.file.Files.createTempDirectory("evs").toString
     java.nio.file.Files.copy(
