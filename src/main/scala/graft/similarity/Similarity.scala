@@ -54,50 +54,94 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus;
-    * each vector lives in the posting list of its nearest centroid, and a
-    * query proves only its `nprobe` nearest centroids' lists before the
-    * exact cosine rerank. The second scale path next to hyperplane LSH
-    * (ROADMAP §pipeline): for a 10^9-row corpus, nprobe/k bound the
-    * scanned fraction to nprobe/k of the data.
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over a corpus
+    * sample; each vector lives in the posting list of its nearest
+    * centroid, and a query probes only its `nprobe` nearest centroids'
+    * lists before the exact cosine rerank. The second scale path next to
+    * hyperplane LSH (ROADMAP §pipeline): for a 10^9-row corpus, nprobe/k
+    * bound the scanned fraction.
     *
-    * Train is one Spark ML KMeans fit (seeded, deterministic); assignment
-    * and probing are narrow maps against the broadcast centroid matrix —
-    * the only shuffle is the candidate equi-join on centroid id.
+    * The quantizer trains FAISS-style on a bounded driver-side SAMPLE
+    * (local Lloyd iterations, seeded/deterministic) — training on the
+    * full corpus through distributed k-means costs a fleet of jobs and
+    * buys nothing: centroids only partition the space. Assignment and
+    * probing are then narrow codegen'd maps against the centroid
+    * literals; the only shuffle is the candidate equi-join on cid.
     */
-  final class IvfIndex(k: Int, nprobe: Int, seed: Long = 20240303L) {
+  final class IvfIndex(k: Int, nprobe: Int, seed: Long = 20240303L,
+      trainSample: Int = 10000) {
     require(nprobe <= k, "nprobe must be <= k")
 
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    /** Local Lloyd k-means over the sample (Euclidean, 10 rounds). */
+    private def lloyd(sample: Array[Array[Float]]): Array[Array[Double]] = {
+      val n = sample.length
+      val dim = sample.head.length
+      var state = seed
+      def next(): Long = { state = (state * 48271L) % 2147483647L; state }
+      val centroids = Array.tabulate(math.min(k, n))(_ =>
+        sample((next() % n).toInt.abs).map(_.toDouble))
+      val assignOf = new Array[Int](n)
+      for (_ <- 0 until 10) {
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < centroids.length) {
+            var d = 0.0; var j = 0
+            while (j < dim) {
+              val diff = sample(i)(j) - centroids(c)(j); d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assignOf(i) = best
+          i += 1
+        }
+        val sums = Array.fill(centroids.length, dim)(0.0)
+        val counts = new Array[Int](centroids.length)
+        i = 0
+        while (i < n) {
+          val c = assignOf(i); counts(c) += 1
+          var j = 0
+          while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < centroids.length) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          }
+          c += 1
+        }
+      }
+      centroids
+    }
 
-    /** Train centroids on (vecCol: array<float>) and return the corpus
-      * tagged with its centroid id: (id, vec, cid).
+    /** Train centroids on a corpus sample and return the corpus tagged
+      * with its nearest-centroid id: (id, vec, cid).
       */
     def assign(corpus: DataFrame, idCol: String, vecCol: String): (DataFrame, Array[Array[Double]]) = {
-      val spark = corpus.sparkSession
-      val feat = corpus.select(col(idCol).as("id"),
-          col(vecCol).as("vec"))
-        .withColumn("features", array_to_vector(
-          col("vec").cast("array<double>")))
-      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-        .fit(feat)
-      val centroids = model.clusterCenters.map(_.toArray)
-      val assigned = model.transform(feat)
-        .select(col("id"), col("vec"), col("prediction").as("cid"))
+      val sample = corpus.select(col(vecCol)).limit(trainSample)
+        .collect().map(_.getSeq[Float](0).toArray)
+      val centroids = lloyd(sample)
+      val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("cid",
+          element_at(probeCids(col("vec"), centroids, 1), 1))
       (assigned, centroids)
     }
 
-    /** Nearest-`nprobe` centroid ids of a vector column, as array<int>. */
-    private def probeCids(vec: Column, centroids: Array[Array[Double]]): Column = {
+    /** Nearest-`np` centroid ids of a vector column, as array<int>. */
+    private def probeCids(vec: Column, centroids: Array[Array[Double]],
+        np: Int): Column = {
       val dists = centroids.zipWithIndex.map { case (c, i) =>
         val cLit = array(c.map(x => lit(x.toFloat)): _*)
         struct(graft.functions.VectorFunctions
           .cosine(org.apache.spark.sql.SparkSession.active, vec, cLit).as("sim"),
           lit(i).as("cid"))
       }
-      // top-nprobe by cosine: sort the k (sim, cid) structs descending
-      slice(reverse(array_sort(array(dists: _*))), 1, nprobe)
+      // top-np by cosine: sort the k (sim, cid) structs descending
+      slice(reverse(array_sort(array(dists: _*))), 1, np)
         .getField("cid")
     }
 
@@ -109,7 +153,7 @@ object Similarity {
       val spark = corpus.sparkSession
       val (assigned, centroids) = assign(corpus, idCol, vecCol)
       val probed = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
-        .withColumn("cid", explode(probeCids(col("qvec"), centroids)))
+        .withColumn("cid", explode(probeCids(col("qvec"), centroids, nprobe)))
       val cands = probed.join(assigned.withColumnRenamed("id", "cand_id"), "cid")
         .filter(col("cand_id") =!= col("qid"))
       val cos = graft.functions.VectorFunctions
