@@ -20,9 +20,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JVM + whole-stage codegen + one shuffle + parquet footers
+    // warm-up: JVM + whole-stage codegen + one shuffle + parquet footers,
+    // through the same accessors queries use (so the events ns→µs
+    // conversion and the documents/embeddings scan widening warm too)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    Tables.documents(spark, sfDir).count()
+    Tables.embeddings(spark, sfDir).count()
+    Tables.events(spark, sfDir).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
