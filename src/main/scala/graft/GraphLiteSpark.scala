@@ -34,9 +34,17 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     * ROLLBACK restores) — copy-on-write graphs make these O(1).
     */
   private var txStack: List[(Option[PropertyGraph], Option[String])] = Nil
+  /** Session parameters ($name refs) — set via [[setParameter]] or
+    * NEXT…YIELD chains (executor.rs:8612-8641 analog).
+    */
+  private var sessionParams: Map[String, Any] = Map.empty
 
   def currentGraphName: Option[String] = currentName
   def inTransaction: Boolean = txStack.nonEmpty
+  def parameters: Map[String, Any] = sessionParams
+  def setParameter(name: String, value: Any): this.type = {
+    sessionParams += (name -> value); this
+  }
 
   /** CALL gql.* — system procedures (system_procedures.rs:60-91). */
   def call(procedure: String, args: Seq[String] = Seq.empty):
@@ -68,19 +76,55 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     * distributed).
     */
   def gql(query: String): DataFrame =
-    new Compiler(graph).compile(Parser.parse(query))
+    new Compiler(graph, sessionParams).compile(Parser.parse(query))
 
   /** Execute any GQL statement (ast.rs:24-39 dispatch): queries return
     * their result; DML mutates the session's current graph copy-on-write
-    * and returns affected counts; DDL touches the catalog. Persist a
-    * mutated graph with [[saveGraphAs]].
+    * and returns affected counts; DDL touches the catalog; `stmt NEXT
+    * [YIELD …] stmt` chains execute sequentially with YIELD capturing the
+    * previous result's first row into session parameters
+    * (executor.rs:8559-8641). Persist a mutated graph with
+    * [[saveGraphAs]].
     */
   def execute(text: String): DataFrame = {
+    val chunks = NextChain.split(text)
+    if (chunks.size > 1) return executeChain(chunks)
+    executeOne(text)
+  }
+
+  private def executeChain(chunks: Seq[String]): DataFrame = {
+    val spark = gls.spark
+    import spark.implicits._
+    var last = executeOne(chunks.head)
+    chunks.tail.foreach { chunk =>
+      val (yields, rest) = NextChain.yieldPrefix(chunk)
+      if (yields.nonEmpty) {
+        val row = last.limit(1).collect().headOption
+        row.foreach { r =>
+          yields.foreach { case (colName, outName) =>
+            val idx = last.columns.indexOf(colName)
+            if (idx < 0) throw new GqlCompileException(
+              s"YIELD column $colName not in previous result " +
+                s"(${last.columns.mkString(", ")})")
+            sessionParams += (outName -> r.get(idx))
+          }
+        }
+        if (rest.trim.isEmpty)
+          last = yields.map(_._2).map(n =>
+            (n, Option(sessionParams.getOrElse(n, null)).map(_.toString).orNull))
+            .toDF("parameter", "value")
+        else last = executeOne(rest)
+      } else last = executeOne(chunk)
+    }
+    last
+  }
+
+  private def executeOne(text: String): DataFrame = {
     import Ast._
     val spark = gls.spark
     import spark.implicits._
     Parser.parseStatement(text) match {
-      case QueryStmt(q) => new Compiler(graph).compile(q)
+      case QueryStmt(q) => new Compiler(graph, sessionParams).compile(q)
 
       case InsertStmt(nodes) =>
         val byLabel = nodes.groupBy(np => np.labels.headOption.getOrElse(
@@ -121,7 +165,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           throw new GqlCompileException("INSERT edge endpoints must be bound variables"))
         val label = edgePat.types.headOption.getOrElse(
           throw new GqlCompileException("INSERT edge needs a type"))
-        val (binding, varLabels) = new Compiler(graph).compileBinding(matches, where)
+        val (binding, varLabels) = new Compiler(graph, sessionParams).compileBinding(matches, where)
         for (v <- Seq(xVar, yVar) if !binding.columns.contains(s"${v}_id"))
           throw new GqlCompileException(s"INSERT endpoint $v is not bound by MATCH")
         var rows = binding.select(col(s"${xVar}_id").as("src"),
@@ -271,7 +315,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       }
 
       case PipelineMutationStmt(q, op, target, assigns, removeProps, detach) =>
-        val compiler = new Compiler(graph)
+        val compiler = new Compiler(graph, sessionParams)
         val mutExprs: Seq[Ast.Expr] = assigns.map(_._2)
         val (bdf, bindings) = compiler.compileMutationPipeline(q, mutExprs)
         val idCol = s"${target}_id"
@@ -334,7 +378,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
             gls.catalog.loadGraph(parts(0), parts(1))
           case None => graph
         }
-        new Compiler(g).compile(q)
+        new Compiler(g, sessionParams).compile(q)
 
       case CallStmt(name, args) =>
         if (name.startsWith("gql.")) {
@@ -438,7 +482,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     */
   def explain(query: String): String = {
     val ast = Parser.parse(query)
-    val df = new Compiler(graph).compile(ast)
+    val df = new Compiler(graph, sessionParams).compile(ast)
     s"=== AST ===\n$ast\n\n=== Physical plan ===\n" +
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

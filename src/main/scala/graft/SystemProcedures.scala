@@ -14,7 +14,7 @@ object SystemProcedures {
     "gql.show_session", "gql.list_users", "gql.list_roles",
     "gql.list_grants", "gql.list_procedures", "gql.list_indexes",
     "gql.list_graph_types", "gql.authenticate_user", "gql.cache_stats",
-    "gql.clear_cache")
+    "gql.clear_cache", "gql.show_parameters")
 
   def call(gls: GraphLiteSpark, session: GqlSession, name: String,
       args: Seq[String] = Seq.empty): DataFrame = {
@@ -57,6 +57,9 @@ object SystemProcedures {
         Seq((rdds.size.toLong,
             rdds.values.map(_.partitions.length.toLong).sum))
           .toDF("cached_datasets", "cached_partitions")
+      case "gql.show_parameters" =>
+        session.parameters.toSeq.sortBy(_._1).map { case (k, v) =>
+          (k, Option(v).map(_.toString).orNull) }.toDF("parameter", "value")
       case "gql.clear_cache" =>
         gls.spark.catalog.clearCache()
         gls.spark.sparkContext.getPersistentRDDs.values.foreach(

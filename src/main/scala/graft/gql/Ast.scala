@@ -15,6 +15,10 @@ object Ast {
   case class ListLit(items: Seq[Expr]) extends Expr
   /** Bare variable reference (node/edge var, or alias from WITH/RETURN). */
   case class Ident(name: String) extends Expr
+  /** `$name` — session parameter reference (set by NEXT…YIELD chains or
+    * the session API; session/parameters in the reference).
+    */
+  case class Param(name: String) extends Expr
   /** `a.prop` property access. */
   case class Prop(variable: String, prop: String) extends Expr
   /** Function call; `distinct` per ast.rs:537-543. */

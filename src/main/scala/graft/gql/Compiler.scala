@@ -22,7 +22,8 @@ class GqlCompileException(msg: String) extends RuntimeException(msg)
   * column — `RETURN a` yields `a_id`, so DISTINCT and set ops are
   * identity-based exactly like the reference.
   */
-final class Compiler(graph: PropertyGraph) {
+final class Compiler(graph: PropertyGraph,
+    params: Map[String, Any] = Map.empty) {
 
   sealed trait Binding
   /** A node variable constrained to ALL of `labels` (multi-label pattern
@@ -1008,6 +1009,11 @@ final class Compiler(graph: PropertyGraph) {
       case Some(NodeBinding(_)) | Some(UnionNode) => col(s"${v}_id")
       case Some(EdgeBinding(_)) => col(s"${v}_eid")
       case _ => col(v)
+    }
+    case Param(name) => params.get(name) match {
+      case Some(v) => lit(v)
+      case None => throw new GqlCompileException(
+        s"unknown session parameter $$$name")
     }
     case Prop(v, p) => col(s"${v}_$p")
     case CountStar() =>

@@ -722,6 +722,9 @@ final class Parser(tokens: Vector[Token]) {
         p += 1
         NumLit(s.toDouble, isInt = !s.contains('.'))
       case TStr(s, _) => p += 1; StrLit(s)
+      case TPunct("$", _) =>
+        p += 1
+        Param(ident())
       case TPunct("(", _) =>
         p += 1
         val e = parseExpr()

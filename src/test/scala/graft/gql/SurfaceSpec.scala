@@ -308,6 +308,34 @@ class SurfaceSpec extends AnyFunSuite {
       Array("cached_datasets", "cached_partitions")))
   }
 
+  // ---- NEXT chains + session parameters (executor.rs:8559-8641) ----
+
+  test("NEXT chains statements; YIELD captures parameters for $refs") {
+    val t = fresh()
+    val r = t.execute(
+      "MATCH (a:Account) RETURN max(a.balance) AS hi " +
+        "NEXT YIELD hi AS threshold " +
+        "MATCH (a:Account) WHERE a.balance = $threshold RETURN a.name AS name")
+    assert(r.collect().head.getString(0) == "Account50")
+    assert(t.parameters("threshold") == 5000.0)
+    assert(t.call("gql.show_parameters").collect()
+      .exists(row => row.getString(0) == "threshold"))
+    // NEXT without a following statement returns the captured params
+    val r2 = t.execute("MATCH (m:Merchant) RETURN count(m) AS n " +
+      "NEXT YIELD n AS merchants")
+    assert(r2.columns.sameElements(Array("parameter", "value")))
+    assert(t.parameters("merchants") == 20L)
+  }
+
+  test("NEXT inside edge patterns or property access does not split") {
+    assert(Parser.parseStatement(
+      "MATCH (a:TestNode) RETURN a.next AS x").isInstanceOf[Ast.QueryStmt])
+    assert(graft.NextChain.split(
+      "MATCH (a)-[:NEXT]->(b) RETURN count(b) AS n").size == 1)
+    assert(graft.NextChain.split(
+      "RETURN 1 AS a NEXT RETURN 2 AS b").size == 2)
+  }
+
   // ---- SESSION RESET ----
 
   test("SESSION RESET clears the current graph") {
