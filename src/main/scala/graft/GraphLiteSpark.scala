@@ -380,6 +380,16 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         }
         new Compiler(g, sessionParams).compile(q)
 
+      // AT /s/g <stmt>: run against another graph's context, restore
+      // after. Mutations inside AT follow session copy-on-write rules:
+      // they affect the AT context only and are NOT auto-persisted (use
+      // saveGraphAs inside an explicit session switch for durable writes).
+      case AtStmt(path, body) =>
+        val (savedG, savedN) = (currentGraph, currentName)
+        useGraph(path)
+        try execute(body)
+        finally { currentGraph = savedG; currentName = savedN }
+
       case CallStmt(name, args) =>
         if (name.startsWith("gql.")) {
           val strArgs = args.map {

@@ -186,4 +186,9 @@ object Ast {
   case class PipelineMutationStmt(q: Query, op: String, target: String,
       assignments: Seq[(Prop, Expr)], props: Seq[Prop],
       detach: Boolean) extends Statement
+  /** `AT /schema/graph <statement>` — execute one statement in another
+    * graph's context, then restore (ast.rs AtLocation,
+    * executor.rs:8593-8700; body kept as text and re-dispatched).
+    */
+  case class AtStmt(path: String, body: String) extends Statement
 }

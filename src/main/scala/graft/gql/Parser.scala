@@ -757,13 +757,17 @@ object Parser {
       case Right(toks) => new Parser(toks).parseQuery()
     }
 
-  // CREATE PROCEDURE keeps its body as raw text (re-parsed at CALL time),
-  // like the reference's stored-procedure catalog entries.
+  // CREATE PROCEDURE and AT keep their bodies as raw text (re-dispatched
+  // at execution time), like the reference's stored-procedure catalog
+  // entries and AtLocation statement lists.
   private val CreateProcRe =
     """(?is)\s*CREATE\s+PROCEDURE\s+(\w+)\s+AS\s+(.+)""".r
+  private val AtRe =
+    """(?is)\s*AT\s+(/\w+/\w+)\s+(.+)""".r
 
   def parseStatement(text: String): Ast.Statement = text match {
     case CreateProcRe(name, body) => Ast.ProcedureStmt("CREATE", name, Some(body.trim))
+    case AtRe(path, body) => Ast.AtStmt(path, body.trim)
     case _ =>
       Lexer.tokenize(text) match {
         case Left(e) => throw new GqlParseException(e)

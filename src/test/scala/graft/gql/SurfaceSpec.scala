@@ -336,6 +336,25 @@ class SurfaceSpec extends AnyFunSuite {
       "RETURN 1 AS a NEXT RETURN 2 AS b").size == 2)
   }
 
+  // ---- AT location (ast.rs AtLocation) ----
+
+  test("AT executes against another graph and restores the session") {
+    val t = fresh()
+    t.execute("CREATE SCHEMA /loc")
+    t.saveGraphAs("/loc/snapshot")
+    // session back on the snapshot after saveGraphAs; mutate the session
+    // copy so the two graphs differ
+    t.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 0.0")
+    t.saveGraphAs("/loc/mutated")
+    t.useGraph("/loc/snapshot")
+    assert(t.execute("AT /loc/mutated MATCH (a:Account {id: 1}) " +
+      "RETURN a.balance AS b").collect().head.getDouble(0) == 0.0)
+    // restored: the session still reads the unmutated snapshot
+    assert(t.execute("MATCH (a:Account {id: 1}) RETURN a.balance AS b")
+      .collect().head.getDouble(0) == 100.0)
+    assert(t.currentGraphName.contains("/loc/snapshot"))
+  }
+
   // ---- SESSION RESET ----
 
   test("SESSION RESET clears the current graph") {
