@@ -87,10 +87,23 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     * [[saveGraphAs]].
     */
   def execute(text: String): DataFrame = {
-    val chunks = NextChain.split(text)
+    // CREATE PROCEDURE / AT keep their bodies as raw text (Parser
+    // re-dispatches them), so a NEXT chain inside the body belongs to the
+    // body — splitting here would truncate the stored procedure and run
+    // the tail chunks in this session. AT still chains correctly: AtStmt
+    // re-enters execute(body) with the target graph active.
+    val chunks =
+      if (RawBodyRe.pattern.matcher(text).matches()) Seq(text)
+      else NextChain.split(text)
     if (chunks.size > 1) return executeChain(chunks)
     executeOne(text)
   }
+
+  /** Statements whose tail is an opaque body — mirror Parser.CreateProcRe
+    * / Parser.AtRe so the split check and the parse agree.
+    */
+  private val RawBodyRe =
+    """(?is)\s*(?:CREATE\s+PROCEDURE\s+\w+\s+AS|AT\s+/\w+/\w+)\s.*""".r
 
   private def executeChain(chunks: Seq[String]): DataFrame = {
     val spark = gls.spark
@@ -193,6 +206,10 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       case MatchSetStmt(pattern, where, assignments) =>
         val (label, isEdge, v) = dmlTarget(pattern,
           assignments.head._1.variable)
+        assignments.map(_._1.variable).find(_ != v).foreach(other =>
+          throw new GqlCompileException(
+            s"SET targets mix variables $v and $other — the simple form " +
+              "mutates a single variable (use a WITH pipeline for several)"))
         val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
         val assigns = assignments.map { case (Prop(_, p), e) =>
           p -> rawColumn(e, v) }.toMap
@@ -206,6 +223,10 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
 
       case MatchRemoveStmt(pattern, where, props) =>
         val (label, isEdge, v) = dmlTarget(pattern, props.head.variable)
+        props.map(_.variable).find(_ != v).foreach(other =>
+          throw new GqlCompileException(
+            s"REMOVE targets mix variables $v and $other — the simple form " +
+              "mutates a single variable (use a WITH pipeline for several)"))
         if (isEdge) throw new GqlCompileException("REMOVE on edges: use SET to null")
         val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
         val affected = graph.nodeScan(label, Some(pred)).count()
@@ -318,57 +339,71 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         val compiler = new Compiler(graph, sessionParams)
         val mutExprs: Seq[Ast.Expr] = assigns.map(_._2)
         val (bdf, bindings) = compiler.compileMutationPipeline(q, mutExprs)
-        val idCol = s"${target}_id"
-        bindings.get(target) match {
-          case Some(nb: compiler.NodeBinding) =>
-            val label = nb.primary
-            op match {
-              case "DELETE" =>
-                val ids = bdf.select(col(idCol).as("id")).distinct()
+        def nodeLabelOf(v: String): String = bindings.get(v) match {
+          case Some(nb: compiler.NodeBinding) => nb.primary
+          case Some(_: compiler.EdgeBinding) => throw new GqlCompileException(
+            s"pipeline $op on edge variable $v is not supported — use the simple form")
+          case _ => throw new GqlCompileException(
+            s"mutation target $v is not bound by the pipeline")
+        }
+        op match {
+          case "DELETE" =>
+            bindings.get(target) match {
+              case Some(eb: compiler.EdgeBinding) =>
+                val eids = bdf.select(col(s"${target}_eid").as("eid")).distinct()
+                  .localCheckpoint(true)
+                val n = eids.count()
+                currentGraph = Some(graph2.deleteEdgesIn(graph, eb.label, eids))
+                Seq(n).toDF("edges_deleted")
+              case _ =>
+                val label = nodeLabelOf(target)
+                val ids = bdf.select(col(s"${target}_id").as("id")).distinct()
                   .localCheckpoint(true)
                 val n = ids.count()
                 currentGraph = Some(graph2.deleteNodesIn(graph, label, ids, detach))
                 Seq(n).toDF("nodes_deleted")
-              case "SET" =>
-                // one update row per id; multi-row matches collapse via max
-                // (document: last-writer order is undefined in the reference
-                // too — a deterministic reduction beats arbitrary-row wins)
-                val valueCols = assigns.map { case (Ast.Prop(_, p), e) =>
+            }
+          case "SET" =>
+            // SET clauses may target several pipeline variables
+            // (`SET a.x = 1, b.y = 2`): group assignments per variable and
+            // apply each group to its own label table. All groups read the
+            // same pre-mutation binding snapshot. One update row per id;
+            // multi-row matches collapse via max (last-writer order is
+            // undefined in the reference too — a deterministic reduction
+            // beats arbitrary-row wins).
+            var g = graph
+            var total = 0L
+            assigns.groupBy(_._1.variable).toSeq.sortBy(_._1).foreach {
+              case (v, as) =>
+                val label = nodeLabelOf(v)
+                val valueCols = as.map { case (Ast.Prop(_, p), e) =>
                   org.apache.spark.sql.functions.max(
                     compiler.columnFor(e, bindings)).as(p)
                 }
-                val updates = bdf.groupBy(col(idCol).as("id"))
+                val updates = bdf.groupBy(col(s"${v}_id").as("id"))
                   .agg(valueCols.head, valueCols.tail: _*)
                   .localCheckpoint(true)
-                val n = updates.count()
-                currentGraph = Some(graph2.setNodePropsFrom(graph, label,
-                  updates, assigns.map(_._1.prop)))
-                Seq(n).toDF("properties_set")
-              case "REMOVE" =>
-                val updates = bdf.select(col(idCol).as("id")).distinct()
+                total += updates.count()
+                g = graph2.setNodePropsFrom(g, label, updates, as.map(_._1.prop))
+            }
+            currentGraph = Some(g)
+            Seq(total).toDF("properties_set")
+          case "REMOVE" =>
+            var g = graph
+            var total = 0L
+            removeProps.groupBy(_.variable).toSeq.sortBy(_._1).foreach {
+              case (v, prs) =>
+                val label = nodeLabelOf(v)
+                val updates = bdf.select(col(s"${v}_id").as("id")).distinct()
                   .localCheckpoint(true)
-                val withNulls = removeProps.foldLeft(updates)((d, pr) =>
+                val withNulls = prs.foldLeft(updates)((d, pr) =>
                   d.withColumn(pr.prop, lit(null)))
-                val n = updates.count()
-                currentGraph = Some(graph2.setNodePropsFrom(graph, label,
-                  withNulls, removeProps.map(_.prop)))
-                Seq(n).toDF("properties_removed")
-              case other => throw new GqlCompileException(s"unknown mutation $other")
+                total += updates.count()
+                g = graph2.setNodePropsFrom(g, label, withNulls, prs.map(_.prop))
             }
-          case Some(eb: compiler.EdgeBinding) =>
-            val label = eb.label
-            op match {
-              case "DELETE" =>
-                val eids = bdf.select(col(s"${target}_eid").as("eid")).distinct()
-                  .localCheckpoint(true)
-                val n = eids.count()
-                currentGraph = Some(graph2.deleteEdgesIn(graph, label, eids))
-                Seq(n).toDF("edges_deleted")
-              case other => throw new GqlCompileException(
-                s"pipeline $other on edges is not supported — use the simple form")
-            }
-          case _ => throw new GqlCompileException(
-            s"mutation target $target is not bound by the pipeline")
+            currentGraph = Some(g)
+            Seq(total).toDF("properties_removed")
+          case other => throw new GqlCompileException(s"unknown mutation $other")
         }
 
       case SelectStmt(path, q) =>

@@ -310,6 +310,17 @@ final class Compiler(graph: PropertyGraph,
             acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
           df = Some(df.get.join(renamed, s"${v}_id"))
         }
+      case (v, UnionNode) if df.isDefined =>
+        // a union var carries (id, label) through WITH; re-join missing
+        // props from the all-labels union scan on the identity pair
+        val needed = usedProps.getOrElse(v, Set.empty)
+        val missing = needed.filterNot(pr => df.get.columns.contains(s"${v}_$pr"))
+        if (missing.nonEmpty) {
+          val all = scanAllLabels(v, Seq.empty, ctx)
+          val side = all.select((Seq(col(s"${v}_id"), col(s"${v}_label")) ++
+            missing.toSeq.sorted.map(pr => col(s"${v}_$pr"))): _*)
+          df = Some(df.get.join(side, Seq(s"${v}_id", s"${v}_label")))
+        }
       case _ => ()
     }
 
@@ -371,11 +382,20 @@ final class Compiler(graph: PropertyGraph,
     // RETURN * expands to every bound variable (entities as ids), sorted;
     // a Star may also appear alongside explicit items (mutation pipelines
     // append the properties the final SET reads)
-    val expanded: Seq[ReturnItem] = seg.projection.flatMap {
+    val expanded0: Seq[ReturnItem] = seg.projection.flatMap {
       case ReturnItem(Star(), _) =>
         ctx.bindings.toSeq.sortBy(_._1).filterNot(_._1.startsWith("__")).map {
           case (v, _) => ReturnItem(Ident(v), None)
         }
+      case other => Seq(other)
+    }
+    // a label-less (union) var carried through WITH projects its per-row
+    // label alongside the id — identity is the (label, id) pair, and the
+    // next segment's hops re-constrain on the label column
+    val expanded: Seq[ReturnItem] = expanded0.flatMap {
+      case it @ ReturnItem(Ident(v), None)
+          if !isFinal && ctx.bindings.get(v).contains(UnionNode) =>
+        Seq(it, ReturnItem(Prop(v, "label"), Some(s"${v}_label")))
       case other => Seq(other)
     }
     val items = expanded.zipWithIndex.map { case (it, i) =>
@@ -460,6 +480,9 @@ final class Compiler(graph: PropertyGraph,
       case (ReturnItem(Ident(v), None), _)
           if !isFinal && ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) =>
         v -> ctx.bindings(v)
+      case (ReturnItem(Ident(v), None), _)
+          if !isFinal && ctx.bindings.get(v).contains(UnionNode) =>
+        v -> UnionNode
       case (_, n) => n -> ValueBinding
     }.toMap
     (out, nextBindings)
@@ -470,7 +493,8 @@ final class Compiler(graph: PropertyGraph,
       // a bare node/edge var carried through WITH keeps its id column
       // name so later segments can keep treating it as an entity
       case Ident(v) if !isFinal &&
-          ctx.bindings.get(v).exists(_.isInstanceOf[NodeBinding]) => s"${v}_id"
+          (ctx.bindings.get(v).exists(_.isInstanceOf[NodeBinding]) ||
+            ctx.bindings.get(v).contains(UnionNode)) => s"${v}_id"
       case Ident(v) if !isFinal &&
           ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) => s"${v}_eid"
       case Ident(v) => v
@@ -1052,7 +1076,30 @@ final class Compiler(graph: PropertyGraph,
         throw new GqlCompileException(s"$nv is not a node variable")
       if (!ctx.bindings.get(ev).exists(_.isInstanceOf[EdgeBinding]))
         throw new GqlCompileException(s"$ev is not an edge variable")
-      val c = col(s"${nv}_id") === col(s"${ev}_${if (dest) "dst" else "src"}")
+      // Ids live in per-label id spaces, so a bare id equality would call
+      // any numeric collision an endpoint. Guard with the label: the
+      // edge's per-row type (`<ev>_label`) determines the endpoint label
+      // (EdgeType src/dst), which must be among the node variable's
+      // labels (per-row `<nv>_label` for union vars). Constant labels
+      // fold at Catalyst's optimizer, so the single-type case costs
+      // nothing at runtime.
+      val endpointLabel = {
+        val pairs = graph.edgeLabels.map { t =>
+          val et = graph.edgeType(t)
+          t -> (if (dest) et.dstLabel else et.srcLabel)
+        }
+        pairs.tail.foldLeft(
+          when(col(s"${ev}_label") === lit(pairs.head._1), lit(pairs.head._2))) {
+          case (acc, (t, l)) => acc.when(col(s"${ev}_label") === lit(t), lit(l))
+        }
+      }
+      val labelOk = ctx.bindings(nv) match {
+        case NodeBinding(ls) => endpointLabel.isin(ls.map(x => x: Any): _*)
+        case UnionNode => endpointLabel === col(s"${nv}_label")
+        case _ => lit(false)
+      }
+      val c = labelOk &&
+        (col(s"${nv}_id") === col(s"${ev}_${if (dest) "dst" else "src"}"))
       if (neg) !c else c
     case IsDirected(x, neg) =>
       x match {

@@ -122,8 +122,19 @@ object Similarity {
       * with its nearest-centroid id: (id, vec, cid).
       */
     def assign(corpus: DataFrame, idCol: String, vecCol: String): (DataFrame, Array[Array[Double]]) = {
-      val sample = corpus.select(col(vecCol)).limit(trainSample)
+      // deterministic spread draw: rank by a hash of the id and take the
+      // first trainSample — Spark executes orderBy+limit as TakeOrdered
+      // (per-partition heap, no full sort), and the hash order is unbiased
+      // even for sorted/clustered corpora, where a bare limit() would
+      // train on the first file's rows only
+      val sample = corpus
+        .select(col(vecCol).as("vec"), col(idCol).as("id"))
+        .orderBy(xxhash64(col("id")), col("id"))
+        .limit(trainSample)
+        .select(col("vec"))
         .collect().map(_.getSeq[Float](0).toArray)
+      if (sample.isEmpty) throw new IllegalArgumentException(
+        "IvfIndex: cannot train the quantizer on an empty corpus")
       val centroids = lloyd(sample)
       val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .withColumn("cid",

@@ -159,6 +159,32 @@ class StatementSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == 100.0 + 51.0 + 71.0) // t1 + t51 amounts
   }
 
+  test("MutationPipeline SET applies each variable's assignments to its own table") {
+    val s = freshSession()
+    // every (a, m) transaction pair is unique in the fixture → n = 1
+    val r = s.execute("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH a, m, count(t) AS n SET a.out_mark = n, m.in_mark = n")
+    assert(r.collect().head.getLong(0) == 70L) // 50 accounts + 20 merchants
+    assert(s.execute("MATCH (a:Account) WHERE a.out_mark = 1 " +
+      "RETURN count(a) AS c").collect().head.getLong(0) == 50L)
+    assert(s.execute("MATCH (m:Merchant) WHERE m.in_mark = 1 " +
+      "RETURN count(m) AS c").collect().head.getLong(0) == 20L)
+    // the columns landed on their own tables, not the first target's
+    intercept[Exception] {
+      s.execute("MATCH (a:Account) RETURN a.in_mark AS x").collect()
+    }
+  }
+
+  test("simple SET mixing variables is rejected") {
+    val s = freshSession()
+    intercept[GqlCompileException] {
+      s.execute("MATCH (a:Account) WHERE a.id = 1 SET a.x = 1, b.y = 2")
+    }
+    intercept[GqlCompileException] {
+      s.execute("MATCH (a:Account) WHERE a.id = 1 REMOVE a.risk_score, b.y")
+    }
+  }
+
   test("MutationPipeline: WITH-filtered DETACH DELETE") {
     val s = freshSession()
     // delete accounts whose transaction total exceeds a threshold:

@@ -94,11 +94,25 @@ class SurfaceSpec extends AnyFunSuite {
     val n2 = one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
       "WHERE m IS DESTINATION OF t RETURN count(t) AS n")
     assert(n2 == 100L)
-    // a_id === t_dst only where src and dst collide numerically:
-    // ((i-1)%50)+1 == ((i-1)%20)+1 ⟺ (i-1) < 20 → transactions 1..20
+    // ids live in per-label id spaces: an Account whose id numerically
+    // collides with the Merchant endpoint is NOT a destination — the
+    // label guard compiles the impossible combination to false
     val n3 = one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
       "WHERE a IS DESTINATION OF t RETURN count(t) AS n")
-    assert(n3 == 20L)
+    assert(n3 == 0L)
+    val n4 = one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE a IS NOT DESTINATION OF t RETURN count(t) AS n")
+    assert(n4 == 100L)
+  }
+
+  test("IS SOURCE/DESTINATION OF guards label-less (union) vars per row") {
+    // (n) scans every label; only genuine Account sources qualify
+    val n = one("MATCH (n)-[t:Transaction]->(m:Merchant) " +
+      "WHERE n IS SOURCE OF t RETURN count(t) AS n")
+    assert(n == 100L)
+    val n2 = one("MATCH (n)-[t:Transaction]->(m:Merchant) " +
+      "WHERE n IS DESTINATION OF t RETURN count(t) AS n")
+    assert(n2 == 0L) // n is bound to the source side, never the Merchant dst
   }
 
   test("IS DIRECTED and IS :Label") {
@@ -212,6 +226,20 @@ class SurfaceSpec extends AnyFunSuite {
     assert(one("MATCH (n)-[t:Transaction]->(m:Merchant) " +
       "RETURN count(t) AS n") == 100L)
     assert(one("MATCH (n) WHERE n IS :Account RETURN count(n) AS n") == 50L)
+  }
+
+  test("label-less var survives WITH into later segments") {
+    // binding (id + per-row label) carried through WITH: the second MATCH
+    // re-constrains on the label so only genuine Account sources join
+    assert(one("MATCH (n) WITH n " +
+      "MATCH (n)-[t:Transaction]->(m:Merchant) RETURN count(t) AS c") == 100L)
+    // the per-row label survives for IS :Label after WITH
+    assert(one("MATCH (n) WITH n WHERE n IS :Account " +
+      "RETURN count(n) AS c") == 50L)
+    // properties re-join on the (id, label) identity in later segments
+    assert(one("MATCH (n) WITH n " +
+      "MATCH (n)-[t:Transaction]->(m:Merchant) " +
+      "RETURN sum(n.balance) AS s") == 255000.0) // 2 × Σ(100·id), id=1..50
   }
 
   test("multi-label pattern is the intersection of label tables") {
@@ -336,6 +364,21 @@ class SurfaceSpec extends AnyFunSuite {
       "RETURN 1 AS a NEXT RETURN 2 AS b").size == 2)
   }
 
+  test("CREATE PROCEDURE keeps a NEXT chain inside the stored body") {
+    val t = fresh()
+    // the chain must be stored whole, not split at the embedded NEXT with
+    // the tail executing immediately in this session
+    t.execute("CREATE PROCEDURE chained AS " +
+      "MATCH (m:Merchant) RETURN count(m) AS n " +
+      "NEXT YIELD n AS stored_count " +
+      "RETURN $stored_count + 1 AS plus_one")
+    assert(!t.parameters.contains("stored_count")) // nothing ran at CREATE
+    val r = t.execute("CALL chained()")
+    assert(r.collect().head.getLong(0) == 21L)
+    assert(t.parameters("stored_count") == 20L) // captured at CALL time
+    t.execute("DROP PROCEDURE chained")
+  }
+
   // ---- AT location (ast.rs AtLocation) ----
 
   test("AT executes against another graph and restores the session") {
@@ -353,6 +396,25 @@ class SurfaceSpec extends AnyFunSuite {
     assert(t.execute("MATCH (a:Account {id: 1}) RETURN a.balance AS b")
       .collect().head.getDouble(0) == 100.0)
     assert(t.currentGraphName.contains("/loc/snapshot"))
+  }
+
+  test("AT with a NEXT chain runs the whole chain in the AT context") {
+    val t = fresh()
+    t.execute("CREATE SCHEMA /loc2")
+    t.saveGraphAs("/loc2/base")
+    t.execute("MATCH (a:Account) WHERE a.id <= 10 DETACH DELETE a")
+    t.saveGraphAs("/loc2/small")
+    t.useGraph("/loc2/base")
+    // both chain statements must see /loc2/small (40 accounts), and the
+    // session graph must be restored afterwards
+    val r = t.execute("AT /loc2/small " +
+      "MATCH (a:Account) RETURN count(a) AS n " +
+      "NEXT YIELD n AS small_n " +
+      "MATCH (a:Account) RETURN count(a) + $small_n AS doubled")
+    assert(r.collect().head.getLong(0) == 80L)
+    assert(t.currentGraphName.contains("/loc2/base"))
+    assert(t.execute("MATCH (a:Account) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 50L)
   }
 
   // ---- SESSION RESET ----
