@@ -34,6 +34,11 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     * ROLLBACK restores) — copy-on-write graphs make these O(1).
     */
   private var txStack: List[(Option[PropertyGraph], Option[String])] = Nil
+  /** Graph type bound to this session's graph (SESSION SET GRAPH TYPE,
+    * or auto-loaded from a CREATE GRAPH … TYPED binding) — the INSERT
+    * validation schema (schema/validator.rs analog).
+    */
+  private var currentType: Option[graft.graph.GraphType.GraphTypeDef] = None
   /** Session parameters ($name refs) — set via [[setParameter]] or
     * NEXT…YIELD chains (executor.rs:8612-8641 analog).
     */
@@ -57,6 +62,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     require(parts.length == 2, s"graph path must be /schema/graph, got $path")
     currentGraph = Some(gls.catalog.loadGraph(parts(0), parts(1)))
     currentName = Some(path)
+    currentType = gls.catalog.graphTypeFor(path)
     this
   }
 
@@ -64,6 +70,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
   def useGraph(g: PropertyGraph): this.type = {
     currentGraph = Some(g)
     currentName = None
+    currentType = None
     this
   }
 
@@ -126,11 +133,26 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           last = yields.map(_._2).map(n =>
             (n, Option(sessionParams.getOrElse(n, null)).map(_.toString).orNull))
             .toDF("parameter", "value")
-        else last = executeOne(rest)
+        else last = executeSeeded(rest, last, yields)
       } else last = executeOne(chunk)
     }
     last
   }
+
+  /** NEXT…YIELD binding-table passing (executor.rs:8559-8641): the
+    * yielded columns of the previous result seed the next statement as a
+    * working table — every row, not just the first-row parameter
+    * snapshot (which is also captured, for $refs and DML statements).
+    * Non-query statements fall back to parameter passing.
+    */
+  private def executeSeeded(text: String, prev: DataFrame,
+      yields: Seq[(String, String)]): DataFrame =
+    Parser.parseStatement(text) match {
+      case Ast.QueryStmt(q) =>
+        val seed = prev.select(yields.map { case (c, o) => col(c).as(o) }: _*)
+        new Compiler(graph, sessionParams).compileSeeded(q, seed)
+      case _ => executeOne(text)
+    }
 
   private def executeOne(text: String): DataFrame = {
     import Ast._
@@ -140,6 +162,17 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       case QueryStmt(q) => new Compiler(graph, sessionParams).compile(q)
 
       case InsertStmt(nodes) =>
+        // schema enforcement against the bound graph type (validator.rs:
+        // 92-126): label known, NOT NULL props present, types conform,
+        // unknown props rejected
+        currentType.foreach { gt =>
+          nodes.foreach { np =>
+            val label = np.labels.headOption.getOrElse(
+              throw new GqlCompileException("INSERT nodes need a label"))
+            graft.graph.GraphType.validateNode(gt, label,
+              np.props.map { case (k, v) => k -> litTag(v) })
+          }
+        }
         val byLabel = nodes.groupBy(np => np.labels.headOption.getOrElse(
           throw new GqlCompileException("INSERT nodes need a label")))
         val counts = byLabel.toSeq.sortBy(_._1).map { case (label, nps) =>
@@ -181,6 +214,9 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         val (binding, varLabels) = new Compiler(graph, sessionParams).compileBinding(matches, where)
         for (v <- Seq(xVar, yVar) if !binding.columns.contains(s"${v}_id"))
           throw new GqlCompileException(s"INSERT endpoint $v is not bound by MATCH")
+        currentType.foreach(gt => graft.graph.GraphType.validateEdge(gt, label,
+          varLabels.getOrElse(xVar, ""), varLabels.getOrElse(yVar, ""),
+          edgePat.props.map { case (k, v) => k -> litTag(v) }))
         var rows = binding.select(col(s"${xVar}_id").as("src"),
             col(s"${yVar}_id").as("dst")).distinct()
           .withColumn("eid", graft.text.TextAnalysis.stableHash60(
@@ -247,13 +283,14 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           Seq(affected).toDF("nodes_deleted")
         }
 
-      case CatalogStmt(op, kind, schema, g) => (op, kind) match {
+      case CatalogStmt(op, kind, schema, g, typed) => (op, kind) match {
         case ("CREATE", "SCHEMA") =>
           gls.catalog.createSchema(schema); Seq(s"/$schema").toDF("created")
         case ("CREATE", "GRAPH") =>
           gls.catalog.createSchema(schema)
           gls.catalog.saveGraph(schema, g.get,
             new PropertyGraph(Map.empty, Map.empty))
+          typed.foreach(t => gls.catalog.bindGraphType(s"/$schema/${g.get}", t))
           Seq(s"/$schema/${g.get}").toDF("created")
         case ("DROP", "SCHEMA") =>
           Seq(gls.catalog.dropSchema(schema)).toDF("dropped")
@@ -262,15 +299,30 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         case other => throw new GqlCompileException(s"unsupported DDL $other")
       }
 
+      case GraphTypeStmt(op, name, definition) => op match {
+        case "CREATE" =>
+          Seq(gls.catalog.saveGraphType(definition.get)).toDF("created")
+        case "DROP" =>
+          Seq(gls.catalog.dropGraphType(name)).toDF("dropped")
+        case other => throw new GqlCompileException(s"unknown graph type op $other")
+      }
+
+      case SessionSetGraphType(name) =>
+        currentType = Some(gls.catalog.loadGraphType(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown graph type: $name")))
+        Seq(name).toDF("graph_type")
+
       case SessionSetGraph(path) =>
         useGraph(path); Seq(path).toDF("current_graph")
 
       case SessionCtl(op) => op match {
         case "RESET" =>
           currentGraph = None; currentName = None; txStack = Nil
+          currentType = None
           Seq("reset").toDF("session")
         case "CLOSE" =>
           currentGraph = None; currentName = None; txStack = Nil
+          currentType = None
           Seq("closed").toDF("session")
         case other => throw new GqlCompileException(s"unknown SESSION op $other")
       }
@@ -501,6 +553,19 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         if (n) !c else c
       case other => throw new GqlCompileException(
         s"unsupported expression in DML: $other")
+    }
+  }
+
+  /** Literal type tag for graph-type validation. */
+  private def litTag(e: Ast.Expr): graft.graph.GraphType.Lit = {
+    import graft.graph.GraphType._
+    e match {
+      case Ast.NumLit(_, true) => LInt
+      case Ast.NumLit(_, false) => LFloat
+      case Ast.StrLit(_) => LString
+      case Ast.BoolLit(_) => LBool
+      case Ast.NullLit() => LNull
+      case other => throw new GqlCompileException(s"expected literal, got $other")
     }
   }
 

@@ -44,10 +44,10 @@ object SystemProcedures {
         gls.catalog.listIndexes().map { case (n, t, cs) =>
           (n, t, cs.mkString(",")) }.toDF("index_name", "table_name", "columns")
       case "gql.list_graph_types" =>
-        // graph types are a schema-DDL concept the catalog doesn't
-        // populate yet — an empty typed rowset, like a fresh reference
-        // install (catalog/system_procedures.rs)
-        Seq.empty[(String, String)].toDF("schema_name", "graph_type_name")
+        gls.catalog.listGraphTypes().map { n =>
+          val gt = gls.catalog.loadGraphType(n).get
+          (n, gt.nodes.size.toLong, gt.edges.size.toLong)
+        }.toDF("graph_type_name", "node_types", "edge_types")
       case "gql.authenticate_user" =>
         val user = args.headOption.getOrElse(session.user)
         Seq((user, gls.catalog.listPrincipals("USER").contains(user)))

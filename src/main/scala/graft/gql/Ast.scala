@@ -41,6 +41,11 @@ object Ast {
   case class Cast(e: Expr, toType: String) extends Expr
   /** arr[i] (ast.rs:1591-1596). */
   case class Index(e: Expr, idx: Expr) extends Expr
+  /** Chained field access on a non-variable base — `f(x).y`,
+    * `a.props.key` (ast.rs property access on arbitrary expressions);
+    * resolves as map-key or struct-field extraction.
+    */
+  case class FieldAccess(e: Expr, field: String) extends Expr
   /** EXISTS { pattern, … } — pattern-as-predicate (executor.rs:9351-9394);
     * compiled to a semi-join (anti under NOT) at top-level conjuncts, or a
     * marker-join boolean column in arbitrary boolean positions.
@@ -120,6 +125,14 @@ object Ast {
   /** q1 UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL] q2. */
   case class SetOpQuery(op: String, all: Boolean, left: QueryExpr,
       right: QueryExpr) extends QueryExpr
+  /** `( q1 UNION q2 ) ORDER BY … [SKIP n] [LIMIT n]` — tail clauses
+    * bound to a parenthesized query group rather than the rightmost
+    * branch (the un-parenthesized form keeps the reference parser's
+    * bind-to-last-branch reading). Sort keys must name output columns
+    * or 1-based positions.
+    */
+  case class OrderedQuery(inner: QueryExpr, orderBy: Seq[SortItem],
+      skip: Option[Long], limit: Option[Long]) extends QueryExpr
 
   // ---- statements (ast.rs:24-39 Statement enum subset) ----
   sealed trait Statement
@@ -140,9 +153,20 @@ object Ast {
   /** MATCH … [WHERE e] REMOVE v.p, … (match_remove.rs analog). */
   case class MatchRemoveStmt(pattern: PathPattern, where: Option[Expr],
       props: Seq[Prop]) extends Statement
-  /** CREATE/DROP SCHEMA|GRAPH /schema[/graph] (catalog DDL, ast.rs:625-644). */
+  /** CREATE/DROP SCHEMA|GRAPH /schema[/graph] (catalog DDL, ast.rs:625-644);
+    * `typed` records a `TYPED <graphType>` binding on CREATE GRAPH.
+    */
   case class CatalogStmt(op: String, kind: String, schema: String,
-      graph: Option[String]) extends Statement
+      graph: Option[String], typed: Option[String] = None) extends Statement
+  /** CREATE GRAPH TYPE name (NODE TYPE …, EDGE TYPE …) / DROP GRAPH TYPE
+    * (schema/parser/graph_type.rs; definition model in graft.graph).
+    */
+  case class GraphTypeStmt(op: String, name: String,
+      definition: Option[graft.graph.GraphType.GraphTypeDef]) extends Statement
+  /** SESSION SET GRAPH TYPE name — bind a type to the session graph for
+    * INSERT validation (schema/validator.rs enforcement point).
+    */
+  case class SessionSetGraphType(name: String) extends Statement
   /** SESSION SET GRAPH /schema/graph (ast.rs:992-1063). */
   case class SessionSetGraph(path: String) extends Statement
   /** SESSION RESET | SESSION CLOSE (ast.rs:992-1063). */

@@ -99,6 +99,7 @@ final class Compiler(graph: PropertyGraph,
       o.foreach(collectProps(_, acc))
     case Cast(x, _) => collectProps(x, acc)
     case Index(x, i) => collectProps(x, acc); collectProps(i, acc)
+    case FieldAccess(x, _) => collectProps(x, acc)
     case ListLit(items) => items.foreach(collectProps(_, acc))
     case IsSrcDst(n, e, _, _) => collectProps(n, acc); collectProps(e, acc)
     case IsNormalized(x, _) => collectProps(x, acc)
@@ -127,7 +128,34 @@ final class Compiler(graph: PropertyGraph,
         case "EXCEPT" => if (all) ld.exceptAll(ra) else ld.except(ra)
         case other => throw new GqlCompileException(s"unknown set op $other")
       }
+    case OrderedQuery(inner, orderBy, skip, limit) =>
+      applyTail(compile(inner), orderBy, skip, limit)
     case q: Query => compileQuery(q)
+  }
+
+  /** Tail ORDER BY / SKIP / LIMIT over a compiled (projected) result —
+    * sort keys resolve against output column names or 1-based positions.
+    */
+  private def applyTail(d0: DataFrame, orderBy: Seq[SortItem],
+      skip: Option[Long], limit: Option[Long]): DataFrame = {
+    var d = d0
+    if (orderBy.nonEmpty) {
+      val sortCols = orderBy.map { s =>
+        val c = s.expr match {
+          case NumLit(v, true) if v >= 1 && v <= d.columns.length =>
+            col(d.columns(v.toInt - 1))
+          case Ident(n) if d.columns.contains(n) => col(n)
+          case Prop(_, pr) if d.columns.contains(pr) => col(pr)
+          case other => throw new GqlCompileException(
+            s"set-op ORDER BY must name an output column or position, got $other")
+        }
+        if (s.ascending) c.asc else c.desc
+      }
+      d = d.orderBy(sortCols: _*)
+    }
+    skip.foreach(n => d = d.offset(n.toInt))
+    limit.foreach(n => d = d.limit(n.toInt))
+    d
   }
 
   /** Compile a MutationPipeline's read part (ast.rs:140-180): all
@@ -155,6 +183,7 @@ final class Compiler(graph: PropertyGraph,
         s.foreach(refs); ws.foreach { case (c, v) => refs(c); refs(v) }
         o.foreach(refs)
       case Cast(x, _) => refs(x); case Index(x, i) => refs(x); refs(i)
+      case FieldAccess(x, _) => refs(x)
       case Fn(_, args, _) => args.foreach(refs)
       case _ => ()
     }
@@ -209,7 +238,38 @@ final class Compiler(graph: PropertyGraph,
       }
     }
 
-  def compileQuery(q: Query): DataFrame = {
+  /** Compile with a seeded working table (NEXT binding-table passing,
+    * executor.rs:8559-8641: YIELD forwards the previous statement's
+    * columns as the next statement's incoming binding table — all rows,
+    * not a scalar snapshot). Each seed column is a value binding; the
+    * first segment's MATCH patterns join onto the seeded rows.
+    */
+  def compileSeeded(q: QueryExpr, seed: DataFrame): DataFrame = q match {
+    case SetOpQuery(op, all, l, r) =>
+      val ld = compileSeeded(l, seed)
+      val rd = compileSeeded(r, seed)
+      if (ld.columns.length != rd.columns.length)
+        throw new GqlCompileException(
+          s"$op sides have ${ld.columns.length} vs ${rd.columns.length} columns")
+      val ra = rd.toDF(ld.columns.toIndexedSeq: _*)
+      op match {
+        case "UNION" => if (all) ld.unionAll(ra) else ld.unionAll(ra).distinct()
+        case "INTERSECT" => if (all) ld.intersectAll(ra) else ld.intersect(ra)
+        case "EXCEPT" => if (all) ld.exceptAll(ra) else ld.except(ra)
+        case other => throw new GqlCompileException(s"unknown set op $other")
+      }
+    case OrderedQuery(inner, orderBy, skip, limit) =>
+      applyTail(compileSeeded(inner, seed), orderBy, skip, limit)
+    case q: Query =>
+      compileQuery(q, Some(seed),
+        seed.columns.map(_ -> (ValueBinding: Binding)).toMap)
+  }
+
+  def compileQuery(q: Query): DataFrame =
+    compileQuery(q, None, Map.empty)
+
+  private def compileQuery(q: Query, seed: Option[DataFrame],
+      seedBindings: Map[String, Binding]): DataFrame = {
     val acc = scala.collection.mutable.Map[String, Set[String]]()
     q.segments.foreach { seg =>
       seg.where.foreach(collectProps(_, acc))
@@ -238,8 +298,8 @@ final class Compiler(graph: PropertyGraph,
     }
     usedProps = acc.toMap
 
-    var df: Option[DataFrame] = None
-    var bindings = Map.empty[String, Binding]
+    var df: Option[DataFrame] = seed
+    var bindings = seedBindings
     q.segments.zipWithIndex.foreach { case (seg, i) =>
       val (d2, b2) = compileSegment(seg, df, bindings,
         isFinal = i == q.segments.size - 1)
@@ -556,6 +616,7 @@ final class Compiler(graph: PropertyGraph,
       o.exists(containsExists)
     case Cast(x, _) => containsExists(x)
     case Index(x, i) => containsExists(x) || containsExists(i)
+    case FieldAccess(x, _) => containsExists(x)
     case Fn(_, args, _) => args.exists(containsExists)
     case _ => false
   }
@@ -591,6 +652,7 @@ final class Compiler(graph: PropertyGraph,
         ws.map { case (c, v) => (rewrite(c), rewrite(v)) }, o.map(rewrite))
       case Cast(y, t) => Cast(rewrite(y), t)
       case Index(y, i) => Index(rewrite(y), rewrite(i))
+      case FieldAccess(y, f) => FieldAccess(rewrite(y), f)
       case Fn(n, args, d) => Fn(n, args.map(rewrite), d)
       case other => other
     }
@@ -950,6 +1012,7 @@ final class Compiler(graph: PropertyGraph,
       o.exists(containsAgg)
     case Cast(x, _) => containsAgg(x)
     case Index(x, i) => containsAgg(x) || containsAgg(i)
+    case FieldAccess(x, _) => containsAgg(x)
     case _ => false
   }
 
@@ -969,6 +1032,7 @@ final class Compiler(graph: PropertyGraph,
       o.toSeq.flatMap(aggSubtrees)
     case Cast(x, _) => aggSubtrees(x)
     case Index(x, i) => aggSubtrees(x) ++ aggSubtrees(i)
+    case FieldAccess(x, _) => aggSubtrees(x)
     case _ => Seq.empty
   }
 
@@ -1061,8 +1125,12 @@ final class Compiler(graph: PropertyGraph,
       if (neg) !c else c
     case CaseExpr(s, ws, o) => caseExpr(s, ws, o, x => compileExpr(x, ctx))
     case Cast(x, t) => compileExpr(x, ctx).cast(sparkType(t))
+    case Index(x, StrLit(k)) => // map-key access: PROPERTIES(v)['key']
+      compileExpr(x, ctx).getField(k)
     case Index(x, i) =>
       element_at(compileExpr(x, ctx), compileExpr(i, ctx).cast("int") + 1)
+    case FieldAccess(x, f) => // f(x).y — map-key / struct-field extraction
+      compileExpr(x, ctx).getField(f)
     // IS predicates beyond NULL/TRUTH (ast.rs:1598-1611). The reference
     // stubs DIRECTED/SOURCE/DESTINATION to false (executor.rs:8808-8821);
     // we implement the real topology tests — documented divergence.

@@ -87,16 +87,22 @@ final class Parser(tokens: Vector[Token]) {
           val kind =
             if (tryKw("SCHEMA")) "SCHEMA"
             else { eatKw("GRAPH"); "GRAPH" }
-          // CREATE GRAPH INDEX … (ast.rs:4845-4860) vs CREATE GRAPH /path
+          // CREATE GRAPH INDEX … (ast.rs:4845-4860) vs CREATE GRAPH TYPE …
+          // (schema/parser/graph_type.rs) vs CREATE GRAPH /path
           if (kind == "GRAPH" && isSoftKw("INDEX")) {
             p += 1
             parseIndexTail(op)
+          } else if (kind == "GRAPH" && isSoftKw("TYPE")) {
+            p += 1
+            parseGraphTypeTail(op)
           } else {
             eatPunct("/")
             val schema = ident()
             val graph = if (tryPunct("/")) Some(ident()) else None
             if (kind == "GRAPH" && graph.isEmpty) err("GRAPH path needs /schema/graph")
-            expectEnd(); CatalogStmt(op, kind, schema, graph)
+            val typed =
+              if (kind == "GRAPH" && trySoftKw("TYPED")) Some(ident()) else None
+            expectEnd(); CatalogStmt(op, kind, schema, graph, typed)
           }
         }
       case TIdent(s, _) if s.equalsIgnoreCase("REINDEX") =>
@@ -111,9 +117,15 @@ final class Parser(tokens: Vector[Token]) {
         if (trySoftKw("RESET")) { expectEnd(); SessionCtl("RESET") }
         else if (trySoftKw("CLOSE")) { expectEnd(); SessionCtl("CLOSE") }
         else {
-          eatKw("SET"); eatKw("GRAPH"); eatPunct("/")
-          val schema = ident(); eatPunct("/"); val g = ident()
-          expectEnd(); SessionSetGraph(s"/$schema/$g")
+          eatKw("SET"); eatKw("GRAPH")
+          if (trySoftKw("TYPE")) {
+            val name = ident()
+            expectEnd(); SessionSetGraphType(name)
+          } else {
+            eatPunct("/")
+            val schema = ident(); eatPunct("/"); val g = ident()
+            expectEnd(); SessionSetGraph(s"/$schema/$g")
+          }
         }
       case TKw("CALL", _) =>
         p += 1
@@ -185,6 +197,68 @@ final class Parser(tokens: Vector[Token]) {
       // optional USING <type> — accepted, layout is always clustered
       if (trySoftKw("USING")) ident()
       expectEnd(); IndexStmt("CREATE", name, table, cols.result())
+    }
+  }
+
+  /** `name ( NODE TYPE L (p TYPE [NOT NULL] [UNIQUE], …), EDGE TYPE T
+    * (FROM A TO B [, p TYPE …]), … )` after CREATE GRAPH TYPE, or `name
+    * [CASCADE]` after DROP GRAPH TYPE (schema/parser/graph_type.rs:537).
+    */
+  private def parseGraphTypeTail(op: String): Statement = {
+    import graft.graph.GraphType._
+    val name = ident()
+    if (op == "DROP") {
+      trySoftKw("CASCADE")
+      expectEnd(); GraphTypeStmt("DROP", name, None)
+    } else {
+      def parseProps(): Seq[PropDef] = {
+        val out = Vector.newBuilder[PropDef]
+        var more = true
+        while (more) {
+          val pn = ident()
+          val pt = ident()
+          var required = false
+          var reading = true
+          while (reading) {
+            if (isKw("NOT")) { p += 1; eatKw("NULL"); required = true }
+            else if (isSoftKw("UNIQUE")) p += 1 // accepted; not enforced
+            else reading = false
+          }
+          out += PropDef(pn, pt.toUpperCase, required)
+          more = tryPunct(",")
+        }
+        out.result()
+      }
+      eatPunct("(")
+      val nodes = Vector.newBuilder[NodeTypeDef]
+      val edges = Vector.newBuilder[EdgeTypeDef]
+      var more = true
+      while (more) {
+        if (trySoftKw("NODE")) {
+          eatSoftKw("TYPE")
+          val label = ident()
+          eatPunct("(")
+          val props = if (isPunct(")")) Seq.empty else parseProps()
+          eatPunct(")")
+          nodes += NodeTypeDef(label, props)
+        } else if (trySoftKw("EDGE")) {
+          eatSoftKw("TYPE")
+          val t = ident()
+          eatPunct("(")
+          eatSoftKw("FROM")
+          val from = ident()
+          eatSoftKw("TO")
+          val to = ident()
+          val props = if (tryPunct(",")) parseProps() else Seq.empty
+          eatPunct(")")
+          edges += EdgeTypeDef(t, from, to, props)
+        } else err("expected NODE TYPE or EDGE TYPE")
+        more = tryPunct(",")
+      }
+      eatPunct(")")
+      expectEnd()
+      GraphTypeStmt("CREATE", name,
+        Some(GraphTypeDef(name, nodes.result(), edges.result())))
     }
   }
 
@@ -260,7 +334,16 @@ final class Parser(tokens: Vector[Token]) {
     * (ast.rs:208-228; left-associative like the reference's parser).
     */
   def parseQuery(): QueryExpr = {
-    var left: QueryExpr = parsePipelineQuery()
+    val q = parseQueryExpr()
+    cur match {
+      case TEnd(_) => ()
+      case _ => err("unexpected trailing input")
+    }
+    q
+  }
+
+  private def parseQueryExpr(): QueryExpr = {
+    var left: QueryExpr = parseSetOpOperand()
     var more = true
     while (more) {
       val op =
@@ -271,15 +354,47 @@ final class Parser(tokens: Vector[Token]) {
       op match {
         case Some(o) =>
           val all = tryKw("ALL")
-          left = SetOpQuery(o, all, left, parsePipelineQuery())
+          left = SetOpQuery(o, all, left, parseSetOpOperand())
         case None => more = false
       }
     }
-    cur match {
-      case TEnd(_) => ()
-      case _ => err("unexpected trailing input")
-    }
     left
+  }
+
+  /** One set-operation operand: a pipeline query, or a parenthesized
+    * query group. Trailing ORDER BY / SKIP / LIMIT after the closing
+    * paren bind to the GROUP — the disambiguation the un-parenthesized
+    * grammar can't express (there the tail clauses bind to the rightmost
+    * branch, matching the reference parser).
+    */
+  private def parseSetOpOperand(): QueryExpr = {
+    val grouped = cur match {
+      case TPunct("(", _) => tokens.lift(p + 1) match {
+        case Some(TKw("MATCH" | "OPTIONAL" | "UNWIND" | "FOR" | "LET" |
+          "FILTER" | "RETURN", _)) => true
+        case Some(TIdent(s, _)) if s.equalsIgnoreCase("SELECT") => true
+        case Some(TPunct("(", _)) => true // nested group
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!grouped) return parsePipelineQuery()
+    eatPunct("(")
+    val inner = parseQueryExpr()
+    eatPunct(")")
+    var orderBy = Vector.empty[SortItem]
+    if (tryKw("ORDER")) { eatKw("BY"); orderBy = parseSortItems() }
+    var skip: Option[Long] = None
+    var limit: Option[Long] = None
+    var more = true
+    while (more) {
+      if (tryKw("SKIP") || tryKw("OFFSET")) skip = Some(parseLongLit())
+      else if (tryKw("LIMIT")) limit = Some(parseLongLit())
+      else more = false
+    }
+    if (orderBy.nonEmpty || skip.isDefined || limit.isDefined)
+      OrderedQuery(inner, orderBy, skip, limit)
+    else inner
   }
 
   private def parsePipelineQuery(): Query = {
@@ -664,8 +779,9 @@ final class Parser(tokens: Vector[Token]) {
           case Ident(v) =>
             eatPunct(".")
             e = Prop(v, ident())
-          case Prop(_, _) | Index(_, _) | Fn(_, _, _) =>
-            err("chained property access beyond var.prop is not supported yet")
+          case Prop(_, _) | Index(_, _) | Fn(_, _, _) | FieldAccess(_, _) =>
+            eatPunct(".")
+            e = FieldAccess(e, ident())
           case _ => more = false
         }
       } else if (tryPunct("[")) {

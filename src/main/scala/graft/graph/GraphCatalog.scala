@@ -222,6 +222,67 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       .filter(_.endsWith(".gql")).map(_.stripSuffix(".gql")).toSeq.sorted
   }
 
+  // ---- graph types (schema/catalog/graph_type.rs analog): named node/
+  // edge schemas under warehouse/_graph_types/<name>.def, plus a TSV of
+  // graph-path → type bindings consulted at INSERT validation time.
+
+  import GraphType.GraphTypeDef
+
+  def saveGraphType(gt: GraphTypeDef): Boolean = {
+    val dir = Paths.get(s"$warehouse/_graph_types")
+    Files.createDirectories(dir)
+    val f = dir.resolve(s"${gt.name}.def")
+    if (Files.exists(f)) false
+    else { Files.writeString(f, GraphType.serialize(gt)); true }
+  }
+
+  def dropGraphType(name: String): Boolean = {
+    val f = Paths.get(s"$warehouse/_graph_types/$name.def")
+    if (!Files.exists(f)) false
+    else {
+      Files.delete(f)
+      writeTypeBindings(readTypeBindings().filterNot(_._2 == name))
+      true
+    }
+  }
+
+  def loadGraphType(name: String): Option[GraphTypeDef] = {
+    val f = Paths.get(s"$warehouse/_graph_types/$name.def")
+    if (Files.exists(f)) Some(GraphType.deserialize(name, Files.readString(f)))
+    else None
+  }
+
+  def listGraphTypes(): Seq[String] = {
+    val dir = Paths.get(s"$warehouse/_graph_types")
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator.asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".def")).map(_.stripSuffix(".def")).toSeq.sorted
+  }
+
+  private def typeBindingsFile = Paths.get(s"$warehouse/_graph_type_bindings")
+
+  private def readTypeBindings(): Seq[(String, String)] =
+    if (!Files.exists(typeBindingsFile)) Seq.empty
+    else Files.readString(typeBindingsFile).split("\n").filter(_.nonEmpty)
+      .toSeq.map { l => val a = l.split("\t", 2); (a(0), a(1)) }
+
+  private def writeTypeBindings(rows: Seq[(String, String)]): Unit = {
+    Files.createDirectories(Paths.get(warehouse))
+    Files.writeString(typeBindingsFile,
+      rows.map { case (p, t) => s"$p\t$t" }.mkString("\n"))
+  }
+
+  /** Bind `/schema/graph` to a graph type (CREATE GRAPH … TYPED t). */
+  def bindGraphType(path: String, typeName: String): Unit = {
+    if (loadGraphType(typeName).isEmpty)
+      throw new IllegalArgumentException(s"unknown graph type: $typeName")
+    writeTypeBindings(readTypeBindings().filterNot(_._1 == path) :+
+      ((path, typeName)))
+  }
+
+  def graphTypeFor(path: String): Option[GraphTypeDef] =
+    readTypeBindings().find(_._1 == path).flatMap(b => loadGraphType(b._2))
+
   /** FROM g1 UNION g2 — graph union (storage_manager.rs:400). */
   def unionGraphs(a: PropertyGraph, b: PropertyGraph): PropertyGraph = {
     def merge(x: Map[String, DataFrame], y: Map[String, DataFrame]) =

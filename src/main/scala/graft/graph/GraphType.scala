@@ -1,0 +1,116 @@
+package graft.graph
+
+/** ISO GQL graph types (reference: schema/types.rs GraphTypeDefinition,
+  * schema/catalog/graph_type.rs, schema/validator.rs): a named schema of
+  * node labels (typed properties, NOT NULL requirements) and edge types
+  * (endpoint label sets). The Spark-native enforcement point is INSERT
+  * statements against a session whose graph has a bound type — the
+  * validator checks labels, required properties, property types, and
+  * rejects unknown properties (the reference's strict default,
+  * validator.rs:62 `allow_unknown_properties: false`).
+  */
+object GraphType {
+
+  case class PropDef(name: String, dataType: String, required: Boolean)
+  case class NodeTypeDef(label: String, props: Seq[PropDef])
+  case class EdgeTypeDef(name: String, from: String, to: String,
+      props: Seq[PropDef])
+  case class GraphTypeDef(name: String, nodes: Seq[NodeTypeDef],
+      edges: Seq[EdgeTypeDef])
+
+  /** Literal type tags used at validation time. */
+  sealed trait Lit
+  case object LInt extends Lit
+  case object LFloat extends Lit
+  case object LString extends Lit
+  case object LBool extends Lit
+  case object LNull extends Lit
+
+  private def accepts(declared: String, v: Lit): Boolean =
+    (declared.toUpperCase, v) match {
+      case (_, LNull) => true // nullability checked separately via required
+      case ("STRING" | "VARCHAR" | "TEXT", LString) => true
+      case ("INT" | "INTEGER" | "BIGINT" | "SMALLINT", LInt) => true
+      case ("DOUBLE" | "FLOAT" | "REAL" | "FLOAT64", LInt | LFloat) => true
+      case ("BOOLEAN" | "BOOL", LBool) => true
+      case _ => false
+    }
+
+  class GraphTypeViolation(msg: String) extends RuntimeException(msg)
+
+  /** Validate an INSERT node against the type (validator.rs:92-126). */
+  def validateNode(gt: GraphTypeDef, label: String,
+      props: Seq[(String, Lit)]): Unit = {
+    val nt = gt.nodes.find(_.label == label).getOrElse(
+      throw new GraphTypeViolation(
+        s"graph type ${gt.name}: unknown node label $label"))
+    val given = props.toMap
+    nt.props.filter(_.required).foreach { pd =>
+      if (!given.contains(pd.name) || given(pd.name) == LNull)
+        throw new GraphTypeViolation(
+          s"graph type ${gt.name}: $label.${pd.name} is NOT NULL but missing")
+    }
+    props.foreach { case (name, v) =>
+      nt.props.find(_.name == name) match {
+        case None => throw new GraphTypeViolation(
+          s"graph type ${gt.name}: unknown property $label.$name")
+        case Some(pd) if !accepts(pd.dataType, v) =>
+          throw new GraphTypeViolation(
+            s"graph type ${gt.name}: $label.$name expects ${pd.dataType}")
+        case _ => ()
+      }
+    }
+  }
+
+  /** Validate an INSERT edge (validator.rs:167-210): type exists, the
+    * endpoint labels are permitted, properties conform.
+    */
+  def validateEdge(gt: GraphTypeDef, typeName: String, fromLabel: String,
+      toLabel: String, props: Seq[(String, Lit)]): Unit = {
+    val et = gt.edges.find(_.name == typeName).getOrElse(
+      throw new GraphTypeViolation(
+        s"graph type ${gt.name}: unknown edge type $typeName"))
+    if (et.from != fromLabel || et.to != toLabel)
+      throw new GraphTypeViolation(
+        s"graph type ${gt.name}: $typeName connects ${et.from}->${et.to}, " +
+          s"not $fromLabel->$toLabel")
+    props.foreach { case (name, v) =>
+      et.props.find(_.name == name) match {
+        case None => throw new GraphTypeViolation(
+          s"graph type ${gt.name}: unknown property $typeName.$name")
+        case Some(pd) if !accepts(pd.dataType, v) =>
+          throw new GraphTypeViolation(
+            s"graph type ${gt.name}: $typeName.$name expects ${pd.dataType}")
+        case _ => ()
+      }
+    }
+  }
+
+  // ---- TSV serialization (catalog persistence) ----
+
+  def serialize(gt: GraphTypeDef): String = {
+    def ps(props: Seq[PropDef]) =
+      props.map(p => s"${p.name}:${p.dataType}:${p.required}").mkString(",")
+    (gt.nodes.map(n => s"NODE\t${n.label}\t${ps(n.props)}") ++
+      gt.edges.map(e => s"EDGE\t${e.name}\t${e.from}\t${e.to}\t${ps(e.props)}"))
+      .mkString("\n")
+  }
+
+  def deserialize(name: String, text: String): GraphTypeDef = {
+    def pp(s: String): Seq[PropDef] =
+      s.split(",").toSeq.filter(_.nonEmpty).map { t =>
+        val a = t.split(":")
+        PropDef(a(0), a(1), a(2).toBoolean)
+      }
+    val lines = text.split("\n").filter(_.nonEmpty).toSeq
+    val nodes = lines.filter(_.startsWith("NODE\t")).map { l =>
+      val a = l.split("\t", 3)
+      NodeTypeDef(a(1), if (a.length > 2) pp(a(2)) else Seq.empty)
+    }
+    val edges = lines.filter(_.startsWith("EDGE\t")).map { l =>
+      val a = l.split("\t", 5)
+      EdgeTypeDef(a(1), a(2), a(3), if (a.length > 4) pp(a(4)) else Seq.empty)
+    }
+    GraphTypeDef(name, nodes, edges)
+  }
+}

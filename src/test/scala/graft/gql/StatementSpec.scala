@@ -211,6 +211,56 @@ class StatementSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 73L)
   }
 
+  test("CREATE GRAPH TYPE enforces schema on INSERT") {
+    val s = freshSession()
+    s.execute("CREATE GRAPH TYPE FraudType (" +
+      "NODE TYPE Account (id INT NOT NULL, name STRING NOT NULL, " +
+      "balance DOUBLE, status STRING), " +
+      "NODE TYPE Merchant (id INT NOT NULL, name STRING), " +
+      "EDGE TYPE Transaction (FROM Account TO Merchant, amount DOUBLE))")
+    assert(s.call("gql.list_graph_types").collect()
+      .exists(_.getString(0) == "FraudType"))
+    s.execute("SESSION SET GRAPH TYPE FraudType")
+    // conforming insert passes
+    assert(s.execute("INSERT (:Account {id: 60, name: 'A60', balance: 1.5})")
+      .collect().head.getLong(1) == 1L)
+    // unknown label
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("INSERT (:Ghost {id: 1})")
+    }
+    // missing NOT NULL property
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("INSERT (:Account {id: 61})")
+    }
+    // wrong property type
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("INSERT (:Account {id: 62, name: 42})")
+    }
+    // unknown property rejected (strict default, validator.rs:62)
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("INSERT (:Account {id: 63, name: 'x', shoe_size: 9})")
+    }
+    // edge endpoint labels enforced
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("MATCH (a:Account), (b:Account) " +
+        "WHERE a.id = 1 AND b.id = 2 INSERT (a)-[:Transaction]->(b)")
+    }
+    assert(s.execute("DROP GRAPH TYPE FraudType").collect().head.getBoolean(0))
+  }
+
+  test("CREATE GRAPH TYPED binds the type; useGraph picks it up") {
+    val s = freshSession()
+    s.execute("CREATE GRAPH TYPE TinyType (NODE TYPE Thing (id INT NOT NULL))")
+    s.execute("CREATE GRAPH /typed/t1 TYPED TinyType")
+    s.execute("SESSION SET GRAPH /typed/t1")
+    assert(s.execute("INSERT (:Thing {id: 1})").collect().head.getLong(1) == 1L)
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("INSERT (:Other {id: 1})")
+    }
+    s.execute("DROP GRAPH /typed/t1")
+    s.execute("DROP GRAPH TYPE TinyType")
+  }
+
   test("execute dispatches plain queries too") {
     val s = freshSession()
     assert(s.execute("MATCH (m:Merchant) RETURN count(m) AS n")

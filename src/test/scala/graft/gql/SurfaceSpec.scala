@@ -45,6 +45,22 @@ class SurfaceSpec extends AnyFunSuite {
     assert(n2 == 9L) // ids 1..10 minus id 10 (inactive)
   }
 
+  test("parenthesized set-op group takes tail ORDER BY / LIMIT") {
+    // un-parenthesized: ORDER/LIMIT bind to the rightmost branch
+    // (reference-parity); the group form binds them to the whole result
+    val rows = s.gql("(MATCH (a:Account) WHERE a.balance <= 300 RETURN a.name AS name " +
+      "UNION MATCH (a:Account) WHERE a.risk_score >= 4.8 RETURN a.name AS name) " +
+      "ORDER BY name DESC LIMIT 4").collect().map(_.getString(0))
+    // branches: Account1..3 (balance) + Account48..50 (risk) → global
+    // desc order interleaves the branches
+    assert(rows.toSeq == Seq("Account50", "Account49", "Account48", "Account3"))
+    // SKIP applies after the group sort too
+    val n = s.gql("(MATCH (a:Account) RETURN a.id AS id " +
+      "UNION ALL MATCH (m:Merchant) RETURN m.id AS id) ORDER BY id SKIP 60")
+      .count()
+    assert(n == 10L) // 50 + 20 rows, skip 60
+  }
+
   // ---- LET / FOR / FILTER (simple_let_test.rs:19; parser.rs:760-835) ----
 
   test("LET binds values, standalone and over MATCH rows") {
@@ -136,6 +152,16 @@ class SurfaceSpec extends AnyFunSuite {
       "RETURN properties(a) AS p").collect().head
     val m = r.getMap[String, String](0)
     assert(m("name") == "Account1" && m("balance") == "100.0")
+  }
+
+  test("chained access on function results: PROPERTIES(v).key and ['key']") {
+    assert(one("MATCH (a:Account) WHERE a.id = 1 " +
+      "RETURN PROPERTIES(a).name AS x") == "Account1")
+    assert(one("MATCH (a:Account) WHERE a.id = 1 " +
+      "RETURN PROPERTIES(a)['status'] AS x") == "active")
+    // chained access works in predicates too
+    assert(one("MATCH (a:Account) WHERE PROPERTIES(a).status = 'inactive' " +
+      "RETURN count(a) AS n") == 5L)
   }
 
   test("SOURCE and DESTINATION return endpoint ids") {
@@ -362,6 +388,22 @@ class SurfaceSpec extends AnyFunSuite {
       "MATCH (a)-[:NEXT]->(b) RETURN count(b) AS n").size == 1)
     assert(graft.NextChain.split(
       "RETURN 1 AS a NEXT RETURN 2 AS b").size == 2)
+  }
+
+  test("NEXT YIELD passes the whole binding table, not just the first row") {
+    val t = fresh()
+    // three accounts qualify; all three rows must reach the next statement
+    val r = t.execute(
+      "MATCH (a:Account) WHERE a.balance >= 4800 RETURN a.id AS aid " +
+        "NEXT YIELD aid " +
+        "MATCH (x:Account) WHERE x.id = aid RETURN count(x) AS n")
+    assert(r.collect().head.getLong(0) == 3L) // ids 48, 49, 50
+    // a chained statement without MATCH aggregates over the seeded table
+    val r2 = t.execute("MATCH (m:Merchant) RETURN m.id AS mid " +
+      "NEXT YIELD mid RETURN count(mid) AS c")
+    assert(r2.collect().head.getLong(0) == 20L)
+    // and the first-row parameter snapshot still works alongside
+    assert(t.parameters.contains("mid"))
   }
 
   test("CREATE PROCEDURE keeps a NEXT chain inside the stored body") {
