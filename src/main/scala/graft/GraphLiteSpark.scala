@@ -374,15 +374,17 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         case "CREATE" =>
           val created = gls.catalog.createIndex(name, table, cols)
           // apply the clustered layout now if the session graph is
-          // catalog-backed; in-memory graphs pick it up on save
-          if (created) currentName.foreach(saveGraphAs)
+          // catalog-backed; in-memory graphs pick it up on save. Full
+          // rewrite (force) — incremental saves would skip clean datasets
+          // that need the new layout.
+          if (created) currentName.foreach(p => saveGraphAs(p, force = true))
           Seq(created).toDF("created")
         case "DROP" =>
           Seq(gls.catalog.dropIndex(name)).toDF("dropped")
         case "REINDEX" =>
           // rebuild = rewrite the persisted graph through the clustered
           // layout (OPTIMIZE/REINDEX analog)
-          currentName.foreach(saveGraphAs)
+          currentName.foreach(p => saveGraphAs(p, force = true))
           Seq(name).toDF("reindexed")
         case other => throw new GqlCompileException(s"unknown index op $other")
       }
@@ -495,11 +497,11 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     * then rebind the session to the persisted snapshot — the in-memory
     * copy-on-write tables may lazily read files the save just replaced.
     */
-  def saveGraphAs(path: String): Unit = {
+  def saveGraphAs(path: String, force: Boolean = false): Unit = {
     val parts = path.stripPrefix("/").split("/")
     require(parts.length == 2, s"graph path must be /schema/graph, got $path")
     gls.catalog.createSchema(parts(0))
-    gls.catalog.saveGraph(parts(0), parts(1), graph)
+    gls.catalog.saveGraph(parts(0), parts(1), graph, force)
     currentGraph = Some(gls.catalog.loadGraph(parts(0), parts(1)))
     currentName = Some(path)
   }

@@ -1,0 +1,108 @@
+package graft.dedup
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Cross-run deduplication: a persisted sketch of everything already
+  * accepted, so NEW batches dedupe against the whole corpus history
+  * without rescanning it (beyond-reference extension; ROADMAP §pipeline).
+  *
+  * State layout (append-only parquet — a batch commit appends files, it
+  * never rewrites history; at 100 TB the state grows by the survivors of
+  * each batch only):
+  *  - `<state>/exact`     (fp: long)            — exact fingerprints
+  *  - `<state>/shingles`  (id, shingles)        — accepted docs' shingle sets
+  *  - `<state>/buckets`   (id, band, bucket)    — accepted docs' LSH buckets
+  *
+  * Both entry points materialize the survivor set BEFORE appending it to
+  * the state, so the returned DataFrame stays stable however often the
+  * caller re-executes it. The only shuffles are the fingerprint/bucket
+  * equi-joins — probes touch matching state partitions, never all pairs.
+  */
+object IncrementalDedup {
+
+  /** Exact dedupe of `batch` against itself and all prior runs.
+    * Within the batch the smallest id per fingerprint survives. Returns
+    * the surviving rows (original columns) and commits their fingerprints.
+    */
+  def dedupeExact(batch: DataFrame, idCol: String, textCol: String,
+      statePath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val path = s"$statePath/exact"
+    val fp = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    var keep = fp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (Files.exists(Paths.get(path)))
+      keep = keep.join(
+        spark.read.parquet(path).select(col("fp").as("__fp")),
+        Seq("__fp"), "left_anti")
+    val out = keep.localCheckpoint(true)
+    out.select(col("__fp").as("fp")).write.mode("append").parquet(path)
+    out.drop("__fp")
+  }
+
+  /** MinHash/LSH near-dedupe of `batch` against itself and all prior
+    * runs: candidates come from shared LSH band buckets (within the
+    * batch, and new-bucket × state-bucket), then exact n-gram Jaccard
+    * ≥ `tau` confirms. Survivors are returned and committed (shingle
+    * sets + buckets appended).
+    */
+  def dedupeNear(batch: DataFrame, idCol: String, textCol: String,
+      statePath: String, n: Int = 3, numHashes: Int = 32, bands: Int = 0,
+      tau: Double = 0.7): DataFrame = {
+    val spark = batch.sparkSession
+    val nBands = if (bands > 0) bands
+      else graft.similarity.Similarity.tuneBanding(numHashes, tau)._1
+    val rpb = numHashes / nBands
+    val bucketsPath = s"$statePath/buckets"
+    val shinglesPath = s"$statePath/shingles"
+
+    // one md5 pass per doc; everything downstream reads the materialized
+    // (id, shingles, sig) frame
+    val sigs = batch.select(col(idCol).as("id"),
+        Dedup.shingleHashes(col(textCol), n).as("shingles"))
+      .withColumn("sig", Dedup.minhashFromHashes(col("shingles"), numHashes))
+      .localCheckpoint(true)
+    val newBuckets = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => slice(col("sig"), b * rpb + 1, lit(rpb)))))
+      .select(col("id"), col("pos").as("band"),
+        TextAnalysis.stableHash60(to_json(col("col"))).as("bucket"))
+
+    // within-batch: higher id of each confirmed pair drops
+    val cands = Dedup.lshCandidatePairs(sigs, "id", "sig", nBands, rpb)
+    val innerDrop = cands
+      .join(sigs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= tau)
+      .select(col("id_b").as("id")).distinct()
+    var keep = sigs.join(innerDrop, Seq("id"), "left_anti")
+
+    // vs state: bucket-join new docs to history, confirm by Jaccard
+    if (Files.exists(Paths.get(bucketsPath))) {
+      val stBuckets = spark.read.parquet(bucketsPath)
+        .select(col("id").as("old_id"), col("band"), col("bucket"))
+      val stShingles = spark.read.parquet(shinglesPath)
+        .select(col("id").as("old_id"), col("shingles").as("sh_old"))
+      val candOld = newBuckets.join(keep.select("id"), "id")
+        .join(stBuckets, Seq("band", "bucket"))
+        .select("id", "old_id").distinct()
+      val dupVsState = candOld
+        .join(keep.select(col("id"), col("shingles").as("sh_new")), "id")
+        .join(stShingles, "old_id")
+        .filter(Dedup.jaccard(col("sh_new"), col("sh_old")) >= tau)
+        .select("id").distinct()
+      keep = keep.join(dupVsState, Seq("id"), "left_anti")
+    }
+
+    val out = keep.localCheckpoint(true)
+    out.select("id", "shingles").write.mode("append").parquet(shinglesPath)
+    newBuckets.join(out.select("id"), "id")
+      .select("id", "band", "bucket").write.mode("append").parquet(bucketsPath)
+    batch.join(out.select(col("id").as(idCol)).distinct(), Seq(idCol))
+  }
+}

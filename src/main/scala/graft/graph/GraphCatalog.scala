@@ -43,21 +43,40 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     * exist in the graph, which a per-table overwrite would resurrect on
     * the next load.
     */
-  def saveGraph(schema: String, name: String, g: PropertyGraph): Unit = {
+  def saveGraph(schema: String, name: String, g: PropertyGraph,
+      force: Boolean = false): Unit = {
     val dir = graphDir(schema, name)
     val staging = s"$warehouse/$schema/.staging_${name}_${System.nanoTime}"
-    g.nodeTables.foreach { case (label, df) =>
-      clustered(s"nodes_$label", df)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/nodes_$label")
+    // Incremental path: the graph was loaded from this very directory and
+    // tracked which datasets its mutations touched — rewrite only those;
+    // clean datasets are renamed through staging (a metadata move, no
+    // data copied or shuffled). At 100 TB a one-label mutation then costs
+    // one label's rewrite. `force` (REINDEX) rewrites everything so new
+    // clustered layouts apply to every dataset.
+    val incremental = !force && g.origin.contains(dir) &&
+      g.dirty.isDefined && Files.exists(Paths.get(dir))
+    val dirtySet: Set[String] =
+      if (incremental) g.dirty.get
+      else g.nodeTables.keySet.map(l => s"nodes_$l") ++
+        g.edgeTables.keySet.map(l => s"edges_$l")
+    Files.createDirectories(Paths.get(staging))
+    val datasets: Seq[(String, DataFrame)] =
+      g.nodeTables.toSeq.map { case (l, df) => (s"nodes_$l", df) } ++
+        g.edgeTables.toSeq.map { case (l, (_, df)) => (s"edges_$l", df) }
+    // two passes: every dirty dataset is WRITTEN before any clean dataset
+    // is MOVED — a dirty table's lineage may lazily read a clean table's
+    // files (e.g. inserted edges derived from a node scan)
+    datasets.foreach { case (ds, df) =>
+      if (dirtySet.contains(ds))
+        clustered(ds, df).write.mode(SaveMode.Overwrite).parquet(s"$staging/$ds")
     }
-    g.edgeTables.foreach { case (label, (_, df)) =>
-      clustered(s"edges_$label", df)
-        .write.mode(SaveMode.Overwrite).parquet(s"$staging/edges_$label")
+    datasets.foreach { case (ds, _) =>
+      if (!dirtySet.contains(ds))
+        Files.move(Paths.get(s"$dir/$ds"), Paths.get(s"$staging/$ds"))
     }
     val meta = g.edgeTables.map { case (label, (et, _)) =>
       s"$label\t${et.srcLabel}\t${et.dstLabel}"
     }.mkString("\n")
-    Files.createDirectories(Paths.get(staging))
     Files.writeString(Paths.get(s"$staging/_meta"), meta)
     deleteRecursive(Paths.get(dir))
     Files.move(Paths.get(staging), Paths.get(dir))
@@ -133,7 +152,9 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       val et = meta.getOrElse(label, EdgeType(label, "", ""))
       label -> (et, spark.read.parquet(s"$dir/$e"))
     }.toMap
-    new PropertyGraph(nodes, edges)
+    // loaded graphs know their origin and start clean — mutations mark
+    // the touched datasets so saves back to the same path go incremental
+    new PropertyGraph(nodes, edges, Some(dir), Some(Set.empty))
   }
 
   def dropSchema(schema: String): Boolean = {

@@ -34,7 +34,8 @@ object GraphMutations {
         }
         existing.unionByName(rows, allowMissingColumns = true)
     }
-    new PropertyGraph(g.nodeTables + (label -> updated), g.edgeTables)
+    g.mutated(g.nodeTables + (label -> updated), g.edgeTables,
+      Set(s"nodes_$label"))
   }
 
   /** INSERT edges. Rows carry (src, dst, eid, props…). */
@@ -45,7 +46,8 @@ object GraphMutations {
       case Some((t, existing)) =>
         (t, existing.unionByName(rows, allowMissingColumns = true))
     }
-    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> updated))
+    g.mutated(g.nodeTables, g.edgeTables + (label -> updated),
+      Set(s"edges_$label"))
   }
 
   /** MATCH … SET (match_set.rs analog): for rows matching `pred`, assign
@@ -58,7 +60,8 @@ object GraphMutations {
       if (df.columns.contains(k)) df.withColumn(k, when(pred, v).otherwise(col(k)))
       else df.withColumn(k, when(pred, v)) // new property: NULL elsewhere
     }
-    new PropertyGraph(g.nodeTables + (label -> updated), g.edgeTables)
+    g.mutated(g.nodeTables + (label -> updated), g.edgeTables,
+      Set(s"nodes_$label"))
   }
 
   /** MATCH … REMOVE (match_remove.rs analog): null out properties on
@@ -116,7 +119,11 @@ object GraphMutations {
         out = out.join(doomed, out("dst") === doomed("id"), "left_anti")
       l -> (et, out)
     }
-    new PropertyGraph(g.nodeTables + (label -> newNodes), newEdges)
+    val touchedEdges =
+      if (detach) incidentTables.keySet.map(l => s"edges_$l")
+      else Set.empty[String]
+    g.mutated(g.nodeTables + (label -> newNodes), newEdges,
+      touchedEdges + s"nodes_$label")
   }
 
   /** DELETE edges matching a predicate. Only rows where `pred` evaluates
@@ -127,7 +134,8 @@ object GraphMutations {
   def deleteEdges(g: PropertyGraph, label: String, pred: Column): PropertyGraph = {
     val (et, e) = g.edgeTables(label)
     val kept = e.filter(!coalesce(pred, lit(false)))
-    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> (et, kept)))
+    g.mutated(g.nodeTables, g.edgeTables + (label -> (et, kept)),
+      Set(s"edges_$label"))
   }
 
   /** DELETE edges whose eids appear in `eids` (column `eid`). */
@@ -135,7 +143,8 @@ object GraphMutations {
     val (et, e) = g.edgeTables(label)
     val doomed = eids.select(col("eid")).distinct()
     val kept = e.join(doomed, e("eid") === doomed("eid"), "left_anti")
-    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> (et, kept)))
+    g.mutated(g.nodeTables, g.edgeTables + (label -> (et, kept)),
+      Set(s"edges_$label"))
   }
 
   /** SET properties from a computed updates table `(id, <prop>, …)` — the
@@ -159,7 +168,8 @@ object GraphMutations {
     }
     val cleaned = joined.drop("__matched", "__uid")
       .drop(props.map(p => s"__new_$p"): _*)
-    new PropertyGraph(g.nodeTables + (label -> cleaned), g.edgeTables)
+    g.mutated(g.nodeTables + (label -> cleaned), g.edgeTables,
+      Set(s"nodes_$label"))
   }
 
   /** MATCH … SET on edge properties. */
@@ -170,6 +180,7 @@ object GraphMutations {
       if (df.columns.contains(k)) df.withColumn(k, when(pred, v).otherwise(col(k)))
       else df.withColumn(k, when(pred, v))
     }
-    new PropertyGraph(g.nodeTables, g.edgeTables + (label -> (et, updated)))
+    g.mutated(g.nodeTables, g.edgeTables + (label -> (et, updated)),
+      Set(s"edges_$label"))
   }
 }

@@ -48,10 +48,27 @@ final case class EdgeType(label: String, srcLabel: String, dstLabel: String)
   */
 final class PropertyGraph(
     val nodeTables: Map[String, DataFrame],
-    val edgeTables: Map[String, (EdgeType, DataFrame)]) extends Serializable {
+    val edgeTables: Map[String, (EdgeType, DataFrame)],
+    /** Directory this graph was loaded from — its un-mutated tables still
+      * lazily read that path, which makes incremental saves possible.
+      */
+    val origin: Option[String] = None,
+    /** Dataset names (`nodes_X` / `edges_T`) whose lineage changed since
+      * load. None = unknown provenance → a save rewrites everything;
+      * Some(set) lets [[GraphCatalog.saveGraph]] rewrite only the changed
+      * datasets and rename the rest in place — at 100 TB, a one-label
+      * mutation then moves one label's files, not the whole graph.
+      */
+    val dirty: Option[Set[String]] = None) extends Serializable {
 
   def nodeLabels: Seq[String] = nodeTables.keys.toSeq.sorted
   def edgeLabels: Seq[String] = edgeTables.keys.toSeq.sorted
+
+  /** Copy with mutated tables, accumulating the touched dataset names. */
+  private[graph] def mutated(newNodes: Map[String, DataFrame],
+      newEdges: Map[String, (EdgeType, DataFrame)],
+      touched: Set[String]): PropertyGraph =
+    new PropertyGraph(newNodes, newEdges, origin, dirty.map(_ ++ touched))
 
   /** NodeScan (logical.rs:94-99): scan one label, optional predicate.
     * Predicates/projections push to the parquet scan via Catalyst.

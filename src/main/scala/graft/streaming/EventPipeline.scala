@@ -85,6 +85,44 @@ object EventPipeline {
       })
   }
 
+  /** [[runningUserTotals]] on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4): state lives in named typed state
+    * variables on the processor handle instead of one GroupState value —
+    * the forward path for multi-variable state, timers and TTL. Output
+    * matches the v1 `flatMapGroupsWithState` port row for row, so either
+    * serves as the other's oracle.
+    */
+  final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserRunning] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("running",
+        org.apache.spark.sql.Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev =
+        if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserRunning(key, n, total)
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  def runningUserTotalsV2(events: DataFrame): org.apache.spark.sql.Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream inner join with watermarks: click-like events joined
     * to purchase-like events of the same user within ±30 minutes. Both
     * sides carry watermarks so Spark can expire join state — the pattern

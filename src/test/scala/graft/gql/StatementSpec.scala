@@ -261,6 +261,34 @@ class StatementSpec extends AnyFunSuite {
     s.execute("DROP GRAPH TYPE TinyType")
   }
 
+  test("incremental save rewrites only mutated label datasets") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val wh = Files.createTempDirectory("graft-inc").toString
+    val s = graft.GraphLiteSpark.open(graft.SparkFixture.spark, wh)
+      .session("test").useGraph(graft.SparkFixture.fraudGraph)
+    s.execute("CREATE SCHEMA /inc")
+    s.saveGraphAs("/inc/g") // first save: full write, session now on-disk
+    def parts(ds: String): Seq[String] =
+      Files.list(Paths.get(wh, "inc", "g", ds)).iterator.asScala
+        .map(_.getFileName.toString).filter(_.startsWith("part-")).toSeq.sorted
+    val merchantsBefore = parts("nodes_Merchant")
+    val accountsBefore = parts("nodes_Account")
+    val txBefore = parts("edges_Transaction")
+    s.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 1.0")
+    s.saveGraphAs("/inc/g")
+    // untouched datasets were renamed in place (same part files); the
+    // mutated one was rewritten (fresh part UUIDs)
+    assert(parts("nodes_Merchant") == merchantsBefore)
+    assert(parts("edges_Transaction") == txBefore)
+    assert(parts("nodes_Account") != accountsBefore)
+    // and the reloaded graph reads back correctly
+    assert(s.execute("MATCH (a:Account {id: 1}) RETURN a.balance AS b")
+      .collect().head.getDouble(0) == 1.0)
+    assert(s.execute("MATCH (m:Merchant) RETURN count(m) AS n")
+      .collect().head.getLong(0) == 20L)
+  }
+
   test("execute dispatches plain queries too") {
     val s = freshSession()
     assert(s.execute("MATCH (m:Merchant) RETURN count(m) AS n")

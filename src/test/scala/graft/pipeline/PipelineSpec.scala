@@ -233,6 +233,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("incremental dedup drops cross-run duplicates") {
+    import spark.implicits._
+    import graft.dedup.IncrementalDedup
+    val state = java.nio.file.Files.createTempDirectory("dedup-state").toString
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different text about other things entirely ok"))
+      .toDF("doc_id", "text")
+    assert(IncrementalDedup.dedupeExact(b1, "doc_id", "text", state).count() == 2)
+    val b2 = Seq((3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "brand new content nothing matches here at all"))
+      .toDF("doc_id", "text")
+    // doc 3 duplicates run-1's doc 1 → only doc 4 survives run 2
+    val r2 = IncrementalDedup.dedupeExact(b2, "doc_id", "text", state)
+    assert(r2.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // re-running the same batch against the grown state drops everything
+    assert(IncrementalDedup.dedupeExact(b2, "doc_id", "text", state).count() == 0)
+  }
+
+  test("incremental near-dedup uses persisted LSH buckets across runs") {
+    import spark.implicits._
+    import graft.dedup.IncrementalDedup
+    val state = java.nio.file.Files.createTempDirectory("neardup-state").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val n1 = Seq((1L, base),
+      (2L, "totally different content with no overlap whatsoever in words"))
+      .toDF("doc_id", "text")
+    assert(IncrementalDedup.dedupeNear(n1, "doc_id", "text", state,
+      numHashes = 16, bands = 4).count() == 2)
+    // run 2: 3/4/5 duplicate the run-1 doc (and each other); 6 is fresh
+    val n2 = Seq((3L, base), (4L, base), (5L, base),
+      (6L, "yet more fresh unrelated material nothing shared at all right"))
+      .toDF("doc_id", "text")
+    val r = IncrementalDedup.dedupeNear(n2, "doc_id", "text", state,
+      numHashes = 16, bands = 4)
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("transformWithState running totals equal the v1 port and batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evs4").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // arbitrary-state v2 requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = graft.streaming.EventPipeline.readEventStream(spark, dir)
+      val q = graft.streaming.EventPipeline.runningUserTotalsV2(stream)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("runningv2").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.sql(
+        """select user_id, max_by(n_events, n_events) n, max_by(total, n_events) t
+          |from runningv2 group by user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 100) / 100)).toSet
+      val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 100) / 100)).toSet
+      assert(streamed == batch)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream join with watermarks equals the batch join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evs3").toString
