@@ -17,6 +17,11 @@ object GqlQueries {
     GraphLiteSpark.open(s, "/tmp/graft-warehouse").session("driver")
       .useGraph(TpchGraph.build(s, d)).gql(q)
 
+  /** Statement-level execution (NEXT chains etc.). */
+  private def exec(s: SparkSession, d: String, q: String): DataFrame =
+    GraphLiteSpark.open(s, "/tmp/graft-warehouse").session("driver")
+      .useGraph(TpchGraph.build(s, d)).execute(q)
+
   val queries: Map[String, Q] = Map(
     // flagship: scan + expand + implicit grouping + order
     "gql01_flagship" -> ((s: SparkSession, d: String) => run(s, d,
@@ -63,7 +68,28 @@ object GqlQueries {
         |OPTIONAL MATCH (n)<-[:IN_NATION]-(c:customer)
         |RETURN n.name AS nname, count(c) AS n_cust
         |GROUP BY n.name
-        |ORDER BY nname""".stripMargin))
+        |ORDER BY nname""".stripMargin)),
+
+    // parenthesized set-op group: tail ORDER BY/LIMIT bind to the union
+    "gql08_setop_order" -> ((s: SparkSession, d: String) => run(s, d,
+      """(MATCH (c:customer) WHERE c.acctbal > 9900 RETURN c.id AS id
+        | UNION
+        | MATCH (c:customer) WHERE c.acctbal < -900 RETURN c.id AS id)
+        |ORDER BY id LIMIT 50""".stripMargin)),
+
+    // NEXT…YIELD binding-table passing: every qualifying row of statement
+    // 1 seeds statement 2 (not just a first-row parameter)
+    "gql09_next_chain" -> ((s: SparkSession, d: String) => exec(s, d,
+      """MATCH (c:customer)-[p:PLACED]->(o:orders)
+        |WHERE p.totalprice > 400000 RETURN c.id AS cid
+        |NEXT YIELD cid
+        |MATCH (c2:customer) WHERE c2.id = cid
+        |RETURN c2.mktsegment AS seg, count(c2) AS n ORDER BY seg""".stripMargin)),
+
+    // chained access on function results: PROPERTIES(v).key / ['key']
+    "gql10_chained_props" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (n:nation) WHERE PROPERTIES(n)['name'] CONTAINS 'A'
+        |RETURN PROPERTIES(n).name AS nm ORDER BY nm""".stripMargin))
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,6 +134,20 @@ object GqlQueries {
     "gql05_optional" ->
       """SELECT n_name AS nname, count(c_custkey) AS n_cust
         |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY nname""".stripMargin
+        |GROUP BY 1 ORDER BY nname""".stripMargin,
+    "gql08_setop_order" ->
+      """SELECT id FROM (
+        |  SELECT c_custkey AS id FROM customer WHERE c_acctbal > 9900
+        |  UNION
+        |  SELECT c_custkey AS id FROM customer WHERE c_acctbal < -900) t
+        |ORDER BY id LIMIT 50""".stripMargin,
+    "gql09_next_chain" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
+    "gql10_chained_props" ->
+      """SELECT n_name AS nm FROM nation
+        |WHERE n_name LIKE '%A%' ORDER BY nm""".stripMargin
   )
 }
