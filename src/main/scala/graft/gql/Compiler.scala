@@ -676,11 +676,23 @@ final class Compiler(graph: PropertyGraph,
   private def shouldReverse(p: PathPattern, ctx: Ctx): Boolean = {
     if (p.hops.isEmpty || p.hops.exists(_._1.quantifier.isDefined)) return false
     val startBound = p.start.variable.exists(ctx.bindings.contains)
-    val startSelective = startBound || p.start.props.nonEmpty
     val last = p.hops.last._2
     val lastBound = last.variable.exists(ctx.bindings.contains)
-    val lastSelective = lastBound || last.props.nonEmpty
-    !startSelective && lastSelective
+    // Estimated seed cardinality of each end: a bound variable anchors at
+    // ~1 row; otherwise the label's ANALYZE rowcount (memoized on the
+    // graph), cut 10× per inline property predicate. Unknown labels
+    // (label-less ends) estimate as the whole node space. Reversing is
+    // worthwhile only with clear margin (2×) — ties keep source order,
+    // and either orientation returns identical rows (equi-join chain).
+    def estimate(np: NodePattern, bound: Boolean): Double = {
+      if (bound) return 1.0
+      val base = np.labels.headOption
+        .filter(graph.nodeTables.contains)
+        .map(l => graph.nodeCount(l).toDouble)
+        .getOrElse(graph.nodeLabels.map(graph.nodeCount(_).toDouble).sum)
+      base * math.pow(0.1, np.props.size)
+    }
+    estimate(last, lastBound) * 2.0 < estimate(p.start, startBound)
   }
 
   private def reversePath(p: PathPattern): PathPattern = {

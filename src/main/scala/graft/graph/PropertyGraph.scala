@@ -64,6 +64,16 @@ final class PropertyGraph(
   def nodeLabels: Seq[String] = nodeTables.keys.toSeq.sorted
   def edgeLabels: Seq[String] = edgeTables.keys.toSeq.sorted
 
+  /** ANALYZE-style per-label row counts, memoized per graph instance —
+    * the planner statistic behind pattern anchor selection (the
+    * reference's planner consults GraphCache sizes; here a parquet count
+    * is metadata-cheap and paid once per label per graph version).
+    */
+  @transient private lazy val nodeCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  def nodeCount(label: String): Long =
+    nodeCountCache.getOrElseUpdate(label, nodeTables(label).count())
+
   /** Copy with mutated tables, accumulating the touched dataset names. */
   private[graph] def mutated(newNodes: Map[String, DataFrame],
       newEdges: Map[String, (EdgeType, DataFrame)],

@@ -22,7 +22,17 @@ import graft.Tables
   */
 object TpchGraph {
 
-  def build(s: SparkSession, dir: String): PropertyGraph = {
+  /** Memoized per (session, dir): the graph is immutable, and reusing the
+    * instance lets [[PropertyGraph.nodeCount]] statistics amortize across
+    * queries instead of recounting per compile.
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PropertyGraph]
+
+  def build(s: SparkSession, dir: String): PropertyGraph =
+    cache.getOrElseUpdate((s, dir), build0(s, dir))
+
+  private def build0(s: SparkSession, dir: String): PropertyGraph = {
     import s.implicits._
     val customer = Tables.customer(s, dir)
     val orders = Tables.orders(s, dir)
