@@ -25,9 +25,41 @@ object Bench {
     // conversion and the documents/embeddings scan widening warm too)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-    Tables.documents(spark, sfDir).count()
-    Tables.embeddings(spark, sfDir).count()
+    // full-column scans: count() prunes to zero columns, so the wide
+    // text/vector columns (the bulk of the bytes the d*/e* queries read)
+    // would otherwise hit cold storage inside the first measured query
+    locally {
+      import org.apache.spark.sql.functions._
+      Tables.documents(spark, sfDir)
+        .select(sum(length(col("text")))).collect()
+      Tables.embeddings(spark, sfDir)
+        .select(sum(size(col("embedding")))).collect()
+    }
     Tables.events(spark, sfDir).count()
+    // JIT/codegen steady state for the dedup/similarity pipelines: the
+    // fused hash expressions (ShingleHash / MinHashSignature / SimHash60 /
+    // CosineSimilarity) and the md5+agg shuffle path need ~10^4 row
+    // invocations before C2 compiles the hot loops — run the same-shaped
+    // pipelines on synthetic rows so the measured d*/e* queries see
+    // compiled code, not interpreter warm-up
+    locally {
+      import org.apache.spark.sql.functions._
+      val warmDocs = spark.range(20000).select(col("id").as("doc_id"),
+        concat_ws(" ", lit("alpha beta gamma delta"),
+          (col("id") % 97).cast("string"),
+          lit("epsilon zeta eta theta iota kappa")).as("text"))
+      graft.dedup.Dedup.exactDupGroups(warmDocs, "text", "doc_id").count()
+      warmDocs.select(
+        graft.dedup.Dedup.minhashSignature(col("text"), 3, 32).as("sig"),
+        graft.dedup.Dedup.simhash60(col("text")).as("sh")).count()
+      graft.dedup.Dedup.nearDupPairs(warmDocs.limit(2000), "doc_id", "text",
+        n = 3, numHashes = 32).count()
+      val warmVecs = spark.range(2000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(31)),
+          i => sin(col("id") * 8 + i).cast("float")).as("embedding"))
+      graft.similarity.Similarity.knnBruteForce(warmVecs, "vec_id", "embedding",
+        warmVecs.limit(8), "vec_id", "embedding", 5).count()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

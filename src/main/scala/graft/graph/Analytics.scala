@@ -59,6 +59,18 @@ object Analytics {
       .unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
 
+    // The iterative joins materialize via localCheckpoint, which executes
+    // the initial plan — AQE's shuffle coalescing never kicks in, so every
+    // round would run the configured partition count regardless of data
+    // size. Size the shuffle to the edge frame instead (1 partition per
+    // ~100k edges, floor 8): tiny graphs stop paying thousands of empty
+    // tasks per round, huge graphs keep their configured width.
+    val spark = vertices.sparkSession
+    val prevSP = spark.conf.get("spark.sql.shuffle.partitions")
+    val target = math.max(8L, math.min(prevSP.toLong,
+      edges.count() / 100000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+    try {
     var comp = vertices.select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     // comp := min(comp, comp(comp)) — each application doubles the
@@ -78,14 +90,15 @@ object Analytics {
         .select(col("id"),
           least(col("comp"), org.apache.spark.sql.functions
             .coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // two pointer jumps per round: ~4× label-distance contraction per
-      // materialization instead of 2× — the checkpoint (a whole Spark
-      // job) is the unit cost at scale, so contract as much as possible
-      // per checkpoint
-      val step2 = pjump(pjump(step1)).localCheckpoint(true)
-      // converged when no label changed; skip the probe for the first few
-      // rounds (labels can't stabilize before ~log4(diameter) rounds)
-      if (round >= 3) {
+      // three pointer jumps per round: ~8× label-distance contraction per
+      // materialization — the checkpoint (a whole Spark job) is the unit
+      // cost at scale, so contract as much as possible per checkpoint
+      // while the lineage between checkpoints stays a short join chain
+      val step2 = pjump(pjump(pjump(step1))).localCheckpoint(true)
+      // converged when no label changed; the probe is itself a job, so
+      // skip the first rounds (labels can't stabilize before
+      // ~log8(diameter) rounds) and then probe every other round
+      if (round >= 2 && round % 2 == 0) {
         val changed = step2.join(comp.withColumnRenamed("comp", "old"), "id")
           .filter(col("comp") =!= col("old")).isEmpty
         done = changed
@@ -94,6 +107,7 @@ object Analytics {
       round += 1
     }
     comp.withColumnRenamed("comp", "component")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSP)
   }
 
   /** Triangle count per vertex (undirected, deduped edges). */

@@ -238,6 +238,15 @@ final class PropertyGraph(
         .unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
     }).select("src", "dst").localCheckpoint(true)
 
+    // localCheckpoint executes the initial (non-AQE-coalesced) plan each
+    // level, so size the shuffle to the edge frame up front: 1 partition
+    // per ~100k edges, floor 8 — small graphs skip thousands of empty
+    // tasks per level, big graphs keep the configured width.
+    val spark = sources.sparkSession
+    val prevSP = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(8L, math.min(prevSP.toLong, e.count() / 100000L + 1L)).toString)
+    try {
     var visited = sources.select(col("root_id"), col("root_id").as("id"),
       lit(0L).as("dist"))
     var frontier = visited
@@ -277,5 +286,6 @@ final class PropertyGraph(
       k += steps
     }
     visited.withColumnRenamed("id", "node_id")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSP)
   }
 }
