@@ -43,6 +43,13 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     * NEXT…YIELD chains (executor.rs:8612-8641 analog).
     */
   private var sessionParams: Map[String, Any] = Map.empty
+  /** Opt-in reference number semantics (value.rs:449-453: all arithmetic
+    * in f64) — `SESSION SET NUMBERS F64` or [[useF64Numbers]]. Default is
+    * native Spark numerics.
+    */
+  private var f64Mode: Boolean = false
+
+  def useF64Numbers(on: Boolean): this.type = { f64Mode = on; this }
 
   def currentGraphName: Option[String] = currentName
   def inTransaction: Boolean = txStack.nonEmpty
@@ -83,7 +90,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     * distributed).
     */
   def gql(query: String): DataFrame =
-    new Compiler(graph, sessionParams).compile(Parser.parse(query))
+    new Compiler(graph, sessionParams, f64Mode).compile(Parser.parse(query))
 
   /** Execute any GQL statement (ast.rs:24-39 dispatch): queries return
     * their result; DML mutates the session's current graph copy-on-write
@@ -150,7 +157,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     Parser.parseStatement(text) match {
       case Ast.QueryStmt(q) =>
         val seed = prev.select(yields.map { case (c, o) => col(c).as(o) }: _*)
-        new Compiler(graph, sessionParams).compileSeeded(q, seed)
+        new Compiler(graph, sessionParams, f64Mode).compileSeeded(q, seed)
       case _ => executeOne(text)
     }
 
@@ -159,7 +166,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     val spark = gls.spark
     import spark.implicits._
     Parser.parseStatement(text) match {
-      case QueryStmt(q) => new Compiler(graph, sessionParams).compile(q)
+      case QueryStmt(q) => new Compiler(graph, sessionParams, f64Mode).compile(q)
 
       case InsertStmt(nodes) =>
         // schema enforcement against the bound graph type (validator.rs:
@@ -211,7 +218,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           throw new GqlCompileException("INSERT edge endpoints must be bound variables"))
         val label = edgePat.types.headOption.getOrElse(
           throw new GqlCompileException("INSERT edge needs a type"))
-        val (binding, varLabels) = new Compiler(graph, sessionParams).compileBinding(matches, where)
+        val (binding, varLabels) = new Compiler(graph, sessionParams, f64Mode).compileBinding(matches, where)
         for (v <- Seq(xVar, yVar) if !binding.columns.contains(s"${v}_id"))
           throw new GqlCompileException(s"INSERT endpoint $v is not bound by MATCH")
         currentType.foreach(gt => graft.graph.GraphType.validateEdge(gt, label,
@@ -312,6 +319,41 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           throw new IllegalArgumentException(s"unknown graph type: $name")))
         Seq(name).toDF("graph_type")
 
+      // DECLARE x INT = 5, …: typed session variables, coerced to the
+      // declared type, visible as $x (DeclareStatement analog — the
+      // reference scopes them to procedure bodies; session scope here is
+      // the superset that NEXT YIELD parameters already use)
+      case DeclareStmt(vars) =>
+        val rows = vars.map { case (name, tpe, init) =>
+          val raw = init.map(litValue).orNull
+          val coerced: Any = (Option(raw), tpe) match {
+            case (None, _) => null
+            case (Some(v), "INT" | "INTEGER" | "BIGINT" | "SMALLINT") =>
+              v match {
+                case n: java.lang.Number => n.longValue()
+                case other => throw new GqlCompileException(
+                  s"DECLARE $name: $other is not $tpe")
+              }
+            case (Some(v), "DOUBLE" | "FLOAT" | "REAL") =>
+              v match {
+                case n: java.lang.Number => n.doubleValue()
+                case other => throw new GqlCompileException(
+                  s"DECLARE $name: $other is not $tpe")
+              }
+            case (Some(v), "STRING" | "VARCHAR" | "TEXT") => v.toString
+            case (Some(v), "BOOLEAN" | "BOOL") => v match {
+              case b: java.lang.Boolean => b
+              case other => throw new GqlCompileException(
+                s"DECLARE $name: $other is not $tpe")
+            }
+            case (_, other) => throw new GqlCompileException(
+              s"DECLARE $name: unsupported type $other")
+          }
+          sessionParams += (name -> coerced)
+          (name, tpe, Option(coerced).map(_.toString).orNull)
+        }
+        rows.toDF("variable", "type", "value")
+
       case SessionSetGraph(path) =>
         useGraph(path); Seq(path).toDF("current_graph")
 
@@ -324,6 +366,10 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           currentGraph = None; currentName = None; txStack = Nil
           currentType = None
           Seq("closed").toDF("session")
+        case "NUMBERS_F64" =>
+          f64Mode = true; Seq("f64").toDF("numbers")
+        case "NUMBERS_NATIVE" =>
+          f64Mode = false; Seq("native").toDF("numbers")
         case other => throw new GqlCompileException(s"unknown SESSION op $other")
       }
 
@@ -390,7 +436,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       }
 
       case PipelineMutationStmt(q, op, target, assigns, removeProps, detach) =>
-        val compiler = new Compiler(graph, sessionParams)
+        val compiler = new Compiler(graph, sessionParams, f64Mode)
         val mutExprs: Seq[Ast.Expr] = assigns.map(_._2)
         val (bdf, bindings) = compiler.compileMutationPipeline(q, mutExprs)
         def nodeLabelOf(v: String): String = bindings.get(v) match {
@@ -467,7 +513,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
             gls.catalog.loadGraph(parts(0), parts(1))
           case None => graph
         }
-        new Compiler(g, sessionParams).compile(q)
+        new Compiler(g, sessionParams, f64Mode).compile(q)
 
       // AT /s/g <stmt>: run against another graph's context, restore
       // after. Mutations inside AT follow session copy-on-write rules:
@@ -594,7 +640,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     */
   def explain(query: String): String = {
     val ast = Parser.parse(query)
-    val df = new Compiler(graph, sessionParams).compile(ast)
+    val df = new Compiler(graph, sessionParams, f64Mode).compile(ast)
     s"=== AST ===\n$ast\n\n=== Physical plan ===\n" +
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -167,6 +167,11 @@ object Ast {
     * INSERT validation (schema/validator.rs enforcement point).
     */
   case class SessionSetGraphType(name: String) extends Statement
+  /** DECLARE name TYPE [= value], … — typed session variables
+    * (ast.rs:1067-1079 DeclareStatement); referenced as `$name`.
+    */
+  case class DeclareStmt(
+      vars: Seq[(String, String, Option[Expr])]) extends Statement
   /** SESSION SET GRAPH /schema/graph (ast.rs:992-1063). */
   case class SessionSetGraph(path: String) extends Statement
   /** SESSION RESET | SESSION CLOSE (ast.rs:992-1063). */

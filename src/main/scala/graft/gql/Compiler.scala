@@ -23,7 +23,13 @@ class GqlCompileException(msg: String) extends RuntimeException(msg)
   * identity-based exactly like the reference.
   */
 final class Compiler(graph: PropertyGraph,
-    params: Map[String, Any] = Map.empty) {
+    params: Map[String, Any] = Map.empty,
+    /** Opt-in bug-compat number mode (reference value.rs:449-453: all
+      * arithmetic runs in f64) — arithmetic operands cast to double, so
+      * results compare bit-for-bit with the reference's engine. Off by
+      * default: native Spark numeric semantics (int ops stay integral).
+      */
+    f64Numbers: Boolean = false) {
 
   sealed trait Binding
   /** A node variable constrained to ALL of `labels` (multi-label pattern
@@ -1266,7 +1272,13 @@ final class Compiler(graph: PropertyGraph,
     case _ => c.isNull // UNKNOWN
   }
 
-  private def binOp(op: String, l: Column, r: Column): Column = op match {
+  private def binOp(op: String, l0: Column, r0: Column): Column = {
+    // f64 mode: every arithmetic input goes through double first
+    val arith = Set("+", "-", "*", "/", "%")
+    val (l, r) =
+      if (f64Numbers && arith(op)) (l0.cast("double"), r0.cast("double"))
+      else (l0, r0)
+    op match {
     case "+" => l + r
     case "-" => l - r
     case "*" => l * r
@@ -1283,6 +1295,7 @@ final class Compiler(graph: PropertyGraph,
     case "OR" => l || r
     case "XOR" => l =!= r
     case other => throw new GqlCompileException(s"unknown operator $other")
+    }
   }
 
   private def stringPred(op: String, l: Column, r: Expr,

@@ -117,14 +117,24 @@ final class Parser(tokens: Vector[Token]) {
         if (trySoftKw("RESET")) { expectEnd(); SessionCtl("RESET") }
         else if (trySoftKw("CLOSE")) { expectEnd(); SessionCtl("CLOSE") }
         else {
-          eatKw("SET"); eatKw("GRAPH")
-          if (trySoftKw("TYPE")) {
-            val name = ident()
-            expectEnd(); SessionSetGraphType(name)
+          eatKw("SET")
+          if (trySoftKw("NUMBERS")) {
+            // SESSION SET NUMBERS F64|NATIVE — reference number-semantics
+            // switch (value.rs:449-453 f64-everywhere arithmetic)
+            val mode = ident().toUpperCase
+            if (mode != "F64" && mode != "NATIVE")
+              err("SESSION SET NUMBERS expects F64 or NATIVE")
+            expectEnd(); SessionCtl(s"NUMBERS_$mode")
           } else {
-            eatPunct("/")
-            val schema = ident(); eatPunct("/"); val g = ident()
-            expectEnd(); SessionSetGraph(s"/$schema/$g")
+            eatKw("GRAPH")
+            if (trySoftKw("TYPE")) {
+              val name = ident()
+              expectEnd(); SessionSetGraphType(name)
+            } else {
+              eatPunct("/")
+              val schema = ident(); eatPunct("/"); val g = ident()
+              expectEnd(); SessionSetGraph(s"/$schema/$g")
+            }
           }
         }
       case TKw("CALL", _) =>
@@ -140,6 +150,20 @@ final class Parser(tokens: Vector[Token]) {
           eatPunct(")")
         }
         expectEnd(); CallStmt(name, args.result())
+      case TIdent(s, _) if s.equalsIgnoreCase("DECLARE") =>
+        // DECLARE x INT = 5, y STRING … (ast.rs:1067 DeclareStatement;
+        // parser.rs:4260) — typed session variables, referenced as $x
+        p += 1
+        val vars = Vector.newBuilder[(String, String, Option[Expr])]
+        var more = true
+        while (more) {
+          val name = ident()
+          val tpe = ident().toUpperCase
+          val init = if (tryPunct("=")) Some(parseExpr()) else None
+          vars += ((name, tpe, init))
+          more = tryPunct(",")
+        }
+        expectEnd(); DeclareStmt(vars.result())
       case TIdent(s, _) if s.equalsIgnoreCase("START") =>
         p += 1; eatSoftKw("TRANSACTION")
         expectEnd(); TransactionStmt("START")

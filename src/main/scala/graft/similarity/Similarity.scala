@@ -179,6 +179,34 @@ object Similarity {
     }
   }
 
+  /** Smallest `nprobe` whose measured recall@`topK` against the exact
+    * brute-force answer meets `recallTarget`, probing doubling values
+    * (1, 2, 4, … k) on a deterministic hash-spread query sample. Offline
+    * tuning utility: a handful of small jobs, paid once per index build
+    * (ROADMAP §perf — nprobe auto-tune from recall target).
+    */
+  def tuneNprobe(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      topK: Int, recallTarget: Double, sampleQueries: Int = 16): Int = {
+    val queries = corpus.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .orderBy(xxhash64(col("qid")), col("qid")).limit(sampleQueries)
+      .localCheckpoint(true)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("qid").cast("long"), col("id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(knnBruteForce(corpus, idCol, vecCol,
+      queries, "qid", "qvec", topK))
+    if (exact.isEmpty) return 1
+    var np = 1
+    while (np < k) {
+      val approx = pairs(new IvfIndex(k, np).annTopK(corpus, idCol, vecCol,
+        queries, "qid", "qvec", topK))
+      if (approx.intersect(exact).size.toDouble / exact.size >= recallTarget)
+        return np
+      np = math.min(np * 2, k)
+    }
+    k
+  }
+
   /** Solve LSH banding parameters for a target Jaccard threshold: among
     * (bands, rowsPerBand) factorizations of `numHashes`, pick the one
     * whose S-curve inflection (1/b)^(1/r) lands nearest the threshold —

@@ -421,6 +421,33 @@ class SurfaceSpec extends AnyFunSuite {
     t.execute("DROP PROCEDURE chained")
   }
 
+  test("DECLARE defines typed session variables for $refs") {
+    val t = fresh()
+    val r = t.execute("DECLARE lo INT = 10, hi INT = 20, tag STRING = 'x'")
+    assert(r.count() == 3)
+    assert(t.parameters("lo") == 10L && t.parameters("hi") == 20L)
+    assert(one2(t, "MATCH (a:Account) WHERE a.id >= $lo AND a.id <= $hi " +
+      "RETURN count(a) AS n") == 11L)
+    // type coercion and validation
+    intercept[GqlCompileException] { t.execute("DECLARE z INT = 'nope'") }
+    intercept[GqlCompileException] { t.execute("DECLARE z BLOB = 1") }
+  }
+
+  test("SESSION SET NUMBERS F64 switches to reference arithmetic") {
+    val t = fresh()
+    // native: integer addition stays integral (Spark semantics)
+    assert(one2(t, "RETURN 7 + 2 AS x") == 9L)
+    t.execute("SESSION SET NUMBERS F64")
+    // f64 mode: every arithmetic result is double (value.rs:449-453)
+    assert(one2(t, "RETURN 7 + 2 AS x") == 9.0)
+    assert(one2(t, "RETURN 7 / 2 AS x") == 3.5)
+    t.execute("SESSION SET NUMBERS NATIVE")
+    assert(one2(t, "RETURN 7 + 2 AS x") == 9L)
+  }
+
+  private def one2(t: graft.GqlSession, q: String): Any =
+    t.gql(q).collect().head.get(0)
+
   // ---- AT location (ast.rs AtLocation) ----
 
   test("AT executes against another graph and restores the session") {

@@ -144,6 +144,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.head.getAs[Double]("score") == 1.0)
   }
 
+  test("nprobe auto-tune reaches the recall target") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0 until 128).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val np = Similarity.tuneNprobe(vecs, "vec_id", "embedding",
+      k = 8, topK = 3, recallTarget = 0.9, sampleQueries = 8)
+    assert(np >= 1 && np <= 8)
+    // the chosen nprobe must actually deliver the recall it was tuned for
+    val queries = vecs.limit(8)
+    val exact = Similarity.knnBruteForce(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 3)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = new Similarity.IvfIndex(8, np).annTopK(vecs, "vec_id",
+      "embedding", queries, "vec_id", "embedding", 3)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.intersect(exact).size.toDouble / exact.size >= 0.85)
+  }
+
   test("ann finds the exact duplicate via LSH buckets") {
     import spark.implicits._
     val dim = 8
