@@ -506,12 +506,15 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           case other => throw new GqlCompileException(s"unknown mutation $other")
         }
 
-      case SelectStmt(path, q) =>
-        val g = path match {
-          case Some(pth) =>
+      case SelectStmt(paths, q) =>
+        // FROM /s/g [UNION /s/g]* — the graph union expression
+        // (ast.rs:1117; storage_manager.rs:400 union semantics)
+        val g = paths match {
+          case Seq() => graph
+          case ps => ps.map { pth =>
             val parts = pth.stripPrefix("/").split("/")
             gls.catalog.loadGraph(parts(0), parts(1))
-          case None => graph
+          }.reduce(gls.catalog.unionGraphs)
         }
         new Compiler(g, sessionParams, f64Mode).compile(q)
 
@@ -525,17 +528,32 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         try execute(body)
         finally { currentGraph = savedG; currentName = savedN }
 
-      case CallStmt(name, args) =>
-        if (name.startsWith("gql.")) {
-          val strArgs = args.map {
-            case Ast.Ident(s) => s // bare identifiers pass as strings
-            case e => Option(litValue(e)).map(_.toString).getOrElse("")
+      case CallStmt(name, args, yields, callWhere) =>
+        val base =
+          if (name.startsWith("gql.")) {
+            val strArgs = args.map {
+              case Ast.Ident(s) => s // bare identifiers pass as strings
+              case e => Option(litValue(e)).map(_.toString).getOrElse("")
+            }
+            SystemProcedures.call(gls, this, name, strArgs)
+          } else gls.catalog.loadProcedure(name) match {
+            case Some(body) => execute(body)
+            case None => throw new IllegalArgumentException(s"unknown procedure: $name")
           }
-          SystemProcedures.call(gls, this, name, strArgs)
-        } else gls.catalog.loadProcedure(name) match {
-          case Some(body) => execute(body)
-          case None => throw new IllegalArgumentException(s"unknown procedure: $name")
+        // YIELD projects/renames the procedure's rowset; WHERE filters it
+        // over the yielded (or raw) columns (ast.rs:90-96)
+        var out = base
+        if (yields.nonEmpty)
+          out = out.select(yields.map { case (c, a) => col(c).as(a) }: _*)
+        callWhere.foreach { w =>
+          // procedure results are plain columns — compile the predicate
+          // with every output column as a value binding (graph-free)
+          val g0 = currentGraph.getOrElse(new PropertyGraph(Map.empty, Map.empty))
+          val comp = new Compiler(g0, sessionParams, f64Mode)
+          out = out.filter(comp.columnFor(w,
+            out.columns.map(_ -> (comp.ValueBinding: comp.Binding)).toMap))
         }
+        out
     }
   }
 

@@ -190,8 +190,13 @@ object Ast {
     */
   case class ProcedureStmt(op: String, name: String,
       body: Option[String]) extends Statement
-  /** CALL name(arg, …) — system or stored procedure. */
-  case class CallStmt(name: String, args: Seq[Expr]) extends Statement
+  /** CALL name(arg, …) [YIELD col [AS alias], …] [WHERE expr] — system
+    * or stored procedure, with result projection and filtering
+    * (ast.rs:90-96 CallStatement; WHERE is the reference's extension).
+    */
+  case class CallStmt(name: String, args: Seq[Expr],
+      yields: Seq[(String, String)] = Seq.empty,
+      where: Option[Expr] = None) extends Statement
   /** CREATE [GRAPH] INDEX name ON table (cols) | DROP INDEX name |
     * REINDEX name (ast.rs:1707-1787). The Spark-native index is a
     * clustered layout: the persisted dataset is range-partitioned and
@@ -205,7 +210,7 @@ object Ast {
     * sugar over a single-segment query, optionally against an explicit
     * catalog graph.
     */
-  case class SelectStmt(graphPath: Option[String], q: Query) extends Statement
+  case class SelectStmt(graphPaths: Seq[String], q: Query) extends Statement
   /** MutationPipeline (ast.rs:140-180, executor.rs:7186): a WITH-chained
     * read pipeline whose final clause mutates — `MATCH … WITH … SET v.p =
     * expr | REMOVE v.p | [DETACH] DELETE v`. The pipeline computes the

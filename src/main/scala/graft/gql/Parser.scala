@@ -110,8 +110,8 @@ final class Parser(tokens: Vector[Token]) {
         val name = ident()
         expectEnd(); IndexStmt("REINDEX", name, "", Seq.empty)
       case TIdent(s, _) if s.equalsIgnoreCase("SELECT") =>
-        val (path, q) = parseSelect()
-        expectEnd(); SelectStmt(path, q)
+        val (paths, q) = parseSelect()
+        expectEnd(); SelectStmt(paths, q)
       case TKw("SESSION", _) =>
         p += 1
         if (trySoftKw("RESET")) { expectEnd(); SessionCtl("RESET") }
@@ -149,7 +149,19 @@ final class Parser(tokens: Vector[Token]) {
           }
           eatPunct(")")
         }
-        expectEnd(); CallStmt(name, args.result())
+        // YIELD col [AS alias], … then optional WHERE (ast.rs:90-96)
+        val yields = Vector.newBuilder[(String, String)]
+        if (trySoftKw("YIELD")) {
+          var more = true
+          while (more) {
+            val c = ident()
+            val a = if (tryKw("AS")) ident() else c
+            yields += ((c, a))
+            more = tryPunct(",")
+          }
+        }
+        val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+        expectEnd(); CallStmt(name, args.result(), yields.result(), where)
       case TIdent(s, _) if s.equalsIgnoreCase("DECLARE") =>
         // DECLARE x INT = 5, y STRING … (ast.rs:1067 DeclareStatement;
         // parser.rs:4260) — typed session variables, referenced as $x
@@ -423,8 +435,8 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parsePipelineQuery(): Query = {
     if (isSoftKw("SELECT")) {
-      val (path, q) = parseSelect()
-      if (path.isDefined)
+      val (paths, q) = parseSelect()
+      if (paths.nonEmpty)
         err("SELECT … FROM /schema/graph needs session context — use execute()")
       return q
     }
@@ -443,16 +455,23 @@ final class Parser(tokens: Vector[Token]) {
     * [/schema/graph] MATCH patterns [WHERE e] [GROUP BY…] [HAVING e]
     * [ORDER BY…] [SKIP n] [LIMIT n]` — desugars to one query segment.
     */
-  private def parseSelect(): (Option[String], Query) = {
+  private def parseSelect(): (Seq[String], Query) = {
     eatSoftKw("SELECT")
     val distinct = tryKw("DISTINCT")
     val items = parseReturnItems()
     eatSoftKw("FROM")
-    val path =
-      if (isPunct("/")) {
+    // graph expression: /s/g [UNION /s/g]* (ast.rs:1117 GraphExpression —
+    // Union merges the graphs' label tables before matching)
+    val paths = Vector.newBuilder[String]
+    if (isPunct("/")) {
+      var more = true
+      while (more) {
         eatPunct("/"); val schema = ident(); eatPunct("/"); val g = ident()
-        Some(s"/$schema/$g")
-      } else None
+        paths += s"/$schema/$g"
+        more = tryKw("UNION")
+      }
+    }
+    val path = paths.result()
     eatKw("MATCH")
     val matches = parsePatternList()
     val where = if (tryKw("WHERE")) Some(parseExpr()) else None

@@ -231,6 +231,32 @@ class SurfaceSpec extends AnyFunSuite {
     assert(r.getString(0) == "test")
   }
 
+  test("CALL … YIELD … WHERE projects and filters procedure results") {
+    val t = fresh()
+    val r = t.execute("CALL gql.list_functions() " +
+      "YIELD function_name AS fn, category WHERE category = 'math'")
+    assert(r.columns.sameElements(Array("fn", "category")))
+    val rows = r.collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(1) == "math"))
+    // YIELD alone projects without filtering
+    assert(t.execute("CALL gql.list_functions() YIELD function_name")
+      .columns.sameElements(Array("function_name")))
+  }
+
+  test("SELECT FROM g1 UNION g2 matches over the merged graph") {
+    val t = fresh()
+    t.execute("CREATE SCHEMA /u")
+    t.saveGraphAs("/u/g1")
+    t.execute("INSERT (:Account {id: 51, account_number: 'ACC51', " +
+      "name: 'Account51', balance: 5100.0, status: 'active', " +
+      "account_type: 'checking', risk_score: 0.1})")
+    t.saveGraphAs("/u/g2")
+    // g2 = g1 + one account; union dedups the shared rows
+    val n = t.execute("SELECT count(a) AS n FROM /u/g1 UNION /u/g2 " +
+      "MATCH (a:Account)").collect().head.getLong(0)
+    assert(n == 51L)
+  }
+
   // ---- label-less and multi-label patterns ----
 
   test("label-less MATCH scans the union of all labels") {
