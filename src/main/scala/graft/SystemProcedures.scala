@@ -87,5 +87,9 @@ object SystemProcedures {
     "DATETIME" -> "temporal", "NOW" -> "temporal", "CURRENT_DATE" -> "temporal",
     "DATE_ADD" -> "temporal", "DATE_SUB" -> "temporal",
     "YEAR" -> "temporal", "MONTH" -> "temporal", "DAY" -> "temporal",
+    "AT_TIME_ZONE" -> "timezone", "TIMEZONE" -> "timezone",
+    "CONVERT_TZ" -> "timezone", "GET_TIMEZONE_OFFSET" -> "timezone",
+    "EXTRACT_TIMEZONE" -> "timezone", "GET_TIMEZONE_NAME" -> "timezone",
+    "GET_TIMEZONE_ABBREVIATION" -> "timezone",
     "ID" -> "graph", "LABELS" -> "graph", "TYPE" -> "graph", "KEYS" -> "graph")
 }

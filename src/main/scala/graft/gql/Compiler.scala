@@ -1478,6 +1478,23 @@ final class Compiler(graph: PropertyGraph,
       case "GET_TIMEZONE_OFFSET" =>
         (unix_timestamp(from_utc_timestamp(a(1), strArg(args(0)))) -
           unix_timestamp(a(1))).cast("long")
+      // EXTRACT_TIMEZONE(unit, ts) (timezone_functions.rs:380-460):
+      // session timestamps are naive-UTC (the reference's Value::DateTime
+      // branch), so the components are constants
+      case "EXTRACT_TIMEZONE" =>
+        if (args.size != 2)
+          throw new GqlCompileException("EXTRACT_TIMEZONE expects (unit, ts)")
+        strArg(args(0)).toUpperCase match {
+          case "TIMEZONE" => lit("UTC")
+          case "TIMEZONE_HOUR" | "TIMEZONE_MINUTE" => lit(0.0)
+          case other => throw new GqlCompileException(
+            s"EXTRACT_TIMEZONE unit $other")
+        }
+      // GET_TIMEZONE_NAME / _ABBREVIATION (timezone_functions.rs:508-645):
+      // literal zone strings resolve at compile time through the same
+      // abbreviation → canonical-zone table as the reference
+      case "GET_TIMEZONE_NAME" => lit(canonicalZone(strArg(args(0))))
+      case "GET_TIMEZONE_ABBREVIATION" => lit(zoneAbbrev(strArg(args(0))))
       // graph (graph_functions.rs)
       case "ID" => ctx.bindings.get(varName(0)) match {
         case Some(NodeBinding(_)) | Some(UnionNode) => col(s"${varName(0)}_id")
@@ -1556,6 +1573,47 @@ final class Compiler(graph: PropertyGraph,
       case other =>
         throw new GqlCompileException(s"unknown function $other")
     }
+  }
+
+  /** Abbreviation → canonical zone (timezone_functions.rs:26-44). */
+  private val tzAbbrevCanonical = Map(
+    "UTC" -> "UTC", "GMT" -> "UTC",
+    "EST" -> "America/New_York", "EDT" -> "America/New_York",
+    "CST" -> "America/Chicago", "CDT" -> "America/Chicago",
+    "MST" -> "America/Denver", "MDT" -> "America/Denver",
+    "PST" -> "America/Los_Angeles", "PDT" -> "America/Los_Angeles",
+    "BST" -> "Europe/London", "CET" -> "Europe/Paris",
+    "CEST" -> "Europe/Paris", "JST" -> "Asia/Tokyo",
+    "IST" -> "Asia/Kolkata", "AEST" -> "Australia/Sydney",
+    "AEDT" -> "Australia/Sydney")
+
+  private def canonicalZone(s: String): String = {
+    val c = tzAbbrevCanonical.getOrElse(s.toUpperCase, s)
+    try java.time.ZoneId.of(c).getId
+    catch {
+      case _: Exception =>
+        try java.time.ZoneOffset.of(s).getId // fixed offsets (+05:30)
+        catch { case _: Exception =>
+          throw new GqlCompileException(s"invalid timezone: $s") }
+    }
+  }
+
+  /** Zone abbreviation table (timezone_functions.rs:614-640). */
+  private def zoneAbbrev(s: String): String = canonicalZone(s) match {
+    case "UTC" | "Z" => "UTC"
+    case "America/New_York" => "EST/EDT"
+    case "America/Chicago" => "CST/CDT"
+    case "America/Denver" => "MST/MDT"
+    case "America/Los_Angeles" => "PST/PDT"
+    case "Europe/London" => "GMT/BST"
+    case "Europe/Paris" => "CET/CEST"
+    case "Asia/Tokyo" => "JST"
+    case "Asia/Shanghai" => "CST"
+    case "Asia/Kolkata" => "IST"
+    case off if off.startsWith("+") || off.startsWith("-") => off
+    case canonical =>
+      val parts = canonical.split('/')
+      if (parts.length >= 2) parts.last else canonical
   }
 
   private def intLit(e: Expr): Int = e match {

@@ -123,6 +123,41 @@ object EventPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Late-arrival dedup: drop duplicate event_ids arriving within the
+    * watermark window (`dropDuplicatesWithinWatermark` keeps state only
+    * until the watermark passes — bounded state on unbounded input; a
+    * plain dropDuplicates would grow state forever). Batch mode degrades
+    * to exact dropDuplicates, so the batch run is the oracle.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming anti-join: clicks with NO purchase by the same user
+    * within 30 minutes after the click (abandonment detection). Spark
+    * does not support stream-stream LEFT ANTI directly — the supported
+    * shape is a watermarked LEFT OUTER time-interval join whose
+    * unmatched rows emit (with a NULL right side) once the watermark
+    * proves no matching purchase can still arrive; the NULL filter then
+    * yields exactly the anti rows. Both watermarks bound the join state.
+    */
+  def clicksWithoutPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val l = clicks.select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val r = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    l.join(r,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .filter(col("p_user").isNull)
+      .select(col("user_id"), col("click_id"), col("click_ts"))
+  }
+
   /** Stream-stream inner join with watermarks: click-like events joined
     * to purchase-like events of the same user within ±30 minutes. Both
     * sides carry watermarks so Spark can expire join state — the pattern

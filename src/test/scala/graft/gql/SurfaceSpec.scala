@@ -447,6 +447,19 @@ class SurfaceSpec extends AnyFunSuite {
     t.execute("DROP PROCEDURE chained")
   }
 
+  test("timezone introspection functions resolve like the reference") {
+    assert(one("RETURN GET_TIMEZONE_NAME('EST') AS x") == "America/New_York")
+    assert(one("RETURN GET_TIMEZONE_NAME('+05:30') AS x") == "+05:30")
+    assert(one("RETURN GET_TIMEZONE_ABBREVIATION('America/New_York') AS x")
+      == "EST/EDT")
+    assert(one("RETURN GET_TIMEZONE_ABBREVIATION('Asia/Tokyo') AS x") == "JST")
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE', NOW()) AS x") == "UTC")
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', NOW()) AS x") == 0.0)
+    intercept[GqlCompileException] {
+      one("RETURN GET_TIMEZONE_NAME('NotAZone/Fake') AS x")
+    }
+  }
+
   test("DECLARE defines typed session variables for $refs") {
     val t = fresh()
     val r = t.execute("DECLARE lo INT = 10, hi INT = 20, tag STRING = 'x'")

@@ -340,6 +340,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batch && batch > 0)
   }
 
+  test("stream-stream anti-join and watermark dedup equal batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evs5").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter($"event_type" === "click"),
+        df.filter($"event_type" === "purchase"))
+    val (sc, sp) = split(graft.streaming.EventPipeline.readEventStream(spark, dir))
+    val q = graft.streaming.EventPipeline.clicksWithoutPurchase(sc, sp)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("noconv").start()
+    q.processAllAvailable(); q.stop()
+    val streamedIds = spark.sql("select click_id from noconv")
+      .collect().map(_.getLong(0)).toSet
+    val (bc, bp) = split(graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    val batchIds = graft.streaming.EventPipeline.clicksWithoutPurchase(bc, bp)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    // append-mode anti rows only emit once the watermark passes them; the
+    // streamed set must be a subset of batch with no false positives
+    assert(streamedIds.subsetOf(batchIds))
+    assert(batchIds.nonEmpty)
+
+    // dedup-within-watermark: batch oracle is exact dropDuplicates
+    val stream2 = graft.streaming.EventPipeline.readEventStream(spark, dir)
+    val q2 = graft.streaming.EventPipeline.dedupWithinWatermark(stream2)
+      .select("event_id").writeStream.outputMode("append").format("memory")
+      .queryName("dedupw").start()
+    q2.processAllAvailable(); q2.stop()
+    val streamedN = spark.sql("select count(distinct event_id) from dedupw")
+      .collect().head.getLong(0)
+    val batchN = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .dropDuplicates("event_id").count()
+    assert(streamedN == batchN)
+  }
+
   test("system procedures") {
     val gls = graft.GraphLiteSpark.open(spark,
       java.nio.file.Files.createTempDirectory("wh-proc").toString)
