@@ -306,6 +306,46 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         case other => throw new GqlCompileException(s"unsupported DDL $other")
       }
 
+      case AlterGraphTypeStmt(name, changes) =>
+        import graft.graph.GraphType.{GraphTypeDef, NodeTypeDef, EdgeTypeDef}
+        val next = gls.catalog.alterGraphType(name, cur =>
+          changes.foldLeft(cur) { (gt, ch) => ch match {
+            case AddNodeType(nt) =>
+              if (gt.nodes.exists(_.label == nt.label))
+                throw new GqlCompileException(
+                  s"node type ${nt.label} already exists in $name")
+              gt.copy(nodes = gt.nodes :+ nt)
+            case DropNodeType(l) =>
+              gt.copy(nodes = gt.nodes.filterNot(_.label == l),
+                edges = gt.edges.filterNot(e => e.from == l || e.to == l))
+            case AddEdgeType(et) =>
+              if (gt.edges.exists(_.name == et.name))
+                throw new GqlCompileException(
+                  s"edge type ${et.name} already exists in $name")
+              gt.copy(edges = gt.edges :+ et)
+            case DropEdgeType(t) =>
+              gt.copy(edges = gt.edges.filterNot(_.name == t))
+            case AddProperty(tn, prop) =>
+              if (gt.nodes.exists(_.label == tn))
+                gt.copy(nodes = gt.nodes.map(n =>
+                  if (n.label == tn) n.copy(props = n.props :+ prop) else n))
+              else if (gt.edges.exists(_.name == tn))
+                gt.copy(edges = gt.edges.map(e =>
+                  if (e.name == tn) e.copy(props = e.props :+ prop) else e))
+              else throw new GqlCompileException(s"unknown type $tn in $name")
+            case DropProperty(tn, pn) =>
+              gt.copy(
+                nodes = gt.nodes.map(n =>
+                  if (n.label == tn) n.copy(props = n.props.filterNot(_.name == pn)) else n),
+                edges = gt.edges.map(e =>
+                  if (e.name == tn) e.copy(props = e.props.filterNot(_.name == pn)) else e))
+          }})
+        // a session bound to this type sees the new version immediately
+        if (currentType.exists(_.name == name)) currentType = Some(next)
+        Seq((name, changes.size.toLong,
+          gls.catalog.graphTypeVersionCount(name).toLong))
+          .toDF("graph_type", "changes_applied", "superseded_versions")
+
       case GraphTypeStmt(op, name, definition) => op match {
         case "CREATE" =>
           Seq(gls.catalog.saveGraphType(definition.get)).toDF("created")

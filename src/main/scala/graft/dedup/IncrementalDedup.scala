@@ -105,4 +105,34 @@ object IncrementalDedup {
       .select("id", "band", "bucket").write.mode("append").parquet(bucketsPath)
     batch.join(out.select(col("id").as(idCol)).distinct(), Seq(idCol))
   }
+
+  /** Compact the append-only state: each dataset rewrites as one sorted,
+    * deduplicated snapshot (range-partitioned so parquet min/max stats
+    * prune probe joins). Run periodically — every batch appends a few
+    * files, and compaction bounds the small-file count without changing
+    * any dedupe outcome. The rewrite materializes fully into a staging
+    * dir before the old files are swapped out.
+    */
+  def compactState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Unit = {
+    def compact(sub: String, sortCols: Seq[String]): Unit = {
+      val p = Paths.get(s"$statePath/$sub")
+      if (!Files.exists(p)) return
+      val tmp = s"$statePath/.compact_$sub"
+      spark.read.parquet(p.toString).distinct()
+        .repartitionByRange(sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp)
+      def rmrf(d: java.nio.file.Path): Unit =
+        if (Files.exists(d)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+        }
+      rmrf(p)
+      Files.move(Paths.get(tmp), p)
+    }
+    compact("exact", Seq("fp"))
+    compact("shingles", Seq("id"))
+    compact("buckets", Seq("bucket", "band"))
+  }
 }

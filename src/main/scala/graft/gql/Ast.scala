@@ -167,6 +167,23 @@ object Ast {
     * INSERT validation (schema/validator.rs enforcement point).
     */
   case class SessionSetGraphType(name: String) extends Statement
+  /** One ALTER GRAPH TYPE schema change (schema/types.rs:268-288
+    * SchemaChange — the reference parser for these is roadmap dead code;
+    * we implement the executable subset).
+    */
+  sealed trait GraphTypeChange
+  case class AddNodeType(nt: graft.graph.GraphType.NodeTypeDef) extends GraphTypeChange
+  case class DropNodeType(label: String) extends GraphTypeChange
+  case class AddEdgeType(et: graft.graph.GraphType.EdgeTypeDef) extends GraphTypeChange
+  case class DropEdgeType(name: String) extends GraphTypeChange
+  case class AddProperty(typeName: String,
+      prop: graft.graph.GraphType.PropDef) extends GraphTypeChange
+  case class DropProperty(typeName: String, propName: String) extends GraphTypeChange
+  /** ALTER GRAPH TYPE name change+ (schema evolution; prior versions
+    * retained in the catalog history).
+    */
+  case class AlterGraphTypeStmt(name: String,
+      changes: Seq[GraphTypeChange]) extends Statement
   /** DECLARE name TYPE [= value], … — typed session variables
     * (ast.rs:1067-1079 DeclareStatement); referenced as `$name`.
     */

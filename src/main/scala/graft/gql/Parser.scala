@@ -105,6 +105,57 @@ final class Parser(tokens: Vector[Token]) {
             expectEnd(); CatalogStmt(op, kind, schema, graph, typed)
           }
         }
+      case TIdent(s, _) if s.equalsIgnoreCase("ALTER") =>
+        // ALTER GRAPH TYPE name (ADD|DROP) … + (schema/parser/
+        // graph_type.rs:87; executable subset of SchemaChange)
+        p += 1
+        eatKw("GRAPH"); eatSoftKw("TYPE")
+        val name = ident()
+        val changes = Vector.newBuilder[GraphTypeChange]
+        var more = true
+        while (more) {
+          if (isKw("CREATE") || isSoftKw("ADD")) {
+            p += 1
+            if (trySoftKw("NODE")) {
+              eatSoftKw("TYPE")
+              val label = ident()
+              eatPunct("(")
+              val props = if (isPunct(")")) Seq.empty else parseTypeProps()
+              eatPunct(")")
+              changes += AddNodeType(
+                graft.graph.GraphType.NodeTypeDef(label, props))
+            } else if (trySoftKw("EDGE")) {
+              eatSoftKw("TYPE")
+              val t = ident()
+              eatPunct("(")
+              eatSoftKw("FROM"); val from = ident()
+              eatSoftKw("TO"); val to = ident()
+              val props = if (tryPunct(",")) parseTypeProps() else Seq.empty
+              eatPunct(")")
+              changes += AddEdgeType(
+                graft.graph.GraphType.EdgeTypeDef(t, from, to, props))
+            } else {
+              eatSoftKw("PROPERTY")
+              val tn = ident(); eatPunct("."); val pn = ident()
+              val pt = ident().toUpperCase
+              var required = false
+              if (isKw("NOT")) { p += 1; eatKw("NULL"); required = true }
+              changes += AddProperty(tn,
+                graft.graph.GraphType.PropDef(pn, pt, required))
+            }
+          } else if (tryKw("DROP")) {
+            if (trySoftKw("NODE")) { eatSoftKw("TYPE"); changes += DropNodeType(ident()) }
+            else if (trySoftKw("EDGE")) { eatSoftKw("TYPE"); changes += DropEdgeType(ident()) }
+            else {
+              eatSoftKw("PROPERTY")
+              val tn = ident(); eatPunct("."); val pn = ident()
+              changes += DropProperty(tn, pn)
+            }
+          } else err("expected ADD or DROP in ALTER GRAPH TYPE")
+          more = tryPunct(",") ||
+            isSoftKw("ADD") || isKw("DROP") || isKw("CREATE")
+        }
+        expectEnd(); AlterGraphTypeStmt(name, changes.result())
       case TIdent(s, _) if s.equalsIgnoreCase("REINDEX") =>
         p += 1
         val name = ident()
@@ -247,24 +298,7 @@ final class Parser(tokens: Vector[Token]) {
       trySoftKw("CASCADE")
       expectEnd(); GraphTypeStmt("DROP", name, None)
     } else {
-      def parseProps(): Seq[PropDef] = {
-        val out = Vector.newBuilder[PropDef]
-        var more = true
-        while (more) {
-          val pn = ident()
-          val pt = ident()
-          var required = false
-          var reading = true
-          while (reading) {
-            if (isKw("NOT")) { p += 1; eatKw("NULL"); required = true }
-            else if (isSoftKw("UNIQUE")) p += 1 // accepted; not enforced
-            else reading = false
-          }
-          out += PropDef(pn, pt.toUpperCase, required)
-          more = tryPunct(",")
-        }
-        out.result()
-      }
+      def parseProps(): Seq[PropDef] = parseTypeProps()
       eatPunct("(")
       val nodes = Vector.newBuilder[NodeTypeDef]
       val edges = Vector.newBuilder[EdgeTypeDef]
@@ -296,6 +330,28 @@ final class Parser(tokens: Vector[Token]) {
       GraphTypeStmt("CREATE", name,
         Some(GraphTypeDef(name, nodes.result(), edges.result())))
     }
+  }
+
+  /** `p TYPE [NOT NULL] [UNIQUE] [, …]` property definition list shared
+    * by CREATE and ALTER GRAPH TYPE bodies.
+    */
+  private def parseTypeProps(): Seq[graft.graph.GraphType.PropDef] = {
+    val out = Vector.newBuilder[graft.graph.GraphType.PropDef]
+    var more = true
+    while (more) {
+      val pn = ident()
+      val pt = ident()
+      var required = false
+      var reading = true
+      while (reading) {
+        if (isKw("NOT")) { p += 1; eatKw("NULL"); required = true }
+        else if (isSoftKw("UNIQUE")) p += 1 // accepted; not enforced
+        else reading = false
+      }
+      out += graft.graph.GraphType.PropDef(pn, pt.toUpperCase, required)
+      more = tryPunct(",")
+    }
+    out.result()
   }
 
   /** MATCH … [WITH …]* INSERT/SET/REMOVE/[DETACH] DELETE — both the

@@ -280,6 +280,33 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       .filter(_.endsWith(".def")).map(_.stripSuffix(".def")).toSeq.sorted
   }
 
+  /** Apply a schema change, retaining the prior definition in the hidden
+    * history dir (GraphTypeVersion / previous_version chain analog —
+    * schema/types.rs:12-27).
+    */
+  def alterGraphType(name: String,
+      change: GraphType.GraphTypeDef => GraphType.GraphTypeDef): GraphType.GraphTypeDef = {
+    val cur = loadGraphType(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown graph type: $name"))
+    val next = change(cur)
+    val hist = Paths.get(s"$warehouse/_graph_types/.history")
+    Files.createDirectories(hist)
+    val version = graphTypeVersionCount(name) + 1
+    Files.move(Paths.get(s"$warehouse/_graph_types/$name.def"),
+      hist.resolve(s"$name.v$version.def"))
+    Files.writeString(Paths.get(s"$warehouse/_graph_types/$name.def"),
+      GraphType.serialize(next))
+    next
+  }
+
+  /** Number of superseded versions in the history. */
+  def graphTypeVersionCount(name: String): Int = {
+    val hist = Paths.get(s"$warehouse/_graph_types/.history")
+    if (!Files.exists(hist)) 0
+    else Files.list(hist).iterator.asScala.map(_.getFileName.toString)
+      .count(f => f.startsWith(s"$name.v") && f.endsWith(".def"))
+  }
+
   private def typeBindingsFile = Paths.get(s"$warehouse/_graph_type_bindings")
 
   private def readTypeBindings(): Seq[(String, String)] =

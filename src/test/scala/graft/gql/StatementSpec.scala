@@ -248,6 +248,33 @@ class StatementSpec extends AnyFunSuite {
     assert(s.execute("DROP GRAPH TYPE FraudType").collect().head.getBoolean(0))
   }
 
+  test("ALTER GRAPH TYPE evolves the schema and keeps history") {
+    val s = freshSession()
+    s.execute("CREATE GRAPH TYPE EvoType (" +
+      "NODE TYPE Account (id INT NOT NULL, name STRING))")
+    s.execute("SESSION SET GRAPH TYPE EvoType")
+    // new property + new node type + new edge type in one statement
+    s.execute("ALTER GRAPH TYPE EvoType " +
+      "ADD PROPERTY Account.balance DOUBLE, " +
+      "ADD NODE TYPE Merchant (id INT NOT NULL), " +
+      "ADD EDGE TYPE Transaction (FROM Account TO Merchant)")
+    // the bound session picks up the evolved schema at once
+    assert(s.execute("INSERT (:Account {id: 70, name: 'x', balance: 1.0})")
+      .collect().head.getLong(1) == 1L)
+    assert(s.execute("INSERT (:Merchant {id: 70})")
+      .collect().head.getLong(1) == 1L)
+    // dropping the property makes it unknown again
+    s.execute("ALTER GRAPH TYPE EvoType DROP PROPERTY Account.balance")
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("INSERT (:Account {id: 71, name: 'y', balance: 2.0})")
+    }
+    // two ALTERs → two superseded versions in history
+    val r = s.execute("ALTER GRAPH TYPE EvoType ADD PROPERTY Account.note STRING")
+      .collect().head
+    assert(r.getLong(2) == 3L)
+    s.execute("DROP GRAPH TYPE EvoType")
+  }
+
   test("CREATE GRAPH TYPED binds the type; useGraph picks it up") {
     val s = freshSession()
     s.execute("CREATE GRAPH TYPE TinyType (NODE TYPE Thing (id INT NOT NULL))")

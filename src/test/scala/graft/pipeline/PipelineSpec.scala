@@ -289,6 +289,14 @@ class PipelineSpec extends AnyFunSuite {
     val r = IncrementalDedup.dedupeNear(n2, "doc_id", "text", state,
       numHashes = 16, bands = 4)
     assert(r.collect().map(_.getLong(0)).toSeq == Seq(6L))
+    // compaction rewrites the state without changing outcomes
+    IncrementalDedup.compactState(spark, state)
+    val n3 = Seq((7L, base),
+      (8L, "yet more fresh unrelated material nothing shared at all right"))
+      .toDF("doc_id", "text")
+    val r3 = IncrementalDedup.dedupeNear(n3, "doc_id", "text", state,
+      numHashes = 16, bands = 4)
+    assert(r3.count() == 0) // both duplicate compacted history
   }
 
   test("transformWithState running totals equal the v1 port and batch") {
