@@ -43,6 +43,15 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- BPE-ish pre-tokenization count (training-budget metric)
+    "d09_bpe_tokens" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          TextAnalysis.bpeTokenCount($"text").as("n_bpe"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- quality scoring (lengths, punctuation, stopwords, logistic)
     "d03_quality" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -389,6 +398,15 @@ object PipelineQueries {
     "d02_token_count" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "d09_bpe_tokens" -> {
+      // same pattern, SQL-quoted (RE2 and Java regex agree on this
+      // ASCII-only subset; the leading quote doubles inside a SQL string)
+      val sqlPat = TextAnalysis.BpePattern
+        .replace("\\s", "\\s").replace("'", "''")
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "d03_quality" -> qualitySql,
     "d04_langid" -> langCaseSql,
     "d05_fingerprint" ->

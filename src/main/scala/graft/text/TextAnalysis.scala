@@ -26,6 +26,22 @@ object TextAnalysis {
   /** Tokens of the raw text (whitespace split). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** GPT-2-style BPE pre-tokenization pattern: contraction suffixes,
+    * letter runs, digit runs, and symbol runs, each optionally taking one
+    * leading space. Restricted to syntax Java regex and RE2 interpret
+    * identically (ASCII classes, non-capturing groups), so the DuckDB
+    * oracle counts the same tokens.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish token count — the pre-merge token stream length a BPE
+    * tokenizer would start from (the training-pipeline budget metric;
+    * merges only shrink it deterministically per vocabulary).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
   /** Engine-stable 60-bit hash: first 15 hex digits of md5 as a long.
     * Reproducible in DuckDB as
     * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.

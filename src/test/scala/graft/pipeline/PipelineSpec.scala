@@ -17,6 +17,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L, 2L))
   }
 
+  test("bpe token counting splits contractions, numbers, and symbols") {
+    import spark.implicits._
+    val df = Seq(
+      ("it's done", 3L),       // it | 's | _done
+      ("hello world", 2L),
+      ("abc123 x!", 4L),       // abc | 123 | _x | !
+      ("we'll go 42km?!", 6L)) // we | 'll | _go | _42 | km | ?!
+      .toDF("text", "expected")
+    df.select(TextAnalysis.bpeTokenCount($"text").as("got"), $"expected")
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
   test("langId marker heuristic") {
     import spark.implicits._
     val df = Seq(
