@@ -14,7 +14,8 @@ object SystemProcedures {
     "gql.show_session", "gql.list_users", "gql.list_roles",
     "gql.list_grants", "gql.list_procedures", "gql.list_indexes",
     "gql.list_graph_types", "gql.authenticate_user", "gql.cache_stats",
-    "gql.clear_cache", "gql.show_parameters")
+    "gql.clear_cache", "gql.show_parameters",
+    "gql.find_neighbors", "gql.shortest_path", "gql.is_reachable")
 
   def call(gls: GraphLiteSpark, session: GqlSession, name: String,
       args: Seq[String] = Seq.empty): DataFrame = {
@@ -65,9 +66,47 @@ object SystemProcedures {
         gls.spark.sparkContext.getPersistentRDDs.values.foreach(
           _.unpersist(blocking = false))
         Seq(true).toDF("cleared")
+      // GraphIndexScan operations as a CALL surface (plan/operators/
+      // physical.rs:42-67: FindNeighbors / ShortestPath / IsReachable) —
+      // all ride PropertyGraph.bfs (per-node frontier state; composes
+      // with CALL … YIELD … WHERE)
+      case "gql.find_neighbors" =>
+        val Seq(edgeLabel, startId, maxHops) = fixedArgs(name, args, 3)
+        import org.apache.spark.sql.functions.{col, lit}
+        session.graph.bfs(
+            spark.range(1).select(lit(startId.toLong).as("root_id")),
+            edgeLabel, maxHops.toInt)
+          .filter(col("dist") > 0)
+          .select(col("node_id").as("neighbor_id"), col("dist"))
+          .orderBy("dist", "neighbor_id")
+      case "gql.shortest_path" =>
+        val Seq(edgeLabel, srcId, dstId, maxLen) = fixedArgs(name, args, 4)
+        import org.apache.spark.sql.functions.{col, lit}
+        session.graph.bfs(
+            spark.range(1).select(lit(srcId.toLong).as("root_id")),
+            edgeLabel, maxLen.toInt)
+          .filter(col("node_id") === dstId.toLong)
+          .select(lit(srcId.toLong).as("src"), lit(dstId.toLong).as("dst"),
+            col("dist"))
+      case "gql.is_reachable" =>
+        val Seq(edgeLabel, srcId, dstId, maxHops) = fixedArgs(name, args, 4)
+        import org.apache.spark.sql.functions.{col, lit}
+        val hit = !session.graph.bfs(
+            spark.range(1).select(lit(srcId.toLong).as("root_id")),
+            edgeLabel, maxHops.toInt)
+          .filter(col("node_id") === dstId.toLong).isEmpty
+        Seq((srcId.toLong, dstId.toLong, hit))
+          .toDF("src", "dst", "reachable")
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: $other")
     }
+  }
+
+  private def fixedArgs(name: String, args: Seq[String], n: Int): Seq[String] = {
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.length}")
+    args
   }
 
   /** Function registry listing (mirrors functions/mod.rs:39-256). */

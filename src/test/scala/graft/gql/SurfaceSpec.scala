@@ -231,6 +231,24 @@ class SurfaceSpec extends AnyFunSuite {
     assert(r.getString(0) == "test")
   }
 
+  test("graph-index procedures: neighbors, shortest path, reachability") {
+    // simple fixture chain: 1→2→…→10 over CONNECTS_TO
+    val t = SparkFixture.gqlSession(SparkFixture.simpleGraph)
+    val nbrs = t.execute("CALL gql.find_neighbors(CONNECTS_TO, 3, 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nbrs.toSeq == Seq((4L, 1L), (5L, 2L)))
+    val sp = t.execute("CALL gql.shortest_path(CONNECTS_TO, 1, 5, 10)")
+      .collect().head
+    assert(sp.getLong(2) == 4L) // 1→2→3→4→5
+    assert(t.execute("CALL gql.is_reachable(CONNECTS_TO, 1, 10, 10)")
+      .collect().head.getBoolean(2))
+    assert(!t.execute("CALL gql.is_reachable(CONNECTS_TO, 10, 1, 10)")
+      .collect().head.getBoolean(2)) // chain is directed
+    // composes with YIELD/WHERE
+    assert(t.execute("CALL gql.find_neighbors(CONNECTS_TO, 1, 9) " +
+      "YIELD neighbor_id, dist WHERE dist >= 5").collect().length == 5)
+  }
+
   test("CALL … YIELD … WHERE projects and filters procedure results") {
     val t = fresh()
     val r = t.execute("CALL gql.list_functions() " +
