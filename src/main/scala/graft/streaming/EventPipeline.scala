@@ -123,6 +123,81 @@ object EventPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** A closed per-user activity session (emitted on expiry). */
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      total: Double, first_ms: Long, last_ms: Long)
+
+  /** Per-user session expiry on EVENT-TIME TIMERS (`transformWithState`
+    * + `registerTimer`): each input row extends the user's open session
+    * and re-arms a timer at `last_ts + gap`; when the watermark passes
+    * it, `handleExpiredTimer` emits the closed session and clears state.
+    * This is the timer-driven state machine `session_window` can't
+    * express incrementally — output rows appear exactly when a session
+    * CLOSES, not when the aggregation result is retracted/updated.
+    */
+  final class SessionExpiryProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionSummary] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessionSummary] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionSummary]("open_session",
+        org.apache.spark.sql.Encoders.product[SessionSummary], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      // a batch may carry several of the user's sessions: walk the rows
+      // in event-time order, closing (and emitting) a session whenever
+      // the next event starts more than `gap` after the last one; only
+      // the final still-open session stays in state behind a timer
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val closed = Vector.newBuilder[SessionSummary]
+      var open: Option[SessionSummary] =
+        if (state.exists()) Some(state.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some(s) if t - s.last_ms > gapMs =>
+            closed += s
+            open = Some(SessionSummary(key, 1L, e.value, t, t))
+          case Some(s) =>
+            open = Some(SessionSummary(key, s.n_events + 1, s.total + e.value,
+              math.min(s.first_ms, t), math.max(s.last_ms, t)))
+          case None =>
+            open = Some(SessionSummary(key, 1L, e.value, t, t))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.last_ms + gapMs)
+      }
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      // only the LATEST armed timer closes the session — earlier timers
+      // fire too but find the session extended past them
+      if (state.exists() &&
+          state.get().last_ms + gapMs <= expiredTimerInfo.getExpiryTimeInMs) {
+        val s = state.get(); state.clear(); Iterator(s)
+      } else Iterator.empty
+    }
+  }
+
+  def expiredSessions(events: DataFrame,
+      gap: String = "30 minutes"): org.apache.spark.sql.Dataset[SessionSummary] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionExpiryProcessor(ms),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Late-arrival dedup: drop duplicate event_ids arriving within the
     * watermark window (`dropDuplicatesWithinWatermark` keeps state only
     * until the watermark passes — bounded state on unbounded input; a

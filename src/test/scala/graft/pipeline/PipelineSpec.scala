@@ -360,6 +360,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batch && batch > 0)
   }
 
+  test("event-time timers close sessions that match batch session windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evs6").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = graft.streaming.EventPipeline.readEventStream(spark, dir)
+      val q = graft.streaming.EventPipeline.expiredSessions(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("expired").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.sql(
+        "select user_id, first_ms, n_events, total from expired")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 100) / 100)).toSet
+      // batch oracle: session_window with the same 30-minute gap
+      val batch = graft.streaming.EventPipeline.sessionized(
+        graft.Tables.events(spark, "/root/testdata/sf0.001"))
+        .selectExpr("user_id",
+          "cast(unix_millis(sstart) as long) first_ms", "n_events",
+          "cast(total as double) total")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 100) / 100)).toSet
+      // every closed streamed session must be a genuine batch session;
+      // only sessions near the stream tail (watermark never passed their
+      // gap) may be missing
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch))
+      assert(streamed.size >= batch.size / 2)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream anti-join and watermark dedup equal batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evs5").toString
