@@ -69,7 +69,9 @@ object Bench {
     // ms precision and a short sf tag keep the whole line under ~1.7 KB:
     // the driver parses the JSON from the tail of the captured output, so
     // the line must survive tail truncation intact
-    def f3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -107,17 +107,11 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     // the tail chunks in this session. AT still chains correctly: AtStmt
     // re-enters execute(body) with the target graph active.
     val chunks =
-      if (RawBodyRe.pattern.matcher(text).matches()) Seq(text)
+      if (NextChain.RawBodyRe.pattern.matcher(text).matches()) Seq(text)
       else NextChain.split(text)
     if (chunks.size > 1) return executeChain(chunks)
     executeOne(text)
   }
-
-  /** Statements whose tail is an opaque body — mirror Parser.CreateProcRe
-    * / Parser.AtRe so the split check and the parse agree.
-    */
-  private val RawBodyRe =
-    """(?is)\s*(?:CREATE\s+PROCEDURE\s+\w+\s+AS|AT\s+/\w+/\w+)\s.*""".r
 
   private def executeChain(chunks: Seq[String]): DataFrame = {
     val spark = gls.spark
@@ -222,7 +216,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         for (v <- Seq(xVar, yVar) if !binding.columns.contains(s"${v}_id"))
           throw new GqlCompileException(s"INSERT endpoint $v is not bound by MATCH")
         currentType.foreach(gt => graft.graph.GraphType.validateEdge(gt, label,
-          varLabels.getOrElse(xVar, ""), varLabels.getOrElse(yVar, ""),
+          varLabels.get(xVar), varLabels.get(yVar),
           edgePat.props.map { case (k, v) => k -> litTag(v) }))
         var rows = binding.select(col(s"${xVar}_id").as("src"),
             col(s"${yVar}_id").as("dst")).distinct()
@@ -563,10 +557,12 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       // they affect the AT context only and are NOT auto-persisted (use
       // saveGraphAs inside an explicit session switch for durable writes).
       case AtStmt(path, body) =>
-        val (savedG, savedN) = (currentGraph, currentName)
+        val (savedG, savedN, savedT) = (currentGraph, currentName, currentType)
         useGraph(path)
         try execute(body)
-        finally { currentGraph = savedG; currentName = savedN }
+        finally {
+          currentGraph = savedG; currentName = savedN; currentType = savedT
+        }
 
       case CallStmt(name, args, yields, callWhere) =>
         val base =

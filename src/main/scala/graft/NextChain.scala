@@ -10,9 +10,24 @@ import graft.gql.Lexer._
   */
 object NextChain {
 
+  /** Statements whose tail is an opaque raw-text body (mirrors
+    * Parser.CreateProcRe / Parser.AtRe): a NEXT inside the body belongs
+    * to the body, so splitting must stop at the chunk that starts one.
+    */
+  private[graft] val RawBodyRe =
+    """(?is)\s*(?:CREATE\s+PROCEDURE\s+\w+\s+AS|AT\s+/\w+/\w+)\s.*""".r
+
+  private def startsRawBody(chunk: String): Boolean = {
+    val (_, rest) = yieldPrefix(chunk)
+    RawBodyRe.pattern.matcher(rest).matches() ||
+      RawBodyRe.pattern.matcher(chunk).matches()
+  }
+
   /** Split a statement text on top-level NEXT tokens. Bracketed content
     * (edge patterns like `-[:NEXT]->`, lists, maps) and property access
-    * (`a.next`) never split.
+    * (`a.next`) never split. A chunk that begins a raw-body statement
+    * (CREATE PROCEDURE / AT, optionally behind a YIELD prefix) swallows
+    * every later NEXT — the chain inside the body is the body's.
     */
   def split(text: String): Seq[String] =
     Lexer.tokenize(text) match {
@@ -31,7 +46,14 @@ object NextChain {
             if (!prevIsDot) cutsB += ((pos, pos + s.length))
           case _ => ()
         }
-        val cuts = cutsB.result()
+        val cuts0 = cutsB.result()
+        // stop at the first cut whose following text starts a raw body —
+        // later NEXTs belong to that statement's stored text
+        val cuts = cuts0.indices
+          .find(i => startsRawBody(text.substring(cuts0(i)._2))) match {
+          case Some(i) => cuts0.take(i + 1)
+          case None => cuts0
+        }
         if (cuts.isEmpty) Seq(text)
         else {
           val bounds = (0, 0) +: cuts :+ ((text.length, text.length))

@@ -128,8 +128,14 @@ object IncrementalDedup {
           import scala.jdk.CollectionConverters._
           Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete)
         }
-      rmrf(p)
+      // swap by rename-aside: the live dataset is absent only between
+      // two renames (not during the whole rewrite job), and a crash
+      // leaves the history recoverable in .old_<sub>
+      val old = Paths.get(s"$statePath/.old_$sub")
+      rmrf(old)
+      Files.move(p, old)
       Files.move(Paths.get(tmp), p)
+      rmrf(old)
     }
     compact("exact", Seq("fp"))
     compact("shingles", Seq("id"))

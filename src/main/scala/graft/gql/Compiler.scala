@@ -692,10 +692,12 @@ final class Compiler(graph: PropertyGraph,
     // and either orientation returns identical rows (equi-join chain).
     def estimate(np: NodePattern, bound: Boolean): Double = {
       if (bound) return 1.0
+      // a label-less end would need every label's count to estimate —
+      // treat it as maximally unselective instead of paying those jobs
       val base = np.labels.headOption
         .filter(graph.nodeTables.contains)
         .map(l => graph.nodeCount(l).toDouble)
-        .getOrElse(graph.nodeLabels.map(graph.nodeCount(_).toDouble).sum)
+        .getOrElse(Double.MaxValue)
       base * math.pow(0.1, np.props.size)
     }
     estimate(last, lastBound) * 2.0 < estimate(p.start, startBound)

@@ -65,6 +65,10 @@ object Analytics {
     // size. Size the shuffle to the edge frame instead (1 partition per
     // ~100k edges, floor 8): tiny graphs stop paying thousands of empty
     // tasks per round, huge graphs keep their configured width.
+    // NOTE: the conf is session-global for the loop's duration (restored
+    // in finally) — queries racing on the SAME SparkSession from other
+    // threads would plan under it; the embedding contract here is the
+    // reference's too: one driver thread per session.
     val spark = vertices.sparkSession
     val prevSP = spark.conf.get("spark.sql.shuffle.partitions")
     val target = math.max(8L, math.min(prevSP.toLong,

@@ -63,16 +63,27 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val datasets: Seq[(String, DataFrame)] =
       g.nodeTables.toSeq.map { case (l, df) => (s"nodes_$l", df) } ++
         g.edgeTables.toSeq.map { case (l, (_, df)) => (s"edges_$l", df) }
-    // two passes: every dirty dataset is WRITTEN before any clean dataset
-    // is MOVED — a dirty table's lineage may lazily read a clean table's
-    // files (e.g. inserted edges derived from a node scan)
+    // two passes: every dirty dataset is WRITTEN before clean datasets
+    // are LINKED — a dirty table's lineage may lazily read a clean
+    // table's files (e.g. inserted edges derived from a node scan).
+    // Clean datasets enter staging as hard links (no data copy) rather
+    // than moves, so the live dir stays complete until the final atomic
+    // swap — a crash mid-save leaves the old graph fully intact.
     datasets.foreach { case (ds, df) =>
       if (dirtySet.contains(ds))
         clustered(ds, df).write.mode(SaveMode.Overwrite).parquet(s"$staging/$ds")
     }
+    def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.createDirectories(dst)
+      Files.list(src).iterator.asScala.foreach { f =>
+        val t = dst.resolve(f.getFileName)
+        if (Files.isDirectory(f)) linkTree(f, t)
+        else Files.createLink(t, f)
+      }
+    }
     datasets.foreach { case (ds, _) =>
       if (!dirtySet.contains(ds))
-        Files.move(Paths.get(s"$dir/$ds"), Paths.get(s"$staging/$ds"))
+        linkTree(Paths.get(s"$dir/$ds"), Paths.get(s"$staging/$ds"))
     }
     val meta = g.edgeTables.map { case (label, (et, _)) =>
       s"$label\t${et.srcLabel}\t${et.dstLabel}"

@@ -63,17 +63,22 @@ object GraphType {
   }
 
   /** Validate an INSERT edge (validator.rs:167-210): type exists, the
-    * endpoint labels are permitted, properties conform.
+    * endpoint labels are permitted, properties conform. An endpoint whose
+    * label is statically unknown (label-less or multi-label MATCH var)
+    * passes as None — the id space it matched in is already constrained
+    * by the pattern compiler's orientation guard, so only known labels
+    * are checked here.
     */
-  def validateEdge(gt: GraphTypeDef, typeName: String, fromLabel: String,
-      toLabel: String, props: Seq[(String, Lit)]): Unit = {
+  def validateEdge(gt: GraphTypeDef, typeName: String,
+      fromLabel: Option[String], toLabel: Option[String],
+      props: Seq[(String, Lit)]): Unit = {
     val et = gt.edges.find(_.name == typeName).getOrElse(
       throw new GraphTypeViolation(
         s"graph type ${gt.name}: unknown edge type $typeName"))
-    if (et.from != fromLabel || et.to != toLabel)
+    if (fromLabel.exists(_ != et.from) || toLabel.exists(_ != et.to))
       throw new GraphTypeViolation(
         s"graph type ${gt.name}: $typeName connects ${et.from}->${et.to}, " +
-          s"not $fromLabel->$toLabel")
+          s"not ${fromLabel.getOrElse("?")}->${toLabel.getOrElse("?")}")
     props.foreach { case (name, v) =>
       et.props.find(_.name == name) match {
         case None => throw new GraphTypeViolation(

@@ -68,8 +68,12 @@ final class PropertyGraph(
     * the planner statistic behind pattern anchor selection (the
     * reference's planner consults GraphCache sizes; here a parquet count
     * is metadata-cheap and paid once per label per graph version).
+    * These are ESTIMATES: mutated graph copies inherit the parent's
+    * numbers rather than re-counting derived lineages — join-order
+    * choices tolerate staleness, and every orientation returns identical
+    * rows anyway.
     */
-  @transient private lazy val nodeCountCache =
+  @transient private[graph] lazy val nodeCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   def nodeCount(label: String): Long =
     nodeCountCache.getOrElseUpdate(label, nodeTables(label).count())
@@ -77,8 +81,11 @@ final class PropertyGraph(
   /** Copy with mutated tables, accumulating the touched dataset names. */
   private[graph] def mutated(newNodes: Map[String, DataFrame],
       newEdges: Map[String, (EdgeType, DataFrame)],
-      touched: Set[String]): PropertyGraph =
-    new PropertyGraph(newNodes, newEdges, origin, dirty.map(_ ++ touched))
+      touched: Set[String]): PropertyGraph = {
+    val g = new PropertyGraph(newNodes, newEdges, origin, dirty.map(_ ++ touched))
+    g.nodeCountCache ++= nodeCountCache // inherit stats as estimates
+    g
+  }
 
   /** NodeScan (logical.rs:94-99): scan one label, optional predicate.
     * Predicates/projections push to the parquet scan via Catalyst.

@@ -401,8 +401,7 @@ object PipelineQueries {
     "d09_bpe_tokens" -> {
       // same pattern, SQL-quoted (RE2 and Java regex agree on this
       // ASCII-only subset; the leading quote doubles inside a SQL string)
-      val sqlPat = TextAnalysis.BpePattern
-        .replace("\\s", "\\s").replace("'", "''")
+      val sqlPat = TextAnalysis.BpePattern.replace("'", "''")
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin

@@ -190,7 +190,11 @@ object EventPipeline {
     import spark.implicits._
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapMs.months == 0,
+      s"expiredSessions gap must be day/time denominated, got '$gap' " +
+        "(months have no fixed millisecond length)")
     val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(ms > 0, s"expiredSessions gap must be positive, got '$gap'")
     events.withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("ts"), col("value")).as[Event]
       .groupByKey(_.user_id)

@@ -450,6 +450,17 @@ class SurfaceSpec extends AnyFunSuite {
     assert(t.parameters.contains("mid"))
   }
 
+  test("a raw-body statement mid-chain swallows later NEXTs") {
+    val t = fresh()
+    // chunk 2 starts CREATE PROCEDURE: the final NEXT belongs to ITS body
+    t.execute("MATCH (m:Merchant) RETURN count(m) AS n " +
+      "NEXT CREATE PROCEDURE midchain AS " +
+      "RETURN 1 AS a NEXT YIELD a AS captured RETURN $captured + 41 AS out")
+    assert(!t.parameters.contains("captured")) // tail did not run eagerly
+    assert(t.execute("CALL midchain()").collect().head.getLong(0) == 42L)
+    t.execute("DROP PROCEDURE midchain")
+  }
+
   test("CREATE PROCEDURE keeps a NEXT chain inside the stored body") {
     val t = fresh()
     // the chain must be stored whole, not split at the embedded NEXT with
@@ -522,6 +533,22 @@ class SurfaceSpec extends AnyFunSuite {
     assert(t.execute("MATCH (a:Account {id: 1}) RETURN a.balance AS b")
       .collect().head.getDouble(0) == 100.0)
     assert(t.currentGraphName.contains("/loc/snapshot"))
+  }
+
+  test("AT restores the session's graph-type binding") {
+    val t = fresh()
+    t.execute("CREATE GRAPH TYPE AtType (NODE TYPE Account " +
+      "(id INT NOT NULL, account_number STRING, name STRING, " +
+      "balance DOUBLE, status STRING, account_type STRING, risk_score DOUBLE))")
+    t.execute("SESSION SET GRAPH TYPE AtType")
+    t.execute("CREATE SCHEMA /att")
+    t.saveGraphAs("/att/plain") // plain graph, no type binding
+    // AT switches to the unbound graph; the finally must restore the type
+    t.execute("AT /att/plain MATCH (a:Account) RETURN count(a) AS n")
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      t.execute("INSERT (:Ghost {id: 1})") // enforcement still active
+    }
+    t.execute("DROP GRAPH TYPE AtType")
   }
 
   test("AT with a NEXT chain runs the whole chain in the AT context") {
