@@ -609,10 +609,10 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
   /** Resolve the single DML variable to (label, isEdge). */
   private def dmlTarget(pattern: Ast.PathPattern, v: String): (String, Boolean, String) = {
     pattern match {
-      case Ast.PathPattern(np, Seq()) if np.variable.contains(v) =>
+      case Ast.PathPattern(np, Seq(), _, _) if np.variable.contains(v) =>
         (np.labels.headOption.getOrElse(
           throw new GqlCompileException("DML pattern needs a label")), false, v)
-      case Ast.PathPattern(_, Seq((ep, _))) if ep.variable.contains(v) =>
+      case Ast.PathPattern(_, Seq((ep, _)), _, _) if ep.variable.contains(v) =>
         (ep.types.headOption.getOrElse(
           throw new GqlCompileException("DML edge pattern needs a type")), true, v)
       case _ => throw new GqlCompileException(

@@ -79,8 +79,12 @@ object Ast {
   case class EdgePattern(variable: Option[String], types: Seq[String],
       props: Seq[(String, Expr)], direction: Direction,
       quantifier: Option[(Int, Int)])
-  /** Alternating node-edge-node chain. */
-  case class PathPattern(start: NodePattern, hops: Seq[(EdgePattern, NodePattern)])
+  /** Alternating node-edge-node chain. `assignment` is the optional
+    * `p =` path variable (ast.rs:313); `semantics` an optional
+    * WALK/TRAIL/SIMPLE/ACYCLIC [PATH] prefix (ast.rs:275-308 PathType).
+    */
+  case class PathPattern(start: NodePattern, hops: Seq[(EdgePattern, NodePattern)],
+      assignment: Option[String] = None, semantics: Option[String] = None)
 
   // ---- query clauses (ast.rs:183-193 BasicQuery + WithQuery ast.rs:140-180)
   case class ReturnItem(expr: Expr, alias: Option[String])

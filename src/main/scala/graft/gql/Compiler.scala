@@ -710,12 +710,39 @@ final class Compiler(graph: PropertyGraph,
       case In => Out
       case Undirected => Undirected
     }))
-    PathPattern(nodes.head, edges.zip(nodes.tail))
+    PathPattern(nodes.head, edges.zip(nodes.tail),
+      p.assignment, p.semantics)
   }
 
   private def compilePath(path0: PathPattern, dfIn: Option[DataFrame],
       ctxIn: Ctx): (DataFrame, Ctx) = {
-    val path = if (shouldReverse(path0, ctxIn)) reversePath(path0) else path0
+    val hasQuant = path0.hops.exists(_._1.quantifier.isDefined)
+    if (path0.assignment.isDefined && hasQuant && path0.hops.size != 1)
+      throw new GqlCompileException(
+        "path variables over mixed quantified chains are not supported")
+    // reversal would invert the node order a path variable records
+    val path1 =
+      if (path0.assignment.isEmpty && shouldReverse(path0, ctxIn))
+        reversePath(path0)
+      else path0
+    // fixed-length revisit rules and path arrays reference every chain
+    // element — name the anonymous ones
+    val needNames = !hasQuant && (path1.assignment.isDefined ||
+      path1.semantics.exists(_ != "WALK"))
+    val path = if (!needNames) path1 else path1.copy(
+      start = path1.start.copy(variable =
+        Some(path1.start.variable.getOrElse(fresh("n")))),
+      hops = path1.hops.map { case (e, n) =>
+        (e.copy(variable = Some(e.variable.getOrElse(fresh("e")))),
+          n.copy(variable = Some(n.variable.getOrElse(fresh("n")))))
+      })
+    val sem = path.semantics match {
+      case Some("TRAIL") => PathSemantics.Trail
+      case Some("SIMPLE") => PathSemantics.Simple
+      case Some("ACYCLIC") => PathSemantics.Acyclic
+      case _ => PathSemantics.Walk
+    }
+    val quantPathVar = if (hasQuant) path.assignment else None
     var ctx = ctxIn
     var df = dfIn
 
@@ -751,9 +778,36 @@ final class Compiler(graph: PropertyGraph,
     }
 
     var prevVar = startVar
+    val nodeVarsB = Vector.newBuilder[String]
+    nodeVarsB += startVar
     path.hops.foreach { case (edge, node) =>
-      val (d2, c2, nv) = hop(df.get, ctx, prevVar, edge, node)
-      df = Some(d2); ctx = c2; prevVar = nv
+      val (d2, c2, nv) = hop(df.get, ctx, prevVar, edge, node, sem, quantPathVar)
+      df = Some(d2); ctx = c2; prevVar = nv; nodeVarsB += nv
+    }
+    quantPathVar.foreach(pv =>
+      ctx = Ctx(ctx.bindings + (pv -> ValueBinding)))
+    if (needNames) {
+      val nvs = nodeVarsB.result()
+      // fixed-length revisit rules (executor.rs:6623-6641 applied to
+      // rigid patterns): ACYCLIC/SIMPLE — all node ids pairwise distinct;
+      // TRAIL — all edge ids pairwise distinct
+      path.semantics.foreach {
+        case "ACYCLIC" | "SIMPLE" =>
+          nvs.map(v => col(s"${v}_id")).combinations(2).foreach {
+            case Seq(x, y) => df = Some(df.get.filter(x =!= y))
+          }
+        case "TRAIL" =>
+          path.hops.flatMap(_._1.variable).map(v => col(s"${v}_eid"))
+            .combinations(2).foreach {
+              case Seq(x, y) => df = Some(df.get.filter(x =!= y))
+            }
+        case _ => ()
+      }
+      path.assignment.foreach { pv =>
+        df = Some(df.get.withColumn(pv,
+          array(nvs.map(v => col(s"${v}_id")): _*)))
+        ctx = Ctx(ctx.bindings + (pv -> ValueBinding))
+      }
     }
     (df.get, ctx)
   }
@@ -815,9 +869,12 @@ final class Compiler(graph: PropertyGraph,
 
   /** One hop: join edge table (oriented), then bind/join the target node. */
   private def hop(df: DataFrame, ctxIn: Ctx, fromVar: String,
-      edge: EdgePattern, node: NodePattern): (DataFrame, Ctx, String) = {
+      edge: EdgePattern, node: NodePattern,
+      sem: PathSemantics = PathSemantics.Walk,
+      pathVar: Option[String] = None): (DataFrame, Ctx, String) = {
     var ctx = ctxIn
-    if (edge.quantifier.isDefined) return varLengthHop(df, ctx, fromVar, edge, node)
+    if (edge.quantifier.isDefined)
+      return varLengthHop(df, ctx, fromVar, edge, node, sem, pathVar)
 
     val eTypes =
       if (edge.types.nonEmpty) edge.types
@@ -960,12 +1017,15 @@ final class Compiler(graph: PropertyGraph,
     }
   }
 
-  /** Variable-length hop via PropertyGraph.paths (WALK semantics, cap 10 —
+  /** Variable-length hop via PropertyGraph.paths (semantics per the
+    * pattern's WALK/TRAIL/SIMPLE/ACYCLIC prefix, default WALK; cap 10 —
     * parity with executor.rs:6505-6510). Edge variables are not bindable
-    * across a quantified edge.
+    * across a quantified edge; a path variable binds the node-id array
+    * (one row PER PATH, not per endpoint pair).
     */
   private def varLengthHop(df: DataFrame, ctxIn: Ctx, fromVar: String,
-      edge: EdgePattern, node: NodePattern): (DataFrame, Ctx, String) = {
+      edge: EdgePattern, node: NodePattern,
+      sem: PathSemantics, pathVar: Option[String]): (DataFrame, Ctx, String) = {
     var ctx = ctxIn
     if (edge.variable.isDefined)
       throw new GqlCompileException("edge variable not supported on quantified edges")
@@ -990,8 +1050,13 @@ final class Compiler(graph: PropertyGraph,
         df.filter(col(s"${fromVar}_label").isin(startLabels.map(x => x: Any): _*))
       else df
     val start = dfR.select(col(s"${fromVar}_id").as("start_id")).distinct()
-    val reach = graph.paths(start, t, lo, hi, PathSemantics.Walk, dir)
-      .select(col("start_id"), col("end_id")).distinct()
+    val reach0 = graph.paths(start, t, lo, hi, sem, dir)
+    val reach = pathVar match {
+      // path variable: one output row PER PATH, node-id array attached
+      case Some(pv) => reach0.select(col("start_id"), col("end_id"),
+        col("path").as(pv))
+      case None => reach0.select(col("start_id"), col("end_id")).distinct()
+    }
     val nVar = node.variable.getOrElse(fresh("n"))
     val joined = dfR.join(reach, col(s"${fromVar}_id") === col("start_id"))
     if (ctx.bindings.contains(nVar)) {

@@ -681,6 +681,24 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parsePathPattern(): PathPattern = {
+    // optional `p =` path variable assignment (ast.rs:313)
+    val assignment = cur match {
+      case TIdent(v, _) if tokens.lift(p + 1).exists {
+          case TPunct("=", _) => true
+          case _ => false
+        } =>
+        p += 2; Some(v)
+      case _ => None
+    }
+    // optional path-type prefix (ast.rs:275-308): WALK | TRAIL | SIMPLE |
+    // ACYCLIC, each optionally followed by the PATH noise word
+    val sem =
+      if (isSoftKw("WALK") || isSoftKw("TRAIL") || isSoftKw("SIMPLE") ||
+          isSoftKw("ACYCLIC")) {
+        val s = ident().toUpperCase
+        trySoftKw("PATH")
+        Some(s)
+      } else None
     val start = parseNodePattern()
     val hops = Vector.newBuilder[(EdgePattern, NodePattern)]
     var more = true
@@ -691,7 +709,7 @@ final class Parser(tokens: Vector[Token]) {
         hops += ((e, n))
       } else more = false
     }
-    PathPattern(start, hops.result())
+    PathPattern(start, hops.result(), assignment, sem)
   }
 
   private def parseNodePattern(): NodePattern = {

@@ -101,6 +101,51 @@ class SurfaceSpec extends AnyFunSuite {
     assert(direct == viaOr)
   }
 
+  // ---- path variables + path-type prefixes (ast.rs:275-313) ----
+
+  test("path variables bind the node-id array per path") {
+    val t = SparkFixture.gqlSession(SparkFixture.simpleGraph)
+    // chain 1→2→3→4…: one row PER PATH, ordered by length
+    val rows = t.gql("MATCH p = (a:TestNode {id: 1})-[:CONNECTS_TO*1..3]->" +
+      "(b:TestNode) RETURN p ORDER BY SIZE(p)")
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(rows.toSeq == Seq(Seq(1L, 2L), Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L)))
+    // rigid patterns record the chain too
+    val fixed = t.gql("MATCH p = (a:TestNode {id: 1})-[:CONNECTS_TO]->" +
+      "(b:TestNode)-[:CONNECTS_TO]->(c:TestNode) RETURN p")
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(fixed.toSeq == Seq(Seq(1L, 2L, 3L)))
+  }
+
+  test("path-type prefixes enforce revisit rules in GQL") {
+    import org.apache.spark.sql.functions.col
+    val sp = SparkFixture.spark
+    import sp.implicits._
+    // cycle 1→2→3→1 plus shortcut 1→3 (PathSemanticsSpec topology)
+    val g = new graft.graph.PropertyGraph(
+      Map("N" -> Seq(1L, 2L, 3L).toDF("id")),
+      Map("E" -> (graft.graph.EdgeType("E", "N", "N"),
+        Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 3L), (1L, 3L, 4L))
+          .toDF("src", "dst", "eid"))))
+    val t = SparkFixture.gqlSession(g)
+    def one0(q: String): Long = t.gql(q).collect().head.getLong(0)
+    // WALK (default) may return to the start
+    assert(one0("MATCH (a:N {id: 1})-[:E*1..3]->(b:N) WHERE b.id = 1 " +
+      "RETURN count(b) AS c") > 0L)
+    // ACYCLIC never revisits any node
+    assert(one0("MATCH ACYCLIC (a:N {id: 1})-[:E*1..3]->(b:N) " +
+      "WHERE b.id = 1 RETURN count(b) AS c") == 0L)
+    // TRAIL revisits nodes but not edges: 1→3(e4)→1(e3)→2(e1)→3(e2)
+    assert(one0("MATCH TRAIL (a:N {id: 1})-[:E*4..4]->(b:N) " +
+      "WHERE b.id = 3 RETURN count(b) AS c") > 0L)
+    // rigid patterns: the 2-hop loop 1→3→1 exists as a WALK…
+    assert(one0("MATCH (a:N {id: 1})-[:E]->(x:N)-[:E]->(y:N) " +
+      "WHERE y.id = 1 RETURN count(y) AS c") == 1L)
+    // …but ACYCLIC rejects it
+    assert(one0("MATCH ACYCLIC (a:N {id: 1})-[:E]->(x:N)-[:E]->(y:N) " +
+      "WHERE y.id = 1 RETURN count(y) AS c") == 0L)
+  }
+
   // ---- IS predicates (ast.rs:1598-1611) ----
 
   test("IS SOURCE OF / DESTINATION OF test real topology") {
