@@ -1433,6 +1433,8 @@ final class Compiler(graph: PropertyGraph,
       case "SIGN" => signum(a(0))
       case "MOD" => a(0) % a(1)
       case "ROUND" => if (args.size == 2) round(a(0), intLit(args(1))) else round(a(0))
+      // JSON rendering (beyond ref — arrays/paths as engine-stable text)
+      case "TO_JSON" => to_json(a(0))
       // null (null_functions.rs)
       case "NULLIF" => nullif(a(0), a(1))
       case "COALESCE" => coalesce(args.map(compileExpr(_, ctx)): _*)

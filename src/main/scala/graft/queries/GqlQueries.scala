@@ -89,7 +89,13 @@ object GqlQueries {
     // chained access on function results: PROPERTIES(v).key / ['key']
     "gql10_chained_props" -> ((s: SparkSession, d: String) => run(s, d,
       """MATCH (n:nation) WHERE PROPERTIES(n)['name'] CONTAINS 'A'
-        |RETURN PROPERTIES(n).name AS nm ORDER BY nm""".stripMargin))
+        |RETURN PROPERTIES(n).name AS nm ORDER BY nm""".stripMargin)),
+
+    // path variable over a variable-length pattern: one row per path,
+    // node-id array rendered as engine-stable JSON text
+    "gql11_path_var" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH p = (c:customer {id: 100})-[:NEXT*1..3]->(d:customer)
+        |RETURN TO_JSON(p) AS path ORDER BY path""".stripMargin))
   )
 
   val oracle: Map[String, String] = Map(
@@ -148,6 +154,22 @@ object GqlQueries {
         |GROUP BY 1 ORDER BY seg""".stripMargin,
     "gql10_chained_props" ->
       """SELECT n_name AS nm FROM nation
-        |WHERE n_name LIKE '%A%' ORDER BY nm""".stripMargin
+        |WHERE n_name LIKE '%A%' ORDER BY nm""".stripMargin,
+    "gql11_path_var" ->
+      """WITH e AS (SELECT c_custkey AS src,
+        |  lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
+        | FROM customer)
+        |SELECT path FROM (
+        | SELECT CAST(to_json([e1.src, e1.dst]) AS VARCHAR) AS path
+        |  FROM e e1 WHERE e1.src = 100 AND e1.dst IS NOT NULL
+        | UNION ALL
+        | SELECT CAST(to_json([e1.src, e1.dst, e2.dst]) AS VARCHAR)
+        |  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |  WHERE e1.src = 100 AND e2.dst IS NOT NULL
+        | UNION ALL
+        | SELECT CAST(to_json([e1.src, e1.dst, e2.dst, e3.dst]) AS VARCHAR)
+        |  FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e2.dst
+        |  WHERE e1.src = 100 AND e3.dst IS NOT NULL) t
+        |ORDER BY path""".stripMargin
   )
 }
