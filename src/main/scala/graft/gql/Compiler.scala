@@ -1194,6 +1194,9 @@ final class Compiler(graph: PropertyGraph,
     case Fn(n, args, d) if aggNames.contains(n) =>
       throw new GqlCompileException(s"aggregate $n outside aggregation context")
     case Fn(name, args, _) => scalarFn(name, args, ctx)
+    case Bin(op @ ("=" | "<>"), l, r)
+        if endpointCompare(op, l, r, ctx).isDefined =>
+      endpointCompare(op, l, r, ctx).get
     case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx))
     case Not(x) => !compileExpr(x, ctx)
     case Neg(x) => -compileExpr(x, ctx)
@@ -1229,30 +1232,7 @@ final class Compiler(graph: PropertyGraph,
         throw new GqlCompileException(s"$nv is not a node variable")
       if (!ctx.bindings.get(ev).exists(_.isInstanceOf[EdgeBinding]))
         throw new GqlCompileException(s"$ev is not an edge variable")
-      // Ids live in per-label id spaces, so a bare id equality would call
-      // any numeric collision an endpoint. Guard with the label: the
-      // edge's per-row type (`<ev>_label`) determines the endpoint label
-      // (EdgeType src/dst), which must be among the node variable's
-      // labels (per-row `<nv>_label` for union vars). Constant labels
-      // fold at Catalyst's optimizer, so the single-type case costs
-      // nothing at runtime.
-      val endpointLabel = {
-        val pairs = graph.edgeLabels.map { t =>
-          val et = graph.edgeType(t)
-          t -> (if (dest) et.dstLabel else et.srcLabel)
-        }
-        pairs.tail.foldLeft(
-          when(col(s"${ev}_label") === lit(pairs.head._1), lit(pairs.head._2))) {
-          case (acc, (t, l)) => acc.when(col(s"${ev}_label") === lit(t), lit(l))
-        }
-      }
-      val labelOk = ctx.bindings(nv) match {
-        case NodeBinding(ls) => endpointLabel.isin(ls.map(x => x: Any): _*)
-        case UnionNode => endpointLabel === col(s"${nv}_label")
-        case _ => lit(false)
-      }
-      val c = labelOk &&
-        (col(s"${nv}_id") === col(s"${ev}_${if (dest) "dst" else "src"}"))
+      val c = endpointTest(nv, ev, dest, ctx)
       if (neg) !c else c
     case IsDirected(x, neg) =>
       x match {
@@ -1281,6 +1261,64 @@ final class Compiler(graph: PropertyGraph,
     case ExistsPattern(_) =>
       throw new GqlCompileException(
         "EXISTS patterns are supported only in WHERE / FILTER positions")
+  }
+
+  /** Genuine-endpoint test shared by IS SOURCE/DESTINATION OF and
+    * SOURCE()/DESTINATION() equality: ids live in per-label id spaces, so
+    * a bare id equality would call any numeric collision an endpoint.
+    * The edge's per-row type (`<ev>_label`) determines the endpoint label
+    * (EdgeType src/dst), which must be among the node variable's labels
+    * (per-row `<nv>_label` for union vars). Constant labels fold at
+    * Catalyst's optimizer, so the single-type case costs nothing.
+    */
+  private def endpointTest(nv: String, ev: String, dest: Boolean,
+      ctx: Ctx): Column = {
+    val endpointLabel = {
+      val pairs = graph.edgeLabels.map { t =>
+        val et = graph.edgeType(t)
+        t -> (if (dest) et.dstLabel else et.srcLabel)
+      }
+      pairs.tail.foldLeft(
+        when(col(s"${ev}_label") === lit(pairs.head._1), lit(pairs.head._2))) {
+        case (acc, (t, l)) => acc.when(col(s"${ev}_label") === lit(t), lit(l))
+      }
+    }
+    val labelOk = ctx.bindings(nv) match {
+      case NodeBinding(ls) => endpointLabel.isin(ls.map(x => x: Any): _*)
+      case UnionNode => endpointLabel === col(s"${nv}_label")
+      case _ => lit(false)
+    }
+    labelOk && (col(s"${nv}_id") === col(s"${ev}_${if (dest) "dst" else "src"}"))
+  }
+
+  /** `SOURCE(e) = n` / `DESTINATION(e) = n` (either operand order): node
+    * identity is the (label, id) pair, so these comparisons take the same
+    * endpoint guard as IS SOURCE/DESTINATION OF instead of a raw id
+    * equality. Returns None when the shape doesn't match.
+    */
+  private def endpointCompare(op: String, l: Expr, r: Expr,
+      ctx: Ctx): Option[Column] = {
+    def nodeVar(e: Expr): Option[String] = e match {
+      case Ident(v) if ctx.isNodeLike(v) => Some(v)
+      case _ => None
+    }
+    def endpointFn(e: Expr): Option[(String, Boolean)] = e match {
+      case Fn(n @ ("SOURCE" | "DESTINATION"), Seq(Ident(ev)), _)
+          if ctx.bindings.get(ev).exists(_.isInstanceOf[EdgeBinding]) =>
+        Some((ev, n == "DESTINATION"))
+      case _ => None
+    }
+    val matched = (endpointFn(l), nodeVar(r)) match {
+      case (Some((ev, dest)), Some(nv)) => Some((nv, ev, dest))
+      case _ => (endpointFn(r), nodeVar(l)) match {
+        case (Some((ev, dest)), Some(nv)) => Some((nv, ev, dest))
+        case _ => None
+      }
+    }
+    matched.map { case (nv, ev, dest) =>
+      val c = endpointTest(nv, ev, dest, ctx)
+      if (op == "<>") !c else c
+    }
   }
 
   /** Static string-typedness of an expression (for IS NORMALIZED). */
@@ -1435,6 +1473,14 @@ final class Compiler(graph: PropertyGraph,
       case "ROUND" => if (args.size == 2) round(a(0), intLit(args(1))) else round(a(0))
       // JSON rendering (beyond ref — arrays/paths as engine-stable text)
       case "TO_JSON" => to_json(a(0))
+      // PATH[n0, e0, n1, …] constructor (executor.rs:4899-4951): even
+      // indices are nodes, odd are edges; our path representation is the
+      // node-id array (matching pattern-bound path variables)
+      case "PATH" =>
+        val nodes = args.zipWithIndex.collect {
+          case (e, i) if i % 2 == 0 => compileExpr(e, ctx).cast("long")
+        }
+        array(nodes: _*)
       // null (null_functions.rs)
       case "NULLIF" => nullif(a(0), a(1))
       case "COALESCE" => coalesce(args.map(compileExpr(_, ctx)): _*)

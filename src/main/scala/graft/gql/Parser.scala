@@ -968,6 +968,18 @@ final class Parser(tokens: Vector[Token]) {
         val items = if (isPunct("]")) Vector.empty[Expr] else parseExprList()
         eatPunct("]")
         ListLit(items)
+      case TIdent(s, _) if s.equalsIgnoreCase("PATH") &&
+          tokens.lift(p + 1).exists {
+            case TPunct("[", _) => true
+            case _ => false
+          } =>
+        // PATH[n0, e0, n1, …] constructor (executor.rs:4899-4951):
+        // alternating node/edge elements build a path value
+        p += 1
+        eatPunct("[")
+        val items = if (isPunct("]")) Vector.empty[Expr] else parseExprList()
+        eatPunct("]")
+        Fn("PATH", items, distinct = false)
       case TIdent(s, _) =>
         p += 1
         if (tryPunct("(")) {

@@ -117,6 +117,13 @@ class SurfaceSpec extends AnyFunSuite {
     assert(fixed.toSeq == Seq(Seq(1L, 2L, 3L)))
   }
 
+  test("PATH constructor builds the node-id array") {
+    val t = fresh()
+    val r = t.gql("RETURN TO_JSON(PATH[1, 100, 2, 200, 3]) AS p")
+      .collect().head.getString(0)
+    assert(r == "[1,2,3]") // even indices are nodes; odd are edge ids
+  }
+
   test("path-type prefixes enforce revisit rules in GQL") {
     import org.apache.spark.sql.functions.col
     val sp = SparkFixture.spark
@@ -214,6 +221,19 @@ class SurfaceSpec extends AnyFunSuite {
       "WHERE a.id = 1 AND t.eid = 1 " +
       "RETURN source(t) AS s, destination(t) AS d").collect().head
     assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+  }
+
+  test("SOURCE/DESTINATION equality against node vars takes the label guard") {
+    // a = DESTINATION(t) would numerically collide for Accounts 1..20
+    // (Merchant endpoint ids); the (label, id) identity forbids it
+    assert(one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE DESTINATION(t) = a RETURN count(t) AS n") == 0L)
+    assert(one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE SOURCE(t) = a RETURN count(t) AS n") == 100L)
+    assert(one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE m = DESTINATION(t) RETURN count(t) AS n") == 100L)
+    assert(one("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE a <> DESTINATION(t) RETURN count(t) AS n") == 100L)
   }
 
   // ---- transactions (ast.rs:1620-1679) ----
