@@ -27,22 +27,77 @@ object IncrementalDedup {
   /** Exact dedupe of `batch` against itself and all prior runs.
     * Within the batch the smallest id per fingerprint survives. Returns
     * the surviving rows (original columns) and commits their fingerprints.
+    *
+    * A Bloom sidecar (`<state>/exact_bloom`, merged incrementally per
+    * batch) pre-filters the history probe: rows whose fingerprint the
+    * bloom has definitely never seen bypass the anti-join entirely — at
+    * scale, the novel majority of each batch never shuffles against the
+    * history table, only the maybe-seen minority does. False positives
+    * just take the (authoritative) anti-join path, so results are exact.
     */
   def dedupeExact(batch: DataFrame, idCol: String, textCol: String,
       statePath: String): DataFrame = {
     val spark = batch.sparkSession
     val path = s"$statePath/exact"
+    val bloomPath = Paths.get(s"$statePath/exact_bloom")
     val fp = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
-    var keep = fp.withColumn("__rn", row_number().over(w))
+    val batchKeep = fp.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    if (Files.exists(Paths.get(path)))
-      keep = keep.join(
-        spark.read.parquet(path).select(col("fp").as("__fp")),
-        Seq("__fp"), "left_anti")
+    var keep = batchKeep
+    if (Files.exists(Paths.get(path))) {
+      val history = spark.read.parquet(path).select(col("fp").as("__fp"))
+      keep =
+        if (Files.exists(bloomPath)) {
+          val bf = loadBloom(bloomPath)
+          val bfBc = spark.sparkContext.broadcast(bf)
+          val mightSeen = udf((s: String) => bfBc.value.mightContainString(s))
+          val novel = batchKeep.filter(!mightSeen(col("__fp")))
+          val candidates = batchKeep.filter(mightSeen(col("__fp")))
+            .join(history, Seq("__fp"), "left_anti")
+          novel.unionByName(candidates)
+        } else batchKeep.join(history, Seq("__fp"), "left_anti")
+    }
     val out = keep.localCheckpoint(true)
     out.select(col("__fp").as("fp")).write.mode("append").parquet(path)
+    // merge the new fingerprints into the sidecar (no history rescan).
+    // All blooms use the same fixed capacity so they merge; a capacity
+    // change forces a full rebuild from the history table — the bloom
+    // must NEVER under-cover history (a false negative would skip the
+    // authoritative anti-join and admit a duplicate).
+    if (!out.isEmpty) { // bloomFilter aggregation NPEs on zero rows
+      val newBloom = out.stat.bloomFilter("__fp", BloomCapacity, 0.01)
+      val merged =
+        if (Files.exists(bloomPath)) {
+          try loadBloom(bloomPath).mergeInPlace(newBloom)
+          catch {
+            case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+              spark.read.parquet(path).stat.bloomFilter("fp", BloomCapacity, 0.01)
+          }
+        } else newBloom
+      saveBloom(bloomPath, merged)
+    }
     out.drop("__fp")
+  }
+
+  /** Fixed sidecar capacity (~12 MB of bits at 1% fpp) — sized for 10M
+    * accepted docs; raise for larger corpora (triggers a one-time
+    * rebuild from the history table).
+    */
+  val BloomCapacity: Long = 10000000L
+
+  private def loadBloom(p: java.nio.file.Path): org.apache.spark.util.sketch.BloomFilter = {
+    val in = Files.newInputStream(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  private def saveBloom(p: java.nio.file.Path,
+      bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    val outS = Files.newOutputStream(tmp)
+    try bf.writeTo(outS) finally outS.close()
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** MinHash/LSH near-dedupe of `batch` against itself and all prior
