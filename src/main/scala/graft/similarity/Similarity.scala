@@ -179,6 +179,125 @@ object Similarity {
     }
   }
 
+  /** Product-quantization codec (Jégou et al., the FAISS IVFADC building
+    * block): vectors split into `m` subspaces, each encoded as the index
+    * of its nearest sub-centroid (16 per subspace). A 128-float vector
+    * becomes m small ints — the memory-bound scale path where posting
+    * lists must live in RAM: 16-32× smaller than raw floats, scored
+    * without decoding via asymmetric distance (query-slice → selected
+    * sub-centroid), all as Column expressions over the codes column.
+    *
+    * Training is driver-side per-subspace Lloyd on a bounded sample
+    * (same architecture as [[IvfIndex]]); encoding and ADC scoring are
+    * distributed narrow maps.
+    */
+  final class PqCodec(dim: Int, m: Int = 4, seed: Long = 20240404L) {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    private val sub = dim / m
+    private val K = 16
+    private var codebooks: Array[Array[Array[Double]]] = _ // m × K × sub
+
+    private def lloydK(sample: Array[Array[Float]]): Array[Array[Double]] = {
+      val n = sample.length
+      var state = seed
+      def next(): Long = { state = (state * 48271L) % 2147483647L; state }
+      val cents = Array.tabulate(math.min(K, n))(_ =>
+        sample((next() % n).toInt.abs).map(_.toDouble))
+      val assign = new Array[Int](n)
+      for (_ <- 0 until 10) {
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var j = 0
+            while (j < sub) {
+              val diff = sample(i)(j) - cents(c)(j); d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(i) = best; i += 1
+        }
+        val sums = Array.fill(cents.length, sub)(0.0)
+        val counts = new Array[Int](cents.length)
+        i = 0
+        while (i < n) {
+          val c = assign(i); counts(c) += 1
+          var j = 0
+          while (j < sub) { sums(c)(j) += sample(i)(j); j += 1 }
+          i += 1
+        }
+        var c = 0
+        while (c < cents.length) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < sub) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          }
+          c += 1
+        }
+      }
+      cents
+    }
+
+    /** Train sub-codebooks on a driver-side sample. */
+    def train(sample: Array[Array[Float]]): this.type = {
+      require(sample.nonEmpty, "PqCodec: empty training sample")
+      codebooks = Array.tabulate(m)(j =>
+        lloydK(sample.map(_.slice(j * sub, (j + 1) * sub))))
+      this
+    }
+
+    /** Train from a corpus column (hash-spread draw, like IvfIndex). */
+    def train(corpus: DataFrame, idCol: String, vecCol: String,
+        trainSample: Int = 10000): this.type =
+      train(corpus.select(col(vecCol).as("v"), col(idCol).as("i"))
+        .orderBy(xxhash64(col("i")), col("i")).limit(trainSample)
+        .select("v").collect().map(_.getSeq[Float](0).toArray))
+
+    private def litVec(c: Array[Double]): Column =
+      array(c.map(x => lit(x)): _*)
+
+    private def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+
+    /** Codes column (array<int> of length m) for a vector column. */
+    def encode(vec: Column): Column = array((0 until m).map { j =>
+      val s = slice(vec, j * sub + 1, sub)
+      val dists = codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct(l2(s, litVec(c)).as("d"), lit(i).as("i"))
+      }
+      array_min(array(dists: _*)).getField("i")
+    }: _*)
+
+    /** Asymmetric distance: query slices against the code-selected
+      * sub-centroids — the vector itself is never decoded.
+      */
+    def adcDistance(qvec: Column, codes: Column): Column =
+      (0 until m).map { j =>
+        val qs = slice(qvec, j * sub + 1, sub)
+        val sel = element_at(array(codebooks(j).map(litVec): _*),
+          element_at(codes, j + 1).cast("int") + 1)
+        l2(qs, sel)
+      }.reduce(_ + _)
+
+    /** Top-k by ADC over an encoded corpus (id, codes). */
+    def adcTopK(encoded: DataFrame, queries: DataFrame, qidCol: String,
+        qvecCol: String, topK: Int): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("id"))
+      encoded.crossJoin(broadcast(
+          queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          adcDistance(col("qvec"), col("codes")).as("adist"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select(col("qid"), col("id"), col("adist"),
+          col("rk").cast("long").as("rk"))
+    }
+  }
+
   /** Smallest `nprobe` whose measured recall@`topK` against the exact
     * brute-force answer meets `recallTarget`, probing doubling values
     * (1, 2, 4, … k) on a deterministic hash-spread query sample. Offline

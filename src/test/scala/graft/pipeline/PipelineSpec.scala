@@ -156,6 +156,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.head.getAs[Double]("score") == 1.0)
   }
 
+  test("product quantization finds the planted duplicate via ADC codes") {
+    import spark.implicits._
+    val dim = 16
+    val vecs = (0 until 128).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 16 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dup = vecs.filter($"vec_id" === 7).withColumn("vec_id", lit(999L))
+    val corpus = vecs.unionByName(dup)
+    val pq = new Similarity.PqCodec(dim, m = 4)
+      .train(corpus, "vec_id", "embedding")
+    val encoded = corpus.select($"vec_id".as("id"),
+      pq.encode($"embedding").as("codes"))
+    // codes are m small ints, never the raw floats
+    assert(encoded.first().getSeq[Int](1).size == 4)
+    // score every corpus row against query vec 7: the duplicate's codes
+    // equal vec 7's own, so its ADC distance is the global minimum (the
+    // quantization residual); the sin corpus packs many rows into few
+    // code cells, so assert on distances, not window ranks
+    val q7 = vecs.filter($"vec_id" === 7)
+      .select($"embedding".as("qvec"))
+    val scored = encoded.crossJoin(q7)
+      .select($"id", pq.adcDistance($"qvec", $"codes").as("adist"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(999L) == scored.values.min)
+    assert(scored(999L) == scored(7L)) // identical codes, identical ADC
+    // the topK helper returns rows and respects k
+    val res = pq.adcTopK(encoded, vecs.filter($"vec_id" === 7),
+      "vec_id", "embedding", 5).collect()
+    assert(res.length == 5 && res.head.getAs[Double]("adist") == scored(999L))
+    // deterministic: retraining yields identical codes
+    val pq2 = new Similarity.PqCodec(dim, m = 4)
+      .train(corpus, "vec_id", "embedding")
+    val enc2 = corpus.select($"vec_id".as("id"),
+      pq2.encode($"embedding").as("codes"))
+    assert(encoded.exceptAll(enc2).isEmpty)
+  }
+
   test("nprobe auto-tune reaches the recall target") {
     import spark.implicits._
     val dim = 8
