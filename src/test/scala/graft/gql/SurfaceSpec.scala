@@ -61,6 +61,20 @@ class SurfaceSpec extends AnyFunSuite {
     assert(n == 10L) // 50 + 20 rows, skip 60
   }
 
+  test("grouped query expressions compose as set-op operands") {
+    // (balance<=500 ∪ risk>=4.5) ∩ active — the group is a left operand
+    val n = count("(MATCH (a:Account) WHERE a.balance <= 500 RETURN a.name " +
+      "UNION MATCH (a:Account) WHERE a.risk_score >= 4.5 RETURN a.name) " +
+      "INTERSECT MATCH (a:Account) WHERE a.status = 'active' RETURN a.name")
+    assert(n == 10L) // ids 1..5 ∪ 45..50, minus inactive id 50
+    // nested group, tail clauses on the OUTER group
+    val rows = s.gql("((MATCH (a:Account) WHERE a.id <= 3 RETURN a.id AS id " +
+      "UNION MATCH (a:Account) WHERE a.id >= 49 RETURN a.id AS id) " +
+      "EXCEPT MATCH (a:Account) WHERE a.id = 2 RETURN a.id AS id) " +
+      "ORDER BY id DESC LIMIT 3").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(50L, 49L, 3L))
+  }
+
   // ---- LET / FOR / FILTER (simple_let_test.rs:19; parser.rs:760-835) ----
 
   test("LET binds values, standalone and over MATCH rows") {
