@@ -38,6 +38,7 @@ object IncrementalDedup {
   def dedupeExact(batch: DataFrame, idCol: String, textCol: String,
       statePath: String): DataFrame = {
     val spark = batch.sparkSession
+    recoverCompaction(statePath)
     val path = s"$statePath/exact"
     val bloomPath = Paths.get(s"$statePath/exact_bloom")
     val fp = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
@@ -45,13 +46,17 @@ object IncrementalDedup {
     val batchKeep = fp.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     var keep = batchKeep
-    if (Files.exists(Paths.get(path))) {
+    val hasHistory = Files.exists(Paths.get(path))
+    if (hasHistory) {
       val history = spark.read.parquet(path).select(col("fp").as("__fp"))
       keep =
         if (Files.exists(bloomPath)) {
           val bf = loadBloom(bloomPath)
           val bfBc = spark.sparkContext.broadcast(bf)
-          val mightSeen = udf((s: String) => bfBc.value.mightContainString(s))
+          // null fingerprints (null text) are never "seen" — they fall
+          // through to the keep set exactly like the plain anti-join path
+          val mightSeen = udf((s: String) =>
+            s != null && bfBc.value.mightContainString(s))
           val novel = batchKeep.filter(!mightSeen(col("__fp")))
           val candidates = batchKeep.filter(mightSeen(col("__fp")))
             .join(history, Seq("__fp"), "left_anti")
@@ -59,26 +64,49 @@ object IncrementalDedup {
         } else batchKeep.join(history, Seq("__fp"), "left_anti")
     }
     val out = keep.localCheckpoint(true)
-    out.select(col("__fp").as("fp")).write.mode("append").parquet(path)
-    // merge the new fingerprints into the sidecar (no history rescan).
-    // All blooms use the same fixed capacity so they merge; a capacity
-    // change forces a full rebuild from the history table — the bloom
-    // must NEVER under-cover history (a false negative would skip the
-    // authoritative anti-join and admit a duplicate).
-    if (!out.isEmpty) { // bloomFilter aggregation NPEs on zero rows
-      val newBloom = out.stat.bloomFilter("__fp", BloomCapacity, 0.01)
+    // Bloom invariant: the sidecar must NEVER under-cover the history
+    // table (a false negative would skip the authoritative anti-join and
+    // admit a duplicate). Hence: (a) a missing sidecar over existing
+    // history rebuilds from the FULL history, not just this batch;
+    // (b) the merged bloom is saved BEFORE the parquet append — a crash
+    // between the two leaves it over-covering, which only routes rows to
+    // the exact join. All blooms share one fixed capacity so they merge;
+    // a capacity change also triggers the full rebuild.
+    val needRebuild = hasHistory && !Files.exists(bloomPath)
+    if (!out.isEmpty || needRebuild) {
+      val newBloom =
+        if (out.isEmpty) null
+        else out.stat.bloomFilter("__fp", BloomCapacity, 0.01)
       val merged =
-        if (Files.exists(bloomPath)) {
+        if (needRebuild) {
+          val hist = spark.read.parquet(path)
+            .stat.bloomFilter("fp", BloomCapacity, 0.01)
+          if (newBloom != null) hist.mergeInPlace(newBloom) else hist
+        } else if (Files.exists(bloomPath)) {
           try loadBloom(bloomPath).mergeInPlace(newBloom)
           catch {
             case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
-              spark.read.parquet(path).stat.bloomFilter("fp", BloomCapacity, 0.01)
+              val hist = spark.read.parquet(path)
+                .stat.bloomFilter("fp", BloomCapacity, 0.01)
+              hist.mergeInPlace(newBloom)
           }
         } else newBloom
       saveBloom(bloomPath, merged)
     }
+    out.select(col("__fp").as("fp")).write.mode("append").parquet(path)
     out.drop("__fp")
   }
+
+  /** Restore any dataset left aside by a crashed [[compactState]] swap:
+    * if the live dir is missing but its `.old_` backup exists, the swap
+    * died between renames — move the backup back before reading state.
+    */
+  private def recoverCompaction(statePath: String): Unit =
+    Seq("exact", "shingles", "buckets").foreach { sub =>
+      val p = Paths.get(s"$statePath/$sub")
+      val old = Paths.get(s"$statePath/.old_$sub")
+      if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
+    }
 
   /** Fixed sidecar capacity (~12 MB of bits at 1% fpp) — sized for 10M
     * accepted docs; raise for larger corpora (triggers a one-time
@@ -110,6 +138,7 @@ object IncrementalDedup {
       statePath: String, n: Int = 3, numHashes: Int = 32, bands: Int = 0,
       tau: Double = 0.7): DataFrame = {
     val spark = batch.sparkSession
+    recoverCompaction(statePath)
     val nBands = if (bands > 0) bands
       else graft.similarity.Similarity.tuneBanding(numHashes, tau)._1
     val rpb = numHashes / nBands
@@ -170,6 +199,7 @@ object IncrementalDedup {
     */
   def compactState(spark: org.apache.spark.sql.SparkSession,
       statePath: String): Unit = {
+    recoverCompaction(statePath) // restore any prior crashed swap first
     def compact(sub: String, sortCols: Seq[String]): Unit = {
       val p = Paths.get(s"$statePath/$sub")
       if (!Files.exists(p)) return

@@ -720,6 +720,12 @@ final class Compiler(graph: PropertyGraph,
     if (path0.assignment.isDefined && hasQuant && path0.hops.size != 1)
       throw new GqlCompileException(
         "path variables over mixed quantified chains are not supported")
+    // a revisit rule over a mixed rigid+quantified chain would need the
+    // quantified segments' interior nodes visible to the rigid hops —
+    // reject rather than silently under-enforce
+    if (path0.semantics.exists(_ != "WALK") && hasQuant && path0.hops.size != 1)
+      throw new GqlCompileException(
+        "path-type prefixes over mixed rigid+quantified chains are not supported")
     // reversal would invert the node order a path variable records
     val path1 =
       if (path0.assignment.isEmpty && shouldReverse(path0, ctxIn))
@@ -1194,9 +1200,9 @@ final class Compiler(graph: PropertyGraph,
     case Fn(n, args, d) if aggNames.contains(n) =>
       throw new GqlCompileException(s"aggregate $n outside aggregation context")
     case Fn(name, args, _) => scalarFn(name, args, ctx)
-    case Bin(op @ ("=" | "<>"), l, r)
-        if endpointCompare(op, l, r, ctx).isDefined =>
-      endpointCompare(op, l, r, ctx).get
+    case Bin(op @ ("=" | "<>"), l, r) =>
+      endpointCompare(op, l, r, ctx).getOrElse(
+        binOp(op, compileExpr(l, ctx), compileExpr(r, ctx)))
     case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx))
     case Not(x) => !compileExpr(x, ctx)
     case Neg(x) => -compileExpr(x, ctx)

@@ -974,7 +974,10 @@ final class Parser(tokens: Vector[Token]) {
             case _ => false
           } =>
         // PATH[n0, e0, n1, …] constructor (executor.rs:4899-4951):
-        // alternating node/edge elements build a path value
+        // alternating node/edge elements build a path value. PATH is a
+        // reserved word in expression-head position followed by '[' —
+        // reference parity (its lexer tokenizes PATH as a keyword), so
+        // `path[i]` subscripting needs the variable named something else.
         p += 1
         eatPunct("[")
         val items = if (isPunct("]")) Vector.empty[Expr] else parseExprList()

@@ -159,6 +159,11 @@ object EventPipeline {
           case Some(s) if t - s.last_ms > gapMs =>
             closed += s
             open = Some(SessionSummary(key, 1L, e.value, t, t))
+          case Some(s) if s.first_ms - t > gapMs =>
+            // in-watermark straggler older than the open session by more
+            // than the gap: it can't merge (that would bridge a gap the
+            // batch session_window keeps), so it closes alone
+            closed += SessionSummary(key, 1L, e.value, t, t)
           case Some(s) =>
             open = Some(SessionSummary(key, s.n_events + 1, s.total + e.value,
               math.min(s.first_ms, t), math.max(s.last_ms, t)))
