@@ -48,6 +48,15 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     * native Spark numerics.
     */
   private var f64Mode: Boolean = false
+  /** Stored-procedure call depth + the DECLAREs made inside the current
+    * call chain, newest first, with each variable's pre-DECLARE value
+    * (None = absent). ISO GQL scopes a body's variable definitions to the
+    * body (ast.rs:1090-1097 ProcedureBodyStatement), so CALL restores
+    * them on exit — while NEXT…YIELD captures keep the reference's
+    * session-state behavior and persist.
+    */
+  private var procDepth: Int = 0
+  private var bodyDeclared: List[(String, Option[Any])] = Nil
 
   def useF64Numbers(on: Boolean): this.type = { f64Mode = on; this }
 
@@ -355,11 +364,25 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
 
       // DECLARE x INT = 5, …: typed session variables, coerced to the
       // declared type, visible as $x (DeclareStatement analog — the
-      // reference scopes them to procedure bodies; session scope here is
-      // the superset that NEXT YIELD parameters already use)
+      // reference scopes them to procedure bodies and evaluates
+      // initializers with the session context, executor.rs:8502-8527;
+      // procedure scope is enforced at the CALL site, session scope is
+      // the superset that NEXT YIELD parameters already use).
+      // Initializers may be scalar subqueries or any expression over
+      // already-declared $vars; missing initializers take the reference's
+      // typed defaults (0 / "" / false / null).
       case DeclareStmt(vars) =>
         val rows = vars.map { case (name, tpe, init) =>
-          val raw = init.map(litValue).orNull
+          val raw: Any = init match {
+            case None => tpe match {
+              case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" => 0L
+              case "DOUBLE" | "FLOAT" | "REAL" => 0.0
+              case "STRING" | "VARCHAR" | "TEXT" => ""
+              case "BOOLEAN" | "BOOL" => java.lang.Boolean.FALSE
+              case _ => null
+            }
+            case Some(e) => evalStandalone(e)
+          }
           val coerced: Any = (Option(raw), tpe) match {
             case (None, _) => null
             case (Some(v), "INT" | "INTEGER" | "BIGINT" | "SMALLINT") =>
@@ -383,6 +406,8 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
             case (_, other) => throw new GqlCompileException(
               s"DECLARE $name: unsupported type $other")
           }
+          if (procDepth > 0)
+            bodyDeclared = (name -> sessionParams.get(name)) :: bodyDeclared
           sessionParams += (name -> coerced)
           (name, tpe, Option(coerced).map(_.toString).orNull)
         }
@@ -573,7 +598,21 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
             }
             SystemProcedures.call(gls, this, name, strArgs)
           } else gls.catalog.loadProcedure(name) match {
-            case Some(body) => execute(body)
+            case Some(body) =>
+              // variables DECLAREd in the body are body-scoped: restore
+              // each to its pre-call value (newest-first iteration makes
+              // the oldest recorded value win for re-declared names)
+              val mark = bodyDeclared
+              procDepth += 1
+              try execute(body)
+              finally {
+                procDepth -= 1
+                bodyDeclared.take(bodyDeclared.length - mark.length).foreach {
+                  case (n, Some(prev)) => sessionParams += (n -> prev)
+                  case (n, None) => sessionParams -= n
+                }
+                bodyDeclared = mark
+              }
             case None => throw new IllegalArgumentException(s"unknown procedure: $name")
           }
         // YIELD projects/renames the procedure's rowset; WHERE filters it
@@ -669,6 +708,24 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       case Ast.NullLit() => LNull
       case other => throw new GqlCompileException(s"expected literal, got $other")
     }
+  }
+
+  /** Evaluate a DECLARE initializer eagerly: literals directly; scalar
+    * subqueries against the current graph (first row, first column, null
+    * on empty result); any other expression over a single-row frame with
+    * the session parameters in scope.
+    */
+  private def evalStandalone(e: Ast.Expr): Any = e match {
+    case Ast.Subquery(q) =>
+      new Compiler(graph, sessionParams, f64Mode).compile(q)
+        .limit(1).collect().headOption.map(_.get(0)).orNull
+    case Ast.NumLit(_, _) | Ast.StrLit(_) | Ast.BoolLit(_) | Ast.NullLit() =>
+      litValue(e)
+    case other =>
+      val g0 = currentGraph.getOrElse(new PropertyGraph(Map.empty, Map.empty))
+      val comp = new Compiler(g0, sessionParams, f64Mode)
+      gls.spark.range(1).select(comp.columnFor(other, Map.empty).as("v"))
+        .collect().head.get(0)
   }
 
   private def litValue(e: Ast.Expr): Any = e match {

@@ -46,6 +46,12 @@ object Ast {
     * resolves as map-key or struct-field extraction.
     */
   case class FieldAccess(e: Expr, field: String) extends Expr
+  /** Scalar subquery `(MATCH … RETURN …)` — currently valid only as a
+    * DECLARE initializer, where it is evaluated eagerly at DECLARE time
+    * (the reference evaluates initializers through
+    * evaluate_expression with the session context, executor.rs:8502-8527).
+    */
+  case class Subquery(q: QueryExpr) extends Expr
   /** EXISTS { pattern, … } — pattern-as-predicate (executor.rs:9351-9394);
     * compiled to a semi-join (anti under NOT) at top-level conjuncts, or a
     * marker-join boolean column in arbitrary boolean positions.

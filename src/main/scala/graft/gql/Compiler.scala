@@ -1267,6 +1267,9 @@ final class Compiler(graph: PropertyGraph,
     case ExistsPattern(_) =>
       throw new GqlCompileException(
         "EXISTS patterns are supported only in WHERE / FILTER positions")
+    case Subquery(_) =>
+      throw new GqlCompileException(
+        "scalar subqueries are supported only as DECLARE initializers")
   }
 
   /** Genuine-endpoint test shared by IS SOURCE/DESTINATION OF and

@@ -222,7 +222,20 @@ final class Parser(tokens: Vector[Token]) {
         while (more) {
           val name = ident()
           val tpe = ident().toUpperCase
-          val init = if (tryPunct("=")) Some(parseExpr()) else None
+          // initializer: a scalar subquery `(MATCH … RETURN …)` or any
+          // expression (the reference evaluates initializers through
+          // evaluate_expression with the session context)
+          val init =
+            if (!tryPunct("=")) None
+            else if (isPunct("(") && tokens.lift(p + 1).exists {
+              case TKw("MATCH", _) => true
+              case _ => false
+            }) {
+              eatPunct("(")
+              val q = parseQueryExpr()
+              eatPunct(")")
+              Some(Subquery(q))
+            } else Some(parseExpr())
           vars += ((name, tpe, init))
           more = tryPunct(",")
         }

@@ -580,6 +580,40 @@ class SurfaceSpec extends AnyFunSuite {
     intercept[GqlCompileException] { t.execute("DECLARE z BLOB = 1") }
   }
 
+  test("DECLARE evaluates expression and subquery initializers") {
+    val t = fresh()
+    // missing initializer → the reference's typed default
+    t.execute("DECLARE dflt INT, dstr STRING, dbool BOOLEAN")
+    assert(t.parameters("dflt") == 0L)
+    assert(t.parameters("dstr") == "")
+    assert(t.parameters("dbool") == false)
+    // arithmetic over an already-declared $var
+    t.execute("DECLARE base INT = 10")
+    t.execute("DECLARE derived INT = $base * 3 + 2")
+    assert(t.parameters("derived") == 32L)
+    // scalar subquery over the current graph, evaluated at DECLARE time
+    t.execute("DECLARE n_accounts INT = (MATCH (a:Account) RETURN count(a))")
+    assert(t.parameters("n_accounts") == 50L)
+    assert(one2(t, "RETURN $n_accounts + 1 AS x") == 51L)
+    // later graph mutations don't retroactively change the variable
+    t.execute("INSERT (:Account {id: 999, name: 'Late', balance: 1, " +
+      "risk_score: 0.1, status: 'active'})")
+    assert(t.parameters("n_accounts") == 50L)
+  }
+
+  test("DECLARE inside a procedure body is scoped to the call") {
+    val t = fresh()
+    t.execute("DECLARE kept INT = 7")
+    t.execute("CREATE PROCEDURE scoped AS " +
+      "DECLARE tmp INT = 99, kept INT = 1 " +
+      "NEXT RETURN $tmp + $kept AS s")
+    assert(t.execute("CALL scoped()").collect().head.getLong(0) == 100L)
+    // body DECLAREs don't leak; pre-existing values are restored
+    assert(!t.parameters.contains("tmp"))
+    assert(t.parameters("kept") == 7L)
+    t.execute("DROP PROCEDURE scoped")
+  }
+
   test("SESSION SET NUMBERS F64 switches to reference arithmetic") {
     val t = fresh()
     // native: integer addition stays integral (Spark semantics)
