@@ -717,15 +717,15 @@ final class Compiler(graph: PropertyGraph,
   private def compilePath(path0: PathPattern, dfIn: Option[DataFrame],
       ctxIn: Ctx): (DataFrame, Ctx) = {
     val hasQuant = path0.hops.exists(_._1.quantifier.isDefined)
-    if (path0.assignment.isDefined && hasQuant && path0.hops.size != 1)
-      throw new GqlCompileException(
-        "path variables over mixed quantified chains are not supported")
     // a revisit rule over a mixed rigid+quantified chain would need the
     // quantified segments' interior nodes visible to the rigid hops —
     // reject rather than silently under-enforce
     if (path0.semantics.exists(_ != "WALK") && hasQuant && path0.hops.size != 1)
       throw new GqlCompileException(
         "path-type prefixes over mixed rigid+quantified chains are not supported")
+    // a path variable over a chain with quantified segments (and more
+    // than one hop) concatenates per-segment node-id arrays
+    val mixedPathVar = hasQuant && path0.hops.size > 1 && path0.assignment.isDefined
     // reversal would invert the node order a path variable records
     val path1 =
       if (path0.assignment.isEmpty && shouldReverse(path0, ctxIn))
@@ -733,13 +733,16 @@ final class Compiler(graph: PropertyGraph,
       else path0
     // fixed-length revisit rules and path arrays reference every chain
     // element — name the anonymous ones
-    val needNames = !hasQuant && (path1.assignment.isDefined ||
-      path1.semantics.exists(_ != "WALK"))
+    val needNames = mixedPathVar || (!hasQuant && (path1.assignment.isDefined ||
+      path1.semantics.exists(_ != "WALK")))
     val path = if (!needNames) path1 else path1.copy(
       start = path1.start.copy(variable =
         Some(path1.start.variable.getOrElse(fresh("n")))),
       hops = path1.hops.map { case (e, n) =>
-        (e.copy(variable = Some(e.variable.getOrElse(fresh("e")))),
+        // quantified edges stay anonymous (varLengthHop binds no edge
+        // var; only node ids enter the path array)
+        (if (e.quantifier.isDefined) e
+         else e.copy(variable = Some(e.variable.getOrElse(fresh("e")))),
           n.copy(variable = Some(n.variable.getOrElse(fresh("n")))))
       })
     val sem = path.semantics match {
@@ -748,7 +751,8 @@ final class Compiler(graph: PropertyGraph,
       case Some("ACYCLIC") => PathSemantics.Acyclic
       case _ => PathSemantics.Walk
     }
-    val quantPathVar = if (hasQuant) path.assignment else None
+    val quantPathVar =
+      if (hasQuant && !mixedPathVar) path.assignment else None
     var ctx = ctxIn
     var df = dfIn
 
@@ -786,8 +790,15 @@ final class Compiler(graph: PropertyGraph,
     var prevVar = startVar
     val nodeVarsB = Vector.newBuilder[String]
     nodeVarsB += startVar
-    path.hops.foreach { case (edge, node) =>
-      val (d2, c2, nv) = hop(df.get, ctx, prevVar, edge, node, sem, quantPathVar)
+    // mixed mode: each quantified hop records its full per-path node-id
+    // array under a scratch column, stitched into the path variable below
+    val hopArrays = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    path.hops.zipWithIndex.foreach { case ((edge, node), i) =>
+      val hopPathVar =
+        if (mixedPathVar && edge.quantifier.isDefined) {
+          val a = fresh("patharr"); hopArrays += (i -> a); Some(a)
+        } else quantPathVar
+      val (d2, c2, nv) = hop(df.get, ctx, prevVar, edge, node, sem, hopPathVar)
       df = Some(d2); ctx = c2; prevVar = nv; nodeVarsB += nv
     }
     quantPathVar.foreach(pv =>
@@ -810,8 +821,26 @@ final class Compiler(graph: PropertyGraph,
         case _ => ()
       }
       path.assignment.foreach { pv =>
-        df = Some(df.get.withColumn(pv,
-          array(nvs.map(v => col(s"${v}_id")): _*)))
+        if (mixedPathVar) {
+          // stitch: start id, then per hop either the rigid target id or
+          // the quantified segment's array minus its first element (the
+          // segment's start — already covered by the previous element)
+          val segs: Seq[Column] = array(col(s"${nvs.head}_id")) +:
+            path.hops.zipWithIndex.map { case (_, i) =>
+              hopArrays.get(i) match {
+                case Some(a) =>
+                  org.apache.spark.sql.functions.slice(
+                    col(a), lit(2), size(col(a)) - 1)
+                case None => array(col(s"${nvs(i + 1)}_id"))
+              }
+            }
+          df = Some(df.get
+            .withColumn(pv, concat(segs: _*))
+            .drop(hopArrays.values.toSeq: _*))
+        } else {
+          df = Some(df.get.withColumn(pv,
+            array(nvs.map(v => col(s"${v}_id")): _*)))
+        }
         ctx = Ctx(ctx.bindings + (pv -> ValueBinding))
       }
     }

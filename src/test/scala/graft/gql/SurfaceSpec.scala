@@ -131,6 +131,34 @@ class SurfaceSpec extends AnyFunSuite {
     assert(fixed.toSeq == Seq(Seq(1L, 2L, 3L)))
   }
 
+  test("path variables span mixed rigid+quantified chains") {
+    val t = SparkFixture.gqlSession(SparkFixture.simpleGraph)
+    // rigid then quantified: 1→2 fixed, then 1..2 more hops
+    val rows = t.gql("MATCH p = (a:TestNode {id: 1})-[:CONNECTS_TO]->" +
+      "(b:TestNode)-[:CONNECTS_TO*1..2]->(c:TestNode) RETURN p ORDER BY SIZE(p)")
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(rows.toSeq == Seq(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L)))
+    // quantified then rigid
+    val rows2 = t.gql("MATCH p = (a:TestNode {id: 1})-[:CONNECTS_TO*1..2]->" +
+      "(b:TestNode)-[:CONNECTS_TO]->(c:TestNode) RETURN p ORDER BY SIZE(p)")
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(rows2.toSeq == Seq(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L)))
+    // two quantified segments enumerate the cross product of paths
+    val rows3 = t.gql("MATCH p = (a:TestNode {id: 1})-[:CONNECTS_TO*1..2]->" +
+      "(b:TestNode)-[:CONNECTS_TO*1..2]->(c:TestNode) " +
+      "RETURN p ORDER BY SIZE(p), p[SIZE(p) - 1]")
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(rows3.toSeq == Seq(
+      Seq(1L, 2L, 3L),
+      Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L),
+      Seq(1L, 2L, 3L, 4L, 5L)))
+    // the endpoint variables stay readable alongside the path array
+    val ends = t.gql("MATCH p = (a:TestNode {id: 1})-[:CONNECTS_TO]->" +
+      "(b:TestNode)-[:CONNECTS_TO*2..2]->(c:TestNode) RETURN c.id AS cid, SIZE(p) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ends.toSeq == Seq((4L, 4L)))
+  }
+
   test("PATH constructor builds the node-id array") {
     val t = fresh()
     val r = t.gql("RETURN TO_JSON(PATH[1, 100, 2, 200, 3]) AS p")
