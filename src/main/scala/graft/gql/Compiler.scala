@@ -969,23 +969,34 @@ final class Compiler(graph: PropertyGraph,
     val named = edge.variable.isDefined
     val srcCol = fresh("src"); val dstCol = fresh("dst")
     val fromLabelCol = fresh("fromLabel"); val endLabelCol = fresh("endLabel")
+    val needEnd = toUnion || endLabels.size > 1
+    // the oriented union is built once per (combos, flags) shape and
+    // cached on the graph — repeated hops over the same edge pattern
+    // reuse the lineage; only the per-call column renames differ
     def orient(t: String, o: Direction): DataFrame = {
       val (_, raw) = graph.edgeTables(t)
       val et = graph.edgeType(t)
       var base = raw.withColumn("__label", lit(t))
       if (named) base = base.withColumn("__esrc", col("src"))
         .withColumn("__edst", col("dst"))
-      if (fromUnion) base = base.withColumn(fromLabelCol,
+      if (fromUnion) base = base.withColumn("__fromLabel",
         lit(if (o == Out) et.srcLabel else et.dstLabel))
-      if (toUnion || endLabels.size > 1) base = base.withColumn(endLabelCol,
+      if (needEnd) base = base.withColumn("__endLabel",
         lit(if (o == Out) et.dstLabel else et.srcLabel))
       o match {
-        case In => base.withColumnRenamed("dst", srcCol).withColumnRenamed("src", dstCol)
-        case _ => base.withColumnRenamed("src", srcCol).withColumnRenamed("dst", dstCol)
+        case In => base.withColumnRenamed("dst", "__src").withColumnRenamed("src", "__dst")
+        case _ => base.withColumnRenamed("src", "__src").withColumnRenamed("dst", "__dst")
       }
     }
-    var e = combos.map { case (t, o) => orient(t, o) }.reduce((a, b) =>
-      a.unionByName(b, allowMissingColumns = true))
+    val cacheKey = "orient:" + combos.map { case (t, o) => s"$t/$o" }
+      .mkString(",") + s":$named:$fromUnion:$needEnd"
+    var e = graph.cachedPlan(cacheKey) {
+      combos.map { case (t, o) => orient(t, o) }.reduce((a, b) =>
+        a.unionByName(b, allowMissingColumns = true))
+    }
+      .withColumnRenamed("__src", srcCol).withColumnRenamed("__dst", dstCol)
+      .withColumnRenamed("__fromLabel", fromLabelCol)
+      .withColumnRenamed("__endLabel", endLabelCol)
     // prefix edge prop columns
     val keep = e.columns.filterNot(c =>
       c == srcCol || c == dstCol || c == "__label" || c == "__esrc" ||
@@ -1042,9 +1053,9 @@ final class Compiler(graph: PropertyGraph,
         (joined.withColumnRenamed(dstCol, s"${nVar}_id")
           .drop(srcCol, endLabelCol), ctx, nVar)
       } else {
-        val n = scanNodeMulti(
-          if (node.labels.nonEmpty) node.labels else Seq(label),
-          nVar, node.props, ctx)
+        val labels = if (node.labels.nonEmpty) node.labels else Seq(label)
+        val n = graph.broadcastIfSmall(labels.head,
+          scanNodeMulti(labels, nVar, node.props, ctx))
         val out = joined.join(n, col(dstCol) === col(s"${nVar}_id"))
           .drop(srcCol, dstCol, endLabelCol)
         (out, ctx, nVar)
@@ -1103,7 +1114,7 @@ final class Compiler(graph: PropertyGraph,
       (joined.withColumnRenamed("end_id", s"${nVar}_id").drop("start_id"), ctx, nVar)
     } else {
       val label = node.labels.headOption.getOrElse(graph.edgeType(t).dstLabel)
-      val n = scanNode(label, nVar, node.props, ctx)
+      val n = graph.broadcastIfSmall(label, scanNode(label, nVar, node.props, ctx))
       val out = joined.join(n, col("end_id") === col(s"${nVar}_id"))
         .drop("start_id", "end_id")
       ctx = Ctx(ctx.bindings + (nVar -> NodeBinding.one(label)))

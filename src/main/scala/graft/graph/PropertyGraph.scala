@@ -78,6 +78,28 @@ final class PropertyGraph(
   def nodeCount(label: String): Long =
     nodeCountCache.getOrElseUpdate(label, nodeTables(label).count())
 
+  /** Node tables at or under this many rows get an explicit broadcast
+    * hint when joined against edge frames (~100 MB at ~100 B/row — the
+    * point where a 1000-executor shuffle of the big side costs far more
+    * than shipping the dim table). AQE would often decide the same
+    * per-query, but only after planning a shuffle; the hint removes the
+    * exchange from the plan outright.
+    */
+  val broadcastRowLimit: Long = 1000000L
+  def broadcastIfSmall(label: String, df: DataFrame): DataFrame =
+    if (nodeCount(label) <= broadcastRowLimit) broadcast(df) else df
+
+  /** Compiled-plan cache, keyed by an operator-shape string — e.g. the
+    * oriented edge-type unions a GQL hop compiles: repeated hops over
+    * the same (edge types, orientations, flags) within a session reuse
+    * one lineage instead of rebuilding it per hop. Lives on the graph
+    * instance, so mutated copies (new instance) never see stale plans.
+    */
+  @transient private lazy val planCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def cachedPlan(key: String)(build: => DataFrame): DataFrame =
+    planCache.getOrElseUpdate(key, build)
+
   /** Copy with mutated tables, accumulating the touched dataset names. */
   private[graph] def mutated(newNodes: Map[String, DataFrame],
       newEdges: Map[String, (EdgeType, DataFrame)],
@@ -145,7 +167,7 @@ final class PropertyGraph(
       val n = nodeTables(dstLabel)
       val nRenamed = n.columns.foldLeft(n)((d, c) =>
         d.withColumnRenamed(c, if (c == "id") s"${to}_id" else s"${to}_$c"))
-      joined.join(nRenamed, s"${to}_id")
+      joined.join(broadcastIfSmall(dstLabel, nRenamed), s"${to}_id")
     }
   }
 
