@@ -46,12 +46,25 @@ object Ast {
     * resolves as map-key or struct-field extraction.
     */
   case class FieldAccess(e: Expr, field: String) extends Expr
-  /** Scalar subquery `(MATCH … RETURN …)` — currently valid only as a
-    * DECLARE initializer, where it is evaluated eagerly at DECLARE time
-    * (the reference evaluates initializers through
-    * evaluate_expression with the session context, executor.rs:8502-8527).
+  /** Scalar subquery `(MATCH … RETURN …)` in any expression position
+    * (reference evaluates subquery expressions row-at-a-time with a
+    * cache, executor.rs:4587-4810 + cache/subquery_cache.rs; we unnest
+    * relationally — uncorrelated: first-row scalar broadcast-joined;
+    * correlated through shared pattern variables: group-by + outer join,
+    * the reference's unnesting at logical_optimizer.rs:283-516). As a
+    * DECLARE initializer it is still evaluated eagerly at DECLARE time
+    * (executor.rs:8502-8527).
     */
   case class Subquery(q: QueryExpr) extends Expr
+  /** Quantified comparison `x op ALL|ANY|SOME (subquery)`
+    * (ast.rs:1326-1334 QuantifiedComparisonExpression). The reference's
+    * executor leaves these unimplemented (executor.rs:4508-4517 returns
+    * "not yet fully implemented"); we ship full SQL three-valued
+    * semantics via a min/max/count aggregate rewrite plus a membership
+    * join for =/<> — documented beyond-reference behavior.
+    */
+  case class QuantifiedCmp(op: String, quantifier: String, l: Expr,
+      q: QueryExpr) extends Expr
   /** EXISTS { pattern, … } — pattern-as-predicate (executor.rs:9351-9394);
     * compiled to a semi-join (anti under NOT) at top-level conjuncts, or a
     * marker-join boolean column in arbitrary boolean positions.

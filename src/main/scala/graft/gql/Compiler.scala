@@ -111,7 +111,18 @@ final class Compiler(graph: PropertyGraph,
     case IsNormalized(x, _) => collectProps(x, acc)
     case IsDirected(x, _) => collectProps(x, acc)
     case IsLabeled(x, _, _) => collectProps(x, acc)
+    case Subquery(q) => collectQueryExprProps(q, acc)
+    case QuantifiedCmp(_, _, l, q) =>
+      collectProps(l, acc); collectQueryExprProps(q, acc)
     case _ => ()
+  }
+
+  private def collectQueryExprProps(qe: QueryExpr,
+      acc: scala.collection.mutable.Map[String, Set[String]]): Unit = qe match {
+    case SetOpQuery(_, _, l, r) =>
+      collectQueryExprProps(l, acc); collectQueryExprProps(r, acc)
+    case OrderedQuery(inner, _, _, _) => collectQueryExprProps(inner, acc)
+    case q: Query => collectQueryProps(q, acc)
   }
 
   /** Compile a query expression: a pipeline query or a set operation
@@ -345,9 +356,14 @@ final class Compiler(graph: PropertyGraph,
       splitAnd(w).foreach {
         case ExistsPattern(paths) => out = existsJoin(out, paths, ctx, "left_semi")
         case Not(ExistsPattern(paths)) => out = existsJoin(out, paths, ctx, "left_anti")
-        case other if containsExists(other) =>
-          val (d2, e2) = materializeExists(out, other, ctx)
-          out = d2.filter(compileExpr(e2, ctx))
+        case other if containsExists(other) || containsSubquery(other) =>
+          val (d2, e2) =
+            if (containsExists(other)) materializeExists(out, other, ctx)
+            else (out, other)
+          val (d3, Seq(e3)) =
+            if (containsSubquery(e2)) materializeScalars(d2, Seq(e2), ctx)
+            else (d2, Seq(e2))
+          out = d3.filter(compileExpr(e3, ctx))
         case other => out = out.filter(compileExpr(other, ctx))
       }
     }
@@ -416,9 +432,14 @@ final class Compiler(graph: PropertyGraph,
       splitAnd(w).foreach {
         case ExistsPattern(paths) => base = existsJoin(base, paths, ctx, "left_semi")
         case Not(ExistsPattern(paths)) => base = existsJoin(base, paths, ctx, "left_anti")
-        case other if containsExists(other) =>
-          val (d2, e2) = materializeExists(base, other, ctx)
-          base = d2.filter(compileExpr(e2, ctx))
+        case other if containsExists(other) || containsSubquery(other) =>
+          val (d2, e2) =
+            if (containsExists(other)) materializeExists(base, other, ctx)
+            else (base, other)
+          val (d3, Seq(e3)) =
+            if (containsSubquery(e2)) materializeScalars(d2, Seq(e2), ctx)
+            else (d2, Seq(e2))
+          base = d3.filter(compileExpr(e3, ctx))
         case other => base = base.filter(compileExpr(other, ctx))
       }
       df = Some(base)
@@ -442,13 +463,35 @@ final class Compiler(graph: PropertyGraph,
     }
 
     // standalone RETURN (no MATCH): evaluate over one synthetic row
-    val base = df.getOrElse(singleRow)
+    var base = df.getOrElse(singleRow)
+
+    // scalar subqueries / quantified comparisons in RETURN, GROUP BY or
+    // ORDER BY positions materialize as columns on the pre-projection
+    // frame; the expressions below then reference plain columns
+    val seg1: Segment =
+      if (!(seg.projection.exists(it => containsSubquery(it.expr)) ||
+            seg.groupBy.exists(containsSubquery) ||
+            seg.orderBy.exists(s => containsSubquery(s.expr)))) seg
+      else {
+        val exprs = seg.projection.map(_.expr) ++ seg.groupBy ++
+          seg.orderBy.map(_.expr)
+        val (d2, rewritten) = materializeScalars(base, exprs, ctx)
+        base = d2
+        val (pe, rest) = rewritten.splitAt(seg.projection.size)
+        val (ge, oe) = rest.splitAt(seg.groupBy.size)
+        seg.copy(
+          projection = seg.projection.zip(pe).map { case (it, e2) =>
+            it.copy(expr = e2) },
+          groupBy = ge,
+          orderBy = seg.orderBy.zip(oe).map { case (s, e2) =>
+            s.copy(expr = e2) })
+      }
 
     // ---- projection (+ implicit/explicit grouping) ----
     // RETURN * expands to every bound variable (entities as ids), sorted;
     // a Star may also appear alongside explicit items (mutation pipelines
     // append the properties the final SET reads)
-    val expanded0: Seq[ReturnItem] = seg.projection.flatMap {
+    val expanded0: Seq[ReturnItem] = seg1.projection.flatMap {
       case ReturnItem(Star(), _) =>
         ctx.bindings.toSeq.sortBy(_._1).filterNot(_._1.startsWith("__")).map {
           case (v, _) => ReturnItem(Ident(v), None)
@@ -470,7 +513,7 @@ final class Compiler(graph: PropertyGraph,
     val itemMap: Map[Expr, String] = items.map { case (it, n) => it.expr -> n }.toMap
 
     val hasAgg = items.exists { case (it, _) => containsAgg(it.expr) } ||
-      seg.groupBy.nonEmpty || seg.having.exists(containsAgg)
+      seg1.groupBy.nonEmpty || seg1.having.exists(containsAgg)
 
     // hidden aggregates needed by HAVING / ORDER BY but not projected
     val hiddenAggs = scala.collection.mutable.LinkedHashMap[Expr, String]()
@@ -481,7 +524,7 @@ final class Compiler(graph: PropertyGraph,
         base.select(cols: _*)
       } else {
         val keyExprs: Seq[Expr] =
-          if (seg.groupBy.nonEmpty) seg.groupBy
+          if (seg1.groupBy.nonEmpty) seg1.groupBy
           else items.collect { case (it, _) if !containsAgg(it.expr) => it.expr }
         val keyCols = keyExprs.zipWithIndex.map { case (e, i) =>
           compileExpr(e, ctx).as(itemMap.getOrElse(e, s"__k$i"))
@@ -495,8 +538,8 @@ final class Compiler(graph: PropertyGraph,
           if (!itemMap.contains(a) && !hiddenAggs.contains(a))
             hiddenAggs(a) = fresh("agg")
         }
-        seg.having.foreach(registerHidden)
-        seg.orderBy.foreach(s => registerHidden(s.expr))
+        seg1.having.foreach(registerHidden)
+        seg1.orderBy.foreach(s => registerHidden(s.expr))
         val hiddenCols = hiddenAggs.map { case (e, n) =>
           compileAggExpr(e, ctx).as(n)
         }.toSeq
@@ -508,21 +551,21 @@ final class Compiler(graph: PropertyGraph,
 
         val postCtx = PostCtx(itemMap ++ hiddenAggs, ctx)
         var g = grouped
-        seg.having.foreach(h => g = g.filter(compilePost(h, postCtx)))
+        seg1.having.foreach(h => g = g.filter(compilePost(h, postCtx)))
         g
       }
 
     val postCtx = PostCtx(itemMap ++ hiddenAggs, ctx)
 
     // WITH … WHERE (post-projection filter)
-    seg.postWhere.foreach(w => out = out.filter(compilePost(w, postCtx)))
+    seg1.postWhere.foreach(w => out = out.filter(compilePost(w, postCtx)))
 
-    if (seg.distinct)
+    if (seg1.distinct)
       out = out.select(items.map { case (_, n) => col(n) }: _*).distinct()
 
     // ORDER BY resolved against output columns / hidden aggs
-    if (seg.orderBy.nonEmpty) {
-      val sortCols = seg.orderBy.map { s =>
+    if (seg1.orderBy.nonEmpty) {
+      val sortCols = seg1.orderBy.map { s =>
         val c = s.expr match {
           case NumLit(v, true) if v >= 1 && v <= items.size =>
             col(items(v.toInt - 1)._2) // ORDER BY <position>
@@ -535,8 +578,8 @@ final class Compiler(graph: PropertyGraph,
     // drop hidden agg columns, keep declared items in order
     out = out.select(items.map { case (_, n) => col(n) }: _*)
 
-    seg.skip.foreach(n => out = out.offset(n.toInt))
-    seg.limit.foreach(n => out = out.limit(n.toInt))
+    seg1.skip.foreach(n => out = out.offset(n.toInt))
+    seg1.limit.foreach(n => out = out.limit(n.toInt))
 
     // next-segment bindings: bare unaliased node/edge vars stay entities
     val nextBindings: Map[String, Binding] = items.map {
@@ -580,7 +623,7 @@ final class Compiler(graph: PropertyGraph,
     * join columns against `base`.
     */
   private def existsInner(base: DataFrame, paths: Seq[PathPattern],
-      ctx: Ctx): (DataFrame, Seq[String]) = {
+      ctx: Ctx): (DataFrame, Seq[String], Ctx) = {
     def inject(np: NodePattern): NodePattern =
       if (np.labels.isEmpty)
         np.variable.flatMap(ctx.nodeLabel)
@@ -598,13 +641,13 @@ final class Compiler(graph: PropertyGraph,
     val shared = base.columns.toSet.intersect(innerDf.columns.toSet).toSeq.sorted
     if (shared.isEmpty)
       throw new GqlCompileException("EXISTS pattern must share a variable")
-    (innerDf, shared)
+    (innerDf, shared, innerCtx)
   }
 
   /** EXISTS at a top-level WHERE conjunct — semi/anti join. */
   private def existsJoin(base: DataFrame, paths: Seq[PathPattern],
       ctx: Ctx, joinType: String): DataFrame = {
-    val (innerDf, shared) = existsInner(base, paths, ctx)
+    val (innerDf, shared, _) = existsInner(base, paths, ctx)
     base.join(innerDf.select(shared.map(col): _*).distinct(), shared, joinType)
   }
 
@@ -641,7 +684,7 @@ final class Compiler(graph: PropertyGraph,
     def rewrite(x: Expr): Expr = x match {
       case ExistsPattern(paths) =>
         val name = fresh("exists")
-        val (innerDf, shared) = existsInner(df, paths, ctx)
+        val (innerDf, shared, _) = existsInner(df, paths, ctx)
         val marked = innerDf.select(shared.map(col): _*).distinct()
           .withColumn(name, lit(true))
         df = df.join(marked, shared, "left_outer")
@@ -664,6 +707,219 @@ final class Compiler(graph: PropertyGraph,
     }
     val e2 = rewrite(e)
     (df, e2)
+  }
+
+  private def containsSubquery(e: Expr): Boolean = e match {
+    case Subquery(_) | QuantifiedCmp(_, _, _, _) => true
+    case Bin(_, l, r) => containsSubquery(l) || containsSubquery(r)
+    case Not(x) => containsSubquery(x)
+    case Neg(x) => containsSubquery(x)
+    case IsNull(x, _) => containsSubquery(x)
+    case IsTruth(x, _, _) => containsSubquery(x)
+    case InList(x, items, _) => containsSubquery(x) || items.exists(containsSubquery)
+    case StringPred(_, l, r, _) => containsSubquery(l) || containsSubquery(r)
+    case CaseExpr(s, ws, o) => s.exists(containsSubquery) ||
+      ws.exists { case (c, v) => containsSubquery(c) || containsSubquery(v) } ||
+      o.exists(containsSubquery)
+    case Cast(x, _) => containsSubquery(x)
+    case Index(x, i) => containsSubquery(x) || containsSubquery(i)
+    case FieldAccess(x, _) => containsSubquery(x)
+    case Fn(_, args, _) => args.exists(containsSubquery)
+    case _ => false
+  }
+
+  /** A subquery is correlated when it is a single-segment query whose
+    * pattern re-uses a node variable bound in the outer scope — the same
+    * shared-variable convention EXISTS patterns use.
+    */
+  private def correlatedSeg(q: QueryExpr, ctx: Ctx): Option[Segment] = q match {
+    case qq: Query if qq.segments.size == 1 =>
+      val seg = qq.segments.head
+      val vars = (seg.matches ++ seg.optionalMatches).flatMap { p =>
+        (p.start +: p.hops.map(_._2)).flatMap(_.variable)
+      }
+      if (vars.exists(v => ctx.isNodeLike(v))) Some(seg) else None
+    case _ => None
+  }
+
+  /** Compile a nested query expression without clobbering the outer
+    * query's property-usage map (compileQuery recomputes it).
+    */
+  private def compileNested(q: QueryExpr): DataFrame = {
+    val saved = usedProps
+    try compile(q) finally { usedProps = saved }
+  }
+
+  /** Materialize scalar subqueries and quantified comparisons inside
+    * `exprs` as columns on `base`; returns the augmented frame plus the
+    * rewritten expressions (each subquery subtree replaced by a column
+    * reference). Relational unnesting, kept distributed:
+    *
+    *  - Uncorrelated scalar subquery: first row, first column (DECLARE
+    *    parity, executor.rs:8502-8527) — `limit(1).agg(first(..))` always
+    *    yields exactly one row (null on empty), broadcast cross-joined.
+    *  - Correlated (shares a bound node variable with the outer scope,
+    *    like EXISTS): group-by on the shared identity columns + left
+    *    outer join — the reference's subquery unnesting
+    *    (logical_optimizer.rs:283-516). A top-level COUNT coalesces to 0
+    *    for outer rows with no inner match.
+    *  - Quantified comparison `x op ALL|ANY|SOME (sub)` (ast.rs:1326-1334;
+    *    unimplemented in the reference's executor, executor.rs:4508-4517):
+    *    min/max/count aggregates broadcast onto the outer frame, plus a
+    *    distinct-value membership join for =/<>, with full SQL 3VL
+    *    (empty set, outer null, and null-element cases).
+    *
+    * Identical subquery subtrees share one materialized column.
+    */
+  private def materializeScalars(base: DataFrame, exprs: Seq[Expr],
+      ctx: Ctx): (DataFrame, Seq[Expr]) = {
+    var df = base
+    val cache = scala.collection.mutable.Map.empty[Expr, String]
+    val nullB = lit(null).cast("boolean")
+
+    def scalarColumn(q: QueryExpr): String = cache.getOrElseUpdate(Subquery(q), {
+      val name = fresh("subq")
+      correlatedSeg(q, ctx) match {
+        case Some(seg) =>
+          if (seg.optionalMatches.nonEmpty || seg.steps.nonEmpty ||
+              seg.groupBy.nonEmpty || seg.having.nonEmpty ||
+              seg.postWhere.nonEmpty || seg.distinct || seg.orderBy.nonEmpty ||
+              seg.skip.nonEmpty || seg.limit.nonEmpty)
+            throw new GqlCompileException(
+              "correlated scalar subquery must be MATCH … [WHERE …] RETURN <expr>")
+          if (seg.projection.size != 1)
+            throw new GqlCompileException(
+              "scalar subquery must return exactly one column")
+          val (innerDf0, shared, innerCtx) = existsInner(df, seg.matches, ctx)
+          val innerDf = seg.where.fold(innerDf0)(w =>
+            innerDf0.filter(compileExpr(w, innerCtx)))
+          val item = seg.projection.head.expr
+          val aggCol =
+            if (containsAgg(item)) compileAggExpr(item, innerCtx)
+            else first(compileExpr(item, innerCtx))
+          val perKey = innerDf.groupBy(shared.map(col): _*).agg(aggCol.as(name))
+          df = df.join(perKey, shared, "left_outer")
+          val countTop = item match {
+            case CountStar() | Fn("COUNT", _, _) => true
+            case _ => false
+          }
+          if (countTop) df = df.withColumn(name, coalesce(col(name), lit(0L)))
+        case None =>
+          val inner = compileNested(q)
+          val c1 = inner.columns.headOption.getOrElse(
+            throw new GqlCompileException("scalar subquery returns no columns"))
+          df = df.crossJoin(broadcast(inner.limit(1).agg(first(col(c1)).as(name))))
+      }
+      name
+    })
+
+    def quantColumn(qc: QuantifiedCmp): String = cache.getOrElseUpdate(qc, {
+      val QuantifiedCmp(op, quant0, l, q) = qc
+      val quant = if (quant0 == "SOME") "ANY" else quant0
+      if (correlatedSeg(q, ctx).isDefined)
+        throw new GqlCompileException(
+          "correlated quantified comparisons are not supported")
+      val inner = compileNested(q)
+      val vcol = col(inner.columns.head)
+      val name = fresh("quant")
+      val Seq(cntN, valN, mnN, mxN, ndvN, xN) =
+        Seq("qcnt", "qval", "qmin", "qmax", "qndv", "qx").map(fresh)
+      val aggs = inner.agg(count(lit(1)).as(cntN), count(vcol).as(valN),
+        min(vcol).as(mnN), max(vcol).as(mxN), countDistinct(vcol).as(ndvN))
+      df = df.crossJoin(broadcast(aggs)).withColumn(xN, compileExpr(l, ctx))
+      val (x, cnt, nonNull) = (col(xN), col(cntN), col(valN))
+      val (mn, mx, ndv) = (col(mnN), col(mxN), col(ndvN))
+      val hasNull = cnt > nonNull
+
+      // distinct-value membership join (for = ANY / <> ALL); no broadcast
+      // hint — AQE picks the strategy from the distinct set's actual size
+      def marker(): Column = {
+        val mk = fresh("qmk")
+        val vN = fresh("qv")
+        val vals = inner.select(vcol.as(vN)).na.drop().distinct()
+          .withColumn(mk, lit(true))
+        df = df.join(vals, col(xN) === col(vN), "left_outer").drop(vN)
+        coalesce(col(mk), lit(false))
+      }
+
+      val result: Column = (quant, op) match {
+        case ("ANY", "=") =>
+          val mk = marker()
+          when(cnt === 0, lit(false)).when(x.isNull, nullB)
+            .when(mk, lit(true))
+            .when(hasNull, nullB).otherwise(lit(false))
+        case ("ANY", "<>") =>
+          when(cnt === 0, lit(false)).when(x.isNull, nullB)
+            .when(ndv >= 2, lit(true))
+            .when(ndv === 1 && x =!= mn, lit(true))
+            .when(hasNull, nullB)
+            .when(ndv === 1, lit(false)) // x equals the single value
+            .otherwise(nullB)            // unreachable guard
+        case ("ALL", "=") =>
+          when(cnt === 0, lit(true)).when(x.isNull, nullB)
+            .when(ndv >= 2, lit(false))
+            .when(ndv === 1 && x =!= mn, lit(false))
+            .when(ndv === 1 && !hasNull, lit(true))
+            .otherwise(nullB) // single value + nulls, or all-null set
+        case ("ALL", "<>") =>
+          val mk = marker()
+          when(cnt === 0, lit(true)).when(x.isNull, nullB)
+            .when(mk, lit(false))
+            .when(hasNull, nullB).otherwise(lit(true))
+        case (qn, o) =>
+          val bound: Column = (qn, o) match {
+            case ("ANY", ">") | ("ANY", ">=") => mn
+            case ("ANY", "<") | ("ANY", "<=") => mx
+            case ("ALL", ">") | ("ALL", ">=") => mx
+            case ("ALL", "<") | ("ALL", "<=") => mn
+            case _ => throw new GqlCompileException(
+              s"unsupported quantified comparison: $o $qn")
+          }
+          val cmp: Column = o match {
+            case ">" => x > bound
+            case ">=" => x >= bound
+            case "<" => x < bound
+            case "<=" => x <= bound
+            case other => throw new GqlCompileException(
+              s"unsupported quantified comparison: $other $qn")
+          }
+          if (qn == "ANY")
+            when(cnt === 0, lit(false)).when(x.isNull, nullB)
+              .when(cmp, lit(true))
+              .when(!cmp && hasNull, nullB)
+              .when(!cmp, lit(false))
+              .otherwise(nullB) // bound null: every element null
+          else
+            when(cnt === 0, lit(true)).when(x.isNull, nullB)
+              .when(cmp && hasNull, nullB)
+              .when(cmp, lit(true))
+              .when(!cmp, lit(false))
+              .otherwise(nullB)
+      }
+      df = df.withColumn(name, result)
+      name
+    })
+
+    def rewrite(x: Expr): Expr = x match {
+      case Subquery(q) => Ident(scalarColumn(q))
+      case qc: QuantifiedCmp => Ident(quantColumn(qc))
+      case Bin(op, l, r) => Bin(op, rewrite(l), rewrite(r))
+      case Not(y) => Not(rewrite(y))
+      case Neg(y) => Neg(rewrite(y))
+      case IsNull(y, n) => IsNull(rewrite(y), n)
+      case IsTruth(y, t, n) => IsTruth(rewrite(y), t, n)
+      case InList(y, items, n) => InList(rewrite(y), items.map(rewrite), n)
+      case StringPred(op, l, r, n) => StringPred(op, rewrite(l), rewrite(r), n)
+      case CaseExpr(s, ws, o) => CaseExpr(s.map(rewrite),
+        ws.map { case (c, v) => (rewrite(c), rewrite(v)) }, o.map(rewrite))
+      case Cast(y, t) => Cast(rewrite(y), t)
+      case Index(y, i) => Index(rewrite(y), rewrite(i))
+      case FieldAccess(y, f) => FieldAccess(rewrite(y), f)
+      case Fn(n, args, d) => Fn(n, args.map(rewrite), d)
+      case other => other
+    }
+    val out = exprs.map(rewrite)
+    (df, out)
   }
 
   // ------------------------------------------------------------------
@@ -1309,7 +1565,13 @@ final class Compiler(graph: PropertyGraph,
         "EXISTS patterns are supported only in WHERE / FILTER positions")
     case Subquery(_) =>
       throw new GqlCompileException(
-        "scalar subqueries are supported only as DECLARE initializers")
+        "scalar subqueries are not supported in this position " +
+          "(supported: WHERE / FILTER, RETURN / WITH items, GROUP BY, " +
+          "ORDER BY, DECLARE initializers)")
+    case QuantifiedCmp(_, _, _, _) =>
+      throw new GqlCompileException(
+        "quantified comparisons are not supported in this position " +
+          "(supported: WHERE / FILTER, RETURN / WITH items)")
   }
 
   /** Genuine-endpoint test shared by IS SOURCE/DESTINATION OF and

@@ -59,6 +59,18 @@ final class Parser(tokens: Vector[Token]) {
     if (isSoftKw(s)) { p += 1; true } else false
   private def eatSoftKw(s: String): Unit =
     if (!trySoftKw(s)) err(s"expected $s")
+  private def isPunctAt(i: Int, s: String): Boolean = tokens.lift(i).exists {
+    case TPunct(k, _) => k == s
+    case _ => false
+  }
+  /** True when the token at `i` can lead a query expression — the same
+    * keyword set parseQueryExpr accepts. Used for the `(subquery)` vs
+    * `(expr)` lookahead in primaries and DECLARE initializers.
+    */
+  private def queryLeadsAt(i: Int): Boolean = tokens.lift(i).exists {
+    case TKw("MATCH" | "OPTIONAL" | "UNWIND" | "FOR" | "LET", _) => true
+    case _ => false
+  }
 
   // ---- statement entry (ast.rs:24-39 dispatch) ----
   def parseStatement(): Statement = {
@@ -227,10 +239,7 @@ final class Parser(tokens: Vector[Token]) {
           // evaluate_expression with the session context)
           val init =
             if (!tryPunct("=")) None
-            else if (isPunct("(") && tokens.lift(p + 1).exists {
-              case TKw("MATCH", _) => true
-              case _ => false
-            }) {
+            else if (isPunct("(") && queryLeadsAt(p + 1)) {
               eatPunct("(")
               val q = parseQueryExpr()
               eatPunct(")")
@@ -827,7 +836,26 @@ final class Parser(tokens: Vector[Token]) {
     if (isPunct("=") || isPunct("<>") || isPunct("<") || isPunct("<=") ||
         isPunct(">") || isPunct(">=")) {
       val op = advance().asInstanceOf[TPunct].s
-      Bin(op, l, parseAdditive())
+      // quantified comparison: op ALL|ANY|SOME ( query )
+      // (ast.rs:1326-1334). ALL is a hard keyword; ANY/SOME are soft and
+      // only quantify when followed by a parenthesized query.
+      val quant: Option[String] = cur match {
+        case TKw("ALL", _) => Some("ALL")
+        case TIdent(s, _) if (s.equalsIgnoreCase("ANY") ||
+            s.equalsIgnoreCase("SOME")) &&
+            isPunctAt(p + 1, "(") && queryLeadsAt(p + 2) =>
+          Some(s.toUpperCase)
+        case _ => None
+      }
+      quant match {
+        case Some(qk) =>
+          p += 1
+          eatPunct("(")
+          val q = parseQueryExpr()
+          eatPunct(")")
+          QuantifiedCmp(op, qk, l, q)
+        case None => Bin(op, l, parseAdditive())
+      }
     } else if (isKw("IS")) {
       eatKw("IS")
       val negated = tryKw("NOT")
@@ -971,6 +999,12 @@ final class Parser(tokens: Vector[Token]) {
       case TPunct("$", _) =>
         p += 1
         Param(ident())
+      case TPunct("(", _) if queryLeadsAt(p + 1) =>
+        // scalar subquery in an expression position (executor.rs:4587-4810)
+        p += 1
+        val q = parseQueryExpr()
+        eatPunct(")")
+        Subquery(q)
       case TPunct("(", _) =>
         p += 1
         val e = parseExpr()

@@ -95,7 +95,25 @@ object GqlQueries {
     // node-id array rendered as engine-stable JSON text
     "gql11_path_var" -> ((s: SparkSession, d: String) => run(s, d,
       """MATCH p = (c:customer {id: 100})-[:NEXT*1..3]->(d:customer)
-        |RETURN TO_JSON(p) AS path ORDER BY path""".stripMargin))
+        |RETURN TO_JSON(p) AS path ORDER BY path""".stripMargin)),
+
+    // scalar subqueries in expression positions (executor.rs:4587-4810):
+    // uncorrelated in WHERE (broadcast one-row scalar), correlated via a
+    // shared pattern variable in RETURN (group-by + outer join unnesting)
+    "gql12_scalar_subquery" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (n:nation)
+        |WHERE n.id < (MATCH (r:region) RETURN max(r.id) * 3)
+        |RETURN n.name AS nname,
+        |       (MATCH (n)<-[:IN_NATION]-(c:customer) RETURN count(c)) AS n_cust
+        |ORDER BY nname""".stripMargin)),
+
+    // quantified comparisons = ANY / > ALL (ast.rs:1326-1334 — the
+    // reference's executor has these as a TODO; we ship full SQL 3VL)
+    "gql13_quantified" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (p:part)
+        |WHERE p.psize = ANY (MATCH (n:nation) RETURN n.id)
+        |  AND p.retailprice > ALL (MATCH (r:region) RETURN r.id * 100.0)
+        |RETURN count(p) AS n""".stripMargin))
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +188,16 @@ object GqlQueries {
         | SELECT CAST(to_json([e1.src, e1.dst, e2.dst, e3.dst]) AS VARCHAR)
         |  FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e2.dst
         |  WHERE e1.src = 100 AND e3.dst IS NOT NULL) t
-        |ORDER BY path""".stripMargin
+        |ORDER BY path""".stripMargin,
+    "gql12_scalar_subquery" ->
+      """SELECT n_name AS nname,
+        | (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust
+        |FROM nation
+        |WHERE n_nationkey < (SELECT max(r_regionkey) * 3 FROM region)
+        |ORDER BY nname""".stripMargin,
+    "gql13_quantified" ->
+      """SELECT count(*) AS n FROM part
+        |WHERE p_size = ANY (SELECT n_nationkey FROM nation)
+        |  AND p_retailprice > ALL (SELECT r_regionkey * 100.0 FROM region)""".stripMargin
   )
 }

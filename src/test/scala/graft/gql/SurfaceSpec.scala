@@ -718,4 +718,99 @@ class SurfaceSpec extends AnyFunSuite {
     t.execute("SESSION RESET")
     intercept[IllegalStateException] { t.gql("MATCH (a:Account) RETURN a.id") }
   }
+
+  // ---- scalar subqueries in expression positions (executor.rs:4587-4810)
+
+  test("uncorrelated scalar subquery in WHERE") {
+    // max balance 5000 → threshold 4500 → ids 46..50
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.balance > (MATCH (b:Account) RETURN max(b.balance) - 500) " +
+      "RETURN count(a) AS n") == 5L)
+  }
+
+  test("uncorrelated scalar subquery in RETURN") {
+    assert(one("MATCH (a:Account) WHERE a.id = 1 " +
+      "RETURN a.balance / (MATCH (b:Account) RETURN max(b.balance)) AS frac")
+      == 0.02)
+  }
+
+  test("scalar subquery under OR (arbitrary boolean position)") {
+    // ids 49,50 ∪ balance > 4900 (id 50) → 2
+    assert(one("MATCH (a:Account) WHERE a.id > 48 OR " +
+      "a.balance > (MATCH (b:Account) RETURN max(b.balance) - 100) " +
+      "RETURN count(a) AS n") == 2L)
+  }
+
+  test("correlated scalar subquery groups per outer row") {
+    // every merchant receives exactly 5 of the 100 Transaction edges
+    val rows = s.gql("MATCH (m:Merchant) RETURN m.name AS name, " +
+      "(MATCH (a:Account)-[:Transaction]->(m) RETURN count(a)) AS n " +
+      "ORDER BY name").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(1) == 5L))
+  }
+
+  test("correlated COUNT coalesces to 0 on empty match") {
+    val rows = s.gql("MATCH (a:Account) WHERE a.id <= 3 " +
+      "RETURN a.id AS id, (MATCH (a)-[:Transaction]->(m:Merchant) " +
+      "WHERE m.id > 100 RETURN count(m)) AS n ORDER BY id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L))
+  }
+
+  test("correlated non-COUNT aggregate stays null-on-empty") {
+    // account i's Transactions hit merchants i%20 and (i+50)%20 → max 11, 12
+    val rows = s.gql("MATCH (a:Account) WHERE a.id <= 2 " +
+      "RETURN a.id AS id, (MATCH (a)-[:Transaction]->(m:Merchant) " +
+      "RETURN max(m.id)) AS mx ORDER BY id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(11L, 12L))
+  }
+
+  // ---- quantified comparisons (ast.rs:1326-1334; TODO in the
+  // reference's executor — we ship SQL 3VL semantics)
+
+  test("= ANY is set membership") {
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.id = ANY (MATCH (m:Merchant) RETURN m.id) " +
+      "RETURN count(a) AS n") == 20L)
+  }
+
+  test("> ALL compares against the maximum") {
+    // merchant ids * 200 → max 4000 → balance > 4000 → ids 41..50
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.balance > ALL (MATCH (m:Merchant) RETURN m.id * 200.0) " +
+      "RETURN count(a) AS n") == 10L)
+  }
+
+  test("<> ALL is NOT IN") {
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.id <> ALL (MATCH (m:Merchant) RETURN m.id) " +
+      "RETURN count(a) AS n") == 30L)
+  }
+
+  test("< SOME compares against the maximum") {
+    // merchant ids * 100 → max 2000 → balance < 2000 → ids 1..19
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.balance < SOME (MATCH (m:Merchant) RETURN m.id * 100.0) " +
+      "RETURN count(a) AS n") == 19L)
+  }
+
+  test("quantified comparison over the empty set") {
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.id = ANY (MATCH (m:Merchant) WHERE m.id > 999 RETURN m.id) " +
+      "RETURN count(a) AS n") == 0L)
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.id > ALL (MATCH (m:Merchant) WHERE m.id > 999 RETURN m.id) " +
+      "RETURN count(a) AS n") == 50L)
+  }
+
+  test("quantified comparison 3VL with null elements") {
+    // set {NULL, 2..20}: > ALL can never be TRUE (null comparison is
+    // UNKNOWN); = ANY is TRUE only on a definite match
+    assert(one("MATCH (a:Account) WHERE a.id > ALL (MATCH (m:Merchant) " +
+      "RETURN CASE WHEN m.id = 1 THEN NULL ELSE m.id END) " +
+      "RETURN count(a) AS n") == 0L)
+    assert(one("MATCH (a:Account) WHERE a.id = ANY (MATCH (m:Merchant) " +
+      "RETURN CASE WHEN m.id = 1 THEN NULL ELSE m.id END) " +
+      "RETURN count(a) AS n") == 19L)
+  }
 }
