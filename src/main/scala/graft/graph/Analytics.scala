@@ -55,27 +55,29 @@ object Analytics {
     val raw = g.edgeTables(edgeLabel)._2
     // materialize once: the edge table may be a derived frame (joins,
     // windows) that would otherwise recompute on every iteration
-    val edges = raw.select(col("src"), col("dst"))
+    val edges0 = raw.select(col("src"), col("dst"))
       .unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
 
     // The iterative joins materialize via localCheckpoint, which executes
     // the initial plan — AQE's shuffle coalescing never kicks in, so every
     // round would run the configured partition count regardless of data
-    // size. Size the shuffle to the edge frame instead (1 partition per
-    // ~100k edges, floor 8): tiny graphs stop paying thousands of empty
-    // tasks per round, huge graphs keep their configured width.
-    // NOTE: the conf is session-global for the loop's duration (restored
-    // in finally) — queries racing on the SAME SparkSession from other
-    // threads would plan under it; the embedding contract here is the
-    // reference's too: one driver thread per session.
-    val spark = vertices.sparkSession
-    val prevSP = spark.conf.get("spark.sql.shuffle.partitions")
-    val target = math.max(8L, math.min(prevSP.toLong,
-      edges.count() / 100000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", target.toString)
-    try {
-    var comp = vertices.select(col("id"), col("id").as("comp"))
+    // size. Run the loop on a CLONED session (same SparkContext and block
+    // manager, own SQLConf) with the shuffle sized to the edge frame
+    // (1 partition per ~100k edges, floor 8): tiny graphs stop paying
+    // thousands of empty tasks per round, huge graphs keep their
+    // configured width, and queries planned concurrently on the caller's
+    // session never see the loop's setting.
+    val sess = vertices.sparkSession
+    val width = math.max(8L, math.min(
+      sess.conf.get("spark.sql.shuffle.partitions").toLong,
+      edges0.count() / 100000L + 1L))
+    val work = sess.newSession()
+    work.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val edges = work.createDataFrame(edges0.rdd, edges0.schema)
+      .localCheckpoint(true)
+    val comp0 = vertices.select(col("id"), col("id").as("comp"))
+    var comp = work.createDataFrame(comp0.rdd, comp0.schema)
       .localCheckpoint(true)
     // comp := min(comp, comp(comp)) — each application doubles the
     // pointer distance a label travels
@@ -98,20 +100,23 @@ object Analytics {
       // materialization — the checkpoint (a whole Spark job) is the unit
       // cost at scale, so contract as much as possible per checkpoint
       // while the lineage between checkpoints stays a short join chain
-      val step2 = pjump(pjump(pjump(step1))).localCheckpoint(true)
-      // converged when no label changed; the probe is itself a job, so
-      // skip the first rounds (labels can't stabilize before
-      // ~log8(diameter) rounds) and then probe every other round
-      if (round >= 2 && round % 2 == 0) {
-        val changed = step2.join(comp.withColumnRenamed("comp", "old"), "id")
-          .filter(col("comp") =!= col("old")).isEmpty
-        done = changed
-      }
-      comp = step2
+      val jumped = pjump(pjump(pjump(step1)))
+      // convergence probe folded into the round's materialization: the
+      // previous label rides along as a change flag, so the probe is a
+      // limit-1 scan of the already-checkpointed frame — not the separate
+      // full-join job it used to be — and can afford to run every round
+      val step2 = jumped
+        .join(comp.select(col("id"), col("comp").as("__old")), "id")
+        .select(col("id"), col("comp"),
+          (col("comp") =!= col("__old")).as("__chg"))
+        .localCheckpoint(true)
+      if (round >= 1) done = step2.filter(col("__chg")).isEmpty
+      comp = step2.select(col("id"), col("comp"))
       round += 1
     }
-    comp.withColumnRenamed("comp", "component")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSP)
+    // re-bind onto the caller's session so results compose with its frames
+    val result = comp.withColumnRenamed("comp", "component")
+    sess.createDataFrame(result.rdd, result.schema)
   }
 
   /** Triangle count per vertex (undirected, deduped edges). */
