@@ -78,16 +78,48 @@ final class PropertyGraph(
   def nodeCount(label: String): Long =
     nodeCountCache.getOrElseUpdate(label, nodeTables(label).count())
 
-  /** Node tables at or under this many rows get an explicit broadcast
-    * hint when joined against edge frames (~100 MB at ~100 B/row — the
-    * point where a 1000-executor shuffle of the big side costs far more
-    * than shipping the dim table). AQE would often decide the same
+  /** Node tables whose ESTIMATED BYTES fit under this limit get an
+    * explicit broadcast hint when joined against edge frames (~100 MB —
+    * the point where a 1000-executor shuffle of the big side costs far
+    * more than shipping the dim table). AQE would often decide the same
     * per-query, but only after planning a shuffle; the hint removes the
     * exchange from the plan outright.
+    *
+    * The gate is byte-based, not row-based: a 1M-row table of longs is
+    * ~10 MB and safe to force, but the same row count with wide strings
+    * or embedding vectors can exceed executor memory — those defer to
+    * AQE's size-measured decision instead of a forced hint.
     */
-  val broadcastRowLimit: Long = 1000000L
+  val broadcastByteLimit: Long = 100L << 20
   def broadcastIfSmall(label: String, df: DataFrame): DataFrame =
-    if (nodeCount(label) <= broadcastRowLimit) broadcast(df) else df
+    if (nodeCount(label) * estimatedRowBytes(df.schema) <= broadcastByteLimit)
+      broadcast(df)
+    else df
+
+  /** Conservative per-row width from the schema: exact for fixed-width
+    * primitives, pessimistic for variable-length types (strings,
+    * binary, arrays have no static size — assume wide rather than OOM
+    * a forced broadcast). Catalyst's own defaultSize is optimistic the
+    * other way (array<float> = 4 B), which is exactly the failure mode
+    * this gate exists to prevent.
+    */
+  private[graph] def estimatedRowBytes(schema: org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.spark.sql.types._
+    def width(dt: DataType): Long = dt match {
+      case BooleanType | ByteType => 1L
+      case ShortType => 2L
+      case IntegerType | FloatType | DateType => 4L
+      case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
+      case _: DecimalType => 16L
+      case StringType => 48L
+      case BinaryType => 512L
+      case ArrayType(et, _) => 128L * width(et)
+      case MapType(kt, vt, _) => 16L * (width(kt) + width(vt))
+      case StructType(fields) => fields.map(f => width(f.dataType)).sum
+      case _ => 64L
+    }
+    math.max(8L, width(schema))
+  }
 
   /** Compiled-plan cache, keyed by an operator-shape string — e.g. the
     * oriented edge-type unions a GQL hop compiles: repeated hops over
@@ -260,7 +292,7 @@ final class PropertyGraph(
     val (_, raw) = edgeTables(edgeLabel)
     // materialize once: a derived edge frame (e.g. built from a window
     // function) would otherwise recompute on every BFS level
-    val e = (direction match {
+    val e0 = (direction match {
       case Direction.Out => raw
       case Direction.In  => raw.select(col("dst").as("src"), col("src").as("dst"))
       case Direction.Both => raw.select("src", "dst")
@@ -270,14 +302,21 @@ final class PropertyGraph(
     // localCheckpoint executes the initial (non-AQE-coalesced) plan each
     // level, so size the shuffle to the edge frame up front: 1 partition
     // per ~100k edges, floor 8 — small graphs skip thousands of empty
-    // tasks per level, big graphs keep the configured width.
-    val spark = sources.sparkSession
-    val prevSP = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(8L, math.min(prevSP.toLong, e.count() / 100000L + 1L)).toString)
-    try {
-    var visited = sources.select(col("root_id"), col("root_id").as("id"),
+    // tasks per level, big graphs keep the configured width. Run the loop
+    // on a CLONED session (same SparkContext, own SQLConf) so queries
+    // planned concurrently on the caller's session never see the loop's
+    // shuffle width (same pattern as Analytics.connectedComponents).
+    val sess = sources.sparkSession
+    val width = math.max(8L, math.min(
+      sess.conf.get("spark.sql.shuffle.partitions").toLong,
+      e0.count() / 100000L + 1L))
+    val work = sess.newSession()
+    work.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val e = work.createDataFrame(e0.rdd, e0.schema).localCheckpoint(true)
+    val src0 = sources.select(col("root_id"), col("root_id").as("id"),
       lit(0L).as("dist"))
+    var visited = work.createDataFrame(src0.rdd, src0.schema)
+      .localCheckpoint(true)
     var frontier = visited
     var k = 1
     var done = false
@@ -314,7 +353,8 @@ final class PropertyGraph(
       }
       k += steps
     }
-    visited.withColumnRenamed("id", "node_id")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSP)
+    // re-bind onto the caller's session so results compose with its frames
+    val result = visited.withColumnRenamed("id", "node_id")
+    sess.createDataFrame(result.rdd, result.schema)
   }
 }
