@@ -58,26 +58,33 @@ case class MinHashSignature(child: Expression, as: Array[Long],
     new GenericArrayData(out)
   }
 
+  // All generated locals are freshName'd so multiple expression
+  // instances can share one codegen context without Janino redefinition
+  // errors (which would silently demote the stage to interpreted eval).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
     nullSafeCodeGen(ctx, ev, input => {
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
       s"""
-         |int n = $input.numElements();
-         |int k = $aRef.length;
-         |if (n == 0) {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[k]);
+         |int $n = $input.numElements();
+         |int $k = $aRef.length;
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$k]);
          |} else {
-         |  long[] out = new long[k];
-         |  java.util.Arrays.fill(out, Long.MAX_VALUE);
-         |  for (int i = 0; i < n; i++) {
-         |    long h = $input.getLong(i);
-         |    for (int j = 0; j < k; j++) {
-         |      long v = (h * $aRef[j] + $bRef[j]) % ${prime}L;
-         |      if (v < out[j]) out[j] = v;
+         |  long[] $out = new long[$k];
+         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $input.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${prime}L;
+         |      if ($v < $out[$j]) $out[$j] = $v;
          |    }
          |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
          |}
        """.stripMargin
     })

@@ -61,11 +61,15 @@ case class ShingleHash(child: Expression, n: Int, mod: Long)
     new GenericArrayData(ShingleHash.eval(toks, n, mod))
   }
 
+  // NOTE: the companion must be referenced as `ShingleHash$.MODULE$` —
+  // the case class's own `eval(InternalRow)` suppresses Scala's static
+  // forwarder, so a bare `ShingleHash.eval(...)` does not resolve under
+  // Janino and the whole projection silently falls back to interpreted.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, input => {
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.ShingleHash.eval($input, $n, ${mod}L));
+         |  graft.functions.ShingleHash$$.MODULE$$.eval($input, $n, ${mod}L));
        """.stripMargin
     })
 
@@ -118,9 +122,10 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     SimHash60.eval(input.asInstanceOf[ArrayData])
 
+  // Same static-forwarder caveat as ShingleHash: go through MODULE$.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, input => {
-      s"${ev.value} = graft.functions.SimHash60.eval($input);"
+      s"${ev.value} = graft.functions.SimHash60$$.MODULE$$.eval($input);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -52,18 +52,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (nn == 0.0) 0.0 else dot / nn
   }
 
+  // All generated locals are freshName'd: two cosine calls in one
+  // projection would otherwise redeclare `i`/`n`/… and fail Janino
+  // compilation, silently dropping the whole stage to interpreted eval.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val nn = ctx.freshName("nn")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |double nn = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-         |${ev.value} = (nn == 0.0) ? 0.0 : dot / nn;
+         |double $nn = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($nn == 0.0) ? 0.0 : $dot / $nn;
        """.stripMargin
     })
 

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** The custom expressions exist to keep hot paths inside codegen — a
+  * Janino compile error silently demotes the stage to interpreted eval
+  * (only a WARN in the logs). This spec forces CODEGEN_ONLY so any such
+  * error fails loudly, and evaluates each expression TWICE in one
+  * projection to catch non-freshName'd local collisions.
+  */
+class CodegenSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def codegenOnly[A](body: => A): A = {
+    val conf = spark.conf
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally {
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
+  test("shingle/simhash/minhash/cosine all codegen, duplicated in one projection") {
+    import spark.implicits._
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog", Array(1.0f, 2.0f, 3.0f),
+        Array(3.0f, 2.0f, 1.0f)),
+      ("pack my box with five dozen liquor jugs", Array(0.5f, 0.5f, 0.5f),
+        Array(1.0f, 0.0f, 0.0f))
+    ).toDF("text", "va", "vb")
+      .withColumn("toks", split(col("text"), " "))
+
+    val rows = codegenOnly {
+      val sh1 = TextHashFunctions.shingleHashes(spark, col("toks"), 3, 1L << 30)
+      val sh2 = TextHashFunctions.shingleHashes(spark, col("toks"), 2, 1L << 30)
+      df.select(
+        sh1.as("sh1"), sh2.as("sh2"),
+        TextHashFunctions.simhash(spark, col("toks")).as("sim1"),
+        TextHashFunctions.simhash(spark, reverse(col("toks"))).as("sim2"),
+        MinHashFunctions.minhash(spark, sh1, 8).as("mh1"),
+        MinHashFunctions.minhash(spark, sh2, 8).as("mh2"),
+        VectorFunctions.cosine(spark, col("va"), col("vb")).as("cos1"),
+        VectorFunctions.cosine(spark, col("va"), col("va")).as("cos2")
+      ).collect()
+    }
+    assert(rows.length == 2)
+    // self-cosine of a non-zero vector is exactly 1.0
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cos2") - 1.0) < 1e-12))
+    // codegen output must equal interpreted output (fallback path)
+    val interp = df.select(
+      VectorFunctions.cosine(spark, col("va"), col("vb")).as("cos1"),
+      TextHashFunctions.simhash(spark, col("toks")).as("sim1")).collect()
+    rows.zip(interp).foreach { case (cg, ip) =>
+      assert(cg.getAs[Double]("cos1") === ip.getAs[Double]("cos1"))
+      assert(cg.getAs[Long]("sim1") === ip.getAs[Long]("sim1"))
+    }
+  }
+}
