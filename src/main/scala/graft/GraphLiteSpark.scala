@@ -372,18 +372,25 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       // already-declared $vars; missing initializers take the reference's
       // typed defaults (0 / "" / false / null).
       case DeclareStmt(vars) =>
+        val DecP = """DECIMAL\((\d+)(?:,(\d+))?\)""".r
         val rows = vars.map { case (name, tpe, init) =>
+          // strip (n) length / (p) precision suffixes for the inexact
+          // families; DECIMAL keeps its (p,s) for scale coercion below
+          val baseT =
+            if (tpe.startsWith("DECIMAL")) tpe
+            else tpe.takeWhile(c => c != '(' && c != '[')
           val raw: Any = init match {
-            case None => tpe match {
+            case None => baseT match {
               case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" => 0L
-              case "DOUBLE" | "FLOAT" | "REAL" => 0.0
+              case "DOUBLE" | "FLOAT" | "REAL" | "FLOAT32" => 0.0
               case "STRING" | "VARCHAR" | "TEXT" => ""
               case "BOOLEAN" | "BOOL" => java.lang.Boolean.FALSE
+              case t if t.startsWith("DECIMAL") => 0L
               case _ => null
             }
             case Some(e) => evalStandalone(e)
           }
-          val coerced: Any = (Option(raw), tpe) match {
+          val coerced: Any = (Option(raw), baseT) match {
             case (None, _) => null
             case (Some(v), "INT" | "INTEGER" | "BIGINT" | "SMALLINT") =>
               v match {
@@ -391,7 +398,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
                 case other => throw new GqlCompileException(
                   s"DECLARE $name: $other is not $tpe")
               }
-            case (Some(v), "DOUBLE" | "FLOAT" | "REAL") =>
+            case (Some(v), "DOUBLE" | "FLOAT" | "REAL" | "FLOAT32") =>
               v match {
                 case n: java.lang.Number => n.doubleValue()
                 case other => throw new GqlCompileException(
@@ -400,6 +407,27 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
             case (Some(v), "STRING" | "VARCHAR" | "TEXT") => v.toString
             case (Some(v), "BOOLEAN" | "BOOL") => v match {
               case b: java.lang.Boolean => b
+              case other => throw new GqlCompileException(
+                s"DECLARE $name: $other is not $tpe")
+            }
+            // DECIMAL(p,s): exact BigDecimal at declared scale (HALF_UP,
+            // matching Spark's Cast to DecimalType); overflow past the
+            // declared precision is a compile error (ast.rs:826-830)
+            case (Some(v), DecP(p, sOrNull)) =>
+              val scale = Option(sOrNull).map(_.toInt).getOrElse(0)
+              val bd = v match {
+                case n: java.math.BigDecimal => n
+                case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+                case other => throw new GqlCompileException(
+                  s"DECLARE $name: $other is not $tpe")
+              }
+              val scaled = bd.setScale(scale, java.math.RoundingMode.HALF_UP)
+              if (scaled.precision > p.toInt)
+                throw new GqlCompileException(
+                  s"DECLARE $name: $scaled overflows $tpe")
+              scaled
+            case (Some(v), "DECIMAL") => v match {
+              case n: java.lang.Number => new java.math.BigDecimal(n.toString)
               case other => throw new GqlCompileException(
                 s"DECLARE $name: $other is not $tpe")
             }

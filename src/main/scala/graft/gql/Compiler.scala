@@ -1736,13 +1736,25 @@ final class Compiler(graph: PropertyGraph,
     case other => throw new GqlCompileException(s"IN list requires literals, got $other")
   }
 
+  private val DecimalPS = """DECIMAL\((\d+),(\d+)\)""".r
+  private val DecimalP = """DECIMAL\((\d+)\)""".r
+  private val StringN = """(?:STRING|VARCHAR|TEXT)\(\d+\)""".r
+  private val FloatP = """FLOAT\((\d+)\)""".r
+
   private def sparkType(t: String): String = t.toUpperCase match {
     case "STRING" | "VARCHAR" | "TEXT" => "string"
+    case StringN() => "string" // length is a DDL constraint, not a runtime type
     case "INTEGER" | "INT" | "BIGINT" | "SMALLINT" => "long"
     case "FLOAT" | "DOUBLE" | "REAL" | "FLOAT64" => "double"
+    // FLOAT(p): p<=24 is single precision, else double (ast.rs:837-841)
+    case FloatP(p) => if (p.toInt <= 24) "float" else "double"
+    case "FLOAT32" => "float"
     case "BOOLEAN" | "BOOL" => "boolean"
     case "DATE" => "date"
     case "TIMESTAMP" | "DATETIME" => "timestamp"
+    // DECIMAL(p,s) → exact DecimalType(p,s) (reference ast.rs:826-830)
+    case DecimalPS(p, sc) => s"decimal($p,$sc)"
+    case DecimalP(p) => s"decimal($p,0)"
     case "DECIMAL" => "decimal(38,18)"
     case other => throw new GqlCompileException(s"unsupported cast target $other")
   }

@@ -63,6 +63,36 @@ final class Parser(tokens: Vector[Token]) {
     case TPunct(k, _) => k == s
     case _ => false
   }
+  /** Type name with optional parameter suffix — `DECIMAL(12,2)`,
+    * `STRING(64)`, `FLOAT(24)`, `VECTOR[128]` — canonicalized to an
+    * upper-case string the compiler's sparkType / GraphType validator
+    * parse back (reference TypeSpec, ast.rs:814-878; DECIMAL precision/
+    * scale at ast.rs:826-830). The suffix is optional everywhere.
+    */
+  private def parseTypeName(): String = {
+    val base = ident().toUpperCase
+    if (tryPunct("(")) {
+      def num(): Long = cur match {
+        case TNum(s, _) => p += 1; s.toLong
+        case _ => err(s"expected numeric type parameter for $base")
+      }
+      val p1 = num()
+      val p2 = if (tryPunct(",")) Some(num()) else None
+      eatPunct(")")
+      p2 match {
+        case Some(s) => s"$base($p1,$s)"
+        case None => s"$base($p1)"
+      }
+    } else if (tryPunct("[")) {
+      val d = cur match {
+        case TNum(s, _) => p += 1; s.toLong
+        case _ => err(s"expected dimension for $base")
+      }
+      eatPunct("]")
+      s"$base[$d]"
+    } else base
+  }
+
   /** True when the token at `i` can lead a query expression — the same
     * keyword set parseQueryExpr accepts. Used for the `(subquery)` vs
     * `(expr)` lookahead in primaries and DECLARE initializers.
@@ -233,7 +263,7 @@ final class Parser(tokens: Vector[Token]) {
         var more = true
         while (more) {
           val name = ident()
-          val tpe = ident().toUpperCase
+          val tpe = parseTypeName()
           // initializer: a scalar subquery `(MATCH … RETURN …)` or any
           // expression (the reference evaluates initializers through
           // evaluate_expression with the session context)
@@ -362,7 +392,7 @@ final class Parser(tokens: Vector[Token]) {
     var more = true
     while (more) {
       val pn = ident()
-      val pt = ident()
+      val pt = parseTypeName()
       var required = false
       var reading = true
       while (reading) {
@@ -989,7 +1019,7 @@ final class Parser(tokens: Vector[Token]) {
         eatPunct("(")
         val e = parseExpr()
         eatKw("AS")
-        val t = ident()
+        val t = parseTypeName()
         eatPunct(")")
         Cast(e, t)
       case TNum(s, _) =>

@@ -26,15 +26,22 @@ object GraphType {
   case object LBool extends Lit
   case object LNull extends Lit
 
-  private def accepts(declared: String, v: Lit): Boolean =
-    (declared.toUpperCase, v) match {
+  private def accepts(declared: String, v: Lit): Boolean = {
+    // strip a (p[,s]) / [d] parameter suffix: DECIMAL(12,2) → DECIMAL,
+    // STRING(64) → STRING (reference TypeSpec, ast.rs:814-878)
+    val base = declared.toUpperCase.takeWhile(c => c != '(' && c != '[')
+    (base, v) match {
       case (_, LNull) => true // nullability checked separately via required
       case ("STRING" | "VARCHAR" | "TEXT", LString) => true
       case ("INT" | "INTEGER" | "BIGINT" | "SMALLINT", LInt) => true
-      case ("DOUBLE" | "FLOAT" | "REAL" | "FLOAT64", LInt | LFloat) => true
+      case ("DOUBLE" | "FLOAT" | "REAL" | "FLOAT64" | "FLOAT32", LInt | LFloat) => true
+      // exact numerics accept both int and float literals; scale/precision
+      // conformance is enforced at CAST time (ast.rs:826-830)
+      case ("DECIMAL" | "NUMERIC", LInt | LFloat) => true
       case ("BOOLEAN" | "BOOL", LBool) => true
       case _ => false
     }
+  }
 
   class GraphTypeViolation(msg: String) extends RuntimeException(msg)
 
@@ -101,9 +108,27 @@ object GraphType {
       .mkString("\n")
   }
 
+  /** Split on top-level commas only — `DECIMAL(12,2)` type parameters
+    * contain commas that must not split the property list.
+    */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => out += sb.result(); sb.clear()
+      case c =>
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        sb += c
+    }
+    if (sb.nonEmpty) out += sb.result()
+    out.result()
+  }
+
   def deserialize(name: String, text: String): GraphTypeDef = {
     def pp(s: String): Seq[PropDef] =
-      s.split(",").toSeq.filter(_.nonEmpty).map { t =>
+      splitTop(s).filter(_.nonEmpty).map { t =>
         val a = t.split(":")
         PropDef(a(0), a(1), a(2).toBoolean)
       }

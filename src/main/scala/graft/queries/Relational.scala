@@ -403,6 +403,27 @@ object Relational {
         .orderBy($"o_orderpriority")
     }),
 
+    // ---- DECIMAL(p,s) exact aggregation (reference TypeSpec DECIMAL(p,s),
+    // ast.rs:826-830): money math bit-exact against DuckDB — every step is
+    // exact decimal arithmetic, so no float-rounding parity tricks needed.
+    // Compiled through the GQL CAST path's DecimalType(p,s) mapping.
+    "q34_decimal_agg" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          $"l_extendedprice".cast("decimal(12,2)").as("price"),
+          $"l_discount".cast("decimal(12,2)").as("disc"))
+      li.groupBy($"l_returnflag")
+        .agg(
+          sum($"price").cast("decimal(18,2)").as("sum_price"),
+          sum(($"price" * (lit(1).cast("decimal(12,2)") - $"disc"))
+            .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"),
+          min($"price").as("min_price"),
+          max($"price").as("max_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- FULL OUTER join
     "q28_full_outer" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -586,6 +607,16 @@ object Relational {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q34_decimal_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |   AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+        | MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q28_full_outer" ->
       """SELECT coalesce(cn.nk, sn.snk) AS nationkey,
         | coalesce(cn.nc, 0) AS n_customers, coalesce(sn.ns, 0) AS n_suppliers

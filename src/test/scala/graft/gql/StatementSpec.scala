@@ -248,6 +248,50 @@ class StatementSpec extends AnyFunSuite {
     assert(s.execute("DROP GRAPH TYPE FraudType").collect().head.getBoolean(0))
   }
 
+  test("DECIMAL(p,s) end-to-end: CAST, DECLARE, GRAPH TYPE (ast.rs:826-830)") {
+    val s = freshSession()
+    // CAST to DecimalType(p,s): exact scale + HALF_UP rounding
+    val c = s.execute("RETURN CAST(3.456 AS DECIMAL(12,2)) AS d").collect().head
+    assert(c.getDecimal(0) == new java.math.BigDecimal("3.46"))
+    assert(s.execute("RETURN CAST(5 AS DECIMAL(6)) AS d").collect().head
+      .getDecimal(0) == new java.math.BigDecimal("5"))
+    // exact money arithmetic keeps declared scale through Catalyst
+    val m = s.execute(
+      "RETURN CAST(0.1 AS DECIMAL(12,2)) + CAST(0.2 AS DECIMAL(12,2)) AS d")
+      .collect().head
+    assert(m.getDecimal(0).compareTo(new java.math.BigDecimal("0.30")) == 0)
+    // DECLARE coerces to declared scale; overflow past precision rejected
+    s.execute("DECLARE price DECIMAL(12,2) = 19.995")
+    assert(s.parameters("price") == new java.math.BigDecimal("20.00"))
+    s.execute("DECLARE dflt DECIMAL(5,2)")
+    assert(s.parameters("dflt").asInstanceOf[java.math.BigDecimal]
+      .compareTo(java.math.BigDecimal.ZERO) == 0)
+    intercept[graft.gql.GqlCompileException] {
+      s.execute("DECLARE toobig DECIMAL(3,2) = 99.999")
+    }
+    // $var round-trips as an exact decimal in queries
+    assert(s.execute("RETURN $price * 2 AS d").collect().head.get(0)
+      .toString.toDouble == 40.0)
+    // GRAPH TYPE with a DECIMAL(12,2) property: parse, validate, persist
+    s.execute("CREATE GRAPH TYPE MoneyType (" +
+      "NODE TYPE Account (id INT NOT NULL, balance DECIMAL(12,2)))")
+    s.execute("SESSION SET GRAPH TYPE MoneyType")
+    assert(s.execute("INSERT (:Account {id: 70, balance: 12.34})")
+      .collect().head.getLong(1) == 1L)
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("INSERT (:Account {id: 71, balance: 'much'})")
+    }
+    // TSV catalog persistence survives the comma in DECIMAL(12,2)
+    val gt = graft.graph.GraphType.GraphTypeDef("T", Seq(
+      graft.graph.GraphType.NodeTypeDef("A", Seq(
+        graft.graph.GraphType.PropDef("bal", "DECIMAL(12,2)", required = true),
+        graft.graph.GraphType.PropDef("n", "INT", required = false)))), Seq.empty)
+    val rt = graft.graph.GraphType.deserialize("T",
+      graft.graph.GraphType.serialize(gt))
+    assert(rt == gt)
+    assert(s.execute("DROP GRAPH TYPE MoneyType").collect().head.getBoolean(0))
+  }
+
   test("ALTER GRAPH TYPE evolves the schema and keeps history") {
     val s = freshSession()
     s.execute("CREATE GRAPH TYPE EvoType (" +
