@@ -17,6 +17,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Analytics {
 
+  /** Free the block-manager blocks behind a localCheckpoint'd frame.
+    * Dataset.unpersist only touches CacheManager entries, not checkpoint
+    * RDDs — reach the LogicalRDD leaf and unpersist its RDD directly.
+    * Only safe once every frame derived from it has been materialized.
+    */
+  private[graph] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private def toGraphX(g: PropertyGraph, nodeLabel: String,
       edgeLabel: String): XGraph[Long, Long] = {
     val vertices = g.nodeTables(nodeLabel).select(col("id"))
@@ -49,15 +61,56 @@ object Analytics {
     * and forever on high-diameter graphs at scale.
     */
   def connectedComponents(spark: SparkSession, g: PropertyGraph,
-      nodeLabel: String, edgeLabel: String, maxRounds: Int = 20): DataFrame = {
-    import org.apache.spark.sql.functions.{col, least, min => fmin}
+      nodeLabel: String, edgeLabel: String, maxRounds: Int = 20,
+      localEdgeLimit: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, least, min => fmin}
     val vertices = g.nodeTables(nodeLabel).select(col("id"))
     val raw = g.edgeTables(edgeLabel)._2
+    val directed = raw.select(col("src"), col("dst"))
+    val edgeCount = directed.count()
+
+    // Small-edge-set fast path: once the edge list fits comfortably on the
+    // driver (≤2M pairs ≈ 32 MB), a single collect + union-find with path
+    // compression beats ANY number of distributed rounds — each pointer-
+    // jumping round is a multi-join Spark job, and job scheduling alone
+    // costs more than the whole sequential solve. The vertex set stays
+    // distributed: only the edge-endpoint→label map (≤2·|E| entries) is
+    // broadcast back, so a huge node table with a sparse edge set still
+    // never funnels through the driver. Big graphs (>2M edges) take the
+    // O(log diameter) pointer-jumping loop below — this is the same
+    // contract-then-finish-small shape GraphFrames/GraphX AggregateMessages
+    // CC implementations use for their final rounds.
+    if (edgeCount <= localEdgeLimit) {
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      directed.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // union-by-min: the larger root points at the smaller, so every
+        // root IS the component's minimum id (the oracle's label choice)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      val it = parent.keySet().iterator()
+      while (it.hasNext) { val k = it.next(); labels += ((k, find(k))) }
+      val mapDf = labels.toSeq.toDF("mid", "mcomp")
+      return vertices.join(broadcast(mapDf), col("id") === col("mid"), "left_outer")
+        .select(col("id"), coalesce(col("mcomp"), col("id")).as("component"))
+    }
+
     // materialize once: the edge table may be a derived frame (joins,
     // windows) that would otherwise recompute on every iteration
-    val edges0 = raw.select(col("src"), col("dst"))
+    val edges0 = directed
       .unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
 
     // The iterative joins materialize via localCheckpoint, which executes
     // the initial plan — AQE's shuffle coalescing never kicks in, so every
@@ -71,14 +124,23 @@ object Analytics {
     val sess = vertices.sparkSession
     val width = math.max(8L, math.min(
       sess.conf.get("spark.sql.shuffle.partitions").toLong,
-      edges0.count() / 100000L + 1L))
+      edgeCount / 100000L + 1L))
     val work = sess.newSession()
     work.conf.set("spark.sql.shuffle.partitions", width.toString)
+    // newSession() starts from SparkContext defaults, not the caller's
+    // runtime conf — re-apply the semantics-bearing caller settings so
+    // ANSI mode / session TZ / AQE behave identically inside the loop
+    Seq("spark.sql.ansi.enabled", "spark.sql.session.timeZone",
+      "spark.sql.adaptive.enabled").foreach { k =>
+      sess.conf.getOption(k).foreach(work.conf.set(k, _))
+    }
     val edges = work.createDataFrame(edges0.rdd, edges0.schema)
       .localCheckpoint(true)
     val comp0 = vertices.select(col("id"), col("id").as("comp"))
     var comp = work.createDataFrame(comp0.rdd, comp0.schema)
       .localCheckpoint(true)
+    // the checkpointed frame whose blocks back `comp`'s current lineage
+    var backing = comp
     // comp := min(comp, comp(comp)) — each application doubles the
     // pointer distance a label travels
     def pjump(c: DataFrame): DataFrame = {
@@ -96,11 +158,15 @@ object Analytics {
         .select(col("id"),
           least(col("comp"), org.apache.spark.sql.functions
             .coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // three pointer jumps per round: ~8× label-distance contraction per
-      // materialization — the checkpoint (a whole Spark job) is the unit
-      // cost at scale, so contract as much as possible per checkpoint
-      // while the lineage between checkpoints stays a short join chain
-      val jumped = pjump(pjump(pjump(step1)))
+      // round 0 skips pointer jumps entirely — labels have traveled at
+      // most one hop, so comp∘comp is nearly the identity and each jump
+      // is a full self-join for ~no contraction. Later rounds take FOUR
+      // jumps (~16× label-distance contraction per materialization): the
+      // checkpoint (a whole Spark job) is the unit cost at scale, so
+      // contract as much as possible per checkpoint while the lineage
+      // between checkpoints stays a short join chain.
+      val jumped =
+        if (round == 0) step1 else pjump(pjump(pjump(pjump(step1))))
       // convergence probe folded into the round's materialization: the
       // previous label rides along as a change flag, so the probe is a
       // limit-1 scan of the already-checkpointed frame — not the separate
@@ -111,6 +177,12 @@ object Analytics {
           (col("comp") =!= col("__old")).as("__chg"))
         .localCheckpoint(true)
       if (round >= 1) done = step2.filter(col("__chg")).isEmpty
+      // the superseded round's checkpoint only backed this round's
+      // lineage, which is now materialized — drop its blocks so a long
+      // run holds at most one comp snapshot (plus edges) in the block
+      // manager instead of one per round
+      unpersistCheckpoint(backing)
+      backing = step2
       comp = step2.select(col("id"), col("comp"))
       round += 1
     }

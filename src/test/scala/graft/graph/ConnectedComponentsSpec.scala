@@ -1,0 +1,45 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** Connected components: the driver-facing oracle is g13; this spec pins
+  * the two execution paths against each other — the small-edge-set local
+  * union-find finish and the distributed pointer-jumping loop (forced via
+  * localEdgeLimit = 0) must agree exactly, including isolated vertices
+  * and the label-is-minimum-id contract.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** Chain components of varying length plus isolated vertices: ids
+    * 0..99 in chains of 10 (components 0,10,…,90), ids 100..109 isolated.
+    */
+  private def chainGraph: PropertyGraph = {
+    import spark.implicits._
+    val nodes = (0L until 110L).toDF("id")
+    val edges = (0L until 100L).filter(i => i % 10 != 9)
+      .map(i => (i, i + 1)).toDF("src", "dst")
+    new PropertyGraph(
+      Map("n" -> nodes),
+      Map("E" -> (EdgeType("E", "n", "n"), edges)))
+  }
+
+  private def expected: Map[Long, Long] =
+    ((0L until 100L).map(i => i -> (i / 10) * 10) ++
+      (100L until 110L).map(i => i -> i)).toMap
+
+  test("local union-find path matches the chain model") {
+    val got = Analytics.connectedComponents(spark, chainGraph, "n", "E")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("distributed pointer-jumping path agrees with the local path") {
+    val got = Analytics.connectedComponents(spark, chainGraph, "n", "E",
+      localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
