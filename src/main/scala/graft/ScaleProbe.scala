@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom probe: measures how the heaviest queries respond to a
+  * 10× data blow-up, as evidence for the 100 TB design story beyond plan
+  * shape. Synthesizes a salted 10× copy of the fact/text/vector tables
+  * (dimensions stay small, as they would at cluster scale), runs each
+  * heavy query once at sf0.1 and once at 10×, and reports the wall-clock
+  * ratio plus a plan-shape guard (no cartesian products, no
+  * driver-collect loops sneaking in at the larger size).
+  *
+  * The salting keeps workload characteristics honest at 10×:
+  *  - documents: every token gets a per-copy suffix, so copies are NOT
+  *    near-duplicates of their originals — d08's candidate-pair volume
+  *    scales with corpus size, not quadratically in the copy count;
+  *  - embeddings: a deterministic per-copy perturbation rotates vectors
+  *    off their originals so LSH buckets grow ~linearly;
+  *  - customer/orders/lineitem: key-offset copies preserve join fan-out
+  *    per key (each copy is a disjoint key range).
+  *
+  * Run: `sbt "runMain graft.ScaleProbe [sfDir] [scaledDir]"`.
+  * Output: one JSON line per query with both times; consumed into
+  * BENCH_NOTES.md.
+  */
+object ScaleProbe {
+  private val Copies = 10
+  private val KeyOff = 10000000L
+  private val OrderOff = 100000000L
+
+  def buildScaled(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    def copies(df: DataFrame, salt: Int => DataFrame => DataFrame): DataFrame =
+      (0 until Copies).map(i => salt(i)(df)).reduce(_ unionByName _)
+
+    val customer = Tables.customer(spark, sfDir)
+    copies(customer, i => df => df
+      .withColumn("c_custkey", col("c_custkey") + lit(i * KeyOff)))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    val orders = Tables.orders(spark, sfDir)
+    copies(orders, i => df => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderOff))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * KeyOff)))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val lineitem = Tables.lineitem(spark, sfDir)
+    copies(lineitem, i => df => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderOff)))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+    copies(documents, i => df =>
+      (if (i == 0) df
+       else df.withColumn("text",
+         regexp_replace(col("text"), "(\\S+)", "$1" + i.toString)))
+        .withColumn("doc_id", col("doc_id") + lit(i * KeyOff)))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    copies(embeddings, i => df =>
+      (if (i == 0) df
+       else df.withColumn("embedding", expr(
+         s"transform(embedding, (x, j) -> cast(x + 0.05 * cos(j + $i) as float))")))
+        .withColumn("vec_id", col("vec_id") + lit(i * KeyOff)))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // dimensions ride along unchanged (broadcast-sized at any SF)
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
+      buildScaled(spark, sfDir, outDir)
+
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d08_neardup_pairs" -> SparkEntry.queries("d08_neardup_pairs"),
+      "e02_ann_lsh" -> SparkEntry.queries("e02_ann_lsh"),
+      "g08_bfs" -> SparkEntry.queries("g08_bfs"),
+      "g13_connected_components" -> SparkEntry.queries("g13_connected_components"),
+      // the distributed pointer-jumping loop, forced past the local-finish
+      // gate — the path a >2M-edge graph takes
+      "g13_distributed" -> ((s: SparkSession, d: String) => {
+        val g = graft.graph.TpchGraph.build(s, d)
+        graft.graph.Analytics.connectedComponents(s, g, "customer", "NEXT",
+          localEdgeLimit = 0L)
+      }),
+      "gql02_twohop" -> SparkEntry.queries("gql02_twohop"))
+
+    // warm the JVM/codegen once so the first measured pair isn't paying
+    // session startup
+    SparkEntry.queries("q01_agg_groupby")(spark, sfDir).count()
+
+    def time(fn: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = fn
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    probes.foreach { case (name, q) =>
+      val (tBase, nBase) = time(q(spark, sfDir).count())
+      val (tBig, nBig) = time(q(spark, outDir).count())
+      val plan = q(spark, outDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val cartesian = plan.contains("CartesianProduct")
+      val ratio = tBig / math.max(tBase, 1e-9)
+      println(f"""{"query":"$name","t_sf01":$tBase%.2f,"rows_sf01":$nBase,""" +
+        f""""t_10x":$tBig%.2f,"rows_10x":$nBig,"ratio":$ratio%.2f,""" +
+        s""""cartesian_at_10x":$cartesian}""")
+    }
+    spark.stop()
+  }
+}

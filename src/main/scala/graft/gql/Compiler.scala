@@ -816,31 +816,80 @@ final class Compiler(graph: PropertyGraph,
     def quantColumn(qc: QuantifiedCmp): String = cache.getOrElseUpdate(qc, {
       val QuantifiedCmp(op, quant0, l, q) = qc
       val quant = if (quant0 == "SOME") "ANY" else quant0
-      if (correlatedSeg(q, ctx).isDefined)
-        throw new GqlCompileException(
-          "correlated quantified comparisons are not supported")
-      val inner = compileNested(q)
-      val vcol = col(inner.columns.head)
       val name = fresh("quant")
       val Seq(cntN, valN, mnN, mxN, ndvN, xN) =
         Seq("qcnt", "qval", "qmin", "qmax", "qndv", "qx").map(fresh)
-      val aggs = inner.agg(count(lit(1)).as(cntN), count(vcol).as(valN),
-        min(vcol).as(mnN), max(vcol).as(mxN), countDistinct(vcol).as(ndvN))
-      df = df.crossJoin(broadcast(aggs)).withColumn(xN, compileExpr(l, ctx))
+
+      // `marker()` is the distinct-value membership join (for = ANY /
+      // <> ALL); bound per correlation branch below. No broadcast hint —
+      // AQE picks the strategy from the distinct set's actual size.
+      var marker: () => Column = null
+
+      correlatedSeg(q, ctx) match {
+        case Some(seg) =>
+          // Correlated: per-outer-key aggregates via group-by on the
+          // shared identity columns + left outer join — the same
+          // distributed unnesting the correlated scalar path uses
+          // (logical_optimizer.rs:283-516). An outer row with no inner
+          // match sees the empty set (cnt = 0), matching the semantics of
+          // re-running the subquery per row.
+          if (seg.optionalMatches.nonEmpty || seg.steps.nonEmpty ||
+              seg.groupBy.nonEmpty || seg.having.nonEmpty ||
+              seg.postWhere.nonEmpty || seg.distinct || seg.orderBy.nonEmpty ||
+              seg.skip.nonEmpty || seg.limit.nonEmpty)
+            throw new GqlCompileException(
+              "correlated quantified subquery must be MATCH … [WHERE …] RETURN <expr>")
+          if (seg.projection.size != 1)
+            throw new GqlCompileException(
+              "quantified subquery must return exactly one column")
+          val item = seg.projection.head.expr
+          if (containsAgg(item))
+            throw new GqlCompileException(
+              "quantified subquery must return a plain value, not an aggregate")
+          val (innerDf0, shared, innerCtx) = existsInner(df, seg.matches, ctx)
+          val innerDf = seg.where.fold(innerDf0)(w =>
+            innerDf0.filter(compileExpr(w, innerCtx)))
+          val v = compileExpr(item, innerCtx)
+          val aggs = innerDf.groupBy(shared.map(col): _*).agg(
+            count(lit(1)).as(cntN), count(v).as(valN),
+            min(v).as(mnN), max(v).as(mxN), countDistinct(v).as(ndvN))
+          df = df.join(aggs, shared, "left_outer")
+            .withColumn(cntN, coalesce(col(cntN), lit(0L)))
+            .withColumn(valN, coalesce(col(valN), lit(0L)))
+            .withColumn(xN, compileExpr(l, ctx))
+          marker = () => {
+            val mk = fresh("qmk")
+            val vN = fresh("qv")
+            val keyAlias = shared.map(s => s -> fresh("qk"))
+            val vals0 = innerDf.select((shared.map(col) :+ v.as(vN)): _*)
+              .na.drop(Seq(vN)).distinct()
+            val vals = keyAlias.foldLeft(vals0) { case (d2, (s, a)) =>
+              d2.withColumnRenamed(s, a)
+            }.withColumn(mk, lit(true))
+            val cond = (keyAlias.map { case (s, a) => col(s) === col(a) } :+
+              (col(xN) === col(vN))).reduce(_ && _)
+            df = df.join(vals, cond, "left_outer")
+              .drop((vN +: keyAlias.map(_._2)): _*)
+            coalesce(col(mk), lit(false))
+          }
+        case None =>
+          val inner = compileNested(q)
+          val vcol = col(inner.columns.head)
+          val aggs = inner.agg(count(lit(1)).as(cntN), count(vcol).as(valN),
+            min(vcol).as(mnN), max(vcol).as(mxN), countDistinct(vcol).as(ndvN))
+          df = df.crossJoin(broadcast(aggs)).withColumn(xN, compileExpr(l, ctx))
+          marker = () => {
+            val mk = fresh("qmk")
+            val vN = fresh("qv")
+            val vals = inner.select(vcol.as(vN)).na.drop().distinct()
+              .withColumn(mk, lit(true))
+            df = df.join(vals, col(xN) === col(vN), "left_outer").drop(vN)
+            coalesce(col(mk), lit(false))
+          }
+      }
       val (x, cnt, nonNull) = (col(xN), col(cntN), col(valN))
       val (mn, mx, ndv) = (col(mnN), col(mxN), col(ndvN))
       val hasNull = cnt > nonNull
-
-      // distinct-value membership join (for = ANY / <> ALL); no broadcast
-      // hint — AQE picks the strategy from the distinct set's actual size
-      def marker(): Column = {
-        val mk = fresh("qmk")
-        val vN = fresh("qv")
-        val vals = inner.select(vcol.as(vN)).na.drop().distinct()
-          .withColumn(mk, lit(true))
-        df = df.join(vals, col(xN) === col(vN), "left_outer").drop(vN)
-        coalesce(col(mk), lit(false))
-      }
 
       val result: Column = (quant, op) match {
         case ("ANY", "=") =>

@@ -104,15 +104,21 @@ object GqlQueries {
       """MATCH (n:nation)
         |WHERE n.id < (MATCH (r:region) RETURN max(r.id) * 3)
         |RETURN n.name AS nname,
-        |       (MATCH (n)<-[:IN_NATION]-(c:customer) RETURN count(c)) AS n_cust
+        |       (MATCH (n)<-[:IN_NATION]-(c:customer) RETURN count(c)) AS n_cust,
+        |       (MATCH (n)<-[:IN_NATION]-(c:customer)-[:PLACED]->(o:orders)
+        |        RETURN count(o)) AS n_orders
         |ORDER BY nname""".stripMargin)),
 
     // quantified comparisons = ANY / > ALL (ast.rs:1326-1334 — the
-    // reference's executor has these as a TODO; we ship full SQL 3VL)
+    // reference's executor has these as a TODO; we ship full SQL 3VL),
+    // including a CORRELATED > ALL (per-part order-price bound via the
+    // group-by unnesting path)
     "gql13_quantified" -> ((s: SparkSession, d: String) => run(s, d,
       """MATCH (p:part)
         |WHERE p.psize = ANY (MATCH (n:nation) RETURN n.id)
         |  AND p.retailprice > ALL (MATCH (r:region) RETURN r.id * 100.0)
+        |  AND p.retailprice > ALL (MATCH (o:orders)-[:CONTAINS]->(p)
+        |      RETURN o.totalprice / 500.0)
         |RETURN count(p) AS n""".stripMargin))
   )
 
@@ -191,13 +197,18 @@ object GqlQueries {
         |ORDER BY path""".stripMargin,
     "gql12_scalar_subquery" ->
       """SELECT n_name AS nname,
-        | (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust
+        | (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+        | (SELECT count(*) FROM customer JOIN orders ON o_custkey = c_custkey
+        |  WHERE c_nationkey = n_nationkey) AS n_orders
         |FROM nation
         |WHERE n_nationkey < (SELECT max(r_regionkey) * 3 FROM region)
         |ORDER BY nname""".stripMargin,
     "gql13_quantified" ->
       """SELECT count(*) AS n FROM part
         |WHERE p_size = ANY (SELECT n_nationkey FROM nation)
-        |  AND p_retailprice > ALL (SELECT r_regionkey * 100.0 FROM region)""".stripMargin
+        |  AND p_retailprice > ALL (SELECT r_regionkey * 100.0 FROM region)
+        |  AND p_retailprice > ALL (SELECT o_totalprice / 500.0
+        |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |      WHERE l_partkey = p_partkey)""".stripMargin
   )
 }

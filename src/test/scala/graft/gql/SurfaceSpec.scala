@@ -803,6 +803,48 @@ class SurfaceSpec extends AnyFunSuite {
       "RETURN count(a) AS n") == 50L)
   }
 
+  test("correlated scalar subquery over a two-hop pattern") {
+    // (a)-[:Transaction]->(m)<-[:Purchase]-(b): account a hits one
+    // merchant in 1..10 (3 purchases) and one in 11..20 (2 purchases)
+    val rows = s.gql("MATCH (a:Account) RETURN a.id AS id, " +
+      "(MATCH (a)-[:Transaction]->(m:Merchant)<-[:Purchase]-(b:Account) " +
+      "RETURN count(b)) AS n ORDER BY id").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getLong(1) == 5L))
+    // inner WHERE applies before the per-key aggregation: accounts 1..20
+    // purchase one-to-one to merchants 1..20
+    val filtered = s.gql("MATCH (a:Account) RETURN a.id AS id, " +
+      "(MATCH (a)-[:Transaction]->(m:Merchant)<-[:Purchase]-(b:Account) " +
+      "WHERE b.id <= 20 RETURN count(b)) AS n ORDER BY id").collect()
+    assert(filtered.forall(_.getLong(1) == 2L))
+  }
+
+  test("correlated > ALL compares per outer row") {
+    // per-account merchant pair {r, r+10}: a*100 > max*200 ⟺ a > 2L;
+    // L(a) walks 4 arithmetic bands → 19 accounts qualify (31..39, 41..50)
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.balance > ALL (MATCH (a)-[:Transaction]->(m:Merchant) " +
+      "RETURN m.id * 200.0) RETURN count(a) AS n") == 19L)
+    // empty per-key set is vacuously TRUE
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.balance > ALL (MATCH (a)-[:Transaction]->(m:Merchant) " +
+      "WHERE m.id > 999 RETURN m.id * 200.0) RETURN count(a) AS n") == 50L)
+  }
+
+  test("correlated = ANY / <> ALL membership per outer row") {
+    // a.id ∈ {a's merchant ids} ⟺ a ≤ 20 (r1 = a there)
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.id = ANY (MATCH (a)-[:Transaction]->(m:Merchant) " +
+      "RETURN m.id) RETURN count(a) AS n") == 20L)
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.id <> ALL (MATCH (a)-[:Transaction]->(m:Merchant) " +
+      "RETURN m.id) RETURN count(a) AS n") == 30L)
+    // empty per-key set: = ANY is FALSE, <> ALL is TRUE
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.id = ANY (MATCH (a)-[:Transaction]->(m:Merchant) " +
+      "WHERE m.id > 999 RETURN m.id) RETURN count(a) AS n") == 0L)
+  }
+
   test("quantified comparison 3VL with null elements") {
     // set {NULL, 2..20}: > ALL can never be TRUE (null comparison is
     // UNKNOWN); = ANY is TRUE only on a definite match
