@@ -78,16 +78,25 @@ object Bench {
     // share the box with other tenants); the min of two runs is robust to
     // transient load spikes while measuring the same steady-state plan.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timeAll(): Seq[(String, Double)] = named.map { case (name, fn) =>
+    // a failed query must NOT be timed as if it ran — report it as -1 and
+    // list it in "failed" so a broken query reads as broken, not fast
+    def timeAll(): Map[String, Option[Double]] = named.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val pass1 = timeAll().toMap
-    val pass2 = timeAll().toMap
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+    }.toMap
+    val pass1 = timeAll()
+    val pass2 = timeAll()
     val results = named.map { case (name, _) =>
-      name -> math.min(pass1(name), pass2(name))
+      name -> ((pass1(name), pass2(name)) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => -1.0
+      })
     }
+    val failed = results.collect { case (n, v) if v < 0 => n }
     // ms precision and a short sf tag keep the whole line under ~1.7 KB:
     // the driver parses the JSON from the tail of the captured output, so
     // the line must survive tail truncation intact
@@ -96,9 +105,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
+    val failedTag =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$failedTag}""")
     spark.stop()
   }
 }

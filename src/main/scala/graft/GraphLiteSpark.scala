@@ -14,6 +14,12 @@ import graft.graph.{GraphCatalog, PropertyGraph, GraphMutations => graph2}
   * session current graph — query_coordinator.rs:242-274) and compile GQL
   * text straight to DataFrames.
   */
+/** Authorization failure: the session user lacks a required grant on a
+  * governed graph (reference: access-denied errors from
+  * catalog/providers/security.rs ACE checks).
+  */
+class GqlAuthException(msg: String) extends RuntimeException(msg)
+
 final class GraphLiteSpark(val spark: SparkSession, val warehouse: String) {
   val catalog = new GraphCatalog(spark, warehouse)
   def session(user: String = "default"): GqlSession = new GqlSession(this, user)
@@ -76,6 +82,12 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
   def useGraph(path: String): this.type = {
     val parts = path.stripPrefix("/").split("/")
     require(parts.length == 2, s"graph path must be /schema/graph, got $path")
+    // grants are enforced at graph-attach time (reference: access checks
+    // in catalog/providers/security.rs ACEs) — a graph with no ACEs is
+    // open, a governed graph requires SELECT (or ALL) for this user
+    if (!gls.catalog.checkAccess(user, path, "SELECT"))
+      throw new GqlAuthException(
+        s"user '$user' is not authorized to SELECT on $path")
     currentGraph = Some(gls.catalog.loadGraph(parts(0), parts(1)))
     currentName = Some(path)
     currentType = gls.catalog.graphTypeFor(path)
@@ -370,7 +382,10 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       // the superset that NEXT YIELD parameters already use).
       // Initializers may be scalar subqueries or any expression over
       // already-declared $vars; missing initializers take the reference's
-      // typed defaults (0 / "" / false / null).
+      // typed defaults — ONLY TypeSpec::Integer/String/Boolean have
+      // non-null defaults (0 / "" / false); every other type, including
+      // BIGINT, DOUBLE, and DECIMAL, defaults to NULL
+      // (executor.rs:8513-8523).
       case DeclareStmt(vars) =>
         val DecP = """DECIMAL\((\d+)(?:,(\d+))?\)""".r
         val rows = vars.map { case (name, tpe, init) =>
@@ -381,12 +396,10 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
             else tpe.takeWhile(c => c != '(' && c != '[')
           val raw: Any = init match {
             case None => baseT match {
-              case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" => 0L
-              case "DOUBLE" | "FLOAT" | "REAL" | "FLOAT32" => 0.0
+              case "INT" | "INTEGER" => 0L
               case "STRING" | "VARCHAR" | "TEXT" => ""
               case "BOOLEAN" | "BOOL" => java.lang.Boolean.FALSE
-              case t if t.startsWith("DECIMAL") => 0L
-              case _ => null
+              case _ => null // incl. BIGINT/DOUBLE/DECIMAL (executor.rs:8513)
             }
             case Some(e) => evalStandalone(e)
           }
@@ -489,6 +502,12 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           Seq(gls.catalog.createPrincipal(k, name)).toDF("created")
         case ("DROP", k) =>
           Seq(gls.catalog.dropPrincipal(k, name)).toDF("dropped")
+        case ("GRANT", "ACCESS") =>
+          val Array(perm, path) = name.split("\\|", 2)
+          Seq(gls.catalog.grantAccess(perm, path, target.get)).toDF("granted")
+        case ("REVOKE", "ACCESS") =>
+          val Array(perm, path) = name.split("\\|", 2)
+          Seq(gls.catalog.revokeAccess(perm, path, target.get)).toDF("revoked")
         case ("GRANT", _) =>
           Seq(gls.catalog.grantRole(name, target.get)).toDF("granted")
         case other => throw new GqlCompileException(s"unsupported security op $other")
@@ -745,7 +764,10 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     */
   private def evalStandalone(e: Ast.Expr): Any = e match {
     case Ast.Subquery(q) =>
-      new Compiler(graph, sessionParams, f64Mode).compile(q)
+      val g = currentGraph.getOrElse(throw new GqlCompileException(
+        "DECLARE initializer is a subquery but the session has no current " +
+          "graph — call useGraph(...) / SESSION SET GRAPH first"))
+      new Compiler(g, sessionParams, f64Mode).compile(q)
         .limit(1).collect().headOption.map(_.get(0)).orNull
     case Ast.NumLit(_, _) | Ast.StrLit(_) | Ast.BoolLit(_) | Ast.NullLit() =>
       litValue(e)
@@ -773,15 +795,24 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     case other => throw new GqlCompileException(s"expected literal, got $other")
   }
 
-  /** EXPLAIN surface (reference: plan/trace.rs phases,
-    * query_coordinator.rs:783): returns the parsed AST plus Catalyst's
-    * formatted physical plan for a GQL query.
+  /** EXPLAIN surface (reference: plan/trace.rs phase trace,
+    * query_coordinator.rs:783): one section per compilation phase —
+    * the parsed GQL AST, the pre-Catalyst join tree the compiler built
+    * (the analyzed logical plan, before any optimizer rule has run),
+    * the Catalyst-optimized logical plan, and the final physical plan.
     */
   def explain(query: String): String = {
     val ast = Parser.parse(query)
     val df = new Compiler(graph, sessionParams, f64Mode).compile(ast)
-    s"=== AST ===\n$ast\n\n=== Physical plan ===\n" +
-      df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+    val qe = df.queryExecution
+    s"""=== AST ===
+       |$ast
+       |
+       |=== Logical plan (pre-Catalyst join tree) ===
+       |${qe.analyzed.treeString}
+       |=== Optimized logical plan ===
+       |${qe.optimizedPlan.treeString}
+       |=== Physical plan ===
+       |${qe.explainString(org.apache.spark.sql.execution.FormattedMode)}""".stripMargin
   }
 }

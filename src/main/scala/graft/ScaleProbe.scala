@@ -80,6 +80,7 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -28,9 +28,17 @@ object Tables {
     * native type for — read nanos as long and floor-convert to a
     * microsecond timestamp (same truncation DuckDB's
     * `date_trunc('microseconds', ts)` applies on the oracle side).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
+    * build time (every entry-point main and the test fixture set it) —
+    * a loader must not mutate the caller's session conf mid-query, so a
+    * session missing it fails fast here instead.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true " +
+        "set when the SparkSession is built")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -1808,6 +1808,18 @@ final class Compiler(graph: PropertyGraph,
     case other => throw new GqlCompileException(s"unsupported cast target $other")
   }
 
+  /** AST shapes that compile to a named-tz (tz, ts) struct — the typed-
+    * value dispatch EXTRACT_TIMEZONE/LOCAL_DATETIME need (the compiler is
+    * Column-based, so value kinds are resolved from expression shape).
+    */
+  private object ZonedShape {
+    def unapply(e: Expr): Boolean = e match {
+      case Fn("AT_TIME_ZONE" | "TIMEZONE" | "ZONED_DATETIME" | "CONVERT_TZ",
+        _, _) => true
+      case _ => false
+    }
+  }
+
   /** Scalar function registry — mirrors functions/mod.rs:39-256; each maps
     * to org.apache.spark.sql.functions (codegen'd, no UDFs).
     */
@@ -1957,25 +1969,63 @@ final class Compiler(graph: PropertyGraph,
         timestamp_seconds(
           floor(unix_timestamp(a(0)) / widthSecs) * widthSecs)
       // timezone functions (timezone_functions.rs). Timestamps are
-      // session-UTC; AT_TIME_ZONE/TIMEZONE re-express them in a zone.
-      case "AT_TIME_ZONE" => from_utc_timestamp(a(0), strArg(args(1)))
-      case "TIMEZONE" => from_utc_timestamp(a(1), strArg(args(0))) // reversed args
+      // session-UTC; applying a NAMED zone produces the named-tz value —
+      // a (tz: string, ts: timestamp) struct preserving both the zone
+      // name and the UTC instant (DateTimeWithNamedTz, value.rs:154;
+      // constructed at timezone_functions.rs:118). Wall-clock rendering
+      // and offsets derive from it on demand, DST-correct per instant;
+      // `.tz` / `.ts` field access works anywhere structs do.
+      case "AT_TIME_ZONE" =>
+        struct(lit(canonicalZone(strArg(args(1)))).as("tz"), a(0).as("ts"))
+      case "TIMEZONE" => // reversed args
+        struct(lit(canonicalZone(strArg(args(0)))).as("tz"), a(1).as("ts"))
+      case "ZONED_DATETIME" => // explicit constructor (value.rs:154)
+        struct(lit(canonicalZone(strArg(args(1)))).as("tz"), a(0).as("ts"))
+      case "LOCAL_DATETIME" => // zoned → naive wall clock in its zone
+        args.head match {
+          case ZonedShape() =>
+            from_utc_timestamp(a(0).getField("ts"),
+              a(0).getField("tz").cast("string"))
+          case _ => a(0)
+        }
       case "CONVERT_TZ" =>
-        from_utc_timestamp(to_utc_timestamp(a(0), strArg(args(1))), strArg(args(2)))
+        struct(lit(canonicalZone(strArg(args(2)))).as("tz"),
+          to_utc_timestamp(a(0), strArg(args(1))).as("ts"))
       case "GET_TIMEZONE_OFFSET" =>
         (unix_timestamp(from_utc_timestamp(a(1), strArg(args(0)))) -
           unix_timestamp(a(1))).cast("long")
-      // EXTRACT_TIMEZONE(unit, ts) (timezone_functions.rs:380-460):
-      // session timestamps are naive-UTC (the reference's Value::DateTime
-      // branch), so the components are constants
+      // EXTRACT_TIMEZONE(unit, value) (timezone_functions.rs:380-460):
+      // on a named-tz struct the zone name and DST-correct offset at the
+      // value's instant come from the struct; plain session timestamps
+      // are naive-UTC (the reference's Value::DateTime branch), so their
+      // components are constants
       case "EXTRACT_TIMEZONE" =>
         if (args.size != 2)
           throw new GqlCompileException("EXTRACT_TIMEZONE expects (unit, ts)")
-        strArg(args(0)).toUpperCase match {
-          case "TIMEZONE" => lit("UTC")
-          case "TIMEZONE_HOUR" | "TIMEZONE_MINUTE" => lit(0.0)
-          case other => throw new GqlCompileException(
-            s"EXTRACT_TIMEZONE unit $other")
+        val unit = strArg(args(0)).toUpperCase
+        args(1) match {
+          case ZonedShape() =>
+            val z = a(1)
+            // reference offset arithmetic (timezone_functions.rs:447-485):
+            // HOUR = total offset seconds / 3600.0 (5.5 for +05:30),
+            // MINUTE = the sub-hour component in minutes
+            lazy val offSecs =
+              (unix_timestamp(from_utc_timestamp(z.getField("ts"),
+                z.getField("tz").cast("string"))) -
+                unix_timestamp(z.getField("ts"))).cast("double")
+            unit match {
+              case "TIMEZONE" => z.getField("tz")
+              case "TIMEZONE_HOUR" => offSecs / lit(3600.0)
+              case "TIMEZONE_MINUTE" => (offSecs % 3600.0) / lit(60.0)
+              case other => throw new GqlCompileException(
+                s"EXTRACT_TIMEZONE unit $other")
+            }
+          case _ => unit match {
+            case "TIMEZONE" => lit("UTC")
+            case "TIMEZONE_HOUR" | "TIMEZONE_MINUTE" => lit(0.0)
+            case other => throw new GqlCompileException(
+              s"EXTRACT_TIMEZONE unit $other")
+          }
         }
       // GET_TIMEZONE_NAME / _ABBREVIATION (timezone_functions.rs:508-645):
       // literal zone strings resolve at compile time through the same

@@ -287,11 +287,35 @@ final class Parser(tokens: Vector[Token]) {
       case TIdent(s, _) if s.equalsIgnoreCase("ROLLBACK") =>
         p += 1; expectEnd(); TransactionStmt("ROLLBACK")
       case TIdent(s, _) if s.equalsIgnoreCase("GRANT") =>
+        // GRANT <role> TO <user> (role membership), or
+        // GRANT SELECT|INSERT|UPDATE|DELETE|ALL ON /schema/graph TO <principal>
+        // (graph ACE — reference Permission enum, security.rs:219-246)
         p += 1
-        val role = ident()
-        eatSoftKw("TO")
-        val user = ident()
-        expectEnd(); SecurityStmt("GRANT", "ROLE", role, Some(user))
+        val first = ident()
+        if (trySoftKw("ON")) {
+          eatPunct("/")
+          val schema = ident(); eatPunct("/"); val g = ident()
+          eatSoftKw("TO")
+          val who = ident()
+          expectEnd()
+          SecurityStmt("GRANT", "ACCESS",
+            s"${first.toUpperCase}|/$schema/$g", Some(who))
+        } else {
+          eatSoftKw("TO")
+          val user = ident()
+          expectEnd(); SecurityStmt("GRANT", "ROLE", first, Some(user))
+        }
+      case TIdent(s, _) if s.equalsIgnoreCase("REVOKE") =>
+        p += 1
+        val perm = ident()
+        eatSoftKw("ON")
+        eatPunct("/")
+        val schema = ident(); eatPunct("/"); val g = ident()
+        eatSoftKw("FROM")
+        val who = ident()
+        expectEnd()
+        SecurityStmt("REVOKE", "ACCESS",
+          s"${perm.toUpperCase}|/$schema/$g", Some(who))
       case TKw("MATCH", _) =>
         // A MATCH statement is either a read query or MATCH-prefixed DML.
         // Don't sniff the token stream for SET/DELETE/… — a read query can

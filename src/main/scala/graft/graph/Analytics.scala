@@ -186,6 +186,9 @@ object Analytics {
       comp = step2.select(col("id"), col("comp"))
       round += 1
     }
+    // the edge checkpoint is loop-only; the final comp checkpoint stays
+    // alive — the returned frame reads its blocks lazily
+    unpersistCheckpoint(edges)
     // re-bind onto the caller's session so results compose with its frames
     val result = comp.withColumnRenamed("comp", "component")
     sess.createDataFrame(result.rdd, result.schema)

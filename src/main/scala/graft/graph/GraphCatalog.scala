@@ -228,6 +228,47 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   def listGrants(): Seq[(String, String)] =
     readSecurity().filter(_._1 == "GRANT").map(r => (r._2, r._3)).sorted
 
+  // ---- graph access control entries (reference Ace/Permission,
+  // catalog/providers/security.rs:219-260): rows ("ACE", "PERM|/s/g",
+  // principal). Enforcement model: a graph with NO ACEs is open (the
+  // embedded default — every pre-existing warehouse keeps working); once
+  // any ACE exists for a path, only principals granted that permission
+  // (directly or through a role) may use it.
+
+  def grantAccess(perm: String, path: String, principal: String): Boolean = {
+    val rows = readSecurity()
+    if (!rows.exists(r => (r._1 == "USER" || r._1 == "ROLE") && r._2 == principal))
+      throw new IllegalArgumentException(s"unknown principal: $principal")
+    val key = s"$perm|$path"
+    if (rows.exists(r => r._1 == "ACE" && r._2 == key && r._3 == principal)) false
+    else { writeSecurity(rows :+ (("ACE", key, principal))); true }
+  }
+
+  def revokeAccess(perm: String, path: String, principal: String): Boolean = {
+    val rows = readSecurity()
+    val key = s"$perm|$path"
+    val kept = rows.filterNot(r =>
+      r._1 == "ACE" && r._2 == key && r._3 == principal)
+    if (kept.size == rows.size) false else { writeSecurity(kept); true }
+  }
+
+  /** True when `user` may exercise `perm` on graph `path`: the path is
+    * ungoverned (no ACEs), or an ACE for this permission (or ALL) names
+    * the user or one of the user's roles.
+    */
+  def checkAccess(user: String, path: String, perm: String): Boolean = {
+    val rows = readSecurity()
+    val aces = rows.filter(r => r._1 == "ACE" && r._2.endsWith(s"|$path"))
+    if (aces.isEmpty) return true
+    val principals = user +: rows.collect {
+      case ("GRANT", role, u) if u == user => role
+    }
+    aces.exists { a =>
+      val p = a._2.takeWhile(_ != '|')
+      (p == perm.toUpperCase || p == "ALL") && principals.contains(a._3)
+    }
+  }
+
   // ---- stored procedures (catalog procedures, ast.rs:625-644): GQL text
   // under warehouse/_procedures/<name>.gql, re-parsed at CALL time.
 

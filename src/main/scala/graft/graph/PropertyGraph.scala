@@ -91,10 +91,26 @@ final class PropertyGraph(
     * AQE's size-measured decision instead of a forced hint.
     */
   val broadcastByteLimit: Long = 100L << 20
-  def broadcastIfSmall(label: String, df: DataFrame): DataFrame =
-    if (nodeCount(label) * estimatedRowBytes(df.schema) <= broadcastByteLimit)
-      broadcast(df)
-    else df
+  def broadcastIfSmall(label: String, df: DataFrame): DataFrame = {
+    // Two independent size estimates; force-broadcast only when BOTH are
+    // under the limit, because each catches the other's blind spot:
+    //  - Catalyst plan stats (file bytes for parquet scans) see the REAL
+    //    width of variable-length data — a node table whose text column
+    //    averages KBs blows past the schema model's flat 48 B/string;
+    //  - the schema model bounds in-memory expansion of fixed-width data
+    //    and still applies when stats are the unknown-default sentinel.
+    // multiplyExact: deep nested schemas multiply width 128× per array
+    // level, and a silent Long wrap would read as "tiny table" (the exact
+    // OOM this gate prevents) — saturate instead.
+    val schemaEst =
+      try Math.multiplyExact(nodeCount(label), estimatedRowBytes(df.schema))
+      catch { case _: ArithmeticException => Long.MaxValue }
+    val planStats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val statsKnown = planStats >= 0 && planStats < BigInt(1L << 50)
+    val under = schemaEst <= broadcastByteLimit &&
+      (!statsKnown || planStats.toLong <= broadcastByteLimit)
+    if (under) broadcast(df) else df
+  }
 
   /** Conservative per-row width from the schema: exact for fixed-width
     * primitives, pessimistic for variable-length types (strings,
@@ -290,14 +306,12 @@ final class PropertyGraph(
   def bfs(sources: DataFrame, edgeLabel: String, maxIter: Int,
       direction: Direction = Direction.Out): DataFrame = {
     val (_, raw) = edgeTables(edgeLabel)
-    // materialize once: a derived edge frame (e.g. built from a window
-    // function) would otherwise recompute on every BFS level
     val e0 = (direction match {
       case Direction.Out => raw
       case Direction.In  => raw.select(col("dst").as("src"), col("src").as("dst"))
       case Direction.Both => raw.select("src", "dst")
         .unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
-    }).select("src", "dst").localCheckpoint(true)
+    }).select("src", "dst")
 
     // localCheckpoint executes the initial (non-AQE-coalesced) plan each
     // level, so size the shuffle to the edge frame up front: 1 partition
@@ -312,6 +326,15 @@ final class PropertyGraph(
       e0.count() / 100000L + 1L))
     val work = sess.newSession()
     work.conf.set("spark.sql.shuffle.partitions", width.toString)
+    // newSession() starts from SparkContext defaults — re-apply the
+    // semantics-bearing caller settings (ANSI / session TZ / AQE)
+    Seq("spark.sql.ansi.enabled", "spark.sql.session.timeZone",
+      "spark.sql.adaptive.enabled").foreach { key =>
+      sess.conf.getOption(key).foreach(work.conf.set(key, _))
+    }
+    // checkpoint the edge frame ONCE, on the work session the loop runs
+    // on — a derived edge frame (e.g. built from a window function)
+    // would otherwise recompute on every BFS level
     val e = work.createDataFrame(e0.rdd, e0.schema).localCheckpoint(true)
     val src0 = sources.select(col("root_id"), col("root_id").as("id"),
       lit(0L).as("dist"))
@@ -337,6 +360,12 @@ final class PropertyGraph(
       }
       nx
     }
+    // superseded checkpoints are freed as soon as nothing references
+    // their blocks: a level's `mat` backs the next level's frontier (one
+    // extra iteration), an old `visited` is dead the moment the union
+    // that consumed it materializes — so the loop holds at most edges +
+    // one visited + two mats in the block manager, not one per level
+    var prevMat: Option[DataFrame] = None
     while (k <= maxIter && !done) {
       val steps = math.min(2, maxIter - k + 1)
       val f1 = expand(frontier, k, None)
@@ -344,16 +373,24 @@ final class PropertyGraph(
         if (steps == 2) f1.unionByName(expand(f1, k + 1, Some(f1)))
         else f1
       val mat = batch.localCheckpoint(true)
-      if (mat.isEmpty) done = true
+      if (mat.isEmpty) { done = true; Analytics.unpersistCheckpoint(mat) }
       else {
-        visited = visited.unionByName(mat).localCheckpoint(true)
+        val grown = visited.unionByName(mat).localCheckpoint(true)
+        Analytics.unpersistCheckpoint(visited)
+        prevMat.foreach(Analytics.unpersistCheckpoint)
+        prevMat = Some(mat)
+        visited = grown
         frontier =
           if (steps == 2) mat.filter(col("dist") === lit((k + 1).toLong))
           else mat
       }
       k += steps
     }
-    // re-bind onto the caller's session so results compose with its frames
+    Analytics.unpersistCheckpoint(e)
+    prevMat.foreach(Analytics.unpersistCheckpoint)
+    // re-bind onto the caller's session so results compose with its
+    // frames; the final `visited` checkpoint stays alive — the returned
+    // frame reads its blocks lazily
     val result = visited.withColumnRenamed("id", "node_id")
     sess.createDataFrame(result.rdd, result.schema)
   }

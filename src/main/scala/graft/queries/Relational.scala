@@ -386,7 +386,12 @@ object Relational {
           from_utc_timestamp($"o_orderdate", "America/New_York").as("ny"),
           to_utc_timestamp($"o_orderdate", "Asia/Tokyo").as("from_tokyo"),
           ($"o_orderdate" + expr("INTERVAL 3 MONTHS")).as("plus3m"),
-          last_day($"o_orderdate").as("eom"))
+          last_day($"o_orderdate").as("eom"),
+          // named-tz value accessor parity (value.rs:154): the zone's
+          // DST-correct offset at each row's instant, in hours — the same
+          // arithmetic EXTRACT_TIMEZONE('TIMEZONE_HOUR', zoned) compiles to
+          ((unix_timestamp(from_utc_timestamp($"o_orderdate", "America/New_York")) -
+            unix_timestamp($"o_orderdate")) / lit(3600.0)).as("ny_offset_hours"))
         .orderBy($"o_orderkey")
     }),
 
@@ -600,7 +605,9 @@ object Relational {
         | CAST(timezone('America/New_York', o_orderdate::TIMESTAMPTZ) AS TIMESTAMP) AS ny,
         | CAST(timezone('Asia/Tokyo', o_orderdate) AS TIMESTAMP) AS from_tokyo,
         | o_orderdate + INTERVAL 3 MONTH AS plus3m,
-        | last_day(o_orderdate) AS eom
+        | last_day(o_orderdate) AS eom,
+        | epoch(CAST(timezone('America/New_York', o_orderdate::TIMESTAMPTZ) AS TIMESTAMP)
+        |   - o_orderdate) / 3600.0 AS ny_offset_hours
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q33_within_window" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders

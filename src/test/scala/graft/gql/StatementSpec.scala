@@ -263,9 +263,10 @@ class StatementSpec extends AnyFunSuite {
     // DECLARE coerces to declared scale; overflow past precision rejected
     s.execute("DECLARE price DECIMAL(12,2) = 19.995")
     assert(s.parameters("price") == new java.math.BigDecimal("20.00"))
+    // missing initializer: DECIMAL is not in the reference's non-null
+    // default set (executor.rs:8513-8523) — stays NULL
     s.execute("DECLARE dflt DECIMAL(5,2)")
-    assert(s.parameters("dflt").asInstanceOf[java.math.BigDecimal]
-      .compareTo(java.math.BigDecimal.ZERO) == 0)
+    assert(s.parameters("dflt") == null)
     intercept[graft.gql.GqlCompileException] {
       s.execute("DECLARE toobig DECIMAL(3,2) = 99.999")
     }

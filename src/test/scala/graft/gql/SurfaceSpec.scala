@@ -494,10 +494,15 @@ class SurfaceSpec extends AnyFunSuite {
     assert(one("LET ts = datetime('2024-03-15 10:42:30') " +
       "RETURN time_window(ts, '1 hour') AS w").toString
       .startsWith("2024-03-15 10:00"))
-    // UTC 10:42 in New York (EDT, -4) = 06:42
+    // AT_TIME_ZONE yields the named-tz value (zone name + UTC instant,
+    // value.rs:154); the wall clock (UTC 10:42 in EDT = 06:42) renders
+    // on demand via LOCAL_DATETIME
     assert(one("LET ts = datetime('2024-03-15 10:42:30') " +
       "RETURN at_time_zone(ts, 'America/New_York') AS t").toString
-      .contains("06:42:30"))
+      .contains("America/New_York"))
+    assert(one("LET ts = datetime('2024-03-15 10:42:30') " +
+      "RETURN local_datetime(at_time_zone(ts, 'America/New_York')) AS t")
+      .toString.contains("06:42:30"))
     assert(one("LET ts = datetime('2024-03-15 10:42:30') " +
       "RETURN get_timezone_offset('America/New_York', ts) AS o") == -14400L)
   }
@@ -801,6 +806,96 @@ class SurfaceSpec extends AnyFunSuite {
     assert(one("MATCH (a:Account) " +
       "WHERE a.id > ALL (MATCH (m:Merchant) WHERE m.id > 999 RETURN m.id) " +
       "RETURN count(a) AS n") == 50L)
+  }
+
+  test("named-tz values preserve zone name + UTC instant (value.rs:154)") {
+    // constructor: (tz, ts) struct, zone name and instant both preserved
+    val z = s.gql("RETURN AT_TIME_ZONE(DATETIME('2024-07-01 12:00:00'), " +
+      "'America/New_York') AS z").collect().head.getStruct(0)
+    assert(z.getString(z.fieldIndex("tz")) == "America/New_York")
+    assert(z.getTimestamp(z.fieldIndex("ts")).toInstant.toString
+      == "2024-07-01T12:00:00Z")
+    // field accessors round-trip the zone name
+    assert(one("RETURN AT_TIME_ZONE(DATETIME('2024-07-01 12:00:00'), " +
+      "'America/New_York').tz AS x") == "America/New_York")
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE', " +
+      "AT_TIME_ZONE(NOW(), 'Asia/Tokyo')) AS x") == "Asia/Tokyo")
+    // DST-correct offsets at the value's instant (timezone_functions.rs:447)
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', AT_TIME_ZONE(" +
+      "DATETIME('2024-07-01 12:00:00'), 'America/New_York')) AS x") == -4.0)
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', AT_TIME_ZONE(" +
+      "DATETIME('2024-01-01 12:00:00'), 'America/New_York')) AS x") == -5.0)
+    // sub-hour zones: reference HOUR is fractional, MINUTE is the remainder
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', AT_TIME_ZONE(" +
+      "DATETIME('2024-01-01 12:00:00'), 'Asia/Kolkata')) AS x") == 5.5)
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_MINUTE', AT_TIME_ZONE(" +
+      "DATETIME('2024-01-01 12:00:00'), 'Asia/Kolkata')) AS x") == 30.0)
+    // wall-clock rendering derives from (tz, ts) on demand
+    assert(one("RETURN LOCAL_DATETIME(AT_TIME_ZONE(" +
+      "DATETIME('2024-07-01 12:00:00'), 'America/New_York')) AS x")
+      .toString.startsWith("2024-07-01 08:00:00"))
+    // plain session timestamps stay naive-UTC
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE', NOW()) AS x") == "UTC")
+  }
+
+  test("graph grants are enforced at attach time (security.rs ACEs)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sec").toString
+    val gls = graft.GraphLiteSpark.open(SparkFixture.spark, wh)
+    val admin = gls.session("admin").useGraph(SparkFixture.fraudGraph)
+    admin.saveGraphAs("/main/secure")
+    // ungoverned graph: anyone may attach
+    gls.session("nobody").useGraph("/main/secure")
+    admin.execute("CREATE USER alice")
+    admin.execute("CREATE USER bob")
+    admin.execute("CREATE ROLE analysts")
+    assert(admin.execute("GRANT SELECT ON /main/secure TO alice")
+      .collect().head.getBoolean(0))
+    // governed now: granted user proceeds, denied user gets an auth error
+    val alice = gls.session("alice").useGraph("/main/secure")
+    assert(alice.gql("MATCH (a:Account) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 50L)
+    intercept[graft.GqlAuthException] {
+      gls.session("bob").useGraph("/main/secure")
+    }
+    // SESSION SET GRAPH goes through the same check
+    intercept[graft.GqlAuthException] {
+      gls.session("bob").execute("SESSION SET GRAPH /main/secure")
+    }
+    // role-mediated grant: bob gets access through a granted role
+    admin.execute("GRANT ALL ON /main/secure TO analysts")
+    admin.execute("GRANT analysts TO bob")
+    gls.session("bob").useGraph("/main/secure")
+    // revoke closes the door again
+    admin.execute("REVOKE ALL ON /main/secure FROM analysts")
+    intercept[graft.GqlAuthException] {
+      gls.session("bob").useGraph("/main/secure")
+    }
+    // unknown principals can't be granted to
+    intercept[IllegalArgumentException] {
+      admin.execute("GRANT SELECT ON /main/secure TO ghost")
+    }
+  }
+
+  test("EXPLAIN returns the full phase trace (plan/trace.rs analog)") {
+    // the gql01 flagship shape: expand + aggregate + order
+    val trace = s.explain("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE a.balance > 1000 " +
+      "RETURN m.name AS name, count(t) AS n ORDER BY name")
+    // all phase sections present, in order
+    val sections = Seq("=== AST ===",
+      "=== Logical plan (pre-Catalyst join tree) ===",
+      "=== Optimized logical plan ===", "=== Physical plan ===")
+    val idx = sections.map(trace.indexOf)
+    assert(idx.forall(_ >= 0), s"missing section in:\n$trace")
+    assert(idx == idx.sorted)
+    // each phase carries its own representation: the GQL AST, the join
+    // tree the compiler built, and a physical operator tree
+    val ast = trace.substring(idx(0), idx(1))
+    assert(ast.contains("Query(") || ast.contains("Segment"))
+    val logical = trace.substring(idx(1), idx(2))
+    assert(logical.contains("Join"))
+    val physical = trace.substring(idx(3))
+    assert(physical.contains("HashAggregate") || physical.contains("Sort"))
   }
 
   test("correlated scalar subquery over a two-hop pattern") {
