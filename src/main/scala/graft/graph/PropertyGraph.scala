@@ -304,7 +304,8 @@ final class PropertyGraph(
     * Returns `(root_id, id, dist)` for nodes within `maxIter` hops.
     */
   def bfs(sources: DataFrame, edgeLabel: String, maxIter: Int,
-      direction: Direction = Direction.Out): DataFrame = {
+      direction: Direction = Direction.Out,
+      localEdgeLimit: Long = 2000000L): DataFrame = {
     val (_, raw) = edgeTables(edgeLabel)
     val e0 = (direction match {
       case Direction.Out => raw
@@ -312,6 +313,61 @@ final class PropertyGraph(
       case Direction.Both => raw.select("src", "dst")
         .unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
     }).select("src", "dst")
+    val edgeCount = e0.count()
+
+    // Small-edge-set fast path (same gate family as
+    // Analytics.connectedComponents): once the oriented edge list fits on
+    // the driver (≤2M pairs ≈ 32 MB) and the root set is modest, an
+    // in-memory adjacency BFS beats any number of per-level Spark jobs —
+    // each level is a checkpoint job whose scheduling cost alone exceeds
+    // the whole sequential traversal. Output volume is re-checked while
+    // emitting: a dense expansion past 5M rows abandons the local result
+    // and falls through to the distributed loop instead of straining the
+    // driver heap.
+    if (edgeCount <= localEdgeLimit) {
+      val rootRows = sources.select(col("root_id")).limit(1001).collect()
+      if (rootRows.length <= 1000) {
+        val roots = rootRows.map(_.getLong(0)).distinct
+        val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        e0.collect().foreach { r =>
+          adj.computeIfAbsent(r.getLong(0),
+            _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var overflow = false
+        var ri = 0
+        while (ri < roots.length && !overflow) {
+          val root = roots(ri)
+          val dist = new java.util.HashMap[Long, Long]()
+          var frontier = List(root)
+          dist.put(root, 0L)
+          out += ((root, root, 0L))
+          var d = 1L
+          while (d <= maxIter && frontier.nonEmpty && !overflow) {
+            val next = scala.collection.mutable.ListBuffer.empty[Long]
+            frontier.foreach { u =>
+              val ns = adj.get(u)
+              if (ns != null) ns.foreach { v =>
+                if (!dist.containsKey(v)) {
+                  dist.put(v, d)
+                  out += ((root, v, d))
+                  next += v
+                }
+              }
+            }
+            if (out.size > 5000000) overflow = true
+            frontier = next.toList
+            d += 1
+          }
+          ri += 1
+        }
+        if (!overflow) {
+          val sess = sources.sparkSession
+          import sess.implicits._
+          return out.toSeq.toDF("root_id", "node_id", "dist")
+        }
+      }
+    }
 
     // localCheckpoint executes the initial (non-AQE-coalesced) plan each
     // level, so size the shuffle to the edge frame up front: 1 partition
@@ -323,7 +379,7 @@ final class PropertyGraph(
     val sess = sources.sparkSession
     val width = math.max(8L, math.min(
       sess.conf.get("spark.sql.shuffle.partitions").toLong,
-      e0.count() / 100000L + 1L))
+      edgeCount / 100000L + 1L))
     val work = sess.newSession()
     work.conf.set("spark.sql.shuffle.partitions", width.toString)
     // newSession() starts from SparkContext defaults — re-apply the

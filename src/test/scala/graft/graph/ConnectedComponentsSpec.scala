@@ -42,4 +42,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("bfs local adjacency path agrees with the distributed loop") {
+    import spark.implicits._
+    val g = chainGraph
+    val sources = Seq(0L, 30L, 105L).toDF("root_id")
+    def rows(limit: Long) =
+      g.bfs(sources, "E", maxIter = 4, localEdgeLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = rows(2000000L)
+    val dist = rows(0L)
+    assert(local == dist)
+    // chain 0→1→…→9 truncated at depth 4; isolated root sees only itself
+    assert(local.filter(_._1 == 0L) ==
+      (0L to 4L).map(i => (0L, i, i)).toSet)
+    assert(local.filter(_._1 == 105L) == Set((105L, 105L, 0L)))
+  }
 }
