@@ -184,32 +184,45 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       case QueryStmt(q) => new Compiler(graph, sessionParams, f64Mode).compile(q)
 
       case InsertStmt(nodes) =>
+        // Property values are full expressions, not just literals
+        // (function_expression_insert_test.rs: upper('hello'), abs(-5),
+        // NOW(), …): evaluate each ONCE up front — literals stay driver-
+        // local, anything else goes through the session compiler.
+        def norm(v: Any): Any = v match {
+          case i: java.lang.Integer => i.longValue()
+          case f: java.lang.Float => f.doubleValue()
+          case other => other
+        }
+        val evaluated = nodes.map { np =>
+          np -> np.props.map { case (k, e) => k -> norm(evalStandalone(e)) }
+        }
         // schema enforcement against the bound graph type (validator.rs:
         // 92-126): label known, NOT NULL props present, types conform,
         // unknown props rejected
         currentType.foreach { gt =>
-          nodes.foreach { np =>
+          evaluated.foreach { case (np, props) =>
             val label = np.labels.headOption.getOrElse(
               throw new GqlCompileException("INSERT nodes need a label"))
             graft.graph.GraphType.validateNode(gt, label,
-              np.props.map { case (k, v) => k -> litTag(v) })
+              props.map { case (k, v) => k -> valueTag(v) })
           }
         }
-        val byLabel = nodes.groupBy(np => np.labels.headOption.getOrElse(
+        val byLabel = evaluated.groupBy(_._1.labels.headOption.getOrElse(
           throw new GqlCompileException("INSERT nodes need a label")))
         val counts = byLabel.toSeq.sortBy(_._1).map { case (label, nps) =>
-          val keys = nps.head.props.map(_._1)
-          if (nps.exists(_.props.map(_._1) != keys))
+          val keys = nps.head._2.map(_._1)
+          if (nps.exists(_._2.map(_._1) != keys))
             throw new GqlCompileException(
               s"INSERT: all $label nodes must list the same properties")
           if (!keys.contains("id"))
             throw new GqlCompileException("INSERT nodes need an id property")
           val schema = org.apache.spark.sql.types.StructType(
-            nps.head.props.map { case (k, v) =>
-              org.apache.spark.sql.types.StructField(k, litType(v))
+            nps.head._2.map { case (k, v) =>
+              org.apache.spark.sql.types.StructField(k, valueType(v))
             })
-          val rows = nps.map(np => org.apache.spark.sql.Row(
-            np.props.map { case (_, v) => litValue(v) }: _*))
+          val rows = nps.map { case (_, props) =>
+            org.apache.spark.sql.Row(props.map(_._2): _*)
+          }
           val df = spark.createDataFrame(
             spark.sparkContext.parallelize(rows.toSeq), schema)
           currentGraph = Some(graph2.insertNodes(graph, label, df))
@@ -236,9 +249,17 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         val (binding, varLabels) = new Compiler(graph, sessionParams, f64Mode).compileBinding(matches, where)
         for (v <- Seq(xVar, yVar) if !binding.columns.contains(s"${v}_id"))
           throw new GqlCompileException(s"INSERT endpoint $v is not bound by MATCH")
+        // edge property values are expressions too (evaluated once)
+        val edgeProps = edgePat.props.map { case (k, ve) =>
+          k -> (evalStandalone(ve) match {
+            case i: java.lang.Integer => i.longValue()
+            case f: java.lang.Float => f.doubleValue()
+            case other => other
+          })
+        }
         currentType.foreach(gt => graft.graph.GraphType.validateEdge(gt, label,
           varLabels.get(xVar), varLabels.get(yVar),
-          edgePat.props.map { case (k, v) => k -> litTag(v) }))
+          edgeProps.map { case (k, v) => k -> valueTag(v) }))
         var rows = binding.select(col(s"${xVar}_id").as("src"),
             col(s"${yVar}_id").as("dst")).distinct()
           .withColumn("eid", graft.text.TextAnalysis.stableHash60(
@@ -253,8 +274,8 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           rows = rows.join(existing.select(col("src"), col("dst")),
             Seq("src", "dst"), "left_anti")
         }
-        edgePat.props.foreach { case (k, ve) =>
-          rows = rows.withColumn(k, lit(litValue(ve))) }
+        edgeProps.foreach { case (k, v) =>
+          rows = rows.withColumn(k, lit(v)) }
         val n = rows.count()
         val et = graft.graph.EdgeType(label,
           varLabels.getOrElse(xVar, ""), varLabels.getOrElse(yVar, ""))
@@ -732,6 +753,32 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           case "||" => org.apache.spark.sql.functions.concat(lc, rc)
           case o => throw new GqlCompileException(s"unsupported DML operator $o")
         }
+      case fn @ Fn(_, _, _) =>
+        // constant function expression as a DML value
+        // (set_function_expression_test.rs: SET p.x = upper('alice')):
+        // evaluated once driver-side. Row-referencing args stay
+        // unsupported in the simple form — use a WITH pipeline.
+        def refsRow(x: Ast.Expr): Boolean = x match {
+          case Prop(_, _) | Ident(_) => true
+          case Bin(_, l, r) => refsRow(l) || refsRow(r)
+          case Not(y) => refsRow(y)
+          case Neg(y) => refsRow(y)
+          case IsNull(y, _) => refsRow(y)
+          case Fn(_, as, _) => as.exists(refsRow)
+          case CaseExpr(s0, ws, o) => s0.exists(refsRow) ||
+            ws.exists { case (c, y) => refsRow(c) || refsRow(y) } ||
+            o.exists(refsRow)
+          case Cast(y, _) => refsRow(y)
+          case _ => false
+        }
+        if (refsRow(fn)) throw new GqlCompileException(
+          s"DML function expressions may not reference pattern variables " +
+            s"in the simple form (got $fn) — use a WITH pipeline")
+        lit(evalStandalone(fn) match {
+          case i: java.lang.Integer => i.longValue()
+          case f: java.lang.Float => f.doubleValue()
+          case other => other
+        })
       case Not(x) => !rawColumn(x, v)
       case Neg(x) => -rawColumn(x, v)
       case IsNull(x, n) =>
@@ -754,6 +801,42 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       case Ast.BoolLit(_) => LBool
       case Ast.NullLit() => LNull
       case other => throw new GqlCompileException(s"expected literal, got $other")
+    }
+  }
+
+  /** Validation tag / Spark type for an already-EVALUATED property value
+    * (INSERT property expressions — function_expression_insert_test.rs —
+    * evaluate before the row is built, so tagging happens on values).
+    */
+  private def valueTag(v: Any): graft.graph.GraphType.Lit = {
+    import graft.graph.GraphType._
+    v match {
+      case null => LNull
+      case _: java.lang.Long | _: java.lang.Integer => LInt
+      case _: java.lang.Double | _: java.lang.Float |
+           _: java.math.BigDecimal => LFloat
+      case _: String => LString
+      case _: java.lang.Boolean => LBool
+      case _: java.sql.Timestamp | _: java.sql.Date => LTemporal
+      case other => throw new GqlCompileException(
+        s"unsupported INSERT property value: $other (${other.getClass.getName})")
+    }
+  }
+
+  private def valueType(v: Any): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    v match {
+      case null => StringType // null-only column: nullable placeholder
+      case _: java.lang.Long | _: java.lang.Integer => LongType
+      case _: java.lang.Double | _: java.lang.Float => DoubleType
+      case bd: java.math.BigDecimal => DecimalType(
+        math.max(bd.precision, bd.scale + 1), bd.scale)
+      case _: String => StringType
+      case _: java.lang.Boolean => BooleanType
+      case _: java.sql.Timestamp => TimestampType
+      case _: java.sql.Date => DateType
+      case other => throw new GqlCompileException(
+        s"unsupported INSERT property value: $other (${other.getClass.getName})")
     }
   }
 

@@ -81,12 +81,18 @@ object Lexer {
         else out += TIdent(s, start)
       }
       else if (c == '`') {
+        // delimited identifier (ISO_GQL_Grammar_BNF.txt: <delimited-id>;
+        // `` escapes a literal backtick inside)
         val start = i
         i += 1
         val sb = new StringBuilder
-        while (i < n && q(i) != '`') { sb += q(i); i += 1 }
-        if (i >= n) return Left(s"unterminated quoted identifier at $start")
-        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (q(i) == '`' && i + 1 < n && q(i + 1) == '`') { sb += '`'; i += 2 }
+          else if (q(i) == '`') { closed = true; i += 1 }
+          else { sb += q(i); i += 1 }
+        }
+        if (!closed) return Left(s"unterminated quoted identifier at $start")
         out += TIdent(sb.toString, start)
       }
       else {

@@ -24,6 +24,7 @@ object GraphType {
   case object LFloat extends Lit
   case object LString extends Lit
   case object LBool extends Lit
+  case object LTemporal extends Lit
   case object LNull extends Lit
 
   private def accepts(declared: String, v: Lit): Boolean = {
@@ -39,6 +40,7 @@ object GraphType {
       // conformance is enforced at CAST time (ast.rs:826-830)
       case ("DECIMAL" | "NUMERIC", LInt | LFloat) => true
       case ("BOOLEAN" | "BOOL", LBool) => true
+      case ("TIMESTAMP" | "DATETIME" | "DATE" | "TIME", LTemporal) => true
       case _ => false
     }
   }

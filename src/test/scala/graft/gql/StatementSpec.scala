@@ -248,6 +248,56 @@ class StatementSpec extends AnyFunSuite {
     assert(s.execute("DROP GRAPH TYPE FraudType").collect().head.getBoolean(0))
   }
 
+  test("function expressions in INSERT and SET values (function_expression_insert_test.rs)") {
+    val s = freshSession()
+    // string/math function results as INSERT property values
+    s.execute("INSERT (:StringTest {id: 1, value: UPPER('hello')})")
+    s.execute("INSERT (:StringTest {id: 2, value: LOWER('WORLD')})")
+    val vals = s.execute("MATCH (t:StringTest) RETURN t.value AS v ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("HELLO", "world"))
+    s.execute("INSERT (:MathTest {id: 1, price: ABS(-99.5), qty: FLOOR(42.7)})")
+    val m = s.execute("MATCH (t:MathTest) RETURN t.price AS p, t.qty AS q")
+      .collect().head
+    assert(m.getDouble(0) == 99.5 && m.getLong(1) == 42L)
+    // arithmetic over declared $vars
+    s.execute("DECLARE base INT = 7")
+    s.execute("INSERT (:MathTest {id: 2, price: $base * 2 + 1, qty: 0})")
+    // session default is the reference's f64 numbers mode, so $var
+    // arithmetic evaluates as double
+    assert(s.execute("MATCH (t:MathTest) WHERE t.id = 2 RETURN t.price AS p")
+      .collect().head.getDouble(0) == 15.0)
+    // SET with function expressions (set_function_expression_test.rs)
+    s.execute("MATCH (t:StringTest) WHERE t.id = 1 SET t.value = LOWER('MIXED')")
+    assert(s.execute("MATCH (t:StringTest) WHERE t.id = 1 RETURN t.value AS v")
+      .collect().head.getString(0) == "mixed")
+  }
+
+  test("delimited identifiers: labels, properties, paths (delimited_identifiers_tests.rs)") {
+    val s = freshSession()
+    // special characters in labels (reference: Test-Node, Person Type,
+    // Entity@123)
+    s.execute("INSERT (n:`Test-Node` {id: 1})")
+    assert(s.execute("MATCH (n:`Test-Node`) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 1L)
+    s.execute("INSERT (p:`Person Type` {id: 1, name: 'Bob'})")
+    assert(s.execute("MATCH (p:`Person Type`) RETURN p.name AS name")
+      .collect().head.getString(0) == "Bob")
+    s.execute("INSERT (e:`Entity@123` {id: 1, value: 42})")
+    assert(s.execute("MATCH (e:`Entity@123`) RETURN e.value AS v")
+      .collect().head.getLong(0) == 42L)
+    // backtick-escaped backtick inside a delimited identifier
+    s.execute("INSERT (x:`Tick``Label` {id: 2})")
+    assert(s.execute("MATCH (x:`Tick``Label`) RETURN count(x) AS c")
+      .collect().head.getLong(0) == 1L)
+    // delimited schema/graph path segments round-trip through the catalog
+    s.useGraph(SparkFixture.fraudGraph)
+    s.saveGraphAs("/test-schema/My Test Graph")
+    s.execute("SESSION SET GRAPH /`test-schema`/`My Test Graph`")
+    assert(s.execute("MATCH (a:Account) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 50L)
+  }
+
   test("DECIMAL(p,s) end-to-end: CAST, DECLARE, GRAPH TYPE (ast.rs:826-830)") {
     val s = freshSession()
     // CAST to DecimalType(p,s): exact scale + HALF_UP rounding
