@@ -581,14 +581,15 @@ final class Compiler(graph: PropertyGraph,
     seg1.skip.foreach(n => out = out.offset(n.toInt))
     seg1.limit.foreach(n => out = out.limit(n.toInt))
 
-    // next-segment bindings: bare unaliased node/edge vars stay entities
+    // next-segment bindings: bare node/edge vars stay entities — whether
+    // kept under their own name or re-aliased (`WITH a AS node` keeps
+    // `node` an entity; with_clause_property_access_bug.rs test 4 relies
+    // on node passthrough + later property access)
     val nextBindings: Map[String, Binding] = items.map {
-      case (ReturnItem(Ident(v), None), _)
-          if !isFinal && ctx.bindings.get(v).exists(_.isInstanceOf[NodeBinding]) =>
-        v -> ctx.bindings(v)
-      case (ReturnItem(Ident(v), None), _)
-          if !isFinal && ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) =>
-        v -> ctx.bindings(v)
+      case (ReturnItem(Ident(v), alias), _)
+          if !isFinal && ctx.bindings.get(v).exists(b =>
+            b.isInstanceOf[NodeBinding] || b.isInstanceOf[EdgeBinding]) =>
+        alias.getOrElse(v) -> ctx.bindings(v)
       case (ReturnItem(Ident(v), None), _)
           if !isFinal && ctx.bindings.get(v).contains(UnionNode) =>
         v -> UnionNode
@@ -598,7 +599,18 @@ final class Compiler(graph: PropertyGraph,
   }
 
   private def itemName(it: ReturnItem, i: Int, ctx: Ctx, isFinal: Boolean): String =
-    it.alias.getOrElse(it.expr match {
+    it.alias.map { al =>
+      it.expr match {
+        // an entity var re-aliased in a WITH segment stays an entity:
+        // its column keeps the `<alias>_id`/`<alias>_eid` shape the
+        // binding layer addresses entities by
+        case Ident(v) if !isFinal &&
+            ctx.bindings.get(v).exists(_.isInstanceOf[NodeBinding]) => s"${al}_id"
+        case Ident(v) if !isFinal &&
+            ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) => s"${al}_eid"
+        case _ => al
+      }
+    }.getOrElse(it.expr match {
       // a bare node/edge var carried through WITH keeps its id column
       // name so later segments can keep treating it as an entity
       case Ident(v) if !isFinal &&

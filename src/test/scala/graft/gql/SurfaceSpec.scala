@@ -808,6 +808,25 @@ class SurfaceSpec extends AnyFunSuite {
       "RETURN count(a) AS n") == 50L)
   }
 
+  test("WITH property access + node passthrough (with_clause_property_access_bug.rs)") {
+    // property access in WITH behaves exactly like RETURN (the reference
+    // logged this as a bug investigation; we pin the working semantics)
+    val r = s.gql("MATCH (a:Account) WHERE a.id = 1 " +
+      "WITH a.name AS nm, a.balance AS bal, a.risk_score AS rs " +
+      "RETURN nm, bal, rs").collect().head
+    assert(r.getString(0) == "Account1" && r.getDouble(1) == 100.0)
+    // node passthrough next to a projected property of the same node
+    val r2 = s.gql("MATCH (a:Account) WHERE a.id = 2 " +
+      "WITH a AS node, a.balance AS bal " +
+      "RETURN node.name AS nm, bal").collect().head
+    assert(r2.getString(0) == "Account2" && r2.getDouble(1) == 200.0)
+    // chained WITH: re-projection over an earlier WITH alias
+    val r3 = s.gql("MATCH (a:Account) WHERE a.id <= 10 " +
+      "WITH a.balance AS bal WITH bal * 2 AS dbl " +
+      "RETURN sum(dbl) AS s").collect().head
+    assert(r3.getDouble(0) == 11000.0)
+  }
+
   test("named-tz values preserve zone name + UTC instant (value.rs:154)") {
     // constructor: (tz, ts) struct, zone name and instant both preserved
     val z = s.gql("RETURN AT_TIME_ZONE(DATETIME('2024-07-01 12:00:00'), " +
