@@ -209,13 +209,27 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         }
         val byLabel = evaluated.groupBy(_._1.labels.headOption.getOrElse(
           throw new GqlCompileException("INSERT nodes need a label")))
-        val counts = byLabel.toSeq.sortBy(_._1).map { case (label, nps) =>
-          val keys = nps.head._2.map(_._1)
-          if (nps.exists(_._2.map(_._1) != keys))
+        val counts = byLabel.toSeq.sortBy(_._1).map { case (label, nps0) =>
+          val keys0 = nps0.head._2.map(_._1)
+          if (nps0.exists(_._2.map(_._1) != keys0))
             throw new GqlCompileException(
               s"INSERT: all $label nodes must list the same properties")
-          if (!keys.contains("id"))
-            throw new GqlCompileException("INSERT nodes need an id property")
+          // id-less inserts auto-assign sequential ids past the label's
+          // current maximum (the reference generates node ids implicitly —
+          // README examples and duplicate_insert_test insert by props
+          // only, and identical statements must create DISTINCT nodes)
+          val nps =
+            if (keys0.contains("id")) nps0
+            else {
+              val base = graph.nodeTables.get(label).map { t =>
+                val r = t.agg(org.apache.spark.sql.functions
+                  .max(col("id"))).collect().head
+                if (r.isNullAt(0)) 0L else r.getLong(0)
+              }.getOrElse(0L)
+              nps0.zipWithIndex.map { case ((np, props), i) =>
+                np -> (("id" -> (base + i + 1L).asInstanceOf[Any]) +: props)
+              }
+            }
           val schema = org.apache.spark.sql.types.StructType(
             nps.head._2.map { case (k, v) =>
               org.apache.spark.sql.types.StructField(k, valueType(v))
