@@ -244,57 +244,67 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         }
         counts.toDF("label", "inserted")
 
-      case MatchInsertStmt(matches, where, insert) =>
-        // INSERT (x)-[:T {props}]->(y): one new edge per distinct matched
-        // (x, y) pair; engine-stable eid from (label, src, dst)
-        val (edgePat, dstNode) = insert.hops match {
-          case Seq((e, n2)) => (e, n2)
-          case _ => throw new GqlCompileException(
-            "MATCH…INSERT supports a single (x)-[:T]->(y) edge pattern")
+      case MatchInsertStmt(matches, where, inserts) =>
+        // INSERT (x)-[:T {props}]->(y)[-[:T2]->(z)…][, …]: one new edge
+        // per distinct matched endpoint pair and per hop of every listed
+        // chain (pattern_tests.rs inserts whole multi-hop paths at once);
+        // engine-stable eid from (label, src, dst)
+        val (binding, varLabels) =
+          new Compiler(graph, sessionParams, f64Mode).compileBinding(matches, where)
+        def insertOne(xVar: String, yVar: String,
+            edgePat: Ast.EdgePattern): Long = {
+          if (edgePat.direction != Ast.Out)
+            throw new GqlCompileException("MATCH…INSERT edges must be directed ->")
+          val label = edgePat.types.headOption.getOrElse(
+            throw new GqlCompileException("INSERT edge needs a type"))
+          for (v <- Seq(xVar, yVar) if !binding.columns.contains(s"${v}_id"))
+            throw new GqlCompileException(s"INSERT endpoint $v is not bound by MATCH")
+          // edge property values are expressions too (evaluated once)
+          val edgeProps = edgePat.props.map { case (k, ve) =>
+            k -> (evalStandalone(ve) match {
+              case i: java.lang.Integer => i.longValue()
+              case f: java.lang.Float => f.doubleValue()
+              case other => other
+            })
+          }
+          currentType.foreach(gt => graft.graph.GraphType.validateEdge(gt, label,
+            varLabels.get(xVar), varLabels.get(yVar),
+            edgeProps.map { case (k, v) => k -> valueTag(v) }))
+          var rows = binding.select(col(s"${xVar}_id").as("src"),
+              col(s"${yVar}_id").as("dst")).distinct()
+            .withColumn("eid", graft.text.TextAnalysis.stableHash60(
+              org.apache.spark.sql.functions.concat_ws("#",
+                lit(label), col("src"), col("dst"))))
+          // idempotent insert: an edge with the same (src, dst) already in
+          // the table would get an identical eid (eid = hash(label#src#dst)),
+          // and duplicate eids break TRAIL dedup and edge identity — so
+          // anti-join new rows against the existing table first. Re-running
+          // the same statement inserts 0.
+          graph.edgeTables.get(label).foreach { case (_, existing) =>
+            rows = rows.join(existing.select(col("src"), col("dst")),
+              Seq("src", "dst"), "left_anti")
+          }
+          edgeProps.foreach { case (k, v) =>
+            rows = rows.withColumn(k, lit(v)) }
+          val n = rows.count()
+          val et = graft.graph.EdgeType(label,
+            varLabels.getOrElse(xVar, ""), varLabels.getOrElse(yVar, ""))
+          currentGraph = Some(graph2.insertEdges(graph, label, et, rows))
+          n
         }
-        if (edgePat.direction != Ast.Out)
-          throw new GqlCompileException("MATCH…INSERT edges must be directed ->")
-        val xVar = insert.start.variable.getOrElse(
-          throw new GqlCompileException("INSERT edge endpoints must be bound variables"))
-        val yVar = dstNode.variable.getOrElse(
-          throw new GqlCompileException("INSERT edge endpoints must be bound variables"))
-        val label = edgePat.types.headOption.getOrElse(
-          throw new GqlCompileException("INSERT edge needs a type"))
-        val (binding, varLabels) = new Compiler(graph, sessionParams, f64Mode).compileBinding(matches, where)
-        for (v <- Seq(xVar, yVar) if !binding.columns.contains(s"${v}_id"))
-          throw new GqlCompileException(s"INSERT endpoint $v is not bound by MATCH")
-        // edge property values are expressions too (evaluated once)
-        val edgeProps = edgePat.props.map { case (k, ve) =>
-          k -> (evalStandalone(ve) match {
-            case i: java.lang.Integer => i.longValue()
-            case f: java.lang.Float => f.doubleValue()
-            case other => other
-          })
+        var total = 0L
+        inserts.foreach { path =>
+          var from = path.start
+          path.hops.foreach { case (edgePat, dstNode) =>
+            val xVar = from.variable.getOrElse(throw new GqlCompileException(
+              "INSERT edge endpoints must be bound variables"))
+            val yVar = dstNode.variable.getOrElse(throw new GqlCompileException(
+              "INSERT edge endpoints must be bound variables"))
+            total += insertOne(xVar, yVar, edgePat)
+            from = dstNode
+          }
         }
-        currentType.foreach(gt => graft.graph.GraphType.validateEdge(gt, label,
-          varLabels.get(xVar), varLabels.get(yVar),
-          edgeProps.map { case (k, v) => k -> valueTag(v) }))
-        var rows = binding.select(col(s"${xVar}_id").as("src"),
-            col(s"${yVar}_id").as("dst")).distinct()
-          .withColumn("eid", graft.text.TextAnalysis.stableHash60(
-            org.apache.spark.sql.functions.concat_ws("#",
-              lit(label), col("src"), col("dst"))))
-        // idempotent insert: an edge with the same (src, dst) already in
-        // the table would get an identical eid (eid = hash(label#src#dst)),
-        // and duplicate eids break TRAIL dedup and edge identity — so
-        // anti-join new rows against the existing table first. Re-running
-        // the same statement inserts 0.
-        graph.edgeTables.get(label).foreach { case (_, existing) =>
-          rows = rows.join(existing.select(col("src"), col("dst")),
-            Seq("src", "dst"), "left_anti")
-        }
-        edgeProps.foreach { case (k, v) =>
-          rows = rows.withColumn(k, lit(v)) }
-        val n = rows.count()
-        val et = graft.graph.EdgeType(label,
-          varLabels.getOrElse(xVar, ""), varLabels.getOrElse(yVar, ""))
-        currentGraph = Some(graph2.insertEdges(graph, label, et, rows))
-        Seq(n).toDF("edges_inserted")
+        Seq(total).toDF("edges_inserted")
 
       case MatchSetStmt(pattern, where, assignments) =>
         val (label, isEdge, v) = dmlTarget(pattern,

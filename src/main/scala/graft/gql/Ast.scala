@@ -166,7 +166,7 @@ object Ast {
     * matched bindings (match_insert.rs analog).
     */
   case class MatchInsertStmt(matches: Seq[PathPattern], where: Option[Expr],
-      insert: PathPattern) extends Statement
+      inserts: Seq[PathPattern]) extends Statement
   /** MATCH (v:L) [WHERE e] SET v.p = expr, … (match_set.rs analog). */
   case class MatchSetStmt(pattern: PathPattern, where: Option[Expr],
       assignments: Seq[(Prop, Expr)]) extends Statement

@@ -455,9 +455,13 @@ final class Parser(tokens: Vector[Token]) {
 
     if (tryKw("INSERT")) {
       if (!simple) err("MATCH…INSERT does not take WITH segments")
-      val ins = parsePathPattern()
+      // comma-separated multi-hop chains: INSERT (a)-[:R]->(b)-[:R]->(c),
+      // (a)-[:R]->(d) (pattern_tests.rs shortest-path graph setup)
+      val insB = Vector.newBuilder[PathPattern]
+      insB += parsePathPattern()
+      while (tryPunct(",")) insB += parsePathPattern()
       expectEnd()
-      MatchInsertStmt(segs.head.matches, where, ins)
+      MatchInsertStmt(segs.head.matches, where, insB.result())
     } else if (tryKw("SET")) {
       val as = Vector.newBuilder[(Prop, Expr)]
       var more = true

@@ -74,6 +74,30 @@ class ReadmeParitySpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("NYC", 3L, 30.0), ("SF", 1L, 28.0)))
   }
 
+  test("multi-hop and multi-path MATCH…INSERT (pattern_tests.rs path setup)") {
+    val s = SparkFixture.gqlSession(new PropertyGraph(Map.empty, Map.empty))
+    s.execute("INSERT (:PathNode {id: 1, tag: 'A'}), (:PathNode {id: 2, tag: 'B'}), " +
+      "(:PathNode {id: 3, tag: 'C'}), (:PathNode {id: 4, tag: 'D'}), " +
+      "(:PathNode {id: 5, tag: 'E'})")
+    // one statement inserts two chains + a direct edge (reference's
+    // shortest-path fixture: A→B→E, A→C→D→E, A→E)
+    val n = s.execute(
+      "MATCH (a:PathNode {tag: 'A'}), (b:PathNode {tag: 'B'}), " +
+        "(c:PathNode {tag: 'C'}), (d:PathNode {tag: 'D'}), (e:PathNode {tag: 'E'}) " +
+        "INSERT (a)-[:PATH {weight: 1}]->(b)-[:PATH {weight: 1}]->(e), " +
+        "(a)-[:PATH {weight: 1}]->(c)-[:PATH {weight: 2}]->(d)-[:PATH {weight: 1}]->(e), " +
+        "(a)-[:PATH {weight: 5}]->(e)").collect().head.getLong(0)
+    assert(n == 6L)
+    // idempotent re-run inserts nothing new
+    assert(s.execute(
+      "MATCH (a:PathNode {tag: 'A'}), (e:PathNode {tag: 'E'}) " +
+        "INSERT (a)-[:PATH {weight: 5}]->(e)").collect().head.getLong(0) == 0L)
+    // traversal sees all three routes A→…→E (depths 1, 2, 3)
+    val depths = s.gql("MATCH (a:PathNode {tag: 'A'})-[:PATH*1..3]->" +
+      "(e:PathNode {tag: 'E'}) RETURN count(e) AS n").collect().head.getLong(0)
+    assert(depths == 3L)
+  }
+
   test("relationship properties round-trip") {
     val s = setup()
     val roles = s.gql("MATCH (p:Person)-[w:WORKS_AT]->(c:Company) " +
