@@ -28,7 +28,11 @@ for name, sql in sorted(oracle.items()):
     if not files:
         print(f"FAIL {name}: no spark output"); n_fail += 1; continue
     try:
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+        # read the Spark output with pandas/pyarrow (decimal columns stay
+        # decimal.Decimal with exact scale) — the driver does the same;
+        # reading through duckdb would coerce DECIMAL to float64 and hide
+        # exact-rendering mismatches like r7's q34
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         exp = con.execute(sql).df()
     except Exception as e:
         print(f"FAIL {name}: {e}"); n_fail += 1; continue

@@ -82,12 +82,13 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
   def useGraph(path: String): this.type = {
     val parts = path.stripPrefix("/").split("/")
     require(parts.length == 2, s"graph path must be /schema/graph, got $path")
-    // grants are enforced at graph-attach time (reference: access checks
-    // in catalog/providers/security.rs ACEs) — a graph with no ACEs is
-    // open, a governed graph requires SELECT (or ALL) for this user
-    if (!gls.catalog.checkAccess(user, path, "SELECT"))
+    // attach requires *some* grant on a governed graph (a user granted
+    // only INSERT may attach to insert); the per-operation checks below
+    // (SELECT at query compile, INSERT/UPDATE/DELETE in the DML branches)
+    // mirror the reference Permission enum (security.rs:219-246)
+    if (!gls.catalog.checkAccessAny(user, path))
       throw new GqlAuthException(
-        s"user '$user' is not authorized to SELECT on $path")
+        s"user '$user' has no grants on $path")
     currentGraph = Some(gls.catalog.loadGraph(parts(0), parts(1)))
     currentName = Some(path)
     currentType = gls.catalog.graphTypeFor(path)
@@ -107,11 +108,23 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       "no current graph — call useGraph(...) first (reference: " +
         "'No graph context' error, executor.rs:242-274)"))
 
+  /** Per-operation grant check against the attached catalog graph
+    * (reference Permission enum, security.rs:219-246). In-memory graphs
+    * (`currentName` empty) are ungoverned by definition.
+    */
+  private def requirePerm(perm: String): Unit = currentName.foreach { path =>
+    if (!gls.catalog.checkAccess(user, path, perm))
+      throw new GqlAuthException(
+        s"user '$user' is not authorized to $perm on $path")
+  }
+
   /** Compile + return a GQL query as a DataFrame (lazy; actions execute
     * distributed).
     */
-  def gql(query: String): DataFrame =
+  def gql(query: String): DataFrame = {
+    requirePerm("SELECT")
     new Compiler(graph, sessionParams, f64Mode).compile(Parser.parse(query))
+  }
 
   /** Execute any GQL statement (ast.rs:24-39 dispatch): queries return
     * their result; DML mutates the session's current graph copy-on-write
@@ -181,9 +194,12 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     val spark = gls.spark
     import spark.implicits._
     Parser.parseStatement(text) match {
-      case QueryStmt(q) => new Compiler(graph, sessionParams, f64Mode).compile(q)
+      case QueryStmt(q) =>
+        requirePerm("SELECT")
+        new Compiler(graph, sessionParams, f64Mode).compile(q)
 
       case InsertStmt(nodes) =>
+        requirePerm("INSERT")
         // Property values are full expressions, not just literals
         // (function_expression_insert_test.rs: upper('hello'), abs(-5),
         // NOW(), …): evaluate each ONCE up front — literals stay driver-
@@ -245,6 +261,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         counts.toDF("label", "inserted")
 
       case MatchInsertStmt(matches, where, inserts) =>
+        requirePerm("INSERT")
         // INSERT (x)-[:T {props}]->(y)[-[:T2]->(z)…][, …]: one new edge
         // per distinct matched endpoint pair and per hop of every listed
         // chain (pattern_tests.rs inserts whole multi-hop paths at once);
@@ -307,6 +324,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         Seq(total).toDF("edges_inserted")
 
       case MatchSetStmt(pattern, where, assignments) =>
+        requirePerm("UPDATE")
         val (label, isEdge, v) = dmlTarget(pattern,
           assignments.head._1.variable)
         assignments.map(_._1.variable).find(_ != v).foreach(other =>
@@ -325,6 +343,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         Seq(affected).toDF("properties_set")
 
       case MatchRemoveStmt(pattern, where, props) =>
+        requirePerm("UPDATE")
         val (label, isEdge, v) = dmlTarget(pattern, props.head.variable)
         props.map(_.variable).find(_ != v).foreach(other =>
           throw new GqlCompileException(
@@ -338,6 +357,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         Seq(affected).toDF("properties_removed")
 
       case MatchDeleteStmt(pattern, where, target, detach) =>
+        requirePerm("DELETE")
         val (label, isEdge, v) = dmlTarget(pattern, target)
         val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
         if (isEdge) {
@@ -587,6 +607,11 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       }
 
       case PipelineMutationStmt(q, op, target, assigns, removeProps, detach) =>
+        requirePerm(op match {
+          case "SET" | "REMOVE" => "UPDATE"
+          case "DELETE" => "DELETE"
+          case _ => "INSERT"
+        })
         val compiler = new Compiler(graph, sessionParams, f64Mode)
         val mutExprs: Seq[Ast.Expr] = assigns.map(_._2)
         val (bdf, bindings) = compiler.compileMutationPipeline(q, mutExprs)

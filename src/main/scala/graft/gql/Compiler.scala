@@ -1418,7 +1418,12 @@ final class Compiler(graph: PropertyGraph,
       // path variable: one output row PER PATH, node-id array attached
       case Some(pv) => reach0.select(col("start_id"), col("end_id"),
         col("path").as(pv))
-      case None => reach0.select(col("start_id"), col("end_id")).distinct()
+      // no path variable: STILL one row per path (ISO-GQL / executor.rs
+      // :6394-6510 enumeration semantics) — collapsing to distinct
+      // endpoint pairs would turn enumeration into reachability and
+      // under-count branching DAGs (e.g. diamond A→{B,C}→E must yield
+      // two rows, not one)
+      case None => reach0.select(col("start_id"), col("end_id"))
     }
     val nVar = node.variable.getOrElse(fresh("n"))
     val joined = dfR.join(reach, col(s"${fromVar}_id") === col("start_id"))

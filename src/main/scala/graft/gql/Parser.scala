@@ -306,16 +306,24 @@ final class Parser(tokens: Vector[Token]) {
           expectEnd(); SecurityStmt("GRANT", "ROLE", first, Some(user))
         }
       case TIdent(s, _) if s.equalsIgnoreCase("REVOKE") =>
+        // REVOKE <role> FROM <user> (role membership — inverse of
+        // GRANT <role> TO <user>), or
+        // REVOKE <perm> ON /schema/graph FROM <principal> (graph ACE)
         p += 1
-        val perm = ident()
-        eatSoftKw("ON")
-        eatPunct("/")
-        val schema = ident(); eatPunct("/"); val g = ident()
-        eatSoftKw("FROM")
-        val who = ident()
-        expectEnd()
-        SecurityStmt("REVOKE", "ACCESS",
-          s"${perm.toUpperCase}|/$schema/$g", Some(who))
+        val first = ident()
+        if (trySoftKw("ON")) {
+          eatPunct("/")
+          val schema = ident(); eatPunct("/"); val g = ident()
+          eatSoftKw("FROM")
+          val who = ident()
+          expectEnd()
+          SecurityStmt("REVOKE", "ACCESS",
+            s"${first.toUpperCase}|/$schema/$g", Some(who))
+        } else {
+          eatSoftKw("FROM")
+          val user = ident()
+          expectEnd(); SecurityStmt("REVOKE", "ROLE", first, Some(user))
+        }
       case TKw("MATCH", _) =>
         // A MATCH statement is either a read query or MATCH-prefixed DML.
         // Don't sniff the token stream for SET/DELETE/… — a read query can

@@ -252,6 +252,21 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     if (kept.size == rows.size) false else { writeSecurity(kept); true }
   }
 
+  /** True when `user` holds ANY grant on `path` (or the path is
+    * ungoverned). Gate for graph attach: a user granted only INSERT must
+    * still be able to attach; the per-operation check happens at
+    * statement time ([[checkAccess]]).
+    */
+  def checkAccessAny(user: String, path: String): Boolean = {
+    val rows = readSecurity()
+    val aces = rows.filter(r => r._1 == "ACE" && r._2.endsWith(s"|$path"))
+    if (aces.isEmpty) return true
+    val principals = user +: rows.collect {
+      case ("GRANT", role, u) if u == user => role
+    }
+    aces.exists(a => principals.contains(a._3))
+  }
+
   /** True when `user` may exercise `perm` on graph `path`: the path is
     * ungoverned (no ACEs), or an ACE for this permission (or ALL) names
     * the user or one of the user's roles.

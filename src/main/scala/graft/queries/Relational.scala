@@ -614,14 +614,21 @@ object Relational {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // The decimal aggregates are rendered as VARCHAR on the oracle side
+    // only: DuckDB's pandas fetch coerces DECIMAL to float64 (dropping
+    // trailing zeros: 3854893.80 -> "3854893.8"), while the Spark parquet
+    // output keeps exact decimal128 values that print with full scale.
+    // CAST(dec AS VARCHAR) preserves the exact scale-2/scale-4 rendering,
+    // so the comparison is an *exact* digit-for-digit decimal check — the
+    // Spark output itself stays DECIMAL-typed.
     "q34_decimal_agg" ->
       """SELECT l_returnflag,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
-        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price,
+        | CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
         |   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-        |   AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        | MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
-        | MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
+        |   AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS sum_disc_price,
+        | CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS min_price,
+        | CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS max_price,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q28_full_outer" ->
