@@ -246,9 +246,25 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
                 np -> (("id" -> (base + i + 1L).asInstanceOf[Any]) +: props)
               }
             }
+          // column type per key: first non-null value across the batch;
+          // for an all-null column, the graph type's declared type or the
+          // existing label column's type — never a String placeholder,
+          // which would poison the label table's schema for later
+          // non-null inserts (union/schema mismatch at read time)
           val schema = org.apache.spark.sql.types.StructType(
-            nps.head._2.map { case (k, v) =>
-              org.apache.spark.sql.types.StructField(k, valueType(v))
+            nps.head._2.map(_._1).map { k =>
+              val firstNonNull =
+                nps.iterator.flatMap(_._2.collect {
+                  case (`k`, v) if v != null => v }).nextOption()
+              val dt = firstNonNull.map(valueType).getOrElse(
+                declaredSparkType(label, k)
+                  .orElse(graph.nodeTables.get(label).flatMap(
+                    _.schema.fields.find(_.name == k).map(_.dataType)))
+                  .getOrElse(throw new GqlCompileException(
+                    s"INSERT $label.$k: cannot infer a type for an " +
+                      "all-null new column — declare the property in a " +
+                      "graph type or insert a non-null value")))
+              org.apache.spark.sql.types.StructField(k, dt)
             })
           val rows = nps.map { case (_, props) =>
             org.apache.spark.sql.Row(props.map(_._2): _*)
@@ -575,6 +591,8 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           Seq(gls.catalog.revokeAccess(perm, path, target.get)).toDF("revoked")
         case ("GRANT", _) =>
           Seq(gls.catalog.grantRole(name, target.get)).toDF("granted")
+        case ("REVOKE", "ROLE") =>
+          Seq(gls.catalog.revokeRole(name, target.get)).toDF("revoked")
         case other => throw new GqlCompileException(s"unsupported security op $other")
       }
 
@@ -872,10 +890,21 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     }
   }
 
+  /** Spark type for a property the bound graph type declares (INSERT of
+    * an all-null column must honor the declared INT/DOUBLE/… rather than
+    * defaulting to a string placeholder).
+    */
+  private def declaredSparkType(label: String, prop: String):
+      Option[org.apache.spark.sql.types.DataType] =
+    currentType.flatMap(_.nodes.find(_.label == label))
+      .flatMap(_.props.find(_.name == prop))
+      .flatMap(pd => graft.graph.GraphType.sparkTypeOf(pd.dataType))
+
   private def valueType(v: Any): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     v match {
-      case null => StringType // null-only column: nullable placeholder
+      case null => throw new GqlCompileException(
+        "internal: all-null columns resolve via the declared graph type")
       case _: java.lang.Long | _: java.lang.Integer => LongType
       case _: java.lang.Double | _: java.lang.Float => DoubleType
       case bd: java.math.BigDecimal => DecimalType(

@@ -101,6 +101,18 @@ object ScaleProbe {
         graft.graph.Analytics.connectedComponents(s, g, "customer", "NEXT",
           localEdgeLimit = 0L)
       }),
+      // the distributed per-level BFS loop, forced past the local
+      // adjacency gate — the path a >2M-edge graph (or >1000-root batch)
+      // takes; keeps both g08 fallbacks measured, not just asserted
+      "g08_distributed" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val g = graft.graph.TpchGraph.build(s, d)
+        val heads = g.nodeScan("customer")
+          .groupBy($"nationkey").agg(min($"id").as("root_id"))
+          .select($"root_id")
+        g.bfs(heads, "NEXT", 10, localEdgeLimit = 0L)
+          .select($"root_id", $"node_id", $"dist")
+      }),
       "gql02_twohop" -> SparkEntry.queries("gql02_twohop"))
 
     // warm the JVM/codegen once so the first measured pair isn't paying

@@ -77,6 +77,15 @@ final class Compiler(graph: PropertyGraph,
     */
   private var usedProps: Map[String, Set[String]] = Map.empty
 
+  /** Names (WITH/LET aliases) currently bound to a named-tz (tz, ts)
+    * struct value. The Column-based compiler resolves value kinds from
+    * expression shape ([[ZonedShape]]); without this set, a zoned value
+    * carried through `WITH z AS zz` would silently take the naive branch
+    * in EXTRACT_TIMEZONE / LOCAL_DATETIME (zone 'UTC', offset 0) instead
+    * of its real zone.
+    */
+  private var zonedVals: Set[String] = Set.empty
+
   private def collectProps(e: Expr, acc: scala.collection.mutable.Map[String, Set[String]]): Unit = e match {
     case Prop(v, p) => acc(v) = acc.getOrElse(v, Set.empty) + p
     case ExistsPattern(paths) =>
@@ -457,6 +466,10 @@ final class Compiler(graph: PropertyGraph,
         defs.foreach { case (v, e) =>
           in = in.withColumn(v, compileExpr(e, ctx))
           ctx = Ctx(ctx.bindings + (v -> ValueBinding))
+          zonedVals = e match {
+            case ZonedShape() => zonedVals + v
+            case _ => zonedVals - v
+          }
         }
         df = Some(in)
       case StFilter(e) => applyWhere(e)
@@ -595,6 +608,12 @@ final class Compiler(graph: PropertyGraph,
         v -> UnionNode
       case (_, n) => n -> ValueBinding
     }.toMap
+    // zoned values surviving this projection: an item whose expression is
+    // zoned (directly or via a zoned alias) keeps its output name zoned
+    // for the next segment; everything else is naive again
+    zonedVals = items.collect {
+      case (ReturnItem(ZonedShape(), _), n) => n
+    }.toSet
     (out, nextBindings)
   }
 
@@ -754,6 +773,104 @@ final class Compiler(graph: PropertyGraph,
     case _ => None
   }
 
+  /** A correlated subquery of ANY pipeline shape (multi-segment WITH,
+    * OPTIONAL MATCH, UNWIND/LET/FILTER, grouped intermediates): its first
+    * segment references a node variable bound in the outer scope.
+    */
+  private def correlatedQuery(q: QueryExpr, ctx: Ctx): Option[Query] = q match {
+    case qq: Query =>
+      val seg = qq.segments.head
+      val vars = (seg.matches ++ seg.optionalMatches).flatMap { p =>
+        (p.start +: p.hops.map(_._2)).flatMap(_.variable)
+      }
+      if (vars.exists(v => ctx.isNodeLike(v))) Some(qq) else None
+    case _ => None
+  }
+
+  /** True when the single-segment fast path (existsInner + one group-by)
+    * can compile this correlated segment.
+    */
+  private def simpleCorrelatedShape(seg: Segment): Boolean =
+    seg.optionalMatches.isEmpty && seg.steps.isEmpty &&
+      seg.groupBy.isEmpty && seg.having.isEmpty &&
+      seg.postWhere.isEmpty && !seg.distinct && seg.orderBy.isEmpty &&
+      seg.skip.isEmpty && seg.limit.isEmpty
+
+  /** Compile a correlated subquery pipeline of general shape
+    * (executor.rs:4587-4810 evaluates arbitrary nested queries per outer
+    * row; we unnest relationally instead). The outer-shared node
+    * variables are label-injected into the first segment and carried
+    * through every WITH projection, so the result frame keeps their
+    * `<v>_id` identity columns for the group-by + left-outer-join
+    * unnesting the caller applies.
+    *
+    * Returns (frame, value column, whether the final segment already
+    * aggregated per shared key). ORDER BY / SKIP / LIMIT / DISTINCT
+    * inside a correlated sub change per-key semantics in ways a single
+    * group-by cannot express — still rejected honestly.
+    */
+  private def compileCorrelatedPipeline(qq: Query, ctx: Ctx):
+      (DataFrame, String, Boolean) = {
+    qq.segments.foreach { seg =>
+      if (seg.orderBy.nonEmpty || seg.skip.nonEmpty || seg.limit.nonEmpty ||
+          seg.distinct)
+        throw new GqlCompileException(
+          "correlated subquery: ORDER BY / SKIP / LIMIT / DISTINCT are " +
+            "not supported (value sets are per outer row)")
+    }
+    val last = qq.segments.last
+    if (last.projection.size != 1)
+      throw new GqlCompileException(
+        "correlated subquery must return exactly one column")
+
+    val first = qq.segments.head
+    val firstVars = (first.matches ++ first.optionalMatches).flatMap { p =>
+      (p.start +: p.hops.map(_._2)).flatMap(_.variable)
+    }
+    val shared = firstVars.filter(ctx.isNodeLike).distinct
+    def inject(np: NodePattern): NodePattern =
+      if (np.labels.isEmpty && np.variable.exists(shared.contains))
+        np.variable.flatMap(ctx.nodeLabel)
+          .map(l => np.copy(labels = Seq(l))).getOrElse(np)
+      else np
+    def injectPath(p: PathPattern): PathPattern = p.copy(
+      start = inject(p.start),
+      hops = p.hops.map { case (e2, n2) => (e2, inject(n2)) })
+    val firstInj = first.copy(matches = first.matches.map(injectPath),
+      optionalMatches = first.optionalMatches.map(injectPath))
+
+    // carry the shared identity vars through every projection (and any
+    // explicit GROUP BY, so grouped intermediates stay per outer key)
+    def carry(seg: Segment): Segment = {
+      val missing = shared.filterNot(v => seg.projection.exists {
+        case ReturnItem(Ident(`v`), None) => true
+        case _ => false
+      })
+      seg.copy(
+        projection = seg.projection ++ missing.map(v => ReturnItem(Ident(v), None)),
+        groupBy =
+          if (seg.groupBy.isEmpty) seg.groupBy
+          else seg.groupBy ++ shared.filterNot(v =>
+            seg.groupBy.contains(Ident(v))).map(Ident(_)))
+    }
+    val valueName = fresh("cval")
+    val aggregated = containsAgg(last.projection.head.expr) || last.groupBy.nonEmpty
+    val withFirst = firstInj +: qq.segments.tail
+    val lastInj = withFirst.last
+    val lastCarried = carry(lastInj.copy(
+      projection = Seq(lastInj.projection.head.copy(alias = Some(valueName)))))
+    val segs = withFirst.init.map(carry) :+ lastCarried
+
+    var df: Option[DataFrame] = None
+    var bindings = Map.empty[String, Binding]
+    segs.foreach { seg =>
+      val (d2, b2) = compileSegment(seg, df, bindings, isFinal = false)
+      df = Some(d2)
+      bindings = b2
+    }
+    (df.get, valueName, aggregated)
+  }
+
   /** Compile a nested query expression without clobbering the outer
     * query's property-usage map (compileQuery recomputes it).
     */
@@ -791,14 +908,10 @@ final class Compiler(graph: PropertyGraph,
 
     def scalarColumn(q: QueryExpr): String = cache.getOrElseUpdate(Subquery(q), {
       val name = fresh("subq")
-      correlatedSeg(q, ctx) match {
-        case Some(seg) =>
-          if (seg.optionalMatches.nonEmpty || seg.steps.nonEmpty ||
-              seg.groupBy.nonEmpty || seg.having.nonEmpty ||
-              seg.postWhere.nonEmpty || seg.distinct || seg.orderBy.nonEmpty ||
-              seg.skip.nonEmpty || seg.limit.nonEmpty)
-            throw new GqlCompileException(
-              "correlated scalar subquery must be MATCH … [WHERE …] RETURN <expr>")
+      correlatedQuery(q, ctx) match {
+        case Some(qq) if qq.segments.size == 1 &&
+            simpleCorrelatedShape(qq.segments.head) =>
+          val seg = qq.segments.head
           if (seg.projection.size != 1)
             throw new GqlCompileException(
               "scalar subquery must return exactly one column")
@@ -812,6 +925,30 @@ final class Compiler(graph: PropertyGraph,
           val perKey = innerDf.groupBy(shared.map(col): _*).agg(aggCol.as(name))
           df = df.join(perKey, shared, "left_outer")
           val countTop = item match {
+            case CountStar() | Fn("COUNT", _, _) => true
+            case _ => false
+          }
+          if (countTop) df = df.withColumn(name, coalesce(col(name), lit(0L)))
+        case Some(qq) =>
+          // general pipeline shape: WITH segments / OPTIONAL MATCH /
+          // UNWIND / LET / grouped intermediates
+          if (qq.segments.last.groupBy.nonEmpty)
+            throw new GqlCompileException(
+              "correlated scalar subquery must not GROUP its final RETURN " +
+                "(one value per outer row)")
+          val (innerDf, valueName, aggregated) =
+            compileCorrelatedPipeline(qq, ctx)
+          val shared = df.columns.toSet
+            .intersect(innerDf.columns.toSet).toSeq.sorted
+          if (shared.isEmpty)
+            throw new GqlCompileException(
+              "correlated subquery must share a variable with the outer query")
+          val perKey =
+            if (aggregated) innerDf.withColumnRenamed(valueName, name)
+            else innerDf.groupBy(shared.map(col): _*)
+              .agg(first(col(valueName)).as(name))
+          df = df.join(perKey, shared, "left_outer")
+          val countTop = qq.segments.last.projection.head.expr match {
             case CountStar() | Fn("COUNT", _, _) => true
             case _ => false
           }
@@ -837,31 +974,47 @@ final class Compiler(graph: PropertyGraph,
       // AQE picks the strategy from the distinct set's actual size.
       var marker: () => Column = null
 
-      correlatedSeg(q, ctx) match {
-        case Some(seg) =>
-          // Correlated: per-outer-key aggregates via group-by on the
-          // shared identity columns + left outer join — the same
-          // distributed unnesting the correlated scalar path uses
-          // (logical_optimizer.rs:283-516). An outer row with no inner
-          // match sees the empty set (cnt = 0), matching the semantics of
-          // re-running the subquery per row.
-          if (seg.optionalMatches.nonEmpty || seg.steps.nonEmpty ||
-              seg.groupBy.nonEmpty || seg.having.nonEmpty ||
-              seg.postWhere.nonEmpty || seg.distinct || seg.orderBy.nonEmpty ||
-              seg.skip.nonEmpty || seg.limit.nonEmpty)
-            throw new GqlCompileException(
-              "correlated quantified subquery must be MATCH … [WHERE …] RETURN <expr>")
-          if (seg.projection.size != 1)
-            throw new GqlCompileException(
-              "quantified subquery must return exactly one column")
-          val item = seg.projection.head.expr
-          if (containsAgg(item))
-            throw new GqlCompileException(
-              "quantified subquery must return a plain value, not an aggregate")
-          val (innerDf0, shared, innerCtx) = existsInner(df, seg.matches, ctx)
-          val innerDf = seg.where.fold(innerDf0)(w =>
-            innerDf0.filter(compileExpr(w, innerCtx)))
-          val v = compileExpr(item, innerCtx)
+      // Correlated: per-outer-key aggregates via group-by on the
+      // shared identity columns + left outer join — the same
+      // distributed unnesting the correlated scalar path uses
+      // (logical_optimizer.rs:283-516). An outer row with no inner
+      // match sees the empty set (cnt = 0), matching the semantics of
+      // re-running the subquery per row. General pipeline shapes (WITH
+      // segments, OPTIONAL MATCH, UNWIND/LET, grouped intermediates)
+      // compile through compileCorrelatedPipeline to per-row value
+      // frames first.
+      val correlated: Option[(DataFrame, Seq[String], Column)] =
+        correlatedQuery(q, ctx) match {
+          case Some(qq) if qq.segments.size == 1 &&
+              simpleCorrelatedShape(qq.segments.head) =>
+            val seg = qq.segments.head
+            if (seg.projection.size != 1)
+              throw new GqlCompileException(
+                "quantified subquery must return exactly one column")
+            val item = seg.projection.head.expr
+            if (containsAgg(item))
+              throw new GqlCompileException(
+                "quantified subquery must return a plain value, not an aggregate")
+            val (innerDf0, shared, innerCtx) = existsInner(df, seg.matches, ctx)
+            val innerDf = seg.where.fold(innerDf0)(w =>
+              innerDf0.filter(compileExpr(w, innerCtx)))
+            Some((innerDf, shared, compileExpr(item, innerCtx)))
+          case Some(qq) =>
+            val (innerDf, valueName, aggregated) =
+              compileCorrelatedPipeline(qq, ctx)
+            if (aggregated)
+              throw new GqlCompileException(
+                "quantified subquery must return a plain value, not an aggregate")
+            val shared = df.columns.toSet
+              .intersect(innerDf.columns.toSet).toSeq.sorted
+            if (shared.isEmpty)
+              throw new GqlCompileException(
+                "correlated subquery must share a variable with the outer query")
+            Some((innerDf, shared, col(valueName)))
+          case None => None
+        }
+      correlated match {
+        case Some((innerDf, shared, v)) =>
           val aggs = innerDf.groupBy(shared.map(col): _*).agg(
             count(lit(1)).as(cntN), count(v).as(valN),
             min(v).as(mnN), max(v).as(mxN), countDistinct(v).as(ndvN))
@@ -1833,6 +1986,11 @@ final class Compiler(graph: PropertyGraph,
     def unapply(e: Expr): Boolean = e match {
       case Fn("AT_TIME_ZONE" | "TIMEZONE" | "ZONED_DATETIME" | "CONVERT_TZ",
         _, _) => true
+      // an alias whose defining expression was zoned (tracked across
+      // WITH re-aliasing and LET in [[zonedVals]])
+      case Ident(v) => zonedVals.contains(v)
+      case CaseExpr(_, whens, otherwise) =>
+        whens.exists { case (_, v) => unapply(v) } || otherwise.exists(unapply)
       case _ => false
     }
   }

@@ -222,6 +222,13 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     else { writeSecurity(rows :+ (("GRANT", role, user))); true }
   }
 
+  def revokeRole(role: String, user: String): Boolean = {
+    val rows = readSecurity()
+    val kept = rows.filterNot(r =>
+      r._1 == "GRANT" && r._2 == role && r._3 == user)
+    if (kept.size == rows.size) false else { writeSecurity(kept); true }
+  }
+
   def listPrincipals(kind: String): Seq[String] =
     readSecurity().filter(_._1 == kind).map(_._2).sorted
 

@@ -45,6 +45,28 @@ object GraphType {
     }
   }
 
+  /** Spark storage type for a declared property type (used when an INSERT
+    * provides only nulls for a column, so no value exists to infer from).
+    */
+  def sparkTypeOf(declared: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val up = declared.toUpperCase
+    val base = up.takeWhile(c => c != '(' && c != '[')
+    base match {
+      case "STRING" | "VARCHAR" | "TEXT" => Some(StringType)
+      case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" => Some(LongType)
+      case "DOUBLE" | "FLOAT" | "REAL" | "FLOAT64" | "FLOAT32" => Some(DoubleType)
+      case "DECIMAL" | "NUMERIC" =>
+        val ps = "\\((\\d+)\\s*,\\s*(\\d+)\\)".r.findFirstMatchIn(up)
+        Some(ps.map(m => DecimalType(m.group(1).toInt, m.group(2).toInt))
+          .getOrElse(DecimalType(38, 18)))
+      case "BOOLEAN" | "BOOL" => Some(BooleanType)
+      case "TIMESTAMP" | "DATETIME" => Some(TimestampType)
+      case "DATE" => Some(DateType)
+      case _ => None
+    }
+  }
+
   class GraphTypeViolation(msg: String) extends RuntimeException(msg)
 
   /** Validate an INSERT node against the type (validator.rs:92-126). */

@@ -345,17 +345,27 @@ final class PropertyGraph(
           var d = 1L
           while (d <= maxIter && frontier.nonEmpty && !overflow) {
             val next = scala.collection.mutable.ListBuffer.empty[Long]
-            frontier.foreach { u =>
+            // cap checked per EMISSION, not per level: a dense level could
+            // otherwise overshoot by up to the full node set of boxed
+            // tuples on the driver heap before overflow triggered
+            val it = frontier.iterator
+            while (it.hasNext && !overflow) {
+              val u = it.next()
               val ns = adj.get(u)
-              if (ns != null) ns.foreach { v =>
-                if (!dist.containsKey(v)) {
-                  dist.put(v, d)
-                  out += ((root, v, d))
-                  next += v
+              if (ns != null) {
+                var i = 0
+                while (i < ns.length && !overflow) {
+                  val v = ns(i)
+                  if (!dist.containsKey(v)) {
+                    dist.put(v, d)
+                    out += ((root, v, d))
+                    next += v
+                    if (out.size > 5000000) overflow = true
+                  }
+                  i += 1
                 }
               }
             }
-            if (out.size > 5000000) overflow = true
             frontier = next.toList
             d += 1
           }
@@ -392,8 +402,10 @@ final class PropertyGraph(
     // on — a derived edge frame (e.g. built from a window function)
     // would otherwise recompute on every BFS level
     val e = work.createDataFrame(e0.rdd, e0.schema).localCheckpoint(true)
-    val src0 = sources.select(col("root_id"), col("root_id").as("id"),
-      lit(0L).as("dist"))
+    // one BFS per DISTINCT root — the local fast path dedups duplicate
+    // root_ids, so the distributed loop must agree on duplicate inputs
+    val src0 = sources.select(col("root_id")).distinct()
+      .select(col("root_id"), col("root_id").as("id"), lit(0L).as("dist"))
     var visited = work.createDataFrame(src0.rdd, src0.schema)
       .localCheckpoint(true)
     var frontier = visited

@@ -106,7 +106,10 @@ object GqlQueries {
         |RETURN n.name AS nname,
         |       (MATCH (n)<-[:IN_NATION]-(c:customer) RETURN count(c)) AS n_cust,
         |       (MATCH (n)<-[:IN_NATION]-(c:customer)-[:PLACED]->(o:orders)
-        |        RETURN count(o)) AS n_orders
+        |        RETURN count(o)) AS n_orders,
+        |       (MATCH (n)<-[:IN_NATION]-(c:customer)-[:PLACED]->(o:orders)
+        |        WITH o.totalprice AS tp
+        |        RETURN max(tp)) AS max_tp
         |ORDER BY nname""".stripMargin)),
 
     // quantified comparisons = ANY / > ALL (ast.rs:1326-1334 — the
@@ -209,7 +212,9 @@ object GqlQueries {
       """SELECT n_name AS nname,
         | (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
         | (SELECT count(*) FROM customer JOIN orders ON o_custkey = c_custkey
-        |  WHERE c_nationkey = n_nationkey) AS n_orders
+        |  WHERE c_nationkey = n_nationkey) AS n_orders,
+        | (SELECT max(o_totalprice) FROM customer JOIN orders ON o_custkey = c_custkey
+        |  WHERE c_nationkey = n_nationkey) AS max_tp
         |FROM nation
         |WHERE n_nationkey < (SELECT max(r_regionkey) * 3 FROM region)
         |ORDER BY nname""".stripMargin,

@@ -248,6 +248,35 @@ class StatementSpec extends AnyFunSuite {
     assert(s.execute("DROP GRAPH TYPE FraudType").collect().head.getBoolean(0))
   }
 
+  test("all-null INSERT columns take the declared type, not a placeholder") {
+    // round-7 advice: a null-evaluated property used to default the new
+    // column to STRING even when the graph type declared DOUBLE, so the
+    // next real insert hit a union/schema mismatch at read time
+    val s = freshSession()
+    s.execute("CREATE GRAPH TYPE NullType (" +
+      "NODE TYPE Widget (id INT NOT NULL, weight DOUBLE, note STRING))")
+    s.execute("SESSION SET GRAPH TYPE NullType")
+    s.execute("INSERT (:Widget {id: 1, weight: null})")
+    s.execute("INSERT (:Widget {id: 2, weight: 2.5})")
+    val rows = s.gql("MATCH (w:Widget) RETURN w.id AS id, w.weight AS wt " +
+      "ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).isNullAt(1) && rows(1).getDouble(1) == 2.5)
+    assert(s.execute("DROP GRAPH TYPE NullType").collect().head.getBoolean(0))
+    // without a declared type, an all-null NEW column is rejected with a
+    // clear error instead of poisoning the label table's schema
+    val s2 = freshSession()
+    val e = intercept[graft.gql.GqlCompileException] {
+      s2.execute("INSERT (:Blob {id: 1, payload: null})")
+    }
+    assert(e.getMessage.contains("all-null"))
+    // an all-null value for an EXISTING column reuses that column's type
+    s2.execute("INSERT (:Account {id: 60, name: 'A60', balance: null, " +
+      "risk_score: 0.1})")
+    assert(s2.gql("MATCH (a:Account) WHERE a.id = 60 RETURN a.balance AS b")
+      .collect().head.isNullAt(0))
+  }
+
   test("function expressions in INSERT and SET values (function_expression_insert_test.rs)") {
     val s = freshSession()
     // string/math function results as INSERT property values

@@ -857,6 +857,29 @@ class SurfaceSpec extends AnyFunSuite {
     assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE', NOW()) AS x") == "UTC")
   }
 
+  test("zoned values keep their zone through LET and WITH aliases") {
+    // round-7 advice: dispatch was purely syntactic, so a zoned struct
+    // behind an alias silently took the naive branch ('UTC', offset 0)
+    assert(one("LET z = AT_TIME_ZONE(DATETIME('2024-07-01 12:00:00'), " +
+      "'Asia/Tokyo') RETURN EXTRACT_TIMEZONE('TIMEZONE', z) AS x")
+      == "Asia/Tokyo")
+    assert(one("LET z = AT_TIME_ZONE(DATETIME('2024-07-01 12:00:00'), " +
+      "'America/New_York') RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', z) AS x")
+      == -4.0)
+    assert(one("LET z = AT_TIME_ZONE(DATETIME('2024-07-01 12:00:00'), " +
+      "'America/New_York') RETURN LOCAL_DATETIME(z) AS x")
+      .toString.startsWith("2024-07-01 08:00:00"))
+    // re-aliased through a WITH projection
+    assert(one("MATCH (a:Account) WHERE a.id = 1 " +
+      "WITH AT_TIME_ZONE(DATETIME('2024-01-01 12:00:00'), " +
+      "'America/New_York') AS z0 " +
+      "WITH z0 AS z RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', z) AS x")
+      == -5.0)
+    // a non-zoned rebinding of the same name reverts to naive
+    assert(one("LET z = AT_TIME_ZONE(NOW(), 'Asia/Tokyo') " +
+      "LET z = NOW() RETURN EXTRACT_TIMEZONE('TIMEZONE', z) AS x") == "UTC")
+  }
+
   test("graph grants are enforced at attach time (security.rs ACEs)") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sec").toString
     val gls = graft.GraphLiteSpark.open(SparkFixture.spark, wh)
@@ -895,6 +918,60 @@ class SurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("grants are enforced per operation (security.rs:219-246 Permission)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sec2").toString
+    val gls = graft.GraphLiteSpark.open(SparkFixture.spark, wh)
+    val admin = gls.session("admin").useGraph(SparkFixture.fraudGraph)
+    admin.saveGraphAs("/main/ops")
+    admin.execute("CREATE USER reader")
+    admin.execute("CREATE USER writer")
+    admin.execute("GRANT SELECT ON /main/ops TO reader")
+    admin.execute("GRANT INSERT ON /main/ops TO writer")
+
+    // SELECT-only: reads work, every DML class is rejected
+    val reader = gls.session("reader").useGraph("/main/ops")
+    assert(reader.gql("MATCH (a:Account) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 50L)
+    intercept[graft.GqlAuthException] {
+      reader.execute("INSERT (:Account {id: 999, name: 'x', balance: 1.0, " +
+        "risk_score: 0.1})")
+    }
+    intercept[graft.GqlAuthException] {
+      reader.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 0.0")
+    }
+    intercept[graft.GqlAuthException] {
+      reader.execute("MATCH (a:Account) WHERE a.id = 999 DELETE a")
+    }
+
+    // INSERT-only: may attach (round-7 advice: previously SELECT-gated
+    // attach locked writers out entirely) and insert, but not read
+    val writer = gls.session("writer").useGraph("/main/ops")
+    writer.execute("INSERT (:Tag {id: 1, label: 'seed'})")
+    intercept[graft.GqlAuthException] {
+      writer.gql("MATCH (a:Account) RETURN count(a) AS n").collect()
+    }
+  }
+
+  test("REVOKE role FROM user is the inverse of GRANT role TO user") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sec3").toString
+    val gls = graft.GraphLiteSpark.open(SparkFixture.spark, wh)
+    val admin = gls.session("admin").useGraph(SparkFixture.fraudGraph)
+    admin.saveGraphAs("/main/roles")
+    admin.execute("CREATE USER carol")
+    admin.execute("CREATE ROLE auditors")
+    admin.execute("GRANT SELECT ON /main/roles TO auditors")
+    admin.execute("GRANT auditors TO carol")
+    gls.session("carol").useGraph("/main/roles") // via role
+    assert(admin.execute("REVOKE auditors FROM carol")
+      .collect().head.getBoolean(0))
+    intercept[graft.GqlAuthException] {
+      gls.session("carol").useGraph("/main/roles")
+    }
+    // revoking an absent membership reports false, not an error
+    assert(!admin.execute("REVOKE auditors FROM carol")
+      .collect().head.getBoolean(0))
+  }
+
   test("EXPLAIN returns the full phase trace (plan/trace.rs analog)") {
     // the gql01 flagship shape: expand + aggregate + order
     val trace = s.explain("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
@@ -931,6 +1008,46 @@ class SurfaceSpec extends AnyFunSuite {
       "(MATCH (a)-[:Transaction]->(m:Merchant)<-[:Purchase]-(b:Account) " +
       "WHERE b.id <= 20 RETURN count(b)) AS n ORDER BY id").collect()
     assert(filtered.forall(_.getLong(1) == 2L))
+  }
+
+  test("correlated subqueries accept WITH pipelines (round-7 missing #1)") {
+    // a WITH pass-through is semantically the identity — the pipeline
+    // shape must agree exactly with its single-segment equivalent
+    def rows(q: String) = s.gql(q).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.get(1))).toSeq
+    val direct = rows("MATCH (a:Account) RETURN a.id AS id, " +
+      "(MATCH (a)-[t:Transaction]->(m:Merchant) RETURN max(t.amount)) AS top " +
+      "ORDER BY id")
+    val piped = rows("MATCH (a:Account) RETURN a.id AS id, " +
+      "(MATCH (a)-[t:Transaction]->(m:Merchant) WITH t.amount AS amt " +
+      "RETURN max(amt)) AS top ORDER BY id")
+    assert(piped == direct && direct.length == 50)
+    // aggregating WITH intermediate + plain final RETURN
+    val grouped = rows("MATCH (a:Account) RETURN a.id AS id, " +
+      "(MATCH (a)-[t:Transaction]->(m:Merchant) " +
+      "WITH count(t) AS n_t RETURN n_t * 10) AS x ORDER BY id")
+    assert(grouped.forall(_._2 == 20L)) // 2 transactions per account
+    // correlated quantified comparison over a 2-segment sub
+    assert(one("MATCH (a:Account) " +
+      "WHERE a.balance > ALL (MATCH (a)-[:Transaction]->(m:Merchant) " +
+      "WITH m.id * 200.0 AS v RETURN v) RETURN count(a) AS n") == 19L)
+  }
+
+  test("correlated scalar subquery accepts OPTIONAL MATCH") {
+    // every account makes exactly one Purchase — the OPTIONAL hop binds
+    val rows = s.gql("MATCH (a:Account) RETURN a.id AS id, " +
+      "(MATCH (a) OPTIONAL MATCH (a)-[p:Purchase]->(m:Merchant) " +
+      "RETURN count(m)) AS n ORDER BY id").collect()
+    assert(rows.length == 50 && rows.forall(_.getLong(1) == 1L))
+  }
+
+  test("correlated subquery still rejects ORDER BY / LIMIT honestly") {
+    val e = intercept[graft.gql.GqlCompileException] {
+      s.gql("MATCH (a:Account) RETURN a.id AS id, " +
+        "(MATCH (a)-[t:Transaction]->(m:Merchant) WITH t.amount AS amt " +
+        "RETURN amt ORDER BY amt LIMIT 1) AS top").collect()
+    }
+    assert(e.getMessage.contains("not supported"))
   }
 
   test("correlated > ALL compares per outer row") {

@@ -58,4 +58,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       (0L to 4L).map(i => (0L, i, i)).toSet)
     assert(local.filter(_._1 == 105L) == Set((105L, 105L, 0L)))
   }
+
+  test("bfs paths agree on duplicate-root inputs (one BFS per distinct root)") {
+    import spark.implicits._
+    val g = chainGraph
+    // round-7 advice: the local path deduped duplicate root_ids while the
+    // distributed loop emitted one row-set per duplicate — compare as
+    // multisets so a multiplicity disagreement cannot hide
+    val sources = Seq(0L, 0L, 30L, 30L, 30L).toDF("root_id")
+    def rows(limit: Long) =
+      g.bfs(sources, "E", maxIter = 3, localEdgeLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val local = rows(2000000L)
+    val dist = rows(0L)
+    assert(local == dist)
+    assert(local.map(_._1).distinct.sorted == Seq(0L, 30L))
+    // exactly one row-set per distinct root: (depth 0..3) x 2 roots
+    assert(local.size == 8)
+  }
 }
