@@ -63,6 +63,30 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     */
   private var procDepth: Int = 0
   private var bodyDeclared: List[(String, Option[Any])] = Nil
+  /** Opt-in result + subquery caching (cache/result_cache.rs,
+    * subquery_cache.rs) — `SESSION SET RESULT_CACHE ON`. Off by default:
+    * Spark results are lazy frames, and eager driver-side materialization
+    * is a serving-layer trade the user must choose (same reasoning as
+    * Dataset.cache being opt-in).
+    */
+  private var resultCacheOn: Boolean = false
+  private val resultCache = new graft.cache.ResultCache()
+  private val subqueryCache = new graft.cache.SubqueryCache()
+  /** Versioned-invalidation epoch (invalidation.rs Versioned strategy):
+    * part of every cache key; bumped by any non-query statement and any
+    * graph (re)attach.
+    */
+  private var cacheEpoch: Long = 0L
+
+  /** (hits, misses, evictions, invalidations, entries, oversizeSkips). */
+  def resultCacheStats: (Long, Long, Long, Long, Long, Long) = resultCache.stats
+  /** (hits, misses, evictions, entries) for the scalar-subquery memo. */
+  def subqueryCacheStats: (Long, Long, Long, Long) = {
+    val (h, m, ev) = subqueryCache.stats
+    (h, m, ev, subqueryCache.size.toLong)
+  }
+  def clearResultCache(): Unit = { resultCache.clear(); subqueryCache.clear() }
+  def resultCacheEnabled: Boolean = resultCacheOn
 
   def useF64Numbers(on: Boolean): this.type = { f64Mode = on; this }
 
@@ -92,6 +116,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     currentGraph = Some(gls.catalog.loadGraph(parts(0), parts(1)))
     currentName = Some(path)
     currentType = gls.catalog.graphTypeFor(path)
+    cacheEpoch += 1
     this
   }
 
@@ -100,6 +125,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     currentGraph = Some(g)
     currentName = None
     currentType = None
+    cacheEpoch += 1
     this
   }
 
@@ -189,11 +215,53 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       case _ => executeOne(text)
     }
 
-  private def executeOne(text: String): DataFrame = {
+  private def executeOne(text: String): DataFrame =
+    Parser.parseStatement(text) match {
+      case Ast.QueryStmt(q) => executeQuery(text, q)
+      case st =>
+        // write-through invalidation (invalidation.rs:49-58): any
+        // non-query statement may have changed the graph, the catalog, or
+        // session semantics — bump the epoch so every cached result keyed
+        // on the old version can never hit again, and free those entries
+        // eagerly rather than waiting for LRU/TTL aging.
+        val out = dispatchStmt(st)
+        cacheEpoch += 1
+        resultCache.invalidateBefore(cacheEpoch)
+        out
+    }
+
+  /** Query execution with the opt-in result cache in front
+    * (result_cache.rs:147 QueryResultCache::get_or_execute). Keys are
+    * parameter-aware and user-scoped (QueryCacheKey, result_cache.rs:
+    * 19-23); a hit replays collected rows as a local scan — no job.
+    */
+  private def executeQuery(text: String, q: Ast.QueryExpr): DataFrame = {
+    requirePerm("SELECT")
+    def compile() = new Compiler(graph, sessionParams, f64Mode,
+      if (resultCacheOn) Some((subqueryCache, cacheEpoch)) else None).compile(q)
+    if (!resultCacheOn) return compile()
+    val key = resultCache.Key(text.trim, sessionParams, cacheEpoch, user, f64Mode)
+    resultCache.get(key, gls.spark).getOrElse {
+      val df = compile()
+      // bound the materialization: fetch one row past the cap so an
+      // oversize result is detected without collecting it all
+      val rows = df.limit(resultCache.maxRowsPerEntry + 1).collect()
+      if (rows.length > resultCache.maxRowsPerEntry) df
+      else {
+        // mirror result_cache.rs is_valid: empty results are not cached
+        // (the reference treats empty as not-worth-pinning)
+        if (rows.nonEmpty) resultCache.put(key, rows, df.schema)
+        gls.spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }
+  }
+
+  private def dispatchStmt(stmt: Ast.Statement): DataFrame = {
     import Ast._
     val spark = gls.spark
     import spark.implicits._
-    Parser.parseStatement(text) match {
+    stmt match {
       case QueryStmt(q) =>
         requirePerm("SELECT")
         new Compiler(graph, sessionParams, f64Mode).compile(q)
@@ -271,7 +339,14 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           }
           val df = spark.createDataFrame(
             spark.sparkContext.parallelize(rows.toSeq), schema)
-          currentGraph = Some(graph2.insertNodes(graph, label, df))
+          // declared graph-type property types are authoritative: cast
+          // value-inferred columns (a DECIMAL(12,2) or INT128 property
+          // inserted from an integer literal must not drift the label
+          // table to LongType across statements)
+          val aligned = df.columns.foldLeft(df) { (d, k) =>
+            declaredSparkType(label, k).fold(d)(t => d.withColumn(k, col(k).cast(t)))
+          }
+          currentGraph = Some(graph2.insertNodes(graph, label, aligned))
           label -> nps.size.toLong
         }
         counts.toDF("label", "inserted")
@@ -551,6 +626,12 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           f64Mode = true; Seq("f64").toDF("numbers")
         case "NUMBERS_NATIVE" =>
           f64Mode = false; Seq("native").toDF("numbers")
+        case "RESULT_CACHE_ON" =>
+          resultCacheOn = true; Seq("on").toDF("result_cache")
+        case "RESULT_CACHE_OFF" =>
+          resultCacheOn = false
+          resultCache.clear(); subqueryCache.clear()
+          Seq("off").toDF("result_cache")
         case other => throw new GqlCompileException(s"unknown SESSION op $other")
       }
 
@@ -804,7 +885,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       case Ident(`v`) => col("id")
       case Prop(other, _) => throw new GqlCompileException(
         s"DML expressions may only reference $v, got $other")
-      case NumLit(x, isInt) => if (isInt) lit(x.toLong) else lit(x)
+      case NumLit(x, isInt) => if (isInt) lit(x.toLong) else lit(x.toDouble)
       case StrLit(s0) => lit(s0)
       case BoolLit(b) => lit(b)
       case NullLit() => lit(null)
@@ -941,7 +1022,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
 
   private def litValue(e: Ast.Expr): Any = e match {
     case Ast.NumLit(v, true) => v.toLong
-    case Ast.NumLit(v, false) => v
+    case Ast.NumLit(v, false) => v.toDouble
     case Ast.StrLit(s0) => s0
     case Ast.BoolLit(b) => b
     case Ast.NullLit() => null

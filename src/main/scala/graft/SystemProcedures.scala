@@ -15,6 +15,7 @@ object SystemProcedures {
     "gql.list_grants", "gql.list_procedures", "gql.list_indexes",
     "gql.list_graph_types", "gql.authenticate_user", "gql.cache_stats",
     "gql.clear_cache", "gql.show_parameters",
+    "gql.result_cache_stats", "gql.result_cache_clear",
     "gql.find_neighbors", "gql.shortest_path", "gql.is_reachable")
 
   def call(gls: GraphLiteSpark, session: GqlSession, name: String,
@@ -61,6 +62,19 @@ object SystemProcedures {
       case "gql.show_parameters" =>
         session.parameters.toSeq.sortBy(_._1).map { case (k, v) =>
           (k, Option(v).map(_.toString).orNull) }.toDF("parameter", "value")
+      // result/subquery cache introspection (cache_manager.rs stats
+      // surface): one row per cache with hit/miss/eviction counters
+      case "gql.result_cache_stats" =>
+        val (h, m, ev, inv, n, big) = session.resultCacheStats
+        val (sh, sm, sev, sn) = session.subqueryCacheStats
+        Seq(
+          ("result", session.resultCacheEnabled, h, m, ev, inv, n, big),
+          ("subquery", session.resultCacheEnabled, sh, sm, sev, 0L, sn, 0L))
+          .toDF("cache", "enabled", "hits", "misses", "evictions",
+            "invalidations", "entries", "oversize_skips")
+      case "gql.result_cache_clear" =>
+        session.clearResultCache()
+        Seq(true).toDF("cleared")
       case "gql.clear_cache" =>
         gls.spark.catalog.clearCache()
         gls.spark.sparkContext.getPersistentRDDs.values.foreach(
@@ -130,5 +144,7 @@ object SystemProcedures {
     "CONVERT_TZ" -> "timezone", "GET_TIMEZONE_OFFSET" -> "timezone",
     "EXTRACT_TIMEZONE" -> "timezone", "GET_TIMEZONE_NAME" -> "timezone",
     "GET_TIMEZONE_ABBREVIATION" -> "timezone",
-    "ID" -> "graph", "LABELS" -> "graph", "TYPE" -> "graph", "KEYS" -> "graph")
+    "ID" -> "graph", "LABELS" -> "graph", "TYPE" -> "graph", "KEYS" -> "graph",
+    "TEMPORAL_VALUE" -> "bitemporal", "VALID_AT" -> "bitemporal",
+    "TEMPORAL_CURRENT" -> "bitemporal")
 }

@@ -10,7 +10,9 @@ object Ast {
   sealed trait Expr
   case class NullLit() extends Expr
   case class BoolLit(v: Boolean) extends Expr
-  case class NumLit(v: Double, isInt: Boolean) extends Expr
+  // BigDecimal, not Double: integer literals above 2^53 (INT64 range,
+  // e.g. 9007199254740993) must survive parsing exactly
+  case class NumLit(v: BigDecimal, isInt: Boolean) extends Expr
   case class StrLit(v: String) extends Expr
   case class ListLit(items: Seq[Expr]) extends Expr
   /** Bare variable reference (node/edge var, or alias from WITH/RETURN). */

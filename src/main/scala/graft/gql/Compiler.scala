@@ -29,7 +29,13 @@ final class Compiler(graph: PropertyGraph,
       * results compare bit-for-bit with the reference's engine. Off by
       * default: native Spark numeric semantics (int ops stay integral).
       */
-    f64Numbers: Boolean = false) {
+    f64Numbers: Boolean = false,
+    /** Session-level scalar-subquery memo (cache/subquery_cache.rs):
+      * `(cache, epoch)` — when present, uncorrelated scalar subqueries
+      * evaluate eagerly through the cache and inline as literals, so two
+      * outer queries sharing `(MATCH … RETURN max(x))` cost one job.
+      */
+    subqueries: Option[(graft.cache.SubqueryCache, Long)] = None) {
 
   sealed trait Binding
   /** A node variable constrained to ALL of `labels` (multi-label pattern
@@ -957,7 +963,28 @@ final class Compiler(graph: PropertyGraph,
           val inner = compileNested(q)
           val c1 = inner.columns.headOption.getOrElse(
             throw new GqlCompileException("scalar subquery returns no columns"))
-          df = df.crossJoin(broadcast(inner.limit(1).agg(first(col(c1)).as(name))))
+          subqueries match {
+            case Some((sc, epoch)) if {
+              import org.apache.spark.sql.types._
+              inner.schema(c1).dataType match {
+                case _: StructType | _: ArrayType | _: MapType => false
+                case _ => true
+              }
+            } =>
+              // eager + memoized: the scalar is a single driver value, so
+              // inline it as a literal — the outer plan loses the
+              // crossJoin subtree entirely, and the next statement
+              // sharing this subquery AST skips the job (structural
+              // case-class equality = the reference's expression hash)
+              val (v, dt) = sc.getOrCompute(q, epoch) {
+                val row = inner.select(col(c1)).limit(1).collect().headOption
+                (row.map(_.get(0)).orNull, inner.schema(c1).dataType)
+              }
+              df = df.withColumn(name, lit(v).cast(dt))
+            case _ => // no cache, or struct/array scalar: keep the lazy plan
+              df = df.crossJoin(broadcast(
+                inner.limit(1).agg(first(col(c1)).as(name))))
+          }
       }
       name
     })
@@ -1685,7 +1712,7 @@ final class Compiler(graph: PropertyGraph,
           if (neg) !c else c
         case CaseExpr(s, ws, o) => caseExpr(s, ws, o, x => compilePost(x, pc))
         case Cast(x, t) => compilePost(x, pc).cast(sparkType(t))
-        case NumLit(v, isInt) => if (isInt) lit(v.toLong) else lit(v)
+        case NumLit(v, isInt) => if (isInt) lit(v.toLong) else lit(v.toDouble)
         case StrLit(s) => lit(s)
         case BoolLit(b) => lit(b)
         case NullLit() => lit(null)
@@ -1696,7 +1723,7 @@ final class Compiler(graph: PropertyGraph,
   def compileExpr(e: Expr, ctx: Ctx): Column = e match {
     case NullLit() => lit(null)
     case BoolLit(b) => lit(b)
-    case NumLit(v, isInt) => if (isInt) lit(v.toLong) else lit(v)
+    case NumLit(v, isInt) => if (isInt) lit(v.toLong) else lit(v.toDouble)
     case StrLit(s) => lit(s)
     case ListLit(items) => array(items.map(compileExpr(_, ctx)): _*)
     case Ident(v) => ctx.bindings.get(v) match {
@@ -1948,7 +1975,7 @@ final class Compiler(graph: PropertyGraph,
 
   private def litValue(e: Expr): Any = e match {
     case NumLit(v, true) => v.toLong
-    case NumLit(v, false) => v
+    case NumLit(v, false) => v.toDouble
     case StrLit(s) => s
     case BoolLit(b) => b
     case NullLit() => null
@@ -1959,6 +1986,8 @@ final class Compiler(graph: PropertyGraph,
   private val DecimalP = """DECIMAL\((\d+)\)""".r
   private val StringN = """(?:STRING|VARCHAR|TEXT)\(\d+\)""".r
   private val FloatP = """FLOAT\((\d+)\)""".r
+  private val BytesN = """BYTES\(\d+\)""".r
+  private val DurationP = """DURATION(?:\(\d+\))?""".r
 
   private def sparkType(t: String): String = t.toUpperCase match {
     case "STRING" | "VARCHAR" | "TEXT" => "string"
@@ -1975,6 +2004,22 @@ final class Compiler(graph: PropertyGraph,
     case DecimalPS(p, sc) => s"decimal($p,$sc)"
     case DecimalP(p) => s"decimal($p,0)"
     case "DECIMAL" => "decimal(38,18)"
+    // BYTES(n) → binary (length is a DDL constraint, ast.rs:814-878)
+    case "BYTES" | "BINARY" => "binary"
+    case BytesN() => "binary"
+    // DURATION(p) → day-time interval; sub-second precision p is a DDL
+    // constraint (Spark's DayTimeIntervalType is fixed micros)
+    case DurationP() => "interval day to second"
+    // honest errors where Spark's type system genuinely cannot follow
+    case "INT128" | "INT256" =>
+      throw new GqlCompileException(
+        s"$t exceeds Spark's 64-bit integer range — use DECIMAL(38,0) " +
+          "(exact to 38 digits) instead")
+    case "RECORD" =>
+      throw new GqlCompileException(
+        "CAST to RECORD is not supported — construct struct values with " +
+          "named fields instead (RECORD fields are not expressible in a " +
+          "cast target)")
     case other => throw new GqlCompileException(s"unsupported cast target $other")
   }
 
@@ -2166,6 +2211,20 @@ final class Compiler(graph: PropertyGraph,
       case "CONVERT_TZ" =>
         struct(lit(canonicalZone(strArg(args(2)))).as("tz"),
           to_utc_timestamp(a(0), strArg(args(1))).as("ts"))
+      // bi-temporal values (reference TemporalValue, value.rs:19-24):
+      // TEMPORAL_VALUE(v, valid_from [, valid_to [, tx_time]]) builds the
+      // (value, valid_from, valid_to, tx_time) struct; VALID_AT /
+      // TEMPORAL_CURRENT are the is_valid_at / is_current predicates.
+      // Field access (tv.value, tv.valid_from, …) rides the existing
+      // struct FieldAccess path.
+      case "TEMPORAL_VALUE" =>
+        graft.functions.Bitemporal.temporalValue(a(0), a(1),
+          if (args.size > 2) a(2) else lit(null),
+          if (args.size > 3) a(3) else current_timestamp())
+      case "VALID_AT" =>
+        graft.functions.Bitemporal.isValidAt(a(0), a(1))
+      case "TEMPORAL_CURRENT" =>
+        graft.functions.Bitemporal.isCurrent(a(0))
       case "GET_TIMEZONE_OFFSET" =>
         (unix_timestamp(from_utc_timestamp(a(1), strArg(args(0)))) -
           unix_timestamp(a(1))).cast("long")

@@ -211,7 +211,14 @@ final class Parser(tokens: Vector[Token]) {
         else if (trySoftKw("CLOSE")) { expectEnd(); SessionCtl("CLOSE") }
         else {
           eatKw("SET")
-          if (trySoftKw("NUMBERS")) {
+          if (trySoftKw("RESULT_CACHE")) {
+            // SESSION SET RESULT_CACHE ON|OFF — opt-in result/subquery
+            // caching (cache/result_cache.rs, cache_config.rs `enabled`)
+            val mode = ident().toUpperCase
+            if (mode != "ON" && mode != "OFF")
+              err("SESSION SET RESULT_CACHE expects ON or OFF")
+            expectEnd(); SessionCtl(s"RESULT_CACHE_$mode")
+          } else if (trySoftKw("NUMBERS")) {
             // SESSION SET NUMBERS F64|NATIVE — reference number-semantics
             // switch (value.rs:449-453 f64-everywhere arithmetic)
             val mode = ident().toUpperCase
@@ -1060,7 +1067,7 @@ final class Parser(tokens: Vector[Token]) {
         Cast(e, t)
       case TNum(s, _) =>
         p += 1
-        NumLit(s.toDouble, isInt = !s.contains('.'))
+        NumLit(BigDecimal(s), isInt = !s.contains('.'))
       case TStr(s, _) => p += 1; StrLit(s)
       case TPunct("$", _) =>
         p += 1

@@ -39,6 +39,13 @@ object GraphType {
       // exact numerics accept both int and float literals; scale/precision
       // conformance is enforced at CAST time (ast.rs:826-830)
       case ("DECIMAL" | "NUMERIC", LInt | LFloat) => true
+      // wide integers (ast.rs:814-878): GQL literals are 64-bit, so any
+      // literal that parses conforms; storage is DECIMAL(38,0)
+      case ("INT128" | "INT256", LInt) => true
+      // bytes/duration literals arrive as strings on this surface
+      // (hex/base64 for BYTES, ISO-8601 for DURATION)
+      case ("BYTES" | "BINARY", LString) => true
+      case ("DURATION", LString) => true
       case ("BOOLEAN" | "BOOL", LBool) => true
       case ("TIMESTAMP" | "DATETIME" | "DATE" | "TIME", LTemporal) => true
       case _ => false
@@ -63,6 +70,13 @@ object GraphType {
       case "BOOLEAN" | "BOOL" => Some(BooleanType)
       case "TIMESTAMP" | "DATETIME" => Some(TimestampType)
       case "DATE" => Some(DateType)
+      // INT128/INT256 store as DECIMAL(38,0): every value expressible on
+      // this surface (64-bit literals) fits exactly; CAST to INT128/256
+      // errors honestly (Compiler.sparkType)
+      case "INT128" | "INT256" => Some(DecimalType(38, 0))
+      // bytes/duration values are carried as their literal string forms
+      // until binary/interval literal syntax exists on the GQL surface
+      case "BYTES" | "BINARY" | "DURATION" => Some(StringType)
       case _ => None
     }
   }

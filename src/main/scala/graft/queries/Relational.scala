@@ -429,6 +429,28 @@ object Relational {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- bi-temporal AS OF over SCD-2 intervals (reference TemporalValue,
+    // value.rs:19-24; SURVEY §1.2): each customer's order history becomes
+    // SCD-2 rows (valid_from = orderdate, valid_to = next orderdate), and
+    // the AS-OF instant picks the row whose interval covers it. The
+    // validity predicate runs through Bitemporal.isValidAt on the
+    // (value, valid_from, valid_to, tx_time) struct — one window shuffle
+    // on o_custkey, then a pure per-row filter.
+    "q35_asof_scd2" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.functions.Bitemporal
+      val t = lit("1997-06-01").cast("timestamp")
+      val scd = Bitemporal.scd2(Tables.orders(s, d),
+        keys = Seq("o_custkey"), ts = "o_orderdate", tieBreak = Seq("o_orderkey"))
+        .withColumn("tv", Bitemporal.temporalValue(
+          $"o_totalprice", $"valid_from", $"valid_to", lit("1998-01-01").cast("timestamp")))
+      Bitemporal.asOf(scd, "tv", t)
+        .select($"o_custkey".cast("long").as("cust"),
+          $"o_orderkey".cast("long").as("okey"),
+          $"tv".getField("value").as("price"))
+        .orderBy($"cust", $"okey")
+    }),
+
     // ---- FULL OUTER join
     "q28_full_outer" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -631,6 +653,19 @@ object Relational {
         | CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS max_price,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_asof_scd2" ->
+      """WITH s AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to
+        | FROM orders)
+        |SELECT CAST(o_custkey AS BIGINT) AS cust,
+        |       CAST(o_orderkey AS BIGINT) AS okey,
+        |       o_totalprice AS price
+        |FROM s
+        |WHERE TIMESTAMP '1997-06-01' >= valid_from
+        |  AND (valid_to IS NULL OR TIMESTAMP '1997-06-01' < valid_to)
+        |ORDER BY cust, okey""".stripMargin,
     "q28_full_outer" ->
       """SELECT coalesce(cn.nk, sn.snk) AS nationkey,
         | coalesce(cn.nc, 0) AS n_customers, coalesce(sn.ns, 0) AS n_suppliers

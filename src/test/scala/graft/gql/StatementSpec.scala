@@ -372,6 +372,45 @@ class StatementSpec extends AnyFunSuite {
     assert(s.execute("DROP GRAPH TYPE MoneyType").collect().head.getBoolean(0))
   }
 
+  test("type breadth tail: BYTES(n), DURATION(p), INT128/256, RECORD " +
+      "(ast.rs:814-878)") {
+    val s = freshSession()
+    // CAST surface: BYTES → binary, DURATION → day-time interval
+    assert(s.execute("RETURN CAST('ab' AS BYTES(16)) AS b").collect().head
+      .getAs[Array[Byte]](0).toSeq == "ab".getBytes("UTF-8").toSeq)
+    // day-time intervals collect as java.time.Duration (1d 2h = 26h)
+    assert(s.execute("RETURN CAST('1 02:00:00' AS DURATION) AS d")
+      .collect().head.getAs[java.time.Duration](0) ==
+      java.time.Duration.ofHours(26))
+    // INT128/256 and RECORD cast targets error honestly, naming the fix
+    val e1 = intercept[graft.gql.GqlCompileException] {
+      s.execute("RETURN CAST(5 AS INT128) AS x")
+    }
+    assert(e1.getMessage.contains("DECIMAL(38,0)"))
+    val e2 = intercept[graft.gql.GqlCompileException] {
+      s.execute("RETURN CAST(5 AS RECORD) AS x")
+    }
+    assert(e2.getMessage.contains("RECORD"))
+    // GRAPH TYPE declarations parse, validate, and pin storage types
+    s.execute("CREATE GRAPH TYPE WideType (" +
+      "NODE TYPE Thing (id INT NOT NULL, big INT128, blob BYTES(32), " +
+      "span DURATION(3)))")
+    s.execute("SESSION SET GRAPH TYPE WideType")
+    assert(s.execute("INSERT (:Thing {id: 1, big: 9007199254740993, " +
+      "blob: 'CAFE', span: 'PT2H'})").collect().head.getLong(1) == 1L)
+    // INT128 stores as DECIMAL(38,0) — exact for every 64-bit literal
+    val row = s.execute("MATCH (t:Thing) RETURN t.big AS big").collect().head
+    assert(row.getDecimal(0).longValueExact == 9007199254740993L)
+    // type violations still reject
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("INSERT (:Thing {id: 2, big: 'not-a-number'})")
+    }
+    intercept[graft.graph.GraphType.GraphTypeViolation] {
+      s.execute("INSERT (:Thing {id: 3, blob: 7})")
+    }
+    assert(s.execute("DROP GRAPH TYPE WideType").collect().head.getBoolean(0))
+  }
+
   test("ALTER GRAPH TYPE evolves the schema and keeps history") {
     val s = freshSession()
     s.execute("CREATE GRAPH TYPE EvoType (" +

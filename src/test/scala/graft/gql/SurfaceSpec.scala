@@ -857,6 +857,38 @@ class SurfaceSpec extends AnyFunSuite {
     assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE', NOW()) AS x") == "UTC")
   }
 
+  test("bi-temporal values round-trip (TemporalValue, value.rs:19-24)") {
+    // construct + field access
+    val tv = s.gql("RETURN TEMPORAL_VALUE(42, DATETIME('2024-01-01 00:00:00'), " +
+      "DATETIME('2024-06-01 00:00:00'), DATETIME('2024-01-02 00:00:00')) AS tv")
+      .collect().head.getStruct(0)
+    assert(tv.getLong(tv.fieldIndex("value")) == 42L)
+    assert(tv.getTimestamp(tv.fieldIndex("valid_from")).toInstant.toString
+      == "2024-01-01T00:00:00Z")
+    assert(tv.getTimestamp(tv.fieldIndex("valid_to")).toInstant.toString
+      == "2024-06-01T00:00:00Z")
+    assert(one("RETURN TEMPORAL_VALUE(42, DATETIME('2024-01-01 00:00:00'))" +
+      ".value AS v") == 42L)
+    // is_valid_at: t >= valid_from AND (valid_to IS NULL OR t < valid_to)
+    def validAt(t: String): Any = one("RETURN VALID_AT(TEMPORAL_VALUE(1, " +
+      "DATETIME('2024-01-01 00:00:00'), DATETIME('2024-06-01 00:00:00')), " +
+      s"DATETIME('$t')) AS x")
+    assert(validAt("2024-03-01 00:00:00") == true)
+    assert(validAt("2024-01-01 00:00:00") == true)  // inclusive lower bound
+    assert(validAt("2024-06-01 00:00:00") == false) // exclusive upper bound
+    assert(validAt("2023-12-31 23:59:59") == false)
+    // open interval (no valid_to) is valid at any later instant
+    assert(one("RETURN VALID_AT(TEMPORAL_VALUE(1, " +
+      "DATETIME('2024-01-01 00:00:00')), DATETIME('2099-01-01 00:00:00')) " +
+      "AS x") == true)
+    // is_current: open interval or future valid_to
+    assert(one("RETURN TEMPORAL_CURRENT(TEMPORAL_VALUE(1, " +
+      "DATETIME('2024-01-01 00:00:00'))) AS x") == true)
+    assert(one("RETURN TEMPORAL_CURRENT(TEMPORAL_VALUE(1, " +
+      "DATETIME('2024-01-01 00:00:00'), DATETIME('2024-06-01 00:00:00'))) " +
+      "AS x") == false)
+  }
+
   test("zoned values keep their zone through LET and WITH aliases") {
     // round-7 advice: dispatch was purely syntactic, so a zoned struct
     // behind an alias silently took the naive branch ('UTC', offset 0)
