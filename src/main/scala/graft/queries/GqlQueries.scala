@@ -132,7 +132,84 @@ object GqlQueries {
     "g15_varpath_enum" -> ((s: SparkSession, d: String) => run(s, d,
       """MATCH (c:customer)-[:HOP*1..3]->(d:customer)
         |WHERE c.id % 100 = 0
-        |RETURN c.id AS cid, d.id AS did ORDER BY cid, did""".stripMargin))
+        |RETURN c.id AS cid, d.id AS did ORDER BY cid, did""".stripMargin)),
+
+    // SQL-style SELECT … FROM MATCH (ast.rs:43-80, dql_tests.rs:233-285):
+    // the session-graph DQL surface, driver-gated instead of spec-only
+    "gql14_select_from" -> ((s: SparkSession, d: String) => exec(s, d,
+      """SELECT c.mktsegment AS seg, count(*) AS n, max(c.acctbal) AS maxbal
+        |FROM MATCH (c:customer) WHERE c.acctbal > 0
+        |GROUP BY c.mktsegment ORDER BY seg""".stripMargin)),
+
+    // list functions over COLLECT (list_functions.rs): SIZE and
+    // LIST_CONTAINS are order-insensitive, so collect_list's
+    // partition-order nondeterminism cannot leak into the comparison
+    "gql15_list_funcs" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (n:nation)
+        |WITH n.regionkey AS rk, COLLECT(n.name) AS names
+        |RETURN rk, SIZE(names) AS n_names,
+        |       LIST_CONTAINS(names, 'FRANCE') AS has_france
+        |ORDER BY rk""".stripMargin)),
+
+    // special functions (special_functions.rs:29-178): ALL_DIFFERENT as
+    // an identity predicate over a same-nation self-join — without it the
+    // a=b diagonal rows appear; PROPERTY_EXISTS gates on schema presence
+    "gql16_special_funcs" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (a:customer)-[:IN_NATION]->(n:nation)<-[:IN_NATION]-(b:customer)
+        |WHERE ALL_DIFFERENT(a, b) AND PROPERTY_EXISTS(a, 'acctbal')
+        |  AND a.acctbal > 9000 AND b.acctbal > 9000
+        |RETURN n.id AS nid, count(*) AS n_pairs ORDER BY nid""".stripMargin)),
+
+    // SESSION SET NUMBERS F64 (value.rs:449-453) observable through the
+    // driver gate: integer division yields 3.25-style doubles, which
+    // native mode would truncate to a long
+    "gql17_f64_numbers" -> ((s: SparkSession, d: String) => exec(s, d,
+      """SESSION SET NUMBERS F64
+        |NEXT MATCH (c:customer)
+        |RETURN c.nationkey AS nk, count(c) / 4 AS q ORDER BY nk""".stripMargin)),
+
+    // transaction snapshots (ast.rs:1620-1679): COMMIT keeps the first
+    // insert, ROLLBACK discards the second — final count is base + 1
+    "gql18_tx_rollback" -> ((s: SparkSession, d: String) => exec(s, d,
+      "START TRANSACTION " +
+        "NEXT INSERT (:nation {id: 991, name: 'ZK1', regionkey: 0}) " +
+        "NEXT COMMIT " +
+        "NEXT START TRANSACTION " +
+        "NEXT INSERT (:nation {id: 992, name: 'ZK2', regionkey: 0}) " +
+        "NEXT ROLLBACK " +
+        "NEXT MATCH (nn:nation) RETURN count(nn) AS n")),
+
+    // persistent parquet warehouse round-trip (storage/providers/
+    // parquet.rs analog): save a subgraph as a named catalog version,
+    // reload it cold, and query across its edge — proves the
+    // staging-swap writer and the loader agree on schema + contents
+    "gql19_storage_roundtrip" -> ((s: SparkSession, d: String) => {
+      import graft.graph.{EdgeType, PropertyGraph}
+      val g = TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("nation" -> g.nodeTables("nation"),
+          "region" -> g.nodeTables("region")),
+        Map("IN_REGION" -> g.edgeTables("IN_REGION")))
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      gls.catalog.createSchema("verify")
+      gls.catalog.saveGraph("verify", "natreg", sub, force = true)
+      gls.session("driver")
+        .useGraph(gls.catalog.loadGraph("verify", "natreg"))
+        .gql("""MATCH (n:nation)-[:IN_REGION]->(r:region)
+          |RETURN n.name AS nname, r.name AS rname ORDER BY nname""".stripMargin)
+    }),
+
+    // graph-type-validated ingest end to end (graph_type.rs + INSERT
+    // validation): declare a typed node schema, bind it, insert rows
+    // through validation, and read them back
+    "gql20_graphtype_ingest" -> ((s: SparkSession, d: String) => exec(s, d,
+      "CREATE GRAPH TYPE VerifyWidget (NODE TYPE Widget (" +
+        "id INT NOT NULL, name STRING, score DOUBLE)) " +
+        "NEXT SESSION SET GRAPH TYPE VerifyWidget " +
+        "NEXT INSERT (:Widget {id: 1, name: 'alpha', score: 1.5}), " +
+        "(:Widget {id: 2, name: 'beta', score: 2.5}) " +
+        "NEXT MATCH (w:Widget) RETURN w.id AS id, w.name AS name, " +
+        "w.score AS score ORDER BY id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,6 +320,37 @@ object GqlQueries {
         | UNION ALL
         | SELECT cid, e3.dst FROM s JOIN e e1 ON e1.src = cid
         |  JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e2.dst) t
-        |ORDER BY cid, did""".stripMargin
+        |ORDER BY cid, did""".stripMargin,
+    "gql14_select_from" ->
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        | max(c_acctbal) AS maxbal
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin,
+    "gql15_list_funcs" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk,
+        | CAST(len(list(n_name)) AS BIGINT) AS n_names,
+        | list_contains(list(n_name), 'FRANCE') AS has_france
+        |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin,
+    "gql16_special_funcs" ->
+      """SELECT CAST(c1.c_nationkey AS BIGINT) AS nid,
+        | CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM customer c1 JOIN customer c2
+        |  ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey <> c2.c_custkey
+        |WHERE c1.c_acctbal > 9000 AND c2.c_acctbal > 9000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gql17_f64_numbers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        | CAST(count(*) AS DOUBLE) / 4 AS q
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gql18_tx_rollback" ->
+      "SELECT CAST(count(*) + 1 AS BIGINT) AS n FROM nation",
+    "gql19_storage_roundtrip" ->
+      """SELECT n_name AS nname, r_name AS rname
+        |FROM nation JOIN region ON r_regionkey = n_regionkey
+        |ORDER BY nname""".stripMargin,
+    "gql20_graphtype_ingest" ->
+      """SELECT CAST(id AS BIGINT) AS id, name, score FROM (VALUES
+        | (1, 'alpha', 1.5), (2, 'beta', 2.5)) t(id, name, score)
+        |ORDER BY id""".stripMargin
   )
 }

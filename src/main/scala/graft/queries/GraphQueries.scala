@@ -184,6 +184,15 @@ object GraphQueries {
         Map("ADJ" -> (graft.graph.EdgeType("ADJ", "nation", "nation"), adj)))
       graft.graph.Analytics.triangleCount(s, ag, "nation", "ADJ")
         .orderBy($"id")
+    }),
+
+    // ---- CALL procedure surface (system_procedures.rs FindNeighbors →
+    // GraphIndexScan): the session-API path the reference's clients use,
+    // driver-gated against a window-function oracle over the NEXT chain
+    "g16_call_neighbors" -> ((s: SparkSession, d: String) => {
+      graft.GraphLiteSpark.open(s, "/tmp/graft-warehouse").session("driver")
+        .useGraph(TpchGraph.build(s, d))
+        .call("gql.find_neighbors", Seq("NEXT", "1", "5"))
     })
   )
 
@@ -294,6 +303,18 @@ object GraphQueries {
         | CAST(((c - 1) * (c - 2)) // 2 AS BIGINT) AS n_triangles
         |FROM (SELECT n_nationkey,
         |  count(*) OVER (PARTITION BY n_regionkey) AS c FROM nation) t
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    // NEXT-chain neighbors of custkey 1: the next 5 custkeys within its
+    // nation, dist = rank distance along the chain
+    "g16_call_neighbors" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        | FROM customer),
+        |me AS (SELECT c_nationkey AS nk, rn AS myrn FROM c WHERE c_custkey = 1)
+        |SELECT CAST(c.c_custkey AS BIGINT) AS neighbor_id,
+        |       CAST(c.rn - me.myrn AS BIGINT) AS dist
+        |FROM c JOIN me ON c.c_nationkey = me.nk
+        |WHERE c.rn > me.myrn AND c.rn <= me.myrn + 5
+        |ORDER BY dist, neighbor_id""".stripMargin
   )
 }
