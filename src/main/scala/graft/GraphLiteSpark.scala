@@ -266,7 +266,7 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         requirePerm("SELECT")
         new Compiler(graph, sessionParams, f64Mode).compile(q)
 
-      case InsertStmt(nodes) =>
+      case InsertStmt(paths) =>
         requirePerm("INSERT")
         // Property values are full expressions, not just literals
         // (function_expression_insert_test.rs: upper('hello'), abs(-5),
@@ -277,52 +277,107 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           case f: java.lang.Float => f.doubleValue()
           case other => other
         }
-        val evaluated = nodes.map { np =>
-          np -> np.props.map { case (k, e) => k -> norm(evalStandalone(e)) }
+        // id-less nodes get CONTENT-HASH ids, and identical content
+        // deduplicates with a warning + 0 rows affected
+        // (duplicate_insert_test.rs: "hash-based deduplication" — three
+        // identical INSERTs leave ONE node; re-insert warns "Duplicate
+        // node detected"). Explicit `id:` props remain user-managed
+        // identity (the fraud/TPC-H fixtures), documented divergence from
+        // the reference's hash-everything internal ids.
+        def contentHash(label: String, props: Seq[(String, Any)]): Long = {
+          val canon = label + "|" + props.sortBy(_._1).map {
+            case (k, v) => k + "=" + String.valueOf(v) }.mkString("|")
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(canon.getBytes("UTF-8"))
+          // 60-bit positive id from the digest prefix (same family as
+          // TextAnalysis.stableHash60 — engine-stable)
+          java.nio.ByteBuffer.wrap(md).getLong(0) & 0x0FFFFFFFFFFFFFFFL
         }
+        case class Occ(label: String, props: Seq[(String, Any)],
+            id: Long, hashed: Boolean)
+        def mkOcc(np: NodePattern): Occ = {
+          val label = np.labels.headOption.getOrElse(
+            throw new GqlCompileException("INSERT nodes need a label"))
+          val props0 = np.props.map { case (k, e) => k -> norm(evalStandalone(e)) }
+          props0.collectFirst { case ("id", v) => v } match {
+            case Some(v) =>
+              val idv = v match {
+                case l: java.lang.Long => l.longValue()
+                case other => throw new GqlCompileException(
+                  s"INSERT id must be an integer, got $other")
+              }
+              Occ(label, props0, idv, hashed = false)
+            case None =>
+              val id = contentHash(label, props0)
+              Occ(label, ("id" -> (id: Any)) +: props0, id, hashed = true)
+          }
+        }
+        // identifier reuse across the statement
+        // (insert_node_identifier_regression_test.rs: `INSERT (n:P {…}),
+        // (m:P {…}), (n)-[:KNOWS]->(m)` must NOT create spurious empty
+        // nodes): a bare `(v)` resolves to the earlier occurrence bound
+        // to that variable; only labeled occurrences insert.
+        val varOccs = scala.collection.mutable.Map.empty[String, Occ]
+        val inserted = scala.collection.mutable.ArrayBuffer.empty[Occ]
+        def resolveOcc(np: NodePattern): Occ = np.variable match {
+          case Some(v) if np.labels.isEmpty && np.props.isEmpty =>
+            varOccs.getOrElse(v, throw new GqlCompileException(
+              s"INSERT references unbound variable $v"))
+          case _ =>
+            val o = mkOcc(np)
+            np.variable.foreach(varOccs(_) = o)
+            inserted += o
+            o
+        }
+        val pathOccs: Seq[(PathPattern, Seq[Occ])] =
+          paths.map(p => p -> (p.start +: p.hops.map(_._2)).map(resolveOcc))
+        val occs = inserted.toSeq
         // schema enforcement against the bound graph type (validator.rs:
         // 92-126): label known, NOT NULL props present, types conform,
         // unknown props rejected
         currentType.foreach { gt =>
-          evaluated.foreach { case (np, props) =>
-            val label = np.labels.headOption.getOrElse(
-              throw new GqlCompileException("INSERT nodes need a label"))
-            graft.graph.GraphType.validateNode(gt, label,
-              props.map { case (k, v) => k -> valueTag(v) })
+          occs.foreach { o =>
+            graft.graph.GraphType.validateNode(gt, o.label,
+              o.props.filterNot(_._1 == "id" && o.hashed)
+                .map { case (k, v) => k -> valueTag(v) })
           }
         }
-        val byLabel = evaluated.groupBy(_._1.labels.headOption.getOrElse(
-          throw new GqlCompileException("INSERT nodes need a label")))
-        val counts = byLabel.toSeq.sortBy(_._1).map { case (label, nps0) =>
-          val keys0 = nps0.head._2.map(_._1)
-          if (nps0.exists(_._2.map(_._1) != keys0))
+        val byLabel = occs.groupBy(_.label)
+        val counts = byLabel.toSeq.sortBy(_._1).map { case (label, os) =>
+          val keys0 = os.head.props.map(_._1)
+          if (os.exists(_.props.map(_._1) != keys0))
             throw new GqlCompileException(
               s"INSERT: all $label nodes must list the same properties")
-          // id-less inserts auto-assign sequential ids past the label's
-          // current maximum (the reference generates node ids implicitly —
-          // README examples and duplicate_insert_test insert by props
-          // only, and identical statements must create DISTINCT nodes)
-          val nps =
-            if (keys0.contains("id")) nps0
-            else {
-              val base = graph.nodeTables.get(label).map { t =>
-                val r = t.agg(org.apache.spark.sql.functions
-                  .max(col("id"))).collect().head
-                if (r.isNullAt(0)) 0L else r.getLong(0)
-              }.getOrElse(0L)
-              nps0.zipWithIndex.map { case ((np, props), i) =>
-                np -> (("id" -> (base + i + 1L).asInstanceOf[Any]) +: props)
-              }
+          // in-batch dedupe (keep first), then drop ids already present;
+          // only hash-identity nodes dedupe — explicit ids stay as given
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          val unique = os.filter(o => !o.hashed || seen.add(o.id))
+          val hashedIds = unique.collect { case o if o.hashed => o.id }
+          val existing: Set[Long] =
+            if (hashedIds.isEmpty) Set.empty
+            else graph.nodeTables.get(label) match {
+              case Some(t) => t.select(col("id"))
+                .filter(col("id").isin(hashedIds: _*))
+                .collect().map(_.getLong(0)).toSet
+              case None => Set.empty
             }
+          val fresh = unique.filter(o => !o.hashed || !existing(o.id))
+          val dupSkipped = (os.size - fresh.size).toLong
+          val warn =
+            if (dupSkipped > 0)
+              s"Duplicate node detected: $dupSkipped duplicate(s) skipped"
+            else null
+          if (fresh.isEmpty) (label, 0L, warn)
+          else {
           // column type per key: first non-null value across the batch;
           // for an all-null column, the graph type's declared type or the
           // existing label column's type — never a String placeholder,
           // which would poison the label table's schema for later
           // non-null inserts (union/schema mismatch at read time)
           val schema = org.apache.spark.sql.types.StructType(
-            nps.head._2.map(_._1).map { k =>
+            fresh.head.props.map(_._1).map { k =>
               val firstNonNull =
-                nps.iterator.flatMap(_._2.collect {
+                fresh.iterator.flatMap(_.props.collect {
                   case (`k`, v) if v != null => v }).nextOption()
               val dt = firstNonNull.map(valueType).getOrElse(
                 declaredSparkType(label, k)
@@ -334,8 +389,8 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
                       "graph type or insert a non-null value")))
               org.apache.spark.sql.types.StructField(k, dt)
             })
-          val rows = nps.map { case (_, props) =>
-            org.apache.spark.sql.Row(props.map(_._2): _*)
+          val rows = fresh.map { o =>
+            org.apache.spark.sql.Row(o.props.map(_._2): _*)
           }
           val df = spark.createDataFrame(
             spark.sparkContext.parallelize(rows.toSeq), schema)
@@ -347,9 +402,49 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
             declaredSparkType(label, k).fold(d)(t => d.withColumn(k, col(k).cast(t)))
           }
           currentGraph = Some(graph2.insertNodes(graph, label, aligned))
-          label -> nps.size.toLong
+          (label, fresh.size.toLong, warn)
+          }
         }
-        counts.toDF("label", "inserted")
+        // inline edge patterns (duplicate_edge_warning_test.rs
+        // test_duplicate_edge_with_regular_insert: INSERT
+        // (:User {id:'u1'})-[:FOLLOWS]->(:User {id:'u2'})): edge identity
+        // is eid = stableHash60(type#src#dst) — the SAME convention as
+        // MATCH…INSERT, so the two statement forms dedupe against each
+        // other; duplicate edges warn and affect 0 rows.
+        val edgeCounts = pathOccs.flatMap { case (path, os) =>
+          path.hops.zipWithIndex.map { case ((ep, _), i) =>
+            if (ep.direction != Ast.Out)
+              throw new GqlCompileException("INSERT edges must be directed ->")
+            if (ep.quantifier.nonEmpty)
+              throw new GqlCompileException(
+                "INSERT edges cannot be quantified (*n..m)")
+            val etype = ep.types.headOption.getOrElse(
+              throw new GqlCompileException("INSERT edge needs a type"))
+            val (srcO, dstO) = (os(i), os(i + 1))
+            val eprops = ep.props.map { case (k, e) => k -> norm(evalStandalone(e)) }
+            currentType.foreach(gt => graft.graph.GraphType.validateEdge(gt,
+              etype, Some(srcO.label), Some(dstO.label),
+              eprops.map { case (k, v) => k -> valueTag(v) }))
+            var rows = Seq((srcO.id, dstO.id)).toDF("src", "dst")
+              .withColumn("eid", graft.text.TextAnalysis.stableHash60(
+                org.apache.spark.sql.functions.concat_ws("#",
+                  lit(etype), col("src"), col("dst"))))
+            graph.edgeTables.get(etype).foreach { case (_, existing) =>
+              rows = rows.join(existing.select(col("src"), col("dst")),
+                Seq("src", "dst"), "left_anti")
+            }
+            eprops.foreach { case (k, v) => rows = rows.withColumn(k, lit(v)) }
+            val n = rows.count()
+            if (n > 0) {
+              val et = graft.graph.EdgeType(etype, srcO.label, dstO.label)
+              currentGraph = Some(graph2.insertEdges(graph, etype, et, rows))
+            }
+            (etype, n,
+              if (n == 0L) "Duplicate edge detected: 1 duplicate(s) skipped"
+              else null)
+          }
+        }
+        (counts ++ edgeCounts).toDF("label", "inserted", "warning")
 
       case MatchInsertStmt(matches, where, inserts) =>
         requirePerm("INSERT")
@@ -678,6 +773,13 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
       }
 
       case ProcedureStmt(op, name, body) => op match {
+        // the system namespace is reserved in both directions
+        // (stored_procedure_no_prefix_test.rs: users may neither create
+        // nor drop gql.* procedures)
+        case "CREATE" | "DROP" if name.startsWith("gql.") =>
+          throw new GqlCompileException(
+            s"the gql.* namespace is reserved for system procedures " +
+              s"— cannot $op $name")
         case "CREATE" =>
           gls.catalog.saveProcedure(name, body.get)
           Seq(name).toDF("procedure_created")

@@ -163,7 +163,10 @@ object Ast {
   sealed trait Statement
   case class QueryStmt(q: QueryExpr) extends Statement
   /** INSERT (:L {p: v}), … — literal node creation (insert.rs analog). */
-  case class InsertStmt(nodes: Seq[NodePattern]) extends Statement
+  /** INSERT of full path patterns: bare nodes and/or inline edges
+    * (`INSERT (:A)-[:R {p: v}]->(:B)`, duplicate_edge_warning_test.rs).
+    */
+  case class InsertStmt(paths: Seq[PathPattern]) extends Statement
   /** MATCH … [WHERE e] INSERT (x)-[:T {props}]->(y) — edge creation from
     * matched bindings (match_insert.rs analog).
     */

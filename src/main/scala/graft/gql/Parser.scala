@@ -107,10 +107,10 @@ final class Parser(tokens: Vector[Token]) {
     cur match {
       case TKw("INSERT", _) =>
         p += 1
-        val nodes = Vector.newBuilder[NodePattern]
-        var more = true
-        while (more) { nodes += parseNodePattern(); more = tryPunct(",") }
-        expectEnd(); InsertStmt(nodes.result())
+        // full path patterns: nodes and inline edges
+        // (INSERT (:A)-[:R]->(:B), duplicate_edge_warning_test.rs)
+        val paths = parsePatternList()
+        expectEnd(); InsertStmt(paths)
       case TKw("CREATE", _) | TKw("DROP", _) =>
         val op = advance().asInstanceOf[TKw].s
         if (isSoftKw("USER") || isSoftKw("ROLE")) {
@@ -119,7 +119,8 @@ final class Parser(tokens: Vector[Token]) {
           expectEnd(); SecurityStmt(op, kind, name, None)
         } else if (isSoftKw("PROCEDURE")) {
           p += 1
-          val name = ident()
+          var name = ident()
+          while (tryPunct(".")) name = name + "." + ident()
           if (op == "DROP") { expectEnd(); ProcedureStmt("DROP", name, None) }
           else err("CREATE PROCEDURE is handled textually") // see Parser.parseStatement
         } else if (isSoftKw("INDEX")) {
@@ -1128,8 +1129,10 @@ object Parser {
   // CREATE PROCEDURE and AT keep their bodies as raw text (re-dispatched
   // at execution time), like the reference's stored-procedure catalog
   // entries and AtLocation statement lists.
+  // dotted names parse so the gql.* reservation check can reject them
+  // with a clear error (stored_procedure_no_prefix_test.rs)
   private val CreateProcRe =
-    """(?is)\s*CREATE\s+PROCEDURE\s+(\w+)\s+AS\s+(.+)""".r
+    """(?is)\s*CREATE\s+PROCEDURE\s+([\w.]+)\s+AS\s+(.+)""".r
   private val AtRe =
     """(?is)\s*AT\s+(/\w+/\w+)\s+(.+)""".r
 

@@ -199,6 +199,17 @@ object GqlQueries {
           |RETURN n.name AS nname, r.name AS rname ORDER BY nname""".stripMargin)
     }),
 
+    // inline-edge INSERT + hash-based dedup (duplicate_insert_test.rs,
+    // duplicate_edge_warning_test.rs): the second identical statement
+    // dedupes both nodes and edge, so exactly one edge and two nodes
+    // survive — pinned through the external gate, not just ScalaTest
+    "gql21_insert_dedup" -> ((s: SparkSession, d: String) => exec(s, d,
+      "INSERT (a:DupA {tag: 'x'})-[:DUPREL {w: 1}]->(b:DupB {tag: 'y'}) " +
+        "NEXT INSERT (a2:DupA {tag: 'x'})-[:DUPREL {w: 1}]->(b2:DupB {tag: 'y'}) " +
+        "NEXT MATCH (p:DupA)-[r:DUPREL]->(q:DupB) " +
+        "RETURN count(r) AS n_edges, count(DISTINCT ID(p)) AS n_src, " +
+        "count(DISTINCT ID(q)) AS n_dst")),
+
     // graph-type-validated ingest end to end (graph_type.rs + INSERT
     // validation): declare a typed node schema, bind it, insert rows
     // through validation, and read them back
@@ -351,6 +362,9 @@ object GqlQueries {
     "gql20_graphtype_ingest" ->
       """SELECT CAST(id AS BIGINT) AS id, name, score FROM (VALUES
         | (1, 'alpha', 1.5), (2, 'beta', 2.5)) t(id, name, score)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    "gql21_insert_dedup" ->
+      """SELECT CAST(1 AS BIGINT) AS n_edges, CAST(1 AS BIGINT) AS n_src,
+        | CAST(1 AS BIGINT) AS n_dst""".stripMargin
   )
 }

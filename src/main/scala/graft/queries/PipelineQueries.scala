@@ -62,6 +62,18 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- sequence packing (concat-and-chunk training batches): per
+    // (shard, chunk) manifest rows — one hash shuffle on the shard key,
+    // per-shard running sums, chunks never cross shards (SeqPack.scala)
+    "d10_seq_pack" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.text.SeqPack.packedSequences(
+          Tables.documents(s, d), budget = 2048, shards = 8)
+        .select($"shard", $"seq_id", $"n_docs", $"n_tokens",
+          $"first_doc", $"last_doc")
+        .orderBy($"shard", $"seq_id")
+    }),
+
     // ---- quality scoring (lengths, punctuation, stopwords, logistic)
     "d03_quality" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -459,6 +471,19 @@ object PipelineQueries {
          | CAST(len(regexp_extract_all(text, '$sqlPat')) AS BIGINT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "d10_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+         |  CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
+         |c AS (SELECT *, sum(tok) OVER (
+         |  PARTITION BY shard ORDER BY doc_id) AS cum FROM t)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         | CAST((cum - tok) // 2048 AS BIGINT) AS seq_id,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(tok) AS BIGINT) AS n_tokens,
+         | CAST(min(doc_id) AS BIGINT) AS first_doc,
+         | CAST(max(doc_id) AS BIGINT) AS last_doc
+         |FROM c GROUP BY shard, (cum - tok) // 2048
+         |ORDER BY 1, 2""".stripMargin,
     "d03_quality" -> qualitySql,
     "d04_langid" -> langCaseSql,
     "d05_fingerprint" ->

@@ -34,18 +34,99 @@ class ReadmeParitySpec extends AnyFunSuite {
     s
   }
 
-  test("id-less INSERT auto-assigns distinct node ids") {
+  test("id-less INSERT hash-dedupes identical content with a warning " +
+      "(duplicate_insert_test.rs)") {
     val s = setup()
     assert(s.gql("MATCH (p:Person) RETURN count(p) AS n")
       .collect().head.getLong(0) == 4L)
-    // identical repeated insert creates a SECOND node
-    // (duplicate_insert_test.rs)
-    s.execute("INSERT (:Person {name: 'Alice', age: 30, city: 'NYC'})")
+    // identical repeated insert: hash-based deduplication → still ONE
+    // Alice, 0 rows affected, "Duplicate node detected" warning
+    val r = s.execute("INSERT (:Person {name: 'Alice', age: 30, city: 'NYC'})")
+      .collect().head
+    assert(r.getLong(1) == 0L)
+    assert(r.getString(2).contains("Duplicate node detected"))
     assert(s.gql("MATCH (p:Person) WHERE p.name = 'Alice' " +
-      "RETURN count(p) AS n").collect().head.getLong(0) == 2L)
+      "RETURN count(p) AS n").collect().head.getLong(0) == 1L)
+    // three identical inserts in one statement also collapse to one node
+    val r2 = s.execute("INSERT (:Person {name: 'Eve', age: 1, city: 'LA'}), " +
+      "(:Person {name: 'Eve', age: 1, city: 'LA'}), " +
+      "(:Person {name: 'Eve', age: 1, city: 'LA'})").collect().head
+    assert(r2.getLong(1) == 1L)
+    assert(r2.getString(2).contains("2 duplicate(s) skipped"))
+    // distinct content keeps distinct hash ids
     val ids = s.gql("MATCH (p:Person) RETURN ID(p) AS i ORDER BY i")
       .collect().map(_.getLong(0)).toSeq
-    assert(ids == ids.distinct)
+    assert(ids.length == 5 && ids == ids.distinct)
+  }
+
+  test("inline edge INSERT creates nodes + edge; duplicates warn " +
+      "(duplicate_edge_warning_test.rs)") {
+    val s = SparkFixture.gqlSession(new PropertyGraph(Map.empty, Map.empty))
+    val r1 = s.execute("INSERT (:User {uid: 'u1'})-[:FOLLOWS " +
+      "{since: '2020-01-01'}]->(:User {uid: 'u2'})").collect()
+    // one User row (2 nodes) + one FOLLOWS row (1 edge), no warnings
+    assert(r1.find(_.getString(0) == "User").get.getLong(1) == 2L)
+    assert(r1.find(_.getString(0) == "FOLLOWS").get.getLong(1) == 1L)
+    assert(r1.forall(_.isNullAt(2)))
+    // re-run: nodes hash-dedupe AND the edge dedupes, both with warnings
+    val r2 = s.execute("INSERT (:User {uid: 'u1'})-[:FOLLOWS " +
+      "{since: '2020-01-01'}]->(:User {uid: 'u2'})").collect()
+    assert(r2.find(_.getString(0) == "User").get.getLong(1) == 0L)
+    assert(r2.find(_.getString(0) == "User").get.getString(2)
+      .contains("Duplicate node detected"))
+    assert(r2.find(_.getString(0) == "FOLLOWS").get.getLong(1) == 0L)
+    assert(r2.find(_.getString(0) == "FOLLOWS").get.getString(2)
+      .contains("Duplicate edge detected"))
+    assert(s.gql("MATCH ()-[r:FOLLOWS]->() RETURN count(r) AS n")
+      .collect().head.getLong(0) == 1L)
+    assert(s.gql("MATCH (u:User) RETURN count(u) AS n")
+      .collect().head.getLong(0) == 2L)
+    // inline edge between content-hash nodes matches MATCH…INSERT identity:
+    // adding the same edge via the other statement form also dedupes
+    val r3 = s.execute("MATCH (a:User {uid: 'u1'}), (b:User {uid: 'u2'}) " +
+      "INSERT (a)-[:FOLLOWS {since: '2020-01-01'}]->(b)").collect().head
+    assert(r3.getLong(0) == 0L)
+  }
+
+  test("INSERT identifier reuse creates no spurious nodes " +
+      "(insert_node_identifier_regression_test.rs)") {
+    val s = SparkFixture.gqlSession(new PropertyGraph(Map.empty, Map.empty))
+    s.execute("INSERT (n:Person {name: 'Alice Smith'}), " +
+      "(m:Person {name: 'Bob Johnson'}), (n)-[r:KNOWS]->(m)")
+    // exactly 2 nodes — no third empty node for the bare (n)/(m) reuse
+    assert(s.gql("MATCH (p:Person) RETURN count(p) AS n")
+      .collect().head.getLong(0) == 2L)
+    val row = s.gql("MATCH (a:Person {name: 'Alice Smith'})-[:KNOWS]->" +
+      "(b:Person {name: 'Bob Johnson'}) RETURN a.name AS s, b.name AS t")
+      .collect()
+    assert(row.length == 1 && row.head.getString(1) == "Bob Johnson")
+    // hub-and-spoke: one hub, three spokes, three edges in one statement
+    s.execute("INSERT (h:Hub {name: 'hub'}), (s1:Spoke {name: 's1'}), " +
+      "(s2:Spoke {name: 's2'}), (s3:Spoke {name: 's3'}), " +
+      "(h)-[:LINKS]->(s1), (h)-[:LINKS]->(s2), (h)-[:LINKS]->(s3)")
+    assert(s.gql("MATCH (h:Hub)-[:LINKS]->(x:Spoke) RETURN count(x) AS n")
+      .collect().head.getLong(0) == 3L)
+    // unbound reuse is an error, not a silent empty node
+    intercept[graft.gql.GqlCompileException] {
+      s.execute("INSERT (q)-[:KNOWS]->(z:Person {name: 'Zed'})")
+    }
+  }
+
+  test("gql.* procedure namespace is reserved " +
+      "(stored_procedure_no_prefix_test.rs)") {
+    val s = setup()
+    val e1 = intercept[graft.gql.GqlCompileException] {
+      s.execute("CREATE PROCEDURE gql.my_custom_proc AS MATCH (p:Person) RETURN p.name")
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[graft.gql.GqlCompileException] {
+      s.execute("DROP PROCEDURE gql.list_schemas")
+    }
+    assert(e2.getMessage.contains("reserved"))
+    // unknown system procedures error clearly (unknown_procedure_test.rs)
+    intercept[IllegalArgumentException] {
+      s.execute("CALL gql.nonexistent_procedure()")
+    }
   }
 
   test("friends of friends (readme pattern matching)") {

@@ -17,6 +17,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L, 2L))
   }
 
+  test("sequence packing: chunk ownership, shard isolation, overflow bound") {
+    import spark.implicits._
+    // 6 docs, 1 shard, budget 10; token counts 4,4,4,4,4,4 → running
+    // first-token offsets 0,4,8,12,16,20 → chunks 0,0,0,1,1,2
+    val docs = (1L to 6L).map(i => (i, "w w w w")).toDF("doc_id", "text")
+    val assigned = graft.text.SeqPack.packAssignments(docs, budget = 10, shards = 1)
+      .select($"doc_id", $"seq_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
+    // doc 3 straddles the 10-token boundary (offset 8, 4 tokens): it
+    // belongs to chunk 0 (first-token rule), so chunk 0 overflows the
+    // budget by at most one document's tokens — the concat-and-chunk bound
+    val seqs = graft.text.SeqPack.packedSequences(docs, budget = 10, shards = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(seqs(0L) == 12L && seqs(0L) < 10L + 4L)
+    // shards partition the id space: chunks never mix shards, and every
+    // doc lands in the shard of its id mod N
+    val sharded = graft.text.SeqPack.packAssignments(docs, budget = 10, shards = 3)
+    assert(sharded.filter(pmod($"doc_id", lit(3)) =!= $"shard").count() == 0)
+  }
+
   test("bpe token counting splits contractions, numbers, and symbols") {
     import spark.implicits._
     val df = Seq(
