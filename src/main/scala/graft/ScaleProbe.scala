@@ -113,7 +113,10 @@ object ScaleProbe {
         g.bfs(heads, "NEXT", 10, localEdgeLimit = 0L)
           .select($"root_id", $"node_id", $"dist")
       }),
-      "gql02_twohop" -> SparkEntry.queries("gql02_twohop"))
+      "gql02_twohop" -> SparkEntry.queries("gql02_twohop"),
+      // sequence packing: per-shard window + shared-partitioning agg —
+      // should scale ~linearly in corpus size (one hash shuffle)
+      "d10_seq_pack" -> SparkEntry.queries("d10_seq_pack"))
 
     // warm the JVM/codegen once so the first measured pair isn't paying
     // session startup
