@@ -224,10 +224,15 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         // session semantics — bump the epoch so every cached result keyed
         // on the old version can never hit again, and free those entries
         // eagerly rather than waiting for LRU/TTL aging.
-        val out = dispatchStmt(st)
-        cacheEpoch += 1
-        resultCache.invalidateBefore(cacheEpoch)
-        out
+        // bump in a finally: a statement that throws AFTER mutating the
+        // session graph (e.g. the second label of a multi-label INSERT)
+        // must still invalidate, or a cached result could serve the
+        // pre-mutation answer
+        try dispatchStmt(st)
+        finally {
+          cacheEpoch += 1
+          resultCache.invalidateBefore(cacheEpoch)
+        }
     }
 
   /** Query execution with the opt-in result cache in front

@@ -210,6 +210,50 @@ object GqlQueries {
         "RETURN count(r) AS n_edges, count(DISTINCT ID(p)) AS n_src, " +
         "count(DISTINCT ID(q)) AS n_dst")),
 
+    // index statements end to end (ast.rs:1707-1787 → clustered parquet):
+    // save a catalog graph, CREATE GRAPH INDEX (rewrites the layout
+    // range-clustered + sorted on the key), then answer a range query
+    // from the re-clustered files — results must be layout-invariant
+    "gql22_index_cluster" -> ((s: SparkSession, d: String) => {
+      import graft.graph.PropertyGraph
+      val g = TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer")), Map.empty)
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA /ixv")
+      sess.saveGraphAs("/ixv/cust", force = true)
+      sess.execute("CREATE GRAPH INDEX cust_bal ON nodes_customer (acctbal)")
+      gls.session("driver").useGraph("/ixv/cust")
+        .gql("""MATCH (c:customer) WHERE c.acctbal > 9000
+          |RETURN c.id AS id, c.acctbal AS bal ORDER BY id""".stripMargin)
+    }),
+
+    // catalog + registry listings (system_procedures.rs:60-91) through
+    // the driver gate: a dedicated warehouse makes gql.list_schemas /
+    // list_graphs deterministic; the function registry row pins a
+    // stable subset of gql.list_functions
+    "gql23_catalog_listing" -> ((s: SparkSession, d: String) => {
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-wh-listing")
+      gls.catalog.createSchema("alpha")
+      gls.catalog.createSchema("beta")
+      val g = TpchGraph.build(s, d)
+      import graft.graph.PropertyGraph
+      val nat = new PropertyGraph(
+        Map("nation" -> g.nodeTables("nation")), Map.empty)
+      gls.catalog.saveGraph("alpha", "g1", nat, force = true)
+      gls.catalog.saveGraph("beta", "g2", nat, force = true)
+      val sess = gls.session("driver")
+      val graphs = sess.call("gql.list_graphs")
+      val fns = sess.call("gql.list_functions")
+        .filter(org.apache.spark.sql.functions.col("function_name")
+          .isin("UPPER", "SUM", "COALESCE", "LIST_CONTAINS", "DATETIME",
+            "CONVERT_TZ", "ID", "TEMPORAL_VALUE"))
+      graphs.unionByName(fns.toDF("schema_name", "graph_name"))
+        .toDF("name", "detail")
+        .orderBy("name", "detail")
+    }),
+
     // graph-type-validated ingest end to end (graph_type.rs + INSERT
     // validation): declare a typed node schema, bind it, insert rows
     // through validation, and read them back
@@ -365,6 +409,17 @@ object GqlQueries {
         |ORDER BY id""".stripMargin,
     "gql21_insert_dedup" ->
       """SELECT CAST(1 AS BIGINT) AS n_edges, CAST(1 AS BIGINT) AS n_src,
-        | CAST(1 AS BIGINT) AS n_dst""".stripMargin
+        | CAST(1 AS BIGINT) AS n_dst""".stripMargin,
+    "gql22_index_cluster" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id, c_acctbal AS bal
+        |FROM customer WHERE c_acctbal > 9000 ORDER BY id""".stripMargin,
+    "gql23_catalog_listing" ->
+      """SELECT name, detail FROM (VALUES
+        | ('alpha', 'g1'), ('beta', 'g2'),
+        | ('UPPER', 'string'), ('SUM', 'aggregate'), ('COALESCE', 'null'),
+        | ('LIST_CONTAINS', 'list'), ('DATETIME', 'temporal'),
+        | ('CONVERT_TZ', 'timezone'), ('ID', 'graph'),
+        | ('TEMPORAL_VALUE', 'bitemporal')) t(name, detail)
+        |ORDER BY name, detail""".stripMargin
   )
 }
