@@ -525,13 +525,20 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
         val assigns = assignments.map { case (Prop(_, p), e) =>
           p -> rawColumn(e, v) }.toMap
-        val affected =
-          if (isEdge) graph.edgeScan(label, Some(pred)).count()
-          else graph.nodeScan(label, Some(pred)).count()
-        currentGraph = Some(
-          if (isEdge) graph2.setEdgeProps(graph, label, pred, assigns)
-          else graph2.setNodeProps(graph, label, pred, assigns))
-        Seq(affected).toDF("properties_set")
+        // a pattern over a missing label matches nothing — 0 affected,
+        // not an error (pattern_tests.rs; labels appear via INSERT)
+        if (if (isEdge) !graph.edgeTables.contains(label)
+            else !graph.nodeTables.contains(label))
+          Seq(0L).toDF("properties_set")
+        else {
+          val affected =
+            if (isEdge) graph.edgeScan(label, Some(pred)).count()
+            else graph.nodeScan(label, Some(pred)).count()
+          currentGraph = Some(
+            if (isEdge) graph2.setEdgeProps(graph, label, pred, assigns)
+            else graph2.setNodeProps(graph, label, pred, assigns))
+          Seq(affected).toDF("properties_set")
+        }
 
       case MatchRemoveStmt(pattern, where, props) =>
         requirePerm("UPDATE")
@@ -542,6 +549,8 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
               "mutates a single variable (use a WITH pipeline for several)"))
         if (isEdge) throw new GqlCompileException("REMOVE on edges: use SET to null")
         val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
+        if (!graph.nodeTables.contains(label))
+          return Seq(0L).toDF("properties_removed")
         val affected = graph.nodeScan(label, Some(pred)).count()
         currentGraph = Some(graph2.removeNodeProps(graph, label, pred,
           props.map(_.prop)))
@@ -551,7 +560,11 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         requirePerm("DELETE")
         val (label, isEdge, v) = dmlTarget(pattern, target)
         val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
-        if (isEdge) {
+        if (isEdge && !graph.edgeTables.contains(label)) {
+          Seq(0L).toDF("edges_deleted")
+        } else if (!isEdge && !graph.nodeTables.contains(label)) {
+          Seq(0L).toDF("nodes_deleted")
+        } else if (isEdge) {
           val affected = graph.edgeScan(label, Some(pred)).count()
           currentGraph = Some(graph2.deleteEdges(graph, label, pred))
           Seq(affected).toDF("edges_deleted")

@@ -402,10 +402,11 @@ final class Compiler(graph: PropertyGraph,
         val needed = usedProps.getOrElse(v, Set.empty)
         val missing = needed.filterNot(pr => df.get.columns.contains(s"${v}_$pr"))
         if (missing.nonEmpty) {
-          val t = graph.nodeTables(b.primary)
-          val renamed = t.columns.foldLeft(t)((acc, c) =>
-            acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
-          df = Some(df.get.join(renamed, s"${v}_id"))
+          graph.nodeTables.get(b.primary).foreach { t =>
+            val renamed = t.columns.foldLeft(t)((acc, c) =>
+              acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
+            df = Some(df.get.join(renamed, s"${v}_id"))
+          }
         }
       case (v, UnionNode) if df.isDefined =>
         // a union var carries (id, label) through WITH; re-join missing
@@ -1259,10 +1260,11 @@ final class Compiler(graph: PropertyGraph,
     def inferStart(np: NodePattern, firstEdge: Option[EdgePattern]): Option[Seq[String]] =
       (if (np.labels.nonEmpty) Some(np.labels) else None)
         .orElse(np.variable.flatMap(ctx.nodeLabel).map(Seq(_)))
-        .orElse(firstEdge.flatMap(e => e.types.headOption.map { t =>
-          val et = graph.edgeType(t)
-          Seq(if (e.direction == In) et.dstLabel else et.srcLabel)
-        }))
+        .orElse(firstEdge.flatMap(e =>
+          e.types.headOption.filter(graph.edgeTables.contains).map { t =>
+            val et = graph.edgeType(t)
+            Seq(if (e.direction == In) et.dstLabel else et.srcLabel)
+          }))
 
     // start node
     val startVar = path.start.variable.getOrElse(fresh("n"))
@@ -1344,10 +1346,30 @@ final class Compiler(graph: PropertyGraph,
     (df.get, ctx)
   }
 
+  /** Empty scan for a label the graph doesn't have. The reference's
+    * schemaless model grows labels dynamically via INSERT, so a pattern
+    * over a missing label matches NOTHING rather than erroring
+    * (pattern_tests.rs "patterns with no matches"; a fresh session may
+    * query a label before the first INSERT creates it). Schema: the id
+    * column plus every property the query reads off this variable —
+    * string-typed nulls; with 0 rows only analysis ever sees the types.
+    */
+  private def emptyScan(v: String, extraProps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = org.apache.spark.sql.SparkSession.active
+    val propCols = (usedProps.getOrElse(v, Set.empty) ++ extraProps)
+      .toSeq.distinct.sorted
+    val schema = StructType(
+      StructField(s"${v}_id", LongType) +:
+        propCols.map(p => StructField(s"${v}_$p", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   private def scanNode(label: String, v: String,
       props: Seq[(String, Expr)], ctx: Ctx): DataFrame = {
     val t = graph.nodeTables.getOrElse(label,
-      throw new GqlCompileException(s"unknown node label: $label"))
+      return emptyScan(v, props.map(_._1)))
     var d = t.columns.foldLeft(t)((acc, c) =>
       acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
     props.foreach { case (k, lit) =>
@@ -1364,6 +1386,9 @@ final class Compiler(graph: PropertyGraph,
     */
   private def scanNodeMulti(labels: Seq[String], v: String,
       props: Seq[(String, Expr)], ctx: Ctx): DataFrame = {
+    // any missing label in the intersection empties the whole match
+    if (labels.exists(l => !graph.nodeTables.contains(l)))
+      return emptyScan(v, props.map(_._1))
     var d = scanNode(labels.head, v, Seq.empty, ctx)
     labels.tail.foreach { l =>
       val t = graph.nodeTables.getOrElse(l,
@@ -1408,13 +1433,18 @@ final class Compiler(graph: PropertyGraph,
     if (edge.quantifier.isDefined)
       return varLengthHop(df, ctx, fromVar, edge, node, sem, pathVar)
 
+    // unknown edge types match nothing (pattern_tests.rs: a multi-type
+    // union keeps its known members; a fully-unknown type yields the
+    // empty result, not an error — edge labels appear via INSERT)
     val eTypes =
-      if (edge.types.nonEmpty) edge.types
-      else graph.edgeLabels
+      (if (edge.types.nonEmpty) edge.types
+       else graph.edgeLabels).filter(graph.edgeTables.contains)
     val eVar = edge.variable.getOrElse(fresh("e"))
     if (ctx.bindings.contains(eVar))
       throw new GqlCompileException(s"edge variable $eVar already bound")
     val nVar = node.variable.getOrElse(fresh("n"))
+    if (eTypes.isEmpty)
+      return emptyHop(df, ctx, edge, node, eVar, nVar, pathVar)
 
     // Valid (type, orientation) combos. Each orientation of each edge type
     // implies endpoint labels (EdgeType src/dst); an orientation whose
@@ -1560,6 +1590,48 @@ final class Compiler(graph: PropertyGraph,
     }
   }
 
+  /** Zero-row hop result for an edge pattern whose types don't exist in
+    * the graph: 0 rows of the shape a real hop would produce, so the
+    * rest of the query (projections, aggregates over the empty set)
+    * compiles and runs unchanged.
+    */
+  private def emptyHop(df: DataFrame, ctxIn: Ctx,
+      edge: EdgePattern, node: NodePattern, eVar: String, nVar: String,
+      pathVar: Option[String]): (DataFrame, Ctx, String) = {
+    var ctx = ctxIn
+    var out = df.limit(0)
+      .withColumn(s"${eVar}_eid", lit(null).cast("long"))
+      .withColumn(s"${eVar}_label", lit(null).cast("string"))
+    if (edge.variable.isDefined)
+      out = out.withColumn(s"${eVar}_src", lit(null).cast("long"))
+        .withColumn(s"${eVar}_dst", lit(null).cast("long"))
+    (usedProps.getOrElse(eVar, Set.empty) ++ edge.props.map(_._1))
+      .toSeq.distinct.sorted.foreach { p =>
+        if (!out.columns.contains(s"${eVar}_$p"))
+          out = out.withColumn(s"${eVar}_$p", lit(null).cast("string"))
+      }
+    ctx = Ctx(ctx.bindings +
+      (eVar -> EdgeBinding(edge.types.headOption.getOrElse("__missing"))))
+    if (!ctx.bindings.contains(nVar)) {
+      out = out.withColumn(s"${nVar}_id", lit(null).cast("long"))
+      if (node.labels.isEmpty) {
+        out = out.withColumn(s"${nVar}_label", lit(null).cast("string"))
+        ctx = Ctx(ctx.bindings + (nVar -> UnionNode))
+      } else {
+        (usedProps.getOrElse(nVar, Set.empty) ++ node.props.map(_._1))
+          .toSeq.distinct.sorted.foreach { p =>
+            if (!out.columns.contains(s"${nVar}_$p"))
+              out = out.withColumn(s"${nVar}_$p", lit(null).cast("string"))
+          }
+        ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(node.labels)))
+      }
+    }
+    pathVar.foreach { pv =>
+      out = out.withColumn(pv, lit(null).cast("array<long>"))
+    }
+    (out, ctx, nVar)
+  }
+
   /** Variable-length hop via PropertyGraph.paths (semantics per the
     * pattern's WALK/TRAIL/SIMPLE/ACYCLIC prefix, default WALK; cap 10 —
     * parity with executor.rs:6505-6510). Edge variables are not bindable
@@ -1574,6 +1646,10 @@ final class Compiler(graph: PropertyGraph,
       throw new GqlCompileException("edge variable not supported on quantified edges")
     val t = edge.types.headOption.getOrElse(
       throw new GqlCompileException("quantified edge requires a type"))
+    // a quantified hop over a type the graph doesn't have matches nothing
+    if (!graph.edgeTables.contains(t))
+      return emptyHop(df, ctx, edge, node, fresh("e"),
+        node.variable.getOrElse(fresh("n")), pathVar)
     val (lo, hi) = edge.quantifier.get
     val dir = edge.direction match {
       case Out => GDir.Out
@@ -1884,13 +1960,13 @@ final class Compiler(graph: PropertyGraph,
     case NumLit(_, _) | BoolLit(_) | NullLit() | ListLit(_) => false
     case Prop(v, p) => ctx.bindings.get(v) match {
       case Some(NodeBinding(ls)) => ls.exists(l =>
-        graph.nodeTables(l).schema.fields.exists(f =>
+        graph.nodeTables.get(l).exists(_.schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(p) &&
+            f.dataType == org.apache.spark.sql.types.StringType)))
+      case Some(EdgeBinding(l)) =>
+        graph.edgeTables.get(l).exists(_._2.schema.fields.exists(f =>
           f.name.equalsIgnoreCase(p) &&
             f.dataType == org.apache.spark.sql.types.StringType))
-      case Some(EdgeBinding(l)) =>
-        graph.edgeTables(l)._2.schema.fields.exists(f =>
-          f.name.equalsIgnoreCase(p) &&
-            f.dataType == org.apache.spark.sql.types.StringType)
       case _ => false
     }
     case Ident(_) => false // entities/ids are not strings
@@ -2299,7 +2375,8 @@ final class Compiler(graph: PropertyGraph,
         }
         ctx.bindings.get(v) match {
           case Some(NodeBinding(ls)) =>
-            lit(ls.exists(l => graph.nodeTables(l).columns.contains(propName)))
+            lit(ls.exists(l => graph.nodeTables.get(l)
+              .exists(_.columns.contains(propName))))
           case _ => throw new GqlCompileException(
             "PROPERTY_EXISTS expects a node variable")
         }
@@ -2311,7 +2388,9 @@ final class Compiler(graph: PropertyGraph,
       }
       case "KEYS" => ctx.bindings.get(varName(0)) match {
         case Some(NodeBinding(ls)) =>
-          val cols = ls.flatMap(l => graph.nodeTables(l).columns).distinct.sorted
+          val cols = ls.flatMap(l =>
+            graph.nodeTables.get(l).map(_.columns.toSeq).getOrElse(Seq("id")))
+            .distinct.sorted
           array(cols.map(lit): _*)
         case _ => throw new GqlCompileException("KEYS() expects a node variable")
       }
@@ -2322,13 +2401,14 @@ final class Compiler(graph: PropertyGraph,
         val v = varName(0)
         ctx.bindings.get(v) match {
           case Some(NodeBinding(ls)) =>
-            val props = ls.flatMap(l => graph.nodeTables(l).columns)
+            val props = ls.flatMap(l =>
+              graph.nodeTables.get(l).map(_.columns.toSeq).getOrElse(Seq.empty))
               .distinct.filterNot(_ == "id").sorted
             map(props.flatMap(p =>
               Seq(lit(p), col(s"${v}_$p").cast("string"))): _*)
           case Some(EdgeBinding(l)) =>
-            val (_, e) = graph.edgeTables(l)
-            val props = e.columns
+            val props = graph.edgeTables.get(l)
+              .map(_._2.columns.toSeq).getOrElse(Seq.empty)
               .filterNot(c => c == "src" || c == "dst" || c == "eid").sorted
             map(props.flatMap(p =>
               Seq(lit(p), col(s"${v}_$p").cast("string"))): _*)

@@ -29,7 +29,7 @@ object Lexer {
   // PROCEDURE, RESET, CLOSE.
 
   private val punct2 = Seq("<>", "<=", ">=", "->", "<-", "||", "..")
-  private val punct1 = "()[]{},.:;*/%+-<>=|$"
+  private val punct1 = "()[]{},.:;*/%+-<>=|$?"
 
   def tokenize(q: String): Either[String, Vector[Token]] = {
     val out = Vector.newBuilder[Token]

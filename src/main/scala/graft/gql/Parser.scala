@@ -857,6 +857,25 @@ final class Parser(tokens: Vector[Token]) {
       }
       if (isPunct("{")) props = parsePropMap()
       eatPunct("]")
+      // postfix quantifiers (executor.rs:6435 expansion: `?`, `{n}`,
+      // `{n,m}`, `{n,}` — the open upper bound takes the same cap-10 the
+      // `*`-forms use, executor.rs:6505-6510)
+      if (quant.isEmpty) {
+        if (tryPunct("?")) quant = Some((0, 1))
+        else if (tryPunct("{")) {
+          val lo = cur match {
+            case TNum(s, _) => p += 1; s.toInt
+            case _ => err("edge quantifier expects a number")
+          }
+          var hi = lo
+          if (tryPunct(",")) {
+            hi = 10
+            cur match { case TNum(s, _) => hi = s.toInt; p += 1; case _ => () }
+          }
+          eatPunct("}")
+          quant = Some((lo, hi))
+        }
+      }
     }
     val rightArrow = tryPunct("->")
     if (!rightArrow) eatPunct("-") // <-[…]- and -[…]- end with a bare dash

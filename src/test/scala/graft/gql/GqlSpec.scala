@@ -265,6 +265,9 @@ class GqlSpec extends AnyFunSuite {
   test("parse errors are reported") {
     intercept[GqlParseException](s.gql("MATCH (a:Account) RETURN"))
     intercept[GqlParseException](s.gql("MATCHX foo"))
-    intercept[GqlCompileException](s.gql("MATCH (a:Nope) RETURN count(a) AS n"))
+    // an unknown label is NOT an error — it matches nothing
+    // (pattern_tests.rs; see ReadmeParitySpec missing-label test)
+    assert(s.gql("MATCH (a:Nope) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 0L)
   }
 }

@@ -129,6 +129,36 @@ class ReadmeParitySpec extends AnyFunSuite {
     }
   }
 
+  test("patterns over missing labels match nothing (pattern_tests.rs " +
+      "'patterns with no matches')") {
+    val s = setup()
+    // unknown node label → 0 rows, not an error
+    assert(s.gql("MATCH (x:Nonexistent) RETURN count(x) AS n")
+      .collect().head.getLong(0) == 0L)
+    // unknown edge type between known labels → 0 rows
+    assert(s.gql("MATCH (a:Person)-[:NONEXISTENT]->(b:Person) " +
+      "RETURN count(*) AS n").collect().head.getLong(0) == 0L)
+    // property access off a missing label compiles and yields no rows
+    assert(s.gql("MATCH (x:Nonexistent) WHERE x.weight > 10 " +
+      "RETURN x.name AS name").collect().isEmpty)
+    // multi-type union keeps its known members
+    assert(s.gql("MATCH ()-[r:KNOWS|NONEXISTENT]->() RETURN count(r) AS n")
+      .collect().head.getLong(0) == 4L)
+    // quantified hop over a missing type → empty
+    assert(s.gql("MATCH (a:Person)-[:NONEXISTENT*1..3]->(b:Person) " +
+      "RETURN count(*) AS n").collect().head.getLong(0) == 0L)
+    // DML over a missing label affects 0 rows instead of erroring
+    assert(s.execute("MATCH (x:Nonexistent) SET x.flag = 1")
+      .collect().head.getLong(0) == 0L)
+    assert(s.execute("MATCH (x:Nonexistent) DETACH DELETE x")
+      .collect().head.getLong(0) == 0L)
+    // self-referencing pattern still works (same var at both endpoints)
+    s.execute("INSERT (sr:SelfRef {tag: 1})")
+    s.execute("MATCH (x:SelfRef) INSERT (x)-[:SELF_LOOP]->(x)")
+    assert(s.gql("MATCH (n:SelfRef)-[r:SELF_LOOP]->(n) " +
+      "RETURN count(r) AS n").collect().head.getLong(0) == 1L)
+  }
+
   test("friends of friends (readme pattern matching)") {
     val s = setup()
     val fof = s.gql("MATCH (person:Person)-[:KNOWS]->(friend:Person)" +

@@ -131,6 +131,27 @@ class SurfaceSpec extends AnyFunSuite {
     assert(fixed.toSeq == Seq(Seq(1L, 2L, 3L)))
   }
 
+  test("postfix edge quantifiers: {n}, {n,m}, {n,}, ? " +
+      "(executor.rs:6435 expansion)") {
+    val t = SparkFixture.gqlSession(SparkFixture.simpleGraph)
+    // chain 1→2→3→…: {1,3} ≡ *1..3
+    assert(t.gql("MATCH (a:TestNode {id: 1})-[:CONNECTS_TO]{1,3}->" +
+      "(b:TestNode) RETURN b.id AS id ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    // {2} = exactly two hops
+    assert(t.gql("MATCH (a:TestNode {id: 1})-[:CONNECTS_TO]{2}->" +
+      "(b:TestNode) RETURN b.id AS id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // {2,} = open upper bound, cap 10 (executor.rs:6505-6510)
+    assert(t.gql("MATCH (a:TestNode {id: 1})-[:CONNECTS_TO]{2,}->" +
+      "(b:TestNode) RETURN count(b) AS n").collect().head.getLong(0) >= 2L)
+    // ? = {0,1}: zero hops keeps the start node itself as an endpoint
+    val ids = t.gql("MATCH (a:TestNode {id: 1})-[:CONNECTS_TO]?->" +
+      "(b:TestNode) RETURN b.id AS id ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("path variables span mixed rigid+quantified chains") {
     val t = SparkFixture.gqlSession(SparkFixture.simpleGraph)
     // rigid then quantified: 1→2 fixed, then 1..2 more hops
