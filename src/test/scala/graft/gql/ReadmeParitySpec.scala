@@ -141,6 +141,10 @@ class ReadmeParitySpec extends AnyFunSuite {
     // property access off a missing label compiles and yields no rows
     assert(s.gql("MATCH (x:Nonexistent) WHERE x.weight > 10 " +
       "RETURN x.name AS name").collect().isEmpty)
+    // aggregates over the empty match follow ISO GQL: COUNT 0, SUM null
+    // (aggregation_tests.rs test_aggregation_edge_cases)
+    assert(s.gql("MATCH (x:Nonexistent) RETURN sum(x.weight) AS s")
+      .collect().head.isNullAt(0))
     // multi-type union keeps its known members
     assert(s.gql("MATCH ()-[r:KNOWS|NONEXISTENT]->() RETURN count(r) AS n")
       .collect().head.getLong(0) == 4L)
