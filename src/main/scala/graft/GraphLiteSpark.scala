@@ -136,9 +136,12 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
 
   /** Per-operation grant check against the attached catalog graph
     * (reference Permission enum, security.rs:219-246). In-memory graphs
-    * (`currentName` empty) are ungoverned by definition.
+    * (`currentName` empty) are ungoverned by definition. Package-visible
+    * so graph-READING system procedures (gql.find_neighbors et al.) can
+    * demand SELECT — the attach-time any-grant check alone would let an
+    * INSERT-only user read node/edge data through CALL.
     */
-  private def requirePerm(perm: String): Unit = currentName.foreach { path =>
+  private[graft] def requirePerm(perm: String): Unit = currentName.foreach { path =>
     if (!gls.catalog.checkAccess(user, path, perm))
       throw new GqlAuthException(
         s"user '$user' is not authorized to $perm on $path")
@@ -244,7 +247,10 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     requirePerm("SELECT")
     def compile() = new Compiler(graph, sessionParams, f64Mode,
       if (resultCacheOn) Some((subqueryCache, cacheEpoch)) else None).compile(q)
-    if (!resultCacheOn) return compile()
+    // queries with non-deterministic functions (NOW, CURRENT_DATE, …)
+    // must re-evaluate every time — a cached result would freeze the
+    // clock for the TTL (result_cache.rs replays blindly; we refuse)
+    if (!resultCacheOn || Ast.nonDeterministic(q)) return compile()
     val key = resultCache.Key(text.trim, sessionParams, cacheEpoch, user, f64Mode)
     resultCache.get(key, gls.spark).getOrElse {
       val df = compile()

@@ -85,6 +85,7 @@ object SystemProcedures {
       // all ride PropertyGraph.bfs (per-node frontier state; composes
       // with CALL … YIELD … WHERE)
       case "gql.find_neighbors" =>
+        session.requirePerm("SELECT")
         val Seq(edgeLabel, startId, maxHops) = fixedArgs(name, args, 3)
         import org.apache.spark.sql.functions.{col, lit}
         session.graph.bfs(
@@ -94,6 +95,7 @@ object SystemProcedures {
           .select(col("node_id").as("neighbor_id"), col("dist"))
           .orderBy("dist", "neighbor_id")
       case "gql.shortest_path" =>
+        session.requirePerm("SELECT")
         val Seq(edgeLabel, srcId, dstId, maxLen) = fixedArgs(name, args, 4)
         import org.apache.spark.sql.functions.{col, lit}
         session.graph.bfs(
@@ -103,6 +105,7 @@ object SystemProcedures {
           .select(lit(srcId.toLong).as("src"), lit(dstId.toLong).as("dst"),
             col("dist"))
       case "gql.is_reachable" =>
+        session.requirePerm("SELECT")
         val Seq(edgeLabel, srcId, dstId, maxHops) = fixedArgs(name, args, 4)
         import org.apache.spark.sql.functions.{col, lit}
         val hit = !session.graph.bfs(

@@ -270,4 +270,23 @@ object Ast {
     * executor.rs:8593-8700; body kept as text and re-dispatched).
     */
   case class AtStmt(path: String, body: String) extends Statement
+
+  /** True when the tree contains a non-deterministic function call —
+    * result/subquery caches must not replay these for their TTL
+    * (reference result_cache.rs caches rows blindly; a frozen NOW() is a
+    * bug class we refuse to inherit). TEMPORAL_VALUE defaults tx_time to
+    * NOW() when the 4th argument is omitted.
+    */
+  def nonDeterministic(a: Any): Boolean = a match {
+    case Fn(n, args, _) =>
+      val up = n.toUpperCase
+      Seq("NOW", "CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME",
+        "RAND", "RANDOM", "UUID").contains(up) ||
+        (up == "TEMPORAL_VALUE" && args.size < 4) ||
+        args.exists(nonDeterministic)
+    case s: Seq[_] => s.exists(nonDeterministic)
+    case o: Option[_] => o.exists(nonDeterministic)
+    case p: Product => p.productIterator.exists(nonDeterministic)
+    case _ => false
+  }
 }

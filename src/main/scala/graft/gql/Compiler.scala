@@ -870,20 +870,28 @@ final class Compiler(graph: PropertyGraph,
 
     var df: Option[DataFrame] = None
     var bindings = Map.empty[String, Binding]
-    segs.foreach { seg =>
-      val (d2, b2) = compileSegment(seg, df, bindings, isFinal = false)
-      df = Some(d2)
-      bindings = b2
-    }
+    // the nested segments reset [[zonedVals]] per projection — restore
+    // the outer set so zoned aliases survive a mid-statement subquery
+    val savedZoned = zonedVals
+    try {
+      segs.foreach { seg =>
+        val (d2, b2) = compileSegment(seg, df, bindings, isFinal = false)
+        df = Some(d2)
+        bindings = b2
+      }
+    } finally zonedVals = savedZoned
     (df.get, valueName, aggregated)
   }
 
   /** Compile a nested query expression without clobbering the outer
-    * query's property-usage map (compileQuery recomputes it).
+    * query's property-usage map (compileQuery recomputes it) or its
+    * zoned-alias set (every projection the nested compile runs resets
+    * [[zonedVals]]; an outer WITH alias holding a zoned value must stay
+    * zoned after the subquery).
     */
   private def compileNested(q: QueryExpr): DataFrame = {
-    val saved = usedProps
-    try compile(q) finally { usedProps = saved }
+    val (savedProps, savedZoned) = (usedProps, zonedVals)
+    try compile(q) finally { usedProps = savedProps; zonedVals = savedZoned }
   }
 
   /** Materialize scalar subqueries and quantified comparisons inside
@@ -965,7 +973,7 @@ final class Compiler(graph: PropertyGraph,
           val c1 = inner.columns.headOption.getOrElse(
             throw new GqlCompileException("scalar subquery returns no columns"))
           subqueries match {
-            case Some((sc, epoch)) if {
+            case Some((sc, epoch)) if !Ast.nonDeterministic(q) && {
               import org.apache.spark.sql.types._
               inner.schema(c1).dataType match {
                 case _: StructType | _: ArrayType | _: MapType => false
@@ -976,8 +984,13 @@ final class Compiler(graph: PropertyGraph,
               // inline it as a literal — the outer plan loses the
               // crossJoin subtree entirely, and the next statement
               // sharing this subquery AST skips the job (structural
-              // case-class equality = the reference's expression hash)
-              val (v, dt) = sc.getOrCompute(q, epoch) {
+              // case-class equality = the reference's expression hash).
+              // The key carries the session parameter bindings and the
+              // f64 flag (reference SubqueryCacheKey includes parameter
+              // values) — a $param-dependent subquery re-evaluates when
+              // the binding changes; NOW()-style subqueries skip the
+              // memo entirely (nonDeterministic guard above).
+              val (v, dt) = sc.getOrCompute((q, params, f64Numbers), epoch) {
                 val row = inner.select(col(c1)).limit(1).collect().headOption
                 (row.map(_.get(0)).orNull, inner.schema(c1).dataType)
               }

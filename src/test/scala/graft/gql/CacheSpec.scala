@@ -87,6 +87,46 @@ class CacheSpec extends AnyFunSuite {
     }
   }
 
+  test("non-deterministic queries are never cached (NOW stays live)") {
+    val s = freshSession()
+    s.execute("SESSION SET RESULT_CACHE ON")
+    val q = "MATCH (a:Account) RETURN count(a) AS n, NOW() AS at"
+    s.execute(q).collect(); s.execute(q).collect()
+    // neither run touched the cache: no entry, no hit — a cached NOW()
+    // would freeze the clock for the TTL
+    assert(stats(s, "result")("entries") == 0)
+    assert(stats(s, "result")("hits") == 0)
+    // and a NOW()-bearing scalar subquery skips the subquery memo too
+    s.execute("MATCH (a:Account) WHERE a.balance > 0 AND " +
+      "(MATCH (b:Account) RETURN min(b.balance) + SECOND(NOW()) * 0.0) " +
+      "< 99999999999 RETURN count(a) AS n").collect()
+    val sub = s.call("gql.result_cache_stats").collect()
+      .find(_.getString(0) == "subquery").get
+    assert(sub.getLong(6) == 0) // entries
+  }
+
+  test("subquery memo is parameter-aware (SubqueryCacheKey parity)") {
+    val s = freshSession()
+    s.execute("SESSION SET RESULT_CACHE ON")
+    val q = "MATCH (a:Account) WHERE a.balance > " +
+      "(MATCH (b:Account) WHERE b.balance > $minb RETURN avg(b.balance)) " +
+      "RETURN count(a) AS n"
+    s.setParameter("minb", 0L)
+    val n1 = s.execute(q).collect().head.getLong(0)
+    // a changed binding must re-evaluate the inner subquery, not inline
+    // the memoized literal from the previous binding
+    s.setParameter("minb", 4000L)
+    val n2 = s.execute(q).collect().head.getLong(0)
+    assert(n1 != n2, s"stale subquery memo: $n1 == $n2")
+    // f64 mode keys separately as well: count(b)/4 changes value class
+    val q2 = "MATCH (a:Account) WHERE a.balance >= 0 OR a.balance < " +
+      "(MATCH (b:Account) RETURN count(b) / 4) RETURN count(a) AS n"
+    s.execute(q2).collect()
+    s.useF64Numbers(true)
+    s.execute(q2).collect()
+    s.useF64Numbers(false)
+  }
+
   test("RESULT_CACHE OFF restores lazy execution and clears entries") {
     val s = freshSession()
     s.execute("SESSION SET RESULT_CACHE ON")

@@ -931,6 +931,14 @@ class SurfaceSpec extends AnyFunSuite {
     // a non-zoned rebinding of the same name reverts to naive
     assert(one("LET z = AT_TIME_ZONE(NOW(), 'Asia/Tokyo') " +
       "LET z = NOW() RETURN EXTRACT_TIMEZONE('TIMEZONE', z) AS x") == "UTC")
+    // round-8 advice: a subquery compiled mid-statement must not clobber
+    // the outer zoned-alias set — z stays zoned after the scalar sub
+    assert(one("MATCH (a:Account) WHERE a.id = 1 " +
+      "WITH AT_TIME_ZONE(DATETIME('2024-07-01 12:00:00'), 'Asia/Tokyo') AS z, " +
+      "a.balance AS bal " +
+      "RETURN EXTRACT_TIMEZONE('TIMEZONE', z) AS x, " +
+      "bal - (MATCH (b:Account) RETURN min(b.balance)) AS d")
+      == "Asia/Tokyo")
   }
 
   test("graph grants are enforced at attach time (security.rs ACEs)") {
@@ -1003,6 +1011,16 @@ class SurfaceSpec extends AnyFunSuite {
     intercept[graft.GqlAuthException] {
       writer.gql("MATCH (a:Account) RETURN count(a) AS n").collect()
     }
+    // round-8 advice: graph-READING system procedures demand SELECT too —
+    // an INSERT-only user must not read topology through CALL
+    intercept[graft.GqlAuthException] {
+      writer.call("gql.find_neighbors", Seq("Transaction", "1", "2"))
+    }
+    intercept[graft.GqlAuthException] {
+      writer.execute("CALL gql.is_reachable(Transaction, 1, 2, 3)")
+    }
+    // while the SELECT-granted reader uses them freely
+    reader.call("gql.find_neighbors", Seq("Transaction", "1", "2")).collect()
   }
 
   test("REVOKE role FROM user is the inverse of GRANT role TO user") {
