@@ -49,6 +49,29 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     * NEXT…YIELD chains (executor.rs:8612-8641 analog).
     */
   private var sessionParams: Map[String, Any] = Map.empty
+  /** Current schema context (SESSION SET SCHEMA — session/models.rs:
+    * 267-275): relative graph names in catalog DDL and SESSION SET GRAPH
+    * resolve against it, PostgreSQL search-path style.
+    */
+  private var currentSchema: Option[String] = None
+  /** Session time zone (SESSION SET TIME ZONE — session/models.rs:
+    * 277-285). None = engine default UTC. Stored values stay naive-UTC
+    * instants (the reference's DateTime<Utc>, value.rs:151) and
+    * spark.sql.session.timeZone stays pinned UTC; the zone is applied
+    * EXPLICITLY by the compiler (from_utc_timestamp inside the EXTRACT
+    * family), so parquet TIMESTAMP_NTZ columns and LTZ literals behave
+    * identically and nothing depends on mutable global conf.
+    */
+  private var sessionTimeZone: Option[String] = None
+  /** Graph-valued session parameters (SESSION SET GRAPH $p = path —
+    * ast.rs:1019-1023): catalog paths, usable wherever a graph reference
+    * is (SESSION SET GRAPH $p).
+    */
+  private var graphParams: Map[String, String] = Map.empty
+  /** Binding-table-valued session parameters (SESSION SET BINDING TABLE
+    * $p = query — ast.rs:1024-1028): compiled lazily-evaluable frames.
+    */
+  private var tableParams: Map[String, DataFrame] = Map.empty
   /** Opt-in reference number semantics (value.rs:449-453: all arithmetic
     * in f64) — `SESSION SET NUMBERS F64` or [[useF64Numbers]]. Default is
     * native Spark numerics.
@@ -91,11 +114,27 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
   def useF64Numbers(on: Boolean): this.type = { f64Mode = on; this }
 
   def currentGraphName: Option[String] = currentName
+  def currentSchemaName: Option[String] = currentSchema
+  def currentTimeZone: Option[String] = sessionTimeZone
   def inTransaction: Boolean = txStack.nonEmpty
   def parameters: Map[String, Any] = sessionParams
   def setParameter(name: String, value: Any): this.type = {
     sessionParams += (name -> value); this
   }
+  /** Binding-table parameter lookup ($p set via SESSION SET TABLE). */
+  def tableParameter(name: String): Option[DataFrame] = tableParams.get(name)
+
+  /** Resolve a possibly-relative catalog path against the current schema
+    * (reference relative-path semantics, ddl_independent_tests.rs:150-176;
+    * schema context from exec/context.rs:180-184).
+    */
+  private def resolvePath(path: String): String =
+    if (path.startsWith("/")) path
+    else currentSchema match {
+      case Some(s0) => s"/$s0/$path"
+      case None => throw new GqlCompileException(
+        s"relative graph name '$path' needs SESSION SET SCHEMA first")
+    }
 
   /** CALL gql.* — system procedures (system_procedures.rs:60-91). */
   def call(procedure: String, args: Seq[String] = Seq.empty):
@@ -152,8 +191,11 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     */
   def gql(query: String): DataFrame = {
     requirePerm("SELECT")
-    new Compiler(graph, sessionParams, f64Mode).compile(Parser.parse(query))
+    (new Compiler(graph, sessionParams, f64Mode,
+      sessionTz = tzName).compile(Parser.parse(query)))
   }
+
+  private def tzName: String = sessionTimeZone.getOrElse("UTC")
 
   /** Execute any GQL statement (ast.rs:24-39 dispatch): queries return
     * their result; DML mutates the session's current graph copy-on-write
@@ -214,7 +256,8 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     Parser.parseStatement(text) match {
       case Ast.QueryStmt(q) =>
         val seed = prev.select(yields.map { case (c, o) => col(c).as(o) }: _*)
-        new Compiler(graph, sessionParams, f64Mode).compileSeeded(q, seed)
+        (new Compiler(graph, sessionParams, f64Mode,
+          sessionTz = tzName).compileSeeded(q, seed))
       case _ => executeOne(text)
     }
 
@@ -245,8 +288,9 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     */
   private def executeQuery(text: String, q: Ast.QueryExpr): DataFrame = {
     requirePerm("SELECT")
-    def compile() = new Compiler(graph, sessionParams, f64Mode,
-      if (resultCacheOn) Some((subqueryCache, cacheEpoch)) else None).compile(q)
+    def compile() = (new Compiler(graph, sessionParams, f64Mode,
+      if (resultCacheOn) Some((subqueryCache, cacheEpoch)) else None,
+      sessionTz = tzName).compile(q))
     // queries with non-deterministic functions (NOW, CURRENT_DATE, …)
     // must re-evaluate every time — a cached result would freeze the
     // clock for the TTL (result_cache.rs replays blindly; we refuse)
@@ -275,7 +319,8 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
     stmt match {
       case QueryStmt(q) =>
         requirePerm("SELECT")
-        new Compiler(graph, sessionParams, f64Mode).compile(q)
+        (new Compiler(graph, sessionParams, f64Mode,
+          sessionTz = tzName).compile(q))
 
       case InsertStmt(paths) =>
         requirePerm("INSERT")
@@ -580,7 +625,15 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           Seq(affected).toDF("nodes_deleted")
         }
 
-      case CatalogStmt(op, kind, schema, g, typed) => (op, kind) match {
+      case CatalogStmt(op, kind, rawSchema, g, typed) =>
+        // a relative graph name (schema "") resolves against the session
+        // schema (SESSION SET SCHEMA; ddl_independent_tests.rs:150-176)
+        val schema =
+          if (rawSchema.nonEmpty) rawSchema
+          else currentSchema.getOrElse(throw new GqlCompileException(
+            s"relative graph name '${g.getOrElse("")}' needs " +
+              "SESSION SET SCHEMA first"))
+        (op, kind) match {
         case ("CREATE", "SCHEMA") =>
           gls.catalog.createSchema(schema); Seq(s"/$schema").toDF("created")
         case ("CREATE", "GRAPH") =>
@@ -730,16 +783,98 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
         rows.toDF("variable", "type", "value")
 
       case SessionSetGraph(path) =>
-        useGraph(path); Seq(path).toDF("current_graph")
+        val abs = resolvePath(path)
+        useGraph(abs); Seq(abs).toDF("current_graph")
+
+      case SessionSetSchema(name) =>
+        // validated against the catalog like the reference
+        // (executor.rs:6819-6835 CatalogError on a missing schema)
+        if (!gls.catalog.listSchemas().contains(name))
+          throw new GqlCompileException(s"schema does not exist: /$name")
+        currentSchema = Some(name)
+        Seq(s"/$name").toDF("current_schema")
+
+      case SessionSetTimeZone(tz) =>
+        // accept region ids and the common abbreviations ZoneId knows;
+        // reject garbage eagerly (the reference stores the raw string —
+        // we validate up front so EXTRACT can't fail mid-job)
+        val zone = try {
+          java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).getId
+        } catch {
+          case _: java.time.DateTimeException =>
+            throw new GqlCompileException(s"invalid time zone: $tz")
+        }
+        sessionTimeZone = Some(zone)
+        Seq(zone).toDF("time_zone")
+
+      case SessionSetParam(kind, name, ifNotExists, vInit, gInit, tInit) =>
+        val skip = ifNotExists && (kind match {
+          case "VALUE" => sessionParams.contains(name)
+          case "GRAPH" => graphParams.contains(name)
+          case _ => tableParams.contains(name)
+        })
+        if (skip) Seq((name, "exists")).toDF("parameter", "status")
+        else kind match {
+          case "VALUE" =>
+            val v = evalStandalone(vInit.get)
+            sessionParams += (name -> v)
+            Seq((name, String.valueOf(v))).toDF("parameter", "value")
+          case "GRAPH" =>
+            val abs = resolvePath(gInit.get)
+            val parts = abs.stripPrefix("/").split("/")
+            if (parts.length != 2 ||
+                !gls.catalog.listGraphs(parts(0)).contains(parts(1)))
+              throw new GqlCompileException(s"graph does not exist: $abs")
+            graphParams += (name -> abs)
+            // the path doubles as a scalar $ref (rendered as its path)
+            sessionParams += (name -> abs)
+            Seq((name, abs)).toDF("parameter", "graph")
+          case _ =>
+            val df = (new Compiler(graph, sessionParams, f64Mode,
+              sessionTz = tzName).compile(tInit.get))
+            tableParams += (name -> df)
+            Seq((name, df.columns.mkString(","))).toDF("parameter", "columns")
+        }
+
+      case SessionReset(target, param) =>
+        target match {
+          case "ALL" =>
+            // reference reset-everything (session/models.rs:412-418):
+            // graph context, schema, time zone, AND parameters
+            currentGraph = None; currentName = None; txStack = Nil
+            currentType = None; currentSchema = None; sessionTimeZone = None
+            sessionParams = Map.empty; graphParams = Map.empty
+            tableParams = Map.empty
+          case "SCHEMA" => currentSchema = None
+          case "GRAPH" =>
+            currentGraph = None; currentName = None; currentType = None
+          case "TIME_ZONE" => sessionTimeZone = None
+          case "PARAMETERS" =>
+            sessionParams = Map.empty; graphParams = Map.empty
+            tableParams = Map.empty
+          case "CHARACTERISTICS" =>
+            currentGraph = None; currentName = None; currentType = None
+            currentSchema = None; sessionTimeZone = None
+          case "PARAMETER" =>
+            val n = param.get
+            sessionParams -= n; graphParams -= n; tableParams -= n
+          case other =>
+            throw new GqlCompileException(s"unknown SESSION RESET $other")
+        }
+        Seq(target.toLowerCase).toDF("session_reset")
 
       case SessionCtl(op) => op match {
         case "RESET" =>
           currentGraph = None; currentName = None; txStack = Nil
-          currentType = None
+          currentType = None; currentSchema = None; sessionTimeZone = None
+          sessionParams = Map.empty; graphParams = Map.empty
+          tableParams = Map.empty
           Seq("reset").toDF("session")
         case "CLOSE" =>
           currentGraph = None; currentName = None; txStack = Nil
-          currentType = None
+          currentType = None; currentSchema = None; sessionTimeZone = None
+          sessionParams = Map.empty; graphParams = Map.empty
+          tableParams = Map.empty
           Seq("closed").toDF("session")
         case "NUMBERS_F64" =>
           f64Mode = true; Seq("f64").toDF("numbers")

@@ -219,6 +219,35 @@ object Ast {
       vars: Seq[(String, String, Option[Expr])]) extends Statement
   /** SESSION SET GRAPH /schema/graph (ast.rs:992-1063). */
   case class SessionSetGraph(path: String) extends Statement
+  /** SESSION SET SCHEMA path — PostgreSQL-style current-schema context:
+    * relative graph names in DDL / SESSION SET GRAPH resolve against it
+    * (SessionSetClause::Schema, ast.rs:1010-1012; relative-path tests
+    * ddl_independent_tests.rs:150-176).
+    */
+  case class SessionSetSchema(path: String) extends Statement
+  /** SESSION SET TIME ZONE 'zone' — the session temporal context
+    * (SessionSetClause::TimeZone, ast.rs:1015-1017; stored per-session at
+    * session/models.rs:277-285). Changes how naive timestamps render and
+    * EXTRACT.
+    */
+  case class SessionSetTimeZone(zone: String) extends Statement
+  /** SESSION SET VALUE|GRAPH|BINDING TABLE [IF NOT EXISTS] $p = init —
+    * session parameters (SessionSetClause::{Value,Graph,BindingTable}
+    * Parameter, ast.rs:1019-1032). `kind` ∈ VALUE | GRAPH | TABLE; the
+    * initializer is an expression (VALUE), a catalog path (GRAPH), or a
+    * query (TABLE).
+    */
+  case class SessionSetParam(kind: String, name: String, ifNotExists: Boolean,
+      valueInit: Option[Expr] = None, graphInit: Option[String] = None,
+      tableInit: Option[QueryExpr] = None) extends Statement
+  /** SESSION RESET [SCHEMA | GRAPH | TIME ZONE | [ALL] PARAMETERS |
+    * [ALL] CHARACTERISTICS | [PARAMETER] $p] — granular session reset
+    * (SessionResetArgs, ast.rs:1043-1050; semantics at
+    * session/models.rs:391-421). target ∈ ALL | SCHEMA | GRAPH |
+    * TIME_ZONE | PARAMETERS | CHARACTERISTICS | PARAMETER.
+    */
+  case class SessionReset(target: String,
+      param: Option[String] = None) extends Statement
   /** SESSION RESET | SESSION CLOSE (ast.rs:992-1063). */
   case class SessionCtl(op: String) extends Statement
   /** START TRANSACTION | COMMIT | ROLLBACK (ast.rs:1620-1679) — mapped to

@@ -35,7 +35,15 @@ final class Compiler(graph: PropertyGraph,
       * evaluate eagerly through the cache and inline as literals, so two
       * outer queries sharing `(MATCH … RETURN max(x))` cost one job.
       */
-    subqueries: Option[(graft.cache.SubqueryCache, Long)] = None) {
+    subqueries: Option[(graft.cache.SubqueryCache, Long)] = None,
+    /** Session time zone (SESSION SET TIME ZONE — session/models.rs:
+      * 277-285). Naive timestamps belong to this zone: EXTRACT_TIMEZONE
+      * on a non-struct value reports it (name + DST-correct offset at the
+      * instant) instead of pinned UTC/0. Component extraction (hour, day,
+      * …) picks the zone up from spark.sql.session.timeZone, which the
+      * session pins during analysis (GqlSession.withTz).
+      */
+    sessionTz: String = "UTC") {
 
   sealed trait Binding
   /** A node variable constrained to ALL of `labels` (multi-label pattern
@@ -2129,6 +2137,22 @@ final class Compiler(graph: PropertyGraph,
     }
   }
 
+  /** Render a naive timestamp (a UTC instant — reference DateTime<Utc>,
+    * value.rs:151) as its wall clock in the session time zone, the
+    * explicit analog of extracting under SESSION SET TIME ZONE. Identity
+    * for UTC sessions; zoned structs and already-localized values keep
+    * their own zone. Explicit from_utc_timestamp keeps the semantics
+    * independent of spark.sql.session.timeZone (pinned UTC), so parquet
+    * TIMESTAMP_NTZ columns and LTZ literals extract identically.
+    */
+  private def sessionLocal(e: Expr, c: Column): Column =
+    if (sessionTz == "UTC") c
+    else e match {
+      case ZonedShape() => c
+      case Fn("LOCAL_DATETIME", _, _) => c
+      case _ => from_utc_timestamp(c, sessionTz)
+    }
+
   /** Scalar function registry — mirrors functions/mod.rs:39-256; each maps
     * to org.apache.spark.sql.functions (codegen'd, no UDFs).
     */
@@ -2212,12 +2236,15 @@ final class Compiler(graph: PropertyGraph,
       case "CURRENT_TIME" => date_format(current_timestamp(), "HH:mm:ss")
       case "DATE_ADD" => date_add(a(0), a(1).cast("int"))
       case "DATE_SUB" => date_sub(a(0), a(1).cast("int"))
-      case "EXTRACT_YEAR" | "YEAR" => year(a(0)).cast("long")
-      case "EXTRACT_MONTH" | "MONTH" => month(a(0)).cast("long")
-      case "EXTRACT_DAY" | "DAY" => dayofmonth(a(0)).cast("long")
-      case "HOUR" => hour(a(0)).cast("long")
-      case "MINUTE" => minute(a(0)).cast("long")
-      case "SECOND" => second(a(0)).cast("long")
+      case "EXTRACT_YEAR" | "YEAR" =>
+        year(sessionLocal(args(0), a(0))).cast("long")
+      case "EXTRACT_MONTH" | "MONTH" =>
+        month(sessionLocal(args(0), a(0))).cast("long")
+      case "EXTRACT_DAY" | "DAY" =>
+        dayofmonth(sessionLocal(args(0), a(0))).cast("long")
+      case "HOUR" => hour(sessionLocal(args(0), a(0))).cast("long")
+      case "MINUTE" => minute(sessionLocal(args(0), a(0))).cast("long")
+      case "SECOND" => second(sessionLocal(args(0), a(0))).cast("long")
       // EXTRACT(field, ts) (temporal_functions.rs:502)
       case "EXTRACT" =>
         val field = args(0) match {
@@ -2226,14 +2253,15 @@ final class Compiler(graph: PropertyGraph,
           case other => throw new GqlCompileException(
             s"EXTRACT expects a field name, got $other")
         }
+        val ts = sessionLocal(args(1), a(1))
         (field match {
-          case "YEAR" => year(a(1))
-          case "MONTH" => month(a(1))
-          case "DAY" => dayofmonth(a(1))
-          case "HOUR" => hour(a(1))
-          case "MINUTE" => minute(a(1))
-          case "SECOND" => second(a(1))
-          case "DOW" | "DAYOFWEEK" => dayofweek(a(1))
+          case "YEAR" => year(ts)
+          case "MONTH" => month(ts)
+          case "DAY" => dayofmonth(ts)
+          case "HOUR" => hour(ts)
+          case "MINUTE" => minute(ts)
+          case "SECOND" => second(ts)
+          case "DOW" | "DAYOFWEEK" => dayofweek(ts)
           case other => throw new GqlCompileException(s"EXTRACT field $other")
         }).cast("long")
       // DURATION_NUMERIC(n, 'MINUTES') -> seconds (temporal_functions
@@ -2295,7 +2323,8 @@ final class Compiler(graph: PropertyGraph,
           case ZonedShape() =>
             from_utc_timestamp(a(0).getField("ts"),
               a(0).getField("tz").cast("string"))
-          case _ => a(0)
+          // naive values render in the SESSION zone (UTC default)
+          case _ => sessionLocal(args.head, a(0))
         }
       case "CONVERT_TZ" =>
         struct(lit(canonicalZone(strArg(args(2)))).as("tz"),
@@ -2343,12 +2372,23 @@ final class Compiler(graph: PropertyGraph,
               case other => throw new GqlCompileException(
                 s"EXTRACT_TIMEZONE unit $other")
             }
-          case _ => unit match {
-            case "TIMEZONE" => lit("UTC")
-            case "TIMEZONE_HOUR" | "TIMEZONE_MINUTE" => lit(0.0)
-            case other => throw new GqlCompileException(
-              s"EXTRACT_TIMEZONE unit $other")
-          }
+          case _ =>
+            // naive values belong to the SESSION time zone (UTC unless
+            // SESSION SET TIME ZONE changed it) — report its name and its
+            // DST-correct offset at each row's instant
+            lazy val sessSecs =
+              (unix_timestamp(from_utc_timestamp(a(1), sessionTz)) -
+                unix_timestamp(a(1))).cast("double")
+            unit match {
+              case "TIMEZONE" => lit(sessionTz)
+              case "TIMEZONE_HOUR" =>
+                if (sessionTz == "UTC") lit(0.0) else sessSecs / lit(3600.0)
+              case "TIMEZONE_MINUTE" =>
+                if (sessionTz == "UTC") lit(0.0)
+                else (sessSecs % 3600.0) / lit(60.0)
+              case other => throw new GqlCompileException(
+                s"EXTRACT_TIMEZONE unit $other")
+            }
         }
       // GET_TIMEZONE_NAME / _ABBREVIATION (timezone_functions.rs:508-645):
       // literal zone strings resolve at compile time through the same

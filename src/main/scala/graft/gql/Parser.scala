@@ -139,10 +139,20 @@ final class Parser(tokens: Vector[Token]) {
             p += 1
             parseGraphTypeTail(op)
           } else {
-            eatPunct("/")
-            val schema = ident()
-            val graph = if (tryPunct("/")) Some(ident()) else None
-            if (kind == "GRAPH" && graph.isEmpty) err("GRAPH path needs /schema/graph")
+            // absolute /schema[/graph], or a relative name resolved
+            // against the session's current schema (SESSION SET SCHEMA —
+            // reference relative-path tests ddl_independent_tests.rs:
+            // 150-176). Relative GRAPH names carry schema = "" here and
+            // resolve at dispatch.
+            val absolute = tryPunct("/")
+            val first = ident()
+            val second = if (tryPunct("/")) Some(ident()) else None
+            val (schema, graph) = (kind, absolute, second) match {
+              case ("SCHEMA", _, None) => (first, None)
+              case ("GRAPH", _, Some(g)) => (first, Some(g))
+              case ("GRAPH", false, None) => ("", Some(first))
+              case _ => err("GRAPH path needs /schema/graph or a relative name")
+            }
             val typed =
               if (kind == "GRAPH" && trySoftKw("TYPED")) Some(ident()) else None
             expectEnd(); CatalogStmt(op, kind, schema, graph, typed)
@@ -208,11 +218,39 @@ final class Parser(tokens: Vector[Token]) {
         expectEnd(); SelectStmt(paths, q)
       case TKw("SESSION", _) =>
         p += 1
-        if (trySoftKw("RESET")) { expectEnd(); SessionCtl("RESET") }
+        if (trySoftKw("RESET")) parseSessionReset()
         else if (trySoftKw("CLOSE")) { expectEnd(); SessionCtl("CLOSE") }
         else {
           eatKw("SET")
-          if (trySoftKw("RESULT_CACHE")) {
+          if (tryKw("SCHEMA")) {
+            // SESSION SET SCHEMA schema_reference (parser.rs:3193)
+            tryPunct("/")
+            val name = ident()
+            expectEnd(); SessionSetSchema(name)
+          } else if (isSoftKw("TIME")) {
+            // SESSION SET TIME ZONE 'zone' (parser.rs:3211)
+            p += 1; eatSoftKw("ZONE")
+            val tz = cur match {
+              case TStr(s0, _) => p += 1; s0
+              case _ => err("SESSION SET TIME ZONE expects a string literal")
+            }
+            expectEnd(); SessionSetTimeZone(tz)
+          } else if (trySoftKw("VALUE")) {
+            // SESSION SET VALUE [IF NOT EXISTS] $p = expr (parser.rs:3267)
+            val ine = parseIfNotExists()
+            val name = paramName()
+            eatPunct("=")
+            val e = parseExpr()
+            expectEnd(); SessionSetParam("VALUE", name, ine, valueInit = Some(e))
+          } else if (isSoftKw("BINDING") || isSoftKw("TABLE")) {
+            // SESSION SET [BINDING] TABLE [IF NOT EXISTS] $p = query
+            if (trySoftKw("BINDING")) eatSoftKw("TABLE") else eatSoftKw("TABLE")
+            val ine = parseIfNotExists()
+            val name = paramName()
+            eatPunct("=")
+            val q = parseQuery()
+            SessionSetParam("TABLE", name, ine, tableInit = Some(q))
+          } else if (trySoftKw("RESULT_CACHE")) {
             // SESSION SET RESULT_CACHE ON|OFF — opt-in result/subquery
             // caching (cache/result_cache.rs, cache_config.rs `enabled`)
             val mode = ident().toUpperCase
@@ -227,14 +265,23 @@ final class Parser(tokens: Vector[Token]) {
               err("SESSION SET NUMBERS expects F64 or NATIVE")
             expectEnd(); SessionCtl(s"NUMBERS_$mode")
           } else {
+            // [PROPERTY] GRAPH: graph context, graph-typed parameter, or
+            // GRAPH TYPE binding (parser.rs:3195-3233)
+            trySoftKw("PROPERTY")
             eatKw("GRAPH")
             if (trySoftKw("TYPE")) {
               val name = ident()
               expectEnd(); SessionSetGraphType(name)
+            } else if (isSoftKw("IF") || isPunct("$")) {
+              // SESSION SET GRAPH [IF NOT EXISTS] $p = path
+              val ine = parseIfNotExists()
+              val name = paramName()
+              eatPunct("=")
+              val path = catalogPath()
+              expectEnd(); SessionSetParam("GRAPH", name, ine, graphInit = Some(path))
             } else {
-              eatPunct("/")
-              val schema = ident(); eatPunct("/"); val g = ident()
-              expectEnd(); SessionSetGraph(s"/$schema/$g")
+              val path = catalogPath()
+              expectEnd(); SessionSetGraph(path)
             }
           }
         }
@@ -352,6 +399,48 @@ final class Parser(tokens: Vector[Token]) {
         }
       case _ => QueryStmt(parseQuery())
     }
+  }
+
+  /** Optional `IF NOT EXISTS` (parser.rs:3217-3224 in the SESSION
+    * parameter clauses).
+    */
+  private def parseIfNotExists(): Boolean =
+    if (trySoftKw("IF")) { eatKw("NOT"); eatKw("EXISTS"); true } else false
+
+  /** `$name` parameter reference (parser.rs:3413 parameter_name). */
+  private def paramName(): String = { eatPunct("$"); ident() }
+
+  /** Catalog path: absolute `/schema[/graph]`, qualified `schema/graph`
+    * (normalized absolute), or a bare relative name resolved against the
+    * session's current schema at dispatch.
+    */
+  private def catalogPath(): String = {
+    val absolute = tryPunct("/")
+    val first = ident()
+    if (tryPunct("/")) s"/$first/${ident()}"
+    else if (absolute) s"/$first"
+    else first
+  }
+
+  /** SESSION RESET argument tail (parser.rs:3283-3340 session_reset_args;
+    * semantics session/models.rs:391-421).
+    */
+  private def parseSessionReset(): Statement = {
+    if (cur.isInstanceOf[TEnd]) return SessionReset("ALL")
+    val st =
+      if (tryKw("SCHEMA")) SessionReset("SCHEMA")
+      else if (isSoftKw("TIME")) { p += 1; eatSoftKw("ZONE"); SessionReset("TIME_ZONE") }
+      else if (isSoftKw("PROPERTY") || isKw("GRAPH")) {
+        trySoftKw("PROPERTY"); eatKw("GRAPH"); SessionReset("GRAPH")
+      }
+      else if (tryKw("ALL")) {
+        if (trySoftKw("PARAMETERS")) SessionReset("PARAMETERS")
+        else { eatSoftKw("CHARACTERISTICS"); SessionReset("CHARACTERISTICS") }
+      }
+      else if (trySoftKw("PARAMETERS")) SessionReset("PARAMETERS")
+      else if (trySoftKw("CHARACTERISTICS")) SessionReset("CHARACTERISTICS")
+      else { trySoftKw("PARAMETER"); SessionReset("PARAMETER", Some(paramName())) }
+    expectEnd(); st
   }
 
   /** `[IF NOT EXISTS] name ON table (col, …)` after CREATE [GRAPH] INDEX,

@@ -254,6 +254,24 @@ object GqlQueries {
         .orderBy("name", "detail")
     }),
 
+    // SESSION SET TIME ZONE (parser.rs:3211, session/models.rs:277-285)
+    // end to end: naive timestamps EXTRACT their components in the
+    // session zone (spark.sql.session.timeZone is pinned while the
+    // statement is analyzed, so the zone is baked into the plan), and
+    // EXTRACT_TIMEZONE reports the session zone + its DST-correct offset
+    // at each row's instant — midnight-UTC order dates land on the
+    // PREVIOUS New York day, which pins the conversion
+    "gql25_session_tz" -> ((s: SparkSession, d: String) => exec(s, d,
+      """SESSION SET TIME ZONE 'America/New_York'
+        |NEXT MATCH (o:orders) WHERE o.id < 300
+        |RETURN o.id AS id,
+        |       EXTRACT(YEAR, o.orderdate) AS y,
+        |       EXTRACT(DAY, o.orderdate) AS dd,
+        |       EXTRACT(HOUR, o.orderdate) AS h,
+        |       EXTRACT_TIMEZONE('TIMEZONE', o.orderdate) AS zone,
+        |       EXTRACT_TIMEZONE('TIMEZONE_HOUR', o.orderdate) AS offh
+        |ORDER BY id""".stripMargin)),
+
     // graph-type-validated ingest end to end (graph_type.rs + INSERT
     // validation): declare a typed node schema, bind it, insert rows
     // through validation, and read them back
@@ -413,6 +431,17 @@ object GqlQueries {
     "gql22_index_cluster" ->
       """SELECT CAST(c_custkey AS BIGINT) AS id, c_acctbal AS bal
         |FROM customer WHERE c_acctbal > 9000 ORDER BY id""".stripMargin,
+    // the DuckDB session stays UTC, so ::TIMESTAMPTZ interprets the naive
+    // stored values as UTC instants and timezone() renders the New York
+    // wall clock — exactly what the engine's session zone does
+    "gql25_session_tz" ->
+      """SELECT o_orderkey AS id,
+        | EXTRACT(YEAR FROM timezone('America/New_York', o_orderdate::TIMESTAMPTZ)) AS y,
+        | EXTRACT(DAY FROM timezone('America/New_York', o_orderdate::TIMESTAMPTZ)) AS dd,
+        | EXTRACT(HOUR FROM timezone('America/New_York', o_orderdate::TIMESTAMPTZ)) AS h,
+        | 'America/New_York' AS zone,
+        | epoch(timezone('America/New_York', o_orderdate::TIMESTAMPTZ) - o_orderdate) / 3600.0 AS offh
+        |FROM orders WHERE o_orderkey < 300 ORDER BY id""".stripMargin,
     "gql23_catalog_listing" ->
       """SELECT name, detail FROM (VALUES
         | ('alpha', 'g1'), ('beta', 'g2'),

@@ -1157,4 +1157,127 @@ class SurfaceSpec extends AnyFunSuite {
       "RETURN CASE WHEN m.id = 1 THEN NULL ELSE m.id END) " +
       "RETURN count(a) AS n") == 19L)
   }
+
+  // ---- ISO session clauses (parser.rs:3193-3340; session/models.rs) ----
+
+  test("SESSION SET TIME ZONE changes the session temporal context") {
+    val t = fresh()
+    // naive values report the session zone with DST-correct offsets:
+    // March 2024 is EDT (-4), January is EST (-5)
+    t.execute("SESSION SET TIME ZONE 'America/New_York'")
+    assert(t.currentTimeZone.contains("America/New_York"))
+    def one2(q: String): Any = t.gql(q).collect().head.get(0)
+    assert(one2("LET ts = datetime('2024-03-15 10:42:30') " +
+      "RETURN EXTRACT_TIMEZONE('TIMEZONE', ts) AS z") == "America/New_York")
+    assert(one2("LET ts = datetime('2024-03-15 10:42:30') " +
+      "RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', ts) AS h") == -4.0)
+    assert(one2("LET ts = datetime('2024-01-15 10:42:30') " +
+      "RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', ts) AS h") == -5.0)
+    // abbreviations canonicalize through ZoneId.SHORT_IDS; garbage throws
+    t.execute("SESSION SET TIME ZONE 'EST'")
+    assert(t.currentTimeZone.contains("-05:00"))
+    intercept[GqlCompileException] {
+      t.execute("SESSION SET TIME ZONE 'Not/AZone'")
+    }
+    // granular reset restores the UTC default
+    t.execute("SESSION RESET TIME ZONE")
+    assert(t.currentTimeZone.isEmpty)
+    assert(one2("LET ts = datetime('2024-03-15 10:42:30') " +
+      "RETURN EXTRACT_TIMEZONE('TIMEZONE', ts) AS z") == "UTC")
+  }
+
+  test("SESSION SET TIME ZONE shifts EXTRACT over stored instants") {
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/orders.parquet")))
+    val rows = graft.queries.GqlQueries.queries("gql25_session_tz")(
+      SparkFixture.spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // order dates are midnight UTC; New York renders the previous day
+    // evening — hour 19 (EDT) or 20 (EST), never 0
+    rows.foreach { r =>
+      val h = r.getAs[Long]("h")
+      assert(h == 19L || h == 20L, s"NY hour was $h")
+      assert(r.getAs[String]("zone") == "America/New_York")
+      val off = r.getAs[Double]("offh")
+      assert(off == -4.0 || off == -5.0)
+    }
+  }
+
+  test("SESSION SET SCHEMA resolves relative graph names (+ RESET)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-schema").toString
+    val gls = graft.GraphLiteSpark.open(SparkFixture.spark, wh)
+    val t = gls.session("admin")
+    // schema must exist (executor.rs:6819-6835 CatalogError)
+    intercept[GqlCompileException] { t.execute("SESSION SET SCHEMA nope") }
+    t.execute("CREATE SCHEMA /relschema")
+    t.execute("SESSION SET SCHEMA relschema")
+    assert(t.currentSchemaName.contains("relschema"))
+    // relative CREATE GRAPH lands under the session schema
+    // (ddl_independent_tests.rs:150-176)
+    t.execute("CREATE GRAPH relative_graph")
+    assert(gls.catalog.listGraphs("relschema").contains("relative_graph"))
+    // relative SESSION SET GRAPH resolves the same way
+    t.execute("SESSION SET GRAPH relative_graph")
+    assert(t.currentGraphName.contains("/relschema/relative_graph"))
+    t.execute("DROP GRAPH relative_graph")
+    assert(!gls.catalog.listGraphs("relschema").contains("relative_graph"))
+    // without a schema context, relative names are an error
+    t.execute("SESSION RESET SCHEMA")
+    assert(t.currentSchemaName.isEmpty)
+    intercept[GqlCompileException] { t.execute("CREATE GRAPH floating") }
+  }
+
+  test("SESSION SET VALUE/GRAPH/TABLE parameters ($p, IF NOT EXISTS)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-params").toString
+    val gls = graft.GraphLiteSpark.open(SparkFixture.spark, wh)
+    val t = gls.session("admin").useGraph(SparkFixture.fraudGraph)
+    // VALUE parameter is visible as $p in a follow-up MATCH
+    t.execute("SESSION SET VALUE $cutoff = 4500")
+    assert(t.gql("MATCH (a:Account) WHERE a.balance > $cutoff " +
+      "RETURN count(a) AS n").collect().head.getLong(0) == 5L)
+    // IF NOT EXISTS: second set is a no-op on an existing parameter
+    t.execute("SESSION SET VALUE IF NOT EXISTS $cutoff = 100")
+    assert(t.parameters("cutoff") == 4500L)
+    // …but takes effect when the parameter is absent
+    t.execute("SESSION SET VALUE IF NOT EXISTS $floor = 300")
+    assert(t.parameters("floor") == 300L)
+    // initializers are full expressions over existing $params
+    t.execute("SESSION SET VALUE $doubled = $floor * 2")
+    assert(t.parameters("doubled") == 600L)
+    // graph parameter validates existence against the catalog
+    t.saveGraphAs("/main/paramg")
+    t.execute("SESSION SET GRAPH $g = /main/paramg")
+    intercept[GqlCompileException] {
+      t.execute("SESSION SET GRAPH $bad = /main/ghost")
+    }
+    // binding-table parameter holds a compiled query
+    t.execute("SESSION SET BINDING TABLE $rich = " +
+      "MATCH (a:Account) WHERE a.balance > 4500 RETURN a.id AS id")
+    assert(t.tableParameter("rich").exists(_.count() == 5L))
+    // granular resets: one parameter, then all of them
+    t.execute("SESSION RESET PARAMETER $floor")
+    assert(!t.parameters.contains("floor"))
+    t.execute("SESSION RESET ALL PARAMETERS")
+    assert(t.parameters.isEmpty && t.tableParameter("rich").isEmpty)
+  }
+
+  test("SESSION RESET clears characteristics and everything") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-reset").toString
+    val gls = graft.GraphLiteSpark.open(SparkFixture.spark, wh)
+    val t = gls.session("admin").useGraph(SparkFixture.fraudGraph)
+    t.saveGraphAs("/main/rg")
+    t.execute("CREATE SCHEMA /rs")
+    t.execute("SESSION SET SCHEMA rs")
+    t.execute("SESSION SET TIME ZONE 'Asia/Tokyo'")
+    t.execute("SESSION SET VALUE $keepme = 1")
+    // ALL CHARACTERISTICS clears graph/schema/zone but keeps parameters
+    // (session/models.rs:407-411)
+    t.execute("SESSION RESET ALL CHARACTERISTICS")
+    assert(t.currentSchemaName.isEmpty && t.currentTimeZone.isEmpty)
+    assert(t.parameters.contains("keepme"))
+    // bare SESSION RESET clears parameters too (models.rs:412-418)
+    t.execute("SESSION SET TIME ZONE 'Asia/Tokyo'")
+    t.execute("SESSION RESET")
+    assert(t.currentTimeZone.isEmpty && t.parameters.isEmpty)
+  }
 }
