@@ -97,13 +97,16 @@ object Bench {
       })
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
-    // ms precision and a short sf tag keep the whole line under ~1.7 KB:
-    // the driver parses the JSON from the tail of the captured output, so
-    // the line must survive tail truncation intact
+    // the driver parses the JSON from the tail of a 2 KB capture, so the
+    // line must survive tail truncation intact: ms precision, a short sf
+    // tag, and per-query keys shortened to their unique id prefix
+    // ("g13_connected_components" → "g13") keep 94 queries under ~1.5 KB
+    // (round 8's full names overflowed the capture and nulled `parsed`)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)

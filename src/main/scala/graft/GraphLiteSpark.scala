@@ -33,7 +33,7 @@ object GraphLiteSpark {
 /** A user session: current graph + GQL execution (session/manager.rs
   * analog; session state here is just the current graph + parameters).
   */
-final class GqlSession(gls: GraphLiteSpark, val user: String) {
+final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String) {
   private var currentGraph: Option[PropertyGraph] = None
   private var currentName: Option[String] = None
   /** Transaction snapshots (START TRANSACTION pushes, COMMIT pops,
@@ -965,6 +965,26 @@ final class GqlSession(gls: GraphLiteSpark, val user: String) {
           Seq(name).toDF("reindexed")
         case other => throw new GqlCompileException(s"unknown index op $other")
       }
+
+      // ALTER INDEX name REBUILD|OPTIMIZE|SET OPTION k = v, and
+      // OPTIMIZE INDEX name (parser.rs:4942-4996). REBUILD/OPTIMIZE map
+      // to the clustered-layout rewrite REINDEX performs; SET OPTION
+      // updates index metadata. Unknown index names error (the reference
+      // validates against its index catalog).
+      case AlterIndexStmt(name, op, option) =>
+        if (!gls.catalog.listIndexes().exists(_._1 == name))
+          throw new IllegalArgumentException(s"unknown index: $name")
+        op match {
+          case "REBUILD" | "OPTIMIZE" =>
+            currentName.foreach(p => saveGraphAs(p, force = true))
+            Seq(name).toDF("optimized")
+          case "SET_OPTION" =>
+            val (k, v) = option.get
+            gls.catalog.setIndexOption(name, k, v)
+            Seq((name, k, v)).toDF("index_name", "option", "value")
+          case other =>
+            throw new GqlCompileException(s"unknown ALTER INDEX op $other")
+        }
 
       case PipelineMutationStmt(q, op, target, assigns, removeProps, detach) =>
         requirePerm(op match {

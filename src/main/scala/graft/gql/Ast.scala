@@ -279,6 +279,14 @@ object Ast {
     */
   case class IndexStmt(op: String, name: String, table: String,
       columns: Seq[String]) extends Statement
+  /** ALTER INDEX name REBUILD|OPTIMIZE|SET OPTION k = v, and
+    * OPTIMIZE INDEX name (ast.rs:1739-1767 AlterIndexStatement /
+    * OptimizeIndexStatement). REBUILD/OPTIMIZE rewrite the persisted
+    * graph through the clustered layout; SET OPTION stores index
+    * metadata.
+    */
+  case class AlterIndexStmt(name: String, op: String,
+      option: Option[(String, String)]) extends Statement
   /** SQL-style `SELECT … FROM [/s/g] MATCH … [WHERE …] [GROUP BY …]
     * [HAVING …] [ORDER BY …] [LIMIT n]` (ast.rs:43-80 SelectStatement) —
     * sugar over a single-segment query, optionally against an explicit

@@ -183,8 +183,11 @@ final class Compiler(graph: PropertyGraph,
       val sortCols = orderBy.map { s =>
         val c = s.expr match {
           case NumLit(v, true) if v >= 1 && v <= d.columns.length =>
-            col(d.columns(v.toInt - 1))
+            outCol(d.columns(v.toInt - 1))
           case Ident(n) if d.columns.contains(n) => col(n)
+          // an un-aliased property projection names its column `v.p`
+          case Prop(v, pr) if d.columns.contains(s"$v.$pr") =>
+            outCol(s"$v.$pr")
           case Prop(_, pr) if d.columns.contains(pr) => col(pr)
           case other => throw new GqlCompileException(
             s"set-op ORDER BY must name an output column or position, got $other")
@@ -589,14 +592,14 @@ final class Compiler(graph: PropertyGraph,
     seg1.postWhere.foreach(w => out = out.filter(compilePost(w, postCtx)))
 
     if (seg1.distinct)
-      out = out.select(items.map { case (_, n) => col(n) }: _*).distinct()
+      out = out.select(items.map { case (_, n) => outCol(n) }: _*).distinct()
 
     // ORDER BY resolved against output columns / hidden aggs
     if (seg1.orderBy.nonEmpty) {
       val sortCols = seg1.orderBy.map { s =>
         val c = s.expr match {
           case NumLit(v, true) if v >= 1 && v <= items.size =>
-            col(items(v.toInt - 1)._2) // ORDER BY <position>
+            outCol(items(v.toInt - 1)._2) // ORDER BY <position>
           case e => compilePost(e, postCtx)
         }
         if (s.ascending) c.asc else c.desc
@@ -604,7 +607,7 @@ final class Compiler(graph: PropertyGraph,
       out = out.orderBy(sortCols: _*)
     }
     // drop hidden agg columns, keep declared items in order
-    out = out.select(items.map { case (_, n) => col(n) }: _*)
+    out = out.select(items.map { case (_, n) => outCol(n) }: _*)
 
     seg1.skip.foreach(n => out = out.offset(n.toInt))
     seg1.limit.foreach(n => out = out.limit(n.toInt))
@@ -653,11 +656,25 @@ final class Compiler(graph: PropertyGraph,
       case Ident(v) if !isFinal &&
           ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) => s"${v}_eid"
       case Ident(v) => v
-      case Prop(_, p) => p
+      // final-projection naming parity (executor.rs:2031-2042): an
+      // un-aliased property access keeps its source text as the column
+      // name (`RETURN p.name` → column `p.name`). Intermediate WITH
+      // segments keep the bare property name: their columns are resolved
+      // by later segments, and the reference's dotted WITH variables are
+      // unreferenceable from the next statement anyway — documented
+      // superset divergence (ROADMAP).
+      case Prop(v, p) => if (isFinal) s"$v.$p" else p
       case CountStar() => "count"
       case Fn(n, _, _) => n.toLowerCase
-      case _ => s"col$i"
+      case _ => s"col_$i"
     })
+
+  /** Reference an output column by its item name: dotted names from
+    * un-aliased property projections must be backtick-quoted or Spark
+    * parses the dot as struct-field access.
+    */
+  private def outCol(n: String): Column =
+    if (n.contains(".")) col(s"`$n`") else col(n)
 
   private def splitAnd(e: Expr): Seq[Expr] = e match {
     case Bin("AND", l, r) => splitAnd(l) ++ splitAnd(r)
@@ -820,23 +837,44 @@ final class Compiler(graph: PropertyGraph,
     * unnesting the caller applies.
     *
     * Returns (frame, value column, whether the final segment already
-    * aggregated per shared key). ORDER BY / SKIP / LIMIT / DISTINCT
-    * inside a correlated sub change per-key semantics in ways a single
-    * group-by cannot express — still rejected honestly.
+    * aggregated per shared key, optional per-key rank column). A final
+    * ORDER BY / SKIP / LIMIT / DISTINCT is per-key top-k: the sort
+    * expressions are injected as hidden projection items, and after the
+    * pipeline compiles, `row_number()` over the shared identity
+    * partition applies the skip/limit bounds — one extra window shuffle
+    * on the keys the caller joins on anyway, no per-row re-execution.
+    * The rank column (when ordering was requested) lets the scalar
+    * caller take the FIRST row per key deterministically (`min_by`),
+    * matching the reference's first-row scalar semantics
+    * (executor.rs:8502-8527). Non-final segments still reject these
+    * clauses honestly — a mid-pipeline per-key sort/limit has no
+    * relational unnesting.
     */
   private def compileCorrelatedPipeline(qq: Query, ctx: Ctx):
-      (DataFrame, String, Boolean) = {
-    qq.segments.foreach { seg =>
+      (DataFrame, String, Boolean, Option[String]) = {
+    qq.segments.init.foreach { seg =>
       if (seg.orderBy.nonEmpty || seg.skip.nonEmpty || seg.limit.nonEmpty ||
           seg.distinct)
         throw new GqlCompileException(
           "correlated subquery: ORDER BY / SKIP / LIMIT / DISTINCT are " +
-            "not supported (value sets are per outer row)")
+            "only supported on the final RETURN (value sets are per " +
+            "outer row)")
     }
     val last = qq.segments.last
     if (last.projection.size != 1)
       throw new GqlCompileException(
         "correlated subquery must return exactly one column")
+    val lastAggregated =
+      containsAgg(last.projection.head.expr) || last.groupBy.nonEmpty
+    // an aggregated final segment yields ONE row per key: ORDER BY and
+    // LIMIT >= 1 are no-ops (always stripped below); a positive SKIP
+    // would null the value — reject rather than guess
+    if (lastAggregated && last.skip.exists(_ > 0))
+      throw new GqlCompileException(
+        "correlated subquery: SKIP on an aggregated result is not supported")
+    val topK = !lastAggregated && (last.orderBy.nonEmpty ||
+      last.skip.nonEmpty || last.limit.nonEmpty || last.distinct)
+    val sortNames = last.orderBy.map(_ => fresh("ord"))
 
     val first = qq.segments.head
     val firstVars = (first.matches ++ first.optionalMatches).flatMap { p =>
@@ -869,11 +907,17 @@ final class Compiler(graph: PropertyGraph,
             seg.groupBy.contains(Ident(v))).map(Ident(_)))
     }
     val valueName = fresh("cval")
-    val aggregated = containsAgg(last.projection.head.expr) || last.groupBy.nonEmpty
     val withFirst = firstInj +: qq.segments.tail
     val lastInj = withFirst.last
+    // hidden sort items: the ORDER BY expressions must survive the final
+    // projection so the post-compile window can rank on them
+    val sortItems = sortNames.zip(last.orderBy).map { case (n, s) =>
+      ReturnItem(s.expr, Some(n))
+    }
     val lastCarried = carry(lastInj.copy(
-      projection = Seq(lastInj.projection.head.copy(alias = Some(valueName)))))
+      orderBy = Seq.empty, skip = None, limit = None, distinct = false,
+      projection = lastInj.projection.head.copy(alias = Some(valueName)) +:
+        sortItems))
     val segs = withFirst.init.map(carry) :+ lastCarried
 
     var df: Option[DataFrame] = None
@@ -888,7 +932,36 @@ final class Compiler(graph: PropertyGraph,
         bindings = b2
       }
     } finally zonedVals = savedZoned
-    (df.get, valueName, aggregated)
+
+    var result = df.get
+    var ordName: Option[String] = None
+    if (topK) {
+      // per-key top-k over the carried identity columns — the window
+      // shuffles on the same keys the caller's unnesting join uses
+      val keyCols = shared.flatMap(v =>
+        Seq(s"${v}_id", s"${v}_eid", v).find(result.columns.contains)).map(col)
+      if (last.distinct) result = result.distinct()
+      if (last.orderBy.nonEmpty || last.skip.nonEmpty || last.limit.nonEmpty) {
+        // LIMIT without ORDER BY is an arbitrary subset — rank on the
+        // value itself so the choice is at least deterministic
+        val sortCols =
+          if (last.orderBy.isEmpty) Seq(col(valueName).asc)
+          else sortNames.zip(last.orderBy).map { case (n, s) =>
+            if (s.ascending) col(n).asc else col(n).desc
+          }
+        val rn = fresh("crank")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols: _*).orderBy(sortCols: _*)
+        result = result.withColumn(rn, row_number().over(w))
+        val lo = last.skip.getOrElse(0L)
+        last.limit.foreach(n => result = result.filter(col(rn) <= lit(lo + n)))
+        if (lo > 0) result = result.filter(col(rn) > lit(lo))
+        if (last.orderBy.nonEmpty) ordName = Some(rn)
+        else result = result.drop(rn)
+      }
+      if (sortNames.nonEmpty) result = result.drop(sortNames: _*)
+    }
+    (result, valueName, lastAggregated, ordName)
   }
 
   /** Compile a nested query expression without clobbering the outer
@@ -959,7 +1032,7 @@ final class Compiler(graph: PropertyGraph,
             throw new GqlCompileException(
               "correlated scalar subquery must not GROUP its final RETURN " +
                 "(one value per outer row)")
-          val (innerDf, valueName, aggregated) =
+          val (innerDf, valueName, aggregated, ordName) =
             compileCorrelatedPipeline(qq, ctx)
           val shared = df.columns.toSet
             .intersect(innerDf.columns.toSet).toSeq.sorted
@@ -968,8 +1041,15 @@ final class Compiler(graph: PropertyGraph,
               "correlated subquery must share a variable with the outer query")
           val perKey =
             if (aggregated) innerDf.withColumnRenamed(valueName, name)
-            else innerDf.groupBy(shared.map(col): _*)
-              .agg(first(col(valueName)).as(name))
+            else ordName match {
+              // ordered sub: the scalar is the FIRST row per key
+              // (executor.rs:8502-8527 first-row semantics) — min_by on
+              // the window rank keeps it deterministic
+              case Some(o) => innerDf.groupBy(shared.map(col): _*)
+                .agg(min_by(col(valueName), col(o)).as(name))
+              case None => innerDf.groupBy(shared.map(col): _*)
+                .agg(first(col(valueName)).as(name))
+            }
           df = df.join(perKey, shared, "left_outer")
           val countTop = qq.segments.last.projection.head.expr match {
             case CountStar() | Fn("COUNT", _, _) => true
@@ -999,13 +1079,13 @@ final class Compiler(graph: PropertyGraph,
               // the binding changes; NOW()-style subqueries skip the
               // memo entirely (nonDeterministic guard above).
               val (v, dt) = sc.getOrCompute((q, params, f64Numbers), epoch) {
-                val row = inner.select(col(c1)).limit(1).collect().headOption
+                val row = inner.select(outCol(c1)).limit(1).collect().headOption
                 (row.map(_.get(0)).orNull, inner.schema(c1).dataType)
               }
               df = df.withColumn(name, lit(v).cast(dt))
             case _ => // no cache, or struct/array scalar: keep the lazy plan
               df = df.crossJoin(broadcast(
-                inner.limit(1).agg(first(col(c1)).as(name))))
+                inner.limit(1).agg(first(outCol(c1)).as(name))))
           }
       }
       name
@@ -1049,7 +1129,7 @@ final class Compiler(graph: PropertyGraph,
               innerDf0.filter(compileExpr(w, innerCtx)))
             Some((innerDf, shared, compileExpr(item, innerCtx)))
           case Some(qq) =>
-            val (innerDf, valueName, aggregated) =
+            val (innerDf, valueName, aggregated, _) =
               compileCorrelatedPipeline(qq, ctx)
             if (aggregated)
               throw new GqlCompileException(
@@ -1088,7 +1168,7 @@ final class Compiler(graph: PropertyGraph,
           }
         case None =>
           val inner = compileNested(q)
-          val vcol = col(inner.columns.head)
+          val vcol = outCol(inner.columns.head)
           val aggs = inner.agg(count(lit(1)).as(cntN), count(vcol).as(valN),
             min(vcol).as(mnN), max(vcol).as(mxN), countDistinct(vcol).as(ndvN))
           df = df.crossJoin(broadcast(aggs)).withColumn(xN, compileExpr(l, ctx))
@@ -1790,7 +1870,7 @@ final class Compiler(graph: PropertyGraph,
   private case class PostCtx(exprCols: Map[Expr, String], ctx: Ctx)
   private def compilePost(e: Expr, pc: PostCtx): Column =
     pc.exprCols.get(e) match {
-      case Some(n) => col(n)
+      case Some(n) => outCol(n)
       case None => e match {
         case Ident(v) => col(v)
         case Bin(op, l, r) => binOp(op, compilePost(l, pc), compilePost(r, pc))

@@ -159,9 +159,25 @@ final class Parser(tokens: Vector[Token]) {
           }
         }
       case TIdent(s, _) if s.equalsIgnoreCase("ALTER") =>
-        // ALTER GRAPH TYPE name (ADD|DROP) … + (schema/parser/
-        // graph_type.rs:87; executable subset of SchemaChange)
+        // ALTER INDEX name REBUILD | OPTIMIZE | SET OPTION key = value
+        // (parser.rs:4942-4978, ast.rs:1739-1767), or ALTER GRAPH TYPE
+        // name (ADD|DROP) … (schema/parser/graph_type.rs:87)
         p += 1
+        if (isSoftKw("INDEX")) {
+          p += 1
+          val name = ident()
+          if (trySoftKw("REBUILD")) {
+            expectEnd(); AlterIndexStmt(name, "REBUILD", None)
+          } else if (trySoftKw("OPTIMIZE")) {
+            expectEnd(); AlterIndexStmt(name, "OPTIMIZE", None)
+          } else {
+            eatKw("SET"); eatSoftKw("OPTION")
+            val key = ident()
+            eatPunct("=")
+            val value = optionValue()
+            expectEnd(); AlterIndexStmt(name, "SET_OPTION", Some((key, value)))
+          }
+        } else {
         eatKw("GRAPH"); eatSoftKw("TYPE")
         val name = ident()
         val changes = Vector.newBuilder[GraphTypeChange]
@@ -209,10 +225,17 @@ final class Parser(tokens: Vector[Token]) {
             isSoftKw("ADD") || isKw("DROP") || isKw("CREATE")
         }
         expectEnd(); AlterGraphTypeStmt(name, changes.result())
+        }
       case TIdent(s, _) if s.equalsIgnoreCase("REINDEX") =>
         p += 1
         val name = ident()
         expectEnd(); IndexStmt("REINDEX", name, "", Seq.empty)
+      // OPTIMIZE INDEX name (parser.rs:4980-4996) — rewrite the
+      // persisted graph through the clustered layout, like REINDEX
+      case TIdent(s, _) if s.equalsIgnoreCase("OPTIMIZE") =>
+        p += 1; eatSoftKw("INDEX")
+        val name = ident()
+        expectEnd(); AlterIndexStmt(name, "OPTIMIZE", None)
       case TIdent(s, _) if s.equalsIgnoreCase("SELECT") =>
         val (paths, q) = parseSelect()
         expectEnd(); SelectStmt(paths, q)
@@ -409,6 +432,18 @@ final class Parser(tokens: Vector[Token]) {
 
   /** `$name` parameter reference (parser.rs:3413 parameter_name). */
   private def paramName(): String = { eatPunct("$"); ident() }
+
+  /** A literal option value (string / number / boolean / bare word),
+    * rendered as its string form — ALTER INDEX … SET OPTION key = value
+    * stores options as metadata strings (parse_value, parser.rs:4960).
+    */
+  private def optionValue(): String = cur match {
+    case TStr(s, _) => p += 1; s
+    case TNum(s, _) => p += 1; s
+    case TIdent(s, _) => p += 1; s
+    case TKw(s, _) => p += 1; s
+    case _ => err("expected an option value")
+  }
 
   /** Catalog path: absolute `/schema[/graph]`, qualified `schema/graph`
     * (normalized absolute), or a bare relative name resolved against the

@@ -128,10 +128,41 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   def dropIndex(name: String): Boolean = {
     val rows = readIndexes()
     val kept = rows.filterNot(_._1 == name)
+    val opts = readIndexOptions().filterNot(_._1 == name)
+    writeIndexOptions(opts)
     if (kept.size == rows.size) false else { writeIndexes(kept); true }
   }
 
   def listIndexes(): Seq[(String, String, Seq[String])] = readIndexes()
+
+  // ---- index options (ALTER INDEX … SET OPTION key = value,
+  // ast.rs:1760-1765 AlterIndexOperation::SetOption): metadata strings
+  // keyed by index name, persisted beside the index list
+
+  private def indexOptionsFile = Paths.get(s"$warehouse/_index_options")
+
+  private def readIndexOptions(): Seq[(String, String, String)] =
+    if (!Files.exists(indexOptionsFile)) Seq.empty
+    else Files.readString(indexOptionsFile).split("\n").filter(_.nonEmpty)
+      .toSeq.map { l =>
+        val a = l.split("\t", 3); (a(0), a(1), if (a.length > 2) a(2) else "")
+      }
+
+  private def writeIndexOptions(rows: Seq[(String, String, String)]): Unit = {
+    Files.createDirectories(Paths.get(warehouse))
+    Files.writeString(indexOptionsFile,
+      rows.map { case (n, k, v) => s"$n\t$k\t$v" }.mkString("\n"))
+  }
+
+  def setIndexOption(name: String, key: String, value: String): Unit = {
+    if (!readIndexes().exists(_._1 == name))
+      throw new IllegalArgumentException(s"unknown index: $name")
+    writeIndexOptions(readIndexOptions()
+      .filterNot(r => r._1 == name && r._2 == key) :+ ((name, key, value)))
+  }
+
+  def listIndexOptions(name: String): Seq[(String, String)] =
+    readIndexOptions().filter(_._1 == name).map(r => (r._2, r._3)).sorted
 
   /** Apply the clustered layout for `table` (e.g. "nodes_Account") if an
     * index covers it and the columns exist in the frame.

@@ -109,7 +109,10 @@ object GqlQueries {
         |        RETURN count(o)) AS n_orders,
         |       (MATCH (n)<-[:IN_NATION]-(c:customer)-[:PLACED]->(o:orders)
         |        WITH o.totalprice AS tp
-        |        RETURN max(tp)) AS max_tp
+        |        RETURN max(tp)) AS max_tp,
+        |       (MATCH (n)<-[:IN_NATION]-(c:customer)-[:PLACED]->(o:orders)
+        |        RETURN o.totalprice ORDER BY o.totalprice DESC, o.id
+        |        LIMIT 1) AS top_tp
         |ORDER BY nname""".stripMargin)),
 
     // quantified comparisons = ANY / > ALL (ast.rs:1326-1334 — the
@@ -224,6 +227,9 @@ object GqlQueries {
       sess.execute("CREATE SCHEMA /ixv")
       sess.saveGraphAs("/ixv/cust", force = true)
       sess.execute("CREATE GRAPH INDEX cust_bal ON nodes_customer (acctbal)")
+      // OPTIMIZE re-clusters the persisted layout (parser.rs:4980);
+      // results must be layout-invariant before and after
+      sess.execute("OPTIMIZE INDEX cust_bal")
       gls.session("driver").useGraph("/ixv/cust")
         .gql("""MATCH (c:customer) WHERE c.acctbal > 9000
           |RETURN c.id AS id, c.acctbal AS bal ORDER BY id""".stripMargin)
@@ -252,6 +258,49 @@ object GqlQueries {
       graphs.unionByName(fns.toDF("schema_name", "graph_name"))
         .toDF("name", "detail")
         .orderBy("name", "detail")
+    }),
+
+    // security catalog surface under the driver gate
+    // (security_role_user_tests.rs): users, roles, role memberships, and
+    // graph ACEs created through the GQL statement surface, then
+    // gql.list_users / list_roles / list_grants pin the catalog state —
+    // and a read through the role-mediated SELECT grant proves the ACEs
+    // are live (the per-op DENIAL side is SurfaceSpec's job: exceptions
+    // aren't oracle-expressible)
+    "gql24_security" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-wh-security")
+      val admin = gls.session("admin")
+      // every step is idempotent (create/grant no-op on replay), so the
+      // row is deterministic across warehouse reuse
+      admin.execute("CREATE USER alice")
+      admin.execute("CREATE USER bob")
+      admin.execute("CREATE ROLE analyst")
+      admin.execute("CREATE ROLE writer")
+      admin.execute("GRANT analyst TO alice")
+      admin.execute("GRANT writer TO bob")
+      val g = TpchGraph.build(s, d)
+      val nat = new graft.graph.PropertyGraph(
+        Map("nation" -> g.nodeTables("nation")), Map.empty)
+      gls.catalog.createSchema("secure")
+      gls.catalog.saveGraph("secure", "g", nat, force = true)
+      admin.execute("GRANT SELECT ON /secure/g TO analyst")
+      admin.execute("GRANT INSERT ON /secure/g TO writer")
+      // alice reads the governed graph through her role's SELECT grant
+      val nRead = gls.session("alice").useGraph("/secure/g")
+        .gql("MATCH (x:nation) RETURN count(x) AS n").collect().head.getLong(0)
+      val users = admin.call("gql.list_users").select(
+        lit("user").as("kind"), col("user_name").as("name"),
+        lit("").as("detail"))
+      val roles = admin.call("gql.list_roles").select(
+        lit("role").as("kind"), col("role_name").as("name"),
+        lit("").as("detail"))
+      val members = admin.call("gql.list_grants").select(
+        lit("member").as("kind"), col("role_name").as("name"),
+        col("user_name").as("detail"))
+      users.unionByName(roles).unionByName(members)
+        .withColumn("n_read", lit(nRead))
+        .orderBy("kind", "name", "detail")
     }),
 
     // SESSION SET TIME ZONE (parser.rs:3211, session/models.rs:277-285)
@@ -364,7 +413,10 @@ object GqlQueries {
         | (SELECT count(*) FROM customer JOIN orders ON o_custkey = c_custkey
         |  WHERE c_nationkey = n_nationkey) AS n_orders,
         | (SELECT max(o_totalprice) FROM customer JOIN orders ON o_custkey = c_custkey
-        |  WHERE c_nationkey = n_nationkey) AS max_tp
+        |  WHERE c_nationkey = n_nationkey) AS max_tp,
+        | (SELECT o_totalprice FROM customer JOIN orders ON o_custkey = c_custkey
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS top_tp
         |FROM nation
         |WHERE n_nationkey < (SELECT max(r_regionkey) * 3 FROM region)
         |ORDER BY nname""".stripMargin,
@@ -442,6 +494,14 @@ object GqlQueries {
         | 'America/New_York' AS zone,
         | epoch(timezone('America/New_York', o_orderdate::TIMESTAMPTZ) - o_orderdate) / 3600.0 AS offh
         |FROM orders WHERE o_orderkey < 300 ORDER BY id""".stripMargin,
+    "gql24_security" ->
+      """SELECT kind, name, detail,
+        | (SELECT count(*) FROM nation) AS n_read
+        |FROM (VALUES
+        | ('member', 'analyst', 'alice'), ('member', 'writer', 'bob'),
+        | ('role', 'analyst', ''), ('role', 'writer', ''),
+        | ('user', 'alice', ''), ('user', 'bob', '')) t(kind, name, detail)
+        |ORDER BY kind, name, detail""".stripMargin,
     "gql23_catalog_listing" ->
       """SELECT name, detail FROM (VALUES
         | ('alpha', 'g1'), ('beta', 'g2'),

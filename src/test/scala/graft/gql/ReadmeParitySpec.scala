@@ -172,6 +172,28 @@ class ReadmeParitySpec extends AnyFunSuite {
     assert(fof == Seq("Carol"))
   }
 
+  test("un-aliased projections keep their source text as column names " +
+      "(executor.rs:2031-2042 naming)") {
+    val s = setup()
+    // `RETURN p.name, p.age` → columns `p.name`, `p.age` — exactly the
+    // headers a reference README user sees; a bare variable keeps its
+    // name; an un-aliased function call lowercases its name
+    val df = s.gql("MATCH (p:Person) WHERE p.city = 'SF' " +
+      "RETURN p.name, p.age, upper(p.city)")
+    assert(df.columns.toSeq == Seq("p.name", "p.age", "upper"))
+    val r = df.collect().head
+    assert(r.getString(0) == "Carol" && r.getString(2) == "SF")
+    // dotted output columns still sort/distinct: ORDER BY resolves the
+    // un-aliased property against its dotted output name
+    val ordered = s.gql("MATCH (p:Person) RETURN DISTINCT p.city " +
+      "ORDER BY p.city")
+    assert(ordered.columns.toSeq == Seq("p.city"))
+    assert(ordered.collect().map(_.getString(0)).toSeq == Seq("NYC", "SF"))
+    // aliases still win, and aggregate naming is unchanged
+    assert(s.gql("MATCH (p:Person) RETURN p.name AS who, count(p)")
+      .columns.toSeq == Seq("who", "count"))
+  }
+
   test("colleagues via shared employer (readme join pattern)") {
     val s = setup()
     val rows = s.gql("MATCH (a:Person)-[:WORKS_AT]->(c:Company)" +
