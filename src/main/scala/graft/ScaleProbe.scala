@@ -20,18 +20,21 @@ import org.apache.spark.sql.functions._
   *  - customer/orders/lineitem: key-offset copies preserve join fan-out
   *    per key (each copy is a disjoint key range).
   *
-  * Run: `sbt "runMain graft.ScaleProbe [sfDir] [scaledDir]"`.
-  * Output: one JSON line per query with both times; consumed into
-  * BENCH_NOTES.md.
+  * Run: `sbt "runMain graft.ScaleProbe [sfDir] [scaledDir] [copies]"`.
+  * `copies` defaults to 10; past 10 the probe narrows to the
+  * scale-critical shapes and adds straggler stats (heaviest-stage
+  * partition count, median/max task ms, skew ratio) so the first skew
+  * cliff is observable, not inferred. Output: one JSON line per query;
+  * consumed into BENCH_NOTES.md.
   */
 object ScaleProbe {
-  private val Copies = 10
   private val KeyOff = 10000000L
-  private val OrderOff = 100000000L
+  private val OrderOff = 1000000000L
 
-  def buildScaled(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  def buildScaled(spark: SparkSession, sfDir: String, outDir: String,
+      nCopies: Int): Unit = {
     def copies(df: DataFrame, salt: Int => DataFrame => DataFrame): DataFrame =
-      (0 until Copies).map(i => salt(i)(df)).reduce(_ unionByName _)
+      (0 until nCopies).map(i => salt(i)(df)).reduce(_ unionByName _)
 
     val customer = Tables.customer(spark, sfDir)
     copies(customer, i => df => df
@@ -72,9 +75,41 @@ object ScaleProbe {
     }
   }
 
+  /** Per-task duration tracker: exposes, per probe run, the heaviest
+    * stage's partition count and its median/max task time — the skew
+    * signal a 1000-executor rollout would watch (a straggler task shows
+    * up as max ≫ median long before wall-clock degrades).
+    */
+  private final class TaskStats extends org.apache.spark.scheduler.SparkListener {
+    private val byStage = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        byStage.getOrElseUpdate(t.stageId,
+          scala.collection.mutable.ArrayBuffer.empty) += t.taskInfo.duration
+      }
+    def reset(): Unit = synchronized { byStage.clear() }
+    /** (stages, tasks in heaviest stage, median ms, max ms, skew). */
+    def summary(): (Int, Int, Long, Long, Double) = synchronized {
+      if (byStage.isEmpty) (0, 0, 0L, 0L, 0.0)
+      else {
+        // heaviest stage = largest total task time (the bottleneck
+        // stage, where skew would bite first)
+        val (_, ds) = byStage.maxBy(_._2.sum)
+        val sorted = ds.sorted
+        val med = sorted(sorted.size / 2)
+        (byStage.size, ds.size, med, sorted.last,
+          sorted.last.toDouble / math.max(med.toDouble, 1.0))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val nCopies = if (args.length > 2) args(2).toInt else 10
+    val outDir =
+      if (args.length > 1) args(1) else s"/tmp/graft_scale${nCopies}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,9 +122,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
-      buildScaled(spark, sfDir, outDir)
+      buildScaled(spark, sfDir, outDir, nCopies)
 
-    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d08_neardup_pairs" -> SparkEntry.queries("d08_neardup_pairs"),
       "e02_ann_lsh" -> SparkEntry.queries("e02_ann_lsh"),
       "g08_bfs" -> SparkEntry.queries("g08_bfs"),
@@ -118,9 +153,22 @@ object ScaleProbe {
       // should scale ~linearly in corpus size (one hash shuffle)
       "d10_seq_pack" -> SparkEntry.queries("d10_seq_pack"))
 
+    // past 10×, probe only the scale-critical shapes (the band join, the
+    // ANN bucket join, and the forced distributed graph loops) — the
+    // rest already showed flat-to-linear behavior at the 10× tier
+    val probes =
+      if (nCopies <= 10) allProbes
+      else allProbes.filter { case (n, _) =>
+        Set("d08_neardup_pairs", "e02_ann_lsh", "g13_distributed",
+          "g08_distributed", "d10_seq_pack").contains(n)
+      }
+
     // warm the JVM/codegen once so the first measured pair isn't paying
     // session startup
     SparkEntry.queries("q01_agg_groupby")(spark, sfDir).count()
+
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
 
     def time(fn: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -130,14 +178,19 @@ object ScaleProbe {
 
     probes.foreach { case (name, q) =>
       val (tBase, nBase) = time(q(spark, sfDir).count())
+      stats.reset()
       val (tBig, nBig) = time(q(spark, outDir).count())
+      Thread.sleep(500) // drain the async listener bus before summarizing
+      val (stages, tasks, medMs, maxMs, skew) = stats.summary()
       val plan = q(spark, outDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val cartesian = plan.contains("CartesianProduct")
       val ratio = tBig / math.max(tBase, 1e-9)
       println(f"""{"query":"$name","t_sf01":$tBase%.2f,"rows_sf01":$nBase,""" +
-        f""""t_10x":$tBig%.2f,"rows_10x":$nBig,"ratio":$ratio%.2f,""" +
-        s""""cartesian_at_10x":$cartesian}""")
+        f""""t_${nCopies}x":$tBig%.2f,"rows_${nCopies}x":$nBig,""" +
+        f""""ratio":$ratio%.2f,"stages":$stages,"heaviest_stage_tasks":$tasks,""" +
+        f""""med_task_ms":$medMs,"max_task_ms":$maxMs,"skew":$skew%.2f,""" +
+        s""""cartesian":$cartesian}""")
     }
     spark.stop()
   }

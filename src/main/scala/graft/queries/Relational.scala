@@ -391,7 +391,14 @@ object Relational {
           // DST-correct offset at each row's instant, in hours — the same
           // arithmetic EXTRACT_TIMEZONE('TIMEZONE_HOUR', zoned) compiles to
           ((unix_timestamp(from_utc_timestamp($"o_orderdate", "America/New_York")) -
-            unix_timestamp($"o_orderdate")) / lit(3600.0)).as("ny_offset_hours"))
+            unix_timestamp($"o_orderdate")) / lit(3600.0)).as("ny_offset_hours"),
+          // fixed-offset value parity (DateTimeWithFixedOffset,
+          // value.rs:153): wall clock and offset at a numeric '+05:30'
+          // zone — the same rendering LOCAL_DATETIME / EXTRACT_TIMEZONE
+          // compile to for fixed-offset (tz, ts) structs
+          from_utc_timestamp($"o_orderdate", "+05:30").as("ist_wall"),
+          ((unix_timestamp(from_utc_timestamp($"o_orderdate", "+05:30")) -
+            unix_timestamp($"o_orderdate")) / lit(3600.0)).as("ist_offset_hours"))
         .orderBy($"o_orderkey")
     }),
 
@@ -629,7 +636,9 @@ object Relational {
         | o_orderdate + INTERVAL 3 MONTH AS plus3m,
         | last_day(o_orderdate) AS eom,
         | epoch(CAST(timezone('America/New_York', o_orderdate::TIMESTAMPTZ) AS TIMESTAMP)
-        |   - o_orderdate) / 3600.0 AS ny_offset_hours
+        |   - o_orderdate) / 3600.0 AS ny_offset_hours,
+        | o_orderdate + INTERVAL 330 MINUTE AS ist_wall,
+        | 5.5 AS ist_offset_hours
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q33_within_window" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders

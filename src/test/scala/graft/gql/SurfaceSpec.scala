@@ -506,6 +506,33 @@ class SurfaceSpec extends AnyFunSuite {
     assert(t.call("gql.list_indexes").count() == 0L)
   }
 
+  test("ALTER INDEX and OPTIMIZE INDEX (parser.rs:4942-4996)") {
+    val t = fresh()
+    t.execute("CREATE SCHEMA /ix2")
+    t.saveGraphAs("/ix2/g")
+    t.execute("CREATE GRAPH INDEX ab ON nodes_Account (balance)")
+    // REBUILD and OPTIMIZE both re-cluster; results stay layout-invariant
+    assert(t.execute("ALTER INDEX ab REBUILD").collect().head.getString(0) == "ab")
+    assert(t.execute("OPTIMIZE INDEX ab").collect().head.getString(0) == "ab")
+    assert(t.execute("MATCH (a:Account) WHERE a.balance > 4500 " +
+      "RETURN count(a) AS n").collect().head.getLong(0) == 5L)
+    // SET OPTION stores metadata; latest write per key wins
+    val r = t.execute("ALTER INDEX ab SET OPTION fill_factor = 80")
+      .collect().head
+    assert(r.getString(1) == "fill_factor" && r.getString(2) == "80")
+    t.execute("ALTER INDEX ab SET OPTION fill_factor = 90")
+    t.execute("ALTER INDEX ab SET OPTION compression = 'zstd'")
+    assert(t.gls.catalog.listIndexOptions("ab") ==
+      Seq(("compression", "zstd"), ("fill_factor", "90")))
+    // unknown index names error, and DROP clears options
+    intercept[IllegalArgumentException] { t.execute("OPTIMIZE INDEX ghost") }
+    intercept[IllegalArgumentException] {
+      t.execute("ALTER INDEX ghost SET OPTION k = v")
+    }
+    t.execute("DROP INDEX ab")
+    assert(t.gls.catalog.listIndexOptions("ab").isEmpty)
+  }
+
   // ---- temporal/timezone function registry completions (§2.8) ----
 
   test("EXTRACT, DURATION_NUMERIC, TIME_WINDOW, timezone functions") {
@@ -878,6 +905,53 @@ class SurfaceSpec extends AnyFunSuite {
     assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE', NOW()) AS x") == "UTC")
   }
 
+  test("fixed-offset datetime values (DateTimeWithFixedOffset, " +
+      "value.rs:153; parse_fixed_offset timezone_functions.rs:60-102)") {
+    // a fixed numeric offset rides the same (tz, ts) struct: the zone
+    // slot holds the normalized offset id, the instant stays UTC
+    val z = s.gql("RETURN AT_TIME_ZONE(DATETIME('2024-01-01 12:00:00'), " +
+      "'+05:30') AS z").collect().head.getStruct(0)
+    assert(z.getString(z.fieldIndex("tz")) == "+05:30")
+    assert(z.getTimestamp(z.fieldIndex("ts")).toInstant.toString
+      == "2024-01-01T12:00:00Z")
+    // compact form normalizes like the reference's FixedOffset display
+    assert(one("RETURN AT_TIME_ZONE(NOW(), '+0530').tz AS x") == "+05:30")
+    // offset components: HOUR is the fractional total, MINUTE the
+    // sub-hour remainder — both signed (timezone_functions.rs:443-485)
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', AT_TIME_ZONE(" +
+      "DATETIME('2024-01-01 12:00:00'), '+05:30')) AS x") == 5.5)
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_MINUTE', AT_TIME_ZONE(" +
+      "DATETIME('2024-01-01 12:00:00'), '+05:30')) AS x") == 30.0)
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', AT_TIME_ZONE(" +
+      "DATETIME('2024-01-01 12:00:00'), '-04:30')) AS x") == -4.5)
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_MINUTE', AT_TIME_ZONE(" +
+      "DATETIME('2024-01-01 12:00:00'), '-04:30')) AS x") == -30.0)
+    // no DST: the offset is instant-independent, unlike named zones
+    assert(one("RETURN EXTRACT_TIMEZONE('TIMEZONE_HOUR', AT_TIME_ZONE(" +
+      "DATETIME('2024-07-01 12:00:00'), '+05:30')) AS x") == 5.5)
+    // wall-clock rendering applies the offset
+    assert(one("RETURN LOCAL_DATETIME(AT_TIME_ZONE(" +
+      "DATETIME('2024-01-01 12:00:00'), '+05:30')) AS x")
+      .toString.startsWith("2024-01-01 17:30:00"))
+    // CONVERT_TZ between a fixed offset and a named zone
+    assert(one("RETURN LOCAL_DATETIME(CONVERT_TZ(" +
+      "DATETIME('2024-01-01 17:30:00'), '+05:30', 'UTC')) AS x")
+      .toString.startsWith("2024-01-01 12:00:00"))
+    // zoned aliases carry fixed offsets through WITH/LET like named zones
+    assert(one("LET z = AT_TIME_ZONE(DATETIME('2024-01-01 12:00:00'), " +
+      "'+05:30') RETURN EXTRACT_TIMEZONE('TIMEZONE', z) AS x") == "+05:30")
+    // abbreviation of a fixed offset is the offset itself
+    assert(one("RETURN GET_TIMEZONE_ABBREVIATION('+05:30') AS x") == "+05:30")
+    // reference rejections (timezone_functions.rs:724-734): unsigned or
+    // out-of-range offsets are invalid
+    intercept[GqlCompileException] {
+      one("RETURN AT_TIME_ZONE(NOW(), '05:30') AS x")
+    }
+    intercept[GqlCompileException] {
+      one("RETURN AT_TIME_ZONE(NOW(), '+25:00') AS x")
+    }
+  }
+
   test("bi-temporal values round-trip (TemporalValue, value.rs:19-24)") {
     // construct + field access
     val tv = s.gql("RETURN TEMPORAL_VALUE(42, DATETIME('2024-01-01 00:00:00'), " +
@@ -1112,13 +1186,45 @@ class SurfaceSpec extends AnyFunSuite {
     assert(rows.length == 50 && rows.forall(_.getLong(1) == 1L))
   }
 
-  test("correlated subquery still rejects ORDER BY / LIMIT honestly") {
+  test("correlated top-k subquery: ORDER BY / LIMIT on the final RETURN " +
+      "(round-8 missing #5 — latest-per-key via row_number)") {
+    // each account has exactly two Transaction edges: i = a (ts = a) and
+    // i = a + 50 (ts = a + 50), amount 50 + (i % 30) — the LATEST is
+    // always the i = a + 50 edge
+    val rows = s.gql("MATCH (a:Account) WHERE a.id <= 3 " +
+      "RETURN a.id AS id, " +
+      "(MATCH (a)-[t:Transaction]->(m:Merchant) " +
+      "RETURN t.amount ORDER BY t.timestamp DESC LIMIT 1) AS last_amt " +
+      "ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 71.0), (2L, 72.0), (3L, 73.0)))
+    // SKIP reaches the second-latest (the ts = a edge, amount 50 + a%30)
+    val second = s.gql("MATCH (a:Account) WHERE a.id = 1 " +
+      "RETURN (MATCH (a)-[t:Transaction]->(m:Merchant) " +
+      "RETURN t.amount ORDER BY t.timestamp DESC SKIP 1 LIMIT 1) AS amt")
+      .collect().head.getDouble(0)
+    assert(second == 51.0)
+    // DISTINCT collapses duplicate values before the scalar reduction
+    assert(s.gql("MATCH (a:Account) WHERE a.id = 1 " +
+      "RETURN (MATCH (a)-[t:Transaction]->(m:Merchant) " +
+      "RETURN DISTINCT m.category ORDER BY m.category LIMIT 1) AS cat")
+      .collect().head.getString(0) == "retail")
+    // ordered-no-LIMIT scalar takes the FIRST row per key deterministically
+    assert(s.gql("MATCH (a:Account) WHERE a.id = 1 " +
+      "RETURN (MATCH (a)-[t:Transaction]->(m:Merchant) " +
+      "RETURN t.amount ORDER BY t.amount DESC) AS top")
+      .collect().head.getDouble(0) == 71.0)
+  }
+
+  test("correlated subquery still rejects mid-pipeline ORDER BY / LIMIT " +
+      "honestly") {
     val e = intercept[graft.gql.GqlCompileException] {
       s.gql("MATCH (a:Account) RETURN a.id AS id, " +
-        "(MATCH (a)-[t:Transaction]->(m:Merchant) WITH t.amount AS amt " +
-        "RETURN amt ORDER BY amt LIMIT 1) AS top").collect()
+        "(MATCH (a)-[t:Transaction]->(m:Merchant) " +
+        "WITH t.amount AS amt ORDER BY amt LIMIT 3 " +
+        "RETURN max(amt)) AS top").collect()
     }
-    assert(e.getMessage.contains("not supported"))
+    assert(e.getMessage.contains("only supported on the final RETURN"))
   }
 
   test("correlated > ALL compares per outer row") {
