@@ -132,6 +132,65 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Near-duplicate clusters from verified pairs: connected components
+    * over the pair graph, labeled by the smallest member id. A dedup pass
+    * keeps exactly the `is_canonical` rows — transitive near-dup chains
+    * (a~b, b~c, but a!~c) collapse to ONE survivor, where pairwise
+    * filtering would keep two.
+    *
+    * Scale: delegates to [[graft.graph.Analytics.connectedComponents]] —
+    * union-find below the local gate, O(log diameter) DataFrame pointer
+    * jumping above it. Candidate pairs are linear in corpus size (LSH
+    * banding), so the component graph is far smaller than the corpus.
+    * cluster_size adds one count shuffle keyed on cluster_id.
+    *
+    * Returns (doc_id, cluster_id, cluster_size, is_canonical) — only docs
+    * that appear in some pair (singletons are trivially canonical).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val ids = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id"))).distinct()
+    val g = new graft.graph.PropertyGraph(
+      Map("doc" -> ids),
+      Map("DUP" -> (graft.graph.EdgeType("DUP", "doc", "doc"),
+        pairs.select(col(aCol).as("src"), col(bCol).as("dst")))))
+    val comp = graft.graph.Analytics
+      .connectedComponents(spark, g, "doc", "DUP")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val sizes = comp.groupBy(col("cluster_id").as("cid"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, comp("cluster_id") === sizes("cid"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** Benchmark-contamination pairs: per (train doc, eval doc), the number
+    * of distinct word-n-gram hashes they share. Flags training documents
+    * that leak eval/benchmark content verbatim (n consecutive tokens in
+    * common), the standard n-gram-overlap decontamination check.
+    *
+    * Scale: the eval side is a benchmark corpus — bounded and tiny next
+    * to the training corpus — so its exploded shingle set is broadcast
+    * and the only shuffle is the final (train_id, eval_id) count
+    * aggregation over matched shingles. The training side stays a narrow
+    * scan→explode→broadcast-probe pipeline with no wide shuffle at any
+    * corpus size.
+    */
+  def contaminationPairs(train: DataFrame, trainId: String,
+      eval: DataFrame, evalId: String, textCol: String,
+      n: Int = 5, minShared: Long = 2L): DataFrame = {
+    def exploded(df: DataFrame, idCol: String, as: String) =
+      df.select(col(idCol).as(as),
+        explode(shingleHashes(col(textCol), n)).as("sh"))
+    val ev = broadcast(exploded(eval, evalId, "eval_id"))
+    exploded(train, trainId, "train_id")
+      .join(ev, "sh")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash (60-bit): per-token stable hashes vote per bit; the sign of
     * each bit-column sum forms the fingerprint. Near-dups differ in few
     * bits (Hamming). Computed by the fused codegen

@@ -256,7 +256,10 @@ object PipelineQueries {
   private def markerCountSql(padded: String, m: String): String =
     s"(len($padded) - len(replace($padded, '$m', ''))) / ${m.length}"
 
-  private val langCaseSql: String = {
+  /** Per-doc language SELECT (no ORDER BY) — the d04 oracle and the d12
+    * stratified-sample oracle both build on it.
+    */
+  private val langSelectSql: String = {
     val padded = "(' ' || lower(text) || ' ')"
     val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
       lang -> ms.map(markerCountSql(padded, _)).mkString(" + ")
@@ -272,8 +275,10 @@ object PipelineQueries {
        |SELECT doc_id, CASE
        | WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
        | $arms ELSE 'unknown' END AS lang_pred
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |FROM sc""".stripMargin
   }
+
+  private val langCaseSql: String = langSelectSql + " ORDER BY doc_id"
 
   private val simhashSql: String = {
     val bits = (0 until 60).map { b =>
