@@ -914,8 +914,9 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       }
 
       case SecurityStmt(op, kind, name, target) => (op, kind) match {
+        // for CREATE USER, `target` carries the IDENTIFIED BY password
         case ("CREATE", k) =>
-          Seq(gls.catalog.createPrincipal(k, name)).toDF("created")
+          Seq(gls.catalog.createPrincipal(k, name, target)).toDF("created")
         case ("DROP", k) =>
           Seq(gls.catalog.dropPrincipal(k, name)).toDF("dropped")
         case ("GRANT", "ACCESS") =>
@@ -1325,17 +1326,27 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     * the Catalyst-optimized logical plan, and the final physical plan.
     */
   def explain(query: String): String = {
-    val ast = Parser.parse(query)
-    val df = new Compiler(graph, sessionParams, f64Mode).compile(ast)
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e6)
+    }
+    val (ast, msParse) = timed(Parser.parse(query))
+    val (df, msCompile) =
+      timed(new Compiler(graph, sessionParams, f64Mode).compile(ast))
     val qe = df.queryExecution
-    s"""=== AST ===
+    // forcing each lazy plan attributes its phase cost, like the
+    // reference's per-phase trace timings (plan/trace.rs)
+    val (analyzed, msAnalyze) = timed(qe.analyzed.treeString)
+    val (optimized, msOptimize) = timed(qe.optimizedPlan.treeString)
+    val (physical, msPhysical) = timed(
+      qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+    f"""=== AST (parse $msParse%.2f ms) ===
        |$ast
        |
-       |=== Logical plan (pre-Catalyst join tree) ===
-       |${qe.analyzed.treeString}
-       |=== Optimized logical plan ===
-       |${qe.optimizedPlan.treeString}
-       |=== Physical plan ===
-       |${qe.explainString(org.apache.spark.sql.execution.FormattedMode)}""".stripMargin
+       |=== Logical plan (compile $msCompile%.2f ms, analyze $msAnalyze%.2f ms) ===
+       |$analyzed=== Optimized logical plan (optimize $msOptimize%.2f ms) ===
+       |$optimized=== Physical plan (plan $msPhysical%.2f ms) ===
+       |$physical""".stripMargin
   }
 }

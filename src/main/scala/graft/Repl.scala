@@ -1,0 +1,109 @@
+package graft
+
+import java.io.{BufferedReader, InputStream, InputStreamReader, PrintStream}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Interactive GQL shell — the `gql-cli` analog (reference:
+  * gql-cli/src/main.rs; docs/Architecture.md one-shot + REPL modes).
+  *
+  * Usage: `sbt "runMain graft.Repl [warehouse] [-g /schema/graph]
+  * [-c "statement"]"`. Without `-c`, reads statements from stdin:
+  * each statement ends with `;` (multi-line input accumulates until
+  * one does); SESSION / DDL / CALL statements work exactly as in the
+  * library API, `EXPLAIN <query>` prints the phase trace, `exit;` or
+  * EOF quits.
+  *
+  * The loop body is [[Repl.run]], parameterized over streams so a spec
+  * drives it through a piped stdin without a subprocess.
+  */
+object Repl {
+
+  def main(args: Array[String]): Unit = {
+    var warehouse = "/tmp/graft-warehouse"
+    var graphPath: Option[String] = None
+    var oneShot: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-g" => graphPath = Some(args(i + 1)); i += 2
+        case "-c" => oneShot = Some(args(i + 1)); i += 2
+        case w => warehouse = w; i += 1
+      }
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val session = GraphLiteSpark.open(spark, warehouse)
+      .session(sys.props.getOrElse("user.name", "repl"))
+    graphPath.foreach(p => session.useGraph(p))
+    oneShot match {
+      case Some(stmt) => runStatement(session, stmt, System.out)
+      case None => run(session, System.in, System.out)
+    }
+    spark.stop()
+  }
+
+  /** Read `;`-terminated statements from `in`, execute each against
+    * `session`, render results/errors to `out`. Errors never kill the
+    * loop — the next statement starts clean, like any SQL shell.
+    */
+  def run(session: GqlSession, in: InputStream, out: PrintStream): Unit = {
+    val reader = new BufferedReader(new InputStreamReader(in))
+    val buf = new StringBuilder
+    out.println("graft GQL shell — statements end with ';', exit; quits")
+    out.print("gql> "); out.flush()
+    var line = reader.readLine()
+    while (line != null) {
+      val trimmed = line.trim
+      if (trimmed.endsWith(";")) {
+        buf.append(trimmed.dropRight(1))
+        val stmt = buf.toString.trim
+        buf.clear()
+        if (stmt.equalsIgnoreCase("exit") || stmt.equalsIgnoreCase("quit"))
+          return
+        if (stmt.nonEmpty) runStatement(session, stmt, out)
+        out.print("gql> "); out.flush()
+      } else if (trimmed.nonEmpty) buf.append(trimmed).append(' ')
+      line = reader.readLine()
+    }
+  }
+
+  private def runStatement(session: GqlSession, stmt: String,
+      out: PrintStream): Unit =
+    try {
+      if (stmt.toUpperCase.startsWith("EXPLAIN ")) {
+        out.println(session.explain(stmt.drop("EXPLAIN ".length)))
+      } else render(session.execute(stmt), out)
+    } catch {
+      case e: Exception =>
+        out.println(s"error: ${Option(e.getMessage).getOrElse(e.toString)}")
+    }
+
+  /** Render up to `max` rows as an aligned text table (gql-cli prints
+    * result tables; collect is bounded by the row cap, driver-side by
+    * design for an interactive shell).
+    */
+  private def render(df: DataFrame, out: PrintStream, max: Int = 50): Unit = {
+    val rows = df.take(max + 1)
+    val shown = rows.take(max)
+    val header = df.columns.toSeq
+    val cells = header +: shown.toSeq.map(_.toSeq.map {
+      case null => "NULL"
+      case v => v.toString
+    })
+    val widths = header.indices.map(c => cells.map(_(c).length).max)
+    def fmt(r: Seq[String]) =
+      r.zip(widths).map { case (s, w) => s.padTo(w, ' ') }.mkString(" | ")
+    out.println(fmt(cells.head))
+    out.println(widths.map("-" * _).mkString("-+-"))
+    cells.tail.foreach(r => out.println(fmt(r)))
+    val n = shown.length
+    out.println(
+      if (rows.length > max) s"($n+ rows, truncated at $max)"
+      else s"($n row${if (n == 1) "" else "s"})")
+  }
+}

@@ -50,9 +50,14 @@ object SystemProcedures {
           val gt = gls.catalog.loadGraphType(n).get
           (n, gt.nodes.size.toLong, gt.edges.size.toLong)
         }.toDF("graph_type_name", "node_types", "edge_types")
+      // credential-verified (system_procedures.rs:60-91): args are
+      // (user, password); wrong password or unknown user → false. A
+      // passwordless user (no IDENTIFIED BY) authenticates only with an
+      // empty/absent password.
       case "gql.authenticate_user" =>
         val user = args.headOption.getOrElse(session.user)
-        Seq((user, gls.catalog.listPrincipals("USER").contains(user)))
+        val password = args.lift(1).getOrElse("")
+        Seq((user, gls.catalog.verifyPassword(user, password)))
           .toDF("user_name", "authenticated")
       case "gql.cache_stats" =>
         val rdds = gls.spark.sparkContext.getPersistentRDDs

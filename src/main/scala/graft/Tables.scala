@@ -24,24 +24,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark has no
-    * native type for — read nanos as long and floor-convert to a
-    * microsecond timestamp (same truncation DuckDB's
-    * `date_trunc('microseconds', ts)` applies on the oracle side).
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
-    * build time (every entry-point main and the test fixture set it) —
-    * a loader must not mutate the caller's session conf mid-query, so a
-    * session missing it fails fast here instead.
+  /** events.parquet's `ts` column has shipped in two physical encodings
+    * across test-data generations: TIMESTAMP(NANOS) (surfacing as BIGINT
+    * nanos under `spark.sql.legacy.parquet.nanosAsLong=true`) and plain
+    * TIMESTAMP(MICROS) (surfacing as TIMESTAMP or TIMESTAMP_NTZ). Branch
+    * on the loaded dtype instead of assuming one generation:
+    *   - LongType            → nanos; floor-convert to micros (matches the
+    *                           DuckDB oracle's implicit micros truncation)
+    *   - TIMESTAMP_NTZ       → reinterpret as a session-TZ instant, same
+    *                           naive-timestamp semantics DuckDB applies
+    *   - TimestampType       → use as-is
+    * A session without nanosAsLong simply fails at read time on the nanos
+    * generation (Spark's own error is clear), so no pre-check is needed.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      .contains("true"),
-      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true " +
-        "set when the SparkSession is built")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, to_timestamp}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", to_timestamp(raw("ts")))
+      case _ => raw
+    }
   }
   /** The text/vector tables feed CPU-heavy per-row operators (md5
     * shingling, minhash, cosine). The local test files are single-row-

@@ -16,13 +16,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Contract: EVERY key in SparkEntry.queries yields an artifact. A
+    // query that throws still gets its output dir, holding an _ERROR
+    // marker (message + stack head) instead of parquet — so the driver's
+    // compare records an `err` row rather than silently omitting the
+    // query. A broken query must never read as "not registered".
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        val trace = e.toString + "\n" +
+          e.getStackTrace.take(12).mkString("\n")
+        Files.writeString(dir.resolve("_ERROR"), trace)
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: " +
+        failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -116,7 +116,22 @@ final class Parser(tokens: Vector[Token]) {
         if (isSoftKw("USER") || isSoftKw("ROLE")) {
           val kind = ident().toUpperCase
           val name = ident()
-          expectEnd(); SecurityStmt(op, kind, name, None)
+          // CREATE USER name IDENTIFIED BY 'password'
+          // (catalog/providers/security.rs credential path)
+          val secret =
+            if (op == "CREATE" && kind == "USER" && isSoftKw("IDENTIFIED")) {
+              p += 1
+              // BY lexes as a hard keyword (GROUP BY / ORDER BY)
+              cur match {
+                case TKw("BY", _) => p += 1
+                case _ => err("expected BY after IDENTIFIED")
+              }
+              cur match {
+                case TStr(s, _) => p += 1; Some(s)
+                case _ => err("expected a string password after IDENTIFIED BY")
+              }
+            } else None
+          expectEnd(); SecurityStmt(op, kind, name, secret)
         } else if (isSoftKw("PROCEDURE")) {
           p += 1
           var name = ident()

@@ -230,11 +230,53 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       rows.map { case (k, n, t) => s"$k\t$n\t$t" }.mkString("\n"))
   }
 
-  def createPrincipal(kind: String, name: String): Boolean = {
+  def createPrincipal(kind: String, name: String): Boolean =
+    createPrincipal(kind, name, None)
+
+  /** Create a user/role; for users, `secret` is the password from
+    * `CREATE USER … IDENTIFIED BY`, stored as `salt$sha256(salt:password)`
+    * in the credential column — never in the clear. (Reference hashes
+    * credentials in its security provider,
+    * catalog/providers/security.rs; SHA-256+salt stands in for its
+    * argon2 — same catalog shape, weaker KDF, documented divergence.)
+    */
+  def createPrincipal(kind: String, name: String,
+      secret: Option[String]): Boolean = {
     val rows = readSecurity()
     if (rows.exists(r => r._1 == kind && r._2 == name)) false
-    else { writeSecurity(rows :+ ((kind, name, ""))); true }
+    else {
+      val cred = secret.map(hashPassword(newSalt(), _)).getOrElse("")
+      writeSecurity(rows :+ ((kind, name, cred))); true
+    }
   }
+
+  private def newSalt(): String = {
+    val b = new Array[Byte](8)
+    new java.security.SecureRandom().nextBytes(b)
+    b.map("%02x".format(_)).mkString
+  }
+
+  private def hashPassword(salt: String, password: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val digest = md.digest(s"$salt:$password".getBytes("UTF-8"))
+    salt + "$" + digest.map("%02x".format(_)).mkString
+  }
+
+  /** Password check for `gql.authenticate_user`
+    * (system_procedures.rs:60-91): unknown users and wrong passwords are
+    * both false; a user created without IDENTIFIED BY is passwordless and
+    * authenticates only with an empty password.
+    */
+  def verifyPassword(user: String, password: String): Boolean =
+    readSecurity().find(r => r._1 == "USER" && r._2 == user) match {
+      case None => false
+      case Some((_, _, "")) => password.isEmpty
+      case Some((_, _, cred)) =>
+        val salt = cred.takeWhile(_ != '$')
+        java.security.MessageDigest.isEqual(
+          hashPassword(salt, password).getBytes("UTF-8"),
+          cred.getBytes("UTF-8"))
+    }
 
   def dropPrincipal(kind: String, name: String): Boolean = {
     val rows = readSecurity()

@@ -275,6 +275,7 @@ object GqlQueries {
       // row is deterministic across warehouse reuse
       admin.execute("CREATE USER alice")
       admin.execute("CREATE USER bob")
+      admin.execute("CREATE USER carol IDENTIFIED BY 's3cret'")
       admin.execute("CREATE ROLE analyst")
       admin.execute("CREATE ROLE writer")
       admin.execute("GRANT analyst TO alice")
@@ -298,8 +299,19 @@ object GqlQueries {
       val members = admin.call("gql.list_grants").select(
         lit("member").as("kind"), col("role_name").as("name"),
         col("user_name").as("detail"))
+      // credential checks ride along as constant columns: the right
+      // password authenticates, a wrong one and an unknown user don't
+      val authOk = admin.call("gql.authenticate_user", Seq("carol", "s3cret"))
+        .collect().head.getBoolean(1)
+      val authBad = admin.call("gql.authenticate_user", Seq("carol", "wrong"))
+        .collect().head.getBoolean(1)
+      val authGhost = admin.call("gql.authenticate_user", Seq("mallory", "x"))
+        .collect().head.getBoolean(1)
       users.unionByName(roles).unionByName(members)
         .withColumn("n_read", lit(nRead))
+        .withColumn("auth_ok", lit(authOk))
+        .withColumn("auth_bad", lit(authBad))
+        .withColumn("auth_ghost", lit(authGhost))
         .orderBy("kind", "name", "detail")
     }),
 
@@ -496,11 +508,13 @@ object GqlQueries {
         |FROM orders WHERE o_orderkey < 300 ORDER BY id""".stripMargin,
     "gql24_security" ->
       """SELECT kind, name, detail,
-        | (SELECT count(*) FROM nation) AS n_read
+        | (SELECT count(*) FROM nation) AS n_read,
+        | true AS auth_ok, false AS auth_bad, false AS auth_ghost
         |FROM (VALUES
         | ('member', 'analyst', 'alice'), ('member', 'writer', 'bob'),
         | ('role', 'analyst', ''), ('role', 'writer', ''),
-        | ('user', 'alice', ''), ('user', 'bob', '')) t(kind, name, detail)
+        | ('user', 'alice', ''), ('user', 'bob', ''),
+        | ('user', 'carol', '')) t(kind, name, detail)
         |ORDER BY kind, name, detail""".stripMargin,
     "gql23_catalog_listing" ->
       """SELECT name, detail FROM (VALUES

@@ -136,6 +136,48 @@ object PipelineQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // ---- near-dup CLUSTERS: connected components over the verified
+    // pair graph (transitive chains a~b~c collapse to ONE canonical
+    // survivor where pairwise filtering would keep two)
+    "d11_dup_clusters" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val salted = docs.unionByName(
+        docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+      val pairs = Dedup.nearDupPairs(salted, "doc_id", "text",
+        n = ShingleN, numHashes = 32, bands = 8, tau = 0.7)
+      Dedup.dupClusters(pairs, "id_a", "id_b").orderBy($"doc_id")
+    }),
+
+    // ---- deterministic stratified sampling + train/val/test split
+    // (hash-keyed: pure per-row decision, no shuffle, no RNG)
+    "d12_stratified_split" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val withLang = Tables.documents(s, d)
+        .select($"doc_id", $"text")
+        .withColumn("lang_pred", TextAnalysis.langId($"text"))
+      graft.text.Sampling.stratifiedSample(withLang, "doc_id", "lang_pred",
+          Map("en" -> 50, "zh" -> 100), defaultPct = 80)
+        .select($"doc_id", $"lang_pred",
+          graft.text.Sampling.split($"doc_id").as("split"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- benchmark-contamination check: distinct 5-gram overlap counts
+    // between the training corpus and a small "benchmark" slice (the
+    // eval side broadcasts; the train side never wide-shuffles)
+    "d13_contamination" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val train = docs.select($"doc_id".as("train_id"), $"text")
+      val eval = docs.filter($"doc_id" % 100 === 0)
+        .select($"doc_id".as("eval_id"), $"text")
+      Dedup.contaminationPairs(train, "train_id", eval, "eval_id", "text",
+          n = 5, minShared = 2L)
+        .orderBy($"train_id", $"eval_id")
+    }),
+
     // ---- exact KNN by cosine (brute force, broadcast queries)
     "e01_knn_exact" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -325,27 +367,36 @@ object PipelineQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
-  /** Full MinHash+LSH near-dup oracle: the whole pipeline — shingle
-    * hashes, 32-perm signatures, 8-band bucketing, candidate join, exact
-    * Jaccard ≥ 0.7 — re-derived in DuckDB from the same engine-stable
-    * constants, so the check is a bit-exact hash match, not rows-only.
+  /** Word-n-gram shingle CASE over a `toks` list column (mirrors
+    * [[Dedup.shingles]]: short texts collapse to one whole-text shingle).
     */
-  private val neardupSql: String = {
+  private def shingleCaseSql(n: Int): String = {
+    val joined = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) < $n
+       |  THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> $joined) END""".stripMargin
+  }
+
+  /** Shared CTE body deriving the verified near-dup pair set `j` — the
+    * whole MinHash+LSH pipeline (shingle hashes, 32-perm signatures,
+    * 8-band bucketing, candidate join, exact Jaccard) re-derived in
+    * DuckDB from the same engine-stable constants. d08 selects from it
+    * directly; d11 appends a recursive connected-components pass.
+    */
+  private val neardupCtes: String = {
     val perms32 = Dedup.permutations(32)
     val sig = perms32.map { case (a, b) =>
       s"list_min(list_transform(h30, h -> (h * $a + $b) % ${Dedup.MinhashPrime}))"
     }.mkString("[", ", ", "]")
     val bucket = hash60Sql(
       "CAST(to_json(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)) AS VARCHAR)")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
        |t AS (SELECT doc_id, $toksSql AS toks FROM base),
-       |sh AS (SELECT doc_id, CASE WHEN len(toks) < $ShingleN
-       |  THEN [array_to_string(toks, ' ')]
-       |  ELSE list_transform(range(1, len(toks) - ${ShingleN - 2}),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shs
+       |sh AS (SELECT doc_id, ${shingleCaseSql(ShingleN)} AS shs
        | FROM t),
        |hs AS (SELECT doc_id, list_distinct(list_transform(shs,
        |  sg -> ${hash60Sql("sg")} % 1073741824)) AS h30 FROM sh),
@@ -358,10 +409,73 @@ object PipelineQueries {
        |j AS (SELECT id_a, id_b,
        |  CAST(len(list_intersect(x.h30, y.h30)) AS DOUBLE) /
        |  CAST(len(list_distinct(list_cat(x.h30, y.h30))) AS DOUBLE) AS jaccard
-       | FROM cand JOIN sg x ON x.doc_id = id_a JOIN sg y ON y.doc_id = id_b)
+       | FROM cand JOIN sg x ON x.doc_id = id_a JOIN sg y ON y.doc_id = id_b)""".stripMargin
+  }
+
+  private val neardupSql: String =
+    s"""WITH $neardupCtes
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d11 oracle: connected components over the verified pair set,
+    * re-derived with a recursive label-propagation CTE — each node's
+    * cluster id is the minimum id reachable through the (symmetrized)
+    * pair edges, the same smallest-member labeling
+    * [[graft.graph.Analytics.connectedComponents]] produces.
+    */
+  private val dupClustersSql: String =
+    s"""WITH RECURSIVE $neardupCtes,
+       |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id AS cid, count(*) AS cluster_size
+       |  FROM comp GROUP BY 1)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       | c.doc_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN sizes s ON c.cluster_id = s.cid
+       |ORDER BY doc_id""".stripMargin
+
+  /** d12 oracle: the same md5-bucket arithmetic as
+    * [[graft.text.Sampling]] — bucket = stableHash60(salt || key) % 100,
+    * stratum rates from the lang-id SELECT, split boundaries at 90/95.
+    */
+  private val stratSampleSql: String = {
+    def bucketSql(salt: String) = hash60Sql(
+      s"'$salt' || CAST(doc_id AS VARCHAR)") + " % 100"
+    s"""WITH lang AS ($langSelectSql),
+       |t AS (SELECT doc_id, lang_pred,
+       |  ${bucketSql("")} AS b, ${bucketSql("s")} AS bs FROM lang)
+       |SELECT doc_id, lang_pred,
+       | CASE WHEN bs < 90 THEN 'train' WHEN bs < 95 THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM t
+       |WHERE b < CASE WHEN lang_pred = 'en' THEN 50
+       |               WHEN lang_pred = 'zh' THEN 100 ELSE 80 END
+       |ORDER BY doc_id""".stripMargin
   }
+
+  /** d13 oracle: distinct 5-gram shingle-hash overlap counts between the
+    * training corpus (all documents) and the "benchmark" slice
+    * (doc_id % 100 = 0), same engine-stable hashes as the Spark side.
+    */
+  private val contaminationSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shingleCaseSql(5)} AS shs FROM t),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(shs,
+       |  sg -> ${hash60Sql("sg")} % 1073741824)) AS h FROM sh),
+       |tr AS (SELECT doc_id AS train_id, unnest(h) AS sh FROM hs),
+       |ev AS (SELECT doc_id AS eval_id, unnest(h) AS sh FROM hs
+       |  WHERE doc_id % 100 = 0)
+       |SELECT train_id, eval_id, count(*) AS n_shared
+       |FROM tr JOIN ev ON tr.sh = ev.sh
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY train_id, eval_id""".stripMargin
 
   /** LSH signature bits as DuckDB SQL: the same deterministic ±1
     * hyperplanes as [[Similarity.RandomHyperplaneLsh]], interpolated as
@@ -496,6 +610,9 @@ object PipelineQueries {
     "d06_simhash" -> simhashSql,
     "d07_minhash_sig" -> minhashSql,
     "d08_neardup_pairs" -> neardupSql,
+    "d11_dup_clusters" -> dupClustersSql,
+    "d12_stratified_split" -> stratSampleSql,
+    "d13_contamination" -> contaminationSql,
     "e01_knn_exact" -> knnSql,
     "e02_ann_lsh" -> annLshSql,
     "e03_embed_neardup" -> embedNeardupSql,

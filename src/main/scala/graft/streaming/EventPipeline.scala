@@ -14,12 +14,14 @@ import org.apache.spark.sql.types.StructType
   */
 object EventPipeline {
 
-  /** Physical schema of events.parquet: `ts` arrives as INT64 nanoseconds
-    * (Spark has no nanosecond timestamp type) — [[readEventStream]]
-    * converts it to a microsecond TimestampType.
+  /** Logical schema all pipeline transforms see: `ts` is always a
+    * microsecond TimestampType after [[readEventStream]]'s normalization,
+    * whatever the physical encoding on disk (INT64 nanos, TIMESTAMP_NTZ
+    * micros, or TIMESTAMP micros — the test-data generator has shipped
+    * all three across generations).
     */
   def eventsSchema: StructType = new StructType()
-    .add("event_id", "long").add("ts", "long").add("user_id", "long")
+    .add("event_id", "long").add("ts", "timestamp").add("user_id", "long")
     .add("event_type", "string").add("value", "double").add("props", "string")
 
   /** Tumbling-window counts/sums per event type with a 10-minute
@@ -43,15 +45,26 @@ object EventPipeline {
         col("session_window.end").as("send"),
         col("user_id"), col("n_events"), col("total"))
 
-  /** Open a streaming source over a parquet directory of events, with
-    * `ts` converted from int64-nanos to a microsecond timestamp.
+  /** Open a streaming source over a parquet directory of events,
+    * normalizing `ts` to a microsecond TimestampType whatever its
+    * physical encoding. Streaming sources require a declared schema, so
+    * the on-disk schema is sniffed once with a batch metadata read
+    * (driver-side footer read only — no data scan) and the conversion
+    * branches on the sniffed dtype, mirroring [[graft.Tables.events]].
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val physical = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(physical)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    physical("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", to_timestamp(col("ts")))
+      case _ => raw
+    }
   }
 
   /** One event for the typed custom-state pipeline. */

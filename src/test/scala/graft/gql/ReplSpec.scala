@@ -1,0 +1,55 @@
+package graft.gql
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, PrintStream}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Repl, SparkFixture}
+
+/** Drives [[graft.Repl]]'s read-eval loop through piped streams —
+  * the CliFixture pattern from the reference's gql-cli tests, without a
+  * subprocess.
+  */
+class ReplSpec extends AnyFunSuite {
+
+  private def drive(input: String): String = {
+    val session = SparkFixture.gqlSession(SparkFixture.fraudGraph)
+    val out = new ByteArrayOutputStream()
+    Repl.run(session, new ByteArrayInputStream(input.getBytes("UTF-8")),
+      new PrintStream(out, true, "UTF-8"))
+    out.toString("UTF-8")
+  }
+
+  test("REPL executes statements, keeps session state, survives errors") {
+    val out = drive(
+      """SESSION SET VALUE $floor = 4900;
+        |MATCH (a:Account) WHERE a.balance > $floor
+        |  RETURN a.name AS name ORDER BY name;
+        |THIS IS NOT GQL;
+        |MATCH (a:Account) RETURN count(a) AS n;
+        |exit;
+        |""".stripMargin)
+    // statement 2 sees statement 1's session parameter (one account
+    // above 4900: Account50 at 5000) — SESSION statements are honored
+    assert(out.contains("Account50"), out)
+    assert(out.contains("(1 row)"), out)
+    // a parse error reports and the loop continues to the next statement
+    assert(out.contains("error:"), out)
+    assert(out.contains("50"), out)
+    // multi-line accumulation: the MATCH..RETURN split across two lines
+    // executed as one statement (its header row is present exactly once)
+    assert("\\bname\\b".r.findAllIn(out).size == 1, out)
+  }
+
+  test("REPL prints EXPLAIN phase traces and renders result tables") {
+    val out = drive(
+      """EXPLAIN MATCH (a:Account) RETURN count(a) AS n;
+        |MATCH (m:Merchant) RETURN m.name AS name ORDER BY name LIMIT 2;
+        |exit;
+        |""".stripMargin)
+    assert(out.contains("=== AST (parse "), out)
+    assert(out.contains("=== Physical plan (plan "), out)
+    // aligned table rendering with a header separator and a row count
+    assert(out.contains("Merchant1"), out)
+    assert(out.contains("(2 rows)"), out)
+    assert(out.linesIterator.exists(_.startsWith("---")), out)
+  }
+}

@@ -566,6 +566,28 @@ class SurfaceSpec extends AnyFunSuite {
       Array("cached_datasets", "cached_partitions")))
   }
 
+  test("password-verified authentication (IDENTIFIED BY)") {
+    val t = fresh()
+    t.execute("CREATE USER eve IDENTIFIED BY 'hunter2'")
+    def auth(args: String*): Boolean =
+      t.call("gql.authenticate_user", args).collect().head.getBoolean(1)
+    assert(auth("eve", "hunter2"))
+    assert(!auth("eve", "wrong"))
+    assert(!auth("eve"))            // password required once set
+    assert(!auth("nobody", "x"))    // unknown user never authenticates
+    // passwordless users (no IDENTIFIED BY) accept only an empty password
+    t.execute("CREATE USER open_user")
+    assert(auth("open_user"))
+    assert(!auth("open_user", "anything"))
+    // the stored credential is salted+hashed, never the clear password
+    val stored = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${t.gls.warehouse}/_security"))
+    assert(!stored.contains("hunter2"))
+    assert(stored.linesIterator.exists(l =>
+      l.startsWith("USER\teve\t") && l.contains("$") &&
+        l.split("\t")(2).length > 40))
+  }
+
   // ---- NEXT chains + session parameters (executor.rs:8559-8641) ----
 
   test("NEXT chains statements; YIELD captures parameters for $refs") {
@@ -1122,13 +1144,16 @@ class SurfaceSpec extends AnyFunSuite {
     val trace = s.explain("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
       "WHERE a.balance > 1000 " +
       "RETURN m.name AS name, count(t) AS n ORDER BY name")
-    // all phase sections present, in order
-    val sections = Seq("=== AST ===",
-      "=== Logical plan (pre-Catalyst join tree) ===",
-      "=== Optimized logical plan ===", "=== Physical plan ===")
+    // all phase sections present, in order, each timed (per-phase millis
+    // like the reference's trace entries)
+    val sections = Seq("=== AST (parse ",
+      "=== Logical plan (compile ",
+      "=== Optimized logical plan (optimize ", "=== Physical plan (plan ")
     val idx = sections.map(trace.indexOf)
     assert(idx.forall(_ >= 0), s"missing section in:\n$trace")
     assert(idx == idx.sorted)
+    assert("""\d+\.\d\d ms""".r.findAllIn(trace).size >= 5,
+      s"expected per-phase timings in:\n$trace")
     // each phase carries its own representation: the GQL AST, the join
     // tree the compiler built, and a physical operator tree
     val ast = trace.substring(idx(0), idx(1))

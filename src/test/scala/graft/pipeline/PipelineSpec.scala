@@ -114,6 +114,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("dupClusters collapses transitive chains to one canonical survivor") {
+    import spark.implicits._
+    // chain 1~2, 2~3 (but 1!~3) plus separate pair 10~11: components must
+    // merge the chain into one cluster labeled by its smallest member
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val rows = Dedup.dupClusters(pairs, "id_a", "id_b").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical")))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    assert(rows(1L) == ((1L, 3L, true)))
+    assert(rows(2L) == ((1L, 3L, false)))
+    assert(rows(3L) == ((1L, 3L, false)))
+    assert(rows(10L) == ((10L, 2L, true)))
+    assert(rows(11L) == ((10L, 2L, false)))
+    // dedup keeps exactly one doc per cluster
+    assert(rows.count(_._2._3) == 2)
+  }
+
+  test("stratified sample is deterministic and honors per-stratum rates") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    // 0% strips the stratum entirely; 100% keeps it entirely
+    val kept = graft.text.Sampling.stratifiedSample(
+      df, "doc_id", "lang", Map("en" -> 0, "de" -> 100))
+    assert(kept.filter($"lang" === "en").count() == 0)
+    assert(kept.filter($"lang" === "de").count() == 500)
+    // a partial rate keeps roughly that fraction, and re-running the
+    // pipeline reproduces the exact same row set (hash-keyed, no RNG)
+    val half = graft.text.Sampling.stratifiedSample(
+      df, "doc_id", "lang", Map.empty, defaultPct = 50)
+    val n = half.count()
+    assert(n > 400 && n < 600, s"expected ~500, got $n")
+    assert(half.exceptAll(graft.text.Sampling.stratifiedSample(
+      df, "doc_id", "lang", Map.empty, defaultPct = 50)).count() == 0)
+  }
+
+  test("split assigns every key to exactly one side at stable fractions") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("doc_id")
+      .select($"doc_id", graft.text.Sampling.split($"doc_id", 90, 5).as("split"))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1600 && counts("val") < 250 && counts("test") < 250)
+    // sample decision (salt "") and split decision (salt "s") must not
+    // correlate: the train fraction inside a 50% sample stays ~90%
+    val sampled = graft.text.Sampling.stratifiedSample(
+      df, "doc_id", "split", Map.empty, defaultPct = 50)
+    val trainFrac = sampled.filter($"split" === "train").count().toDouble /
+      sampled.count()
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"correlated salts? $trainFrac")
+  }
+
+  test("contaminationPairs flags verbatim n-gram leakage only") {
+    import spark.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog again today"
+    val train = Seq(
+      (1L, s"prefix words here $leak and a suffix tail"),
+      (2L, "completely unrelated training text with nothing shared at all"))
+      .toDF("train_id", "text")
+    val eval = Seq((100L, leak)).toDF("eval_id", "text")
+    val rows = Dedup.contaminationPairs(train, "train_id", eval, "eval_id",
+      "text", n = 5, minShared = 2L).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("train_id") == 1L)
+    assert(rows.head.getAs[Long]("eval_id") == 100L)
+    // 11-token leak → 7 distinct shared 5-grams
+    assert(rows.head.getAs[Long]("n_shared") == 7L)
+  }
+
   test("simhash: identical text => hamming 0; different text => > 0") {
     import spark.implicits._
     val df = Seq((1L, "spark graph query engine"), (2L, "spark graph query engine"),
