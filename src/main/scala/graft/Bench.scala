@@ -8,7 +8,21 @@ import org.apache.spark.sql.SparkSession
   * codegen / parquet-footer costs; queries run in sorted name order.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
+  /** Even a fatal setup crash must leave one parseable JSON line with the
+    * exception message — a bench artifact holding only a truncated stack
+    * tail is undiagnosable after the fact.
+    */
+  def main(args: Array[String]): Unit =
+    try run()
+    catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
+        println(s"""{"metric":"total","value":-1.000,"unit":"sec","queries":{},"sf":"?","fatal":"${e.getClass.getSimpleName}: $msg"}""")
+        throw e
+    }
+
+  private def run(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -23,26 +37,36 @@ object Bench {
     // warm-up: JVM + whole-stage codegen + one shuffle + parquet footers,
     // through the same accessors queries use (so the events ns→µs
     // conversion and the documents/embeddings scan widening warm too)
+    // a broken loader must not kill the bench in warm-up (a whole round's
+    // timings were lost that way once): warm-up failures are reported on
+    // stderr, and the affected queries then fail per-query with their own
+    // recorded errors
+    def warm(what: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up '$what' failed: $e")
+      }
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    Tables.all.foreach(t =>
+      warm(s"load $t")(Tables.load(spark, sfDir, t).count()))
     // full-column scans: count() prunes to zero columns, so the wide
     // text/vector columns (the bulk of the bytes the d*/e* queries read)
     // would otherwise hit cold storage inside the first measured query
-    locally {
+    warm("text/vector scans") {
       import org.apache.spark.sql.functions._
       Tables.documents(spark, sfDir)
         .select(sum(length(col("text")))).collect()
       Tables.embeddings(spark, sfDir)
         .select(sum(size(col("embedding")))).collect()
     }
-    Tables.events(spark, sfDir).count()
+    warm("events")(Tables.events(spark, sfDir).count())
     // JIT/codegen steady state for the dedup/similarity pipelines: the
     // fused hash expressions (ShingleHash / MinHashSignature / SimHash60 /
     // CosineSimilarity) and the md5+agg shuffle path need ~10^4 row
     // invocations before C2 compiles the hot loops — run the same-shaped
     // pipelines on synthetic rows so the measured d*/e* queries see
     // compiled code, not interpreter warm-up
-    locally {
+    warm("pipeline codegen") {
       import org.apache.spark.sql.functions._
       val warmDocs = spark.range(20000).select(col("id").as("doc_id"),
         concat_ws(" ", lit("alpha beta gamma delta"),
@@ -79,11 +103,17 @@ object Bench {
     // transient load spikes while measuring the same steady-state plan.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     // a failed query must NOT be timed as if it ran — report it as -1 and
-    // list it in "failed" so a broken query reads as broken, not fast
+    // list it in "failed" so a broken query reads as broken, not fast;
+    // keep the first exception line per query for the artifact
+    val errors = scala.collection.mutable.Map.empty[String, String]
     def timeAll(): Map[String, Option[Double]] = named.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name, e.toString
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+          false
+        }
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
     val pass1 = timeAll()
@@ -110,9 +140,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // error detail rides along only on failure (three entries max, so a
+    // broken round stays within the driver's tail capture)
     val failedTag =
       if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+      else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]") +
+        failed.sorted.take(3)
+          .map(n => "\"" + n + "\":\"" + errors.getOrElse(n, "?") + "\"")
+          .mkString(",\"errors\":{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$failedTag}""")
     spark.stop()
   }

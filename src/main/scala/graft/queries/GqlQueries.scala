@@ -343,7 +343,35 @@ object GqlQueries {
         "NEXT INSERT (:Widget {id: 1, name: 'alpha', score: 1.5}), " +
         "(:Widget {id: 2, name: 'beta', score: 2.5}) " +
         "NEXT MATCH (w:Widget) RETURN w.id AS id, w.name AS name, " +
-        "w.score AS score ORDER BY id"))
+        "w.score AS score ORDER BY id")),
+
+    // mutation pipeline end to end (MATCH…SET / REMOVE / DETACH DELETE,
+    // graph/GraphMutations.scala): mutate the in-memory session graph
+    // copy-on-write, then read the final state back — SET rewrites a
+    // property from an expression, REMOVE nulls one out, DETACH DELETE
+    // drops nodes with their edges
+    "gql26_mutation_pipeline" -> ((s: SparkSession, d: String) => {
+      val t = GraphLiteSpark.open(s, "/tmp/graft-warehouse").session("driver")
+        .useGraph(TpchGraph.build(s, d))
+      t.execute("MATCH (n:nation) WHERE n.id < 10 SET n.name = '*' || n.name")
+      t.execute("MATCH (n:nation) WHERE n.id < 3 REMOVE n.regionkey")
+      t.execute("MATCH (n:nation) WHERE n.id >= 20 DETACH DELETE n")
+      t.gql("""MATCH (n:nation)
+              |RETURN n.id AS id, n.name AS name, n.regionkey AS regionkey
+              |ORDER BY id""".stripMargin)
+    }),
+
+    // LET / FOR / FILTER statement pipeline (parser.rs:760-835): LET
+    // binds a derived value per row, FOR multiplies rows over a list,
+    // FILTER prunes — the statement-order dataflow the reference's
+    // simple_let_test.rs pins
+    "gql27_let_for_filter" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (r:region)
+        |LET double_id = r.id * 2
+        |FOR x IN [1, 2]
+        |FILTER double_id + x > 2
+        |RETURN r.name AS name, double_id + x AS v
+        |ORDER BY name, v""".stripMargin))
   )
 
   val oracle: Map[String, String] = Map(
@@ -523,6 +551,17 @@ object GqlQueries {
         | ('LIST_CONTAINS', 'list'), ('DATETIME', 'temporal'),
         | ('CONVERT_TZ', 'timezone'), ('ID', 'graph'),
         | ('TEMPORAL_VALUE', 'bitemporal')) t(name, detail)
-        |ORDER BY name, detail""".stripMargin
+        |ORDER BY name, detail""".stripMargin,
+    "gql26_mutation_pipeline" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        | CASE WHEN n_nationkey < 10 THEN '*' || n_name ELSE n_name END AS name,
+        | CASE WHEN n_nationkey < 3 THEN NULL
+        |      ELSE CAST(n_regionkey AS BIGINT) END AS regionkey
+        |FROM nation WHERE n_nationkey < 20 ORDER BY id""".stripMargin,
+    "gql27_let_for_filter" ->
+      """SELECT r_name AS name, CAST(r_regionkey * 2 + x AS BIGINT) AS v
+        |FROM region CROSS JOIN (VALUES (1), (2)) t(x)
+        |WHERE r_regionkey * 2 + x > 2
+        |ORDER BY name, v""".stripMargin
   )
 }

@@ -178,6 +178,23 @@ object PipelineQueries {
         .orderBy($"train_id", $"eval_id")
     }),
 
+    // ---- incremental cross-run dedup: batch 1 commits its fingerprints
+    // to a fresh state dir, batch 2 dedupes against that history (bloom
+    // pre-filter + anti-join) — survivors are batch-2 docs whose
+    // normalized text never appeared in batch 1 (first id per fp wins
+    // within the batch)
+    "d14_incremental_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-incdedup").toString
+      graft.dedup.IncrementalDedup.dedupeExact(
+        docs.filter($"doc_id" < 250), "doc_id", "text", state).count()
+      graft.dedup.IncrementalDedup.dedupeExact(
+          docs.filter($"doc_id" >= 250), "doc_id", "text", state)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // ---- exact KNN by cosine (brute force, broadcast queries)
     "e01_knn_exact" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -611,6 +628,15 @@ object PipelineQueries {
     "d07_minhash_sig" -> minhashSql,
     "d08_neardup_pairs" -> neardupSql,
     "d11_dup_clusters" -> dupClustersSql,
+    "d14_incremental_dedup" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+         |b2 AS (SELECT doc_id, fp,
+         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         | FROM f WHERE doc_id >= 250)
+         |SELECT doc_id FROM b2 k
+         |WHERE rn = 1 AND NOT EXISTS (
+         |  SELECT 1 FROM f p WHERE p.doc_id < 250 AND p.fp = k.fp)
+         |ORDER BY doc_id""".stripMargin,
     "d12_stratified_split" -> stratSampleSql,
     "d13_contamination" -> contaminationSql,
     "e01_knn_exact" -> knnSql,
