@@ -20,20 +20,116 @@ import graft.graph.{GraphCatalog, PropertyGraph, GraphMutations => graph2}
   */
 class GqlAuthException(msg: String) extends RuntimeException(msg)
 
-final class GraphLiteSpark(val spark: SparkSession, val warehouse: String) {
+/** Session management mode (session/mode.rs): `Instance` — each
+  * GraphLiteSpark instance keeps its own isolated session pool (embedded
+  * use); `Global` — every instance opened on the SAME warehouse shares
+  * one process-wide pool (server/daemon use), so a session created
+  * through one instance is visible and resumable through another.
+  */
+sealed trait SessionMode {
+  def isInstance: Boolean = this == SessionMode.Instance
+  def isGlobal: Boolean = this == SessionMode.Global
+}
+object SessionMode {
+  case object Instance extends SessionMode
+  case object Global extends SessionMode
+}
+
+final class GraphLiteSpark(val spark: SparkSession, val warehouse: String,
+    val sessionMode: SessionMode = SessionMode.Instance) {
   val catalog = new GraphCatalog(spark, warehouse)
+
+  /** An unmanaged ad-hoc session (sdk connection style) — never pooled,
+    * never expired; the caller owns its lifetime.
+    */
   def session(user: String = "default"): GqlSession = new GqlSession(this, user)
+
+  // managed pool (session/manager.rs SessionManager analog) — Instance
+  // mode owns a private pool; Global mode shares the process-wide pool
+  // for this warehouse path
+  private val pool: GraphLiteSpark.SessionPool = sessionMode match {
+    case SessionMode.Instance => new GraphLiteSpark.SessionPool
+    case SessionMode.Global => GraphLiteSpark.globalPool(warehouse)
+  }
+
+  /** Create a managed session and return its id (manager.rs:110-134). */
+  def createSession(user: String = "default"): String = {
+    val s = new GqlSession(this, user)
+    pool.sessions.put(s.sessionId, s)
+    s.sessionId
+  }
+  /** Look up a managed session by id (manager.rs:137-142). */
+  def getSession(sessionId: String): Option[GqlSession] =
+    pool.sessions.get(sessionId).filter(_.isActive)
+  /** Deactivate and drop a managed session (manager.rs:144-170). */
+  def removeSession(sessionId: String): Boolean =
+    pool.sessions.remove(sessionId).map(_.deactivate()).isDefined
+  /** Ids of every live managed session (manager.rs:173-185). */
+  def activeSessionIds: Seq[String] = pool.sessions.keys.toSeq.sorted
+  def sessionCount: Int = pool.sessions.size
+  /** Drop managed sessions idle longer than `maxIdleMillis`
+    * (manager.rs:187-213 cleanup_expired_sessions).
+    */
+  def cleanupExpiredSessions(maxIdleMillis: Long): Int =
+    pool.sessions.toSeq.count { case (id, s) =>
+      s.idleMillis > maxIdleMillis && removeSession(id)
+    }
+  /** Detach a dropped graph from every managed session currently bound
+    * to it, so none serves stale data (manager.rs:237-303
+    * invalidate_sessions_for_graph). Returns the count detached.
+    */
+  private[graft] def invalidateSessionsForGraph(path: String): Int =
+    pool.sessions.values.count(_.detachGraphIfCurrent(path))
 }
 
 object GraphLiteSpark {
   def open(spark: SparkSession, warehouse: String): GraphLiteSpark =
     new GraphLiteSpark(spark, warehouse)
+  def open(spark: SparkSession, warehouse: String,
+      mode: SessionMode): GraphLiteSpark =
+    new GraphLiteSpark(spark, warehouse, mode)
+
+  private[graft] final class SessionPool {
+    val sessions = scala.collection.concurrent.TrieMap.empty[String, GqlSession]
+  }
+  // one shared pool per warehouse path for SessionMode.Global
+  private val globalPools =
+    scala.collection.concurrent.TrieMap.empty[String, SessionPool]
+  private def globalPool(warehouse: String): SessionPool =
+    globalPools.getOrElseUpdate(warehouse, new SessionPool)
 }
 
 /** A user session: current graph + GQL execution (session/manager.rs
   * analog; session state here is just the current graph + parameters).
   */
 final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String) {
+  /** Stable id for pooled lookup (UserSession::session_id analog). */
+  val sessionId: String = java.util.UUID.randomUUID().toString
+  /** Liveness + idle tracking for the managed pool (manager.rs expiry
+    * and deactivation semantics). Unmanaged sessions carry the same
+    * state but nothing ever expires them.
+    */
+  @volatile private var activeFlag: Boolean = true
+  @volatile private var lastAccess: Long = System.currentTimeMillis()
+  def isActive: Boolean = activeFlag
+  private[graft] def deactivate(): Unit = activeFlag = false
+  private[graft] def idleMillis: Long =
+    System.currentTimeMillis() - lastAccess
+  private def touch(): Unit = {
+    if (!activeFlag)
+      throw new IllegalStateException(
+        s"session $sessionId has been closed")
+    lastAccess = System.currentTimeMillis()
+  }
+  /** Stale-data guard for DROP GRAPH: if this session's current graph is
+    * the dropped one, detach it (the next graph-reading statement errors
+    * with "no current graph" instead of serving dropped data).
+    */
+  private[graft] def detachGraphIfCurrent(path: String): Boolean = {
+    val hit = currentName.contains(path)
+    if (hit) { currentGraph = None; currentName = None; txStack = Nil }
+    hit
+  }
   private var currentGraph: Option[PropertyGraph] = None
   private var currentName: Option[String] = None
   /** Transaction snapshots (START TRANSACTION pushes, COMMIT pops,
@@ -180,16 +276,43 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     * demand SELECT — the attach-time any-grant check alone would let an
     * INSERT-only user read node/edge data through CALL.
     */
-  private[graft] def requirePerm(perm: String): Unit = currentName.foreach { path =>
-    if (!gls.catalog.checkAccess(user, path, perm))
-      throw new GqlAuthException(
-        s"user '$user' is not authorized to $perm on $path")
+  /** Transaction access mode: the current transaction's (from START
+    * TRANSACTION READ ONLY|WRITE) and the session default for the next
+    * one (from SET TRANSACTION — set_characteristics.rs). A READ ONLY
+    * transaction refuses every write statement until COMMIT/ROLLBACK;
+    * the reference merely records the mode, so enforcing is a strict
+    * superset of its behavior.
+    */
+  private var txMode: Option[String] = None
+  private var txDefaultMode: Option[String] = None
+  def transactionAccessMode: Option[String] =
+    if (txStack.nonEmpty) txMode else None
+  /** Snapshot isolation over copy-on-write graphs is what this engine
+    * actually provides; the reference accepts only READ COMMITTED and
+    * rejects the rest (set_characteristics.rs:64-77) — same gate here.
+    */
+  private def requireSupportedIsolation(iso: Option[String]): Unit =
+    iso.filter(_ != "READ COMMITTED").foreach(lvl =>
+      throw new GqlCompileException(s"Isolation level $lvl not yet " +
+        "supported. Only READ COMMITTED is currently implemented."))
+
+  private[graft] def requirePerm(perm: String): Unit = {
+    if (perm != "SELECT" && txStack.nonEmpty && txMode.contains("READ ONLY"))
+      throw new IllegalStateException(
+        "cannot " + perm + " in a READ ONLY transaction " +
+          "(START TRANSACTION READ WRITE, or COMMIT first)")
+    currentName.foreach { path =>
+      if (!gls.catalog.checkAccess(user, path, perm))
+        throw new GqlAuthException(
+          s"user '$user' is not authorized to $perm on $path")
+    }
   }
 
   /** Compile + return a GQL query as a DataFrame (lazy; actions execute
     * distributed).
     */
   def gql(query: String): DataFrame = {
+    touch()
     requirePerm("SELECT")
     (new Compiler(graph, sessionParams, f64Mode,
       sessionTz = tzName).compile(Parser.parse(query)))
@@ -206,6 +329,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     * [[saveGraphAs]].
     */
   def execute(text: String): DataFrame = {
+    touch()
     // CREATE PROCEDURE / AT keep their bodies as raw text (Parser
     // re-dispatches them), so a NEXT chain inside the body belongs to the
     // body — splitting here would truncate the stored procedure and run
@@ -645,7 +769,12 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         case ("DROP", "SCHEMA") =>
           Seq(gls.catalog.dropSchema(schema)).toDF("dropped")
         case ("DROP", "GRAPH") =>
-          Seq(gls.catalog.dropGraph(schema, g.get)).toDF("dropped")
+          val dropped = gls.catalog.dropGraph(schema, g.get)
+          // stale-data guard (manager.rs invalidate_sessions_for_graph):
+          // every pooled session bound to the dropped graph is detached
+          gls.invalidateSessionsForGraph(s"/$schema/${g.get}")
+          detachGraphIfCurrent(s"/$schema/${g.get}")
+          Seq(dropped).toDF("dropped")
         case other => throw new GqlCompileException(s"unsupported DDL $other")
       }
 
@@ -894,14 +1023,19 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       // ROLLBACK restores it, COMMIT discards the snapshot. Multi-statement
       // atomicity across concurrent sessions stays out of scope (the
       // documented divergence from the reference's WAL, SURVEY.md §7.4.4).
-      case TransactionStmt(op) => op match {
+      case TransactionStmt(op, iso, mode) => op match {
         case "START" =>
+          requireSupportedIsolation(iso)
           txStack = (currentGraph, currentName) :: txStack
+          // explicit mode on START wins; otherwise the SET TRANSACTION
+          // default applies to this transaction
+          txMode = mode.orElse(txDefaultMode)
           Seq("started").toDF("transaction")
         case "COMMIT" =>
           if (txStack.isEmpty)
             throw new IllegalStateException("COMMIT outside a transaction")
           txStack = txStack.tail
+          if (txStack.isEmpty) txMode = None
           Seq("committed").toDF("transaction")
         case "ROLLBACK" =>
           if (txStack.isEmpty)
@@ -909,7 +1043,22 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           val (g, n) = txStack.head
           currentGraph = g; currentName = n
           txStack = txStack.tail
+          if (txStack.isEmpty) txMode = None
           Seq("rolled_back").toDF("transaction")
+        // SET TRANSACTION (set_characteristics.rs:45-90): validates the
+        // level, records the access-mode default for the next (or, when
+        // inside one, the current) transaction, and returns the
+        // reference's one-row status message
+        case "SET_CHARACTERISTICS" =>
+          requireSupportedIsolation(iso)
+          mode.foreach { m =>
+            txDefaultMode = Some(m)
+            if (txStack.nonEmpty) txMode = Some(m)
+          }
+          val msg = "Transaction characteristics set:" +
+            iso.map(i => s" ISOLATION LEVEL $i").getOrElse("") +
+            mode.map(m => s" $m").getOrElse("")
+          Seq(msg).toDF("status")
         case other => throw new GqlCompileException(s"unknown transaction op $other")
       }
 
@@ -1201,10 +1350,46 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           case Cast(y, _) => refsRow(y)
           case _ => false
         }
-        if (refsRow(fn)) throw new GqlCompileException(
-          s"DML function expressions may not reference pattern variables " +
-            s"in the simple form (got $fn) — use a WITH pipeline")
-        lit(evalStandalone(fn) match {
+        if (refsRow(fn)) {
+          // row-referencing args compile per-row like the reference's
+          // evaluate_expression does for SET values (match_set.rs) —
+          // the common scalar families; richer shapes → WITH pipeline
+          import org.apache.spark.sql.functions._
+          val Fn(name, fargs, _) = fn
+          val a = fargs.map(rawColumn(_, v))
+          name.toUpperCase match {
+            case "UPPER" => upper(a(0))
+            case "LOWER" => lower(a(0))
+            case "TRIM" => trim(a(0))
+            case "REVERSE" => reverse(a(0))
+            case "SUBSTRING" =>
+              if (a.size == 3) a(0).substr(a(1), a(2))
+              else a(0).substr(a(1), lit(Int.MaxValue))
+            case "REPLACE" => replace(a(0), a(1), a(2))
+            case "LENGTH" | "CHAR_LENGTH" => length(a(0)).cast("long")
+            case "ABS" => abs(a(0))
+            case "CEIL" | "CEILING" => ceil(a(0))
+            case "FLOOR" => floor(a(0))
+            case "SQRT" => sqrt(a(0))
+            case "POWER" | "POW" => pow(a(0), a(1))
+            case "EXP" => exp(a(0))
+            case "LOG" => log(a(0))
+            case "LOG10" => log10(a(0))
+            case "SIGN" => signum(a(0))
+            case "MOD" => a(0) % a(1)
+            case "ROUND" if fargs.size == 2 => fargs(1) match {
+              case NumLit(x, true) => round(a(0), x.toInt)
+              case other => throw new GqlCompileException(
+                s"ROUND scale must be an integer literal, got $other")
+            }
+            case "ROUND" => round(a(0))
+            case "COALESCE" => coalesce(a: _*)
+            case "NULLIF" => nullif(a(0), a(1))
+            case other => throw new GqlCompileException(
+              s"DML function $other may not reference pattern variables " +
+                "in the simple form — use a WITH pipeline")
+          }
+        } else lit(evalStandalone(fn) match {
           case i: java.lang.Integer => i.longValue()
           case f: java.lang.Float => f.doubleValue()
           case other => other

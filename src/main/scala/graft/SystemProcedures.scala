@@ -13,7 +13,8 @@ object SystemProcedures {
     "gql.list_schemas", "gql.list_graphs", "gql.list_functions",
     "gql.show_session", "gql.list_users", "gql.list_roles",
     "gql.list_grants", "gql.list_procedures", "gql.list_indexes",
-    "gql.list_graph_types", "gql.authenticate_user", "gql.cache_stats",
+    "gql.list_graph_types", "gql.list_sessions",
+    "gql.authenticate_user", "gql.cache_stats",
     "gql.clear_cache", "gql.show_parameters",
     "gql.result_cache_stats", "gql.result_cache_clear",
     "gql.find_neighbors", "gql.shortest_path", "gql.is_reachable")
@@ -50,6 +51,13 @@ object SystemProcedures {
           val gt = gls.catalog.loadGraphType(n).get
           (n, gt.nodes.size.toLong, gt.edges.size.toLong)
         }.toDF("graph_type_name", "node_types", "edge_types")
+      // managed-pool listing (manager.rs:173-185 get_active_session_ids;
+      // Instance mode lists this instance's pool, Global mode the shared
+      // per-warehouse pool)
+      case "gql.list_sessions" =>
+        gls.activeSessionIds.flatMap(id => gls.getSession(id).map(s =>
+          (id, s.user, s.currentGraphName.getOrElse(""))))
+          .toDF("session_id", "user", "current_graph")
       // credential-verified (system_procedures.rs:60-91): args are
       // (user, password); wrong password or unknown user → false. A
       // passwordless user (no IDENTIFIED BY) authenticates only with an

@@ -250,10 +250,15 @@ object Ast {
       param: Option[String] = None) extends Statement
   /** SESSION RESET | SESSION CLOSE (ast.rs:992-1063). */
   case class SessionCtl(op: String) extends Statement
-  /** START TRANSACTION | COMMIT | ROLLBACK (ast.rs:1620-1679) — mapped to
-    * session graph snapshots (copy-on-write makes these O(1)).
+  /** START TRANSACTION | COMMIT | ROLLBACK | SET TRANSACTION
+    * (ast.rs:1620-1679) — mapped to session graph snapshots
+    * (copy-on-write makes these O(1)). `isolation`/`accessMode` carry
+    * the optional TransactionCharacteristics (ISOLATION LEVEL …,
+    * READ ONLY|READ WRITE).
     */
-  case class TransactionStmt(op: String) extends Statement
+  case class TransactionStmt(op: String,
+      isolation: Option[String] = None,
+      accessMode: Option[String] = None) extends Statement
   /** CREATE/DROP USER|ROLE name; GRANT role TO user
     * (exec/schema_engine/operations/security analog).
     */

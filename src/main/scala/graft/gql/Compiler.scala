@@ -1316,15 +1316,17 @@ final class Compiler(graph: PropertyGraph,
   private def compilePath(path0: PathPattern, dfIn: Option[DataFrame],
       ctxIn: Ctx): (DataFrame, Ctx) = {
     val hasQuant = path0.hops.exists(_._1.quantifier.isDefined)
-    // a revisit rule over a mixed rigid+quantified chain would need the
-    // quantified segments' interior nodes visible to the rigid hops —
-    // reject rather than silently under-enforce
-    if (path0.semantics.exists(_ != "WALK") && hasQuant && path0.hops.size != 1)
-      throw new GqlCompileException(
-        "path-type prefixes over mixed rigid+quantified chains are not supported")
     // a path variable over a chain with quantified segments (and more
     // than one hop) concatenates per-segment node-id arrays
     val mixedPathVar = hasQuant && path0.hops.size > 1 && path0.assignment.isDefined
+    // a revisit rule (TRAIL/ACYCLIC/SIMPLE) over a mixed rigid+quantified
+    // chain: each quantified segment exposes its per-path node-id (and,
+    // for TRAIL, edge-id) array, and the rule is enforced globally on the
+    // concatenated arrays — per-segment pruning still applies inside the
+    // iterative traversal (executor.rs:6623-6641 revisit rules span the
+    // whole path, not one segment)
+    val mixedSem =
+      path0.semantics.exists(_ != "WALK") && hasQuant && path0.hops.size > 1
     // reversal would invert the node order a path variable records
     val path1 =
       if (path0.assignment.isEmpty && shouldReverse(path0, ctxIn))
@@ -1332,8 +1334,9 @@ final class Compiler(graph: PropertyGraph,
       else path0
     // fixed-length revisit rules and path arrays reference every chain
     // element — name the anonymous ones
-    val needNames = mixedPathVar || (!hasQuant && (path1.assignment.isDefined ||
-      path1.semantics.exists(_ != "WALK")))
+    val needNames = mixedPathVar || mixedSem ||
+      (!hasQuant && (path1.assignment.isDefined ||
+        path1.semantics.exists(_ != "WALK")))
     val path = if (!needNames) path1 else path1.copy(
       start = path1.start.copy(variable =
         Some(path1.start.variable.getOrElse(fresh("n")))),
@@ -1375,14 +1378,25 @@ final class Compiler(graph: PropertyGraph,
         df = df.map(_.filter(col(s"${startVar}_$k") === compileExpr(v, ctx)))
       }
     } else {
+      // A comma-separated pattern list cross-joins each new start scan
+      // onto the accumulated frame. A plain CartesianProduct MULTIPLIES
+      // partition counts (5 small scans of 32 partitions → 32^5 tasks);
+      // broadcasting a small scan keeps the left side's partitioning
+      // (BroadcastNestedLoopJoin), which is also the right plan for
+      // small-dim × big-fact cross joins at scale.
       inferStart(path.start, path.hops.headOption.map(_._1)) match {
         case Some(labels) =>
           val scan = scanNodeMulti(labels, startVar, path.start.props, ctx)
-          df = Some(df.fold(scan)(_.crossJoin(scan)))
+          val rows = labels.filter(graph.nodeTables.contains)
+            .map(graph.nodeCount).sum
+          df = Some(df.fold(scan)(
+            _.crossJoin(graph.broadcastIfSmallRows(rows, scan))))
           ctx = Ctx(ctx.bindings + (startVar -> NodeBinding(labels)))
         case None =>
           val scan = scanAllLabels(startVar, path.start.props, ctx)
-          df = Some(df.fold(scan)(_.crossJoin(scan)))
+          val rows = graph.nodeTables.keys.map(graph.nodeCount).sum
+          df = Some(df.fold(scan)(
+            _.crossJoin(graph.broadcastIfSmallRows(rows, scan))))
           ctx = Ctx(ctx.bindings + (startVar -> UnionNode))
       }
     }
@@ -1393,22 +1407,58 @@ final class Compiler(graph: PropertyGraph,
     // mixed mode: each quantified hop records its full per-path node-id
     // array under a scratch column, stitched into the path variable below
     val hopArrays = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    // mixed-chain TRAIL additionally records each quantified segment's
+    // edge-id array for the global edge-distinctness check
+    val hopEdgeArrays = scala.collection.mutable.LinkedHashMap.empty[Int, String]
     path.hops.zipWithIndex.foreach { case ((edge, node), i) =>
       val hopPathVar =
-        if (mixedPathVar && edge.quantifier.isDefined) {
+        if ((mixedPathVar || mixedSem) && edge.quantifier.isDefined) {
           val a = fresh("patharr"); hopArrays += (i -> a); Some(a)
         } else quantPathVar
-      val (d2, c2, nv) = hop(df.get, ctx, prevVar, edge, node, sem, hopPathVar)
+      val hopEdgeArr =
+        if (mixedSem && sem == PathSemantics.Trail && edge.quantifier.isDefined) {
+          val a = fresh("edgearr"); hopEdgeArrays += (i -> a); Some(a)
+        } else None
+      val (d2, c2, nv) =
+        hop(df.get, ctx, prevVar, edge, node, sem, hopPathVar, hopEdgeArr)
       df = Some(d2); ctx = c2; prevVar = nv; nodeVarsB += nv
     }
     quantPathVar.foreach(pv =>
       ctx = Ctx(ctx.bindings + (pv -> ValueBinding)))
     if (needNames) {
       val nvs = nodeVarsB.result()
-      // fixed-length revisit rules (executor.rs:6623-6641 applied to
-      // rigid patterns): ACYCLIC/SIMPLE — all node ids pairwise distinct;
-      // TRAIL — all edge ids pairwise distinct
+      // stitch: start id, then per hop either the rigid target id or
+      // the quantified segment's array minus its first element (the
+      // segment's start — already covered by the previous element)
+      def stitchedNodes: Column = concat(
+        (array(col(s"${nvs.head}_id")) +:
+          path.hops.zipWithIndex.map { case (_, i) =>
+            hopArrays.get(i) match {
+              case Some(a) =>
+                org.apache.spark.sql.functions.slice(
+                  col(a), lit(2), size(col(a)) - 1)
+              case None => array(col(s"${nvs(i + 1)}_id"))
+            }
+          }): _*)
+      // fixed-length revisit rules (executor.rs:6623-6641): ACYCLIC/
+      // SIMPLE — all node ids pairwise distinct; TRAIL — all edge ids
+      // pairwise distinct. Pure-rigid chains use scalar pairwise
+      // comparisons (cheapest); mixed chains enforce globally on the
+      // concatenated per-segment arrays (per-segment pruning already
+      // happened inside the traversal loop).
       path.semantics.foreach {
+        case "ACYCLIC" | "SIMPLE" if mixedSem =>
+          val arr = stitchedNodes
+          df = Some(df.get.filter(size(arr) === size(array_distinct(arr))))
+        case "TRAIL" if mixedSem =>
+          val segs: Seq[Column] = path.hops.zipWithIndex.map {
+            case ((e, _), i) => hopEdgeArrays.get(i) match {
+              case Some(a) => col(a)
+              case None => array(col(s"${e.variable.get}_eid"))
+            }
+          }
+          val arr = concat(segs: _*)
+          df = Some(df.get.filter(size(arr) === size(array_distinct(arr))))
         case "ACYCLIC" | "SIMPLE" =>
           nvs.map(v => col(s"${v}_id")).combinations(2).foreach {
             case Seq(x, y) => df = Some(df.get.filter(x =!= y))
@@ -1421,28 +1471,13 @@ final class Compiler(graph: PropertyGraph,
         case _ => ()
       }
       path.assignment.foreach { pv =>
-        if (mixedPathVar) {
-          // stitch: start id, then per hop either the rigid target id or
-          // the quantified segment's array minus its first element (the
-          // segment's start — already covered by the previous element)
-          val segs: Seq[Column] = array(col(s"${nvs.head}_id")) +:
-            path.hops.zipWithIndex.map { case (_, i) =>
-              hopArrays.get(i) match {
-                case Some(a) =>
-                  org.apache.spark.sql.functions.slice(
-                    col(a), lit(2), size(col(a)) - 1)
-                case None => array(col(s"${nvs(i + 1)}_id"))
-              }
-            }
-          df = Some(df.get
-            .withColumn(pv, concat(segs: _*))
-            .drop(hopArrays.values.toSeq: _*))
-        } else {
-          df = Some(df.get.withColumn(pv,
-            array(nvs.map(v => col(s"${v}_id")): _*)))
-        }
+        if (mixedPathVar) df = Some(df.get.withColumn(pv, stitchedNodes))
+        else df = Some(df.get.withColumn(pv,
+          array(nvs.map(v => col(s"${v}_id")): _*)))
         ctx = Ctx(ctx.bindings + (pv -> ValueBinding))
       }
+      val scratch = (hopArrays.values ++ hopEdgeArrays.values).toSeq
+      if (scratch.nonEmpty) df = Some(df.get.drop(scratch: _*))
     }
     (df.get, ctx)
   }
@@ -1529,10 +1564,11 @@ final class Compiler(graph: PropertyGraph,
   private def hop(df: DataFrame, ctxIn: Ctx, fromVar: String,
       edge: EdgePattern, node: NodePattern,
       sem: PathSemantics = PathSemantics.Walk,
-      pathVar: Option[String] = None): (DataFrame, Ctx, String) = {
+      pathVar: Option[String] = None,
+      edgeArrVar: Option[String] = None): (DataFrame, Ctx, String) = {
     var ctx = ctxIn
     if (edge.quantifier.isDefined)
-      return varLengthHop(df, ctx, fromVar, edge, node, sem, pathVar)
+      return varLengthHop(df, ctx, fromVar, edge, node, sem, pathVar, edgeArrVar)
 
     // unknown edge types match nothing (pattern_tests.rs: a multi-type
     // union keeps its known members; a fully-unknown type yields the
@@ -1698,7 +1734,8 @@ final class Compiler(graph: PropertyGraph,
     */
   private def emptyHop(df: DataFrame, ctxIn: Ctx,
       edge: EdgePattern, node: NodePattern, eVar: String, nVar: String,
-      pathVar: Option[String]): (DataFrame, Ctx, String) = {
+      pathVar: Option[String],
+      edgeArrVar: Option[String] = None): (DataFrame, Ctx, String) = {
     var ctx = ctxIn
     var out = df.limit(0)
       .withColumn(s"${eVar}_eid", lit(null).cast("long"))
@@ -1727,7 +1764,7 @@ final class Compiler(graph: PropertyGraph,
         ctx = Ctx(ctx.bindings + (nVar -> NodeBinding(node.labels)))
       }
     }
-    pathVar.foreach { pv =>
+    (pathVar ++ edgeArrVar).foreach { pv =>
       out = out.withColumn(pv, lit(null).cast("array<long>"))
     }
     (out, ctx, nVar)
@@ -1741,7 +1778,8 @@ final class Compiler(graph: PropertyGraph,
     */
   private def varLengthHop(df: DataFrame, ctxIn: Ctx, fromVar: String,
       edge: EdgePattern, node: NodePattern,
-      sem: PathSemantics, pathVar: Option[String]): (DataFrame, Ctx, String) = {
+      sem: PathSemantics, pathVar: Option[String],
+      edgeArrVar: Option[String] = None): (DataFrame, Ctx, String) = {
     var ctx = ctxIn
     if (edge.variable.isDefined)
       throw new GqlCompileException("edge variable not supported on quantified edges")
@@ -1750,7 +1788,7 @@ final class Compiler(graph: PropertyGraph,
     // a quantified hop over a type the graph doesn't have matches nothing
     if (!graph.edgeTables.contains(t))
       return emptyHop(df, ctx, edge, node, fresh("e"),
-        node.variable.getOrElse(fresh("n")), pathVar)
+        node.variable.getOrElse(fresh("n")), pathVar, edgeArrVar)
     val (lo, hi) = edge.quantifier.get
     val dir = edge.direction match {
       case Out => GDir.Out
@@ -1770,18 +1808,19 @@ final class Compiler(graph: PropertyGraph,
         df.filter(col(s"${fromVar}_label").isin(startLabels.map(x => x: Any): _*))
       else df
     val start = dfR.select(col(s"${fromVar}_id").as("start_id")).distinct()
-    val reach0 = graph.paths(start, t, lo, hi, sem, dir)
-    val reach = pathVar match {
-      // path variable: one output row PER PATH, node-id array attached
-      case Some(pv) => reach0.select(col("start_id"), col("end_id"),
-        col("path").as(pv))
-      // no path variable: STILL one row per path (ISO-GQL / executor.rs
-      // :6394-6510 enumeration semantics) — collapsing to distinct
-      // endpoint pairs would turn enumeration into reachability and
-      // under-count branching DAGs (e.g. diamond A→{B,C}→E must yield
-      // two rows, not one)
-      case None => reach0.select(col("start_id"), col("end_id"))
-    }
+    val reach0 = graph.paths(start, t, lo, hi, sem, dir,
+      keepEdges = edgeArrVar.isDefined)
+    // path variable: one output row PER PATH, node-id array attached.
+    // Without one, STILL one row per path (ISO-GQL / executor.rs
+    // :6394-6510 enumeration semantics) — collapsing to distinct
+    // endpoint pairs would turn enumeration into reachability and
+    // under-count branching DAGs (e.g. diamond A→{B,C}→E must yield
+    // two rows, not one). edgeArrVar additionally attaches the per-path
+    // edge-id array (mixed-chain TRAIL enforcement).
+    val reachCols = Seq(col("start_id"), col("end_id")) ++
+      pathVar.map(pv => col("path").as(pv)) ++
+      edgeArrVar.map(ea => col("epath").as(ea))
+    val reach = reach0.select(reachCols: _*)
     val nVar = node.variable.getOrElse(fresh("n"))
     val joined = dfR.join(reach, col(s"${fromVar}_id") === col("start_id"))
     if (ctx.bindings.contains(nVar)) {

@@ -372,13 +372,25 @@ final class Parser(tokens: Vector[Token]) {
           more = tryPunct(",")
         }
         expectEnd(); DeclareStmt(vars.result())
-      case TIdent(s, _) if s.equalsIgnoreCase("START") =>
-        p += 1; eatSoftKw("TRANSACTION")
-        expectEnd(); TransactionStmt("START")
+      // START TRANSACTION / BEGIN, both with optional characteristics
+      // (parser.rs:4576-4599); COMMIT [WORK] / ROLLBACK [WORK]
+      // (parser.rs:4602-4624); SET TRANSACTION <characteristics>
+      // (parser.rs:4627-4641)
+      case TIdent(s, _) if s.equalsIgnoreCase("START") || s.equalsIgnoreCase("BEGIN") =>
+        p += 1
+        if (s.equalsIgnoreCase("START")) eatSoftKw("TRANSACTION")
+        val (iso, mode) = parseTxCharacteristics()
+        expectEnd(); TransactionStmt("START", iso, mode)
       case TIdent(s, _) if s.equalsIgnoreCase("COMMIT") =>
-        p += 1; expectEnd(); TransactionStmt("COMMIT")
+        p += 1; trySoftKw("WORK"); expectEnd(); TransactionStmt("COMMIT")
       case TIdent(s, _) if s.equalsIgnoreCase("ROLLBACK") =>
-        p += 1; expectEnd(); TransactionStmt("ROLLBACK")
+        p += 1; trySoftKw("WORK"); expectEnd(); TransactionStmt("ROLLBACK")
+      case TKw("SET", _) =>
+        p += 1; eatSoftKw("TRANSACTION")
+        val (iso, mode) = parseTxCharacteristics()
+        if (iso.isEmpty && mode.isEmpty)
+          err("SET TRANSACTION requires ISOLATION LEVEL and/or READ ONLY|WRITE")
+        expectEnd(); TransactionStmt("SET_CHARACTERISTICS", iso, mode)
       case TIdent(s, _) if s.equalsIgnoreCase("GRANT") =>
         // GRANT <role> TO <user> (role membership), or
         // GRANT SELECT|INSERT|UPDATE|DELETE|ALL ON /schema/graph TO <principal>
@@ -649,6 +661,29 @@ final class Parser(tokens: Vector[Token]) {
       else PipelineMutationStmt(Query(segs), "DELETE", target,
         Seq.empty, Seq.empty, detach)
     }
+  }
+
+  /** `[ISOLATION LEVEL (READ UNCOMMITTED|READ COMMITTED|REPEATABLE READ|
+    * SERIALIZABLE)] [READ ONLY|READ WRITE]` (parser.rs:4644-4697).
+    */
+  private def parseTxCharacteristics(): (Option[String], Option[String]) = {
+    val iso =
+      if (trySoftKw("ISOLATION")) {
+        eatSoftKw("LEVEL")
+        if (trySoftKw("REPEATABLE")) { eatSoftKw("READ"); Some("REPEATABLE READ") }
+        else if (trySoftKw("SERIALIZABLE")) Some("SERIALIZABLE")
+        else {
+          eatSoftKw("READ")
+          if (trySoftKw("UNCOMMITTED")) Some("READ UNCOMMITTED")
+          else { eatSoftKw("COMMITTED"); Some("READ COMMITTED") }
+        }
+      } else None
+    val mode =
+      if (trySoftKw("READ")) {
+        if (trySoftKw("ONLY")) Some("READ ONLY")
+        else { eatSoftKw("WRITE"); Some("READ WRITE") }
+      } else None
+    (iso, mode)
   }
 
   private def expectEnd(): Unit = cur match {

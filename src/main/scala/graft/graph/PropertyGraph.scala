@@ -91,7 +91,12 @@ final class PropertyGraph(
     * AQE's size-measured decision instead of a forced hint.
     */
   val broadcastByteLimit: Long = 100L << 20
-  def broadcastIfSmall(label: String, df: DataFrame): DataFrame = {
+  def broadcastIfSmall(label: String, df: DataFrame): DataFrame =
+    broadcastIfSmallRows(nodeCount(label), df)
+  /** Same gate for a frame spanning several labels (union scans): the
+    * caller supplies the summed row estimate.
+    */
+  def broadcastIfSmallRows(rowEstimate: Long, df: DataFrame): DataFrame = {
     // Two independent size estimates; force-broadcast only when BOTH are
     // under the limit, because each catches the other's blind spot:
     //  - Catalyst plan stats (file bytes for parquet scans) see the REAL
@@ -103,7 +108,7 @@ final class PropertyGraph(
     // level, and a silent Long wrap would read as "tiny table" (the exact
     // OOM this gate prevents) — saturate instead.
     val schemaEst =
-      try Math.multiplyExact(nodeCount(label), estimatedRowBytes(df.schema))
+      try Math.multiplyExact(rowEstimate, estimatedRowBytes(df.schema))
       catch { case _: ArithmeticException => Long.MaxValue }
     val planStats = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val statsKnown = planStats >= 0 && planStats < BigInt(1L << 50)
@@ -253,7 +258,8 @@ final class PropertyGraph(
       minHops: Int,
       maxHops: Int,
       semantics: PathSemantics = PathSemantics.Walk,
-      direction: Direction = Direction.Out): DataFrame = {
+      direction: Direction = Direction.Out,
+      keepEdges: Boolean = false): DataFrame = {
     require(minHops >= 0, "minHops must be >= 0")
     val cap = math.min(maxHops, 10)
     val (_, raw) = edgeTables(edgeLabel)
@@ -293,7 +299,11 @@ final class PropertyGraph(
       if (k >= minHops) acc = acc.unionByName(frontier)
       k += 1
     }
-    acc.select("start_id", "end_id", "depth", "path")
+    // epath (the per-path edge-id array) is exposed on request so a mixed
+    // rigid+quantified TRAIL chain can enforce edge-distinctness across
+    // segment boundaries (executor.rs:6623-6641 revisit rules)
+    if (keepEdges) acc.select("start_id", "end_id", "depth", "path", "epath")
+    else acc.select("start_id", "end_id", "depth", "path")
   }
 
   /** Multi-source BFS distances (GraphIndexScan IsReachable/ShortestPath

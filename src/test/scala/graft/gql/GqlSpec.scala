@@ -204,7 +204,8 @@ class GqlSpec extends AnyFunSuite {
 
   test("EXPLAIN surface shows AST and physical plan") {
     val e = s.explain("MATCH (a:Account) WHERE a.balance > 100 RETURN count(a) AS n")
-    assert(e.contains("=== AST ==="))
+    // phase headers carry per-phase timings (plan/trace.rs parity)
+    assert(e.matches("(?s).*=== AST \\(parse [0-9.]+ ms\\) ===.*"))
     assert(e.contains("Physical Plan"))
     // fixture graphs are LocalRelations; parquet-backed graphs additionally
     // show PushedFilters (verified in the plan audit over test data)

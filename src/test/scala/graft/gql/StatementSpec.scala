@@ -36,6 +36,55 @@ class StatementSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == 200.0)
   }
 
+  test("SET evaluates function expressions (set_function_expression_test.rs)") {
+    val s = freshSession()
+    // string functions, incl. over the existing value
+    s.execute("MATCH (a:Account) WHERE a.id = 1 " +
+      "SET a.name_upper = UPPER(a.name), a.name_lower = LOWER('MIXED')")
+    val r = s.execute("MATCH (a:Account {id: 1}) " +
+      "RETURN a.name_upper AS u, a.name_lower AS l").collect().head
+    assert(r.getString(0) == "ACCOUNT1" && r.getString(1) == "mixed")
+    // math + nested functions
+    s.execute("MATCH (a:Account) WHERE a.id = 2 " +
+      "SET a.root = SQRT(ABS(-16.0)), a.rounded = ROUND(a.balance / 3.0)")
+    val r2 = s.execute("MATCH (a:Account {id: 2}) " +
+      "RETURN a.root AS r, a.rounded AS d").collect().head
+    assert(r2.getDouble(0) == 4.0 && r2.getDouble(1) == 67.0)
+    // edge SET with function expressions (test_match_set_edge_properties)
+    s.execute("MATCH (a)-[t:Transaction]->(m) WHERE t.eid = 1 " +
+      "SET t.amount = ROUND(t.amount * 2.0)")
+    assert(s.execute("MATCH (a)-[t:Transaction]->(m) WHERE t.eid = 1 " +
+      "RETURN t.amount AS x").collect().head.getDouble(0) == 102.0)
+  }
+
+  test("SET TRANSACTION characteristics + READ ONLY enforcement " +
+      "(set_characteristics.rs; parser.rs:4576-4697)") {
+    val s = freshSession()
+    // the reference's one-row status result, same message shape
+    val msg = s.execute(
+      "SET TRANSACTION ISOLATION LEVEL READ COMMITTED READ WRITE")
+      .collect().head.getString(0)
+    assert(msg ==
+      "Transaction characteristics set: ISOLATION LEVEL READ COMMITTED READ WRITE")
+    // only READ COMMITTED is accepted (set_characteristics.rs:64-77)
+    assert(intercept[Exception](
+      s.execute("SET TRANSACTION ISOLATION LEVEL SERIALIZABLE"))
+      .getMessage.contains("READ COMMITTED"))
+    // READ ONLY default applies to the next transaction and blocks DML
+    s.execute("SET TRANSACTION READ ONLY")
+    s.execute("START TRANSACTION")
+    val e = intercept[IllegalStateException](
+      s.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 0.0"))
+    assert(e.getMessage.contains("READ ONLY"))
+    s.execute("ROLLBACK WORK") // [WORK] parses (parser.rs:4602-4624)
+    // explicit mode on START/BEGIN wins over the session default
+    s.execute("BEGIN READ WRITE")
+    s.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 7.0")
+    s.execute("COMMIT WORK")
+    assert(s.gql("MATCH (a:Account {id: 1}) RETURN a.balance AS b")
+      .collect().head.getDouble(0) == 7.0)
+  }
+
   test("MATCH REMOVE nulls out properties") {
     val s = freshSession()
     s.execute("MATCH (a:Account) WHERE a.id <= 3 REMOVE a.risk_score")

@@ -216,6 +216,41 @@ class SurfaceSpec extends AnyFunSuite {
       "WHERE y.id = 1 RETURN count(y) AS c") == 0L)
   }
 
+  test("revisit rules span mixed rigid+quantified chains") {
+    val sp = SparkFixture.spark
+    import sp.implicits._
+    // same topology as above: cycle 1→2→3→1 plus shortcut 1→3
+    val g = new graft.graph.PropertyGraph(
+      Map("N" -> Seq(1L, 2L, 3L).toDF("id")),
+      Map("E" -> (graft.graph.EdgeType("E", "N", "N"),
+        Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 3L), (1L, 3L, 4L))
+          .toDF("src", "dst", "eid"))))
+    val t = SparkFixture.gqlSession(g)
+    def one0(q: String): Long = t.gql(q).collect().head.getLong(0)
+    // rigid 1→3 (edge 4) then two quantified hops closing back to 3
+    // necessarily reuses edge 4 (3→1→3): a WALK sees it…
+    assert(one0("MATCH (a:N {id: 1})-[:E]->(x:N)-[:E*2..2]->(b:N) " +
+      "WHERE x.id = 3 AND b.id = 3 RETURN count(b) AS c") == 1L)
+    // …TRAIL rejects the cross-segment edge reuse…
+    assert(one0("MATCH TRAIL (a:N {id: 1})-[:E]->(x:N)-[:E*2..2]->(b:N) " +
+      "WHERE x.id = 3 AND b.id = 3 RETURN count(b) AS c") == 0L)
+    // …but a node revisit WITHOUT edge reuse passes TRAIL: 1-e4-3-e3-1-e1-2
+    assert(one0("MATCH TRAIL (a:N {id: 1})-[:E]->(x:N)-[:E*2..2]->(b:N) " +
+      "WHERE x.id = 3 AND b.id = 2 RETURN count(b) AS c") == 1L)
+    // ACYCLIC: returning to the start across the segment boundary is a
+    // WALK match (1→2→3→1 and 1→3→1) but never an ACYCLIC one
+    assert(one0("MATCH (a:N {id: 1})-[:E]->(x:N)-[:E*1..2]->(b:N) " +
+      "WHERE b.id = 1 RETURN count(b) AS c") == 2L)
+    assert(one0("MATCH ACYCLIC (a:N {id: 1})-[:E]->(x:N)-[:E*1..2]->(b:N) " +
+      "WHERE b.id = 1 RETURN count(b) AS c") == 0L)
+    // quantified-then-rigid keeps the legal expansion (1→2→3)
+    assert(one0("MATCH ACYCLIC (a:N {id: 1})-[:E*1..1]->(x:N)-[:E]->(b:N) " +
+      "WHERE b.id = 3 RETURN count(b) AS c") == 1L)
+    // SIMPLE matches the reference: no node revisit at all (= ACYCLIC)
+    assert(one0("MATCH SIMPLE (a:N {id: 1})-[:E]->(x:N)-[:E*1..2]->(b:N) " +
+      "WHERE b.id = 1 RETURN count(b) AS c") == 0L)
+  }
+
   // ---- IS predicates (ast.rs:1598-1611) ----
 
   test("IS SOURCE OF / DESTINATION OF test real topology") {
