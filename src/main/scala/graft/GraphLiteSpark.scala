@@ -689,14 +689,20 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         }
         Seq(total).toDF("edges_inserted")
 
-      case MatchSetStmt(pattern, where, assignments) =>
+      case MatchSetStmt(pattern, where, assignments, labelAdds) =>
         requirePerm("UPDATE")
-        val (label, isEdge, v) = dmlTarget(pattern,
-          assignments.head._1.variable)
-        assignments.map(_._1.variable).find(_ != v).foreach(other =>
-          throw new GqlCompileException(
-            s"SET targets mix variables $v and $other — the simple form " +
-              "mutates a single variable (use a WITH pipeline for several)"))
+        val targetVar = assignments.headOption.map(_._1.variable)
+          .orElse(labelAdds.headOption.map(_._1))
+          .getOrElse(throw new GqlCompileException(
+            "SET requires at least one item"))
+        val (label, isEdge, v) = dmlTarget(pattern, targetVar)
+        (assignments.map(_._1.variable) ++ labelAdds.map(_._1))
+          .find(_ != v).foreach(other =>
+            throw new GqlCompileException(
+              s"SET targets mix variables $v and $other — the simple form " +
+                "mutates a single variable (use a WITH pipeline for several)"))
+        if (labelAdds.nonEmpty && isEdge)
+          throw new GqlCompileException("SET v:Label applies to nodes only")
         val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
         val assigns = assignments.map { case (Prop(_, p), e) =>
           p -> rawColumn(e, v) }.toMap
@@ -709,9 +715,16 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           val affected =
             if (isEdge) graph.edgeScan(label, Some(pred)).count()
             else graph.nodeScan(label, Some(pred)).count()
-          currentGraph = Some(
-            if (isEdge) graph2.setEdgeProps(graph, label, pred, assigns)
-            else graph2.setNodeProps(graph, label, pred, assigns))
+          var g2 =
+            if (assigns.isEmpty) graph
+            else if (isEdge) graph2.setEdgeProps(graph, label, pred, assigns)
+            else graph2.setNodeProps(graph, label, pred, assigns)
+          // label adds copy the (already updated) matched rows into the
+          // new label's table — multi-label scans then match them by id
+          labelAdds.foreach { case (_, newLabel) =>
+            g2 = graph2.addNodeLabel(g2, label, pred, newLabel)
+          }
+          currentGraph = Some(g2)
           Seq(affected).toDF("properties_set")
         }
 

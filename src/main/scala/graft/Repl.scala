@@ -7,11 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gql-cli/src/main.rs; docs/Architecture.md one-shot + REPL modes).
   *
   * Usage: `sbt "runMain graft.Repl [warehouse] [-g /schema/graph]
-  * [-c "statement"]"`. Without `-c`, reads statements from stdin:
-  * each statement ends with `;` (multi-line input accumulates until
-  * one does); SESSION / DDL / CALL statements work exactly as in the
-  * library API, `EXPLAIN <query>` prints the phase trace, `exit;` or
-  * EOF quits.
+  * [-c "statement"] [-f table|json|csv]"`. Without `-c`, reads
+  * statements from stdin: each statement ends with `;` (multi-line
+  * input accumulates until one does); SESSION / DDL / CALL statements
+  * work exactly as in the library API, `EXPLAIN <query>` prints the
+  * phase trace, `FORMAT json;` switches the renderer mid-session
+  * (cli/commands.rs OutputFormat), `exit;` or EOF quits.
   *
   * The loop body is [[Repl.run]], parameterized over streams so a spec
   * drives it through a piped stdin without a subprocess.
@@ -27,6 +28,7 @@ object Repl {
       args(i) match {
         case "-g" => graphPath = Some(args(i + 1)); i += 2
         case "-c" => oneShot = Some(args(i + 1)); i += 2
+        case "-f" => format = OutputFormat.parse(args(i + 1)); i += 2
         case w => warehouse = w; i += 1
       }
     }
@@ -72,11 +74,34 @@ object Repl {
     }
   }
 
+  /** Output formats — gql-cli parity (cli/commands.rs:175-195
+    * OutputFormat: table | json | csv; cli/output.rs renderers).
+    */
+  sealed trait OutputFormat
+  object OutputFormat {
+    case object Table extends OutputFormat
+    case object Json extends OutputFormat
+    case object Csv extends OutputFormat
+    def parse(s: String): OutputFormat = s.toLowerCase match {
+      case "table" => Table
+      case "json" => Json
+      case "csv" => Csv
+      case other =>
+        throw new IllegalArgumentException(s"Unknown output format: $other")
+    }
+  }
+  @volatile private var format: OutputFormat = OutputFormat.Table
+
   private def runStatement(session: GqlSession, stmt: String,
       out: PrintStream): Unit =
     try {
-      if (stmt.toUpperCase.startsWith("EXPLAIN ")) {
+      val up = stmt.toUpperCase
+      if (up.startsWith("EXPLAIN ")) {
         out.println(session.explain(stmt.drop("EXPLAIN ".length)))
+      } else if (up.startsWith("FORMAT ")) {
+        // shell directive: switch the renderer mid-session
+        format = OutputFormat.parse(stmt.drop("FORMAT ".length).trim)
+        out.println(s"format: ${stmt.drop("FORMAT ".length).trim.toLowerCase}")
       } else render(session.execute(stmt), out)
     } catch {
       case e: Exception =>
@@ -88,6 +113,55 @@ object Repl {
     * design for an interactive shell).
     */
   private def render(df: DataFrame, out: PrintStream, max: Int = 50): Unit = {
+    format match {
+      case OutputFormat.Json => renderJson(df, out, max)
+      case OutputFormat.Csv => renderCsv(df, out, max)
+      case OutputFormat.Table => renderTable(df, out, max)
+    }
+  }
+
+  /** One `{"status":"success","columns":[…],"rows":[{col: val}…],
+    * "rows_affected":n}` object (cli/output.rs:87-119 format_json;
+    * null properties render as JSON null).
+    */
+  private def renderJson(df: DataFrame, out: PrintStream, max: Int): Unit = {
+    def jval(v: Any): String = v match {
+      case null => "null"
+      case n: java.lang.Number => n.toString
+      case b: java.lang.Boolean => b.toString
+      case s: scala.collection.Seq[_] => s.map(jval).mkString("[", ",", "]")
+      case other => "\"" + other.toString
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t") + "\""
+    }
+    val header = df.columns.toSeq
+    val rows = df.take(max).toSeq.map(r =>
+      header.indices.map(i => jval(header(i)) + ":" + jval(r.get(i)))
+        .mkString("{", ",", "}"))
+    out.println("{\"status\":\"success\",\"columns\":" +
+      header.map(jval).mkString("[", ",", "]") +
+      ",\"rows\":" + rows.mkString("[", ",", "]") +
+      s""","rows_affected":${rows.length}}""")
+  }
+
+  /** Header line + comma-joined rows, nulls empty (cli/output.rs:122-146
+    * format_csv).
+    */
+  private def renderCsv(df: DataFrame, out: PrintStream, max: Int): Unit = {
+    def cval(v: Any): String = v match {
+      case null => ""
+      case other =>
+        val s = other.toString
+        if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+    }
+    out.println(df.columns.mkString(","))
+    df.take(max).foreach(r =>
+      out.println(r.toSeq.map(cval).mkString(",")))
+  }
+
+  private def renderTable(df: DataFrame, out: PrintStream, max: Int): Unit = {
     val rows = df.take(max + 1)
     val shown = rows.take(max)
     val header = df.columns.toSeq

@@ -58,8 +58,19 @@ object Tables {
     */
   private def widen(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
-    else df
+    // estimate the scan's task count from file bytes ÷ maxPartitionBytes
+    // (the split rule the scan itself uses) instead of materializing an
+    // RDD handle per load just to read its partition count
+    val maxPart = math.max(1L,
+      s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .takeWhile(_.isDigit).toLong)
+    val est = df.inputFiles.map { f =>
+      val b = try java.nio.file.Files.size(
+        java.nio.file.Paths.get(new java.net.URI(f)))
+      catch { case _: Exception => 0L }
+      math.max(1L, (b + maxPart - 1) / maxPart)
+    }.sum
+    if (est < math.max(2, target / 2)) df.repartition(target) else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =

@@ -172,9 +172,14 @@ object Ast {
     */
   case class MatchInsertStmt(matches: Seq[PathPattern], where: Option[Expr],
       inserts: Seq[PathPattern]) extends Statement
-  /** MATCH (v:L) [WHERE e] SET v.p = expr, … (match_set.rs analog). */
+  /** MATCH (v:L) [WHERE e] SET v.p = expr, …  [, v:NewLabel]
+    * (match_set.rs analog; `labelAdds` = SetItem::Label items —
+    * ast.rs:925-928 — each (variable, label) adds the label to the
+    * matched nodes).
+    */
   case class MatchSetStmt(pattern: PathPattern, where: Option[Expr],
-      assignments: Seq[(Prop, Expr)]) extends Statement
+      assignments: Seq[(Prop, Expr)],
+      labelAdds: Seq[(String, String)] = Seq.empty) extends Statement
   /** MATCH … [WHERE e] [DETACH] DELETE v (match_delete.rs analog). */
   case class MatchDeleteStmt(pattern: PathPattern, where: Option[Expr],
       target: String, detach: Boolean) extends Statement

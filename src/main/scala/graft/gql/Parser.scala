@@ -631,16 +631,26 @@ final class Parser(tokens: Vector[Token]) {
       MatchInsertStmt(segs.head.matches, where, insB.result())
     } else if (tryKw("SET")) {
       val as = Vector.newBuilder[(Prop, Expr)]
+      // SET v:Label items (SetItem::Label, ast.rs:925-928; dml_tests.rs
+      // "SET emp:Manager") mix freely with property assignments
+      val labelAdds = Vector.newBuilder[(String, String)]
       var more = true
       while (more) {
-        val v = ident(); eatPunct("."); val pr = ident(); eatPunct("=")
-        as += ((Prop(v, pr), parseExpr()))
+        val v = ident()
+        if (tryPunct(":")) labelAdds += ((v, ident()))
+        else {
+          eatPunct("."); val pr = ident(); eatPunct("=")
+          as += ((Prop(v, pr), parseExpr()))
+        }
         more = tryPunct(",")
       }
       expectEnd()
-      if (simple) MatchSetStmt(pattern, where, as.result())
+      val (assigns, labels) = (as.result(), labelAdds.result())
+      if (simple) MatchSetStmt(pattern, where, assigns, labels)
+      else if (labels.nonEmpty)
+        err("SET v:Label is only supported in the simple single-pattern form")
       else PipelineMutationStmt(Query(segs), "SET",
-        as.result().head._1.variable, as.result(), Seq.empty, detach = false)
+        assigns.head._1.variable, assigns, Seq.empty, detach = false)
     } else if (tryKw("REMOVE")) {
       val ps = Vector.newBuilder[Prop]
       var more = true

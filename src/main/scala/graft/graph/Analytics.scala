@@ -29,6 +29,33 @@ object Analytics {
       case _ => ()
     }
 
+  /** Eager checkpoint that also RESETS leaf statistics — the in-loop
+    * materialization primitive.
+    *
+    * Spark 4's localCheckpoint computes the checkpointed plan's stats
+    * and rewrites them onto the new LogicalRDD leaf (ExistingRDD.scala
+    * rewriteStatsAndConstraints). In an iterative loop those stats
+    * COMPOUND: each round's join-product sizeInBytes builds on the
+    * previous round's rewritten value, so the BigInteger's bit-length
+    * multiplies by the per-round join fan-out (~30× here) every round —
+    * by round ~4 the stats visitor spends MINUTES of driver CPU in
+    * Toom-Cook multiplication (observed live at the 30× scale tier;
+    * 10× converged one round earlier and never hit the cliff).
+    * Re-wrapping the checkpointed RDD gives the next round a default-
+    * stats leaf: static plan stats stay bounded, and AQE still makes
+    * broadcast/skew decisions from RUNTIME shuffle sizes, which is the
+    * only sizing that matters inside these loops.
+    *
+    * Returns (statsFreshFrame, checkpointHandle): derive from the first;
+    * pass the second to [[unpersistCheckpoint]] when the round is dead
+    * (the wrapper's LogicalRDD holds a derived row-converted RDD whose
+    * unpersist would NOT free the checkpoint blocks).
+    */
+  private[graph] def checkpointReset(df: DataFrame): (DataFrame, DataFrame) = {
+    val cp = df.localCheckpoint(true)
+    (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
+  }
+
   private def toGraphX(g: PropertyGraph, nodeLabel: String,
       edgeLabel: String): XGraph[Long, Long] = {
     val vertices = g.nodeTables(nodeLabel).select(col("id"))
@@ -171,18 +198,17 @@ object Analytics {
       // previous label rides along as a change flag, so the probe is a
       // limit-1 scan of the already-checkpointed frame — not the separate
       // full-join job it used to be — and can afford to run every round
-      val step2 = jumped
+      val (step2, step2Cp) = checkpointReset(jumped
         .join(comp.select(col("id"), col("comp").as("__old")), "id")
         .select(col("id"), col("comp"),
-          (col("comp") =!= col("__old")).as("__chg"))
-        .localCheckpoint(true)
+          (col("comp") =!= col("__old")).as("__chg")))
       if (round >= 1) done = step2.filter(col("__chg")).isEmpty
       // the superseded round's checkpoint only backed this round's
       // lineage, which is now materialized — drop its blocks so a long
       // run holds at most one comp snapshot (plus edges) in the block
       // manager instead of one per round
       unpersistCheckpoint(backing)
-      backing = step2
+      backing = step2Cp
       comp = step2.select(col("id"), col("comp"))
       round += 1
     }

@@ -50,6 +50,27 @@ object GraphMutations {
       Set(s"edges_$label"))
   }
 
+  /** SET v:NewLabel (SetItem::Label, ast.rs:925-928): add `newLabel` to
+    * the nodes of `label` matching `pred`. In the per-label-table model
+    * a node "having" a second label means its row (same id + props) also
+    * lives in that label's table — the multi-label intersection scan
+    * `(a:L1:L2)` then matches it by the shared id. Ids already present
+    * under `newLabel` are left untouched (re-running is idempotent).
+    */
+  def addNodeLabel(g: PropertyGraph, label: String, pred: Column,
+      newLabel: String): PropertyGraph = {
+    val rows = g.nodeTables(label).filter(pred)
+    val updated = g.nodeTables.get(newLabel) match {
+      case None => rows
+      case Some(existing) =>
+        existing.unionByName(
+          rows.join(existing.select(col("id")), Seq("id"), "left_anti"),
+          allowMissingColumns = true)
+    }
+    g.mutated(g.nodeTables + (newLabel -> updated), g.edgeTables,
+      Set(s"nodes_$newLabel"))
+  }
+
   /** MATCH … SET (match_set.rs analog): for rows matching `pred`, assign
     * each property column its new expression; other rows unchanged.
     */

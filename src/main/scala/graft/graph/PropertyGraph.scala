@@ -443,6 +443,10 @@ final class PropertyGraph(
     // extra iteration), an old `visited` is dead the moment the union
     // that consumed it materializes — so the loop holds at most edges +
     // one visited + two mats in the block manager, not one per level
+    // handles for block cleanup; the stats-fresh wrappers (see
+    // Analytics.checkpointReset) are what each level derives from, so
+    // the per-level join-product stats never compound round over round
+    var visitedCp: DataFrame = visited
     var prevMat: Option[DataFrame] = None
     while (k <= maxIter && !done) {
       val steps = math.min(2, maxIter - k + 1)
@@ -450,14 +454,16 @@ final class PropertyGraph(
       val batch =
         if (steps == 2) f1.unionByName(expand(f1, k + 1, Some(f1)))
         else f1
-      val mat = batch.localCheckpoint(true)
-      if (mat.isEmpty) { done = true; Analytics.unpersistCheckpoint(mat) }
+      val (mat, matCp) = Analytics.checkpointReset(batch)
+      if (mat.isEmpty) { done = true; Analytics.unpersistCheckpoint(matCp) }
       else {
-        val grown = visited.unionByName(mat).localCheckpoint(true)
-        Analytics.unpersistCheckpoint(visited)
+        val (grown, grownCp) = Analytics.checkpointReset(
+          visited.unionByName(mat))
+        Analytics.unpersistCheckpoint(visitedCp)
         prevMat.foreach(Analytics.unpersistCheckpoint)
-        prevMat = Some(mat)
+        prevMat = Some(matCp)
         visited = grown
+        visitedCp = grownCp
         frontier =
           if (steps == 2) mat.filter(col("dist") === lit((k + 1).toLong))
           else mat

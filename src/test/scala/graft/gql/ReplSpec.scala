@@ -52,4 +52,25 @@ class ReplSpec extends AnyFunSuite {
     assert(out.contains("(2 rows)"), out)
     assert(out.linesIterator.exists(_.startsWith("---")), out)
   }
+
+  test("FORMAT json / csv switch the renderer (cli/output.rs parity)") {
+    val out = drive(
+      """FORMAT json;
+        |MATCH (m:Merchant) RETURN m.name AS name, m.id AS id ORDER BY id LIMIT 1;
+        |FORMAT csv;
+        |MATCH (m:Merchant) RETURN m.name AS name, m.id AS id ORDER BY id LIMIT 2;
+        |FORMAT table;
+        |exit;
+        |""".stripMargin)
+    // json: one object with columns + per-row objects, numbers unquoted
+    assert(out.contains("{\"status\":\"success\",\"columns\":[\"name\",\"id\"]"), out)
+    assert(out.contains("{\"name\":\"Merchant1\",\"id\":1}"), out)
+    assert(out.contains("\"rows_affected\":1"), out)
+    // csv: header + comma rows, no quoting needed here
+    assert(out.contains("name,id"), out)
+    assert(out.contains("Merchant2,2"), out)
+    // unknown format reports, loop survives
+    val out2 = drive("FORMAT yaml;\nexit;\n")
+    assert(out2.contains("error: Unknown output format: yaml"), out2)
+  }
 }

@@ -36,6 +36,29 @@ class StatementSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == 200.0)
   }
 
+  test("SET v:Label adds the label; multi-label scans match it " +
+      "(dml_tests.rs 'SET emp:Manager')") {
+    val s = freshSession()
+    // plain label add
+    s.execute("MATCH (a:Account) WHERE a.risk_score >= 4.5 SET a:HighRisk")
+    assert(s.gql("MATCH (a:Account:HighRisk) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 6L) // ids 45..50
+    // the new label is queryable on its own, props carried over
+    assert(s.gql("MATCH (h:HighRisk) RETURN count(h) AS n")
+      .collect().head.getLong(0) == 6L)
+    // mixed label + property items in one SET (dml_tests.rs:483)
+    s.execute("MATCH (a:Account) WHERE a.id = 1 " +
+      "SET a:HighValue, a.tier = 'premium'")
+    val r = s.gql("MATCH (a:Account:HighValue) " +
+      "RETURN a.id AS id, a.tier AS t").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 1L &&
+      r.head.getString(1) == "premium")
+    // re-running is idempotent (no duplicate rows under the new label)
+    s.execute("MATCH (a:Account) WHERE a.risk_score >= 4.5 SET a:HighRisk")
+    assert(s.gql("MATCH (h:HighRisk) RETURN count(h) AS n")
+      .collect().head.getLong(0) == 6L)
+  }
+
   test("SET evaluates function expressions (set_function_expression_test.rs)") {
     val s = freshSession()
     // string functions, incl. over the existing value
