@@ -728,20 +728,30 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           Seq(affected).toDF("properties_set")
         }
 
-      case MatchRemoveStmt(pattern, where, props) =>
+      case MatchRemoveStmt(pattern, where, props, labelRemoves) =>
         requirePerm("UPDATE")
-        val (label, isEdge, v) = dmlTarget(pattern, props.head.variable)
-        props.map(_.variable).find(_ != v).foreach(other =>
-          throw new GqlCompileException(
-            s"REMOVE targets mix variables $v and $other — the simple form " +
-              "mutates a single variable (use a WITH pipeline for several)"))
+        val targetVar = props.headOption.map(_.variable)
+          .orElse(labelRemoves.headOption.map(_._1))
+          .getOrElse(throw new GqlCompileException(
+            "REMOVE requires at least one item"))
+        val (label, isEdge, v) = dmlTarget(pattern, targetVar)
+        (props.map(_.variable) ++ labelRemoves.map(_._1))
+          .find(_ != v).foreach(other =>
+            throw new GqlCompileException(
+              s"REMOVE targets mix variables $v and $other — the simple form " +
+                "mutates a single variable (use a WITH pipeline for several)"))
         if (isEdge) throw new GqlCompileException("REMOVE on edges: use SET to null")
         val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
         if (!graph.nodeTables.contains(label))
           return Seq(0L).toDF("properties_removed")
         val affected = graph.nodeScan(label, Some(pred)).count()
-        currentGraph = Some(graph2.removeNodeProps(graph, label, pred,
-          props.map(_.prop)))
+        var g2 =
+          if (props.isEmpty) graph
+          else graph2.removeNodeProps(graph, label, pred, props.map(_.prop))
+        labelRemoves.foreach { case (_, rmLabel) =>
+          g2 = graph2.removeNodeLabel(g2, label, pred, rmLabel)
+        }
+        currentGraph = Some(g2)
         Seq(affected).toDF("properties_removed")
 
       case MatchDeleteStmt(pattern, where, target, detach) =>

@@ -183,9 +183,12 @@ object Ast {
   /** MATCH … [WHERE e] [DETACH] DELETE v (match_delete.rs analog). */
   case class MatchDeleteStmt(pattern: PathPattern, where: Option[Expr],
       target: String, detach: Boolean) extends Statement
-  /** MATCH … [WHERE e] REMOVE v.p, … (match_remove.rs analog). */
+  /** MATCH … [WHERE e] REMOVE v.p, … [, v:Label] (match_remove.rs
+    * analog; `labelRemoves` = RemoveItem::Label items, ast.rs:943-948).
+    */
   case class MatchRemoveStmt(pattern: PathPattern, where: Option[Expr],
-      props: Seq[Prop]) extends Statement
+      props: Seq[Prop],
+      labelRemoves: Seq[(String, String)] = Seq.empty) extends Statement
   /** CREATE/DROP SCHEMA|GRAPH /schema[/graph] (catalog DDL, ast.rs:625-644);
     * `typed` records a `TYPED <graphType>` binding on CREATE GRAPH.
     */

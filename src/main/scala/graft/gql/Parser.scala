@@ -653,15 +653,22 @@ final class Parser(tokens: Vector[Token]) {
         assigns.head._1.variable, assigns, Seq.empty, detach = false)
     } else if (tryKw("REMOVE")) {
       val ps = Vector.newBuilder[Prop]
+      // REMOVE v:Label items (RemoveItem::Label, ast.rs:943-948)
+      val labelRms = Vector.newBuilder[(String, String)]
       var more = true
       while (more) {
-        val v = ident(); eatPunct("."); ps += Prop(v, ident())
+        val v = ident()
+        if (tryPunct(":")) labelRms += ((v, ident()))
+        else { eatPunct("."); ps += Prop(v, ident()) }
         more = tryPunct(",")
       }
       expectEnd()
-      if (simple) MatchRemoveStmt(pattern, where, ps.result())
+      val (props, labels) = (ps.result(), labelRms.result())
+      if (simple) MatchRemoveStmt(pattern, where, props, labels)
+      else if (labels.nonEmpty)
+        err("REMOVE v:Label is only supported in the simple single-pattern form")
       else PipelineMutationStmt(Query(segs), "REMOVE",
-        ps.result().head.variable, Seq.empty, ps.result(), detach = false)
+        props.head.variable, Seq.empty, props, detach = false)
     } else {
       val detach = tryKw("DETACH")
       eatKw("DELETE")

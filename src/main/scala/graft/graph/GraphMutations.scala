@@ -71,6 +71,24 @@ object GraphMutations {
       Set(s"nodes_$newLabel"))
   }
 
+  /** REMOVE v:Label (RemoveItem::Label, ast.rs:943-948): drop
+    * `rmLabel` from the nodes of `label` matching `pred` — in the
+    * per-label-table model, delete their rows from that label's table
+    * (the rows under other labels, including `label` itself when
+    * different, stay). Removing a label a node never had is a no-op.
+    */
+  def removeNodeLabel(g: PropertyGraph, label: String, pred: Column,
+      rmLabel: String): PropertyGraph = {
+    g.nodeTables.get(rmLabel) match {
+      case None => g
+      case Some(existing) =>
+        val ids = g.nodeTables(label).filter(pred).select(col("id"))
+        val updated = existing.join(ids, Seq("id"), "left_anti")
+        g.mutated(g.nodeTables + (rmLabel -> updated), g.edgeTables,
+          Set(s"nodes_$rmLabel"))
+    }
+  }
+
   /** MATCH … SET (match_set.rs analog): for rows matching `pred`, assign
     * each property column its new expression; other rows unchanged.
     */

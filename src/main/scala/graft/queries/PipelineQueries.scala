@@ -37,6 +37,12 @@ object PipelineQueries {
     */
   private val IvfRecallFloor = 0.6
   private val IvfNprobe = 12
+  /** PQ is lossy by design (16 centroids × 8 subspaces over 64 dims):
+    * measured recall@10 on the driver's corpora is 0.1–0.4 per query vs
+    * random ≈ 0.002, so the floor gates "ADC ranks genuinely, far above
+    * chance" without over-fitting the quantization error.
+    */
+  private val PqRecallFloor = 0.1
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash group-by on normalized fingerprint
@@ -239,6 +245,32 @@ object PipelineQueries {
         .orderBy($"qid")
     }),
 
+    // ---- PQ compression + asymmetric-distance scoring (the memory-
+    // bound ANN path: 64 floats → 8 small ints, scored without decoding).
+    // Codebooks are seeded/deterministic Lloyd — not SQL-replicable — so
+    // like e04 the oracle-checkable output is the per-query recall gate
+    // against the (oracled) brute-force exact answer.
+    "e05_pq_adc" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val pq = new Similarity.PqCodec(64, m = 8)
+        .train(emb, "vec_id", "embedding")
+      val enc = emb.select($"vec_id".as("id"),
+        pq.encode($"embedding").as("codes")).localCheckpoint(true)
+      val qs = emb.filter($"vec_id" < 5)
+      val approx = pq.adcTopK(enc, qs, "vec_id", "embedding", 10)
+      val exact = Similarity.knnBruteForce(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", 10)
+      val hits = approx.join(exact.select($"qid", $"id"), Seq("qid", "id"))
+        .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", $"n_exact",
+          (coalesce($"n_hit", lit(0L)) / $"n_exact" >= PqRecallFloor)
+            .as("recall_ok"))
+        .orderBy($"qid")
+    }),
+
     // ---- embedding-cosine near-dup pairs above threshold (rows-only;
     // corpus salted with duplicate vectors so the check has signal)
     "e03_embed_neardup" -> ((s: SparkSession, d: String) => {
@@ -276,6 +308,24 @@ object PipelineQueries {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
       Multimodal.extractFeatures(media).toDF()
         .select($"media_id", $"kind", $"n_bytes", $"byte_entropy")
+        .orderBy($"media_id")
+    }),
+
+    // ---- multimodal batch stages: aspect-preserving resize + every-Nth
+    // frame sampling over the binary corpus (decode STUBBED, the batched
+    // mapPartitions plumbing and output schema are real). Deterministic
+    // but the stub hash needs Java wrap-around arithmetic DuckDB's
+    // checked int64 can't express — registered rows-only by contract.
+    "m02_multimodal_stages" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val resized = Multimodal.resizeStage(media, 256, 256).toDF()
+      val frames = Multimodal.frameSampleStage(media, everyN = 97).toDF()
+        .groupBy($"media_id".as("fid"))
+        .agg(count(lit(1)).as("n_frames_sampled"))
+      resized.join(frames, resized("media_id") === frames("fid"), "left")
+        .select($"media_id", $"kind", $"width", $"height",
+          coalesce($"n_frames_sampled", lit(0L)).as("n_frames_sampled"))
         .orderBy($"media_id")
     }),
 
@@ -647,6 +697,13 @@ object PipelineQueries {
     // the contract — every query returns a full exact top-10 and clears
     // the recall floor. A quantizer/probe regression flips recall_ok.
     "e04_ann_ivf" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_exact,
+        | true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // e05 gate contract mirrors e04: PQ-ADC recall clears the (lossy-
+    // quantization-aware) floor for every query; a codebook/encode/ADC
+    // regression flips recall_ok
+    "e05_pq_adc" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_exact,
         | true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,

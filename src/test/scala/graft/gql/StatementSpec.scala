@@ -57,6 +57,17 @@ class StatementSpec extends AnyFunSuite {
     s.execute("MATCH (a:Account) WHERE a.risk_score >= 4.5 SET a:HighRisk")
     assert(s.gql("MATCH (h:HighRisk) RETURN count(h) AS n")
       .collect().head.getLong(0) == 6L)
+    // REMOVE v:Label drops the label from the matched nodes only
+    s.execute("MATCH (a:Account) WHERE a.id >= 49 REMOVE a:HighRisk")
+    assert(s.gql("MATCH (h:HighRisk) RETURN count(h) AS n")
+      .collect().head.getLong(0) == 4L) // 45..48 keep it
+    // the Account rows themselves are untouched
+    assert(s.gql("MATCH (a:Account) RETURN count(a) AS n")
+      .collect().head.getLong(0) == 50L)
+    // removing a label a node never had is a no-op
+    s.execute("MATCH (a:Account) WHERE a.id = 2 REMOVE a:HighRisk")
+    assert(s.gql("MATCH (h:HighRisk) RETURN count(h) AS n")
+      .collect().head.getLong(0) == 4L)
   }
 
   test("SET evaluates function expressions (set_function_expression_test.rs)") {
