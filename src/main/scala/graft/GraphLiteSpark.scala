@@ -772,7 +772,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           Seq(affected).toDF("nodes_deleted")
         }
 
-      case CatalogStmt(op, kind, rawSchema, g, typed) =>
+      case CatalogStmt(op, kind, rawSchema, g, typed, ifNotExists, cascade) =>
         // a relative graph name (schema "") resolves against the session
         // schema (SESSION SET SCHEMA; ddl_independent_tests.rs:150-176)
         val schema =
@@ -782,14 +782,37 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
               "SESSION SET SCHEMA first"))
         (op, kind) match {
         case ("CREATE", "SCHEMA") =>
+          // plain CREATE errors on an existing schema; IF NOT EXISTS
+          // no-ops (ddl_independent_tests.rs:129-137)
+          if (gls.catalog.listSchemas().contains(schema) && !ifNotExists)
+            throw new GqlCompileException(s"schema /$schema already exists")
           gls.catalog.createSchema(schema); Seq(s"/$schema").toDF("created")
         case ("CREATE", "GRAPH") =>
-          gls.catalog.createSchema(schema)
-          gls.catalog.saveGraph(schema, g.get,
-            new PropertyGraph(Map.empty, Map.empty))
-          typed.foreach(t => gls.catalog.bindGraphType(s"/$schema/${g.get}", t))
+          val exists = gls.catalog.listGraphs(schema).contains(g.get)
+          if (exists && !ifNotExists)
+            throw new GqlCompileException(
+              s"graph /$schema/${g.get} already exists")
+          if (!exists) {
+            gls.catalog.createSchema(schema)
+            gls.catalog.saveGraph(schema, g.get,
+              new PropertyGraph(Map.empty, Map.empty))
+            typed.foreach(t =>
+              gls.catalog.bindGraphType(s"/$schema/${g.get}", t))
+          }
           Seq(s"/$schema/${g.get}").toDF("created")
         case ("DROP", "SCHEMA") =>
+          // a schema that still holds graphs needs CASCADE
+          // (ddl_independent_tests.rs:95-113); the cascade detaches
+          // every session bound to a contained graph
+          val contained = gls.catalog.listGraphs(schema)
+          if (contained.nonEmpty && !cascade)
+            throw new GqlCompileException(
+              s"schema /$schema is not empty (${contained.size} graphs) — " +
+                "use DROP SCHEMA … CASCADE")
+          contained.foreach { cg =>
+            gls.invalidateSessionsForGraph(s"/$schema/$cg")
+            detachGraphIfCurrent(s"/$schema/$cg")
+          }
           Seq(gls.catalog.dropSchema(schema)).toDF("dropped")
         case ("DROP", "GRAPH") =>
           val dropped = gls.catalog.dropGraph(schema, g.get)

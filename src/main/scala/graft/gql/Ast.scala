@@ -193,7 +193,8 @@ object Ast {
     * `typed` records a `TYPED <graphType>` binding on CREATE GRAPH.
     */
   case class CatalogStmt(op: String, kind: String, schema: String,
-      graph: Option[String], typed: Option[String] = None) extends Statement
+      graph: Option[String], typed: Option[String] = None,
+      ifNotExists: Boolean = false, cascade: Boolean = false) extends Statement
   /** CREATE GRAPH TYPE name (NODE TYPE …, EDGE TYPE …) / DROP GRAPH TYPE
     * (schema/parser/graph_type.rs; definition model in graft.graph).
     */

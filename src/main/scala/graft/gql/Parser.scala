@@ -158,7 +158,11 @@ final class Parser(tokens: Vector[Token]) {
             // against the session's current schema (SESSION SET SCHEMA —
             // reference relative-path tests ddl_independent_tests.rs:
             // 150-176). Relative GRAPH names carry schema = "" here and
-            // resolve at dispatch.
+            // resolve at dispatch. CREATE … IF NOT EXISTS
+            // (ddl_independent_tests.rs:129-148) no-ops on an existing
+            // target; DROP SCHEMA … CASCADE (:38,:95-113) drops the
+            // schema with all contained graphs.
+            val ifNotExists = op == "CREATE" && parseIfNotExists()
             val absolute = tryPunct("/")
             val first = ident()
             val second = if (tryPunct("/")) Some(ident()) else None
@@ -170,7 +174,10 @@ final class Parser(tokens: Vector[Token]) {
             }
             val typed =
               if (kind == "GRAPH" && trySoftKw("TYPED")) Some(ident()) else None
-            expectEnd(); CatalogStmt(op, kind, schema, graph, typed)
+            val cascade =
+              op == "DROP" && kind == "SCHEMA" && trySoftKw("CASCADE")
+            expectEnd()
+            CatalogStmt(op, kind, schema, graph, typed, ifNotExists, cascade)
           }
         }
       case TIdent(s, _) if s.equalsIgnoreCase("ALTER") =>

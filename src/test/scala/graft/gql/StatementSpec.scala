@@ -36,6 +36,31 @@ class StatementSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == 200.0)
   }
 
+  test("DDL options: IF NOT EXISTS no-ops, DROP SCHEMA needs CASCADE " +
+      "(ddl_independent_tests.rs:38-148)") {
+    val s = freshSession()
+    s.execute("CREATE SCHEMA /opt1")
+    // plain re-CREATE errors; IF NOT EXISTS no-ops
+    assert(intercept[Exception](s.execute("CREATE SCHEMA /opt1"))
+      .getMessage.contains("already exists"))
+    s.execute("CREATE SCHEMA IF NOT EXISTS /opt1")
+    s.execute("CREATE GRAPH /opt1/g1")
+    assert(intercept[Exception](s.execute("CREATE GRAPH /opt1/g1"))
+      .getMessage.contains("already exists"))
+    s.execute("CREATE GRAPH IF NOT EXISTS /opt1/g1")
+    // a non-empty schema refuses a plain DROP; CASCADE removes it whole
+    assert(intercept[Exception](s.execute("DROP SCHEMA /opt1"))
+      .getMessage.contains("CASCADE"))
+    assert(s.execute("DROP SCHEMA /opt1 CASCADE")
+      .collect().head.getBoolean(0))
+    assert(!s.gls.catalog.listSchemas().contains("opt1"))
+    // CASCADE detaches a session bound to a contained graph (:112)
+    s.execute("CREATE GRAPH /opt2/g2")
+    s.execute("SESSION SET GRAPH /opt2/g2")
+    s.execute("DROP SCHEMA /opt2 CASCADE")
+    assert(s.currentGraphName.isEmpty)
+  }
+
   test("SET v:Label adds the label; multi-label scans match it " +
       "(dml_tests.rs 'SET emp:Manager')") {
     val s = freshSession()
