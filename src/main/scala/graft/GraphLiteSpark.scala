@@ -314,11 +314,22 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
   def gql(query: String): DataFrame = {
     touch()
     requirePerm("SELECT")
-    (new Compiler(graph, sessionParams, f64Mode,
-      sessionTz = tzName).compile(Parser.parse(query)))
+    val q = Parser.parse(query)
+    (new Compiler(queryGraph(q), sessionParams, f64Mode,
+      sessionTz = tzName).compile(q))
   }
 
   private def tzName: String = sessionTimeZone.getOrElse("UTC")
+
+  /** The graph a query compiles against: the session graph when one is
+    * attached; otherwise graph-free queries (standalone RETURN / UNWIND
+    * / LET chains, no MATCH anywhere) run over an empty graph, while a
+    * pattern-bearing query raises the reference's 'No graph context'
+    * error (executor.rs:242-274) through the [[graph]] accessor.
+    */
+  private def queryGraph(q: Ast.QueryExpr): PropertyGraph =
+    if (currentGraph.isDefined || Ast.usesGraph(q)) graph
+    else new PropertyGraph(Map.empty, Map.empty)
 
   /** Execute any GQL statement (ast.rs:24-39 dispatch): queries return
     * their result; DML mutates the session's current graph copy-on-write
@@ -380,7 +391,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     Parser.parseStatement(text) match {
       case Ast.QueryStmt(q) =>
         val seed = prev.select(yields.map { case (c, o) => col(c).as(o) }: _*)
-        (new Compiler(graph, sessionParams, f64Mode,
+        (new Compiler(queryGraph(q), sessionParams, f64Mode,
           sessionTz = tzName).compileSeeded(q, seed))
       case _ => executeOne(text)
     }
@@ -412,7 +423,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     */
   private def executeQuery(text: String, q: Ast.QueryExpr): DataFrame = {
     requirePerm("SELECT")
-    def compile() = (new Compiler(graph, sessionParams, f64Mode,
+    def compile() = (new Compiler(queryGraph(q), sessionParams, f64Mode,
       if (resultCacheOn) Some((subqueryCache, cacheEpoch)) else None,
       sessionTz = tzName).compile(q))
     // queries with non-deterministic functions (NOW, CURRENT_DATE, …)
@@ -443,7 +454,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     stmt match {
       case QueryStmt(q) =>
         requirePerm("SELECT")
-        (new Compiler(graph, sessionParams, f64Mode,
+        (new Compiler(queryGraph(q), sessionParams, f64Mode,
           sessionTz = tzName).compile(q))
 
       case InsertStmt(paths) =>
@@ -1564,7 +1575,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     }
     val (ast, msParse) = timed(Parser.parse(query))
     val (df, msCompile) =
-      timed(new Compiler(graph, sessionParams, f64Mode).compile(ast))
+      timed(new Compiler(queryGraph(ast), sessionParams, f64Mode).compile(ast))
     val qe = df.queryExecution
     // forcing each lazy plan attributes its phase cost, like the
     // reference's per-phase trace timings (plan/trace.rs)

@@ -7,12 +7,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gql-cli/src/main.rs; docs/Architecture.md one-shot + REPL modes).
   *
   * Usage: `sbt "runMain graft.Repl [warehouse] [-g /schema/graph]
-  * [-c "statement"] [-f table|json|csv]"`. Without `-c`, reads
-  * statements from stdin: each statement ends with `;` (multi-line
-  * input accumulates until one does); SESSION / DDL / CALL statements
-  * work exactly as in the library API, `EXPLAIN <query>` prints the
-  * phase trace, `FORMAT json;` switches the renderer mid-session
-  * (cli/commands.rs OutputFormat), `exit;` or EOF quits.
+  * [-c "statement"] [-f table|json|csv] [-u user -p password]"`.
+  * `-u`/`-p` authenticate against the security catalog before anything
+  * runs (anonymous when omitted). Without `-c`, reads statements from
+  * stdin: each statement ends with `;` (multi-line input accumulates
+  * under a `user::...>` continuation prompt); SESSION / DDL / CALL
+  * statements work exactly as in the library API, `EXPLAIN <query>`
+  * prints the phase trace, `FORMAT json;` switches the renderer
+  * mid-session (cli/commands.rs OutputFormat), `help;` lists commands,
+  * `exit;` or EOF quits.
   *
   * The loop body is [[Repl.run]], parameterized over streams so a spec
   * drives it through a piped stdin without a subprocess.
@@ -23,12 +26,16 @@ object Repl {
     var warehouse = "/tmp/graft-warehouse"
     var graphPath: Option[String] = None
     var oneShot: Option[String] = None
+    var user: Option[String] = None
+    var password = ""
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-g" => graphPath = Some(args(i + 1)); i += 2
         case "-c" => oneShot = Some(args(i + 1)); i += 2
         case "-f" => format = OutputFormat.parse(args(i + 1)); i += 2
+        case "-u" => user = Some(args(i + 1)); i += 2
+        case "-p" => password = args(i + 1); i += 2
         case w => warehouse = w; i += 1
       }
     }
@@ -39,8 +46,18 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val session = GraphLiteSpark.open(spark, warehouse)
-      .session(sys.props.getOrElse("user.name", "repl"))
+    val gls = GraphLiteSpark.open(spark, warehouse)
+    // -u/-p authenticate against the security catalog before any
+    // statement runs (graphlite gql -u admin -p …; anonymous when
+    // omitted — Architecture.md:272-276)
+    user.foreach { u =>
+      if (!gls.catalog.verifyPassword(u, password)) {
+        System.err.println(s"authentication failed for user '$u'")
+        spark.stop(); sys.exit(1)
+      }
+    }
+    val session = gls.session(
+      user.getOrElse(sys.props.getOrElse("user.name", "repl")))
     graphPath.foreach(p => session.useGraph(p))
     oneShot match {
       case Some(stmt) => runStatement(session, stmt, System.out)
@@ -56,8 +73,12 @@ object Repl {
   def run(session: GqlSession, in: InputStream, out: PrintStream): Unit = {
     val reader = new BufferedReader(new InputStreamReader(in))
     val buf = new StringBuilder
+    // `user::gql>` ready prompt / `user::...>` continuation — the
+    // reference console's context-aware prompting (Architecture.md:184)
+    val ready = s"${session.user}::gql> "
+    val cont = s"${session.user}::...> "
     out.println("graft GQL shell — statements end with ';', exit; quits")
-    out.print("gql> "); out.flush()
+    out.print(ready); out.flush()
     var line = reader.readLine()
     while (line != null) {
       val trimmed = line.trim
@@ -67,12 +88,26 @@ object Repl {
         buf.clear()
         if (stmt.equalsIgnoreCase("exit") || stmt.equalsIgnoreCase("quit"))
           return
-        if (stmt.nonEmpty) runStatement(session, stmt, out)
-        out.print("gql> "); out.flush()
-      } else if (trimmed.nonEmpty) buf.append(trimmed).append(' ')
+        if (stmt.equalsIgnoreCase("help")) printHelp(out)
+        else if (stmt.nonEmpty) runStatement(session, stmt, out)
+        out.print(ready); out.flush()
+      } else if (trimmed.nonEmpty) {
+        buf.append(trimmed).append(' ')
+        out.print(cont); out.flush()
+      }
       line = reader.readLine()
     }
   }
+
+  private def printHelp(out: PrintStream): Unit = out.println(
+    """statements end with ';' (multi-line input accumulates until one does)
+      |  help;                 this message
+      |  exit; / quit;         leave the shell
+      |  FORMAT table|json|csv; switch the result renderer
+      |  EXPLAIN <query>;      per-phase plan trace
+      |  SESSION SET GRAPH /schema/graph;  attach a catalog graph
+      |  CALL gql.list_graphs();           catalog procedures
+      |any other input is executed as a GQL statement""".stripMargin)
 
   /** Output formats — gql-cli parity (cli/commands.rs:175-195
     * OutputFormat: table | json | csv; cli/output.rs renderers).

@@ -328,6 +328,18 @@ object Ast {
     * bug class we refuse to inherit). TEMPORAL_VALUE defaults tx_time to
     * NOW() when the 4th argument is omitted.
     */
+  /** Does the query read graph data anywhere? A query with no MATCH in
+    * any segment (standalone RETURN / UNWIND / LET chains) evaluates
+    * without a session graph — only pattern-bearing queries demand one
+    * ('No graph context', executor.rs:242-274).
+    */
+  def usesGraph(q: QueryExpr): Boolean = q match {
+    case Query(segs) =>
+      segs.exists(s => s.matches.nonEmpty || s.optionalMatches.nonEmpty)
+    case SetOpQuery(_, _, l, r) => usesGraph(l) || usesGraph(r)
+    case OrderedQuery(inner, _, _, _) => usesGraph(inner)
+  }
+
   def nonDeterministic(a: Any): Boolean = a match {
     case Fn(n, args, _) =>
       val up = n.toUpperCase

@@ -80,8 +80,11 @@ final class Compiler(graph: PropertyGraph,
 
   private lazy val singleRow: DataFrame =
     graph.nodeTables.values.headOption
-      .map(_.sparkSession.range(1).toDF(fresh("one")))
-      .getOrElse(throw new GqlCompileException("empty graph"))
+      .map(_.sparkSession)
+      // an empty graph still evaluates standalone RETURN/LET queries —
+      // borrow the active session for the one-row seed
+      .orElse(Some(org.apache.spark.sql.SparkSession.active))
+      .map(_.range(1).toDF(fresh("one"))).get
 
   /** Property references per variable across the whole query — lets the
     * pattern compiler skip joining a node table whose properties are never

@@ -279,7 +279,8 @@ object PipelineQueries {
       val emb = base.unionByName(base.filter($"vec_id" < 50)
         .withColumn("vec_id", $"vec_id" + 10000))
       // 8 bits per band: ~256 buckets/band keeps candidate pairs ~n²/256
-      // instead of n²/16 — the interpreted cosine rerank is the hot path
+      // instead of n²/16 — the candidate-pair rerank (codegen'd
+      // CosineSimilarity) is the hot path, so bound its input
       val lsh = new Similarity.RandomHyperplaneLsh(64, 32, 4)
       val cb = lsh.buckets(emb, "vec_id", "embedding")
       val pairs = cb.join(

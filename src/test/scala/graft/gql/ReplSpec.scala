@@ -53,6 +53,19 @@ class ReplSpec extends AnyFunSuite {
     assert(out.linesIterator.exists(_.startsWith("---")), out)
   }
 
+  test("prompts carry the user context; help lists commands " +
+      "(Architecture.md:178-196)") {
+    val out = drive(
+      """help;
+        |MATCH (m:Merchant)
+        |  RETURN count(m) AS n;
+        |exit;
+        |""".stripMargin)
+    assert(out.contains("test::gql> "), out) // ready prompt, session user
+    assert(out.contains("test::...> "), out) // multi-line continuation
+    assert(out.contains("FORMAT table|json|csv"), out) // help text
+  }
+
   test("FORMAT json / csv switch the renderer (cli/output.rs parity)") {
     val out = drive(
       """FORMAT json;

@@ -216,6 +216,16 @@ class SurfaceSpec extends AnyFunSuite {
       "WHERE y.id = 1 RETURN count(y) AS c") == 0L)
   }
 
+  test("graph-free queries run without a session graph; patterns still " +
+      "demand one (executor.rs:242-274)") {
+    val t = graft.GraphLiteSpark.open(SparkFixture.spark, java.nio.file
+      .Files.createTempDirectory("graft-nog").toString).session()
+    assert(t.gql("RETURN 1 + 2 AS x").collect().head.getLong(0) == 3L)
+    assert(t.execute("RETURN UPPER('ab') AS s").collect().head.getString(0) == "AB")
+    val e = intercept[Exception](t.gql("MATCH (n:X) RETURN n"))
+    assert(e.getMessage.contains("no current graph"))
+  }
+
   test("revisit rules span mixed rigid+quantified chains") {
     val sp = SparkFixture.spark
     import sp.implicits._
