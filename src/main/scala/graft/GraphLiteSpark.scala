@@ -127,7 +127,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     */
   private[graft] def detachGraphIfCurrent(path: String): Boolean = {
     val hit = currentName.contains(path)
-    if (hit) { currentGraph = None; currentName = None; txStack = Nil }
+    if (hit) { currentGraph = None; currentName = None; txStack = Nil; txModeStack = Nil }
     hit
   }
   private var currentGraph: Option[PropertyGraph] = None
@@ -283,7 +283,12 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     * the reference merely records the mode, so enforcing is a strict
     * superset of its behavior.
     */
-  private var txMode: Option[String] = None
+  /** One access-mode entry per open transaction, newest first, so a
+    * nested START cannot clobber the enclosing transaction's mode and
+    * COMMIT/ROLLBACK restores the enclosing entry.
+    */
+  private var txModeStack: List[Option[String]] = Nil
+  private def txMode: Option[String] = txModeStack.headOption.flatten
   private var txDefaultMode: Option[String] = None
   def transactionAccessMode: Option[String] =
     if (txStack.nonEmpty) txMode else None
@@ -296,11 +301,18 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       throw new GqlCompileException(s"Isolation level $lvl not yet " +
         "supported. Only READ COMMITTED is currently implemented."))
 
-  private[graft] def requirePerm(perm: String): Unit = {
-    if (perm != "SELECT" && txStack.nonEmpty && txMode.contains("READ ONLY"))
+  /** READ ONLY transactions refuse catalog/security writes too —
+    * catalog state is not snapshot-backed, so ROLLBACK could never undo
+    * them (the session-graph snapshot only covers DML).
+    */
+  private def requireTxWritable(what: String): Unit =
+    if (txStack.nonEmpty && txMode.contains("READ ONLY"))
       throw new IllegalStateException(
-        "cannot " + perm + " in a READ ONLY transaction " +
+        s"cannot $what in a READ ONLY transaction " +
           "(START TRANSACTION READ WRITE, or COMMIT first)")
+
+  private[graft] def requirePerm(perm: String): Unit = {
+    if (perm != "SELECT") requireTxWritable(perm)
     currentName.foreach { path =>
       if (!gls.catalog.checkAccess(user, path, perm))
         throw new GqlAuthException(
@@ -726,6 +738,13 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           val affected =
             if (isEdge) graph.edgeScan(label, Some(pred)).count()
             else graph.nodeScan(label, Some(pred)).count()
+          // capture the matched id set from the PRE-mutation table: the
+          // same statement may rewrite the very property the WHERE
+          // matched on, and the label items must still apply to the rows
+          // the predicate originally selected
+          val matchedIds =
+            if (labelAdds.isEmpty) null
+            else graph.nodeTables(label).filter(pred).select(col("id"))
           var g2 =
             if (assigns.isEmpty) graph
             else if (isEdge) graph2.setEdgeProps(graph, label, pred, assigns)
@@ -733,7 +752,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           // label adds copy the (already updated) matched rows into the
           // new label's table — multi-label scans then match them by id
           labelAdds.foreach { case (_, newLabel) =>
-            g2 = graph2.addNodeLabel(g2, label, pred, newLabel)
+            g2 = graph2.addNodeLabel(g2, label, matchedIds, newLabel)
           }
           currentGraph = Some(g2)
           Seq(affected).toDF("properties_set")
@@ -756,11 +775,15 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         if (!graph.nodeTables.contains(label))
           return Seq(0L).toDF("properties_removed")
         val affected = graph.nodeScan(label, Some(pred)).count()
+        // pre-mutation id capture, same reason as the SET label items
+        val rmIds =
+          if (labelRemoves.isEmpty) null
+          else graph.nodeTables(label).filter(pred).select(col("id"))
         var g2 =
           if (props.isEmpty) graph
           else graph2.removeNodeProps(graph, label, pred, props.map(_.prop))
         labelRemoves.foreach { case (_, rmLabel) =>
-          g2 = graph2.removeNodeLabel(g2, label, pred, rmLabel)
+          g2 = graph2.removeNodeLabel(g2, rmIds, rmLabel)
         }
         currentGraph = Some(g2)
         Seq(affected).toDF("properties_removed")
@@ -784,6 +807,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         }
 
       case CatalogStmt(op, kind, rawSchema, g, typed, ifNotExists, cascade) =>
+        requireTxWritable(s"$op $kind")
         // a relative graph name (schema "") resolves against the session
         // schema (SESSION SET SCHEMA; ddl_independent_tests.rs:150-176)
         val schema =
@@ -836,6 +860,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       }
 
       case AlterGraphTypeStmt(name, changes) =>
+        requireTxWritable("ALTER GRAPH TYPE")
         import graft.graph.GraphType.{GraphTypeDef, NodeTypeDef, EdgeTypeDef}
         val next = gls.catalog.alterGraphType(name, cur =>
           changes.foldLeft(cur) { (gt, ch) => ch match {
@@ -875,7 +900,9 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           gls.catalog.graphTypeVersionCount(name).toLong))
           .toDF("graph_type", "changes_applied", "superseded_versions")
 
-      case GraphTypeStmt(op, name, definition) => op match {
+      case GraphTypeStmt(op, name, definition) =>
+        requireTxWritable(s"$op GRAPH TYPE")
+        op match {
         case "CREATE" =>
           Seq(gls.catalog.saveGraphType(definition.get)).toDF("created")
         case "DROP" =>
@@ -1027,7 +1054,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           case "ALL" =>
             // reference reset-everything (session/models.rs:412-418):
             // graph context, schema, time zone, AND parameters
-            currentGraph = None; currentName = None; txStack = Nil
+            currentGraph = None; currentName = None; txStack = Nil; txModeStack = Nil
             currentType = None; currentSchema = None; sessionTimeZone = None
             sessionParams = Map.empty; graphParams = Map.empty
             tableParams = Map.empty
@@ -1051,13 +1078,13 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
 
       case SessionCtl(op) => op match {
         case "RESET" =>
-          currentGraph = None; currentName = None; txStack = Nil
+          currentGraph = None; currentName = None; txStack = Nil; txModeStack = Nil
           currentType = None; currentSchema = None; sessionTimeZone = None
           sessionParams = Map.empty; graphParams = Map.empty
           tableParams = Map.empty
           Seq("reset").toDF("session")
         case "CLOSE" =>
-          currentGraph = None; currentName = None; txStack = Nil
+          currentGraph = None; currentName = None; txStack = Nil; txModeStack = Nil
           currentType = None; currentSchema = None; sessionTimeZone = None
           sessionParams = Map.empty; graphParams = Map.empty
           tableParams = Map.empty
@@ -1084,15 +1111,20 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         case "START" =>
           requireSupportedIsolation(iso)
           txStack = (currentGraph, currentName) :: txStack
-          // explicit mode on START wins; otherwise the SET TRANSACTION
-          // default applies to this transaction
-          txMode = mode.orElse(txDefaultMode)
+          // explicit mode on START wins; otherwise a nested transaction
+          // inherits the enclosing mode, and a top-level one consumes
+          // the SET TRANSACTION default (which, per SQL, applies to the
+          // NEXT transaction only)
+          val inherited =
+            if (txModeStack.nonEmpty) txMode
+            else { val d = txDefaultMode; txDefaultMode = None; d }
+          txModeStack = mode.orElse(inherited) :: txModeStack
           Seq("started").toDF("transaction")
         case "COMMIT" =>
           if (txStack.isEmpty)
             throw new IllegalStateException("COMMIT outside a transaction")
           txStack = txStack.tail
-          if (txStack.isEmpty) txMode = None
+          txModeStack = txModeStack.drop(1)
           Seq("committed").toDF("transaction")
         case "ROLLBACK" =>
           if (txStack.isEmpty)
@@ -1100,7 +1132,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           val (g, n) = txStack.head
           currentGraph = g; currentName = n
           txStack = txStack.tail
-          if (txStack.isEmpty) txMode = None
+          txModeStack = txModeStack.drop(1)
           Seq("rolled_back").toDF("transaction")
         // SET TRANSACTION (set_characteristics.rs:45-90): validates the
         // level, records the access-mode default for the next (or, when
@@ -1109,8 +1141,9 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         case "SET_CHARACTERISTICS" =>
           requireSupportedIsolation(iso)
           mode.foreach { m =>
-            txDefaultMode = Some(m)
-            if (txStack.nonEmpty) txMode = Some(m)
+            if (txStack.nonEmpty)
+              txModeStack = Some(m) :: txModeStack.drop(1)
+            else txDefaultMode = Some(m)
           }
           val msg = "Transaction characteristics set:" +
             iso.map(i => s" ISOLATION LEVEL $i").getOrElse("") +
@@ -1119,7 +1152,9 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         case other => throw new GqlCompileException(s"unknown transaction op $other")
       }
 
-      case SecurityStmt(op, kind, name, target) => (op, kind) match {
+      case SecurityStmt(op, kind, name, target) =>
+        requireTxWritable(s"$op $kind")
+        (op, kind) match {
         // for CREATE USER, `target` carries the IDENTIFIED BY password
         case ("CREATE", k) =>
           Seq(gls.catalog.createPrincipal(k, name, target)).toDF("created")
@@ -1138,7 +1173,9 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         case other => throw new GqlCompileException(s"unsupported security op $other")
       }
 
-      case ProcedureStmt(op, name, body) => op match {
+      case ProcedureStmt(op, name, body) =>
+        requireTxWritable(s"$op PROCEDURE")
+        op match {
         // the system namespace is reserved in both directions
         // (stored_procedure_no_prefix_test.rs: users may neither create
         // nor drop gql.* procedures)
@@ -1154,7 +1191,9 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         case other => throw new GqlCompileException(s"unknown procedure op $other")
       }
 
-      case IndexStmt(op, name, table, cols) => op match {
+      case IndexStmt(op, name, table, cols) =>
+        requireTxWritable(s"$op INDEX")
+        op match {
         case "CREATE" =>
           val created = gls.catalog.createIndex(name, table, cols)
           // apply the clustered layout now if the session graph is
@@ -1179,6 +1218,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       // updates index metadata. Unknown index names error (the reference
       // validates against its index catalog).
       case AlterIndexStmt(name, op, option) =>
+        requireTxWritable("ALTER INDEX")
         if (!gls.catalog.listIndexes().exists(_._1 == name))
           throw new IllegalArgumentException(s"unknown index: $name")
         op match {
@@ -1341,6 +1381,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     * copy-on-write tables may lazily read files the save just replaced.
     */
   def saveGraphAs(path: String, force: Boolean = false): Unit = {
+    requireTxWritable("save a graph")
     val parts = path.stripPrefix("/").split("/")
     require(parts.length == 2, s"graph path must be /schema/graph, got $path")
     gls.catalog.createSchema(parts(0))
@@ -1410,42 +1451,16 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         if (refsRow(fn)) {
           // row-referencing args compile per-row like the reference's
           // evaluate_expression does for SET values (match_set.rs) —
-          // the common scalar families; richer shapes → WITH pipeline
-          import org.apache.spark.sql.functions._
+          // through the SAME ScalarFns table the query compiler uses,
+          // so the two surfaces cannot drift; richer shapes → WITH
+          // pipeline
           val Fn(name, fargs, _) = fn
-          val a = fargs.map(rawColumn(_, v))
-          name.toUpperCase match {
-            case "UPPER" => upper(a(0))
-            case "LOWER" => lower(a(0))
-            case "TRIM" => trim(a(0))
-            case "REVERSE" => reverse(a(0))
-            case "SUBSTRING" =>
-              if (a.size == 3) a(0).substr(a(1), a(2))
-              else a(0).substr(a(1), lit(Int.MaxValue))
-            case "REPLACE" => replace(a(0), a(1), a(2))
-            case "LENGTH" | "CHAR_LENGTH" => length(a(0)).cast("long")
-            case "ABS" => abs(a(0))
-            case "CEIL" | "CEILING" => ceil(a(0))
-            case "FLOOR" => floor(a(0))
-            case "SQRT" => sqrt(a(0))
-            case "POWER" | "POW" => pow(a(0), a(1))
-            case "EXP" => exp(a(0))
-            case "LOG" => log(a(0))
-            case "LOG10" => log10(a(0))
-            case "SIGN" => signum(a(0))
-            case "MOD" => a(0) % a(1)
-            case "ROUND" if fargs.size == 2 => fargs(1) match {
-              case NumLit(x, true) => round(a(0), x.toInt)
-              case other => throw new GqlCompileException(
-                s"ROUND scale must be an integer literal, got $other")
-            }
-            case "ROUND" => round(a(0))
-            case "COALESCE" => coalesce(a: _*)
-            case "NULLIF" => nullif(a(0), a(1))
-            case other => throw new GqlCompileException(
-              s"DML function $other may not reference pattern variables " +
-                "in the simple form — use a WITH pipeline")
-          }
+          val up = name.toUpperCase
+          if (graft.gql.ScalarFns.names(up))
+            graft.gql.ScalarFns(up, fargs.map(rawColumn(_, v)), fargs)
+          else throw new GqlCompileException(
+            s"DML function $up may not reference pattern variables " +
+              "in the simple form — use a WITH pipeline")
         } else lit(evalStandalone(fn) match {
           case i: java.lang.Integer => i.longValue()
           case f: java.lang.Float => f.doubleValue()

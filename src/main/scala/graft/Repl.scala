@@ -60,7 +60,8 @@ object Repl {
       user.getOrElse(sys.props.getOrElse("user.name", "repl")))
     graphPath.foreach(p => session.useGraph(p))
     oneShot match {
-      case Some(stmt) => runStatement(session, stmt, System.out)
+      case Some(stmt) =>
+        runStatement(session, stmt, System.out, new RenderState(format))
       case None => run(session, System.in, System.out)
     }
     spark.stop()
@@ -73,6 +74,9 @@ object Repl {
   def run(session: GqlSession, in: InputStream, out: PrintStream): Unit = {
     val reader = new BufferedReader(new InputStreamReader(in))
     val buf = new StringBuilder
+    // per-run renderer state: concurrent sessions in one JVM (the spec
+    // drives several) must not clobber each other's FORMAT choice
+    val st = new RenderState(format)
     // `user::gql>` ready prompt / `user::...>` continuation — the
     // reference console's context-aware prompting (Architecture.md:184)
     val ready = s"${session.user}::gql> "
@@ -89,7 +93,7 @@ object Repl {
         if (stmt.equalsIgnoreCase("exit") || stmt.equalsIgnoreCase("quit"))
           return
         if (stmt.equalsIgnoreCase("help")) printHelp(out)
-        else if (stmt.nonEmpty) runStatement(session, stmt, out)
+        else if (stmt.nonEmpty) runStatement(session, stmt, out, st)
         out.print(ready); out.flush()
       } else if (trimmed.nonEmpty) {
         buf.append(trimmed).append(' ')
@@ -125,30 +129,33 @@ object Repl {
         throw new IllegalArgumentException(s"Unknown output format: $other")
     }
   }
+  /** `-f` startup default; the live per-session choice is RenderState. */
   @volatile private var format: OutputFormat = OutputFormat.Table
+  private final class RenderState(var format: OutputFormat)
 
   private def runStatement(session: GqlSession, stmt: String,
-      out: PrintStream): Unit =
+      out: PrintStream, st: RenderState): Unit =
     try {
       val up = stmt.toUpperCase
       if (up.startsWith("EXPLAIN ")) {
         out.println(session.explain(stmt.drop("EXPLAIN ".length)))
       } else if (up.startsWith("FORMAT ")) {
-        // shell directive: switch the renderer mid-session
-        format = OutputFormat.parse(stmt.drop("FORMAT ".length).trim)
+        // shell directive: switch THIS session's renderer
+        st.format = OutputFormat.parse(stmt.drop("FORMAT ".length).trim)
         out.println(s"format: ${stmt.drop("FORMAT ".length).trim.toLowerCase}")
-      } else render(session.execute(stmt), out)
+      } else render(session.execute(stmt), out, st.format)
     } catch {
       case e: Exception =>
         out.println(s"error: ${Option(e.getMessage).getOrElse(e.toString)}")
     }
 
-  /** Render up to `max` rows as an aligned text table (gql-cli prints
-    * result tables; collect is bounded by the row cap, driver-side by
-    * design for an interactive shell).
+  /** Render up to `max` rows (collect is bounded by the row cap,
+    * driver-side by design for an interactive shell); every renderer
+    * fetches max+1 so truncation is DETECTED and flagged, never silent.
     */
-  private def render(df: DataFrame, out: PrintStream, max: Int = 50): Unit = {
-    format match {
+  private def render(df: DataFrame, out: PrintStream, fmt: OutputFormat,
+      max: Int = 50): Unit = {
+    fmt match {
       case OutputFormat.Json => renderJson(df, out, max)
       case OutputFormat.Csv => renderCsv(df, out, max)
       case OutputFormat.Table => renderTable(df, out, max)
@@ -160,23 +167,38 @@ object Repl {
     * null properties render as JSON null).
     */
   private def renderJson(df: DataFrame, out: PrintStream, max: Int): Unit = {
+    def jstr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
     def jval(v: Any): String = v match {
       case null => "null"
+      // NaN/Infinity have no JSON representation — render as null so
+      // the emitted object stays parseable
+      case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+      case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
       case n: java.lang.Number => n.toString
       case b: java.lang.Boolean => b.toString
       case s: scala.collection.Seq[_] => s.map(jval).mkString("[", ",", "]")
-      case other => "\"" + other.toString
-        .replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\t", "\\t") + "\""
+      case other => jstr(other.toString)
     }
     val header = df.columns.toSeq
-    val rows = df.take(max).toSeq.map(r =>
+    val all = df.take(max + 1).toSeq
+    val shown = all.take(max)
+    val rows = shown.map(r =>
       header.indices.map(i => jval(header(i)) + ":" + jval(r.get(i)))
         .mkString("{", ",", "}"))
     out.println("{\"status\":\"success\",\"columns\":" +
       header.map(jval).mkString("[", ",", "]") +
       ",\"rows\":" + rows.mkString("[", ",", "]") +
-      s""","rows_affected":${rows.length}}""")
+      s""","rows_affected":${rows.length}""" +
+      (if (all.length > max) ",\"truncated\":true" else "") + "}")
   }
 
   /** Header line + comma-joined rows, nulls empty (cli/output.rs:122-146
@@ -192,8 +214,12 @@ object Repl {
         else s
     }
     out.println(df.columns.mkString(","))
-    df.take(max).foreach(r =>
+    val all = df.take(max + 1)
+    all.take(max).foreach(r =>
       out.println(r.toSeq.map(cval).mkString(",")))
+    // CSV comments are the reference formatter's own convention for
+    // out-of-band notes (cli/output.rs:146 "# Warnings:")
+    if (all.length > max) out.println(s"# truncated at $max rows")
   }
 
   private def renderTable(df: DataFrame, out: PrintStream, max: Int): Unit = {

@@ -60,16 +60,21 @@ object Tables {
     val target = s.sparkContext.defaultParallelism
     // estimate the scan's task count from file bytes ÷ maxPartitionBytes
     // (the split rule the scan itself uses) instead of materializing an
-    // RDD handle per load just to read its partition count
-    val maxPart = math.max(1L,
-      s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        .takeWhile(_.isDigit).toLong)
-    val est = df.inputFiles.map { f =>
-      val b = try java.nio.file.Files.size(
-        java.nio.file.Paths.get(new java.net.URI(f)))
-      catch { case _: Exception => 0L }
-      math.max(1L, (b + maxPart - 1) / maxPart)
-    }.sum
+    // RDD handle per load just to read its partition count. The conf
+    // value may carry a size suffix ("64m"); a file whose size this
+    // process can't stat (non-local filesystem) falls back to the
+    // authoritative partition count rather than guessing low and
+    // forcing a pointless full shuffle of a big remote scan.
+    val maxPart = math.max(1L, org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(
+        s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
+    val est =
+      try df.inputFiles.map { f =>
+        val b = java.nio.file.Files.size(
+          java.nio.file.Paths.get(new java.net.URI(f)))
+        math.max(1L, (b + maxPart - 1) / maxPart)
+      }.sum
+      catch { case _: Exception => df.rdd.getNumPartitions.toLong }
     if (est < math.max(2, target / 2)) df.repartition(target) else df
   }
 

@@ -328,16 +328,19 @@ object Ast {
     * bug class we refuse to inherit). TEMPORAL_VALUE defaults tx_time to
     * NOW() when the 4th argument is omitted.
     */
-  /** Does the query read graph data anywhere? A query with no MATCH in
-    * any segment (standalone RETURN / UNWIND / LET chains) evaluates
-    * without a session graph — only pattern-bearing queries demand one
-    * ('No graph context', executor.rs:242-274).
+  /** Does the query read graph data anywhere? A query with no pattern
+    * ANYWHERE — not in MATCH, and not inside EXISTS / scalar subqueries
+    * / quantified comparisons either (a generic deep walk finds every
+    * embedded PathPattern) — evaluates without a session graph; a
+    * pattern-bearing one demands it ('No graph context',
+    * executor.rs:242-274).
     */
-  def usesGraph(q: QueryExpr): Boolean = q match {
-    case Query(segs) =>
-      segs.exists(s => s.matches.nonEmpty || s.optionalMatches.nonEmpty)
-    case SetOpQuery(_, _, l, r) => usesGraph(l) || usesGraph(r)
-    case OrderedQuery(inner, _, _, _) => usesGraph(inner)
+  def usesGraph(a: Any): Boolean = a match {
+    case _: PathPattern => true
+    case s: Seq[_] => s.exists(usesGraph)
+    case o: Option[_] => o.exists(usesGraph)
+    case p: Product => p.productIterator.exists(usesGraph)
+    case _ => false
   }
 
   def nonDeterministic(a: Any): Boolean = a match {

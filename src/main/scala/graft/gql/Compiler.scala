@@ -7,6 +7,66 @@ import Ast._
 
 class GqlCompileException(msg: String) extends RuntimeException(msg)
 
+/** Context-free scalar functions — ONE table shared by the query
+  * compiler and the simple-form DML evaluator (GraphLiteSpark.rawColumn),
+  * which previously duplicated these case-by-case and drifted. Args
+  * arrive pre-compiled by the caller (so each side keeps its own column
+  * resolution); `rawArgs` only feeds shapes that need a literal (the
+  * ROUND scale).
+  */
+private[graft] object ScalarFns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import Ast.{Expr, NumLit}
+
+  val names: Set[String] = Set(
+    "UPPER", "LOWER", "TRIM", "SUBSTRING", "REPLACE", "REVERSE",
+    "LENGTH", "CHAR_LENGTH",
+    "ABS", "CEIL", "CEILING", "FLOOR", "SQRT", "POWER", "POW",
+    "LOG", "LOG10", "EXP", "SIN", "COS", "TAN", "PI", "SIGN", "MOD",
+    "ROUND", "NULLIF", "COALESCE")
+
+  def apply(name: String, a: Seq[Column], rawArgs: Seq[Expr]): Column =
+    name match {
+      // string (string_functions.rs)
+      case "UPPER" => upper(a(0))
+      case "LOWER" => lower(a(0))
+      case "TRIM" => trim(a(0))
+      case "SUBSTRING" =>
+        if (a.size == 3) a(0).substr(a(1), a(2))
+        else a(0).substr(a(1), lit(Int.MaxValue))
+      case "REPLACE" => replace(a(0), a(1), a(2))
+      case "REVERSE" => reverse(a(0))
+      case "LENGTH" | "CHAR_LENGTH" => length(a(0)).cast("long")
+      // math (mathematical_functions.rs, numeric_functions.rs)
+      case "ABS" => abs(a(0))
+      case "CEIL" | "CEILING" => ceil(a(0))
+      case "FLOOR" => floor(a(0))
+      case "SQRT" => sqrt(a(0))
+      case "POWER" | "POW" => pow(a(0), a(1))
+      case "LOG" => log(a(0))
+      case "LOG10" => log10(a(0))
+      case "EXP" => exp(a(0))
+      case "SIN" => sin(a(0))
+      case "COS" => cos(a(0))
+      case "TAN" => tan(a(0))
+      case "PI" => lit(math.Pi)
+      case "SIGN" => signum(a(0))
+      case "MOD" => a(0) % a(1)
+      case "ROUND" if a.size == 2 => rawArgs(1) match {
+        case NumLit(x, true) => round(a(0), x.toInt)
+        case other => throw new GqlCompileException(
+          s"ROUND scale must be an integer literal, got $other")
+      }
+      case "ROUND" => round(a(0))
+      // null (null_functions.rs)
+      case "NULLIF" => nullif(a(0), a(1))
+      case "COALESCE" => coalesce(a: _*)
+      case other => throw new GqlCompileException(
+        s"not a shared scalar function: $other")
+    }
+}
+
 /** Compiles the GQL AST straight to DataFrame transformations.
   *
   * This replaces the reference's logical/physical planner + interpreter
@@ -2284,32 +2344,11 @@ final class Compiler(graph: PropertyGraph,
       case Ident(v) => v
       case other => throw new GqlCompileException(s"$name expects a variable, got $other")
     }
+    // the context-free string/math/null families live in the shared
+    // [[ScalarFns]] table (same table the DML evaluator uses)
+    if (ScalarFns.names(name))
+      return ScalarFns(name, args.map(compileExpr(_, ctx)), args)
     name match {
-      // string (string_functions.rs)
-      case "UPPER" => upper(a(0))
-      case "LOWER" => lower(a(0))
-      case "TRIM" => trim(a(0))
-      case "SUBSTRING" =>
-        if (args.size == 3) a(0).substr(a(1), a(2))
-        else a(0).substr(a(1), lit(Int.MaxValue))
-      case "REPLACE" => replace(a(0), a(1), a(2))
-      case "REVERSE" => reverse(a(0))
-      // math (mathematical_functions.rs, numeric_functions.rs)
-      case "ABS" => abs(a(0))
-      case "CEIL" | "CEILING" => ceil(a(0))
-      case "FLOOR" => floor(a(0))
-      case "SQRT" => sqrt(a(0))
-      case "POWER" | "POW" => pow(a(0), a(1))
-      case "LOG" => log(a(0))
-      case "LOG10" => log10(a(0))
-      case "EXP" => exp(a(0))
-      case "SIN" => sin(a(0))
-      case "COS" => cos(a(0))
-      case "TAN" => tan(a(0))
-      case "PI" => lit(math.Pi)
-      case "SIGN" => signum(a(0))
-      case "MOD" => a(0) % a(1)
-      case "ROUND" => if (args.size == 2) round(a(0), intLit(args(1))) else round(a(0))
       // JSON rendering (beyond ref — arrays/paths as engine-stable text)
       case "TO_JSON" => to_json(a(0))
       // PATH[n0, e0, n1, …] constructor (executor.rs:4899-4951): even
@@ -2320,9 +2359,6 @@ final class Compiler(graph: PropertyGraph,
           case (e, i) if i % 2 == 0 => compileExpr(e, ctx).cast("long")
         }
         array(nodes: _*)
-      // null (null_functions.rs)
-      case "NULLIF" => nullif(a(0), a(1))
-      case "COALESCE" => coalesce(args.map(compileExpr(_, ctx)): _*)
       // list (list_functions.rs)
       case "LIST_CONTAINS" => array_contains(a(0), a(1))
       case "LIST_LENGTH" | "SIZE" => size(a(0)).cast("long")

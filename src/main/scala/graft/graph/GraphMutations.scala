@@ -51,15 +51,19 @@ object GraphMutations {
   }
 
   /** SET v:NewLabel (SetItem::Label, ast.rs:925-928): add `newLabel` to
-    * the nodes of `label` matching `pred`. In the per-label-table model
-    * a node "having" a second label means its row (same id + props) also
-    * lives in that label's table — the multi-label intersection scan
-    * `(a:L1:L2)` then matches it by the shared id. Ids already present
-    * under `newLabel` are left untouched (re-running is idempotent).
+    * the nodes of `label` whose ids are in `matchedIds` (one `id`
+    * column — captured by the CALLER from the PRE-mutation graph, so a
+    * statement that both rewrites a property and adds a label still
+    * labels the rows the WHERE originally matched). In the
+    * per-label-table model a node "having" a second label means its row
+    * (same id + props) also lives in that label's table — the
+    * multi-label intersection scan `(a:L1:L2)` then matches it by the
+    * shared id. Ids already present under `newLabel` are left untouched
+    * (re-running is idempotent).
     */
-  def addNodeLabel(g: PropertyGraph, label: String, pred: Column,
+  def addNodeLabel(g: PropertyGraph, label: String, matchedIds: DataFrame,
       newLabel: String): PropertyGraph = {
-    val rows = g.nodeTables(label).filter(pred)
+    val rows = g.nodeTables(label).join(matchedIds.select("id"), Seq("id"))
     val updated = g.nodeTables.get(newLabel) match {
       case None => rows
       case Some(existing) =>
@@ -72,18 +76,19 @@ object GraphMutations {
   }
 
   /** REMOVE v:Label (RemoveItem::Label, ast.rs:943-948): drop
-    * `rmLabel` from the nodes of `label` matching `pred` — in the
-    * per-label-table model, delete their rows from that label's table
-    * (the rows under other labels, including `label` itself when
-    * different, stay). Removing a label a node never had is a no-op.
+    * `rmLabel` from the nodes in `matchedIds` (captured pre-mutation,
+    * see [[addNodeLabel]]) — in the per-label-table model, delete their
+    * rows from that label's table (the rows under other labels,
+    * including `label` itself when different, stay). Removing a label a
+    * node never had is a no-op.
     */
-  def removeNodeLabel(g: PropertyGraph, label: String, pred: Column,
+  def removeNodeLabel(g: PropertyGraph, matchedIds: DataFrame,
       rmLabel: String): PropertyGraph = {
     g.nodeTables.get(rmLabel) match {
       case None => g
       case Some(existing) =>
-        val ids = g.nodeTables(label).filter(pred).select(col("id"))
-        val updated = existing.join(ids, Seq("id"), "left_anti")
+        val updated =
+          existing.join(matchedIds.select("id"), Seq("id"), "left_anti")
         g.mutated(g.nodeTables + (rmLabel -> updated), g.edgeTables,
           Set(s"nodes_$rmLabel"))
     }

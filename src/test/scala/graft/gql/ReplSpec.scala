@@ -85,5 +85,12 @@ class ReplSpec extends AnyFunSuite {
     // unknown format reports, loop survives
     val out2 = drive("FORMAT yaml;\nexit;\n")
     assert(out2.contains("error: Unknown output format: yaml"), out2)
+    // NaN has no JSON representation — rendered null, object parseable
+    val out3 = drive("FORMAT json;\nRETURN SQRT(-1.0) AS x;\nexit;\n")
+    assert(out3.contains("{\"x\":null}"), out3)
+    // FORMAT is per-session state: a fresh run starts back at table
+    val out4 = drive(
+      "MATCH (m:Merchant) RETURN m.id AS id ORDER BY id LIMIT 1;\nexit;\n")
+    assert(out4.contains("(1 row)"), out4)
   }
 }

@@ -95,6 +95,57 @@ class StatementSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 4L)
   }
 
+  test("label items apply to the PRE-mutation match when the same " +
+      "statement rewrites the matched property") {
+    val s = freshSession()
+    // the WHERE matches on status; the SAME statement overwrites status
+    // AND adds a label — the label must land on the originally-matched
+    // rows, not re-evaluate against the mutated table (zero rows)
+    s.execute("MATCH (a:Account) WHERE a.status = 'inactive' " +
+      "SET a.status = 'archived', a:Archived")
+    assert(s.gql("MATCH (h:Archived) RETURN count(h) AS n")
+      .collect().head.getLong(0) == 5L)
+    assert(s.gql("MATCH (h:Archived) WHERE h.status = 'archived' " +
+      "RETURN count(h) AS n").collect().head.getLong(0) == 5L)
+    // symmetric for REMOVE: null the matched property and drop a label
+    // in one statement
+    s.execute("MATCH (a:Account) WHERE a.status = 'archived' " +
+      "REMOVE a.status, a:Archived")
+    assert(s.gql("MATCH (h:Archived) RETURN count(h) AS n")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("READ ONLY gates DDL and nesting keeps the enclosing mode") {
+    val s = freshSession()
+    s.execute("START TRANSACTION READ ONLY")
+    // catalog DDL is a write the snapshot cannot undo — refused
+    assert(intercept[IllegalStateException](
+      s.execute("CREATE SCHEMA /roblocked")).getMessage.contains("READ ONLY"))
+    // a nested mode-less transaction INHERITS read-only
+    s.execute("START TRANSACTION")
+    assert(intercept[IllegalStateException](
+      s.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 0.0"))
+      .getMessage.contains("READ ONLY"))
+    s.execute("COMMIT")
+    // still read-only in the outer transaction
+    assert(intercept[IllegalStateException](
+      s.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 0.0"))
+      .getMessage.contains("READ ONLY"))
+    s.execute("ROLLBACK")
+    // SET TRANSACTION READ ONLY applies to the NEXT transaction only
+    s.execute("SET TRANSACTION READ ONLY")
+    s.execute("START TRANSACTION")
+    assert(intercept[IllegalStateException](
+      s.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 0.0"))
+      .getMessage.contains("READ ONLY"))
+    s.execute("COMMIT")
+    s.execute("START TRANSACTION") // default consumed — writable again
+    s.execute("MATCH (a:Account) WHERE a.id = 1 SET a.balance = 7.5")
+    s.execute("COMMIT")
+    assert(s.gql("MATCH (a:Account {id: 1}) RETURN a.balance AS b")
+      .collect().head.getDouble(0) == 7.5)
+  }
+
   test("SET evaluates function expressions (set_function_expression_test.rs)") {
     val s = freshSession()
     // string functions, incl. over the existing value

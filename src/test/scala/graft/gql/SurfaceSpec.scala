@@ -224,6 +224,11 @@ class SurfaceSpec extends AnyFunSuite {
     assert(t.execute("RETURN UPPER('ab') AS s").collect().head.getString(0) == "AB")
     val e = intercept[Exception](t.gql("MATCH (n:X) RETURN n"))
     assert(e.getMessage.contains("no current graph"))
+    // a pattern EMBEDDED in an expression (EXISTS) demands a graph too —
+    // usesGraph walks the whole tree, not just MATCH clauses
+    val e2 = intercept[Exception](
+      t.gql("RETURN EXISTS { (n:Account)-[:OWNS]->(m) } AS e"))
+    assert(e2.getMessage.contains("no current graph"))
   }
 
   test("revisit rules span mixed rigid+quantified chains") {
