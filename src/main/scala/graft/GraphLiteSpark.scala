@@ -1533,6 +1533,12 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       case _: java.lang.Boolean => BooleanType
       case _: java.sql.Timestamp => TimestampType
       case _: java.sql.Date => DateType
+      // list property literal (`tags: ['a', 'b']` —
+      // utility_functions_test.rs inserts these); element type from the
+      // first non-null element, string for an all-null/empty list
+      case seq: scala.collection.Seq[_] =>
+        ArrayType(seq.collectFirst { case e if e != null => e }
+          .map(valueType).getOrElse(StringType))
       case other => throw new GqlCompileException(
         s"unsupported INSERT property value: $other (${other.getClass.getName})")
     }

@@ -163,6 +163,13 @@ final class Compiler(graph: PropertyGraph,
     */
   private var zonedVals: Set[String] = Set.empty
 
+  /** WITH/LET aliases whose defining expression had a statically known
+    * value kind (see [[staticKind]]) — lets TYPE()/SIZE() dispatch on
+    * values carried through `WITH d.tags AS arr`
+    * (utility_functions_test.rs exercises exactly that shape).
+    */
+  private var aliasKinds: Map[String, String] = Map.empty
+
   private def collectProps(e: Expr, acc: scala.collection.mutable.Map[String, Set[String]]): Unit = e match {
     case Prop(v, p) => acc(v) = acc.getOrElse(v, Set.empty) + p
     case ExistsPattern(paths) =>
@@ -542,10 +549,15 @@ final class Compiler(graph: PropertyGraph,
         val in = df.getOrElse(singleRow)
         df = Some(in.withColumn(as, explode(compileExpr(e, ctx))))
         ctx = Ctx(ctx.bindings + (as -> ValueBinding))
+        aliasKinds -= as // element kind of the unwound list is dynamic
       case StLet(defs) =>
         var in = df.getOrElse(singleRow)
         defs.foreach { case (v, e) =>
           in = in.withColumn(v, compileExpr(e, ctx))
+          aliasKinds = staticKind(e, ctx) match {
+            case Some(k) => aliasKinds + (v -> k)
+            case None => aliasKinds - v
+          }
           ctx = Ctx(ctx.bindings + (v -> ValueBinding))
           zonedVals = e match {
             case ZonedShape() => zonedVals + v
@@ -692,9 +704,16 @@ final class Compiler(graph: PropertyGraph,
     // zoned values surviving this projection: an item whose expression is
     // zoned (directly or via a zoned alias) keeps its output name zoned
     // for the next segment; everything else is naive again
+    // static value kinds surviving this projection (resolved against the
+    // PRE-projection ctx/aliasKinds — the defining expressions reference
+    // the previous segment's bindings)
+    val nextKinds = items.flatMap { case (it, n) =>
+      staticKind(it.expr, ctx).map(n -> _)
+    }.toMap
     zonedVals = items.collect {
       case (ReturnItem(ZonedShape(), _), n) => n
     }.toSet
+    aliasKinds = nextKinds
     (out, nextBindings)
   }
 
@@ -2319,6 +2338,97 @@ final class Compiler(graph: PropertyGraph,
     }
   }
 
+  /** Best-effort static value kind, resolved from AST shape — the
+    * dispatch TYPE() and SIZE() need (reference TypeFunction /
+    * SizeFunction, graph_functions.rs:207-225 & 618-637, are dynamically
+    * typed; the Column-based compiler recovers the kind from literals,
+    * pattern bindings, the property schema, function families, and
+    * WITH/LET alias tracking in [[aliasKinds]]). Kind names are the
+    * reference's: STRING / NUMBER / BOOLEAN / NULL / LIST / NODE / EDGE /
+    * DATETIME / PATH. None = not statically determinable.
+    */
+  private def staticKind(e: Expr, ctx: Ctx): Option[String] = e match {
+    case StrLit(_) => Some("STRING")
+    case NumLit(_, _) => Some("NUMBER")
+    case BoolLit(_) => Some("BOOLEAN")
+    case NullLit() => Some("NULL")
+    case ListLit(_) => Some("LIST")
+    case ZonedShape() => Some("DATETIME")
+    case Ident(v) => ctx.bindings.get(v) match {
+      case Some(_: NodeBinding) | Some(UnionNode) => Some("NODE")
+      case Some(_: EdgeBinding) => Some("EDGE")
+      case _ => aliasKinds.get(v)
+    }
+    case Prop(v, p) => ctx.bindings.get(v) match {
+      case Some(nb: NodeBinding) =>
+        graph.nodeTables.get(nb.primary)
+          .flatMap(t => t.schema.find(_.name == p)).flatMap(f => dtKind(f.dataType))
+      case Some(EdgeBinding(l)) =>
+        graph.edgeTables.get(l)
+          .flatMap(t => t._2.schema.find(_.name == p)).flatMap(f => dtKind(f.dataType))
+      case _ => None // UnionNode props can differ per label
+    }
+    case Neg(_) => Some("NUMBER")
+    case Bin("+" | "-" | "*" | "/" | "%", _, _) => Some("NUMBER")
+    case Bin("||", l, r) => staticKind(l, ctx).orElse(staticKind(r, ctx))
+    case Bin(_, _, _) => Some("BOOLEAN")
+    case Not(_) | IsNull(_, _) | IsTruth(_, _, _) | InList(_, _, _) |
+        StringPred(_, _, _, _) | QuantifiedCmp(_, _, _, _) |
+        ExistsPattern(_) | IsSrcDst(_, _, _, _) => Some("BOOLEAN")
+    case CaseExpr(_, whens, otherwise) =>
+      (whens.map(_._2) ++ otherwise).flatMap(staticKind(_, ctx))
+        .find(_ != "NULL")
+    case Cast(_, t) => t.toUpperCase.takeWhile(_.isLetter) match {
+      case "STRING" | "VARCHAR" | "CHAR" => Some("STRING")
+      case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" | "DOUBLE" | "FLOAT" |
+          "DECIMAL" | "NUMERIC" | "REAL" => Some("NUMBER")
+      case "BOOL" | "BOOLEAN" => Some("BOOLEAN")
+      case "DATE" | "TIMESTAMP" | "DATETIME" => Some("DATETIME")
+      case _ => None
+    }
+    case CountStar() => Some("NUMBER")
+    case Fn(name, fargs, _) => name.toUpperCase match {
+      case "LABELS" => Some("LIST")
+      case "UPPER" | "LOWER" | "TRIM" | "LTRIM" | "RTRIM" | "SUBSTRING" |
+          "REPLACE" | "TO_JSON" | "TO_STRING" | "GET_TIMEZONE_NAME" |
+          "GET_TIMEZONE_ABBREVIATION" | "TYPE" => Some("STRING")
+      case "ABS" | "CEIL" | "CEILING" | "FLOOR" | "SQRT" | "POWER" | "POW" |
+          "LOG" | "LOG10" | "EXP" | "SIN" | "COS" | "TAN" | "PI" | "SIGN" |
+          "MOD" | "ROUND" | "LENGTH" | "CHAR_LENGTH" | "SIZE" |
+          "LIST_LENGTH" | "COUNT" | "SUM" | "AVG" | "ID" | "EXTRACT" |
+          "DURATION_NUMERIC" | "GET_TIMEZONE_OFFSET" | "HOUR" | "MINUTE" |
+          "SECOND" => Some("NUMBER")
+      case "COLLECT" | "LIST_APPEND" | "LIST_PREPEND" | "LIST_REVERSE" |
+          "LIST_SLICE" | "KEYS" | "SPLIT" => Some("LIST")
+      case "PATH" => Some("PATH")
+      case "LIST_CONTAINS" | "ALL_DIFFERENT" | "SAME" | "PROPERTY_EXISTS" =>
+        Some("BOOLEAN")
+      case "NOW" | "CURRENT_TIMESTAMP" | "LOCAL_DATETIME" | "DATETIME" |
+          "CURRENT_DATE" | "CURRENT_TIME" | "TO_TIMESTAMP" |
+          "DATE_TRUNC" => Some("DATETIME")
+      case "REVERSE" | "MIN" | "MAX" | "COALESCE" | "NULLIF" =>
+        fargs.headOption.flatMap(staticKind(_, ctx))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Spark column type → reference value-kind name (for [[staticKind]]'s
+    * property-schema lookups). */
+  private def dtKind(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some("STRING")
+      case _: NumericType => Some("NUMBER")
+      case BooleanType => Some("BOOLEAN")
+      case _: ArrayType => Some("LIST")
+      case TimestampType | TimestampNTZType | DateType => Some("DATETIME")
+      case _: StructType => Some("DATETIME") // only zoned (tz, ts) structs
+      case NullType => Some("NULL")
+      case _ => None
+    }
+  }
+
   /** Render a naive timestamp (a UTC instant — reference DateTime<Utc>,
     * value.rs:151) as its wall clock in the session time zone, the
     * explicit analog of extracting under SESSION SET TIME ZONE. Identity
@@ -2361,7 +2471,20 @@ final class Compiler(graph: PropertyGraph,
         array(nodes: _*)
       // list (list_functions.rs)
       case "LIST_CONTAINS" => array_contains(a(0), a(1))
-      case "LIST_LENGTH" | "SIZE" => size(a(0)).cast("long")
+      // LIST_LENGTH is list-only (list_functions.rs:273-318, errors on
+      // non-lists). SIZE additionally accepts strings (byte length —
+      // Rust s.len(), graph_functions.rs:629) and returns 0 for NULL
+      // (graph_functions.rs:632), so it dispatches on the static kind.
+      case "LIST_LENGTH" => size(a(0)).cast("long")
+      case "SIZE" => staticKind(args(0), ctx) match {
+        case Some("NULL") => lit(0L)
+        case Some("STRING") =>
+          val c = a(0)
+          when(c.isNull, lit(0L)).otherwise(octet_length(c).cast("long"))
+        case _ =>
+          val c = a(0)
+          when(c.isNull, lit(0L)).otherwise(size(c).cast("long"))
+      }
       case "LIST_APPEND" => concat(a(0), array(a(1)))
       case "LIST_PREPEND" => concat(array(a(1)), a(0))
       case "LIST_REVERSE" => reverse(a(0))
@@ -2564,9 +2687,25 @@ final class Compiler(graph: PropertyGraph,
         case Some(UnionNode) => array(col(s"${varName(0)}_label"))
         case _ => throw new GqlCompileException("LABELS() expects a node variable")
       }
-      case "TYPE" => ctx.bindings.get(varName(0)) match {
-        case Some(EdgeBinding(_)) => col(s"${varName(0)}_label")
-        case _ => throw new GqlCompileException("TYPE() expects an edge variable")
+      // TYPE(e) on an edge variable returns the relationship type name
+      // (Cypher-standard; documented divergence — the reference's
+      // TypeFunction returns the kind string "EDGE" even for edges,
+      // graph_functions.rs:217). On any other value TYPE returns the
+      // reference's value-kind string (graph_functions.rs:207-225:
+      // STRING/NUMBER/BOOLEAN/NULL/LIST/NODE/DATETIME/PATH), resolved
+      // statically from shape + schema, with a runtime null check.
+      case "TYPE" => args(0) match {
+        case Ident(v) if ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) =>
+          col(s"${v}_label")
+        case Ident(v) if ctx.isNodeLike(v) => lit("NODE")
+        case e0 => staticKind(e0, ctx) match {
+          case Some("NULL") => lit("NULL")
+          case Some(k) =>
+            val c = compileExpr(e0, ctx)
+            when(c.isNull, lit("NULL")).otherwise(lit(k))
+          case None => throw new GqlCompileException(
+            s"TYPE(): cannot determine the value kind of $e0")
+        }
       }
       // special (special_functions.rs:29-178)
       case "ALL_DIFFERENT" =>

@@ -1461,4 +1461,63 @@ class SurfaceSpec extends AnyFunSuite {
     t.execute("SESSION RESET")
     assert(t.currentTimeZone.isEmpty && t.parameters.isEmpty)
   }
+
+  // ---- TYPE / SIZE utility functions (utility_functions_test.rs) ----
+
+  test("TYPE returns reference value-kind strings over values and nodes") {
+    val t = fresh()
+    t.execute("INSERT (:Document {id: 1, title: 'Test Doc', " +
+      "tags: ['tag1', 'tag2', 'tag3'], count: 42, flag: true})")
+    // WITH-carried values (the exact shapes utility_functions_test.rs
+    // drives: alias kind survives the projection)
+    assert(t.gql("MATCH (d:Document) WITH d.tags AS arr " +
+      "RETURN TYPE(arr) AS t").collect().head.getString(0) == "LIST")
+    assert(t.gql("MATCH (d:Document) WITH d.title AS ts " +
+      "RETURN TYPE(ts) AS t").collect().head.getString(0) == "STRING")
+    assert(t.gql("MATCH (d:Document) WITH d.count AS num " +
+      "RETURN TYPE(num) AS t").collect().head.getString(0) == "NUMBER")
+    assert(t.gql("MATCH (d:Document) WITH d.flag AS fl " +
+      "RETURN TYPE(fl) AS t").collect().head.getString(0) == "BOOLEAN")
+    // node variable (TypeFunction → "NODE", graph_functions.rs:216)
+    assert(t.gql("MATCH (d:Document) RETURN TYPE(d) AS t")
+      .collect().head.getString(0) == "NODE")
+    // direct property access + literals
+    assert(t.gql("MATCH (d:Document) RETURN TYPE(d.title) AS t")
+      .collect().head.getString(0) == "STRING")
+    assert(t.gql("RETURN TYPE([1, 2]) AS t")
+      .collect().head.getString(0) == "LIST")
+    assert(t.gql("RETURN TYPE(NULL) AS t")
+      .collect().head.getString(0) == "NULL")
+    // a null-valued expression reports NULL at runtime, not its static
+    // kind (TypeFunction sees Value::Null)
+    assert(t.gql("RETURN TYPE(NULLIF('x', 'x')) AS t")
+      .collect().head.getString(0) == "NULL")
+    // edge variable keeps the Cypher-standard relationship type name
+    // (documented divergence: the reference returns the kind "EDGE")
+    assert(one("MATCH (:Account)-[r:Transaction]->(:Merchant) " +
+      "RETURN TYPE(r) AS t LIMIT 1") == "Transaction")
+  }
+
+  test("SIZE over strings, lists, and NULL (SizeFunction parity)") {
+    val t = fresh()
+    t.execute("INSERT (:Document {id: 1, title: 'Test Document', " +
+      "numbers: [1, 2, 3, 4, 5], list_data: ['a', 'b', 'c']})")
+    assert(t.gql("MATCH (d:Document) WITH d.numbers AS nums " +
+      "RETURN SIZE(nums) AS n").collect().head.getLong(0) == 5L)
+    assert(t.gql("MATCH (d:Document) WITH d.title AS ts " +
+      "RETURN SIZE(ts) AS n").collect().head.getLong(0) == 13L)
+    assert(t.gql("MATCH (d:Document) WITH d.list_data AS l " +
+      "RETURN SIZE(l) AS n").collect().head.getLong(0) == 3L)
+    // literals (utility_functions_test.rs:130-137)
+    val lits = t.gql("RETURN SIZE([1, 2, 3, 4]) AS a, " +
+      "SIZE('hello world') AS b, SIZE([10, 20, 30]) AS c").collect().head
+    assert(lits.getLong(0) == 4L && lits.getLong(1) == 11L &&
+      lits.getLong(2) == 3L)
+    // NULL → 0 (graph_functions.rs:632)
+    assert(t.gql("RETURN SIZE(NULL) AS n").collect().head.getLong(0) == 0L)
+    // combined TYPE + SIZE over one carried list
+    val row = t.gql("MATCH (d:Document) WITH d.numbers AS arr " +
+      "RETURN TYPE(arr) AS t, SIZE(arr) AS n").collect().head
+    assert(row.getString(0) == "LIST" && row.getLong(1) == 5L)
+  }
 }
