@@ -326,7 +326,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
   def gql(query: String): DataFrame = {
     touch()
     requirePerm("SELECT")
-    val q = Parser.parse(query)
+    val q = Parser.parse(stripTrailingSemis(query))
     (new Compiler(queryGraph(q), sessionParams, f64Mode,
       sessionTz = tzName).compile(q))
   }
@@ -351,7 +351,19 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     * (executor.rs:8559-8641). Persist a mutated graph with
     * [[saveGraphAs]].
     */
-  def execute(text: String): DataFrame = {
+  /** Drop trailing statement terminators: the reference CLI/test
+    * fixtures send `INSERT (...);` and a single `;` ends the one
+    * statement (ISO GQL has no top-level semicolon-separated programs —
+    * json_format_tests.rs header documents this).
+    */
+  private def stripTrailingSemis(text: String): String = {
+    var t = text
+    while ({ val s = t.trim; s.endsWith(";") }) t = t.trim.dropRight(1)
+    t
+  }
+
+  def execute(text0: String): DataFrame = {
+    val text = stripTrailingSemis(text0)
     touch()
     // CREATE PROCEDURE / AT keep their bodies as raw text (Parser
     // re-dispatches them), so a NEXT chain inside the body belongs to the
@@ -648,6 +660,76 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           }
         }
         (counts ++ edgeCounts).toDF("label", "inserted", "warning")
+
+      // MATCH … [WITH …]* [WHERE …] INSERT (v:Label {props}), … —
+      // one new node per binding row and per listed node pattern
+      // (match_with_tests.rs:13-170, 1064-1177: property values are
+      // expressions over the pipeline bindings, incl. WITH aggregates).
+      // Identity keeps the INSERT convention: an explicit `id` property
+      // is used as-is (duplicates error); otherwise an engine-stable
+      // content hash of (label, props) — identical content dedups, and
+      // re-running the same statement inserts 0 (idempotent like
+      // MATCH…INSERT edge creation).
+      case PipelineInsertStmt(q, inserts) =>
+        requirePerm("INSERT")
+        val plCompiler = new Compiler(graph, sessionParams, f64Mode)
+        val propExprs = inserts.flatMap(_.start.props.map(_._2))
+        val (bdf, plBindings) = plCompiler.compileMutationPipeline(q, propExprs)
+        var g = graph
+        var total = 0L
+        inserts.foreach { path =>
+          val np = path.start
+          val label = np.labels.headOption.getOrElse(
+            throw new GqlCompileException("INSERT nodes need a label"))
+          if (np.props.isEmpty) throw new GqlCompileException(
+            "pipeline INSERT nodes need at least one property")
+          val propCols = np.props.map { case (k, e) =>
+            plCompiler.columnFor(e, plBindings).as(k) }
+          var rows = bdf.select(propCols: _*)
+          val explicitId = np.props.exists(_._1 == "id")
+          // static per-column validation against the bound graph type
+          // (validator.rs:92-126; the synthetic hash id is not a schema
+          // property, mirroring the literal-INSERT path)
+          currentType.foreach { gt =>
+            graft.graph.GraphType.validateNode(gt, label,
+              rows.schema.fields.toSeq
+                .filterNot(f => f.name == "id" && !explicitId)
+                .map(f => f.name -> dtTag(f.dataType)))
+          }
+          if (explicitId) {
+            rows = rows.withColumn("id", col("id").cast("long"))
+              .localCheckpoint(true)
+            total += rows.count()
+            g = graph2.insertNodes(g, label, rows)
+          } else {
+            // content-hash id, bit-identical to the driver-side
+            // contentHash: low 60 bits of the first 16 hex digits of
+            // md5("label|k1=v1|k2=v2") with keys sorted and nulls
+            // rendered "null" (String.valueOf parity)
+            val canon = org.apache.spark.sql.functions.concat(
+              lit(label) +: np.props.map(_._1).sorted.map { k =>
+                org.apache.spark.sql.functions.concat(lit(s"|$k="),
+                  org.apache.spark.sql.functions.coalesce(
+                    col(k).cast("string"), lit("null")))
+              }: _*)
+            rows = rows.withColumn("id",
+              org.apache.spark.sql.functions.conv(
+                org.apache.spark.sql.functions.substring(
+                  org.apache.spark.sql.functions.md5(canon), 2, 15),
+                16, 10).cast("long"))
+              .dropDuplicates("id")
+            g.nodeTables.get(label).foreach { t =>
+              rows = rows.join(t.select(col("id")), Seq("id"), "left_anti")
+            }
+            val out = rows.localCheckpoint(true)
+            val n = out.count()
+            if (n > 0)
+              g = graph2.insertNodes(g, label, out, failOnDuplicate = false)
+            total += n
+          }
+        }
+        currentGraph = Some(g)
+        Seq(total).toDF("nodes_inserted")
 
       case MatchInsertStmt(matches, where, inserts) =>
         requirePerm("INSERT")
@@ -1507,6 +1589,25 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       case _: java.sql.Timestamp | _: java.sql.Date => LTemporal
       case other => throw new GqlCompileException(
         s"unsupported INSERT property value: $other (${other.getClass.getName})")
+    }
+  }
+
+  /** Column-type analog of [[valueTag]] for distributed (pipeline)
+    * INSERT validation, where values are per-row and only the static
+    * column type is known. */
+  private def dtTag(dt: org.apache.spark.sql.types.DataType):
+      graft.graph.GraphType.Lit = {
+    import org.apache.spark.sql.types._
+    import graft.graph.GraphType._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => LInt
+      case DoubleType | FloatType | _: DecimalType => LFloat
+      case StringType => LString
+      case BooleanType => LBool
+      case TimestampType | TimestampNTZType | DateType => LTemporal
+      case NullType => LNull
+      case other => throw new GqlCompileException(
+        s"unsupported INSERT property type: $other")
     }
   }
 

@@ -316,6 +316,13 @@ object Ast {
   case class PipelineMutationStmt(q: Query, op: String, target: String,
       assignments: Seq[(Prop, Expr)], props: Seq[Prop],
       detach: Boolean) extends Statement
+  /** `MATCH … [WITH …]* [WHERE …] INSERT (v:Label {props}), …` — node
+    * creation from the pipeline's binding table, one node per row
+    * (match_with_tests.rs:13-170; property values are expressions over
+    * the bindings, including WITH-computed aggregates).
+    */
+  case class PipelineInsertStmt(q: Query,
+      inserts: Seq[PathPattern]) extends Statement
   /** `AT /schema/graph <statement>` — execute one statement in another
     * graph's context, then restore (ast.rs AtLocation,
     * executor.rs:8593-8700; body kept as text and re-dispatched).

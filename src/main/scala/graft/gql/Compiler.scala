@@ -301,8 +301,13 @@ final class Compiler(graph: PropertyGraph,
       case _ => ()
     }
     mutationExprs.foreach(refs)
-    val extraItems = propRefs.toSeq.map { case (v, pr) =>
-      ReturnItem(Prop(v, pr), Some(s"${v}_$pr"))
+    // `v.id` needs no extra item: the identity column `v_id` always
+    // travels with an entity binding's Star expansion, and a duplicate
+    // projection would make the reference ambiguous (pipeline INSERT of
+    // `{user_id: u.id}` hit exactly that)
+    val extraItems = propRefs.toSeq.collect {
+      case (v, pr) if pr != "id" =>
+        ReturnItem(Prop(v, pr), Some(s"${v}_$pr"))
     }
     val last = q.segments.last
     val segs = q.segments.init :+ last.copy(

@@ -628,14 +628,20 @@ final class Parser(tokens: Vector[Token]) {
     val where = segs.head.where
 
     if (tryKw("INSERT")) {
-      if (!simple) err("MATCH…INSERT does not take WITH segments")
       // comma-separated multi-hop chains: INSERT (a)-[:R]->(b)-[:R]->(c),
       // (a)-[:R]->(d) (pattern_tests.rs shortest-path graph setup)
       val insB = Vector.newBuilder[PathPattern]
       insB += parsePathPattern()
       while (tryPunct(",")) insB += parsePathPattern()
       expectEnd()
-      MatchInsertStmt(segs.head.matches, where, insB.result())
+      val paths = insB.result()
+      // node-only patterns create one node per binding row — through
+      // WITH pipelines too (match_with_tests.rs); edge chains keep the
+      // simple matched-endpoints form
+      if (paths.forall(_.hops.isEmpty)) PipelineInsertStmt(Query(segs), paths)
+      else if (simple) MatchInsertStmt(segs.head.matches, where, paths)
+      else err("MATCH…WITH…INSERT takes node patterns; edge chains use " +
+        "the simple MATCH…INSERT form")
     } else if (tryKw("SET")) {
       val as = Vector.newBuilder[(Prop, Expr)]
       // SET v:Label items (SetItem::Label, ast.rs:925-928; dml_tests.rs

@@ -1,0 +1,249 @@
+package graft.gql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Parity sweep over reference integration-test files not already
+  * mirrored elsewhere: match_with_tests.rs (MATCH…WITH…INSERT),
+  * json_format_tests.rs (un-aliased naming, trailing semicolons, bare
+  * graph names, empty-result columns), intersect_debug_test.rs. Queries
+  * and expected values are transcribed from the reference tests; only
+  * the fixture plumbing is ours.
+  */
+class RefSuiteParitySpec extends AnyFunSuite {
+
+  private def freshSession() = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-refsuite").toString
+    graft.GraphLiteSpark.open(SparkFixture.spark, wh).session("u")
+  }
+
+  private def long(df: org.apache.spark.sql.DataFrame): Long =
+    df.collect().head.get(0) match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case other => other.toString.toLong
+    }
+
+  // ---- match_with_tests.rs:13-78 ----
+
+  test("simple MATCH-INSERT with WITH clause passes bindings through") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/simple_with_test")
+    t.execute("SESSION SET GRAPH /main/simple_with_test")
+    t.execute("INSERT (user1:User {id: 1, name: 'Alice', score: 100}), " +
+      "(user2:User {id: 2, name: 'Bob', score: 85})")
+    t.execute("MATCH (u:User {name: 'Alice'}) " +
+      "WITH u, u.name AS user_name, u.score AS user_score " +
+      "INSERT (record:UserRecord {user_id: u.id, recorded_name: user_name, " +
+      "recorded_score: user_score, type: 'simple_record'})")
+    assert(long(t.gql("MATCH (r:UserRecord {type: 'simple_record'}) " +
+      "RETURN count(r) AS count")) == 1L)
+    val row = t.gql("MATCH (r:UserRecord {type: 'simple_record'}) " +
+      "RETURN r.user_id AS user_id, r.recorded_name AS name, " +
+      "r.recorded_score AS score").collect().head
+    assert(row.getLong(0) == 1L && row.getString(1) == "Alice" &&
+      row.getLong(2) == 100L)
+  }
+
+  // ---- match_with_tests.rs:81-170 ----
+
+  test("MATCH-INSERT with WITH aggregation and post-WHERE") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/match_with_test")
+    t.execute("SESSION SET GRAPH /main/match_with_test")
+    t.execute("INSERT (user1:User {id: 1, name: 'Alice', score: 100}), " +
+      "(user2:User {id: 2, name: 'Bob', score: 85}), " +
+      "(user3:User {id: 3, name: 'Charlie', score: 95}), " +
+      "(game1:Game {id: 1, title: 'Game A'}), " +
+      "(game2:Game {id: 2, title: 'Game B'})")
+    t.execute("MATCH (u:User), (g:Game) WHERE u.id = 1 AND g.id = 1 " +
+      "INSERT (u)-[:PLAYED {score: 150, date: '2024-01-01'}]->(g)")
+    t.execute("MATCH (u:User), (g:Game) WHERE u.id = 2 AND g.id = 1 " +
+      "INSERT (u)-[:PLAYED {score: 120, date: '2024-01-02'}]->(g)")
+    // aggregate per (u, g), filter on the aggregate, insert per group
+    t.execute("MATCH (u:User)-[p:PLAYED]->(g:Game) " +
+      "WITH u, g, count(p) AS play_count, avg(p.score) AS avg_score " +
+      "WHERE avg_score > 130 " +
+      "INSERT (achievement:Achievement {user_id: u.id, game_id: g.id, " +
+      "type: 'high_average', avg_score: avg_score, play_count: play_count})")
+    assert(long(t.gql("MATCH (a:Achievement {type: 'high_average'}) " +
+      "RETURN count(a) AS count")) == 1L)
+    // collect + SIZE + sum per game
+    t.execute("MATCH (u:User)-[p:PLAYED]->(g:Game) " +
+      "WITH g, collect(u.name) AS player_names, sum(p.score) AS total_score " +
+      "INSERT (summary:GameSummary {game_id: g.id, " +
+      "total_players: SIZE(player_names), total_score: total_score, " +
+      "created: '2024-01-03'})")
+    assert(long(t.gql("MATCH (s:GameSummary) RETURN count(s) AS count")) == 1L)
+    val s = t.gql("MATCH (s:GameSummary) RETURN s.total_players AS tp, " +
+      "s.total_score AS ts").collect().head
+    assert(s.getLong(0) == 2L && s.getLong(1) == 270L)
+  }
+
+  // ---- match_with_tests.rs:1064-1177 ----
+
+  test("MATCH-INSERT comprehensive combinations (plain/WHERE/WITH/both)") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/comprehensive_insert")
+    t.execute("SESSION SET GRAPH /main/comprehensive_insert")
+    t.execute("INSERT (user1:User {id: 1, name: 'Alice', age: 25}), " +
+      "(user2:User {id: 2, name: 'Bob', age: 30}), " +
+      "(user3:User {id: 3, name: 'Charlie', age: 35}), " +
+      "(post1:Post {id: 1, title: 'Post 1'}), " +
+      "(post2:Post {id: 2, title: 'Post 2'}), " +
+      "(post3:Post {id: 3, title: 'Post 3'})")
+    t.execute("MATCH (u:User), (p:Post) WHERE u.id = 1 AND p.id = 1 " +
+      "INSERT (u)-[:LIKES {rating: 5, timestamp: '2024-01-01'}]->(p)")
+    t.execute("MATCH (u:User), (p:Post) WHERE u.id = 1 AND p.id = 2 " +
+      "INSERT (u)-[:LIKES {rating: 2, timestamp: '2024-01-02'}]->(p)")
+    t.execute("MATCH (u:User), (p:Post) WHERE u.id = 2 AND p.id = 1 " +
+      "INSERT (u)-[:LIKES {rating: 4, timestamp: '2024-01-03'}]->(p)")
+    // 1: no WITH, no WHERE — one node per matched row
+    t.execute("MATCH (u:User) INSERT (report:Report {user_id: u.id, " +
+      "type: 'basic'})")
+    assert(long(t.gql("MATCH (r:Report {type: 'basic'}) " +
+      "RETURN count(r) AS count")) == 3L)
+    // 2: WHERE only
+    t.execute("MATCH (u:User) WHERE u.age > 28 " +
+      "INSERT (senior:SeniorUser {user_id: u.id, name: u.name})")
+    assert(long(t.gql("MATCH (s:SeniorUser) RETURN count(s) AS count")) == 2L)
+    // 3: WITH aggregation, no post-WHERE — one node per group
+    t.execute("MATCH (u:User)-[l:LIKES]->(p:Post) " +
+      "WITH p, avg(l.rating) AS avg_rating, count(l) AS like_count " +
+      "INSERT (stats:PostStats {post_id: p.id, avg_rating: avg_rating, " +
+      "like_count: like_count, category: 'all_posts'})")
+    assert(long(t.gql("MATCH (s:PostStats {category: 'all_posts'}) " +
+      "RETURN count(s) AS count")) == 2L)
+    // 4: WITH + WHERE on the aggregate (Post 1 avg 4.5 only)
+    t.execute("MATCH (u:User)-[l:LIKES]->(p:Post) " +
+      "WITH p, avg(l.rating) AS avg_rating, count(l) AS like_count " +
+      "WHERE avg_rating >= 4.0 " +
+      "INSERT (premium:PremiumStats {post_id: p.id, avg_rating: avg_rating, " +
+      "like_count: like_count, category: 'high_quality'})")
+    assert(long(t.gql("MATCH (p:PremiumStats {category: 'high_quality'}) " +
+      "RETURN count(p) AS count")) == 1L)
+    // idempotency: re-running the same pipeline INSERT adds nothing
+    // (content-hash identity, our documented INSERT dedup convention)
+    t.execute("MATCH (u:User) INSERT (report:Report {user_id: u.id, " +
+      "type: 'basic'})")
+    assert(long(t.gql("MATCH (r:Report {type: 'basic'}) " +
+      "RETURN count(r) AS count")) == 3L)
+  }
+
+  // ---- json_format_tests.rs ----
+
+  test("result shapes: bare graph names, semicolons, empty-result columns") {
+    val t = freshSession()
+    // bare (schema-relative) graph name, trailing semicolons — the
+    // reference fixture runs CREATE SCHEMA + SESSION SET SCHEMA first
+    // (test_fixture.rs:53-63)
+    t.execute("CREATE SCHEMA IF NOT EXISTS /main")
+    t.execute("SESSION SET SCHEMA main")
+    t.execute("CREATE GRAPH test_42")
+    t.execute("SESSION SET GRAPH test_42")
+    t.execute("INSERT (:Person {name: 'Alice', age: 30});")
+    val r = t.gql("MATCH (p:Person) RETURN p.name, p.age;")
+    assert(r.columns.toSeq == Seq("p.name", "p.age"))
+    assert(r.count() == 1)
+    // missing property projects as null, column still named p.age
+    t.execute("INSERT (:Person {name: 'Bob'});")
+    val rows = t.gql("MATCH (p:Person) RETURN p.name, p.age;")
+      .collect().sortBy(_.getString(0))
+    assert(rows.length == 2 && rows(1).getString(0) == "Bob" &&
+      rows(1).isNullAt(1))
+    // empty result keeps the projection columns (unknown label)
+    val e = t.gql("MATCH (g:Ghost) RETURN g.name;")
+    assert(e.columns.toSeq == Seq("g.name") && e.count() == 0)
+  }
+
+  // ---- match_set_transactional_test.rs:10-128 ----
+
+  test("multi-property SET is atomic and rolls back with the transaction") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/match_set_txn")
+    t.execute("SESSION SET GRAPH /main/match_set_txn")
+    t.execute("INSERT (:Person {name: 'Alice', age: 30, city: 'NYC', " +
+      "status: 'active'})")
+    t.execute("INSERT (:Person {name: 'Bob', age: 25, city: 'LA', " +
+      "status: 'active'})")
+    t.execute("START TRANSACTION")
+    t.execute("MATCH (p:Person) SET p.age = 99, p.city = 'UPDATED_CITY', " +
+      "p.status = 'updated'")
+    // mid-transaction: ALL properties visible on every node
+    val mid = t.gql("MATCH (p:Person {name: 'Alice'}) RETURN p.age AS age, " +
+      "p.city AS city, p.status AS status").collect().head
+    assert(mid.getLong(0) == 99L && mid.getString(1) == "UPDATED_CITY" &&
+      mid.getString(2) == "updated")
+    t.execute("ROLLBACK")
+    // after rollback: every property restored on both nodes
+    val alice = t.gql("MATCH (p:Person {name: 'Alice'}) RETURN p.age AS age, " +
+      "p.city AS city, p.status AS status").collect().head
+    assert(alice.getLong(0) == 30L && alice.getString(1) == "NYC" &&
+      alice.getString(2) == "active")
+    val bob = t.gql("MATCH (p:Person {name: 'Bob'}) RETURN p.age AS age, " +
+      "p.city AS city").collect().head
+    assert(bob.getLong(0) == 25L && bob.getString(1) == "LA")
+  }
+
+  // ---- match_set_transactional_test.rs:174-244 ----
+
+  test("single-property SET rollback preserves untouched properties") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/single_prop_txn")
+    t.execute("SESSION SET GRAPH /main/single_prop_txn")
+    t.execute("INSERT (:Person {name: 'Eve', age: 35, city: 'Boston', " +
+      "occupation: 'Engineer'})")
+    t.execute("START TRANSACTION")
+    t.execute("MATCH (p:Person {name: 'Eve'}) SET p.age = 36")
+    val mid = t.gql("MATCH (p:Person {name: 'Eve'}) RETURN p.age AS age, " +
+      "p.city AS city, p.occupation AS occupation").collect().head
+    assert(mid.getLong(0) == 36L && mid.getString(1) == "Boston" &&
+      mid.getString(2) == "Engineer")
+    t.execute("ROLLBACK")
+    val eve = t.gql("MATCH (p:Person {name: 'Eve'}) RETURN p.age AS age, " +
+      "p.city AS city, p.occupation AS occupation").collect().head
+    assert(eve.getLong(0) == 35L && eve.getString(1) == "Boston" &&
+      eve.getString(2) == "Engineer")
+  }
+
+  // ---- fixture_tests.rs:344-431 (fraud fixture WITH aggregations) ----
+
+  test("WITH aggregation filters and nested DISTINCT aggregation") {
+    val t = SparkFixture.gqlSession(SparkFixture.fraudGraph)
+    // every merchant has exactly 5 of the 100 transactions
+    val rows = t.gql(
+      "MATCH (a:Account)-[tx:Transaction]->(m:Merchant) " +
+        "WITH m, count(tx) AS transaction_count, avg(tx.amount) AS avg_amount " +
+        "WHERE transaction_count > 3 " +
+        "RETURN m.name, transaction_count, avg_amount " +
+        "ORDER BY transaction_count DESC").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getLong(1) == 5L && r.getDouble(2) > 0.0))
+    // nested aggregation: each account reaches exactly 2 distinct
+    // merchants ((i-1)%20 and (i+9)%20), so the average is 2.0
+    val avg = t.gql(
+      "MATCH (a:Account)-[tx:Transaction]->(m:Merchant) " +
+        "WITH a, count(DISTINCT m) AS merchant_count " +
+        "RETURN avg(merchant_count) AS avg_merchants_per_account")
+      .collect()
+    assert(avg.length == 1 && avg.head.getDouble(0) == 2.0)
+  }
+
+  // ---- intersect_debug_test.rs ----
+
+  test("INTERSECT returns all rows when both sides are identical") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/intersect_debug")
+    t.execute("SESSION SET GRAPH /main/intersect_debug")
+    t.execute("""INSERT (p1:Person {name: "Alice Smith", age: 32, salary: 85000})""")
+    t.execute("""INSERT (p2:Person {name: "Eve Davis", age: 41, salary: 110000})""")
+    t.execute("""INSERT (p3:Person {name: "Charlie Brown", age: 35, salary: 95000})""")
+    t.execute("""INSERT (p4:Person {name: "Grace Chen", age: 33, salary: 88000})""")
+    val n = t.gql(
+      "MATCH (p:Person) WHERE p.age > 30 RETURN p.name, p.age, p.salary " +
+        "INTERSECT " +
+        "MATCH (p:Person) WHERE p.salary > 80000 RETURN p.name, p.age, p.salary")
+      .count()
+    assert(n == 4L)
+  }
+}
