@@ -170,6 +170,13 @@ final class Compiler(graph: PropertyGraph,
     */
   private var aliasKinds: Map[String, String] = Map.empty
 
+  /** Aliases holding `collect(nodeVar)` results (an array of node ids)
+    * with the collected variable's labels — UNWIND re-expands them into
+    * full node bindings (`WITH collect(p) AS ps UNWIND ps AS product …
+    * REMOVE product.flag`, match_with_tests.rs:1709-1852).
+    */
+  private var collectedEntities: Map[String, Seq[String]] = Map.empty
+
   private def collectProps(e: Expr, acc: scala.collection.mutable.Map[String, Set[String]]): Unit = e match {
     case Prop(v, p) => acc(v) = acc.getOrElse(v, Set.empty) + p
     case ExistsPattern(paths) =>
@@ -552,8 +559,29 @@ final class Compiler(graph: PropertyGraph,
     seg.steps.foreach {
       case StUnwind(e, as) =>
         val in = df.getOrElse(singleRow)
-        df = Some(in.withColumn(as, explode(compileExpr(e, ctx))))
-        ctx = Ctx(ctx.bindings + (as -> ValueBinding))
+        e match {
+          // UNWIND of a collected node list re-binds full entities: the
+          // exploded element is the node id; referenced properties
+          // re-attach from the label table by id (one broadcast-able
+          // equi-join — the label dimension is the small side at scale)
+          case Ident(v) if collectedEntities.contains(v) =>
+            val labels = collectedEntities(v)
+            var d = in.withColumn(s"${as}_id", explode(col(v)))
+            val t = graph.nodeTables(labels.head)
+            val used = usedProps.getOrElse(as, Set.empty)
+              .filter(t.columns.contains)
+            if (used.nonEmpty) {
+              val sel = t.select(col("id").as(fresh("uwid")) +:
+                used.toSeq.sorted.map(p => col(p).as(s"${as}_$p")): _*)
+              val key = sel.columns.head
+              d = d.join(sel, d(s"${as}_id") === sel(key), "left").drop(key)
+            }
+            df = Some(d)
+            ctx = Ctx(ctx.bindings + (as -> NodeBinding(labels)))
+          case _ =>
+            df = Some(in.withColumn(as, explode(compileExpr(e, ctx))))
+            ctx = Ctx(ctx.bindings + (as -> ValueBinding))
+        }
         aliasKinds -= as // element kind of the unwound list is dynamic
       case StLet(defs) =>
         var in = df.getOrElse(singleRow)
@@ -719,6 +747,11 @@ final class Compiler(graph: PropertyGraph,
       case (ReturnItem(ZonedShape(), _), n) => n
     }.toSet
     aliasKinds = nextKinds
+    collectedEntities = items.collect {
+      case (ReturnItem(Fn("COLLECT", Seq(Ident(v)), _), _), n)
+          if ctx.bindings.get(v).exists(_.isInstanceOf[NodeBinding]) =>
+        n -> ctx.bindings(v).asInstanceOf[NodeBinding].labels
+    }.toMap
     (out, nextBindings)
   }
 

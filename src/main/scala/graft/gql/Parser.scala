@@ -855,6 +855,7 @@ final class Parser(tokens: Vector[Token]) {
     var optMatches = Vector.empty[PathPattern]
     var where: Option[Expr] = None
     val steps = Vector.newBuilder[Step]
+    var haveSteps = false
 
     var reading = true
     while (reading) {
@@ -867,14 +868,14 @@ final class Parser(tokens: Vector[Token]) {
       } else if (tryKw("UNWIND")) {
         val e = parseExpr()
         eatKw("AS")
-        steps += StUnwind(e, ident())
+        steps += StUnwind(e, ident()); haveSteps = true
       } else if (tryKw("FOR")) {
         // FOR [alias:] var IN expr (parser.rs:787-808) — iteration over a
         // list: same row-expansion semantics as UNWIND
         val v0 = ident()
         val v = if (tryPunct(":")) ident() else v0
         eatKw("IN")
-        steps += StUnwind(parseExpr(), v)
+        steps += StUnwind(parseExpr(), v); haveSteps = true
       } else if (tryKw("LET")) {
         // LET v = expr [, v = expr]* (parser.rs:760-785)
         val defs = Vector.newBuilder[(String, Expr)]
@@ -884,10 +885,15 @@ final class Parser(tokens: Vector[Token]) {
           defs += ((v, parseExpr()))
           more = tryPunct(",")
         }
-        steps += StLet(defs.result())
+        steps += StLet(defs.result()); haveSteps = true
       } else if (tryKw("FILTER")) {
         // FILTER [WHERE] expr (parser.rs:810-835)
         tryKw("WHERE")
+        steps += StFilter(parseExpr())
+      } else if (haveSteps && tryKw("WHERE")) {
+        // WHERE directly after UNWIND/FOR/LET filters the expanded rows
+        // (match_with_tests.rs:1746: UNWIND products AS product WHERE
+        // product.price > 25 REMOVE …)
         steps += StFilter(parseExpr())
       } else reading = false
     }

@@ -229,6 +229,46 @@ class RefSuiteParitySpec extends AnyFunSuite {
     assert(avg.length == 1 && avg.head.getDouble(0) == 2.0)
   }
 
+  // ---- match_with_tests.rs:1709-1852 (entity collect → UNWIND → DML) ----
+
+  test("UNWIND of collected nodes re-binds entities for REMOVE") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/unwind_remove_basic")
+    t.execute("SESSION SET GRAPH /main/unwind_remove_basic")
+    t.execute("INSERT (p1:Product {id: 1, name: 'Product1', price: 30.0, " +
+      "temp_flag: true}), (p2:Product {id: 2, name: 'Product2', " +
+      "price: 20.0, temp_flag: true})")
+    t.execute("MATCH (p:Product) WITH collect(p) AS products " +
+      "UNWIND products AS product WHERE product.price > 25 " +
+      "REMOVE product.temp_flag")
+    val rows = t.gql("MATCH (p:Product) RETURN p.name AS name, " +
+      "p.temp_flag AS flag ORDER BY p.name").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "Product1" && rows(0).isNullAt(1))
+    assert(rows(1).getString(0) == "Product2" && rows(1).getBoolean(1))
+  }
+
+  test("UNWIND of collected nodes with aggregate threshold SET") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/unwind_set")
+    t.execute("SESSION SET GRAPH /main/unwind_set")
+    t.execute("INSERT (p1:Product {id: 1, name: 'Widget A', price: 15.0, " +
+      "category: 'basic'}), (p2:Product {id: 2, name: 'Widget B', " +
+      "price: 25.0, category: 'basic'}), (p3:Product {id: 3, " +
+      "name: 'Widget C', price: 35.0, category: 'basic'})")
+    // avg price 25.0 → only Widget C upgrades; SET also introduces a
+    // NEW property (upgraded)
+    t.execute("MATCH (p:Product) " +
+      "WITH avg(p.price) AS avg_price, collect(p) AS products " +
+      "UNWIND products AS product WHERE product.price > avg_price " +
+      "SET product.category = 'premium', product.upgraded = true")
+    assert(long(t.gql("MATCH (p:Product) WHERE p.category = 'premium' " +
+      "RETURN count(p) AS count")) == 1L)
+    val row = t.gql("MATCH (p:Product {category: 'premium'}) " +
+      "RETURN p.name AS name, p.upgraded AS upgraded").collect().head
+    assert(row.getString(0) == "Widget C" && row.getBoolean(1))
+  }
+
   // ---- intersect_debug_test.rs ----
 
   test("INTERSECT returns all rows when both sides are identical") {
