@@ -201,6 +201,35 @@ object PipelineQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // ---- PII redaction (C4/FineWeb scrub stage). The synthetic corpus
+    // carries no PII, so the row injects a deterministic email/IP/phone
+    // per document (same construction in the oracle) and redacts it —
+    // the regex chain is the operator under test.
+    "d15_pii_redaction" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val pii = concat($"text", lit(" contact user"), $"doc_id",
+        lit("@example.com or 10.0."), $"doc_id" % 200,
+        lit(".7 call +1 (555) 123-"),
+        lpad(($"doc_id" % 9000 + 1000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select($"doc_id", TextAnalysis.redactPii(pii).as("clean_text"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- cross-document boilerplate line removal (C4 recipe): a NAV
+    // header on every document and a COPYRIGHT footer on even ids cross
+    // the ≥10-docs threshold and vanish; each document's unique body
+    // survives in order.
+    "d16_line_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id",
+        concat(lit("NAV HEADER\n"), $"text",
+          when($"doc_id" % 2 === 0, lit("\nCOPYRIGHT FOOTER"))
+            .otherwise(lit(""))).as("t"))
+      graft.text.LineDedup.dropFrequentLines(docs, "doc_id", "t", 10L)
+        .orderBy($"doc_id")
+    }),
+
     // ---- exact KNN by cosine (brute force, broadcast queries)
     "e01_knn_exact" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -690,6 +719,40 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
     "d12_stratified_split" -> stratSampleSql,
     "d13_contamination" -> contaminationSql,
+    // d15: identical PII injection + the same 3-stage regex chain
+    // (patterns live in the RE2 ∩ Java common subset; DuckDB needs the
+    // 'g' flag for replace-all parity)
+    "d15_pii_redaction" ->
+      s"""SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(
+         |  text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+         |    (doc_id % 200) || '.7 call +1 (555) 123-' ||
+         |    lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0'),
+         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |  '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+         |  '\\+?[0-9]{1,3}[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}',
+         |  '<PHONE>', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // d16: same header/footer construction; frequent lines (≥10 distinct
+    // docs) drop everywhere, per-doc reassembly keeps original order
+    "d16_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, 'NAV HEADER' || chr(10) || text ||
+         |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'COPYRIGHT FOOTER'
+         |         ELSE '' END AS t FROM documents),
+         |s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+         |pl AS (SELECT doc_id,
+         |    unnest(list_transform(ls, (x, i) -> {'pos': i, 'line': x})) AS u
+         |  FROM s),
+         |lines AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM pl),
+         |freq AS (SELECT line FROM lines GROUP BY line
+         |         HAVING count(DISTINCT doc_id) >= 10),
+         |kept AS (SELECT * FROM lines
+         |         WHERE line NOT IN (SELECT line FROM freq))
+         |SELECT d.doc_id,
+         |  coalesce(string_agg(kept.line, chr(10) ORDER BY kept.pos), '')
+         |    AS clean_text
+         |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "e01_knn_exact" -> knnSql,
     "e02_ann_lsh" -> annLshSql,
     "e03_embed_neardup" -> embedNeardupSql,

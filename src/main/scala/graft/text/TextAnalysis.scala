@@ -42,6 +42,31 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
 
+  // ---- PII scrubbing (the standard web-corpus redaction stage:
+  // C4/FineWeb-style pipelines replace emails / IP addresses / phone
+  // numbers with placeholder tokens before training) ----
+
+  /** Patterns restricted to the Java-regex ∩ RE2 common subset (no
+    * lookaround, ASCII classes) so the DuckDB oracle replicates the
+    * replacements byte-for-byte.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe: String =
+    "\\+?[0-9]{1,3}[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
+
+  /** Redact emails, then IPv4 addresses, then phone numbers (IP before
+    * phone: an IP's digit runs could otherwise half-match the phone
+    * pattern). Pure codegen'd regexp_replace chain — scales with the
+    * scan, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Engine-stable 60-bit hash: first 15 hex digits of md5 as a long.
     * Reproducible in DuckDB as
     * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.
