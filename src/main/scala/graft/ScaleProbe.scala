@@ -151,7 +151,10 @@ object ScaleProbe {
       "gql02_twohop" -> SparkEntry.queries("gql02_twohop"),
       // sequence packing: per-shard window + shared-partitioning agg —
       // should scale ~linearly in corpus size (one hash shuffle)
-      "d10_seq_pack" -> SparkEntry.queries("d10_seq_pack"))
+      "d10_seq_pack" -> SparkEntry.queries("d10_seq_pack"),
+      // line dedup: explode + broadcast anti-join — linear in corpus
+      // bytes; the frequent-set aggregation is the only shuffle
+      "d16_line_dedup" -> SparkEntry.queries("d16_line_dedup"))
 
     // past 10×, probe only the scale-critical shapes (the band join, the
     // ANN bucket join, and the forced distributed graph loops) — the
