@@ -230,6 +230,25 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- Gopher-style repetition metrics: most-frequent word/bigram
+    // fractions per document (spam & boilerplate signal)
+    "d17_repetition_stats" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.text.CorpusStats.repetitionStats(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
+    // ---- FineWeb-style source filtering: keep every document of the
+    // sources whose mean token count clears the floor
+    "d18_source_filter" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.text.CorpusStats.filterBySourceStat(
+          Tables.documents(s, d), "doc_id", "text", "source",
+          minAvgTokens = 53.0)
+        .orderBy($"doc_id")
+    }),
+
     // ---- exact KNN by cosine (brute force, broadcast queries)
     "e01_knn_exact" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -733,6 +752,43 @@ object PipelineQueries {
          |  '\\+?[0-9]{1,3}[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}',
          |  '<PHONE>', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // d17: same explode/window/agg pipeline in SQL; fractions are
+    // exact-int divisions so the compare is bit-exact
+    "d17_repetition_stats" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(list_transform($toksSql,
+         |      (x, i) -> {'pos': i, 'word': x})) AS u FROM documents),
+         |words AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM w),
+         |wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
+         |tw AS (SELECT doc_id, max(c) AS top_word_n, sum(c) AS n_tokens
+         |       FROM wc GROUP BY 1),
+         |bi AS (SELECT doc_id, pos, word,
+         |    lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM words),
+         |bc AS (SELECT doc_id, word || ' ' || nxt AS bigram, count(*) AS c
+         |       FROM bi WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |tb AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+         |       FROM bc GROUP BY 1)
+         |SELECT tw.doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(top_word_n AS BIGINT) AS top_word_n,
+         |  top_word_n / CAST(n_tokens AS DOUBLE) AS top_word_frac,
+         |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  CAST(top_bigram_n AS BIGINT) AS top_bigram_n,
+         |  top_bigram_n / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+         |FROM tw JOIN tb ON tw.doc_id = tb.doc_id
+         |ORDER BY tw.doc_id""".stripMargin,
+    // d18: per-source mean token count over exact integer sums; sources
+    // below the floor drop with all their documents
+    "d18_source_filter" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
+         |    CAST(sum(n_tokens) AS DOUBLE) / count(*) AS src_avg_tokens
+         |  FROM t GROUP BY 1 HAVING src_avg_tokens >= 53.0)
+         |SELECT t.doc_id, t.source, s.src_docs, s.src_avg_tokens
+         |FROM t JOIN s ON t.source = s.source
+         |ORDER BY t.doc_id""".stripMargin,
     // d16: same header/footer construction; frequent lines (≥10 distinct
     // docs) drop everywhere, per-doc reassembly keeps original order
     "d16_line_dedup" ->
