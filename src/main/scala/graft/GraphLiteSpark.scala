@@ -39,6 +39,14 @@ final class GraphLiteSpark(val spark: SparkSession, val warehouse: String,
     val sessionMode: SessionMode = SessionMode.Instance) {
   val catalog = new GraphCatalog(spark, warehouse)
 
+  /** Monotonic catalog version (reference: version-invalidated catalog
+    * cache, CHANGELOG.md:22). Bumped by every potentially-mutating
+    * statement any session of this instance executes; per-session
+    * catalog-listing caches key on it, so DDL anywhere in the instance
+    * invalidates every session's cached listings write-through.
+    */
+  private[graft] val catalogVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** An unmanaged ad-hoc session (sdk connection style) — never pooled,
     * never expired; the caller owns its lifetime.
     */
@@ -190,6 +198,10 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     */
   private var resultCacheOn: Boolean = false
   private val resultCache = new graft.cache.ResultCache()
+  /** Per-session catalog-listing cache: (CALL text, catalog version) →
+    * listing DataFrame (a LocalRelation snapshot). See executeOne. */
+  private val catalogListCache =
+    scala.collection.mutable.Map.empty[(String, Long), DataFrame]
   private val subqueryCache = new graft.cache.SubqueryCache()
   /** Versioned-invalidation epoch (invalidation.rs Versioned strategy):
     * part of every cache key; bumped by any non-query statement and any
@@ -423,6 +435,26 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
   private def executeOne(text: String): DataFrame =
     Parser.parseStatement(text) match {
       case Ast.QueryStmt(q) => executeQuery(text, q)
+      // read-only CALLs invalidate nothing (the reference's catalog
+      // cache survives reads, catalog_cache_throughput.rs); the
+      // catalog-backed listings additionally serve from a per-session
+      // cache keyed on the instance catalog version — a DDL statement in
+      // ANY session of this instance bumps the version, so staleness is
+      // impossible within the instance (external writers to the same
+      // warehouse directory are out of cache scope, like the reference's
+      // embedded single-process assumption)
+      case st @ Ast.CallStmt(name, _, _, _)
+          if SystemProcedures.ReadOnly(name) =>
+        if (!SystemProcedures.CatalogCacheable(name)) dispatchStmt(st)
+        else {
+          val key = (text.trim, gls.catalogVersion.get)
+          catalogListCache.getOrElse(key, {
+            val df = dispatchStmt(st)
+            if (catalogListCache.size > 64) catalogListCache.clear()
+            catalogListCache(key) = df
+            df
+          })
+        }
       case st =>
         // write-through invalidation (invalidation.rs:49-58): any
         // non-query statement may have changed the graph, the catalog, or
@@ -437,6 +469,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         finally {
           cacheEpoch += 1
           resultCache.invalidateBefore(cacheEpoch)
+          gls.catalogVersion.incrementAndGet()
         }
     }
 

@@ -19,6 +19,32 @@ object SystemProcedures {
     "gql.result_cache_stats", "gql.result_cache_clear",
     "gql.find_neighbors", "gql.shortest_path", "gql.is_reachable")
 
+  /** Procedures that read state without mutating anything — calling one
+    * must not invalidate the session's result cache nor bump the
+    * catalog version (the reference's catalog cache survives reads and
+    * is version-invalidated only by DDL, catalog_cache_throughput.rs).
+    */
+  val ReadOnly: Set[String] = Set(
+    "gql.list_schemas", "gql.list_graphs", "gql.list_graph_types",
+    "gql.list_functions", "gql.list_procedures", "gql.list_indexes",
+    "gql.list_users", "gql.list_roles", "gql.list_grants",
+    "gql.list_sessions", "gql.show_session", "gql.show_parameters",
+    "gql.cache_stats", "gql.result_cache_stats", "gql.authenticate_user",
+    "gql.find_neighbors", "gql.shortest_path", "gql.is_reachable")
+
+  /** The catalog-backed subset whose results depend ONLY on catalog
+    * state — cacheable per session keyed on the catalog version
+    * (reference per-session catalog cache,
+    * catalog/providers/cache.rs analog). Session-volatile reads
+    * (show_session, cache_stats, list_sessions) and graph reads
+    * (find_neighbors, …) are excluded: they change without any catalog
+    * version bump.
+    */
+  val CatalogCacheable: Set[String] = Set(
+    "gql.list_schemas", "gql.list_graphs", "gql.list_graph_types",
+    "gql.list_functions", "gql.list_procedures", "gql.list_indexes",
+    "gql.list_users", "gql.list_roles", "gql.list_grants")
+
   def call(gls: GraphLiteSpark, session: GqlSession, name: String,
       args: Seq[String] = Seq.empty): DataFrame = {
     val spark = gls.spark

@@ -157,4 +157,33 @@ class CacheSpec extends AnyFunSuite {
     s.execute(q); s.execute(q)
     assert(stats(s, "result")("hits") == 1)
   }
+
+  test("catalog-listing cache: version-invalidated per session " +
+      "(catalog_cache_throughput.rs; CHANGELOG.md:22)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-catcache").toString
+    val gls = graft.GraphLiteSpark.open(SparkFixture.spark, wh)
+    val a = gls.session("a")
+    a.execute("CREATE SCHEMA /s1")
+    val l1 = a.execute("CALL gql.list_schemas()")
+    // a repeat serves the SAME cached snapshot (identity = cache hit)
+    assert(a.execute("CALL gql.list_schemas()") eq l1)
+    // DDL in ANOTHER session of the same instance bumps the catalog
+    // version → this session's next listing re-reads (write-through)
+    gls.session("b").execute("CREATE SCHEMA /s2")
+    val l2 = a.execute("CALL gql.list_schemas()")
+    assert(!(l2 eq l1))
+    assert(l2.collect().map(_.getString(0)).toSet == Set("s1", "s2"))
+  }
+
+  test("read-only CALLs do not invalidate the result cache") {
+    val s = freshSession()
+    s.execute("SESSION SET RESULT_CACHE ON")
+    val q = "MATCH (a:Account) RETURN count(a) AS n"
+    s.execute(q)
+    // reads between the two query executions: none may bump the epoch
+    s.call("gql.list_functions").collect()
+    s.execute("CALL gql.show_session()")
+    s.execute(q)
+    assert(stats(s, "result")("hits") == 1)
+  }
 }
