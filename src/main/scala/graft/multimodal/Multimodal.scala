@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in partition-sized batches.
   *
   * The Spark-side plumbing — schema, partitioning, batch iteration,
-  * output shape — is real and tested; the actual media decode is STUBBED
-  * (no image/audio codecs in this container) behind
-  * [[StubCodec.decodeFake]], a deterministic fake that derives "decoded"
-  * dimensions and frames from the bytes. Swapping in a real codec touches
-  * only that one function: the `mapPartitions` pipeline around it (the
-  * Scala analog of `mapInPandas` batch processing) stays unchanged.
+  * output shape — is real and tested. Decode is two-tier: WAV (RIFF PCM)
+  * and BMP parse for REAL through [[RealCodec]] (pure byte formats, no
+  * library needed — [[decodeFeatures]], driver row m03); codec-library
+  * formats (JPEG/MP4/…) stay STUBBED behind [[StubCodec.decodeFake]], a
+  * deterministic fake that derives "decoded" dimensions and frames from
+  * the bytes (no image/audio codecs in this container). Swapping in a
+  * real codec touches only that one function: the `mapPartitions`
+  * pipeline around it (the Scala analog of `mapInPandas` batch
+  * processing) stays unchanged.
   */
 object Multimodal {
 
@@ -136,6 +139,70 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Features from a REAL decode ([[RealCodec]]): format sniffed from
+    * the magic bytes, then actual header parsing and sample/pixel math.
+    * Non-applicable fields are 0 (not NULL) so the driver compare stays
+    * dtype-stable. This is the non-stub decode path — WAV and BMP are
+    * pure byte formats, so no codec library is needed.
+    */
+  final case class MediaDecoded(
+      media_id: Long, format: String,
+      width: Long, height: Long,           // bmp; 0 for wav
+      sample_rate: Long, n_samples: Long,  // wav; 0 for bmp
+      duration_ms: Double,                 // wav; 0.0 for bmp
+      peak: Long,                          // wav max |sample|; 0 for bmp
+      mean_val: Double)                    // wav mean |sample| / bmp mean channel
+
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val b = r.payload
+        if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+          val w = RealCodec.decodeWav(b)
+          var peak = 0L; var sum = 0L; var i = 0
+          while (i < w.samples.length) {
+            val a = math.abs(w.samples(i).toLong)
+            if (a > peak) peak = a
+            sum += a; i += 1
+          }
+          MediaDecoded(r.media_id, "wav", 0L, 0L, w.sampleRate.toLong,
+            w.nSamples.toLong, w.durationMs, peak,
+            sum.toDouble / math.max(w.samples.length, 1))
+        } else {
+          val img = RealCodec.decodeBmp(b)
+          var sum = 0L; var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i); i += 1 }
+          MediaDecoded(r.media_id, "bmp", img.width.toLong, img.height.toLong,
+            0L, 0L, 0.0, 0L, sum.toDouble / math.max(img.pixels.length, 1))
+        }
+      }
+    }
+  }
+
+  /** Deterministic VALID media files per document id (even → PCM-16 WAV,
+    * odd → 24-bit BMP) — the m03 oracle reconstructs every expected
+    * feature from the same closed-form generators.
+    */
+  def syntheticMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 2 == 0) {
+        val n = (100 + id % 400).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 7 + i * 13) % 2001 - 1000).toShort)
+        MediaRecord(id, "audio",
+          RealCodec.encodeWavPcm16Mono(8000, samples), "synth")
+      } else {
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 7).toInt
+        MediaRecord(id, "image",
+          RealCodec.encodeBmp24(w, h,
+            (x, y, c) => ((id + 3 * x + 5 * y + c) % 256).toInt), "synth")
+      }
+    }
   }
 
   /** Build a media table from the documents table (text bytes as payload)

@@ -1,0 +1,164 @@
+package graft.multimodal
+
+/** REAL media codecs for the container-friendly pure-byte formats: WAV
+  * (RIFF PCM) and BMP (24-bit BITMAPINFOHEADER). Unlike
+  * [[Multimodal.StubCodec]] — which stands in for codec-library formats
+  * (JPEG/MP4/…) the container cannot decode — these parse the actual
+  * byte layout: RIFF chunk walking, little-endian headers, bottom-up
+  * padded BMP rows. No external libraries; everything is header + raw
+  * sample/pixel access, which is all these formats are.
+  *
+  * Encoders exist so tests and the m03 driver row can synthesize valid
+  * files deterministically; decoders are strict (bad magic / truncated
+  * payloads throw with the offending offset) because silent tolerance
+  * turns corrupt media into garbage training rows.
+  */
+object RealCodec {
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def s16(b: Array[Byte], o: Int): Short =
+    ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toShort
+
+  private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], o: Int, v: Long): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+  private def putTag(b: Array[Byte], o: Int, t: String): Unit =
+    System.arraycopy(t.getBytes("US-ASCII"), 0, b, o, 4)
+
+  // ---- WAV (RIFF / PCM) ----
+
+  final case class WavInfo(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, samples: Array[Short]) {
+    def nSamples: Int = samples.length / channels
+    def durationMs: Double = nSamples * 1000.0 / sampleRate
+  }
+
+  /** 16-bit mono PCM RIFF/WAVE file. */
+  def encodeWavPcm16Mono(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    putTag(out, 0, "RIFF"); putU32(out, 4, 36L + dataLen); putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); putU32(out, 16, 16L)
+    putU16(out, 20, 1) // PCM
+    putU16(out, 22, 1) // mono
+    putU32(out, 24, sampleRate.toLong)
+    putU32(out, 28, sampleRate.toLong * 2) // byte rate
+    putU16(out, 32, 2) // block align
+    putU16(out, 34, 16) // bits
+    putTag(out, 36, "data"); putU32(out, 40, dataLen.toLong)
+    var i = 0
+    while (i < samples.length) { putU16(out, 44 + i * 2, samples(i) & 0xffff); i += 1 }
+    out
+  }
+
+  /** Strict RIFF walk: magic check, chunk iteration (extra chunks and
+    * odd-length padding handled per spec), PCM-16 only.
+    */
+  def decodeWav(bytes: Array[Byte]): WavInfo = {
+    require(bytes.length >= 12, s"WAV: ${bytes.length} bytes, need >= 12")
+    require(tag(bytes, 0) == "RIFF", s"WAV: bad magic '${tag(bytes, 0)}'")
+    require(tag(bytes, 8) == "WAVE", s"WAV: bad form '${tag(bytes, 8)}'")
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val len = u32(bytes, off + 4).toInt
+      require(off + 8 + len <= bytes.length,
+        s"WAV: chunk '$id' at $off overruns (${len}B of ${bytes.length})")
+      id match {
+        case "fmt " =>
+          require(len >= 16, s"WAV: fmt chunk too short ($len)")
+          val audioFormat = u16(bytes, off + 8)
+          require(audioFormat == 1, s"WAV: not PCM (format $audioFormat)")
+          fmt = Some((u16(bytes, off + 10), u32(bytes, off + 12).toInt,
+            u16(bytes, off + 22)))
+        case "data" => data = Some((off + 8, len))
+        case _ => () // LIST/INFO/etc — skipped per spec
+      }
+      off += 8 + len + (len & 1) // chunks pad to even
+    }
+    val (channels, rate, bits) = fmt.getOrElse(
+      throw new IllegalArgumentException("WAV: no fmt chunk"))
+    require(bits == 16, s"WAV: only PCM-16 supported (got $bits)")
+    val (dOff, dLen) = data.getOrElse(
+      throw new IllegalArgumentException("WAV: no data chunk"))
+    val samples = new Array[Short](dLen / 2)
+    var i = 0
+    while (i < samples.length) { samples(i) = s16(bytes, dOff + i * 2); i += 1 }
+    WavInfo(rate, channels, bits, samples)
+  }
+
+  // ---- BMP (24-bit, BITMAPINFOHEADER) ----
+
+  final case class BmpInfo(width: Int, height: Int,
+      /** channel values 0..255, index ((y * width) + x) * 3 + c, row 0 =
+        * TOP (decode un-reverses the file's bottom-up storage). */
+      pixels: Array[Int])
+
+  /** 24-bit bottom-up BMP; `px(x, y, c)` supplies channel values 0..255
+    * for c = 0,1,2 (stored B,G,R per the format).
+    */
+  def encodeBmp24(width: Int, height: Int,
+      px: (Int, Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    val dataLen = rowBytes * height
+    val out = new Array[Byte](54 + dataLen)
+    out(0) = 'B'; out(1) = 'M'
+    putU32(out, 2, 54L + dataLen); putU32(out, 10, 54L)
+    putU32(out, 14, 40L) // BITMAPINFOHEADER
+    putU32(out, 18, width.toLong); putU32(out, 22, height.toLong)
+    putU16(out, 26, 1); putU16(out, 28, 24)
+    putU32(out, 34, dataLen.toLong)
+    for (y <- 0 until height; x <- 0 until width; c <- 0 until 3) {
+      // file stores rows bottom-up
+      val o = 54 + (height - 1 - y) * rowBytes + x * 3 + c
+      out(o) = (px(x, y, c) & 0xff).toByte
+    }
+    out
+  }
+
+  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+    require(bytes.length >= 54, s"BMP: ${bytes.length} bytes, need >= 54")
+    require(bytes(0) == 'B' && bytes(1) == 'M', "BMP: bad magic")
+    val dataOff = u32(bytes, 10).toInt
+    val hdrSize = u32(bytes, 14).toInt
+    require(hdrSize >= 40, s"BMP: header size $hdrSize unsupported")
+    val width = u32(bytes, 18).toInt
+    val height = u32(bytes, 22).toInt
+    val bpp = u16(bytes, 28)
+    require(bpp == 24, s"BMP: only 24-bit supported (got $bpp)")
+    require(u32(bytes, 30) == 0, "BMP: compressed payloads unsupported")
+    val rowBytes = (width * 3 + 3) & ~3
+    require(dataOff + rowBytes * height <= bytes.length,
+      s"BMP: pixel array overruns (${bytes.length} bytes)")
+    val pixels = new Array[Int](width * height * 3)
+    for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
+      pixels((y * width + x) * 3 + c) =
+        bytes(dataOff + (height - 1 - y) * rowBytes + x * 3 + c) & 0xff
+    BmpInfo(width, height, pixels)
+  }
+
+  /** Real nearest-neighbor resample of a decoded BMP — an actual pixel
+    * transformation, not a metadata stub.
+    */
+  def resizeNearest(img: BmpInfo, newW: Int, newH: Int): BmpInfo = {
+    val out = new Array[Int](newW * newH * 3)
+    for (y <- 0 until newH; x <- 0 until newW; c <- 0 until 3) {
+      val sx = x * img.width / newW
+      val sy = y * img.height / newH
+      out((y * newW + x) * 3 + c) = img.pixels((sy * img.width + sx) * 3 + c)
+    }
+    BmpInfo(newW, newH, out)
+  }
+}

@@ -378,6 +378,18 @@ object PipelineQueries {
         .orderBy($"media_id")
     }),
 
+    // ---- REAL media decode: synthesize valid PCM-16 WAV / 24-bit BMP
+    // files per document id, flow them through a binary column, decode
+    // with actual RIFF/BITMAPINFOHEADER parsing (RealCodec — no stub),
+    // and extract features the oracle reconstructs arithmetically from
+    // the same generators.
+    "m03_media_decode" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      Multimodal.decodeFeatures(
+          Multimodal.syntheticMedia(Tables.documents(s, d)))
+        .toDF().orderBy($"media_id")
+    }),
+
     // ---- tumbling event windows
     "ev01_tumbling" -> ((s: SparkSession, d: String) => {
       import s.implicits._
@@ -828,6 +840,40 @@ object PipelineQueries {
         | true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "m01_multimodal_features" -> multimodalSql,
+    // m03: every feature of the REAL decode reconstructed from the
+    // closed-form generators (WAV samples ((id*7+i*13)%2001)-1000 at
+    // 8 kHz; BMP channel values (id+3x+5y+c)%256) — the Spark side went
+    // through actual file bytes, the oracle never built a file
+    "m03_media_decode" ->
+      s"""SELECT doc_id AS media_id,
+         | CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS format,
+         | CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+         |      ELSE 4 + doc_id % 13 END AS BIGINT) AS width,
+         | CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+         |      ELSE 3 + doc_id % 7 END AS BIGINT) AS height,
+         | CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 0 END AS BIGINT)
+         |   AS sample_rate,
+         | CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 400
+         |      ELSE 0 END AS BIGINT) AS n_samples,
+         | CASE WHEN doc_id % 2 = 0
+         |      THEN (100 + doc_id % 400) * 1000.0 / 8000 ELSE 0.0 END
+         |   AS duration_ms,
+         | CAST(CASE WHEN doc_id % 2 = 0 THEN
+         |   list_max(list_transform(range(0, 100 + doc_id % 400),
+         |     i -> abs((doc_id*7 + i*13) % 2001 - 1000)))
+         |  ELSE 0 END AS BIGINT) AS peak,
+         | CASE WHEN doc_id % 2 = 0 THEN
+         |   CAST(list_sum(list_transform(range(0, 100 + doc_id % 400),
+         |     i -> abs((doc_id*7 + i*13) % 2001 - 1000))) AS DOUBLE)
+         |     / (100 + doc_id % 400)
+         | ELSE
+         |   CAST(list_sum(flatten(list_transform(range(0, 3 + doc_id % 7),
+         |     y -> flatten(list_transform(range(0, 4 + doc_id % 13),
+         |       x -> list_transform(range(0, 3),
+         |         c -> (doc_id + 3*x + 5*y + c) % 256)))))) AS DOUBLE)
+         |     / ((4 + doc_id % 13) * (3 + doc_id % 7) * 3)
+         | END AS mean_val
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "ev01_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         | count(*) AS n, round(sum(value), 2) AS total

@@ -571,4 +571,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(sess.call("gql.list_functions").count() > 40)
     assert(sess.call("gql.show_session").collect().head.getString(0) == "alice")
   }
+
+  test("RealCodec: WAV and BMP encode/decode round-trip exactly") {
+    import graft.multimodal.RealCodec
+    val samples = Array.tabulate(500)(i => ((i * 37) % 2001 - 1000).toShort)
+    val wav = RealCodec.decodeWav(RealCodec.encodeWavPcm16Mono(8000, samples))
+    assert(wav.sampleRate == 8000 && wav.channels == 1 &&
+      wav.bitsPerSample == 16)
+    assert(wav.samples.toSeq == samples.toSeq)
+    assert(wav.durationMs == 62.5)
+    // BMP with width 5 (row padding 15 → 16 bytes) round-trips per pixel
+    val img = RealCodec.decodeBmp(
+      RealCodec.encodeBmp24(5, 4, (x, y, c) => (x * 3 + y * 5 + c) % 256))
+    assert(img.width == 5 && img.height == 4)
+    for (y <- 0 until 4; x <- 0 until 5; c <- 0 until 3)
+      assert(img.pixels((y * 5 + x) * 3 + c) == (x * 3 + y * 5 + c) % 256)
+  }
+
+  test("RealCodec: strict decoders reject corrupt payloads loudly") {
+    import graft.multimodal.RealCodec
+    val wav = RealCodec.encodeWavPcm16Mono(8000, Array[Short](1, 2, 3))
+    // flipped magic
+    val bad = wav.clone(); bad(0) = 'X'
+    assert(intercept[IllegalArgumentException](RealCodec.decodeWav(bad))
+      .getMessage.contains("bad magic"))
+    // truncated data chunk
+    assert(intercept[IllegalArgumentException](
+      RealCodec.decodeWav(wav.take(wav.length - 2)))
+      .getMessage.contains("overruns"))
+    val bmp = RealCodec.encodeBmp24(3, 3, (_, _, _) => 7)
+    assert(intercept[IllegalArgumentException](
+      RealCodec.decodeBmp(bmp.take(40))).getMessage.contains("need >= 54"))
+  }
+
+  test("RealCodec: nearest-neighbor resize is a real pixel transform") {
+    import graft.multimodal.RealCodec
+    // 2×2 quadrant image; 4×4 upsample must replicate each quadrant
+    val img = RealCodec.decodeBmp(RealCodec.encodeBmp24(2, 2,
+      (x, y, _) => x * 100 + y * 50))
+    val up = RealCodec.resizeNearest(img, 4, 4)
+    assert(up.width == 4 && up.height == 4)
+    assert(up.pixels((0 * 4 + 0) * 3) == 0)     // top-left quadrant
+    assert(up.pixels((0 * 4 + 3) * 3) == 100)   // top-right
+    assert(up.pixels((3 * 4 + 0) * 3) == 50)    // bottom-left
+    assert(up.pixels((3 * 4 + 3) * 3) == 150)   // bottom-right
+  }
 }
