@@ -2072,7 +2072,23 @@ final class Compiler(graph: PropertyGraph,
       case None => throw new GqlCompileException(
         s"unknown session parameter $$$name")
     }
-    case Prop(v, p) => col(s"${v}_$p")
+    // dynamic-property semantics (reference Value model): accessing a
+    // property NO row of the variable's label carries yields NULL, not
+    // an unresolved-column error — properties appear per-INSERT, so a
+    // never-written name is simply absent, like a written-then-missing
+    // one. Only statically-known entity bindings resolve this way;
+    // aliases keep strict column resolution.
+    case Prop(v, p) => ctx.bindings.get(v) match {
+      case Some(nb: NodeBinding)
+          if !nb.labels.exists(l => graph.nodeTables.get(l)
+            .exists(_.columns.contains(p))) && p != "id" =>
+        lit(null)
+      case Some(EdgeBinding(l))
+          if !graph.edgeTables.get(l).exists(_._2.columns.contains(p)) &&
+            p != "eid" && p != "id" =>
+        lit(null)
+      case _ => col(s"${v}_$p")
+    }
     case CountStar() =>
       throw new GqlCompileException("count(*) outside aggregation context")
     case Fn(n, args, d) if aggNames.contains(n) =>

@@ -328,10 +328,11 @@ class StatementSpec extends AnyFunSuite {
       "RETURN count(a) AS c").collect().head.getLong(0) == 50L)
     assert(s.execute("MATCH (m:Merchant) WHERE m.in_mark = 1 " +
       "RETURN count(m) AS c").collect().head.getLong(0) == 20L)
-    // the columns landed on their own tables, not the first target's
-    intercept[Exception] {
-      s.execute("MATCH (a:Account) RETURN a.in_mark AS x").collect()
-    }
+    // the columns landed on their own tables, not the first target's:
+    // Account never received in_mark, so it reads NULL on every row
+    // (dynamic-property semantics — absent properties are NULL, FuzzSpec)
+    val marks = s.execute("MATCH (a:Account) RETURN a.in_mark AS x").collect()
+    assert(marks.length == 50 && marks.forall(_.isNullAt(0)))
   }
 
   test("simple SET mixing variables is rejected") {
