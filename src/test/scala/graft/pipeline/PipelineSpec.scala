@@ -370,6 +370,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming PII scrub equals batch (stateless pipeline stage)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("docsstream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def scrub(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+      graft.text.TextAnalysis.redactPii(
+        concat($"text", lit(" mail to x"), $"doc_id", lit("@y.com")))
+        .as("clean"))
+    val q = scrub(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scrubbed").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("select * from scrubbed order by doc_id").collect()
+    val batch = scrub(spark.read.parquet(dir)).orderBy("doc_id").collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed.forall(_.getString(1).contains("<EMAIL>")))
+  }
+
   test("flatMapGroupsWithState running totals equal batch aggregation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evs2").toString
