@@ -201,7 +201,8 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
   /** Per-session catalog-listing cache: (CALL text, catalog version) →
     * listing DataFrame (a LocalRelation snapshot). See executeOne. */
   private val catalogListCache =
-    scala.collection.mutable.Map.empty[(String, Long), DataFrame]
+    scala.collection.mutable.Map
+      .empty[(String, Long, Map[String, Any]), DataFrame]
   private val subqueryCache = new graft.cache.SubqueryCache()
   /** Versioned-invalidation epoch (invalidation.rs Versioned strategy):
     * part of every cache key; bumped by any non-query statement and any
@@ -447,10 +448,23 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           if SystemProcedures.ReadOnly(name) =>
         if (!SystemProcedures.CatalogCacheable(name)) dispatchStmt(st)
         else {
-          val key = (text.trim, gls.catalogVersion.get)
+          // $param references compile to literals, so a listing whose
+          // WHERE reads a session parameter must key on the parameter
+          // values too (NEXT…YIELD seeds params without a version bump);
+          // param-free texts keep the cheap two-part key
+          val ver = gls.catalogVersion.get
+          val paramsKey: Map[String, Any] =
+            if (text.contains("$")) sessionParams else Map.empty
+          val key = (text.trim, ver, paramsKey)
           catalogListCache.getOrElse(key, {
             val df = dispatchStmt(st)
-            if (catalogListCache.size > 64) catalogListCache.clear()
+            if (catalogListCache.size > 64) {
+              // stale-version entries can never hit again (the version is
+              // monotonic) — drop those first and keep the hot set; only
+              // wholesale-clear if the current version alone overflows
+              catalogListCache.filterInPlace { case ((_, v, _), _) => v == ver }
+              if (catalogListCache.size > 64) catalogListCache.clear()
+            }
             catalogListCache(key) = df
             df
           })
@@ -902,6 +916,19 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         }
         currentGraph = Some(g2)
         Seq(affected).toDF("properties_removed")
+
+      case MatchDeleteStmt(pattern, where, target, detach)
+          if pattern.hops.size == 1 &&
+            pattern.hops.head._1.variable.contains(target) &&
+            pattern.hops.head._1.types.isEmpty =>
+        // type-less edge DELETE spans every edge type the pattern can
+        // match: route through the pipeline path, whose multi-type
+        // binding partitions eids by the per-row matched type
+        val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
+          Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
+          Seq.empty, None, Seq.empty, None, None)
+        dispatchStmt(PipelineMutationStmt(Ast.Query(Seq(seg)), "DELETE",
+          target, Seq.empty, Seq.empty, detach))
 
       case MatchDeleteStmt(pattern, where, target, detach) =>
         requirePerm("DELETE")
@@ -1368,10 +1395,32 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           case "DELETE" =>
             bindings.get(target) match {
               case Some(eb: compiler.EdgeBinding) =>
-                val eids = bdf.select(col(s"${target}_eid").as("eid")).distinct()
-                  .localCheckpoint(true)
-                val n = eids.count()
-                currentGraph = Some(graph2.deleteEdgesIn(graph, eb.label, eids))
+                // multi-type edge vars: eids are only unique per type, so
+                // partition the binding rows by the matched type column
+                // and delete within each type's table
+                val n =
+                  if (eb.types.size == 1) {
+                    val eids = bdf.select(col(s"${target}_eid").as("eid"))
+                      .distinct().localCheckpoint(true)
+                    val c = eids.count()
+                    currentGraph = Some(
+                      graph2.deleteEdgesIn(graph, eb.primary, eids))
+                    c
+                  } else {
+                    var g = graph
+                    var total = 0L
+                    eb.types.foreach { t =>
+                      val eids = bdf
+                        .filter(col(s"${target}_label") === lit(t))
+                        .select(col(s"${target}_eid").as("eid"))
+                        .distinct().localCheckpoint(true)
+                      val c = eids.count()
+                      if (c > 0) { g = graph2.deleteEdgesIn(g, t, eids) }
+                      total += c
+                    }
+                    currentGraph = Some(g)
+                    total
+                  }
                 Seq(n).toDF("edges_deleted")
               case _ =>
                 val label = nodeLabelOf(target)

@@ -121,7 +121,17 @@ final class Compiler(graph: PropertyGraph,
     * (label, id) pair, matching executor.rs:7865-7894).
     */
   case object UnionNode extends Binding
-  case class EdgeBinding(label: String) extends Binding
+  /** An edge variable. `types` lists every edge type the hop's oriented
+    * union can bind per-row (multi-type patterns `[t:A|B]` and type-less
+    * `[t]` produce >1); the per-row type rides in `<v>_label`. `primary`
+    * is only a representative for single-type shortcuts.
+    */
+  case class EdgeBinding(types: Seq[String]) extends Binding {
+    def primary: String = types.head
+  }
+  object EdgeBinding {
+    def one(label: String): EdgeBinding = EdgeBinding(Seq(label))
+  }
   case object ValueBinding extends Binding
 
   private case class Ctx(bindings: Map[String, Binding]) {
@@ -644,6 +654,15 @@ final class Compiler(graph: PropertyGraph,
       case it @ ReturnItem(Ident(v), None)
           if !isFinal && ctx.bindings.get(v).contains(UnionNode) =>
         Seq(it, ReturnItem(Prop(v, "label"), Some(s"${v}_label")))
+      // a multi-type edge var likewise carries its per-row matched type:
+      // TYPE(), IS :Type, and per-type DML partitioning read it later
+      case it @ ReturnItem(Ident(v), al)
+          if !isFinal && ctx.bindings.get(v).exists {
+            case eb: EdgeBinding => eb.types.size > 1
+            case _ => false
+          } =>
+        Seq(it, ReturnItem(Prop(v, "label"),
+          Some(s"${al.getOrElse(v)}_label")))
       case other => Seq(other)
     }
     val items = expanded.zipWithIndex.map { case (it, i) =>
@@ -1495,7 +1514,7 @@ final class Compiler(graph: PropertyGraph,
     if (ctx.bindings.contains(startVar)) {
       // already bound: apply inline props as filters
       path.start.props.foreach { case (k, v) =>
-        df = df.map(_.filter(col(s"${startVar}_$k") === compileExpr(v, ctx)))
+        df = df.map(propFilter(_, s"${startVar}_$k", v, ctx))
       }
     } else {
       // A comma-separated pattern list cross-joins each new start scan
@@ -1622,6 +1641,17 @@ final class Compiler(graph: PropertyGraph,
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Inline pattern property filter `{k: v}`. A name NO row carries reads
+    * as NULL under the dynamic-property model (same rule compileExpr's
+    * Prop case applies), and `NULL = v` is never true — so an absent
+    * column matches nothing instead of failing analysis.
+    */
+  private def propFilter(d: DataFrame, colName: String, value: Expr,
+      ctx: Ctx): DataFrame =
+    if (d.columns.contains(colName))
+      d.filter(col(colName) === compileExpr(value, ctx))
+    else d.limit(0)
+
   private def scanNode(label: String, v: String,
       props: Seq[(String, Expr)], ctx: Ctx): DataFrame = {
     val t = graph.nodeTables.getOrElse(label,
@@ -1629,7 +1659,7 @@ final class Compiler(graph: PropertyGraph,
     var d = t.columns.foldLeft(t)((acc, c) =>
       acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
     props.foreach { case (k, lit) =>
-      d = d.filter(col(s"${v}_$k") === compileExpr(lit, ctx))
+      d = propFilter(d, s"${v}_$k", lit, ctx)
     }
     d
   }
@@ -1656,7 +1686,7 @@ final class Compiler(graph: PropertyGraph,
       d = d.join(side, s"${v}_id")
     }
     props.foreach { case (k, lit) =>
-      d = d.filter(col(s"${v}_$k") === compileExpr(lit, ctx))
+      d = propFilter(d, s"${v}_$k", lit, ctx)
     }
     d
   }
@@ -1675,7 +1705,7 @@ final class Compiler(graph: PropertyGraph,
     }
     var d = scans.reduce(_.unionByName(_, allowMissingColumns = true))
     props.foreach { case (k, lit) =>
-      d = d.filter(col(s"${v}_$k") === compileExpr(lit, ctx))
+      d = propFilter(d, s"${v}_$k", lit, ctx)
     }
     d
   }
@@ -1798,9 +1828,9 @@ final class Compiler(graph: PropertyGraph,
     var joined = df.join(e, joinCond)
     if (fromUnion) joined = joined.drop(fromLabelCol)
     edge.props.foreach { case (k, v) =>
-      joined = joined.filter(col(s"${eVar}_$k") === compileExpr(v, ctx))
+      joined = propFilter(joined, s"${eVar}_$k", v, ctx)
     }
-    ctx = Ctx(ctx.bindings + (eVar -> EdgeBinding(combos.head._1)))
+    ctx = Ctx(ctx.bindings + (eVar -> EdgeBinding(combos.map(_._1).distinct)))
 
     // target node
     if (ctx.bindings.contains(nVar)) {
@@ -1811,7 +1841,7 @@ final class Compiler(graph: PropertyGraph,
         else col(dstCol) === col(s"${nVar}_id"))
         .drop(srcCol, dstCol, endLabelCol)
       node.props.foreach { case (k, v) =>
-        out = out.filter(col(s"${nVar}_$k") === compileExpr(v, ctx))
+        out = propFilter(out, s"${nVar}_$k", v, ctx)
       }
       (out, ctx, nVar)
     } else if (endLabels.size > 1) {
@@ -1869,7 +1899,8 @@ final class Compiler(graph: PropertyGraph,
           out = out.withColumn(s"${eVar}_$p", lit(null).cast("string"))
       }
     ctx = Ctx(ctx.bindings +
-      (eVar -> EdgeBinding(edge.types.headOption.getOrElse("__missing"))))
+      (eVar -> EdgeBinding(
+        if (edge.types.isEmpty) Seq("__missing") else edge.types)))
     if (!ctx.bindings.contains(nVar)) {
       out = out.withColumn(s"${nVar}_id", lit(null).cast("long"))
       if (node.labels.isEmpty) {
@@ -2082,11 +2113,16 @@ final class Compiler(graph: PropertyGraph,
       case Some(nb: NodeBinding)
           if !nb.labels.exists(l => graph.nodeTables.get(l)
             .exists(_.columns.contains(p))) && p != "id" =>
-        lit(null)
-      case Some(EdgeBinding(l))
-          if !graph.edgeTables.get(l).exists(_._2.columns.contains(p)) &&
-            p != "eid" && p != "id" =>
-        lit(null)
+        lit(null).cast("string")
+      case Some(eb: EdgeBinding)
+          if !eb.types.exists(t => graph.edgeTables.get(t)
+            .exists(_._2.columns.contains(p))) &&
+            p != "eid" && p != "id" && p != "label" =>
+        lit(null).cast("string")
+      case Some(UnionNode)
+          if !graph.nodeTables.values.exists(_.columns.contains(p)) &&
+            p != "id" && p != "label" =>
+        lit(null).cast("string")
       case _ => col(s"${v}_$p")
     }
     case CountStar() =>
@@ -2153,7 +2189,12 @@ final class Compiler(graph: PropertyGraph,
           case Some(UnionNode) =>
             val c = col(s"${v}_label") === lit(label)
             if (neg) !c else c
-          case Some(EdgeBinding(l)) => lit((l == label) != neg)
+          case Some(eb: EdgeBinding) if eb.types.size == 1 =>
+            lit((eb.primary == label) != neg)
+          case Some(_: EdgeBinding) =>
+            // multi-type union: the matched type travels per-row
+            val c = col(s"${v}_label") === lit(label)
+            if (neg) !c else c
           case _ => throw new GqlCompileException(s"IS :$label expects a node/edge variable")
         }
         case _ => throw new GqlCompileException(s"IS :$label expects a variable")
@@ -2239,10 +2280,11 @@ final class Compiler(graph: PropertyGraph,
         graph.nodeTables.get(l).exists(_.schema.fields.exists(f =>
           f.name.equalsIgnoreCase(p) &&
             f.dataType == org.apache.spark.sql.types.StringType)))
-      case Some(EdgeBinding(l)) =>
-        graph.edgeTables.get(l).exists(_._2.schema.fields.exists(f =>
-          f.name.equalsIgnoreCase(p) &&
-            f.dataType == org.apache.spark.sql.types.StringType))
+      case Some(eb: EdgeBinding) =>
+        eb.types.exists(t =>
+          graph.edgeTables.get(t).exists(_._2.schema.fields.exists(f =>
+            f.name.equalsIgnoreCase(p) &&
+              f.dataType == org.apache.spark.sql.types.StringType)))
       case _ => false
     }
     case Ident(_) => false // entities/ids are not strings
@@ -2417,9 +2459,14 @@ final class Compiler(graph: PropertyGraph,
       case Some(nb: NodeBinding) =>
         graph.nodeTables.get(nb.primary)
           .flatMap(t => t.schema.find(_.name == p)).flatMap(f => dtKind(f.dataType))
-      case Some(EdgeBinding(l)) =>
-        graph.edgeTables.get(l)
-          .flatMap(t => t._2.schema.find(_.name == p)).flatMap(f => dtKind(f.dataType))
+      case Some(eb: EdgeBinding) =>
+        // static only when every matched type agrees on the kind
+        eb.types.flatMap(t => graph.edgeTables.get(t)
+          .flatMap(_._2.schema.find(_.name == p))
+          .flatMap(f => dtKind(f.dataType))).distinct match {
+          case Seq(k) => Some(k)
+          case _ => None
+        }
       case _ => None // UnionNode props can differ per label
     }
     case Neg(_) => Some("NUMBER")
@@ -2810,9 +2857,9 @@ final class Compiler(graph: PropertyGraph,
               .distinct.filterNot(_ == "id").sorted
             map(props.flatMap(p =>
               Seq(lit(p), col(s"${v}_$p").cast("string"))): _*)
-          case Some(EdgeBinding(l)) =>
-            val props = graph.edgeTables.get(l)
-              .map(_._2.columns.toSeq).getOrElse(Seq.empty)
+          case Some(eb: EdgeBinding) =>
+            val props = eb.types.flatMap(t => graph.edgeTables.get(t)
+              .map(_._2.columns.toSeq).getOrElse(Seq.empty)).distinct
               .filterNot(c => c == "src" || c == "dst" || c == "eid").sorted
             map(props.flatMap(p =>
               Seq(lit(p), col(s"${v}_$p").cast("string"))): _*)

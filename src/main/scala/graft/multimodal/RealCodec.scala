@@ -73,9 +73,13 @@ object RealCodec {
     var data: Option[(Int, Int)] = None // (offset, length)
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
-      val len = u32(bytes, off + 4).toInt
-      require(off + 8 + len <= bytes.length,
-        s"WAV: chunk '$id' at $off overruns (${len}B of ${bytes.length})")
+      // chunk length is unsigned 32-bit: compare in Long space so a
+      // crafted length can neither wrap negative (infinite RIFF walk)
+      // nor overflow the bounds check into a bad allocation
+      val len32 = u32(bytes, off + 4)
+      require(off + 8L + len32 <= bytes.length,
+        s"WAV: chunk '$id' at $off overruns (${len32}B of ${bytes.length})")
+      val len = len32.toInt
       id match {
         case "fmt " =>
           require(len >= 16, s"WAV: fmt chunk too short ($len)")
@@ -91,6 +95,8 @@ object RealCodec {
     val (channels, rate, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("WAV: no fmt chunk"))
     require(bits == 16, s"WAV: only PCM-16 supported (got $bits)")
+    require(channels > 0, s"WAV: fmt declares $channels channels")
+    require(rate > 0, s"WAV: fmt declares sample rate $rate")
     val (dOff, dLen) = data.getOrElse(
       throw new IllegalArgumentException("WAV: no data chunk"))
     val samples = new Array[Short](dLen / 2)
@@ -131,21 +137,33 @@ object RealCodec {
   def decodeBmp(bytes: Array[Byte]): BmpInfo = {
     require(bytes.length >= 54, s"BMP: ${bytes.length} bytes, need >= 54")
     require(bytes(0) == 'B' && bytes(1) == 'M', "BMP: bad magic")
-    val dataOff = u32(bytes, 10).toInt
+    val dataOff = u32(bytes, 10)
     val hdrSize = u32(bytes, 14).toInt
     require(hdrSize >= 40, s"BMP: header size $hdrSize unsupported")
     val width = u32(bytes, 18).toInt
-    val height = u32(bytes, 22).toInt
+    // height is SIGNED int32: negative means top-down row order
+    // (spec-legal); bound both dims before any size arithmetic so
+    // crafted values can't overflow past the overrun guard
+    val rawH = u32(bytes, 22).toInt
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    require(width > 0 && width <= (1 << 20),
+      s"BMP: width $width out of range")
+    require(rawH != Int.MinValue && height > 0 && height <= (1 << 20),
+      s"BMP: height $rawH out of range")
     val bpp = u16(bytes, 28)
     require(bpp == 24, s"BMP: only 24-bit supported (got $bpp)")
     require(u32(bytes, 30) == 0, "BMP: compressed payloads unsupported")
     val rowBytes = (width * 3 + 3) & ~3
-    require(dataOff + rowBytes * height <= bytes.length,
+    require(dataOff + rowBytes.toLong * height <= bytes.length,
       s"BMP: pixel array overruns (${bytes.length} bytes)")
+    val base = dataOff.toInt
     val pixels = new Array[Int](width * height * 3)
-    for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
+    for (y <- 0 until height; x <- 0 until width; c <- 0 until 3) {
+      val fileRow = if (topDown) y else height - 1 - y
       pixels((y * width + x) * 3 + c) =
-        bytes(dataOff + (height - 1 - y) * rowBytes + x * 3 + c) & 0xff
+        bytes(base + fileRow * rowBytes + x * 3 + c) & 0xff
+    }
     BmpInfo(width, height, pixels)
   }
 

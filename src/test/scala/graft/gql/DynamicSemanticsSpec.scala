@@ -1,0 +1,107 @@
+package graft.gql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.graph.{EdgeType, PropertyGraph}
+
+/** Dynamic-property and multi-type-edge semantics (reference Value model:
+  * properties appear per-INSERT; edge variables bind per-row types).
+  * Regression coverage for the round-10 review findings: a type-less edge
+  * variable spans EVERY matched edge type, so property reads, IS :Type,
+  * and TYPE() must consult the per-row type — never just the first
+  * matched type's schema.
+  */
+class DynamicSemanticsSpec extends AnyFunSuite {
+  private def spark = SparkFixture.spark
+
+  /** Two edge types with DISJOINT property sets: Transaction carries
+    * `amount`, Referral carries `bonus` — a head-type-only schema lookup
+    * gets every mixed-type query below wrong.
+    */
+  private lazy val mixedGraph: PropertyGraph = {
+    val s = spark
+    import s.implicits._
+    val accounts = (1 to 6).map(i => (i.toLong, s"A$i")).toDF("id", "name")
+    val merchants = (1 to 3).map(i => (i.toLong, s"M$i")).toDF("id", "name")
+    val transactions = Seq((1L, 1L, 1L, 10.0), (2L, 2L, 2L, 20.0))
+      .toDF("src", "dst", "eid", "amount")
+    val referrals = Seq((3L, 1L, 1L, 7L), (4L, 3L, 2L, 9L))
+      .toDF("src", "dst", "eid", "bonus")
+    new PropertyGraph(
+      Map("Account" -> accounts, "Merchant" -> merchants),
+      Map(
+        "Transaction" ->
+          (EdgeType("Transaction", "Account", "Merchant"), transactions),
+        "Referral" ->
+          (EdgeType("Referral", "Account", "Merchant"), referrals)))
+  }
+
+  private lazy val s = SparkFixture.gqlSession(mixedGraph)
+
+  test("property on a non-head edge type reads real per-row values") {
+    // t spans Transaction|Referral; bonus exists only on Referral.
+    // Head-type-only resolution would fold the whole column to NULL.
+    val rows = s.gql(
+      "MATCH (a:Account)-[t]->(m:Merchant) WHERE t.bonus IS NOT NULL " +
+        "RETURN t.bonus AS b ORDER BY b").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(7L, 9L))
+    // and the Transaction-only property stays readable on the same var
+    val amts = s.gql(
+      "MATCH (a:Account)-[t]->(m:Merchant) WHERE t.amount IS NOT NULL " +
+        "RETURN t.amount AS a ORDER BY a").collect().map(_.getDouble(0))
+    assert(amts.toSeq == Seq(10.0, 20.0))
+  }
+
+  test("IS :Type on a multi-type edge variable dispatches per-row") {
+    assert(s.gql("MATCH (a:Account)-[t]->(m:Merchant) " +
+      "WHERE t IS :Referral RETURN t.bonus").count() == 2L)
+    assert(s.gql("MATCH (a:Account)-[t]->(m:Merchant) " +
+      "WHERE t IS NOT :Referral RETURN t.amount").count() == 2L)
+    // single-type binding still folds statically
+    assert(s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WHERE t IS :Transaction RETURN t.amount").count() == 2L)
+  }
+
+  test("TYPE() over a multi-type edge variable yields the per-row type") {
+    val types = s.gql("MATCH (a:Account)-[t]->(m:Merchant) " +
+      "RETURN DISTINCT TYPE(t) AS ty ORDER BY ty")
+      .collect().map(_.getString(0))
+    assert(types.toSeq == Seq("Referral", "Transaction"))
+  }
+
+  test("property absent from every matched type reads NULL") {
+    val n = s.gql("MATCH (a:Account)-[t]->(m:Merchant) " +
+      "WHERE t.never_written IS NULL RETURN t").count()
+    assert(n == 4L)
+  }
+
+  test("inline pattern map on an absent property matches nothing") {
+    // absent ≡ NULL, and {k: v} is an equality filter — NULL = v never
+    // holds, so the match is empty rather than an analysis error
+    assert(s.gql("MATCH (a:Account {absent_prop: 5}) RETURN a").count() == 0L)
+    assert(s.gql("MATCH (a:Account)-[t {absent_prop: 5}]->(m:Merchant) " +
+      "RETURN t").count() == 0L)
+    assert(s.gql("MATCH (n {absent_prop: 'x'}) RETURN n").count() == 0L)
+  }
+
+  test("label-less variable reads an absent property as NULL") {
+    val vals = s.gql("MATCH (n) RETURN DISTINCT n.never_written AS v")
+      .collect()
+    assert(vals.length == 1 && vals.head.isNullAt(0))
+  }
+
+  test("PROPERTIES() on a multi-type edge variable unions the prop sets") {
+    val m = s.gql("MATCH (a:Account)-[t]->(m:Merchant) " +
+      "WHERE t IS :Referral RETURN PROPERTIES(t) AS p LIMIT 1")
+      .collect().head.getMap[String, String](0)
+    assert(m.keys.toSet.contains("bonus") && m.keys.toSet.contains("amount"))
+  }
+
+  test("DELETE through a multi-type edge variable deletes in every type") {
+    val d = SparkFixture.gqlSession(mixedGraph)
+    val n = d.execute("MATCH (a:Account)-[t]->(m:Merchant) DELETE t")
+      .collect().head.getLong(0)
+    assert(n == 4L) // 2 Transaction + 2 Referral
+    assert(d.gql("MATCH (a:Account)-[t]->(m:Merchant) RETURN t").count() == 0L)
+  }
+}

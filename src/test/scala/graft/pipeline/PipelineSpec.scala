@@ -626,6 +626,52 @@ class PipelineSpec extends AnyFunSuite {
       RealCodec.decodeBmp(bmp.take(40))).getMessage.contains("need >= 54"))
   }
 
+  test("RealCodec: crafted headers fail fast, never hang or overflow") {
+    import graft.multimodal.RealCodec
+    val wav = RealCodec.encodeWavPcm16Mono(8000, Array[Short](1, 2, 3))
+    // chunk length 0xFFFFFFF8 once truncated to Int advanced the RIFF
+    // walk by 0 bytes — an infinite loop; the Long-space bounds check
+    // must reject it instead
+    val spin = wav.clone()
+    spin(40) = 0xf8.toByte; spin(41) = 0xff.toByte
+    spin(42) = 0xff.toByte; spin(43) = 0xff.toByte
+    assert(intercept[IllegalArgumentException](RealCodec.decodeWav(spin))
+      .getMessage.contains("overruns"))
+    // a large positive length whose off+8+len wraps negative as Int
+    val wrap = wav.clone()
+    wrap(40) = 0xf0.toByte; wrap(41) = 0xff.toByte
+    wrap(42) = 0xff.toByte; wrap(43) = 0x7f.toByte
+    assert(intercept[IllegalArgumentException](RealCodec.decodeWav(wrap))
+      .getMessage.contains("overruns"))
+    // fmt declaring zero channels must throw, not divide-by-zero later
+    val noCh = wav.clone(); noCh(22) = 0; noCh(23) = 0
+    assert(intercept[IllegalArgumentException](RealCodec.decodeWav(noCh))
+      .getMessage.contains("channels"))
+    // BMP width near 2^30 overflows rowBytes*height as Int — must reject
+    val bigW = RealCodec.encodeBmp24(3, 3, (_, _, _) => 7).clone()
+    bigW(18) = 0; bigW(19) = 0; bigW(20) = 0; bigW(21) = 0x40
+    assert(intercept[IllegalArgumentException](RealCodec.decodeBmp(bigW))
+      .getMessage.contains("width"))
+  }
+
+  test("RealCodec: negative height decodes spec-legal top-down BMPs") {
+    import graft.multimodal.RealCodec
+    val bottomUp = RealCodec.encodeBmp24(3, 2, (x, y, c) => x * 10 + y * 40 + c)
+    // rewrite height 2 → -2 and reverse the stored row order: the decoded
+    // pixels must be identical to the bottom-up original
+    val td = bottomUp.clone()
+    td(22) = 0xfe.toByte; td(23) = 0xff.toByte
+    td(24) = 0xff.toByte; td(25) = 0xff.toByte
+    val rowBytes = (3 * 3 + 3) & ~3
+    for (i <- 0 until rowBytes) {
+      val t = td(54 + i); td(54 + i) = td(54 + rowBytes + i); td(54 + rowBytes + i) = t
+    }
+    val a = RealCodec.decodeBmp(bottomUp)
+    val b = RealCodec.decodeBmp(td)
+    assert(b.width == a.width && b.height == a.height)
+    assert(b.pixels.toSeq == a.pixels.toSeq)
+  }
+
   test("RealCodec: nearest-neighbor resize is a real pixel transform") {
     import graft.multimodal.RealCodec
     // 2×2 quadrant image; 4×4 upsample must replicate each quadrant
