@@ -16,8 +16,8 @@ object Bench {
     try run()
     catch {
       case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.toString)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
+        val msg = graft.util.Json.escape(
+          Option(e.getMessage).getOrElse(e.toString).take(300))
         println(s"""{"metric":"total","value":-1.000,"unit":"sec","queries":{},"sf":"?","fatal":"${e.getClass.getSimpleName}: $msg"}""")
         throw e
     }
@@ -110,8 +110,8 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          errors.getOrElseUpdate(name, e.toString
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+          errors.getOrElseUpdate(name,
+            graft.util.Json.escape(e.toString.take(160)))
           false
         }
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)

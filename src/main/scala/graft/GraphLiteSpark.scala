@@ -254,16 +254,20 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
   def useGraph(path: String): this.type = {
     val parts = path.stripPrefix("/").split("/")
     require(parts.length == 2, s"graph path must be /schema/graph, got $path")
+    // canonical "/schema/graph" form everywhere downstream — DROP
+    // GRAPH's stale-data guard compares currentName against the
+    // canonical path, so an attach via "schema/graph" must not differ
+    val canon = "/" + parts.mkString("/")
     // attach requires *some* grant on a governed graph (a user granted
     // only INSERT may attach to insert); the per-operation checks below
     // (SELECT at query compile, INSERT/UPDATE/DELETE in the DML branches)
     // mirror the reference Permission enum (security.rs:219-246)
-    if (!gls.catalog.checkAccessAny(user, path))
+    if (!gls.catalog.checkAccessAny(user, canon))
       throw new GqlAuthException(
-        s"user '$user' has no grants on $path")
+        s"user '$user' has no grants on $canon")
     currentGraph = Some(gls.catalog.loadGraph(parts(0), parts(1)))
-    currentName = Some(path)
-    currentType = gls.catalog.graphTypeFor(path)
+    currentName = Some(canon)
+    currentType = gls.catalog.graphTypeFor(canon)
     cacheEpoch += 1
     this
   }
@@ -546,9 +550,33 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         // node detected"). Explicit `id:` props remain user-managed
         // identity (the fraud/TPC-H fixtures), documented divergence from
         // the reference's hash-everything internal ids.
+        // render exactly as Spark's `cast(col AS STRING)` would: the
+        // pipeline-INSERT path hashes a distributed cast-to-string canon,
+        // and the same content inserted through either path must produce
+        // the same id (cross-path dedup). String.valueOf diverges for
+        // temporal values (java.sql.Timestamp appends ".0") and
+        // collections (Seq.toString is "List(…)" vs Spark's "[…]").
+        def hashRender(v: Any): String = v match {
+          case null => "null"
+          case t: java.sql.Timestamp => hashRender(t.toLocalDateTime)
+          case lt: java.time.LocalDateTime =>
+            val base = f"${lt.getYear}%04d-${lt.getMonthValue}%02d-" +
+              f"${lt.getDayOfMonth}%02d ${lt.getHour}%02d:" +
+              f"${lt.getMinute}%02d:${lt.getSecond}%02d"
+            val micros = lt.getNano / 1000
+            if (micros == 0) base
+            else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+          case d: java.sql.Date => d.toString
+          case ld: java.time.LocalDate => ld.toString
+          case bd: java.math.BigDecimal => bd.toPlainString
+          case bd: scala.math.BigDecimal => bd.bigDecimal.toPlainString
+          case s: Seq[_] => s.map(hashRender).mkString("[", ", ", "]")
+          case a: Array[_] => a.map(hashRender).mkString("[", ", ", "]")
+          case other => String.valueOf(other)
+        }
         def contentHash(label: String, props: Seq[(String, Any)]): Long = {
           val canon = label + "|" + props.sortBy(_._1).map {
-            case (k, v) => k + "=" + String.valueOf(v) }.mkString("|")
+            case (k, v) => k + "=" + hashRender(v) }.mkString("|")
           val md = java.security.MessageDigest.getInstance("MD5")
             .digest(canon.getBytes("UTF-8"))
           // 60-bit positive id from the digest prefix (same family as
@@ -751,8 +779,9 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           } else {
             // content-hash id, bit-identical to the driver-side
             // contentHash: low 60 bits of the first 16 hex digits of
-            // md5("label|k1=v1|k2=v2") with keys sorted and nulls
-            // rendered "null" (String.valueOf parity)
+            // md5("label|k1=v1|k2=v2") with keys sorted, nulls rendered
+            // "null", and values rendered with cast-to-string semantics
+            // (the driver-side hashRender mirrors this cast exactly)
             val canon = org.apache.spark.sql.functions.concat(
               lit(label) +: np.props.map(_._1).sorted.map { k =>
                 org.apache.spark.sql.functions.concat(lit(s"|$k="),

@@ -167,16 +167,7 @@ object Repl {
     * null properties render as JSON null).
     */
   private def renderJson(df: DataFrame, out: PrintStream, max: Int): Unit = {
-    def jstr(s: String): String = {
-      val sb = new StringBuilder("\"")
-      s.foreach {
-        case '\\' => sb.append("\\\\")
-        case '"' => sb.append("\\\"")
-        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      sb.append('"').toString
-    }
+    def jstr(s: String): String = util.Json.str(s)
     def jval(v: Any): String = v match {
       case null => "null"
       // NaN/Infinity have no JSON representation — render as null so

@@ -578,8 +578,10 @@ final class Compiler(graph: PropertyGraph,
             val labels = collectedEntities(v)
             var d = in.withColumn(s"${as}_id", explode(col(v)))
             val t = graph.nodeTables(labels.head)
+            // "id" is already bound by the explode — re-selecting it from
+            // the label table would duplicate `<as>_id` (ambiguous ref)
             val used = usedProps.getOrElse(as, Set.empty)
-              .filter(t.columns.contains)
+              .filter(p => p != "id" && t.columns.contains(p))
             if (used.nonEmpty) {
               val sel = t.select(col("id").as(fresh("uwid")) +:
                 used.toSeq.sorted.map(p => col(p).as(s"${as}_$p")): _*)
@@ -593,6 +595,7 @@ final class Compiler(graph: PropertyGraph,
             ctx = Ctx(ctx.bindings + (as -> ValueBinding))
         }
         aliasKinds -= as // element kind of the unwound list is dynamic
+        collectedEntities -= as // a rebound name is no longer a node list
       case StLet(defs) =>
         var in = df.getOrElse(singleRow)
         defs.foreach { case (v, e) =>
@@ -602,6 +605,7 @@ final class Compiler(graph: PropertyGraph,
             case None => aliasKinds - v
           }
           ctx = Ctx(ctx.bindings + (v -> ValueBinding))
+          collectedEntities -= v // LET shadows any collected-node alias
           zonedVals = e match {
             case ZonedShape() => zonedVals + v
             case _ => zonedVals - v
@@ -2796,9 +2800,18 @@ final class Compiler(graph: PropertyGraph,
       // STRING/NUMBER/BOOLEAN/NULL/LIST/NODE/DATETIME/PATH), resolved
       // statically from shape + schema, with a runtime null check.
       case "TYPE" => args(0) match {
+        // entity vars can be null at runtime (unmatched OPTIONAL MATCH):
+        // the reference's TypeFunction sees Value::Null → "NULL"
         case Ident(v) if ctx.bindings.get(v).exists(_.isInstanceOf[EdgeBinding]) =>
-          col(s"${v}_label")
-        case Ident(v) if ctx.isNodeLike(v) => lit("NODE")
+          // single-type binds fold statically (the per-row label column
+          // does not survive WITH for them); multi-type reads the
+          // carried per-row type
+          val eb = ctx.bindings(v).asInstanceOf[EdgeBinding]
+          val ty = if (eb.types.size == 1) lit(eb.primary)
+                   else col(s"${v}_label")
+          when(col(s"${v}_eid").isNull, lit("NULL")).otherwise(ty)
+        case Ident(v) if ctx.isNodeLike(v) =>
+          when(col(s"${v}_id").isNull, lit("NULL")).otherwise(lit("NODE"))
         case e0 => staticKind(e0, ctx) match {
           case Some("NULL") => lit("NULL")
           case Some(k) =>

@@ -785,10 +785,10 @@ object PipelineQueries {
          |  CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(top_word_n AS BIGINT) AS top_word_n,
          |  top_word_n / CAST(n_tokens AS DOUBLE) AS top_word_frac,
-         |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  COALESCE(CAST(n_bigrams AS BIGINT), 0) AS n_bigrams,
          |  CAST(top_bigram_n AS BIGINT) AS top_bigram_n,
          |  top_bigram_n / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
-         |FROM tw JOIN tb ON tw.doc_id = tb.doc_id
+         |FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
          |ORDER BY tw.doc_id""".stripMargin,
     // d18: per-source mean token count over exact integer sums; sources
     // below the floor drop with all their documents

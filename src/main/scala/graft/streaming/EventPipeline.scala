@@ -54,6 +54,10 @@ object EventPipeline {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // self-sufficient on the TIMESTAMP(NANOS) test-data generation: the
+    // sniff read below throws "Illegal Parquet type" without this conf,
+    // and library callers don't necessarily preset it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val physical = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(physical)
       .option("maxFilesPerTrigger", "1")

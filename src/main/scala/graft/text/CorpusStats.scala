@@ -40,13 +40,16 @@ object CorpusStats {
       .agg(count(lit(1)).as("c"))
     val topBigram = bc.groupBy(col(idCol))
       .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
-    topWord.join(topBigram, Seq(idCol))
+    // left join: a one-token document has NO bigram rows but must still
+    // report its word stats (n_bigrams 0, bigram fraction NULL) — an
+    // inner join would silently drop it from the curation signal
+    topWord.join(topBigram, Seq(idCol), "left")
       .select(col(idCol),
         col("n_tokens").cast("long").as("n_tokens"),
         col("top_word_n").cast("long").as("top_word_n"),
         (col("top_word_n") / col("n_tokens").cast("double"))
           .as("top_word_frac"),
-        col("n_bigrams").cast("long").as("n_bigrams"),
+        coalesce(col("n_bigrams").cast("long"), lit(0L)).as("n_bigrams"),
         col("top_bigram_n").cast("long").as("top_bigram_n"),
         (col("top_bigram_n") / col("n_bigrams").cast("double"))
           .as("top_bigram_frac"))

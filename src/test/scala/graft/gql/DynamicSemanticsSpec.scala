@@ -97,6 +97,77 @@ class DynamicSemanticsSpec extends AnyFunSuite {
     assert(m.keys.toSet.contains("bonus") && m.keys.toSet.contains("amount"))
   }
 
+  private def freshCatalogSession() = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dynsem").toString
+    graft.GraphLiteSpark.open(spark, wh).session("u")
+  }
+
+  test("UNWIND of collected nodes may read the rebound entity's id") {
+    // "id" is bound by the explode itself; re-joining it from the label
+    // table used to duplicate the column (AMBIGUOUS_REFERENCE)
+    val t = freshCatalogSession()
+    t.execute("CREATE GRAPH /main/unwind_id")
+    t.execute("SESSION SET GRAPH /main/unwind_id")
+    t.execute("INSERT (:P {id: 1, name: 'a'}), (:P {id: 2, name: 'b'})")
+    val rows = t.gql("MATCH (p:P) WITH collect(p) AS ps " +
+      "UNWIND ps AS q RETURN q.id AS qid, q.name AS nm ORDER BY qid")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("LET shadowing a collected-node alias rebinds it as a plain list") {
+    val t = freshCatalogSession()
+    t.execute("CREATE GRAPH /main/let_shadow")
+    t.execute("SESSION SET GRAPH /main/let_shadow")
+    t.execute("INSERT (:P {id: 1, name: 'a'})")
+    // ps is re-defined to a literal list: the UNWIND must yield the
+    // list's values, not node bindings joined against P ids
+    val rows = t.gql("MATCH (p:P) WITH collect(p) AS ps " +
+      "LET ps = [10, 20, 30] UNWIND ps AS x RETURN x ORDER BY x")
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("TYPE() of an unmatched OPTIONAL MATCH entity is 'NULL'") {
+    // inline prop that matches no edge → t and m stay null for A1
+    val rows = s.gql("MATCH (a:Account) WHERE a.name = 'A1' " +
+      "OPTIONAL MATCH (a)-[t:Transaction {amount: -1.0}]->(m:Merchant) " +
+      "RETURN TYPE(t) AS ty, TYPE(m) AS tm").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "NULL" && rows.head.getString(1) == "NULL")
+  }
+
+  test("content-hash ids agree across literal and pipeline INSERT") {
+    // same (label, props) content — including a temporal value — must
+    // collapse to ONE node whichever INSERT path created it
+    val t = freshCatalogSession()
+    t.execute("CREATE GRAPH /main/hash_parity")
+    t.execute("SESSION SET GRAPH /main/hash_parity")
+    t.execute("INSERT (:Log {msg: 'boot', at: " +
+      "DATETIME('2024-01-01T10:00:00')})")
+    // pipeline path re-creates identical content from the matched row
+    val r = t.execute("MATCH (n:Log) INSERT (:Log {msg: n.msg, at: n.at})")
+      .collect().head.getLong(0)
+    assert(r == 0L, s"pipeline INSERT of identical content inserted $r")
+    assert(t.gql("MATCH (n:Log) RETURN n").count() == 1L)
+  }
+
+  test("DROP GRAPH detaches sessions attached via non-canonical paths") {
+    // managed (pool) sessions are the cross-session detach surface
+    val wh = java.nio.file.Files.createTempDirectory("graft-dynsem").toString
+    val gls = graft.GraphLiteSpark.open(spark, wh)
+    val sid = gls.createSession("u")
+    val t = gls.getSession(sid).get
+    t.execute("CREATE GRAPH /main/dropped")
+    t.useGraph("main/dropped") // no leading slash — must still canonicalize
+    t.execute("INSERT (:P {id: 1})")
+    gls.session("u2").execute("DROP GRAPH /main/dropped")
+    val ex = intercept[Exception](t.gql("MATCH (p:P) RETURN p").count())
+    assert(ex.getMessage.contains("no current graph"),
+      s"session kept serving a dropped graph: ${ex.getMessage}")
+  }
+
   test("DELETE through a multi-type edge variable deletes in every type") {
     val d = SparkFixture.gqlSession(mixedGraph)
     val n = d.execute("MATCH (a:Account)-[t]->(m:Merchant) DELETE t")

@@ -17,6 +17,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L, 2L))
   }
 
+  test("repetition stats keep documents with fewer than two tokens") {
+    import spark.implicits._
+    // a one-word doc has NO bigrams; it must still appear with
+    // n_bigrams = 0 (an inner join silently dropped it from the
+    // curation signal — and a doc a filter never saw can't be filtered)
+    val docs = Seq((1L, "only"), (2L, "two words two words"))
+      .toDF("doc_id", "text")
+    val stats = graft.text.CorpusStats.repetitionStats(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(stats.length == 2)
+    val single = stats(0)
+    assert(single.getLong(single.fieldIndex("n_tokens")) == 1L)
+    assert(single.getLong(single.fieldIndex("n_bigrams")) == 0L)
+    assert(single.isNullAt(single.fieldIndex("top_bigram_frac")))
+    val multi = stats(1)
+    assert(multi.getLong(multi.fieldIndex("n_bigrams")) == 3L)
+    assert(multi.getLong(multi.fieldIndex("top_bigram_n")) == 2L)
+  }
+
   test("sequence packing: chunk ownership, shard isolation, overflow bound") {
     import spark.implicits._
     // 6 docs, 1 shard, budget 10; token counts 4,4,4,4,4,4 → running
