@@ -685,9 +685,23 @@ final class Compiler(graph: PropertyGraph,
         val cols = items.map { case (it, n) => compileExpr(it.expr, ctx).as(n) }
         base.select(cols: _*)
       } else {
-        val keyExprs: Seq[Expr] =
+        val keyExprs0: Seq[Expr] =
           if (seg1.groupBy.nonEmpty) seg1.groupBy
           else items.collect { case (it, _) if !containsAgg(it.expr) => it.expr }
+        // an entity key whose identity is a (label, id) pair — union node
+        // vars and multi-type edge vars — must group on the per-row label
+        // too: ids are only unique within one label/type. The implicit
+        // key list already carries the label via the projection expansion;
+        // an explicit GROUP BY v needs it appended here.
+        val keyExprs: Seq[Expr] = keyExprs0 ++ keyExprs0.collect {
+          case Ident(v)
+              if (ctx.bindings.get(v).contains(UnionNode) ||
+                ctx.bindings.get(v).exists {
+                  case eb: EdgeBinding => eb.types.size > 1
+                  case _ => false
+                }) && !keyExprs0.contains(Prop(v, "label")) =>
+            Prop(v, "label")
+        }
         val keyCols = keyExprs.zipWithIndex.map { case (e, i) =>
           compileExpr(e, ctx).as(itemMap.getOrElse(e, s"__k$i"))
         }

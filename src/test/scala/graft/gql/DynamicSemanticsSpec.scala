@@ -69,6 +69,15 @@ class DynamicSemanticsSpec extends AnyFunSuite {
     assert(types.toSeq == Seq("Referral", "Transaction"))
   }
 
+  test("explicit GROUP BY on a multi-type edge variable keys per (type, eid)") {
+    // eids 1 and 2 exist in BOTH Transaction and Referral: grouping by
+    // the eid alone would wrongly merge across types (4 edges → 2 groups)
+    val rows = s.gql("MATCH (a:Account)-[t]->(m:Merchant) " +
+      "RETURN t AS te, count(t) AS n GROUP BY t").collect()
+    assert(rows.length == 4, s"expected 4 per-edge groups, got ${rows.length}")
+    assert(rows.map(_.getLong(1)).forall(_ == 1L))
+  }
+
   test("property absent from every matched type reads NULL") {
     val n = s.gql("MATCH (a:Account)-[t]->(m:Merchant) " +
       "WHERE t.never_written IS NULL RETURN t").count()
