@@ -78,6 +78,17 @@ class DynamicSemanticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).forall(_ == 1L))
   }
 
+  test("multi-type union counts match the reference fixture shapes") {
+    // pattern_tests.rs:151,509 on the fraud fixture: 100 Transaction +
+    // 50 Purchase edges; an unknown member of the union contributes
+    // nothing rather than erroring
+    val f = graft.SparkFixture.gqlSession()
+    assert(f.gql("MATCH (a:Account)-[r:Transaction|Purchase]->(m:Merchant) " +
+      "RETURN count(r) AS n").collect().head.getLong(0) == 150L)
+    assert(f.gql("MATCH ()-[r:Transaction|Purchase|NONEXISTENT]->() " +
+      "RETURN count(r) AS mixed_types").collect().head.getLong(0) == 150L)
+  }
+
   test("property absent from every matched type reads NULL") {
     val n = s.gql("MATCH (a:Account)-[t]->(m:Merchant) " +
       "WHERE t.never_written IS NULL RETURN t").count()

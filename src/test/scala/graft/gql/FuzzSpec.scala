@@ -11,7 +11,7 @@ import graft.SparkFixture
   */
 class FuzzSpec extends AnyFunSuite {
 
-  test("600 mutated statements never crash the engine") {
+  test("840 mutated statements never crash the engine") {
     val s = SparkFixture.gqlSession(SparkFixture.fraudGraph)
     val seeds = Seq(
       "MATCH (a:Account) WHERE a.balance > 1000 RETURN a.name, a.balance ORDER BY a.name LIMIT 5",
@@ -23,7 +23,12 @@ class FuzzSpec extends AnyFunSuite {
       "SESSION SET TIME ZONE 'Asia/Tokyo'",
       "MATCH p = (a:Account)-[:Transaction*1..2]->(m) RETURN count(p) AS n",
       "MATCH (a:Account) RETURN collect(a.name)[0] AS f, SIZE('abc') AS s",
-      "CALL gql.list_schemas() YIELD schema_name WHERE schema_name <> 'x'")
+      "CALL gql.list_schemas() YIELD schema_name WHERE schema_name <> 'x'",
+      // multi-type / dynamic-property surface (round-10 semantics)
+      "MATCH (a:Account)-[t]->(m:Merchant) WHERE t IS :Purchase RETURN TYPE(t) AS ty, t.amount",
+      "MATCH (a:Account {absent_prop: 5})-[t {ghost: 1}]->(m) RETURN count(t) AS n",
+      "MATCH (a:Account)-[t:Transaction|Purchase]->(m) WITH t, m RETURN TYPE(t) AS ty, m.name LIMIT 3",
+      "MATCH (n) RETURN n.never_written AS v, count(n) AS c GROUP BY n.never_written")
     val rnd = new scala.util.Random(42)
     val hardCrashes = scala.collection.mutable.ListBuffer.empty[(String, Throwable)]
     for (seed <- seeds; _ <- 0 until 60) {
