@@ -870,6 +870,39 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         }
         Seq(total).toDF("edges_inserted")
 
+      case MatchSetStmt(pattern, where, assignments, labelAdds)
+          if pattern.hops.size == 1 && assignments.nonEmpty &&
+            pattern.hops.head._1.variable
+              .contains(assignments.head._1.variable) &&
+            pattern.hops.head._1.types.size != 1 =>
+        // SET through a type-less or explicit-union edge variable
+        // applies per matched type (the single-label path would mutate
+        // only the head type — silent partial update). Properties a
+        // type's table lacks read NULL in that type's WHERE/values.
+        requirePerm("UPDATE")
+        val v = assignments.head._1.variable
+        if (labelAdds.nonEmpty)
+          throw new GqlCompileException("SET v:Label applies to nodes only")
+        assignments.map(_._1.variable).find(_ != v).foreach(other =>
+          throw new GqlCompileException(
+            s"SET targets mix variables $v and $other — the simple form " +
+              "mutates a single variable (use a WITH pipeline for several)"))
+        val eTypes0 = pattern.hops.head._1.types
+        val eTypes = (if (eTypes0.nonEmpty) eTypes0 else graph.edgeLabels)
+          .filter(graph.edgeTables.contains)
+        var g2 = graph
+        var affected = 0L
+        eTypes.foreach { t =>
+          val avail = graph.edgeTables(t)._2.columns.toSet
+          val pred = where.map(rawColumn(_, v, avail)).getOrElse(lit(true))
+          val assigns = assignments.map { case (Ast.Prop(_, p), e) =>
+            p -> rawColumn(e, v, avail) }.toMap
+          affected += graph.edgeScan(t, Some(pred)).count()
+          g2 = graph2.setEdgeProps(g2, t, pred, assigns)
+        }
+        currentGraph = Some(g2)
+        Seq(affected).toDF("properties_set")
+
       case MatchSetStmt(pattern, where, assignments, labelAdds) =>
         requirePerm("UPDATE")
         val targetVar = assignments.headOption.map(_._1.variable)
@@ -949,10 +982,12 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       case MatchDeleteStmt(pattern, where, target, detach)
           if pattern.hops.size == 1 &&
             pattern.hops.head._1.variable.contains(target) &&
-            pattern.hops.head._1.types.isEmpty =>
-        // type-less edge DELETE spans every edge type the pattern can
-        // match: route through the pipeline path, whose multi-type
-        // binding partitions eids by the per-row matched type
+            pattern.hops.head._1.types.size != 1 =>
+        // a type-less or explicit-union edge DELETE spans every edge
+        // type the pattern can match: route through the pipeline path,
+        // whose multi-type binding partitions eids by the per-row
+        // matched type (the legacy single-label path would delete only
+        // the head type's edges — silent data loss)
         val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
           Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
           Seq.empty, None, Seq.empty, None, None)
@@ -1429,12 +1464,17 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                 // and delete within each type's table
                 val n =
                   if (eb.types.size == 1) {
-                    val eids = bdf.select(col(s"${target}_eid").as("eid"))
-                      .distinct().localCheckpoint(true)
-                    val c = eids.count()
-                    currentGraph = Some(
-                      graph2.deleteEdgesIn(graph, eb.primary, eids))
-                    c
+                    // a pattern whose types don't exist binds "__missing"
+                    // (emptyHop): zero rows, nothing to delete
+                    if (!graph.edgeTables.contains(eb.primary)) 0L
+                    else {
+                      val eids = bdf.select(col(s"${target}_eid").as("eid"))
+                        .distinct().localCheckpoint(true)
+                      val c = eids.count()
+                      currentGraph = Some(
+                        graph2.deleteEdgesIn(graph, eb.primary, eids))
+                      c
+                    }
                   } else {
                     var g = graph
                     var total = 0L
@@ -1600,10 +1640,19 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
   /** Compile a DML expression against the raw (unprefixed) table columns
     * of the single pattern variable.
     */
-  private def rawColumn(e: Ast.Expr, v: String): org.apache.spark.sql.Column = {
+  /** `avail` (optional): the target table's column set — a referenced
+    * property outside it reads NULL (dynamic-property model) instead of
+    * failing analysis. Per-type DML over a multi-type edge pattern
+    * compiles the same expression once per type this way.
+    */
+  private def rawColumn(e: Ast.Expr, v: String,
+      avail: Set[String] = null): org.apache.spark.sql.Column = {
     import Ast._
+    def rawColumn(e2: Ast.Expr, v2: String): org.apache.spark.sql.Column =
+      this.rawColumn(e2, v2, avail)
     e match {
-      case Prop(`v`, p) => col(p)
+      case Prop(`v`, p) =>
+        if (avail == null || avail(p)) col(p) else lit(null).cast("string")
       case Ident(`v`) => col("id")
       case Prop(other, _) => throw new GqlCompileException(
         s"DML expressions may only reference $v, got $other")

@@ -129,9 +129,6 @@ final class Compiler(graph: PropertyGraph,
   case class EdgeBinding(types: Seq[String]) extends Binding {
     def primary: String = types.head
   }
-  object EdgeBinding {
-    def one(label: String): EdgeBinding = EdgeBinding(Seq(label))
-  }
   case object ValueBinding extends Binding
 
   private case class Ctx(bindings: Map[String, Binding]) {
@@ -659,13 +656,16 @@ final class Compiler(graph: PropertyGraph,
           if !isFinal && ctx.bindings.get(v).contains(UnionNode) =>
         Seq(it, ReturnItem(Prop(v, "label"), Some(s"${v}_label")))
       // a multi-type edge var likewise carries its per-row matched type:
-      // TYPE(), IS :Type, and per-type DML partitioning read it later
+      // TYPE(), IS :Type, and per-type DML partitioning read it later.
+      // Ident("<v>_label") addresses the physical column directly —
+      // Prop(v, "label") is a user-level property access and folds to
+      // NULL under the dynamic-property rule
       case it @ ReturnItem(Ident(v), al)
           if !isFinal && ctx.bindings.get(v).exists {
             case eb: EdgeBinding => eb.types.size > 1
             case _ => false
           } =>
-        Seq(it, ReturnItem(Prop(v, "label"),
+        Seq(it, ReturnItem(Ident(s"${v}_label"),
           Some(s"${al.getOrElse(v)}_label")))
       case other => Seq(other)
     }
@@ -677,13 +677,29 @@ final class Compiler(graph: PropertyGraph,
     val hasAgg = items.exists { case (it, _) => containsAgg(it.expr) } ||
       seg1.groupBy.nonEmpty || seg1.having.exists(containsAgg)
 
+    // DISTINCT over a bare entity var whose identity is a (label, id)
+    // pair dedups on BOTH columns: ids are only unique within one
+    // label/type, so eid-only dedup would merge distinct edges. The
+    // label rides as a hidden column through the dedup, then drops.
+    val distinctIdCols: Seq[(String, String)] =
+      if (!seg1.distinct) Seq.empty
+      else items.zipWithIndex.collect {
+        case ((ReturnItem(Ident(v), _), _), i)
+            if pairIdentityLabel(v, ctx).isDefined &&
+              !items.exists { case (it2, _) =>
+                it2.expr == Ident(s"${v}_label") ||
+                  it2.expr == Prop(v, "label") } =>
+          (pairIdentityLabel(v, ctx).get, s"__did$i")
+      }.distinct
+
     // hidden aggregates needed by HAVING / ORDER BY but not projected
     val hiddenAggs = scala.collection.mutable.LinkedHashMap[Expr, String]()
 
     var out: DataFrame =
       if (!hasAgg) {
         val cols = items.map { case (it, n) => compileExpr(it.expr, ctx).as(n) }
-        base.select(cols: _*)
+        base.select(cols ++ distinctIdCols.map { case (src, n) =>
+          col(src).as(n) }: _*)
       } else {
         val keyExprs0: Seq[Expr] =
           if (seg1.groupBy.nonEmpty) seg1.groupBy
@@ -694,13 +710,15 @@ final class Compiler(graph: PropertyGraph,
         // key list already carries the label via the projection expansion;
         // an explicit GROUP BY v needs it appended here.
         val keyExprs: Seq[Expr] = keyExprs0 ++ keyExprs0.collect {
-          case Ident(v)
-              if (ctx.bindings.get(v).contains(UnionNode) ||
-                ctx.bindings.get(v).exists {
-                  case eb: EdgeBinding => eb.types.size > 1
-                  case _ => false
-                }) && !keyExprs0.contains(Prop(v, "label")) =>
+          case Ident(v) if ctx.bindings.get(v).contains(UnionNode) &&
+              !keyExprs0.contains(Prop(v, "label")) =>
             Prop(v, "label")
+          case Ident(v)
+              if ctx.bindings.get(v).exists {
+                case eb: EdgeBinding => eb.types.size > 1
+                case _ => false
+              } && !keyExprs0.contains(Ident(s"${v}_label")) =>
+            Ident(s"${v}_label")
         }
         val keyCols = keyExprs.zipWithIndex.map { case (e, i) =>
           compileExpr(e, ctx).as(itemMap.getOrElse(e, s"__k$i"))
@@ -736,8 +754,14 @@ final class Compiler(graph: PropertyGraph,
     // WITH … WHERE (post-projection filter)
     seg1.postWhere.foreach(w => out = out.filter(compilePost(w, postCtx)))
 
-    if (seg1.distinct)
-      out = out.select(items.map { case (_, n) => outCol(n) }: _*).distinct()
+    if (seg1.distinct) {
+      val keep = items.map { case (_, n) => outCol(n) }
+      out =
+        if (distinctIdCols.isEmpty || hasAgg)
+          out.select(keep: _*).distinct()
+        else out.select(keep ++ distinctIdCols.map(c => outCol(c._2)): _*)
+          .distinct().select(keep: _*)
+    }
 
     // ORDER BY resolved against output columns / hidden aggs
     if (seg1.orderBy.nonEmpty) {
@@ -2055,8 +2079,24 @@ final class Compiler(graph: PropertyGraph,
   }
 
   /** Compile an expression that may contain aggregate calls (agg context). */
+  /** The physical per-row label column for variables whose identity is a
+    * (label, id) pair — label-less node vars and multi-type edge vars.
+    * Ids are only unique within one label/type, so identity-sensitive
+    * operations (DISTINCT, COUNT(DISTINCT), grouping) must pair it in.
+    */
+  private def pairIdentityLabel(v: String, ctx: Ctx): Option[String] =
+    ctx.bindings.get(v) match {
+      case Some(UnionNode) => Some(s"${v}_label")
+      case Some(eb: EdgeBinding) if eb.types.size > 1 => Some(s"${v}_label")
+      case _ => None
+    }
+
   private def compileAggExpr(e: Expr, ctx: Ctx): Column = e match {
     case CountStar() => count(lit(1))
+    case Fn("COUNT", Seq(Ident(v)), true)
+        if pairIdentityLabel(v, ctx).isDefined =>
+      countDistinct(compileExpr(Ident(v), ctx),
+        col(pairIdentityLabel(v, ctx).get))
     case Fn("COUNT", Seq(a), true) => countDistinct(compileExpr(a, ctx))
     case Fn("COUNT", Seq(a), false) => count(compileExpr(a, ctx))
     case Fn("SUM", Seq(a), d) =>
@@ -2135,7 +2175,11 @@ final class Compiler(graph: PropertyGraph,
       case Some(eb: EdgeBinding)
           if !eb.types.exists(t => graph.edgeTables.get(t)
             .exists(_._2.columns.contains(p))) &&
-            p != "eid" && p != "id" && p != "label" =>
+            p != "eid" && p != "id" =>
+        // includes `t.label`: the per-row type is internal machinery
+        // (reached via TYPE(t)); as a *property* it is absent → NULL.
+        // The WITH expansion and GROUP BY keys address the physical
+        // column via Ident("<v>_label") instead.
         lit(null).cast("string")
       case Some(UnionNode)
           if !graph.nodeTables.values.exists(_.columns.contains(p)) &&

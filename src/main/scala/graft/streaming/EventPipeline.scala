@@ -56,9 +56,19 @@ object EventPipeline {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     // self-sufficient on the TIMESTAMP(NANOS) test-data generation: the
     // sniff read below throws "Illegal Parquet type" without this conf,
-    // and library callers don't necessarily preset it
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // and library callers don't necessarily preset it. The conf is
+    // restored unless the source actually IS nanos-encoded (then the
+    // stream's own micro-batch reads keep needing it) so unrelated
+    // parquet reads in the session don't silently change behavior.
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevConf = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
     val physical = spark.read.parquet(dir).schema
+    if (physical("ts").dataType !=
+        org.apache.spark.sql.types.LongType) prevConf match {
+      case Some(p) => spark.conf.set(confKey, p)
+      case None => spark.conf.unset(confKey)
+    }
     val raw = spark.readStream.schema(physical)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)

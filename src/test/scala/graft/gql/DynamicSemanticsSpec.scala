@@ -188,6 +188,48 @@ class DynamicSemanticsSpec extends AnyFunSuite {
       s"session kept serving a dropped graph: ${ex.getMessage}")
   }
 
+  test("DISTINCT and COUNT(DISTINCT) key multi-type edges per (type, eid)") {
+    // eids 1 and 2 exist in BOTH types: eid-only dedup would return 2
+    assert(s.gql("MATCH (a)-[t]->(m) RETURN DISTINCT t").count() == 4L)
+    assert(s.gql("MATCH (a)-[t]->(m) RETURN count(DISTINCT t) AS n")
+      .collect().head.getLong(0) == 4L)
+  }
+
+  test("t.label is an absent property (NULL), surviving WITH") {
+    // the per-row type is internal machinery (TYPE(t) exposes it); as a
+    // property access it follows the dynamic-property NULL rule — and
+    // must not crash after WITH, where the physical column is gone for
+    // single-type binds
+    val r = s.gql("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "WITH t RETURN t.label AS l LIMIT 1").collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("explicit-union DELETE and SET mutate every listed type") {
+    val d = SparkFixture.gqlSession(mixedGraph)
+    // SET through the union writes both types' tables
+    val set = d.execute("MATCH (a:Account)-[t:Transaction|Referral]->" +
+      "(m:Merchant) SET t.seen = true").collect().head.getLong(0)
+    assert(set == 4L, s"SET affected $set of 4 edges")
+    assert(d.gql("MATCH (a)-[t]->(m) WHERE t.seen = true RETURN t")
+      .count() == 4L)
+    // DELETE through the union removes both types' edges
+    val del = d.execute("MATCH (a:Account)-[t:Transaction|Referral]->" +
+      "(m:Merchant) DELETE t").collect().head.getLong(0)
+    assert(del == 4L, s"DELETE removed $del of 4 edges")
+    assert(d.gql("MATCH (a)-[t]->(m) RETURN t").count() == 0L)
+  }
+
+  test("type-less DML over a graph with no edges affects zero rows") {
+    val t = freshCatalogSession()
+    t.execute("CREATE GRAPH /main/no_edges")
+    t.execute("SESSION SET GRAPH /main/no_edges")
+    t.execute("INSERT (:P {id: 1}), (:P {id: 2})")
+    val r = t.execute("MATCH (a:P)-[e]->(b:P) DELETE e")
+      .collect().head.getLong(0)
+    assert(r == 0L)
+  }
+
   test("DELETE through a multi-type edge variable deletes in every type") {
     val d = SparkFixture.gqlSession(mixedGraph)
     val n = d.execute("MATCH (a:Account)-[t]->(m:Merchant) DELETE t")
