@@ -873,11 +873,13 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       case MatchSetStmt(pattern, where, assignments, labelAdds)
           if pattern.hops.size == 1 && assignments.nonEmpty &&
             pattern.hops.head._1.variable
-              .contains(assignments.head._1.variable) &&
-            pattern.hops.head._1.types.size != 1 =>
-        // SET through a type-less or explicit-union edge variable
-        // applies per matched type (the single-label path would mutate
-        // only the head type — silent partial update). Properties a
+              .contains(assignments.head._1.variable) =>
+        // SET through an edge variable applies per matched type — for
+        // type-less / explicit-union patterns that is every type whose
+        // (orientation, endpoint-label) combo the pattern can match (the
+        // same rule the query compiler's hop applies); the old
+        // single-label path ignored endpoint labels entirely and could
+        // mutate a whole table the pattern never matched. Properties a
         // type's table lacks read NULL in that type's WHERE/values.
         requirePerm("UPDATE")
         val v = assignments.head._1.variable
@@ -887,9 +889,30 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           throw new GqlCompileException(
             s"SET targets mix variables $v and $other — the simple form " +
               "mutates a single variable (use a WITH pipeline for several)"))
-        val eTypes0 = pattern.hops.head._1.types
-        val eTypes = (if (eTypes0.nonEmpty) eTypes0 else graph.edgeLabels)
-          .filter(graph.edgeTables.contains)
+        val (edgePat, endPat) = pattern.hops.head
+        if (pattern.start.props.nonEmpty || endPat.props.nonEmpty ||
+            edgePat.props.nonEmpty)
+          throw new GqlCompileException(
+            "simple-form edge SET does not support inline pattern " +
+              "properties — express the condition in WHERE")
+        val fromLabels = pattern.start.labels
+        val toLabels = endPat.labels
+        val orientations = edgePat.direction match {
+          case Ast.Undirected => Seq(Ast.Out, Ast.In)
+          case d => Seq(d)
+        }
+        val eTypes =
+          (if (edgePat.types.nonEmpty) edgePat.types else graph.edgeLabels)
+            .distinct.filter(graph.edgeTables.contains).filter { t =>
+              val et = graph.edgeType(t)
+              orientations.exists { o =>
+                val (s0, d0) =
+                  if (o == Ast.Out) (et.srcLabel, et.dstLabel)
+                  else (et.dstLabel, et.srcLabel)
+                (fromLabels.isEmpty || fromLabels.contains(s0)) &&
+                  (toLabels.isEmpty || toLabels.contains(d0))
+              }
+            }
         var g2 = graph
         var affected = 0L
         eTypes.foreach { t =>

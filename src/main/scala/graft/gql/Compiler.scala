@@ -688,13 +688,18 @@ final class Compiler(graph: PropertyGraph,
             if pairIdentityLabel(v, ctx).isDefined &&
               !items.exists { case (it2, _) =>
                 it2.expr == Ident(s"${v}_label") ||
-                  it2.expr == Prop(v, "label") } =>
+                  // Prop(v,"label") only carries the physical label for
+                  // union NODE vars; for edges it is an absent property
+                  // (NULL) and must not suppress the hidden column
+                  (ctx.bindings.get(v).contains(UnionNode) &&
+                    it2.expr == Prop(v, "label")) } =>
           (pairIdentityLabel(v, ctx).get, s"__did$i")
       }.distinct
 
     // hidden aggregates needed by HAVING / ORDER BY but not projected
     val hiddenAggs = scala.collection.mutable.LinkedHashMap[Expr, String]()
 
+    var aggPairKeyNames: Seq[String] = Seq.empty
     var out: DataFrame =
       if (!hasAgg) {
         val cols = items.map { case (it, n) => compileExpr(it.expr, ctx).as(n) }
@@ -723,6 +728,11 @@ final class Compiler(graph: PropertyGraph,
         val keyCols = keyExprs.zipWithIndex.map { case (e, i) =>
           compileExpr(e, ctx).as(itemMap.getOrElse(e, s"__k$i"))
         }
+        // the appended pair-identity label keys survive into a trailing
+        // DISTINCT so it dedups per (label, id) like the grouping did
+        aggPairKeyNames = keyExprs.drop(keyExprs0.size).zipWithIndex.map {
+          case (e, i) => itemMap.getOrElse(e, s"__k${keyExprs0.size + i}")
+        }.filterNot(n => items.exists(_._2 == n))
         // aggregate columns from items (non-key items must contain aggs)
         val aggCols = items.collect {
           case (it, n) if containsAgg(it.expr) =>
@@ -756,10 +766,11 @@ final class Compiler(graph: PropertyGraph,
 
     if (seg1.distinct) {
       val keep = items.map { case (_, n) => outCol(n) }
+      val hiddenIds =
+        if (hasAgg) aggPairKeyNames else distinctIdCols.map(_._2)
       out =
-        if (distinctIdCols.isEmpty || hasAgg)
-          out.select(keep: _*).distinct()
-        else out.select(keep ++ distinctIdCols.map(c => outCol(c._2)): _*)
+        if (hiddenIds.isEmpty) out.select(keep: _*).distinct()
+        else out.select(keep ++ hiddenIds.map(outCol): _*)
           .distinct().select(keep: _*)
     }
 
@@ -1942,7 +1953,7 @@ final class Compiler(graph: PropertyGraph,
       }
     ctx = Ctx(ctx.bindings +
       (eVar -> EdgeBinding(
-        if (edge.types.isEmpty) Seq("__missing") else edge.types)))
+        if (edge.types.isEmpty) Seq("__missing") else edge.types.distinct)))
     if (!ctx.bindings.contains(nVar)) {
       out = out.withColumn(s"${nVar}_id", lit(null).cast("long"))
       if (node.labels.isEmpty) {
@@ -2104,6 +2115,14 @@ final class Compiler(graph: PropertyGraph,
     case Fn("AVG" | "AVERAGE", Seq(a), _) => avg(compileExpr(a, ctx))
     case Fn("MIN", Seq(a), _) => min(compileExpr(a, ctx))
     case Fn("MAX", Seq(a), _) => max(compileExpr(a, ctx))
+    case Fn("COLLECT", Seq(Ident(v)), true)
+        if pairIdentityLabel(v, ctx).isDefined =>
+      // dedup on the (label, id) pair, then project back to ids: two
+      // distinct edges sharing an eid across types BOTH appear
+      transform(
+        collect_set(struct(col(pairIdentityLabel(v, ctx).get).as("l"),
+          compileExpr(Ident(v), ctx).as("i"))),
+        x => x.getField("i"))
     case Fn("COLLECT", Seq(a), d) =>
       if (d) collect_set(compileExpr(a, ctx)) else collect_list(compileExpr(a, ctx))
     case Bin(op, l, r) => binOp(op, compileAggExpr(l, ctx), compileAggExpr(r, ctx))

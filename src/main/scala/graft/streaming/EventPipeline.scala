@@ -63,12 +63,19 @@ object EventPipeline {
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prevConf = spark.conf.getOption(confKey)
     spark.conf.set(confKey, "true")
-    val physical = spark.read.parquet(dir).schema
-    if (physical("ts").dataType !=
-        org.apache.spark.sql.types.LongType) prevConf match {
-      case Some(p) => spark.conf.set(confKey, p)
-      case None => spark.conf.unset(confKey)
-    }
+    // restore in a finally (a throwing sniff must not leave the legacy
+    // conf flipped session-wide) — EXCEPT when the source really is
+    // nanos-encoded: the stream's own micro-batch reads keep needing it
+    var keepConf = false
+    val physical =
+      try {
+        val s0 = spark.read.parquet(dir).schema
+        keepConf = s0.exists(f => f.name == "ts" && f.dataType == LongType)
+        s0
+      } finally if (!keepConf) prevConf match {
+        case Some(p) => spark.conf.set(confKey, p)
+        case None => spark.conf.unset(confKey)
+      }
     val raw = spark.readStream.schema(physical)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)

@@ -220,6 +220,46 @@ class DynamicSemanticsSpec extends AnyFunSuite {
     assert(d.gql("MATCH (a)-[t]->(m) RETURN t").count() == 0L)
   }
 
+  test("edge SET honors the pattern's endpoint labels and orientation") {
+    // Refund runs Merchant→Account: no orientation of it connects
+    // Account→Merchant, so the Account→Merchant pattern must not
+    // touch Refund edges even type-less
+    val sp = spark
+    import sp.implicits._
+    val g = new PropertyGraph(
+      Map("Account" -> Seq((1L, "a")).toDF("id", "name"),
+        "Merchant" -> Seq((1L, "m")).toDF("id", "name")),
+      Map(
+        "Transaction" -> (EdgeType("Transaction", "Account", "Merchant"),
+          Seq((1L, 1L, 1L, 5.0)).toDF("src", "dst", "eid", "amount")),
+        "Refund" -> (EdgeType("Refund", "Merchant", "Account"),
+          Seq((1L, 1L, 1L, 2.0)).toDF("src", "dst", "eid", "amount"))))
+    val d = SparkFixture.gqlSession(g)
+    val n = d.execute("MATCH (a:Account)-[t]->(m:Merchant) " +
+      "SET t.checked = true").collect().head.getLong(0)
+    assert(n == 1L, s"SET matched $n edges, expected only the Transaction")
+    assert(d.gql("MATCH (x)-[t:Refund]->(y) WHERE t.checked IS NULL " +
+      "RETURN t").count() == 1L)
+    // a contradictory single-type pattern mutates nothing
+    val z = d.execute("MATCH (m:Merchant)-[t:Transaction]->(a:Account) " +
+      "SET t.flag = 1").collect().head.getLong(0)
+    assert(z == 0L, s"impossible orientation mutated $z edges")
+  }
+
+  test("COLLECT(DISTINCT) and DISTINCT-with-aggregate keep pair identity") {
+    // 4 distinct edges over 2 shared eids
+    val es = s.gql("MATCH (a)-[t]->(m) RETURN collect(DISTINCT t) AS es")
+      .collect().head.getSeq[Long](0)
+    assert(es.size == 4 && es.sorted == Seq(1L, 1L, 2L, 2L))
+    val rows = s.gql("MATCH (a:Account)-[t]->(m:Merchant) " +
+      "RETURN DISTINCT t AS te, count(t) AS n GROUP BY t").collect()
+    assert(rows.length == 4, s"expected 4 rows, got ${rows.length}")
+    // DISTINCT t alongside the NULL-folding t.label property must not
+    // collapse the pair identity either
+    assert(s.gql("MATCH (a)-[t]->(m) RETURN DISTINCT t, t.label AS l")
+      .count() == 4L)
+  }
+
   test("type-less DML over a graph with no edges affects zero rows") {
     val t = freshCatalogSession()
     t.execute("CREATE GRAPH /main/no_edges")
