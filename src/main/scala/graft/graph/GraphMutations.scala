@@ -104,9 +104,22 @@ object GraphMutations {
       if (df.columns.contains(k)) df.withColumn(k, when(pred, v).otherwise(col(k)))
       else df.withColumn(k, when(pred, v)) // new property: NULL elsewhere
     }
-    g.mutated(g.nodeTables + (label -> updated), g.edgeTables,
-      Set(s"nodes_$label"))
+    g.mutated(g.nodeTables + (label -> typeVoidColumns(updated,
+      assignments.keys)), g.edgeTables, Set(s"nodes_$label"))
   }
+
+  /** An assignment of a bare NULL (SET x = NULL, REMOVE of a
+    * never-written property) produces a NullType column. Spark 4 can
+    * persist that to parquet, but it reads back as NullType — a type no
+    * external reader of the warehouse (or later CAST/comparison) expects.
+    * Give such columns a concrete string type; their values stay NULL.
+    */
+  private def typeVoidColumns(df: DataFrame,
+      keys: Iterable[String]): DataFrame =
+    keys.foldLeft(df)((d, k) =>
+      if (d.schema(k).dataType == org.apache.spark.sql.types.NullType)
+        d.withColumn(k, col(k).cast("string"))
+      else d)
 
   /** MATCH … REMOVE (match_remove.rs analog): null out properties on
     * matching rows (per-label tables keep the column; value semantics
@@ -224,7 +237,8 @@ object GraphMutations {
       if (df.columns.contains(k)) df.withColumn(k, when(pred, v).otherwise(col(k)))
       else df.withColumn(k, when(pred, v))
     }
-    g.mutated(g.nodeTables, g.edgeTables + (label -> (et, updated)),
-      Set(s"edges_$label"))
+    g.mutated(g.nodeTables,
+      g.edgeTables + (label -> (et, typeVoidColumns(updated,
+        assignments.keys))), Set(s"edges_$label"))
   }
 }

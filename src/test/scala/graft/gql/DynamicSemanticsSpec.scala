@@ -260,6 +260,24 @@ class DynamicSemanticsSpec extends AnyFunSuite {
       .count() == 4L)
   }
 
+  test("REMOVE of a never-written property still persists to parquet") {
+    // dml_tests.rs:605: REMOVE test.non_existent_prop must succeed, and
+    // the synthesized NULL column gets a concrete type on mutation so
+    // the persisted warehouse never carries NullType columns
+    val t = freshCatalogSession()
+    t.execute("CREATE GRAPH /main/rm_ghost")
+    t.execute("SESSION SET GRAPH /main/rm_ghost")
+    t.execute("INSERT (:R {id: 1, name: 'x'})")
+    t.execute("MATCH (r:R) REMOVE r.non_existent_prop")
+    t.execute("MATCH (r:R) SET r.cleared = NULL")
+    t.saveGraphAs("/main/rm_ghost", force = true)
+    import org.apache.spark.sql.types.NullType
+    assert(!t.graph.nodeTables("R").schema.exists(_.dataType == NullType))
+    val back = t.gql("MATCH (r:R) RETURN r.name AS n, " +
+      "r.non_existent_prop AS ghost, r.cleared AS c").collect().head
+    assert(back.getString(0) == "x" && back.isNullAt(1) && back.isNullAt(2))
+  }
+
   test("type-less DML over a graph with no edges affects zero rows") {
     val t = freshCatalogSession()
     t.execute("CREATE GRAPH /main/no_edges")
