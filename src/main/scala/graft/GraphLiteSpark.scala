@@ -871,60 +871,22 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         Seq(total).toDF("edges_inserted")
 
       case MatchSetStmt(pattern, where, assignments, labelAdds)
-          if pattern.hops.size == 1 && assignments.nonEmpty &&
-            pattern.hops.head._1.variable
-              .contains(assignments.head._1.variable) =>
-        // SET through an edge variable applies per matched type — for
-        // type-less / explicit-union patterns that is every type whose
-        // (orientation, endpoint-label) combo the pattern can match (the
-        // same rule the query compiler's hop applies); the old
-        // single-label path ignored endpoint labels entirely and could
-        // mutate a whole table the pattern never matched. Properties a
-        // type's table lacks read NULL in that type's WHERE/values.
-        requirePerm("UPDATE")
-        val v = assignments.head._1.variable
-        if (labelAdds.nonEmpty)
-          throw new GqlCompileException("SET v:Label applies to nodes only")
-        assignments.map(_._1.variable).find(_ != v).foreach(other =>
-          throw new GqlCompileException(
-            s"SET targets mix variables $v and $other — the simple form " +
-              "mutates a single variable (use a WITH pipeline for several)"))
-        val (edgePat, endPat) = pattern.hops.head
-        if (pattern.start.props.nonEmpty || endPat.props.nonEmpty ||
-            edgePat.props.nonEmpty)
-          throw new GqlCompileException(
-            "simple-form edge SET does not support inline pattern " +
-              "properties — express the condition in WHERE")
-        val fromLabels = pattern.start.labels
-        val toLabels = endPat.labels
-        val orientations = edgePat.direction match {
-          case Ast.Undirected => Seq(Ast.Out, Ast.In)
-          case d => Seq(d)
-        }
-        val eTypes =
-          (if (edgePat.types.nonEmpty) edgePat.types else graph.edgeLabels)
-            .distinct.filter(graph.edgeTables.contains).filter { t =>
-              val et = graph.edgeType(t)
-              orientations.exists { o =>
-                val (s0, d0) =
-                  if (o == Ast.Out) (et.srcLabel, et.dstLabel)
-                  else (et.dstLabel, et.srcLabel)
-                (fromLabels.isEmpty || fromLabels.contains(s0)) &&
-                  (toLabels.isEmpty || toLabels.contains(d0))
-              }
-            }
-        var g2 = graph
-        var affected = 0L
-        eTypes.foreach { t =>
-          val avail = graph.edgeTables(t)._2.columns.toSet
-          val pred = where.map(rawColumn(_, v, avail)).getOrElse(lit(true))
-          val assigns = assignments.map { case (Ast.Prop(_, p), e) =>
-            p -> rawColumn(e, v, avail) }.toMap
-          affected += graph.edgeScan(t, Some(pred)).count()
-          g2 = graph2.setEdgeProps(g2, t, pred, assigns)
-        }
-        currentGraph = Some(g2)
-        Seq(affected).toDF("properties_set")
+          if assignments.nonEmpty && labelAdds.isEmpty &&
+            pattern.hops.exists(
+              _._1.variable.contains(assignments.head._1.variable)) =>
+        // SET through an edge variable routes through the compiled
+        // pipeline: the hop machinery enforces the pattern's full
+        // semantics — (orientation, endpoint-label) combos, row-level
+        // endpoint constraints, inline props — and the per-type DML
+        // below partitions by the per-row matched type. The old
+        // single-label path ignored endpoints entirely and could mutate
+        // a whole table the pattern never matched.
+        val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
+          Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
+          Seq.empty, None, Seq.empty, None, None)
+        dispatchStmt(PipelineMutationStmt(Ast.Query(Seq(seg)), "SET",
+          assignments.head._1.variable, assignments, Seq.empty,
+          detach = false))
 
       case MatchSetStmt(pattern, where, assignments, labelAdds) =>
         requirePerm("UPDATE")
@@ -1003,14 +965,13 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         Seq(affected).toDF("properties_removed")
 
       case MatchDeleteStmt(pattern, where, target, detach)
-          if pattern.hops.size == 1 &&
-            pattern.hops.head._1.variable.contains(target) &&
-            pattern.hops.head._1.types.size != 1 =>
-        // a type-less or explicit-union edge DELETE spans every edge
-        // type the pattern can match: route through the pipeline path,
-        // whose multi-type binding partitions eids by the per-row
-        // matched type (the legacy single-label path would delete only
-        // the head type's edges — silent data loss)
+          if pattern.hops.exists(_._1.variable.contains(target)) =>
+        // EVERY edge DELETE routes through the compiled pipeline: the
+        // hop machinery enforces the pattern's endpoint labels,
+        // orientation, and row-level constraints (the legacy
+        // single-label path ignored endpoints — a pattern matching zero
+        // edges could still delete a whole table), and the pipeline's
+        // multi-type binding partitions eids by the per-row matched type
         val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
           Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
           Seq.empty, None, Seq.empty, None, None)
@@ -1474,7 +1435,8 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         def nodeLabelOf(v: String): String = bindings.get(v) match {
           case Some(nb: compiler.NodeBinding) => nb.primary
           case Some(_: compiler.EdgeBinding) => throw new GqlCompileException(
-            s"pipeline $op on edge variable $v is not supported — use the simple form")
+            s"$op on edge variable $v: REMOVE is node-only — " +
+              "use SET to null an edge property")
           case _ => throw new GqlCompileException(
             s"mutation target $v is not bound by the pipeline")
         }
@@ -1534,16 +1496,36 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
             var total = 0L
             assigns.groupBy(_._1.variable).toSeq.sortBy(_._1).foreach {
               case (v, as) =>
-                val label = nodeLabelOf(v)
                 val valueCols = as.map { case (Ast.Prop(_, p), e) =>
                   org.apache.spark.sql.functions.max(
                     compiler.columnFor(e, bindings)).as(p)
                 }
-                val updates = bdf.groupBy(col(s"${v}_id").as("id"))
-                  .agg(valueCols.head, valueCols.tail: _*)
-                  .localCheckpoint(true)
-                total += updates.count()
-                g = graph2.setNodePropsFrom(g, label, updates, as.map(_._1.prop))
+                val props = as.map(_._1.prop)
+                bindings.get(v) match {
+                  case Some(eb: compiler.EdgeBinding) =>
+                    // per matched type; eids are only unique per type
+                    def applyType(t: String, rows: DataFrame): Unit =
+                      if (graph.edgeTables.contains(t)) {
+                        val updates = rows
+                          .groupBy(col(s"${v}_eid").as("eid"))
+                          .agg(valueCols.head, valueCols.tail: _*)
+                          .localCheckpoint(true)
+                        val c = updates.count()
+                        if (c > 0)
+                          g = graph2.setEdgePropsFrom(g, t, updates, props)
+                        total += c
+                      }
+                    if (eb.types.size == 1) applyType(eb.primary, bdf)
+                    else eb.types.foreach(t => applyType(t,
+                      bdf.filter(col(s"${v}_label") === lit(t))))
+                  case _ =>
+                    val label = nodeLabelOf(v)
+                    val updates = bdf.groupBy(col(s"${v}_id").as("id"))
+                      .agg(valueCols.head, valueCols.tail: _*)
+                      .localCheckpoint(true)
+                    total += updates.count()
+                    g = graph2.setNodePropsFrom(g, label, updates, props)
+                }
             }
             currentGraph = Some(g)
             Seq(total).toDF("properties_set")
@@ -1663,19 +1645,10 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
   /** Compile a DML expression against the raw (unprefixed) table columns
     * of the single pattern variable.
     */
-  /** `avail` (optional): the target table's column set — a referenced
-    * property outside it reads NULL (dynamic-property model) instead of
-    * failing analysis. Per-type DML over a multi-type edge pattern
-    * compiles the same expression once per type this way.
-    */
-  private def rawColumn(e: Ast.Expr, v: String,
-      avail: Set[String] = null): org.apache.spark.sql.Column = {
+  private def rawColumn(e: Ast.Expr, v: String): org.apache.spark.sql.Column = {
     import Ast._
-    def rawColumn(e2: Ast.Expr, v2: String): org.apache.spark.sql.Column =
-      this.rawColumn(e2, v2, avail)
     e match {
-      case Prop(`v`, p) =>
-        if (avail == null || avail(p)) col(p) else lit(null).cast("string")
+      case Prop(`v`, p) => col(p)
       case Ident(`v`) => col("id")
       case Prop(other, _) => throw new GqlCompileException(
         s"DML expressions may only reference $v, got $other")

@@ -714,24 +714,29 @@ final class Compiler(graph: PropertyGraph,
         // too: ids are only unique within one label/type. The implicit
         // key list already carries the label via the projection expansion;
         // an explicit GROUP BY v needs it appended here.
-        val keyExprs: Seq[Expr] = keyExprs0 ++ keyExprs0.collect {
+        val appendedKeys: Seq[(String, Expr)] = keyExprs0.collect {
           case Ident(v) if ctx.bindings.get(v).contains(UnionNode) &&
               !keyExprs0.contains(Prop(v, "label")) =>
-            Prop(v, "label")
+            v -> Prop(v, "label")
           case Ident(v)
               if ctx.bindings.get(v).exists {
                 case eb: EdgeBinding => eb.types.size > 1
                 case _ => false
               } && !keyExprs0.contains(Ident(s"${v}_label")) =>
-            Ident(s"${v}_label")
+            v -> Ident(s"${v}_label")
         }
+        val keyExprs: Seq[Expr] = keyExprs0 ++ appendedKeys.map(_._2)
         val keyCols = keyExprs.zipWithIndex.map { case (e, i) =>
           compileExpr(e, ctx).as(itemMap.getOrElse(e, s"__k$i"))
         }
-        // the appended pair-identity label keys survive into a trailing
-        // DISTINCT so it dedups per (label, id) like the grouping did
-        aggPairKeyNames = keyExprs.drop(keyExprs0.size).zipWithIndex.map {
-          case (e, i) => itemMap.getOrElse(e, s"__k${keyExprs0.size + i}")
+        // pair-identity label keys survive into a trailing DISTINCT so
+        // it dedups per (label, id) like the grouping did — but only for
+        // entity vars actually IN the projection: a grouped-but-not-
+        // returned var's label must not block dedup of equal result rows
+        aggPairKeyNames = appendedKeys.zipWithIndex.collect {
+          case ((v, e), i)
+              if items.exists { case (it, _) => it.expr == Ident(v) } =>
+            itemMap.getOrElse(e, s"__k${keyExprs0.size + i}")
         }.filterNot(n => items.exists(_._2 == n))
         // aggregate columns from items (non-key items must contain aggs)
         val aggCols = items.collect {

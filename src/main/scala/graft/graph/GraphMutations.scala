@@ -100,26 +100,27 @@ object GraphMutations {
   def setNodeProps(g: PropertyGraph, label: String, pred: Column,
       assignments: Map[String, Column]): PropertyGraph = {
     val t = g.nodeTables(label)
-    val updated = assignments.foldLeft(t) { case (df, (k, v)) =>
-      if (df.columns.contains(k)) df.withColumn(k, when(pred, v).otherwise(col(k)))
-      else df.withColumn(k, when(pred, v)) // new property: NULL elsewhere
-    }
-    g.mutated(g.nodeTables + (label -> typeVoidColumns(updated,
-      assignments.keys)), g.edgeTables, Set(s"nodes_$label"))
+    val updated = assignments.foldLeft(t)(applyAssign(_, pred, _))
+    g.mutated(g.nodeTables + (label -> updated), g.edgeTables,
+      Set(s"nodes_$label"))
   }
 
-  /** An assignment of a bare NULL (SET x = NULL, REMOVE of a
-    * never-written property) produces a NullType column. Spark 4 can
-    * persist that to parquet, but it reads back as NullType — a type no
-    * external reader of the warehouse (or later CAST/comparison) expects.
-    * Give such columns a concrete string type; their values stay NULL.
+  /** One property assignment. A target column that is all-NULL with no
+    * concrete type yet (NullType — from a prior SET x = NULL / REMOVE of
+    * a never-written name) is REPLACED rather than coerced: mixing it
+    * into a CaseWhen would force Spark's common-type widening (e.g.
+    * NULL-string vs long → string) and later reads would get "42"
+    * instead of 42. Every pre-existing value is NULL by construction, so
+    * replacement loses nothing and the column adopts the new value type.
     */
-  private def typeVoidColumns(df: DataFrame,
-      keys: Iterable[String]): DataFrame =
-    keys.foldLeft(df)((d, k) =>
-      if (d.schema(k).dataType == org.apache.spark.sql.types.NullType)
-        d.withColumn(k, col(k).cast("string"))
-      else d)
+  private def applyAssign(df: DataFrame, pred: Column,
+      kv: (String, Column)): DataFrame = {
+    val (k, v) = kv
+    if (df.columns.contains(k) &&
+        df.schema(k).dataType != org.apache.spark.sql.types.NullType)
+      df.withColumn(k, when(pred, v).otherwise(col(k)))
+    else df.withColumn(k, when(pred, v)) // new/untyped property: NULL elsewhere
+  }
 
   /** MATCH … REMOVE (match_remove.rs analog): null out properties on
     * matching rows (per-label tables keep the column; value semantics
@@ -218,7 +219,8 @@ object GraphMutations {
     var joined = t.join(u, t("id") === u("__uid"), "left_outer")
     props.foreach { p =>
       joined =
-        if (joined.columns.contains(p))
+        if (joined.columns.contains(p) &&
+            joined.schema(p).dataType != org.apache.spark.sql.types.NullType)
           joined.withColumn(p,
             when(col("__matched"), col(s"__new_$p")).otherwise(col(p)))
         else joined.withColumn(p, when(col("__matched"), col(s"__new_$p")))
@@ -233,12 +235,33 @@ object GraphMutations {
   def setEdgeProps(g: PropertyGraph, label: String, pred: Column,
       assignments: Map[String, Column]): PropertyGraph = {
     val (et, e) = g.edgeTables(label)
-    val updated = assignments.foldLeft(e) { case (df, (k, v)) =>
-      if (df.columns.contains(k)) df.withColumn(k, when(pred, v).otherwise(col(k)))
-      else df.withColumn(k, when(pred, v))
+    val updated = assignments.foldLeft(e)(applyAssign(_, pred, _))
+    g.mutated(g.nodeTables, g.edgeTables + (label -> (et, updated)),
+      Set(s"edges_$label"))
+  }
+
+  /** SET edge properties from a computed updates table `(eid, <prop>, …)`
+    * — the MutationPipeline path for edge variables, mirroring
+    * [[setNodePropsFrom]] with the edge identity key.
+    */
+  def setEdgePropsFrom(g: PropertyGraph, label: String, updates: DataFrame,
+      props: Seq[String]): PropertyGraph = {
+    val (et, e) = g.edgeTables(label)
+    var u = props.foldLeft(updates.select((col("eid") +:
+      props.map(col)): _*))((d, p) => d.withColumnRenamed(p, s"__new_$p"))
+    u = u.withColumn("__matched", lit(true)).withColumnRenamed("eid", "__ueid")
+    var joined = e.join(u, e("eid") === u("__ueid"), "left_outer")
+    props.foreach { p =>
+      joined =
+        if (joined.columns.contains(p) &&
+            joined.schema(p).dataType != org.apache.spark.sql.types.NullType)
+          joined.withColumn(p,
+            when(col("__matched"), col(s"__new_$p")).otherwise(col(p)))
+        else joined.withColumn(p, when(col("__matched"), col(s"__new_$p")))
     }
-    g.mutated(g.nodeTables,
-      g.edgeTables + (label -> (et, typeVoidColumns(updated,
-        assignments.keys))), Set(s"edges_$label"))
+    val cleaned = joined.drop("__matched", "__ueid")
+      .drop(props.map(p => s"__new_$p"): _*)
+    g.mutated(g.nodeTables, g.edgeTables + (label -> (et, cleaned)),
+      Set(s"edges_$label"))
   }
 }

@@ -240,10 +240,20 @@ class DynamicSemanticsSpec extends AnyFunSuite {
     assert(n == 1L, s"SET matched $n edges, expected only the Transaction")
     assert(d.gql("MATCH (x)-[t:Refund]->(y) WHERE t.checked IS NULL " +
       "RETURN t").count() == 1L)
-    // a contradictory single-type pattern mutates nothing
-    val z = d.execute("MATCH (m:Merchant)-[t:Transaction]->(a:Account) " +
-      "SET t.flag = 1").collect().head.getLong(0)
-    assert(z == 0L, s"impossible orientation mutated $z edges")
+    // a contradictory single-type pattern errors like the query surface
+    // does ("pattern can never match") instead of mutating a whole table
+    val ex = intercept[Exception](d.execute(
+      "MATCH (m:Merchant)-[t:Transaction]->(a:Account) SET t.flag = 1"))
+    assert(ex.getMessage.contains("never match"), ex.getMessage)
+    // DELETE through the same machinery honors endpoints too
+    val ex2 = intercept[Exception](d.execute(
+      "MATCH (m:Merchant)-[t:Transaction]->(a:Account) DELETE t"))
+    assert(ex2.getMessage.contains("never match"), ex2.getMessage)
+    // row-level constraint: a repeated endpoint var (self-loop) matches
+    // nothing here — no Account→Account edge type exists
+    val ex3 = intercept[Exception](d.execute(
+      "MATCH (a:Account)-[t]->(a) SET t.x = 1"))
+    assert(ex3.getMessage.contains("never match"), ex3.getMessage)
   }
 
   test("COLLECT(DISTINCT) and DISTINCT-with-aggregate keep pair identity") {
@@ -260,10 +270,10 @@ class DynamicSemanticsSpec extends AnyFunSuite {
       .count() == 4L)
   }
 
-  test("REMOVE of a never-written property still persists to parquet") {
-    // dml_tests.rs:605: REMOVE test.non_existent_prop must succeed, and
-    // the synthesized NULL column gets a concrete type on mutation so
-    // the persisted warehouse never carries NullType columns
+  test("REMOVE of a never-written property; later SET recovers the type") {
+    // dml_tests.rs:605: REMOVE test.non_existent_prop must succeed. The
+    // untyped NULL column it leaves must not poison a later typed
+    // assignment (CaseWhen coercion would widen long|string → string)
     val t = freshCatalogSession()
     t.execute("CREATE GRAPH /main/rm_ghost")
     t.execute("SESSION SET GRAPH /main/rm_ghost")
@@ -271,11 +281,13 @@ class DynamicSemanticsSpec extends AnyFunSuite {
     t.execute("MATCH (r:R) REMOVE r.non_existent_prop")
     t.execute("MATCH (r:R) SET r.cleared = NULL")
     t.saveGraphAs("/main/rm_ghost", force = true)
-    import org.apache.spark.sql.types.NullType
-    assert(!t.graph.nodeTables("R").schema.exists(_.dataType == NullType))
     val back = t.gql("MATCH (r:R) RETURN r.name AS n, " +
       "r.non_existent_prop AS ghost, r.cleared AS c").collect().head
     assert(back.getString(0) == "x" && back.isNullAt(1) && back.isNullAt(2))
+    t.execute("MATCH (r:R) SET r.non_existent_prop = 42")
+    val v = t.gql("MATCH (r:R) RETURN r.non_existent_prop AS p")
+      .collect().head.get(0)
+    assert(v == 42L, s"typed re-assignment returned $v (${v.getClass})")
   }
 
   test("type-less DML over a graph with no edges affects zero rows") {
