@@ -871,16 +871,16 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         Seq(total).toDF("edges_inserted")
 
       case MatchSetStmt(pattern, where, assignments, labelAdds)
-          if assignments.nonEmpty && labelAdds.isEmpty &&
-            pattern.hops.exists(
-              _._1.variable.contains(assignments.head._1.variable)) =>
-        // SET through an edge variable routes through the compiled
+          if labelAdds.isEmpty && assignments.exists(a =>
+            pattern.hops.exists(_._1.variable.contains(a._1.variable))) =>
+        // SET touching an edge variable routes through the compiled
         // pipeline: the hop machinery enforces the pattern's full
         // semantics — (orientation, endpoint-label) combos, row-level
-        // endpoint constraints, inline props — and the per-type DML
-        // below partitions by the per-row matched type. The old
-        // single-label path ignored endpoints entirely and could mutate
-        // a whole table the pattern never matched.
+        // endpoint constraints, inline props — and the pipeline DML
+        // partitions by the per-row matched type and applies each
+        // variable's group (node or edge) itself. ANY matching
+        // assignment routes the whole statement, so item order cannot
+        // change semantics.
         val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
           Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
           Seq.empty, None, Seq.empty, None, None)

@@ -69,9 +69,21 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     // Clean datasets enter staging as hard links (no data copy) rather
     // than moves, so the live dir stays complete until the final atomic
     // swap — a crash mid-save leaves the old graph fully intact.
+    // untyped all-NULL columns (SET x = NULL / REMOVE of a never-written
+    // name) persist as string at the WRITE boundary only: Spark 4 can
+    // round-trip NullType parquet, but external warehouse readers can't.
+    // In-session the column stays NullType so a later typed assignment
+    // adopts the value's type instead of string-coercing.
+    def typed(df: DataFrame): DataFrame =
+      df.schema.fields.foldLeft(df)((d, f) =>
+        if (f.dataType == org.apache.spark.sql.types.NullType)
+          d.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast("string"))
+        else d)
     datasets.foreach { case (ds, df) =>
       if (dirtySet.contains(ds))
-        clustered(ds, df).write.mode(SaveMode.Overwrite).parquet(s"$staging/$ds")
+        clustered(ds, typed(df)).write.mode(SaveMode.Overwrite)
+          .parquet(s"$staging/$ds")
     }
     def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
       Files.createDirectories(dst)

@@ -290,6 +290,31 @@ class DynamicSemanticsSpec extends AnyFunSuite {
     assert(v == 42L, s"typed re-assignment returned $v (${v.getClass})")
   }
 
+  test("mixed node+edge SET works in either item order") {
+    // both orderings route through the pipeline: item order must not
+    // change which path (or error) a statement gets
+    def run(set: String): Long = {
+      val d = SparkFixture.gqlSession(mixedGraph)
+      d.execute(s"MATCH (a:Account)-[t:Transaction]->(m:Merchant) $set")
+        .collect().head.getLong(0)
+    }
+    assert(run("SET t.flag = 1, a.seen = 2") == 4L)
+    assert(run("SET a.seen = 2, t.flag = 1") == 4L)
+  }
+
+  test("untyped NULL columns persist as typed at the warehouse boundary") {
+    val t = freshCatalogSession()
+    t.execute("CREATE GRAPH /main/wh_typed")
+    t.execute("SESSION SET GRAPH /main/wh_typed")
+    t.execute("INSERT (:R {id: 1, name: 'x'})")
+    t.execute("MATCH (r:R) SET r.cleared = NULL")
+    t.saveGraphAs("/main/wh_typed", force = true)
+    // a fresh load (external-reader view) must see a concrete type
+    import org.apache.spark.sql.types.NullType
+    val re = t.gls.catalog.loadGraph("main", "wh_typed")
+    assert(!re.nodeTables("R").schema.exists(_.dataType == NullType))
+  }
+
   test("type-less DML over a graph with no edges affects zero rows") {
     val t = freshCatalogSession()
     t.execute("CREATE GRAPH /main/no_edges")
