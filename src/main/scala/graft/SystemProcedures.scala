@@ -14,7 +14,7 @@ object SystemProcedures {
     "gql.show_session", "gql.list_users", "gql.list_roles",
     "gql.list_grants", "gql.list_procedures", "gql.list_indexes",
     "gql.list_graph_types", "gql.list_sessions",
-    "gql.authenticate_user", "gql.cache_stats",
+    "gql.authenticate_user", "gql.update_user", "gql.cache_stats",
     "gql.clear_cache", "gql.show_parameters",
     "gql.result_cache_stats", "gql.result_cache_clear",
     "gql.find_neighbors", "gql.shortest_path", "gql.is_reachable")
@@ -93,6 +93,15 @@ object SystemProcedures {
         val password = args.lift(1).getOrElse("")
         Seq((user, gls.catalog.verifyPassword(user, password)))
           .toDF("user_name", "authenticated")
+      // password rotation (reference update_user with a password param,
+      // query_coordinator.rs:478): re-hashes with the current KDF, which
+      // is also the legacy-credential migration path
+      case "gql.update_user" =>
+        val user = args.headOption.getOrElse(
+          throw new IllegalArgumentException("gql.update_user needs (user, password)"))
+        val password = args.lift(1).getOrElse("")
+        Seq((user, gls.catalog.setPassword(user, password)))
+          .toDF("user_name", "updated")
       case "gql.cache_stats" =>
         val rdds = gls.spark.sparkContext.getPersistentRDDs
         Seq((rdds.size.toLong,

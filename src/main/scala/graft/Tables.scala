@@ -19,11 +19,11 @@ object Tables {
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def customer(s: SparkSession, d: String): DataFrame = widen(s, load(s, d, "customer"))
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def part(s: SparkSession, d: String): DataFrame = widen(s, load(s, d, "part"))
+  def orders(s: SparkSession, d: String): DataFrame = widen(s, load(s, d, "orders"))
+  def lineitem(s: SparkSession, d: String): DataFrame = widen(s, load(s, d, "lineitem"))
   /** events.parquet's `ts` column has shipped in two physical encodings
     * across test-data generations: TIMESTAMP(NANOS) (surfacing as BIGINT
     * nanos under `spark.sql.legacy.parquet.nanosAsLong=true`) and plain
@@ -49,12 +49,15 @@ object Tables {
       case _ => raw
     }
   }
-  /** The text/vector tables feed CPU-heavy per-row operators (md5
-    * shingling, minhash, cosine). The local test files are single-row-
-    * group parquet, so the scan plans as ONE task and serializes all that
-    * compute; when scan parallelism is far below the session's cores,
+  /** The local test files are single-row-group parquet, so a scan plans
+    * as ONE task: the text/vector tables then serialize CPU-heavy per-row
+    * operators (md5 shingling, minhash, cosine), and the fact tables
+    * (lineitem/orders/...) serialize full-scan agg/join work the same way.
+    * When the estimated scan parallelism is far below the session's cores,
     * redistribute once up front. On a real multi-file warehouse the scan
-    * already parallelizes and this is a no-op.
+    * already parallelizes and this is a no-op (the estimate meets the
+    * target and no shuffle is added). Catalyst still pushes filters and
+    * column pruning through the Repartition to the scan.
     */
   private def widen(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism

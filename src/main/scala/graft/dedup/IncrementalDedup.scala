@@ -28,19 +28,26 @@ object IncrementalDedup {
     * Within the batch the smallest id per fingerprint survives. Returns
     * the surviving rows (original columns) and commits their fingerprints.
     *
-    * A Bloom sidecar (`<state>/exact_bloom`, merged incrementally per
+    * A Bloom sidecar (`<state>/exact_bloom2`, merged incrementally per
     * batch) pre-filters the history probe: rows whose fingerprint the
     * bloom has definitely never seen bypass the anti-join entirely — at
     * scale, the novel majority of each batch never shuffles against the
     * history table, only the maybe-seen minority does. False positives
     * just take the (authoritative) anti-join path, so results are exact.
+    * Built and probed by Spark's native bloom expressions — see
+    * [[graft.functions.BloomFunctions]].
     */
   def dedupeExact(batch: DataFrame, idCol: String, textCol: String,
       statePath: String): DataFrame = {
     val spark = batch.sparkSession
     recoverCompaction(statePath)
     val path = s"$statePath/exact"
-    val bloomPath = Paths.get(s"$statePath/exact_bloom")
+    // v2 sidecar: keys are xxhash64(fp), built DISTRIBUTED by Spark's
+    // BloomFilterAggregate and probed by the native BloomFilterMightContain
+    // predicate (codegen stage, no Scala UDF, no driver-side build). The
+    // retired v1 sidecar hashed raw strings — incompatible key space, so
+    // its presence is simply ignored and a fresh v2 rebuilds from history.
+    val bloomPath = Paths.get(s"$statePath/exact_bloom2")
     val fp = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
     val batchKeep = fp.withColumn("__rn", row_number().over(w))
@@ -51,14 +58,15 @@ object IncrementalDedup {
       val history = spark.read.parquet(path).select(col("fp").as("__fp"))
       keep =
         if (Files.exists(bloomPath)) {
-          val bf = loadBloom(bloomPath)
-          val bfBc = spark.sparkContext.broadcast(bf)
-          // null fingerprints (null text) are never "seen" — they fall
-          // through to the keep set exactly like the plain anti-join path
-          val mightSeen = udf((s: String) =>
-            s != null && bfBc.value.mightContainString(s))
-          val novel = batchKeep.filter(!mightSeen(col("__fp")))
-          val candidates = batchKeep.filter(mightSeen(col("__fp")))
+          val bytes = Files.readAllBytes(bloomPath)
+          // NULL fingerprints hash to the seed constant: at worst they
+          // probe "maybe seen" and take the authoritative anti-join,
+          // where NULL never equi-matches — so they survive, exactly
+          // like the plain path
+          val mightSeen =
+            graft.functions.BloomFunctions.mightContain(spark, bytes, col("__fp"))
+          val novel = batchKeep.filter(!mightSeen)
+          val candidates = batchKeep.filter(mightSeen)
             .join(history, Seq("__fp"), "left_anti")
           novel.unionByName(candidates)
         } else batchKeep.join(history, Seq("__fp"), "left_anti")
@@ -70,28 +78,35 @@ object IncrementalDedup {
     // history rebuilds from the FULL history, not just this batch;
     // (b) the merged bloom is saved BEFORE the parquet append — a crash
     // between the two leaves it over-covering, which only routes rows to
-    // the exact join. All blooms share one fixed capacity so they merge;
-    // a capacity change also triggers the full rebuild.
+    // the exact join. All blooms share one fixed capacity so they merge
+    // (a serialized-format/size mismatch falls back to the full rebuild).
+    def buildBloom(df: DataFrame, keyCol: String): Array[Byte] =
+      df.agg(graft.functions.BloomFunctions
+        .agg(spark, col(keyCol), BloomCapacity, 0.01).as("bf"))
+        .head.getAs[Array[Byte]]("bf") // null on empty input
     val needRebuild = hasHistory && !Files.exists(bloomPath)
     if (!out.isEmpty || needRebuild) {
-      val newBloom =
-        if (out.isEmpty) null
-        else out.stat.bloomFilter("__fp", BloomCapacity, 0.01)
-      val merged =
+      val newBytes = if (out.isEmpty) null else buildBloom(out, "__fp")
+      val mergedBytes: Array[Byte] =
         if (needRebuild) {
-          val hist = spark.read.parquet(path)
-            .stat.bloomFilter("fp", BloomCapacity, 0.01)
-          if (newBloom != null) hist.mergeInPlace(newBloom) else hist
+          // one distributed pass over history ∪ batch survivors
+          val hist = spark.read.parquet(path).select(col("fp").as("__fp"))
+          buildBloom(
+            if (newBytes == null) hist
+            else hist.unionByName(out.select("__fp")), "__fp")
         } else if (Files.exists(bloomPath)) {
-          try loadBloom(bloomPath).mergeInPlace(newBloom)
-          catch {
+          try {
+            val merged = loadBloom(bloomPath)
+              .mergeInPlace(deserializeBloom(newBytes))
+            serializeBloom(merged)
+          } catch {
             case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
-              val hist = spark.read.parquet(path)
-                .stat.bloomFilter("fp", BloomCapacity, 0.01)
-              hist.mergeInPlace(newBloom)
+              val hist = spark.read.parquet(path).select(col("fp").as("__fp"))
+              buildBloom(hist.unionByName(out.select("__fp")), "__fp")
           }
-        } else newBloom
-      saveBloom(bloomPath, merged)
+        } else newBytes
+      // an all-empty history+batch yields no filter — nothing to save
+      if (mergedBytes != null) saveBloomBytes(bloomPath, mergedBytes)
     }
     out.select(col("__fp").as("fp")).write.mode("append").parquet(path)
     out.drop("__fp")
@@ -114,17 +129,23 @@ object IncrementalDedup {
     */
   val BloomCapacity: Long = 10000000L
 
-  private def loadBloom(p: java.nio.file.Path): org.apache.spark.util.sketch.BloomFilter = {
-    val in = Files.newInputStream(p)
-    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-    finally in.close()
+  private def loadBloom(p: java.nio.file.Path): org.apache.spark.util.sketch.BloomFilter =
+    deserializeBloom(Files.readAllBytes(p))
+
+  private def deserializeBloom(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  private def serializeBloom(
+      bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
   }
 
-  private def saveBloom(p: java.nio.file.Path,
-      bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+  private def saveBloomBytes(p: java.nio.file.Path, bytes: Array[Byte]): Unit = {
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    val outS = Files.newOutputStream(tmp)
-    try bf.writeTo(outS) finally outS.close()
+    Files.write(tmp, bytes)
     Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 

@@ -246,11 +246,11 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     createPrincipal(kind, name, None)
 
   /** Create a user/role; for users, `secret` is the password from
-    * `CREATE USER … IDENTIFIED BY`, stored as `salt$sha256(salt:password)`
-    * in the credential column — never in the clear. (Reference hashes
-    * credentials in its security provider,
-    * catalog/providers/security.rs; SHA-256+salt stands in for its
-    * argon2 — same catalog shape, weaker KDF, documented divergence.)
+    * `CREATE USER … IDENTIFIED BY`, stored as a salted PBKDF2 credential
+    * — never in the clear. (Reference hashes credentials in its security
+    * provider, catalog/providers/security.rs; PBKDF2-HMAC-SHA256 stands
+    * in for its argon2 — same catalog shape, a JDK-native memory-cheap
+    * KDF instead, documented divergence.)
     */
   def createPrincipal(kind: String, name: String,
       secret: Option[String]): Boolean = {
@@ -262,13 +262,48 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Rotate a user's password (reference `update_user` with a password
+    * param, query_coordinator.rs:478). Always re-hashes with the current
+    * KDF — rotating is also how a legacy SHA-256 credential migrates to
+    * PBKDF2. Returns false for unknown users.
+    */
+  def setPassword(user: String, password: String): Boolean = {
+    val rows = readSecurity()
+    if (!rows.exists(r => r._1 == "USER" && r._2 == user)) false
+    else {
+      val cred = if (password.isEmpty) "" else hashPassword(newSalt(), password)
+      writeSecurity(rows.map {
+        case ("USER", `user`, _) => ("USER", user, cred)
+        case r => r
+      })
+      true
+    }
+  }
+
   private def newSalt(): String = {
     val b = new Array[Byte](8)
     new java.security.SecureRandom().nextBytes(b)
     b.map("%02x".format(_)).mkString
   }
 
-  private def hashPassword(salt: String, password: String): String = {
+  /** Current KDF: PBKDF2-HmacSHA256, iteration count recorded in the
+    * credential (`pbkdf2$<iters>$<salt>$<hex>`) so it can be raised
+    * later without breaking stored credentials.
+    */
+  private val Pbkdf2Iterations = 120000
+
+  private def hashPassword(salt: String, password: String): String =
+    s"pbkdf2$$$Pbkdf2Iterations$$$salt$$" +
+      pbkdf2Hex(password, salt, Pbkdf2Iterations)
+
+  private def pbkdf2Hex(password: String, salt: String, iters: Int): String = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, salt.getBytes("UTF-8"), iters, 256)
+    val skf = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+    skf.generateSecret(spec).getEncoded.map("%02x".format(_)).mkString
+  }
+
+  private def legacySha256(salt: String, password: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val digest = md.digest(s"$salt:$password".getBytes("UTF-8"))
     salt + "$" + digest.map("%02x".format(_)).mkString
@@ -277,17 +312,23 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   /** Password check for `gql.authenticate_user`
     * (system_procedures.rs:60-91): unknown users and wrong passwords are
     * both false; a user created without IDENTIFIED BY is passwordless and
-    * authenticates only with an empty password.
+    * authenticates only with an empty password. Both credential formats
+    * verify — `pbkdf2$<iters>$<salt>$<hex>` (current; iterations read
+    * from the credential itself) and the legacy `salt$sha256(salt:pw)`
+    * (pre-PBKDF2 warehouses; migrates on the next [[setPassword]]).
     */
   def verifyPassword(user: String, password: String): Boolean =
     readSecurity().find(r => r._1 == "USER" && r._2 == user) match {
       case None => false
       case Some((_, _, "")) => password.isEmpty
       case Some((_, _, cred)) =>
-        val salt = cred.takeWhile(_ != '$')
+        val recomputed = cred.split('$') match {
+          case Array("pbkdf2", iters, salt, _) if iters.forall(_.isDigit) =>
+            s"pbkdf2$$$iters$$$salt$$" + pbkdf2Hex(password, salt, iters.toInt)
+          case _ => legacySha256(cred.takeWhile(_ != '$'), password)
+        }
         java.security.MessageDigest.isEqual(
-          hashPassword(salt, password).getBytes("UTF-8"),
-          cred.getBytes("UTF-8"))
+          recomputed.getBytes("UTF-8"), cred.getBytes("UTF-8"))
     }
 
   def dropPrincipal(kind: String, name: String): Boolean = {

@@ -6,16 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side plumbing — schema, partitioning, batch iteration,
-  * output shape — is real and tested. Decode is two-tier: WAV (RIFF PCM)
-  * and BMP parse for REAL through [[RealCodec]] (pure byte formats, no
-  * library needed — [[decodeFeatures]], driver row m03); codec-library
-  * formats (JPEG/MP4/…) stay STUBBED behind [[StubCodec.decodeFake]], a
-  * deterministic fake that derives "decoded" dimensions and frames from
-  * the bytes (no image/audio codecs in this container). Swapping in a
-  * real codec touches only that one function: the `mapPartitions`
-  * pipeline around it (the Scala analog of `mapInPandas` batch
-  * processing) stays unchanged.
+  * Decode is REAL end to end: payloads are sniffed from their magic
+  * bytes ([[RealCodec.sniff]]) and parsed — WAV/BMP by the hand codecs,
+  * PNG/JPEG/GIF through the JDK's `javax.imageio` ([[RealCodec
+  * .decodeRaster]]). A payload no decoder recognizes (e.g. container
+  * video — no JDK codec) is FLAGGED, not guessed at: feature stages emit
+  * 0-dimensions for it and transform stages drop it, which is exactly
+  * what a corpus-hygiene pipeline must do with corrupt media. The
+  * `mapPartitions` batch plumbing is the Scala analog of `mapInPandas`:
+  * per-partition/per-batch init points mark where codec handles would
+  * amortize on a real cluster.
   */
 object Multimodal {
 
@@ -31,28 +31,24 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       byte_entropy: Double,   // real computation on real bytes
-      width: Int,             // STUB-derived
-      height: Int,            // STUB-derived
-      n_frames: Int)          // STUB-derived (1 for image)
+      width: Int,             // real decode; 0 when not a raster
+      height: Int,            // real decode; 0 when not a raster
+      n_frames: Int)          // real decode: WAV sample count, raster 1, unknown 0
 
-  /** STUB: deterministic fake decode. A real implementation would call an
-    * image/audio library here; the container has none, so dimensions and
-    * frame counts are derived from the payload deterministically. Marked
-    * intentionally — DO NOT interpret these values as real media info.
+  /** Real dimension probe: sniff + decode. Returns
+    * (format, width, height, n_frames); undecodable payloads come back
+    * ("unknown", 0, 0, 0) so downstream can filter/flag them.
     */
-  object StubCodec {
-    def decodeFake(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
-      val h = payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-      val w = 64 + math.floorMod(h, 1024).toInt
-      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-      val frames = kind match {
-        case "image" => 1
-        case "audio" => 1 + math.floorMod(h >> 20, 4096).toInt
-        case _       => 1 + math.floorMod(h >> 20, 240).toInt
-      }
-      (w, ht, frames)
+  def probeDims(payload: Array[Byte]): (String, Int, Int, Int) =
+    RealCodec.sniff(payload) match {
+      case "wav" =>
+        val w = RealCodec.decodeWav(payload)
+        ("wav", 0, 0, w.nSamples)
+      case f @ ("bmp" | "png" | "jpeg" | "gif") =>
+        val img = RealCodec.decodeRaster(payload)
+        (f, img.width, img.height, 1)
+      case _ => ("unknown", 0, 0, 0)
     }
-  }
 
   /** Shannon entropy of the byte distribution — a real signal used for
     * corrupt/blank media detection at pipeline scale.
@@ -80,29 +76,35 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition init would go here (codec handles, model weights)
       it.map { r =>
-        val (w, h, f) = StubCodec.decodeFake(r.kind, r.payload)
+        val (_, w, h, f) = probeDims(r.payload)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
           math.rint(entropy(r.payload) * 10000) / 10000, w, h, f)
       }
     }
   }
 
-  /** A resized media record (STUB-derived dimensions; the payload stays
-    * opaque — a real resize would transform it).
+  /** A really-resized media record: source dims from the actual decode,
+    * target dims from an aspect-preserving fit, `px_mean` the mean
+    * channel value of the nearest-neighbor-resampled pixels — proof the
+    * pixel transform ran, reconstructable in closed form by the oracle.
     */
-  final case class ResizedMedia(media_id: Long, kind: String,
+  final case class ResizedMedia(media_id: Long, kind: String, format: String,
       src_width: Int, src_height: Int, width: Int, height: Int,
-      scale: Double)
+      scale: Double, px_mean: Double)
 
-  /** One sampled frame of a video/audio payload. */
-  final case class SampledFrame(media_id: Long, kind: String,
-      frame_index: Int, frame_hash: Long)
+  /** One sampled frame of an audio payload: `frame_value` is the REAL
+    * decoded PCM sample at `frame_index`, not a synthetic hash.
+    */
+  final case class SampledFrame(media_id: Long, kind: String, format: String,
+      frame_index: Int, frame_value: Long)
 
   /** Resize stage: batched per partition with an explicit `batchSize`
     * knob — the unit a real decoder/resizer would process per call
-    * (exactly the `mapInPandas` batch shape). Aspect-preserving fit into
-    * (targetW, targetH); decode is STUBBED, the batching/schema plumbing
-    * is real.
+    * (exactly the `mapInPandas` batch shape). Rasters are REALLY decoded
+    * ([[RealCodec.decodeRaster]]) and REALLY resampled
+    * ([[RealCodec.resizeNearest]]) into an aspect-preserving fit of
+    * (targetW, targetH); payloads that aren't decodable rasters are
+    * dropped (flag-don't-guess).
     */
   def resizeStage(media: Dataset[MediaRecord], targetW: Int, targetH: Int,
       batchSize: Int = 64): Dataset[ResizedMedia] = {
@@ -110,35 +112,52 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch init would go here (resizer handles, buffers)
-        batch.iterator.map { r =>
-          val (w, h, _) = StubCodec.decodeFake(r.kind, r.payload)
-          val scale = math.min(targetW.toDouble / w, targetH.toDouble / h)
-          ResizedMedia(r.media_id, r.kind, w, h,
-            math.max(1, math.round(w * scale).toInt),
-            math.max(1, math.round(h * scale).toInt), scale)
+        batch.iterator.flatMap { r =>
+          RealCodec.sniff(r.payload) match {
+            case fmt @ ("bmp" | "png" | "jpeg" | "gif") =>
+              val img = RealCodec.decodeRaster(r.payload)
+              val scale = math.min(
+                targetW.toDouble / img.width, targetH.toDouble / img.height)
+              // floor(x + 0.5) so the oracle's FLOOR(x + 0.5) is the
+              // same rounding function, bit for bit
+              val nw = math.max(1, math.floor(img.width * scale + 0.5).toInt)
+              val nh = math.max(1, math.floor(img.height * scale + 0.5).toInt)
+              val out = RealCodec.resizeNearest(img, nw, nh)
+              var sum = 0L; var i = 0
+              while (i < out.pixels.length) { sum += out.pixels(i); i += 1 }
+              Some(ResizedMedia(r.media_id, r.kind, fmt,
+                img.width, img.height, nw, nh, scale,
+                sum.toDouble / out.pixels.length))
+            case _ => None
+          }
         }
       }
     }
   }
 
-  /** Frame-sampling stage: every `everyN`-th frame of video/audio media,
-    * batched like [[resizeStage]]. Frame "hashes" derive deterministically
-    * from the payload hash + index (STUB for a real frame decode).
+  /** Frame-sampling stage: every `everyN`-th REAL decoded PCM sample of
+    * audio media, batched like [[resizeStage]]. Non-audio payloads are
+    * dropped. (With a container-video codec this is where every-Nth
+    * VIDEO frame would decode; the JDK ships none, so audio is the real
+    * frame source and video payloads fall out as undecodable.)
     */
   def frameSampleStage(media: Dataset[MediaRecord], everyN: Int,
       batchSize: Int = 64): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
-    media.filter(r => r.kind == "video" || r.kind == "audio")
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.flatMap { r =>
-            val (_, _, frames) = StubCodec.decodeFake(r.kind, r.payload)
-            val base = r.payload.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-            (0 until frames by everyN).map(i =>
-              SampledFrame(r.media_id, r.kind, i, base * 31 + i))
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          RealCodec.sniff(r.payload) match {
+            case "wav" =>
+              val w = RealCodec.decodeWav(r.payload)
+              (0 until w.nSamples by everyN).map(i =>
+                SampledFrame(r.media_id, r.kind, "wav", i,
+                  w.samples(i * w.channels).toLong))
+            case _ => Seq.empty
           }
         }
       }
+    }
   }
 
   /** Features from a REAL decode ([[RealCodec]]): format sniffed from
@@ -201,6 +220,34 @@ object Multimodal {
         MediaRecord(id, "image",
           RealCodec.encodeBmp24(w, h,
             (x, y, c) => ((id + 3 * x + 5 * y + c) % 256).toInt), "synth")
+      }
+    }
+  }
+
+  /** Deterministic VALID media files per document id across THREE real
+    * formats — `id % 3`: 0 → PCM-16 WAV, 1 → 24-bit BMP, 2 → PNG (the
+    * JDK codec). WAV/BMP use the m03 generators; PNG reuses the BMP
+    * pixel formula, so the m02 oracle reconstructs every decoded feature
+    * in closed form while the Spark side goes through actual file bytes
+    * (including a real zlib-compressed PNG round-trip).
+    */
+  def syntheticMediaMixed(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id % 3) match {
+        case 0L =>
+          val n = (100 + id % 400).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((id * 7 + i * 13) % 2001 - 1000).toShort)
+          MediaRecord(id, "audio",
+            RealCodec.encodeWavPcm16Mono(8000, samples), "synth")
+        case rem =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 7).toInt
+          val px = (x: Int, y: Int, c: Int) => ((id + 3 * x + 5 * y + c) % 256).toInt
+          val payload = if (rem == 1L) RealCodec.encodeBmp24(w, h, px)
+            else RealCodec.encodePng(w, h, px)
+          MediaRecord(id, "image", payload, "synth")
       }
     }
   }

@@ -1,17 +1,23 @@
 package graft.multimodal
 
-/** REAL media codecs for the container-friendly pure-byte formats: WAV
-  * (RIFF PCM) and BMP (24-bit BITMAPINFOHEADER). Unlike
-  * [[Multimodal.StubCodec]] — which stands in for codec-library formats
-  * (JPEG/MP4/…) the container cannot decode — these parse the actual
-  * byte layout: RIFF chunk walking, little-endian headers, bottom-up
-  * padded BMP rows. No external libraries; everything is header + raw
-  * sample/pixel access, which is all these formats are.
+/** REAL media codecs. Two tiers, both genuinely decoding bytes:
   *
-  * Encoders exist so tests and the m03 driver row can synthesize valid
-  * files deterministically; decoders are strict (bad magic / truncated
-  * payloads throw with the offending offset) because silent tolerance
-  * turns corrupt media into garbage training rows.
+  *   - pure-byte formats parsed by hand: WAV (RIFF PCM chunk walk) and
+  *     BMP (24-bit BITMAPINFOHEADER, bottom-up padded rows);
+  *   - compressed raster formats decoded through the JDK's own codec
+  *     library, `javax.imageio` (PNG/JPEG/GIF readers ship in every
+  *     JRE — zero external dependencies).
+  *
+  * [[sniff]] classifies a payload from its magic bytes; [[decodeRaster]]
+  * routes to the right decoder and returns a uniform [[BmpInfo]] pixel
+  * buffer. Container video (MP4/…) has no JDK codec and is reported as
+  * `unknown` — at pipeline scale an undecodable payload must be flagged,
+  * never guessed at.
+  *
+  * Encoders exist so tests and the m02/m03 driver rows can synthesize
+  * valid files deterministically; decoders are strict (bad magic /
+  * truncated payloads throw with the offending offset) because silent
+  * tolerance turns corrupt media into garbage training rows.
   */
 object RealCodec {
 
@@ -165,6 +171,67 @@ object RealCodec {
         bytes(base + fileRow * rowBytes + x * 3 + c) & 0xff
     }
     BmpInfo(width, height, pixels)
+  }
+
+  // ---- format sniffing + JDK imageio rasters (PNG/JPEG/GIF) ----
+
+  /** Classify a payload from its magic bytes: "wav" | "bmp" | "png" |
+    * "jpeg" | "gif" | "unknown". Cheap (first 12 bytes), safe on any
+    * input — the dispatch point for batch decode stages.
+    */
+  def sniff(b: Array[Byte]): String =
+    if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") "wav"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') "gif"
+    else "unknown"
+
+  /** Encode a PNG through the JDK's own codec ([[javax.imageio]]).
+    * `px(x, y, c)` supplies channel values 0..255 with the SAME c = 0,1,2
+    * = B,G,R convention as [[encodeBmp24]], so one pixel generator feeds
+    * both formats (and one closed-form oracle reconstructs both — PNG is
+    * lossless, the round-trip is exact).
+    */
+  def encodePng(width: Int, height: Int,
+      px: (Int, Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) {
+      val rgb = ((px(x, y, 2) & 0xff) << 16) |
+        ((px(x, y, 1) & 0xff) << 8) | (px(x, y, 0) & 0xff)
+      img.setRGB(x, y, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "PNG: no JDK writer available")
+    bos.toByteArray
+  }
+
+  /** Decode any raster the sniffer recognizes into the uniform
+    * [[BmpInfo]] buffer: BMP via the hand parser, PNG/JPEG/GIF via the
+    * JDK codec. Channel order stays c = 0,1,2 = B,G,R across formats.
+    */
+  def decodeRaster(bytes: Array[Byte]): BmpInfo = sniff(bytes) match {
+    case "bmp" => decodeBmp(bytes)
+    case "png" | "jpeg" | "gif" =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "imageio: decoder returned null")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val pixels = new Array[Int](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        pixels(o) = rgb & 0xff            // B
+        pixels(o + 1) = (rgb >> 8) & 0xff // G
+        pixels(o + 2) = (rgb >> 16) & 0xff // R
+      }
+      BmpInfo(w, h, pixels)
+    case f => throw new IllegalArgumentException(s"raster: unsupported format '$f'")
   }
 
   /** Real nearest-neighbor resample of a decoded BMP — an actual pixel

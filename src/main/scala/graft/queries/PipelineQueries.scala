@@ -345,13 +345,14 @@ object PipelineQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
-    // ---- multimodal: binary payload -> batched feature extraction
-    // (decode STUBBED — see Multimodal.StubCodec; plumbing is real).
-    // The driver-checked columns are the REAL computations (payload size
-    // + byte entropy through the whole mapPartitions pipeline) — both
-    // reproduced exactly by the DuckDB oracle; the stub-derived
-    // width/height/n_frames stay pinned by PipelineSpec instead (their
-    // wrapping-multiply hash has no overflow-safe SQL analog).
+    // ---- multimodal: binary payload -> batched feature extraction.
+    // The corpus here is the documents' text bytes flowing through the
+    // binary column — deliberately NOT decodable media, so the real
+    // sniffer flags every row (width/height/n_frames = 0) and the
+    // checked columns are the byte-level computations (payload size +
+    // Shannon entropy through the whole mapPartitions pipeline), both
+    // reproduced exactly by the DuckDB oracle. m02/m03 cover the
+    // decodable-payload path with full closed-form oracles.
     "m01_multimodal_features" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
@@ -360,22 +361,33 @@ object PipelineQueries {
         .orderBy($"media_id")
     }),
 
-    // ---- multimodal batch stages: aspect-preserving resize + every-Nth
-    // frame sampling over the binary corpus (decode STUBBED, the batched
-    // mapPartitions plumbing and output schema are real). Deterministic
-    // but the stub hash needs Java wrap-around arithmetic DuckDB's
-    // checked int64 can't express — registered rows-only by contract.
+    // ---- multimodal batch stages, REAL decode end to end: synthesize
+    // valid WAV/BMP/PNG files per doc id, sniff the actual magic bytes,
+    // aspect-fit-resize rasters with a real nearest-neighbor resample
+    // (PNG goes through the JDK's zlib codec both ways), and sample
+    // every-97th REAL PCM value from the audio. Every output column is
+    // reconstructed arithmetically by the DuckDB oracle from the same
+    // closed-form generators — full hash gate, no stub anywhere.
     "m02_multimodal_stages" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
-      val resized = Multimodal.resizeStage(media, 256, 256).toDF()
+      val media = Multimodal.syntheticMediaMixed(Tables.documents(s, d))
+      val resized = Multimodal.resizeStage(media, 64, 64).toDF()
+        .select($"media_id", $"kind", $"format",
+          $"src_width".cast("long").as("src_width"),
+          $"src_height".cast("long").as("src_height"),
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"px_mean",
+          lit(0L).as("n_frames_sampled"), lit(0L).as("sample_sum"))
       val frames = Multimodal.frameSampleStage(media, everyN = 97).toDF()
-        .groupBy($"media_id".as("fid"))
-        .agg(count(lit(1)).as("n_frames_sampled"))
-      resized.join(frames, resized("media_id") === frames("fid"), "left")
-        .select($"media_id", $"kind", $"width", $"height",
-          coalesce($"n_frames_sampled", lit(0L)).as("n_frames_sampled"))
-        .orderBy($"media_id")
+        .groupBy($"media_id", $"kind", $"format")
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          sum($"frame_value").as("sample_sum"))
+        .select($"media_id", $"kind", $"format",
+          lit(0L).as("src_width"), lit(0L).as("src_height"),
+          lit(0L).as("width"), lit(0L).as("height"),
+          lit(0.0).as("px_mean"), $"n_frames_sampled", $"sample_sum")
+      resized.unionByName(frames).orderBy($"media_id")
     }),
 
     // ---- REAL media decode: synthesize valid PCM-16 WAV / 24-bit BMP
@@ -840,6 +852,43 @@ object PipelineQueries {
         | true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "m01_multimodal_features" -> multimodalSql,
+    // m02: REAL decode stages reconstructed in closed form — WAV sample
+    // values ((id*7+i*13)%2001)-1000 sampled every 97th, raster dims
+    // 4+id%13 × 3+id%7 aspect-fit into 64×64 with floor(x+0.5) rounding,
+    // and the nearest-neighbor-resampled pixel mean from the generator
+    // (id+3·sx+5·sy+c)%256 with sx = x·sw//w (the resampler's integer
+    // math). The Spark side decoded actual WAV/BMP/PNG bytes (PNG via
+    // the JDK's zlib codec); the oracle never built a file.
+    "m02_multimodal_stages" ->
+      """WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS rem,
+        |  4 + doc_id % 13 AS sw, 3 + doc_id % 7 AS sh,
+        |  100 + doc_id % 400 AS ns FROM documents),
+        |r AS (SELECT media_id, rem, sw, sh, ns,
+        |  CASE WHEN rem = 0 THEN 0 ELSE GREATEST(1, CAST(FLOOR(
+        |    sw * LEAST(64.0/sw, 64.0/sh) + 0.5) AS BIGINT)) END AS w,
+        |  CASE WHEN rem = 0 THEN 0 ELSE GREATEST(1, CAST(FLOOR(
+        |    sh * LEAST(64.0/sw, 64.0/sh) + 0.5) AS BIGINT)) END AS h
+        | FROM m)
+        |SELECT media_id,
+        |  CASE WHEN rem = 0 THEN 'audio' ELSE 'image' END AS kind,
+        |  CASE WHEN rem = 0 THEN 'wav'
+        |       WHEN rem = 1 THEN 'bmp' ELSE 'png' END AS format,
+        |  CAST(CASE WHEN rem = 0 THEN 0 ELSE sw END AS BIGINT) AS src_width,
+        |  CAST(CASE WHEN rem = 0 THEN 0 ELSE sh END AS BIGINT) AS src_height,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CASE WHEN rem = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(flatten(list_transform(range(0, h), y ->
+        |      flatten(list_transform(range(0, w), x ->
+        |        list_transform(range(0, 3), c ->
+        |          (media_id + 3*((x*sw)//w) + 5*((y*sh)//h) + c) % 256))))))
+        |      AS DOUBLE) / (w * h * 3) END AS px_mean,
+        |  CAST(CASE WHEN rem = 0 THEN len(range(0, ns, 97)) ELSE 0
+        |    END AS BIGINT) AS n_frames_sampled,
+        |  CAST(CASE WHEN rem = 0 THEN
+        |    list_sum(list_transform(range(0, ns, 97),
+        |      i -> (media_id*7 + i*13) % 2001 - 1000))
+        |   ELSE 0 END AS BIGINT) AS sample_sum
+        |FROM r ORDER BY media_id""".stripMargin,
     // m03: every feature of the REAL decode reconstructed from the
     // closed-form generators (WAV samples ((id*7+i*13)%2001)-1000 at
     // 8 kHz; BMP channel values (id+3x+5y+c)%256) — the Spark side went

@@ -53,7 +53,10 @@ object Relational {
           // raw double arithmetic is bit-reproducible across engines;
           // round() here would hit .xx5 shortest-repr boundaries
           ($"l_extendedprice" * (lit(1) - $"l_discount")).as("net"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data — net completes a total order so ties compare stably
+        // whatever the scan parallelism
+        .orderBy($"l_orderkey", $"l_linenumber", $"net")
     }),
 
     // ---- equi-join + aggregation (shuffle join; broadcast picked by AQE)
@@ -486,7 +489,7 @@ object Relational {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | l_extendedprice*(1-l_discount) AS net
         |FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, net""".stripMargin,
     "q03_join_agg" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
         | round(sum(o_totalprice),2) AS total

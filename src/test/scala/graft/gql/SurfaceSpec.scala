@@ -629,13 +629,35 @@ class SurfaceSpec extends AnyFunSuite {
     t.execute("CREATE USER open_user")
     assert(auth("open_user"))
     assert(!auth("open_user", "anything"))
-    // the stored credential is salted+hashed, never the clear password
-    val stored = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"${t.gls.warehouse}/_security"))
+    // the stored credential is salted PBKDF2 with the iteration count in
+    // the string — never the clear password
+    val secPath = java.nio.file.Paths.get(s"${t.gls.warehouse}/_security")
+    val stored = java.nio.file.Files.readString(secPath)
     assert(!stored.contains("hunter2"))
     assert(stored.linesIterator.exists(l =>
-      l.startsWith("USER\teve\t") && l.contains("$") &&
-        l.split("\t")(2).length > 40))
+      l.startsWith("USER\teve\t") && l.split("\t")(2).startsWith("pbkdf2$") &&
+        l.split("\t")(2).split('$').length == 4))
+
+    // a legacy salt$sha256(salt:pw) credential (pre-PBKDF2 warehouse)
+    // still verifies...
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val legacyCred = "ab12cd34$" + md.digest("ab12cd34:oldpw".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.nio.file.Files.writeString(secPath,
+      stored + s"\nUSER\tlegacy_u\t$legacyCred")
+    assert(auth("legacy_u", "oldpw"))
+    assert(!auth("legacy_u", "wrong"))
+    // ...and rotating the password migrates it to the current KDF
+    val upd = t.call("gql.update_user", Seq("legacy_u", "newpw"))
+      .collect().head
+    assert(upd.getString(0) == "legacy_u" && upd.getBoolean(1))
+    assert(auth("legacy_u", "newpw") && !auth("legacy_u", "oldpw"))
+    val migrated = java.nio.file.Files.readString(secPath)
+    assert(migrated.linesIterator.exists(l =>
+      l.startsWith("USER\tlegacy_u\tpbkdf2$")))
+    // rotating an unknown user reports false
+    assert(!t.call("gql.update_user", Seq("ghost", "x"))
+      .collect().head.getBoolean(1))
   }
 
   // ---- NEXT chains + session parameters (executor.rs:8559-8641) ----

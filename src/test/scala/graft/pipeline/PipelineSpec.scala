@@ -341,26 +341,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.head.getAs[Long]("id") == 99L) // identical vector found first
   }
 
-  test("multimodal plumbing produces typed features") {
+  test("multimodal plumbing produces typed features; undecodable bytes flag as 0-dims") {
     import spark.implicits._
     val docs = Seq((1L, "abc", "en", "s", 3L), (2L, "defghij", "en", "s", 7L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // text bytes are NOT decodable media: the real sniffer must flag
+    // them (0 dims, 0 frames), never fabricate dimensions
     val feats = graft.multimodal.Multimodal.extractFeatures(
       graft.multimodal.Multimodal.mediaFromDocuments(docs)).collect()
     assert(feats.length == 2)
-    assert(feats.forall(f => f.n_bytes > 0 && f.width >= 64 && f.n_frames >= 1))
+    assert(feats.forall(f => f.n_bytes > 0 && f.byte_entropy > 0))
+    assert(feats.forall(f => f.width == 0 && f.height == 0 && f.n_frames == 0))
+    // decodable payloads get REAL dimensions back
+    val real = graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.syntheticMediaMixed(
+        (1L to 6L).map(i => (i, "t", "en", "s", 1L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))).collect()
+    assert(real.length == 6)
+    real.sortBy(_.media_id).foreach { f =>
+      if (f.media_id % 3 == 0) { // wav: n_frames = PCM sample count
+        assert(f.width == 0 && f.n_frames == (100 + f.media_id % 400).toInt)
+      } else { // bmp/png: header dims
+        assert(f.width == (4 + f.media_id % 13).toInt &&
+          f.height == (3 + f.media_id % 7).toInt && f.n_frames == 1)
+      }
+    }
   }
 
   test("multimodal resize and frame-sample stages batch correctly") {
     import spark.implicits._
     val docs = (1L to 10L).map(i => (i, "x" * (i.toInt * 7), "en", "s", i * 7))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
+    val media = graft.multimodal.Multimodal.syntheticMediaMixed(docs)
+    // ids 1..10: %3==0 → wav (3 rows), else raster (7 rows)
     val resized = graft.multimodal.Multimodal
       .resizeStage(media, 128, 128, batchSize = 3).collect()
-    assert(resized.length == 10)
+    assert(resized.length == 7)
     assert(resized.forall(r => r.width <= 128 && r.height <= 128 &&
       r.width >= 1 && (r.width == 128 || r.height == 128)))
+    // the resample is real: mean pixel of the generator pattern lands
+    // strictly inside (0, 255)
+    assert(resized.forall(r => r.px_mean > 0 && r.px_mean < 255))
     // batch size must not change results
     val resized1 = graft.multimodal.Multimodal
       .resizeStage(media, 128, 128, batchSize = 1000).collect()
@@ -368,8 +389,24 @@ class PipelineSpec extends AnyFunSuite {
     val frames = graft.multimodal.Multimodal
       .frameSampleStage(media, everyN = 5, batchSize = 2).collect()
     assert(frames.nonEmpty)
-    assert(frames.forall(f => f.frame_index % 5 == 0 &&
-      (f.kind == "video" || f.kind == "audio")))
+    assert(frames.forall(f => f.frame_index % 5 == 0 && f.kind == "audio"))
+    // frame values are the REAL decoded PCM samples
+    assert(frames.forall(f =>
+      f.frame_value == (f.media_id * 7 + f.frame_index * 13) % 2001 - 1000))
+  }
+
+  test("png survives the JDK codec round-trip bit-exactly") {
+    import graft.multimodal.RealCodec
+    val px = (x: Int, y: Int, c: Int) => (11 + 3 * x + 5 * y + c) % 256
+    val bytes = RealCodec.encodePng(9, 5, px)
+    assert(RealCodec.sniff(bytes) == "png")
+    val img = RealCodec.decodeRaster(bytes)
+    assert(img.width == 9 && img.height == 5)
+    for (y <- 0 until 5; x <- 0 until 9; c <- 0 until 3)
+      assert(img.pixels((y * 9 + x) * 3 + c) == px(x, y, c))
+    // and the BMP path through the same generator decodes identically
+    val bmp = RealCodec.decodeRaster(RealCodec.encodeBmp24(9, 5, px))
+    assert(bmp.pixels.sameElements(img.pixels))
   }
 
   test("streaming windowed counts equal batch") {
