@@ -148,7 +148,48 @@ object Bench {
         failed.sorted.take(3)
           .map(n => "\"" + n + "\":\"" + errors.getOrElse(n, "?") + "\"")
           .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$failedTag}""")
+    // physical layout of the input tables — [rows, files, row_groups,
+    // bytes] per table, read from the parquet footers. Cross-round
+    // per-query deltas are meaningless without this: a regenerated
+    // single-row-group file serializes a scan that was 32-way parallel
+    // the round before (that exact swing was misread as noise once).
+    val layout = Tables.all.map { t =>
+      val (rows, files, rgs, bytes) = parquetLayout(s"$sfDir/$t.parquet")
+      s""""$t":[$rows,$files,$rgs,$bytes]"""
+    }.mkString(",\"layout\":{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$layout$failedTag}""")
     spark.stop()
   }
+
+  /** (rows, files, row_groups, bytes) of a parquet file or directory,
+    * from the footers only — no data scan. (-1, …) when unreadable so a
+    * layout problem is visible, never a bench-killer.
+    */
+  private def parquetLayout(path: String): (Long, Int, Int, Long) =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(path)
+      val files: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        else Seq(p)
+      var rows = 0L; var rgs = 0; var bytes = 0L
+      val conf = new org.apache.hadoop.conf.Configuration()
+      files.foreach { f =>
+        bytes += java.nio.file.Files.size(f)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          rgs += blocks.size
+          blocks.asScala.foreach(b => rows += b.getRowCount)
+        } finally r.close()
+      }
+      (rows, files.size, rgs, bytes)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] layout of $path unreadable: $e")
+      (-1L, -1, -1, -1L)
+    }
 }

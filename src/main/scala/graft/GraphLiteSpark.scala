@@ -558,7 +558,13 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         // collections (Seq.toString is "List(…)" vs Spark's "[…]").
         def hashRender(v: Any): String = v match {
           case null => "null"
-          case t: java.sql.Timestamp => hashRender(t.toLocalDateTime)
+          case t: java.sql.Timestamp =>
+            // render the instant in the SPARK session time zone (what
+            // cast-to-string uses), not the JVM default — when the two
+            // differ, a JVM-zone render would give the same content two
+            // different ids across the driver/pipeline insert paths
+            hashRender(t.toInstant.atZone(java.time.ZoneId.of(
+              spark.conf.get("spark.sql.session.timeZone"))).toLocalDateTime)
           case lt: java.time.LocalDateTime =>
             val base = f"${lt.getYear}%04d-${lt.getMonthValue}%02d-" +
               f"${lt.getDayOfMonth}%02d ${lt.getHour}%02d:" +

@@ -19,11 +19,15 @@ object Tables {
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame = widen(s, load(s, d, "customer"))
+  def customer(s: SparkSession, d: String): DataFrame =
+    widen(s, load(s, d, "customer"), FactMinBytes)
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame = widen(s, load(s, d, "part"))
-  def orders(s: SparkSession, d: String): DataFrame = widen(s, load(s, d, "orders"))
-  def lineitem(s: SparkSession, d: String): DataFrame = widen(s, load(s, d, "lineitem"))
+  def part(s: SparkSession, d: String): DataFrame =
+    widen(s, load(s, d, "part"), FactMinBytes)
+  def orders(s: SparkSession, d: String): DataFrame =
+    widen(s, load(s, d, "orders"), FactMinBytes)
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    widen(s, load(s, d, "lineitem"), FactMinBytes)
   /** events.parquet's `ts` column has shipped in two physical encodings
     * across test-data generations: TIMESTAMP(NANOS) (surfacing as BIGINT
     * nanos under `spark.sql.legacy.parquet.nanosAsLong=true`) and plain
@@ -58,8 +62,20 @@ object Tables {
     * already parallelizes and this is a no-op (the estimate meets the
     * target and no shuffle is added). Catalyst still pushes filters and
     * column pruning through the Repartition to the scan.
+    *
+    * `minBytes` gates the shuffle: redistribution is one extra pass over
+    * the data, which only pays when each resulting task still has real
+    * work. The fact tables use [[FactMinBytes]] — measured locally,
+    * widening a 300 KB customer table made every downstream query ~1.7×
+    * SLOWER (stage + shuffle overhead, no compute to parallelize), while
+    * widening the 11 MB lineitem made full scans 2–4× faster. The
+    * CPU-heavy text/vector tables keep minBytes = 0: per-row md5/minhash
+    * work dwarfs the shuffle even on tiny files.
     */
-  private def widen(s: SparkSession, df: DataFrame): DataFrame = {
+  private val FactMinBytes: Long = 8L << 20
+
+  private def widen(s: SparkSession, df: DataFrame,
+      minBytes: Long = 0L): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     // estimate the scan's task count from file bytes ÷ maxPartitionBytes
     // (the split rule the scan itself uses) instead of materializing an
@@ -71,14 +87,18 @@ object Tables {
     val maxPart = math.max(1L, org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(
         s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
-    val est =
-      try df.inputFiles.map { f =>
-        val b = java.nio.file.Files.size(
-          java.nio.file.Paths.get(new java.net.URI(f)))
-        math.max(1L, (b + maxPart - 1) / maxPart)
-      }.sum
-      catch { case _: Exception => df.rdd.getNumPartitions.toLong }
-    if (est < math.max(2, target / 2)) df.repartition(target) else df
+    val (est, totalBytes) =
+      try {
+        val sizes = df.inputFiles.map(f => java.nio.file.Files.size(
+          java.nio.file.Paths.get(new java.net.URI(f))))
+        (sizes.map(b => math.max(1L, (b + maxPart - 1) / maxPart)).sum,
+          sizes.sum)
+      } catch {
+        case _: Exception => (df.rdd.getNumPartitions.toLong, Long.MaxValue)
+      }
+    if (totalBytes >= minBytes && est < math.max(2, target / 2))
+      df.repartition(target)
+    else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =

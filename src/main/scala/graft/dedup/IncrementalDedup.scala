@@ -72,44 +72,97 @@ object IncrementalDedup {
         } else batchKeep.join(history, Seq("__fp"), "left_anti")
     }
     val out = keep.localCheckpoint(true)
-    // Bloom invariant: the sidecar must NEVER under-cover the history
-    // table (a false negative would skip the authoritative anti-join and
-    // admit a duplicate). Hence: (a) a missing sidecar over existing
-    // history rebuilds from the FULL history, not just this batch;
-    // (b) the merged bloom is saved BEFORE the parquet append — a crash
-    // between the two leaves it over-covering, which only routes rows to
-    // the exact join. All blooms share one fixed capacity so they merge
-    // (a serialized-format/size mismatch falls back to the full rebuild).
-    def buildBloom(df: DataFrame, keyCol: String): Array[Byte] =
+    // Bloom invariants:
+    //  - the sidecar must NEVER under-cover the history table (a false
+    //    negative would skip the authoritative anti-join and admit a
+    //    duplicate). Hence a missing sidecar over existing history
+    //    rebuilds from the FULL history, and the merged bloom saves
+    //    BEFORE the parquet append — a crash between the two leaves it
+    //    over-covering, which only routes rows to the exact join.
+    //  - capacity is ADAPTIVE: it starts small and grows by rebuild (the
+    //    meta sidecar tracks capacity + inserted count; once inserted
+    //    exceeds half the capacity, the next commit rebuilds at 4× the
+    //    corpus). A fixed cluster-scale capacity would make every small
+    //    run pay a multi-MB bitset through the aggregate shuffle and the
+    //    probe plan; adaptive sizing keeps the filter proportional to
+    //    the corpus at every scale, with amortized O(1) rebuild cost.
+    def buildBloom(df: DataFrame, capacity: Long): Array[Byte] =
       df.agg(graft.functions.BloomFunctions
-        .agg(spark, col(keyCol), BloomCapacity, 0.01).as("bf"))
+        .agg(spark, col("__fp"), capacity, 0.01).as("bf"))
         .head.getAs[Array[Byte]]("bf") // null on empty input
-    val needRebuild = hasHistory && !Files.exists(bloomPath)
-    if (!out.isEmpty || needRebuild) {
-      val newBytes = if (out.isEmpty) null else buildBloom(out, "__fp")
-      val mergedBytes: Array[Byte] =
-        if (needRebuild) {
-          // one distributed pass over history ∪ batch survivors
-          val hist = spark.read.parquet(path).select(col("fp").as("__fp"))
-          buildBloom(
-            if (newBytes == null) hist
-            else hist.unionByName(out.select("__fp")), "__fp")
-        } else if (Files.exists(bloomPath)) {
+    def nextCapacity(n: Long): Long = {
+      var c = MinBloomCapacity
+      while (c < 4 * n) c <<= 1
+      c
+    }
+    val outCount = out.count()
+    val meta = readBloomMeta(bloomPath)
+    val needRebuild = (hasHistory && !Files.exists(bloomPath)) ||
+      (Files.exists(bloomPath) && meta.isEmpty) ||
+      meta.exists { case (cap, ins) => (ins + outCount) * 2 > cap }
+    if (outCount > 0 || needRebuild) {
+      val hist =
+        if (Files.exists(Paths.get(path)))
+          Some(spark.read.parquet(path).select(col("fp").as("__fp")))
+        else None
+      val (mergedBytes, newMeta): (Array[Byte], (Long, Long)) =
+        if (needRebuild || meta.isEmpty) {
+          // one distributed pass over history ∪ batch survivors, at a
+          // capacity sized 4× the full corpus
+          val full = (hist.toSeq :+ out.select("__fp")).reduce(_ unionByName _)
+          val total = hist.map(_.count()).getOrElse(0L) + outCount
+          val cap = nextCapacity(total)
+          (buildBloom(full, cap), (cap, total))
+        } else {
+          val (cap, ins) = meta.get
+          val newBytes = buildBloom(out.select("__fp"), cap)
           try {
             val merged = loadBloom(bloomPath)
               .mergeInPlace(deserializeBloom(newBytes))
-            serializeBloom(merged)
+            (serializeBloom(merged), (cap, ins + outCount))
           } catch {
             case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
-              val hist = spark.read.parquet(path).select(col("fp").as("__fp"))
-              buildBloom(hist.unionByName(out.select("__fp")), "__fp")
+              val full = (hist.toSeq :+ out.select("__fp"))
+                .reduce(_ unionByName _)
+              val total = hist.map(_.count()).getOrElse(0L) + outCount
+              val cap2 = nextCapacity(total)
+              (buildBloom(full, cap2), (cap2, total))
           }
-        } else newBytes
+        }
       // an all-empty history+batch yields no filter — nothing to save
-      if (mergedBytes != null) saveBloomBytes(bloomPath, mergedBytes)
+      if (mergedBytes != null) {
+        saveBloomBytes(bloomPath, mergedBytes)
+        saveBloomMeta(bloomPath, newMeta._1, newMeta._2)
+      }
     }
     out.select(col("__fp").as("fp")).write.mode("append").parquet(path)
     out.drop("__fp")
+  }
+
+  /** Smallest sidecar capacity (≈80 KB of bits at 1 % fpp); doubles by
+    * rebuild as the corpus grows — see the invariant note in
+    * [[dedupeExact]].
+    */
+  val MinBloomCapacity: Long = 1L << 16
+
+  private def bloomMetaPath(p: java.nio.file.Path): java.nio.file.Path =
+    p.resolveSibling(p.getFileName.toString + ".meta")
+
+  /** (capacity, inserted) recorded next to the sidecar; None when absent
+    * or unreadable (treated as "rebuild", never trusted blindly).
+    */
+  private def readBloomMeta(p: java.nio.file.Path): Option[(Long, Long)] =
+    try {
+      val parts = Files.readString(bloomMetaPath(p)).trim.split(",")
+      Some((parts(0).toLong, parts(1).toLong))
+    } catch { case _: Exception => None }
+
+  private def saveBloomMeta(p: java.nio.file.Path, capacity: Long,
+      inserted: Long): Unit = {
+    val mp = bloomMetaPath(p)
+    val tmp = mp.resolveSibling(mp.getFileName.toString + ".tmp")
+    Files.writeString(tmp, s"$capacity,$inserted")
+    Files.move(tmp, mp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Restore any dataset left aside by a crashed [[compactState]] swap:
@@ -122,12 +175,6 @@ object IncrementalDedup {
       val old = Paths.get(s"$statePath/.old_$sub")
       if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
     }
-
-  /** Fixed sidecar capacity (~12 MB of bits at 1% fpp) — sized for 10M
-    * accepted docs; raise for larger corpora (triggers a one-time
-    * rebuild from the history table).
-    */
-  val BloomCapacity: Long = 10000000L
 
   private def loadBloom(p: java.nio.file.Path): org.apache.spark.util.sketch.BloomFilter =
     deserializeBloom(Files.readAllBytes(p))

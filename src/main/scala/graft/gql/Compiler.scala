@@ -318,9 +318,14 @@ final class Compiler(graph: PropertyGraph,
     // `v.id` needs no extra item: the identity column `v_id` always
     // travels with an entity binding's Star expansion, and a duplicate
     // projection would make the reference ambiguous (pipeline INSERT of
-    // `{user_id: u.id}` hit exactly that)
+    // `{user_id: u.id}` hit exactly that). The same holds for `e.eid` on
+    // edge variables — their expansion always carries `<e>_eid`, so skip
+    // it for every variable the patterns bind as an edge.
+    val edgeVars: Set[String] = q.segments.flatMap(s =>
+      (s.matches ++ s.optionalMatches).flatMap(_.hops.flatMap(_._1.variable))
+    ).toSet
     val extraItems = propRefs.toSeq.collect {
-      case (v, pr) if pr != "id" =>
+      case (v, pr) if pr != "id" && !(pr == "eid" && edgeVars.contains(v)) =>
         ReturnItem(Prop(v, pr), Some(s"${v}_$pr"))
     }
     val last = q.segments.last
@@ -500,12 +505,28 @@ final class Compiler(graph: PropertyGraph,
     prevBindings.foreach {
       case (v, b: NodeBinding) if df.isDefined =>
         val needed = usedProps.getOrElse(v, Set.empty)
-        val missing = needed.filterNot(pr => df.get.columns.contains(s"${v}_$pr"))
-        if (missing.nonEmpty) {
+        val missing0 = needed.filterNot(pr => df.get.columns.contains(s"${v}_$pr"))
+        if (missing0.nonEmpty) {
           graph.nodeTables.get(b.primary).foreach { t =>
             val renamed = t.columns.foldLeft(t)((acc, c) =>
               acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
             df = Some(df.get.join(renamed, s"${v}_id"))
+          }
+          // multi-label intersection: props merged from the OTHER label
+          // tables (scanNodeMulti semantics) — each still-missing prop
+          // re-attaches from the first remaining label that has it
+          var missing = needed.filterNot(pr =>
+            df.get.columns.contains(s"${v}_$pr"))
+          b.labels.tail.foreach { l =>
+            if (missing.nonEmpty) graph.nodeTables.get(l).foreach { t =>
+              val cols = missing.filter(t.columns.contains).toSeq.sorted
+              if (cols.nonEmpty) {
+                val side = t.select(col("id").as(s"${v}_id") +:
+                  cols.map(c => col(c).as(s"${v}_$c")): _*)
+                df = Some(df.get.join(side, Seq(s"${v}_id")))
+                missing --= cols
+              }
+            }
           }
         }
       case (v, UnionNode) if df.isDefined =>
@@ -574,16 +595,24 @@ final class Compiler(graph: PropertyGraph,
           case Ident(v) if collectedEntities.contains(v) =>
             val labels = collectedEntities(v)
             var d = in.withColumn(s"${as}_id", explode(col(v)))
-            val t = graph.nodeTables(labels.head)
             // "id" is already bound by the explode — re-selecting it from
-            // the label table would duplicate `<as>_id` (ambiguous ref)
-            val used = usedProps.getOrElse(as, Set.empty)
-              .filter(p => p != "id" && t.columns.contains(p))
-            if (used.nonEmpty) {
-              val sel = t.select(col("id").as(fresh("uwid")) +:
-                used.toSeq.sorted.map(p => col(p).as(s"${as}_$p")): _*)
-              val key = sel.columns.head
-              d = d.join(sel, d(s"${as}_id") === sel(key), "left").drop(key)
+            // a label table would duplicate `<as>_id` (ambiguous ref).
+            // A multi-label binding is the INTERSECTION of its label
+            // tables with merged properties (scanNodeMulti), so each
+            // referenced property re-attaches from the first label table
+            // that has it — labels.head first, same carrier precedence.
+            var remaining = usedProps.getOrElse(as, Set.empty).filter(_ != "id")
+            labels.foreach { l =>
+              val cols = graph.nodeTables.get(l).toSeq.flatMap(t =>
+                remaining.filter(t.columns.contains).toSeq.sorted)
+              if (cols.nonEmpty) {
+                val t = graph.nodeTables(l)
+                val sel = t.select(col("id").as(fresh("uwid")) +:
+                  cols.map(p => col(p).as(s"${as}_$p")): _*)
+                val key = sel.columns.head
+                d = d.join(sel, d(s"${as}_id") === sel(key), "left").drop(key)
+                remaining --= cols
+              }
             }
             df = Some(d)
             ctx = Ctx(ctx.bindings + (as -> NodeBinding(labels)))

@@ -36,10 +36,15 @@ object TpchGraph {
 
   private def build0(s: SparkSession, dir: String): PropertyGraph = {
     import s.implicits._
-    val customer = Tables.customer(s, dir)
-    val orders = Tables.orders(s, dir)
-    val lineitem = Tables.lineitem(s, dir)
-    val part = Tables.part(s, dir)
+    // RAW loads, not Tables' widened fact accessors: every graph hop
+    // equi-joins on src/dst and shuffles immediately, so the exchange
+    // parallelizes the work regardless of scan task count — a widen
+    // repartition would only add a stage to every hop's lineage
+    // (measured: +0.3-0.6 s per g* query at sf0.1)
+    val customer = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    val part = Tables.load(s, dir, "part")
     val supplier = Tables.supplier(s, dir)
     val nation = Tables.nation(s, dir)
     val region = Tables.region(s, dir)

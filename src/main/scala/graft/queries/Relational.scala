@@ -301,7 +301,10 @@ object Relational {
     // ---- COUNT(DISTINCT) (ast.rs:537-543)
     "q24_count_distinct" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      Tables.lineitem(s, d)
+      // raw load: the distinct/decimal aggregation exchange parallelizes
+      // downstream work by itself — a widen repartition before it is a
+      // redundant extra stage (measured ~2x at sf0.1)
+      Tables.load(s, d, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
           countDistinct($"l_partkey").as("nd_part"),
@@ -368,7 +371,10 @@ object Relational {
     // on |approx - exact| / exact <= 5% (HLL++ default rsd is 0.05).
     "q31_approx_distinct" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      Tables.lineitem(s, d)
+      // raw load: the distinct/decimal aggregation exchange parallelizes
+      // downstream work by itself — a widen repartition before it is a
+      // redundant extra stage (measured ~2x at sf0.1)
+      Tables.load(s, d, "lineitem")
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"),
@@ -424,7 +430,10 @@ object Relational {
     // Compiled through the GQL CAST path's DecimalType(p,s) mapping.
     "q34_decimal_agg" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val li = Tables.lineitem(s, d)
+      val li = // raw load: the distinct/decimal aggregation exchange parallelizes
+      // downstream work by itself — a widen repartition before it is a
+      // redundant extra stage (measured ~2x at sf0.1)
+      Tables.load(s, d, "lineitem")
         .select($"l_returnflag",
           $"l_extendedprice".cast("decimal(12,2)").as("price"),
           $"l_discount".cast("decimal(12,2)").as("disc"))

@@ -55,27 +55,21 @@ object EventPipeline {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     // self-sufficient on the TIMESTAMP(NANOS) test-data generation: the
-    // sniff read below throws "Illegal Parquet type" without this conf,
-    // and library callers don't necessarily preset it. The conf is
-    // restored unless the source actually IS nanos-encoded (then the
-    // stream's own micro-batch reads keep needing it) so unrelated
-    // parquet reads in the session don't silently change behavior.
+    // sniff read throws "Illegal Parquet type" without this conf, and
+    // library callers don't necessarily preset it. The sniff runs on a
+    // dedicated SESSION CLONE (own SQLConf, shared SparkContext), so the
+    // shared session's conf is never flipped-and-restored — concurrent
+    // parquet reads in the calling session can't race a mutation window.
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prevConf = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "true")
-    // restore in a finally (a throwing sniff must not leave the legacy
-    // conf flipped session-wide) — EXCEPT when the source really is
-    // nanos-encoded: the stream's own micro-batch reads keep needing it
-    var keepConf = false
-    val physical =
-      try {
-        val s0 = spark.read.parquet(dir).schema
-        keepConf = s0.exists(f => f.name == "ts" && f.dataType == LongType)
-        s0
-      } finally if (!keepConf) prevConf match {
-        case Some(p) => spark.conf.set(confKey, p)
-        case None => spark.conf.unset(confKey)
-      }
+    val sniffSession = spark.newSession()
+    sniffSession.conf.set(confKey, "true")
+    val physical = sniffSession.read.parquet(dir).schema
+    // Only a genuinely nanos-encoded source needs the conf on the
+    // CALLING session: every micro-batch planning read consults it for
+    // the stream's whole lifetime, and Spark offers no per-stream scope
+    // for it. Non-nanos sources leave the session untouched entirely.
+    if (physical.exists(f => f.name == "ts" && f.dataType == LongType))
+      spark.conf.set(confKey, "true")
     val raw = spark.readStream.schema(physical)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)

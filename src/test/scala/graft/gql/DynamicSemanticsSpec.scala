@@ -256,6 +256,18 @@ class DynamicSemanticsSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("never match"), ex3.getMessage)
   }
 
+  test("mutation expression referencing e.eid compiles (no duplicate projection)") {
+    // an edge binding's expansion already carries <e>_eid — the pipeline
+    // must not add a second e_eid ReturnItem (ambiguous-reference crash)
+    val d = SparkFixture.gqlSession(mixedGraph)
+    val n = d.execute("MATCH (a:Account)-[t:Transaction]->(m:Merchant) " +
+      "SET t.tag = t.eid").collect().head.getLong(0)
+    assert(n == 2L, s"SET affected $n of 2 Transaction edges")
+    val tags = d.gql("MATCH (a)-[t:Transaction]->(m) " +
+      "RETURN t.eid AS e, t.tag AS g ORDER BY e").collect()
+    assert(tags.forall(r => r.getLong(0) == r.getAs[Number](1).longValue()))
+  }
+
   test("COLLECT(DISTINCT) and DISTINCT-with-aggregate keep pair identity") {
     // 4 distinct edges over 2 shared eids
     val es = s.gql("MATCH (a)-[t]->(m) RETURN collect(DISTINCT t) AS es")

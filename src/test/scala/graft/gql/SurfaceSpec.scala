@@ -502,6 +502,19 @@ class SurfaceSpec extends AnyFunSuite {
     assert(one("MATCH (x:Account:Account) RETURN count(x) AS n") == 50L)
   }
 
+  test("UNWIND of a collected multi-label var re-attaches props from EVERY label table") {
+    // collect the Account∩Merchant intersection, re-expand it, and read
+    // one property from each side of the intersection — balance lives
+    // only in Account, category only in Merchant
+    val r = s.gql("MATCH (x:Account:Merchant) WITH collect(x) AS xs " +
+      "UNWIND xs AS y WITH y WHERE y.id = 3 " +
+      "RETURN y.balance AS b, y.category AS c").collect().head
+    assert(r.getDouble(0) == 300.0 && r.getString(1) == "retail")
+    // count parity with the direct intersection scan
+    assert(one("MATCH (x:Account:Merchant) WITH collect(x) AS xs " +
+      "UNWIND xs AS y RETURN count(y) AS n") == 20L)
+  }
+
   // ---- anchor selection ----
 
   test("anchored-at-end patterns return identical results reversed") {
