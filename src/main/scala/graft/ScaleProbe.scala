@@ -154,7 +154,12 @@ object ScaleProbe {
       "d10_seq_pack" -> SparkEntry.queries("d10_seq_pack"),
       // line dedup: explode + broadcast anti-join — linear in corpus
       // bytes; the frequent-set aggregation is the only shuffle
-      "d16_line_dedup" -> SparkEntry.queries("d16_line_dedup"))
+      "d16_line_dedup" -> SparkEntry.queries("d16_line_dedup"),
+      // incremental dedup: the adaptive Bloom sidecar path — build via
+      // BloomFilterAggregate, probe via might_contain; capacity (and so
+      // filter bytes through the agg shuffle) must grow with the corpus,
+      // never ahead of it
+      "d14_incremental_dedup" -> SparkEntry.queries("d14_incremental_dedup"))
 
     // past 10×, probe only the scale-critical shapes (the band join, the
     // ANN bucket join, and the forced distributed graph loops) — the

@@ -403,6 +403,30 @@ class SurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.execute("CALL high_risk()") }
   }
 
+  test("DECLARE is body-scoped through NESTED CALL chains") {
+    val t = fresh()
+    // session-level x, then two procedures where inner re-declares x
+    // and outer both declares x and calls inner: each CALL exit must
+    // restore the caller's value, two levels deep
+    t.execute("DECLARE x INT = 1")
+    t.execute("CREATE PROCEDURE inner_p AS DECLARE x INT = 300")
+    t.execute("CREATE PROCEDURE outer_p AS " +
+      "DECLARE x INT = 20 NEXT CALL inner_p()")
+    // inside outer_obs, after inner_p returns, x must be outer's 20 —
+    // observed through a NEXT YIELD capture, which (unlike DECLARE)
+    // persists past the body by design
+    t.execute("CREATE PROCEDURE outer_obs AS " +
+      "DECLARE x INT = 20 NEXT CALL inner_p() " +
+      "NEXT RETURN $x AS seen NEXT YIELD seen")
+    t.execute("CALL outer_obs()")
+    assert(t.parameters("seen") == 20L,
+      s"inner CALL leaked its x into the outer body: ${t.parameters("seen")}")
+    // after the whole chain, the session-level x is restored
+    t.execute("CALL outer_p()")
+    assert(t.parameters("x") == 1L,
+      s"CALL chain leaked a body DECLARE into the session: ${t.parameters("x")}")
+  }
+
   test("CALL dispatches system procedures with args") {
     val t = fresh()
     val r = t.execute("CALL gql.show_session()").collect().head
