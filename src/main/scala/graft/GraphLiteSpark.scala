@@ -1348,14 +1348,25 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         case other => throw new GqlCompileException(s"unknown transaction op $other")
       }
 
-      case SecurityStmt(op, kind, name, target) =>
+      case SecurityStmt(op, kind, name, target, ifClause) =>
         requireTxWritable(s"$op $kind")
         (op, kind) match {
-        // for CREATE USER, `target` carries the IDENTIFIED BY password
+        // for CREATE USER, `target` carries the IDENTIFIED BY/PASSWORD
+        // secret. Duplicate create and missing drop ERROR unless the
+        // statement carries IF NOT EXISTS / IF EXISTS
+        // (security_role_user_tests.rs:26,44 "already exists"/"not found")
         case ("CREATE", k) =>
-          Seq(gls.catalog.createPrincipal(k, name, target)).toDF("created")
+          val created = gls.catalog.createPrincipal(k, name, target)
+          if (!created && !ifClause)
+            throw new GqlCompileException(
+              s"$k '$name' already exists (use IF NOT EXISTS to no-op)")
+          Seq(created).toDF("created")
         case ("DROP", k) =>
-          Seq(gls.catalog.dropPrincipal(k, name)).toDF("dropped")
+          val dropped = gls.catalog.dropPrincipal(k, name)
+          if (!dropped && !ifClause)
+            throw new GqlCompileException(
+              s"$k '$name' not found (use IF EXISTS to no-op)")
+          Seq(dropped).toDF("dropped")
         case ("GRANT", "ACCESS") =>
           val Array(perm, path) = name.split("\\|", 2)
           Seq(gls.catalog.grantAccess(perm, path, target.get)).toDF("granted")
@@ -1375,10 +1386,11 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         // the system namespace is reserved in both directions
         // (stored_procedure_no_prefix_test.rs: users may neither create
         // nor drop gql.* procedures)
-        case "CREATE" | "DROP" if name.startsWith("gql.") =>
+        case "CREATE" | "DROP"
+            if name.startsWith("gql.") || name.startsWith("system.") =>
           throw new GqlCompileException(
-            s"the gql.* namespace is reserved for system procedures " +
-              s"— cannot $op $name")
+            s"the gql.*/system.* namespace is reserved for system " +
+              s"procedures — cannot $op $name")
         case "CREATE" =>
           gls.catalog.saveProcedure(name, body.get)
           Seq(name).toDF("procedure_created")
@@ -1577,7 +1589,13 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           currentGraph = savedG; currentName = savedN; currentType = savedT
         }
 
-      case CallStmt(name, args, yields, callWhere) =>
+      case CallStmt(name0, args, yields, callWhere) =>
+        // `system.` is an accepted alias prefix for the `gql.` namespace
+        // (reference system_procedures.rs:102-107 normalizes it the same
+        // way before dispatch)
+        val name =
+          if (name0.startsWith("system.")) "gql." + name0.stripPrefix("system.")
+          else name0
         val base =
           if (name.startsWith("gql.")) {
             val strArgs = args.map {

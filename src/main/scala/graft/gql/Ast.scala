@@ -269,10 +269,12 @@ object Ast {
       isolation: Option[String] = None,
       accessMode: Option[String] = None) extends Statement
   /** CREATE/DROP USER|ROLE name; GRANT role TO user
-    * (exec/schema_engine/operations/security analog).
+    * (exec/schema_engine/operations/security analog). `ifClause` is
+    * CREATE's IF NOT EXISTS / DROP's IF EXISTS (duplicate create and
+    * missing drop ERROR without it, security_role_user_tests.rs:26,44).
     */
   case class SecurityStmt(op: String, kind: String, name: String,
-      target: Option[String]) extends Statement
+      target: Option[String], ifClause: Boolean = false) extends Statement
   /** CREATE PROCEDURE name AS <gql text> | DROP PROCEDURE name
     * (catalog procedures, ast.rs:625-644).
     */

@@ -115,9 +115,23 @@ final class Parser(tokens: Vector[Token]) {
         val op = advance().asInstanceOf[TKw].s
         if (isSoftKw("USER") || isSoftKw("ROLE")) {
           val kind = ident().toUpperCase
-          val name = ident()
-          // CREATE USER name IDENTIFIED BY 'password'
-          // (catalog/providers/security.rs credential path)
+          // IF NOT EXISTS (CREATE) / IF EXISTS (DROP) — without it a
+          // duplicate create / missing drop ERRORS, with it they no-op
+          // (security_role_user_tests.rs:29,40-41). IF lexes soft here.
+          val ifClause =
+            if (op == "CREATE") parseIfNotExists()
+            else if (trySoftKw("IF")) { eatKw("EXISTS"); true }
+            else false
+          // principal names may be quoted strings ('role-with-dashes')
+          // or plain identifiers
+          val name = cur match {
+            case TStr(s, _) => p += 1; s
+            case _ => ident()
+          }
+          if (name.isEmpty) err("empty principal name")
+          // CREATE USER name IDENTIFIED BY 'password' | PASSWORD 'password'
+          // (catalog/providers/security.rs credential path; the tests use
+          // the PASSWORD form, security_role_user_tests.rs:117)
           val secret =
             if (op == "CREATE" && kind == "USER" && isSoftKw("IDENTIFIED")) {
               p += 1
@@ -130,8 +144,14 @@ final class Parser(tokens: Vector[Token]) {
                 case TStr(s, _) => p += 1; Some(s)
                 case _ => err("expected a string password after IDENTIFIED BY")
               }
+            } else if (op == "CREATE" && kind == "USER" && isSoftKw("PASSWORD")) {
+              p += 1
+              cur match {
+                case TStr(s, _) => p += 1; Some(s)
+                case _ => err("expected a string password after PASSWORD")
+              }
             } else None
-          expectEnd(); SecurityStmt(op, kind, name, secret)
+          expectEnd(); SecurityStmt(op, kind, name, secret, ifClause)
         } else if (isSoftKw("PROCEDURE")) {
           p += 1
           var name = ident()
@@ -399,41 +419,45 @@ final class Parser(tokens: Vector[Token]) {
           err("SET TRANSACTION requires ISOLATION LEVEL and/or READ ONLY|WRITE")
         expectEnd(); TransactionStmt("SET_CHARACTERISTICS", iso, mode)
       case TIdent(s, _) if s.equalsIgnoreCase("GRANT") =>
-        // GRANT <role> TO <user> (role membership), or
+        // GRANT [ROLE] <role> TO <user> (role membership; the ROLE
+        // keyword and quoted principal names match
+        // security_role_user_tests.rs:214), or
         // GRANT SELECT|INSERT|UPDATE|DELETE|ALL ON /schema/graph TO <principal>
         // (graph ACE — reference Permission enum, security.rs:219-246)
         p += 1
-        val first = ident()
-        if (trySoftKw("ON")) {
+        val roleKw = trySoftKw("ROLE")
+        val first = principalName()
+        if (!roleKw && trySoftKw("ON")) {
           eatPunct("/")
           val schema = ident(); eatPunct("/"); val g = ident()
           eatSoftKw("TO")
-          val who = ident()
+          val who = principalName()
           expectEnd()
           SecurityStmt("GRANT", "ACCESS",
             s"${first.toUpperCase}|/$schema/$g", Some(who))
         } else {
           eatSoftKw("TO")
-          val user = ident()
+          val user = principalName()
           expectEnd(); SecurityStmt("GRANT", "ROLE", first, Some(user))
         }
       case TIdent(s, _) if s.equalsIgnoreCase("REVOKE") =>
-        // REVOKE <role> FROM <user> (role membership — inverse of
-        // GRANT <role> TO <user>), or
+        // REVOKE [ROLE] <role> FROM <user> (role membership — inverse of
+        // GRANT [ROLE] <role> TO <user>), or
         // REVOKE <perm> ON /schema/graph FROM <principal> (graph ACE)
         p += 1
-        val first = ident()
-        if (trySoftKw("ON")) {
+        val roleKw = trySoftKw("ROLE")
+        val first = principalName()
+        if (!roleKw && trySoftKw("ON")) {
           eatPunct("/")
           val schema = ident(); eatPunct("/"); val g = ident()
           eatSoftKw("FROM")
-          val who = ident()
+          val who = principalName()
           expectEnd()
           SecurityStmt("REVOKE", "ACCESS",
             s"${first.toUpperCase}|/$schema/$g", Some(who))
         } else {
           eatSoftKw("FROM")
-          val user = ident()
+          val user = principalName()
           expectEnd(); SecurityStmt("REVOKE", "ROLE", first, Some(user))
         }
       case TKw("MATCH", _) =>
@@ -456,6 +480,14 @@ final class Parser(tokens: Vector[Token]) {
         }
       case _ => QueryStmt(parseQuery())
     }
+  }
+
+  /** Principal (user/role) name: quoted string or plain identifier
+    * (the reference tests quote them, security_role_user_tests.rs).
+    */
+  private def principalName(): String = cur match {
+    case TStr(s2, _) => p += 1; s2
+    case _ => ident()
   }
 
   /** Optional `IF NOT EXISTS` (parser.rs:3217-3224 in the SESSION

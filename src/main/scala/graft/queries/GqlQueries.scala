@@ -276,11 +276,11 @@ object GqlQueries {
       val admin = gls.session("admin")
       // every step is idempotent (create/grant no-op on replay), so the
       // row is deterministic across warehouse reuse
-      admin.execute("CREATE USER alice")
-      admin.execute("CREATE USER bob")
-      admin.execute("CREATE USER carol IDENTIFIED BY 's3cret'")
-      admin.execute("CREATE ROLE analyst")
-      admin.execute("CREATE ROLE writer")
+      admin.execute("CREATE USER IF NOT EXISTS alice")
+      admin.execute("CREATE USER IF NOT EXISTS bob")
+      admin.execute("CREATE USER IF NOT EXISTS carol IDENTIFIED BY 's3cret'")
+      admin.execute("CREATE ROLE IF NOT EXISTS analyst")
+      admin.execute("CREATE ROLE IF NOT EXISTS writer")
       admin.execute("GRANT analyst TO alice")
       admin.execute("GRANT writer TO bob")
       val g = TpchGraph.build(s, d)

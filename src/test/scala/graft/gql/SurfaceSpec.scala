@@ -403,6 +403,38 @@ class SurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.execute("CALL high_risk()") }
   }
 
+  test("principal DDL: quoted names, IF [NOT] EXISTS, PASSWORD form, GRANT ROLE kw " +
+      "(security_role_user_tests.rs)") {
+    val t = fresh()
+    // quoted names with dashes; duplicate create errors without the guard
+    t.execute("CREATE ROLE 'data-scientist'")
+    val dup = intercept[GqlCompileException] {
+      t.execute("CREATE ROLE 'data-scientist'")
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    t.execute("CREATE ROLE IF NOT EXISTS 'data-scientist'") // no-op, no error
+    // missing drop errors without IF EXISTS; no-ops with it
+    val gone = intercept[GqlCompileException] {
+      t.execute("DROP ROLE 'nonexistent_role'")
+    }
+    assert(gone.getMessage.contains("not found"), gone.getMessage)
+    t.execute("DROP ROLE IF EXISTS 'nonexistent_role'")
+    // PASSWORD form = IDENTIFIED BY; credential verifies
+    t.execute("CREATE USER IF NOT EXISTS 'testuser' PASSWORD 'password'")
+    assert(t.call("gql.authenticate_user", Seq("testuser", "password"))
+      .collect().head.getBoolean(1))
+    // GRANT ROLE 'r' TO 'u' (keyword + quoted operands)
+    t.execute("CREATE ROLE IF NOT EXISTS 'admin'")
+    assert(t.execute("GRANT ROLE 'admin' TO 'testuser'")
+      .collect().head.getBoolean(0))
+    assert(t.call("gql.list_grants").collect()
+      .exists(r => r.getString(0) == "admin" && r.getString(1) == "testuser"))
+    assert(t.execute("REVOKE ROLE 'admin' FROM 'testuser'")
+      .collect().head.getBoolean(0))
+    // empty principal names are rejected at parse
+    intercept[Exception] { t.execute("CREATE ROLE ''") }
+  }
+
   test("DECLARE is body-scoped through NESTED CALL chains") {
     val t = fresh()
     // session-level x, then two procedures where inner re-declares x
@@ -431,6 +463,13 @@ class SurfaceSpec extends AnyFunSuite {
     val t = fresh()
     val r = t.execute("CALL gql.show_session()").collect().head
     assert(r.getString(0) == "test")
+    // `system.` aliases the `gql.` namespace (system_procedures.rs
+    // normalizes the prefix before dispatch) — and is equally reserved
+    val r2 = t.execute("CALL system.show_session()").collect().head
+    assert(r2.getString(0) == "test")
+    intercept[GqlCompileException] {
+      t.execute("CREATE PROCEDURE system.mine AS RETURN 1 AS x")
+    }
   }
 
   test("graph-index procedures: neighbors, shortest path, reachability") {
