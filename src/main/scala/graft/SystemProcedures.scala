@@ -100,6 +100,12 @@ object SystemProcedures {
         val user = args.headOption.getOrElse(
           throw new IllegalArgumentException("gql.update_user needs (user, password)"))
         val password = args.lift(1).getOrElse("")
+        // admin-gated like the reference coordinator: a registered user
+        // may rotate only their own password unless they hold role admin
+        // (see GraphCatalog.mayManageUsers for the embedding-trust rule)
+        if (!gls.catalog.mayManageUsers(session.user, user))
+          throw new GqlAuthException(
+            s"user '${session.user}' may not rotate credentials for '$user'")
         Seq((user, gls.catalog.setPassword(user, password)))
           .toDF("user_name", "updated")
       case "gql.cache_stats" =>

@@ -54,10 +54,21 @@ object IncrementalDedup {
       .filter(col("__rn") === 1).drop("__rn")
     var keep = batchKeep
     val hasHistory = Files.exists(Paths.get(path))
+    // a sidecar whose insert count has run far past its (possibly conf-
+    // clamped) capacity answers "maybe seen" for most keys — probing it
+    // only adds a pass over the batch before the same anti-join runs
+    // anyway, so a saturated filter is bypassed outright
+    val metaAtProbe = readBloomMeta(bloomPath)
+    val bloomSaturated = metaAtProbe.exists { case (cap, ins) => ins > 4 * cap }
+    if (bloomSaturated)
+      System.err.println(s"[incremental-dedup] bloom sidecar saturated " +
+        s"(inserted ${metaAtProbe.get._2} > 4x capacity ${metaAtProbe.get._1}); " +
+        "probing skipped — raise spark.sql.optimizer.runtime.bloomFilter." +
+        "maxNumItems/maxNumBits to restore the pre-filter at this corpus size")
     if (hasHistory) {
       val history = spark.read.parquet(path).select(col("fp").as("__fp"))
       keep =
-        if (Files.exists(bloomPath)) {
+        if (Files.exists(bloomPath) && !bloomSaturated) {
           val bytes = Files.readAllBytes(bloomPath)
           // NULL fingerprints hash to the seed constant: at worst they
           // probe "maybe seen" and take the authoritative anti-join,
@@ -90,16 +101,35 @@ object IncrementalDedup {
       df.agg(graft.functions.BloomFunctions
         .agg(spark, col("__fp"), capacity, 0.01).as("bf"))
         .head.getAs[Array[Byte]]("bf") // null on empty input
+    // capacity is clamped to what BloomFilterAggregate will actually
+    // honor (it silently caps numItems/numBits at the session's runtime
+    // bloom confs — see BloomFunctions.maxHonoredCapacity); without the
+    // clamp, the meta sidecar would record a capacity the filter never
+    // had and the rebuild-at-half-capacity trigger would stop restoring
+    // 1% fpp past ~2M fingerprints
+    val maxCap = math.max(MinBloomCapacity,
+      graft.functions.BloomFunctions.maxHonoredCapacity(spark, 0.01))
+    var clampLogged = false
     def nextCapacity(n: Long): Long = {
       var c = MinBloomCapacity
-      while (c < 4 * n) c <<= 1
+      while (c < 4 * n && (c << 1) <= maxCap) c <<= 1
+      if (c < 4 * n && !clampLogged) {
+        clampLogged = true
+        System.err.println(s"[incremental-dedup] bloom capacity clamped to " +
+          s"$c by spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+          s"maxNumBits (corpus $n); fpp degrades above this size")
+      }
       c
     }
     val outCount = out.count()
-    val meta = readBloomMeta(bloomPath)
+    val meta = metaAtProbe // nothing touches the sidecar between reads
     val needRebuild = (hasHistory && !Files.exists(bloomPath)) ||
       (Files.exists(bloomPath) && meta.isEmpty) ||
-      meta.exists { case (cap, ins) => (ins + outCount) * 2 > cap }
+      // a rebuild only helps if it can actually grow the filter — once
+      // nextCapacity is pinned at the conf clamp, rebuilding the full
+      // history at the same size every batch would be pure overhead
+      meta.exists { case (cap, ins) =>
+        (ins + outCount) * 2 > cap && nextCapacity(ins + outCount) > cap }
     if (outCount > 0 || needRebuild) {
       val hist =
         if (Files.exists(Paths.get(path)))

@@ -48,6 +48,27 @@ object BloomFunctions {
     math.ceil(-(expectedItems * math.log(fpp)) /
       (math.log(2) * math.log(2))).toLong
 
+  /** Largest capacity the session will actually honor at `fpp`:
+    * `BloomFilterAggregate` silently clamps its numItems/numBits inputs
+    * to `spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}`
+    * (4M items / 8 MB of bits by default) — a request above either cap
+    * builds a SMALLER filter than asked with no error, so any sizing
+    * logic layered on [[agg]] must clamp to this first or its metadata
+    * will describe a filter that was never built. Deployments targeting
+    * larger corpora raise those confs cluster-wide; this helper then
+    * honors the higher cap automatically.
+    */
+  def maxHonoredCapacity(spark: SparkSession, fpp: Double): Long = {
+    val maxItems = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    // invert optimalBits: the item count whose optimal bit size is maxBits
+    val itemsForBits =
+      (maxBits * math.log(2) * math.log(2) / -math.log(fpp)).toLong
+    math.min(maxItems, itemsForBits)
+  }
+
   /** Aggregate column: serialized Bloom filter over `xxhash64(key)`.
     * Evaluates to NULL on empty input.
     */

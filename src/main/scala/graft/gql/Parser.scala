@@ -57,6 +57,11 @@ final class Parser(tokens: Vector[Token]) {
   }
   private def trySoftKw(s: String): Boolean =
     if (isSoftKw(s)) { p += 1; true } else false
+  /** Is the token AFTER the current one the given soft keyword? */
+  private def nextIsSoftKw(s: String): Boolean = tokens.lift(p + 1).exists {
+    case TIdent(k, _) => k.equalsIgnoreCase(s)
+    case _ => false
+  }
   private def eatSoftKw(s: String): Unit =
     if (!trySoftKw(s)) err(s"expected $s")
   private def isPunctAt(i: Int, s: String): Boolean = tokens.lift(i).exists {
@@ -425,7 +430,11 @@ final class Parser(tokens: Vector[Token]) {
         // GRANT SELECT|INSERT|UPDATE|DELETE|ALL ON /schema/graph TO <principal>
         // (graph ACE — reference Permission enum, security.rs:219-246)
         p += 1
-        val roleKw = trySoftKw("ROLE")
+        // ROLE is a soft keyword only when it is not itself the
+        // principal: in `GRANT role TO bob` the token after 'role' is
+        // TO, so 'role' is the role name (previously this mis-parsed —
+        // TO was consumed as the role)
+        val roleKw = !nextIsSoftKw("TO") && trySoftKw("ROLE")
         val first = principalName()
         if (!roleKw && trySoftKw("ON")) {
           eatPunct("/")
@@ -445,7 +454,8 @@ final class Parser(tokens: Vector[Token]) {
         // GRANT [ROLE] <role> TO <user>), or
         // REVOKE <perm> ON /schema/graph FROM <principal> (graph ACE)
         p += 1
-        val roleKw = trySoftKw("ROLE")
+        // same principal-vs-keyword disambiguation as GRANT, against FROM
+        val roleKw = !nextIsSoftKw("FROM") && trySoftKw("ROLE")
         val first = principalName()
         if (!roleKw && trySoftKw("ON")) {
           eatPunct("/")

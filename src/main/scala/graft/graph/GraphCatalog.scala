@@ -338,6 +338,23 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     if (kept.size == rows.size) false else { writeSecurity(kept); true }
   }
 
+  /** May `caller` rotate `target`'s password? Self-rotation is always
+    * allowed; rotating ANOTHER registered user's credential needs the
+    * `admin` role. A caller that is not itself a registered catalog user
+    * is the embedding application (catalog security is metadata the
+    * embedder enforces — see the header note), so it passes: anyone who
+    * can open an unregistered session already owns the warehouse files.
+    * (The reference admin-gates update_user at its coordinator,
+    * query_coordinator.rs:478; this is the equivalent seam here.)
+    */
+  def mayManageUsers(caller: String, target: String): Boolean = {
+    if (caller == target) return true
+    val rows = readSecurity()
+    if (!rows.exists(r => r._1 == "USER" && r._2 == caller)) return true
+    rows.exists(r => r._1 == "GRANT" && r._2.equalsIgnoreCase("admin") &&
+      r._3 == caller)
+  }
+
   def grantRole(role: String, user: String): Boolean = {
     val rows = readSecurity()
     if (!rows.exists(r => r._1 == "ROLE" && r._2 == role))

@@ -736,6 +736,51 @@ class SurfaceSpec extends AnyFunSuite {
       .collect().head.getBoolean(1))
   }
 
+  test("a role literally named 'role' grants and revokes") {
+    val t = fresh()
+    t.execute("CREATE USER carol")
+    t.execute("CREATE ROLE role")
+    // ROLE here is the role NAME (next token is TO), not the keyword
+    t.execute("GRANT role TO carol")
+    assert(t.call("gql.list_grants").collect()
+      .exists(r => r.getString(0) == "role" && r.getString(1) == "carol"))
+    // the explicit-keyword spelling addresses the same role
+    t.execute("REVOKE ROLE role FROM carol")
+    assert(!t.call("gql.list_grants").collect()
+      .exists(r => r.getString(0) == "role" && r.getString(1) == "carol"))
+    t.execute("GRANT ROLE role TO carol")
+    t.execute("REVOKE role FROM carol")
+    assert(!t.call("gql.list_grants").collect()
+      .exists(r => r.getString(0) == "role" && r.getString(1) == "carol"))
+  }
+
+  test("update_user is admin-gated for registered callers") {
+    val t = fresh()
+    t.execute("CREATE USER alice IDENTIFIED BY 'a1'")
+    t.execute("CREATE USER bob IDENTIFIED BY 'b1'")
+    t.execute("CREATE ROLE admin")
+    def auth(u: String, pw: String): Boolean =
+      t.call("gql.authenticate_user", Seq(u, pw)).collect().head.getBoolean(1)
+    // a registered non-admin user may rotate only their own password
+    val bob = t.gls.session("bob")
+    assert(bob.call("gql.update_user", Seq("bob", "b2"))
+      .collect().head.getBoolean(1))
+    assert(auth("bob", "b2"))
+    intercept[graft.GqlAuthException] {
+      bob.call("gql.update_user", Seq("alice", "pwned")).collect()
+    }
+    assert(auth("alice", "a1")) // unchanged
+    // with role admin the same call succeeds
+    t.execute("GRANT ROLE admin TO bob")
+    assert(bob.call("gql.update_user", Seq("alice", "a2"))
+      .collect().head.getBoolean(1))
+    assert(auth("alice", "a2"))
+    // an unregistered caller is the embedding application — trusted
+    assert(t.call("gql.update_user", Seq("alice", "a3"))
+      .collect().head.getBoolean(1))
+    assert(auth("alice", "a3"))
+  }
+
   // ---- NEXT chains + session parameters (executor.rs:8559-8641) ----
 
   test("NEXT chains statements; YIELD captures parameters for $refs") {
