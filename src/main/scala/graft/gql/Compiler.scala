@@ -239,22 +239,83 @@ final class Compiler(graph: PropertyGraph,
     * intersectAll/exceptAll.
     */
   def compile(q: QueryExpr): DataFrame = q match {
-    case SetOpQuery(op, all, l, r) =>
-      val ld = compile(l)
-      val rd = compile(r)
-      if (ld.columns.length != rd.columns.length)
-        throw new GqlCompileException(
-          s"$op sides have ${ld.columns.length} vs ${rd.columns.length} columns")
-      val ra = rd.toDF(ld.columns.toIndexedSeq: _*)
-      op match {
-        case "UNION" => if (all) ld.unionAll(ra) else ld.unionAll(ra).distinct()
-        case "INTERSECT" => if (all) ld.intersectAll(ra) else ld.intersect(ra)
-        case "EXCEPT" => if (all) ld.exceptAll(ra) else ld.except(ra)
-        case other => throw new GqlCompileException(s"unknown set op $other")
-      }
+    case s: SetOpQuery =>
+      val (d, hidden) = compileSetOp(s)
+      if (hidden.isEmpty) d else d.drop(hidden: _*)
     case OrderedQuery(inner, orderBy, skip, limit) =>
       applyTail(compile(inner), orderBy, skip, limit)
     case q: Query => compileQuery(q)
+  }
+
+  /** Compile a set-op operand keeping hidden entity-identity columns.
+    *
+    * Within one query, DISTINCT and grouping on a bare entity variable
+    * dedup by the (type, eid) / (label, id) PAIR — ids are only unique
+    * within one type. A set operation BETWEEN queries compares final
+    * projections, where `RETURN t` is just the eid column, so the same
+    * two edges would compare equal by value. To keep the identity
+    * semantics across query boundaries, every bare entity item in an
+    * operand's final projection also emits a hidden `__sid<i>` column
+    * holding its label/type (a literal for single-type bindings, the
+    * per-row label column for union bindings; NULL for value items —
+    * set-op comparisons are null-safe, so a NULL id is inert). The
+    * columns participate in the UNION dedup / INTERSECT / EXCEPT
+    * comparison and are dropped at the outermost level. Operands whose
+    * shapes don't line up (one side aggregates or stars where the other
+    * binds an entity) drop the unmatched hidden columns and fall back to
+    * value comparison for that item, matching the previous behavior.
+    */
+  private def compileSetOp(q: QueryExpr): (DataFrame, Seq[String]) = q match {
+    case SetOpQuery(op, all, l, r) =>
+      val (ld0, lh) = compileSetOp(l)
+      val (rd0, rh) = compileSetOp(r)
+      val common = lh.toSet intersect rh.toSet
+      val ld = ld0.drop(lh.filterNot(common): _*)
+      val rd = rd0.drop(rh.filterNot(common): _*)
+      val visL = ld.columns.filterNot(common)
+      val visR = rd.columns.filterNot(common)
+      if (visL.length != visR.length)
+        throw new GqlCompileException(
+          s"$op sides have ${visL.length} vs ${visR.length} columns")
+      val hidden = lh.filter(common)
+      // align the right side positionally on visible columns, by name on
+      // the (identically named) hidden identity columns
+      val ra = rd.select((visR ++ hidden).map(col).toIndexedSeq: _*)
+        .toDF((visL ++ hidden).toIndexedSeq: _*)
+      val la = ld.select((visL ++ hidden).map(col).toIndexedSeq: _*)
+      val out = op match {
+        case "UNION" => if (all) la.unionAll(ra) else la.unionAll(ra).distinct()
+        case "INTERSECT" => if (all) la.intersectAll(ra) else la.intersect(ra)
+        case "EXCEPT" => if (all) la.exceptAll(ra) else la.except(ra)
+        case other => throw new GqlCompileException(s"unknown set op $other")
+      }
+      (out, hidden)
+    case OrderedQuery(inner, orderBy, skip, limit) =>
+      val (d, hidden) = compileSetOp(inner)
+      (applyTail(d, orderBy, skip, limit), hidden)
+    case q0: Query =>
+      val (q1, hidden) = withSetOpIds(q0)
+      (compileQuery(q1), hidden)
+  }
+
+  /** Append hidden `__SETOP_ID` items for each bare-variable item in the
+    * final projection — see [[compileSetOp]]. Skips explicit GROUP BY
+    * and `RETURN *` shapes (their identity keys are managed elsewhere /
+    * out of scope), returning the query unchanged.
+    */
+  private def withSetOpIds(q: Query): (Query, Seq[String]) = {
+    val last = q.segments.last
+    if (last.projection.isEmpty || last.groupBy.nonEmpty ||
+        last.projection.exists(_.expr.isInstanceOf[Star]))
+      return (q, Seq.empty)
+    val hidden = last.projection.zipWithIndex.collect {
+      case (ReturnItem(Ident(v), _), i) =>
+        (ReturnItem(Fn("__SETOP_ID", Seq(Ident(v))), Some(s"__sid$i")),
+          s"__sid$i")
+    }
+    if (hidden.isEmpty) (q, Seq.empty)
+    else (q.copy(segments = q.segments.init :+ last.copy(
+      projection = last.projection ++ hidden.map(_._1))), hidden.map(_._2))
   }
 
   /** Tail ORDER BY / SKIP / LIMIT over a compiled (projected) result —
@@ -1598,7 +1659,40 @@ final class Compiler(graph: PropertyGraph,
 
     // start node
     val startVar = path.start.variable.getOrElse(fresh("n"))
-    if (ctx.bindings.contains(startVar)) {
+    // Constraint-free start elision (mirror of the dst-node elision in
+    // hop): an anonymous-or-never-read start with no labels, props, or
+    // prior frame, followed by a rigid first hop, needs no node-table
+    // scan — the edge's src column IS the start identity and the edge
+    // type guarantees its label. `()-[t:T]->()` then plans as a single
+    // edge-table scan; at scale that elides a full node scan + join per
+    // pattern (the same referential-integrity invariant the dst elision
+    // already relies on: every edge endpoint exists).
+    var startElided = false
+    val firstEdgeRigid =
+      path.hops.headOption.exists(_._1.quantifier.isEmpty)
+    if (!ctx.bindings.contains(startVar) && df.isEmpty && firstEdgeRigid &&
+        path.start.props.isEmpty && path.start.labels.isEmpty &&
+        usedProps.getOrElse(startVar, Set.empty).isEmpty) {
+      val e0 = path.hops.head._1
+      val knownTypes = (if (e0.types.nonEmpty) e0.types else graph.edgeLabels)
+        .filter(graph.edgeTables.contains)
+      val startLabels = knownTypes.flatMap { t =>
+        val et = graph.edgeType(t)
+        e0.direction match {
+          case In => Seq(et.dstLabel)
+          case Undirected => Seq(et.srcLabel, et.dstLabel)
+          case _ => Seq(et.srcLabel)
+        }
+      }.distinct
+      if (knownTypes.nonEmpty) {
+        startElided = true
+        ctx = Ctx(ctx.bindings + (startVar ->
+          (if (startLabels.size == 1) NodeBinding(startLabels) else UnionNode)))
+      }
+    }
+    if (startElided) {
+      () // first hop consumes the elision below
+    } else if (ctx.bindings.contains(startVar)) {
       // already bound: apply inline props as filters
       path.start.props.foreach { case (k, v) =>
         df = df.map(propFilter(_, s"${startVar}_$k", v, ctx))
@@ -1646,7 +1740,8 @@ final class Compiler(graph: PropertyGraph,
           val a = fresh("edgearr"); hopEdgeArrays += (i -> a); Some(a)
         } else None
       val (d2, c2, nv) =
-        hop(df.get, ctx, prevVar, edge, node, sem, hopPathVar, hopEdgeArr)
+        hop(df.getOrElse(singleRow), ctx, prevVar, edge, node, sem,
+          hopPathVar, hopEdgeArr, elidedStart = startElided && i == 0)
       df = Some(d2); ctx = c2; prevVar = nv; nodeVarsB += nv
     }
     quantPathVar.foreach(pv =>
@@ -1790,7 +1885,12 @@ final class Compiler(graph: PropertyGraph,
         acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
         .withColumn(s"${v}_label", lit(l))
     }
-    var d = scans.reduce(_.unionByName(_, allowMissingColumns = true))
+    var d =
+      try graft.graph.SchemaReconcile.union(scans,
+        s"node labels ${graph.nodeTables.keys.toSeq.sorted.mkString("|")}")
+      catch { case ex: IllegalArgumentException =>
+        throw new GqlCompileException(ex.getMessage)
+      }
     props.foreach { case (k, lit) =>
       d = propFilter(d, s"${v}_$k", lit, ctx)
     }
@@ -1802,7 +1902,8 @@ final class Compiler(graph: PropertyGraph,
       edge: EdgePattern, node: NodePattern,
       sem: PathSemantics = PathSemantics.Walk,
       pathVar: Option[String] = None,
-      edgeArrVar: Option[String] = None): (DataFrame, Ctx, String) = {
+      edgeArrVar: Option[String] = None,
+      elidedStart: Boolean = false): (DataFrame, Ctx, String) = {
     var ctx = ctxIn
     if (edge.quantifier.isDefined)
       return varLengthHop(df, ctx, fromVar, edge, node, sem, pathVar, edgeArrVar)
@@ -1892,8 +1993,14 @@ final class Compiler(graph: PropertyGraph,
     val cacheKey = "orient:" + combos.map { case (t, o) => s"$t/$o" }
       .mkString(",") + s":$named:$fromUnion:$needEnd"
     var e = graph.cachedPlan(cacheKey) {
-      combos.map { case (t, o) => orient(t, o) }.reduce((a, b) =>
-        a.unionByName(b, allowMissingColumns = true))
+      // common-supertype reconciliation: the same property name may be
+      // bigint on one edge type and string on another — see SchemaReconcile
+      try graft.graph.SchemaReconcile.union(
+        combos.map { case (t, o) => orient(t, o) },
+        s"edge types ${combos.map(_._1).distinct.mkString("|")}")
+      catch { case ex: IllegalArgumentException =>
+        throw new GqlCompileException(ex.getMessage)
+      }
     }
       .withColumnRenamed("__src", srcCol).withColumnRenamed("__dst", dstCol)
       .withColumnRenamed("__fromLabel", fromLabelCol)
@@ -1907,13 +2014,23 @@ final class Compiler(graph: PropertyGraph,
       .withColumnRenamed("__label", s"${eVar}_label")
     if (named) e = e.withColumnRenamed("__esrc", s"${eVar}_src")
       .withColumnRenamed("__edst", s"${eVar}_dst")
-    val joinCond =
-      if (fromUnion)
-        col(s"${fromVar}_id") === col(srcCol) &&
-          col(s"${fromVar}_label") === col(fromLabelCol)
-      else col(s"${fromVar}_id") === col(srcCol)
-    var joined = df.join(e, joinCond)
-    if (fromUnion) joined = joined.drop(fromLabelCol)
+    var joined =
+      if (elidedStart) {
+        // constraint-free start: no node-table scan to join — the edge's
+        // src column IS the start identity, and the oriented union's
+        // per-row start label becomes the UnionNode binding's label
+        val j = e.withColumnRenamed(srcCol, s"${fromVar}_id")
+        if (fromUnion) j.withColumnRenamed(fromLabelCol, s"${fromVar}_label")
+        else j
+      } else {
+        val joinCond =
+          if (fromUnion)
+            col(s"${fromVar}_id") === col(srcCol) &&
+              col(s"${fromVar}_label") === col(fromLabelCol)
+          else col(s"${fromVar}_id") === col(srcCol)
+        val j = df.join(e, joinCond)
+        if (fromUnion) j.drop(fromLabelCol) else j
+      }
     edge.props.foreach { case (k, v) =>
       joined = propFilter(joined, s"${eVar}_$k", v, ctx)
     }
@@ -2242,6 +2359,16 @@ final class Compiler(graph: PropertyGraph,
     }
     case CountStar() =>
       throw new GqlCompileException("count(*) outside aggregation context")
+    // internal: set-op entity identity (see compileSetOp) — the
+    // label/type that pairs with the projected id to form the identity
+    case Fn("__SETOP_ID", Seq(Ident(v)), _) => ctx.bindings.get(v) match {
+      case Some(UnionNode) => col(s"${v}_label")
+      case Some(NodeBinding(ls)) => lit(ls.head)
+      case Some(eb: EdgeBinding) =>
+        if (eb.types.size > 1) col(s"${v}_label") else lit(eb.types.head)
+      case _ => lit(null).cast("string") // value item: inert under
+                                         // null-safe set-op comparison
+    }
     case Fn(n, args, d) if aggNames.contains(n) =>
       throw new GqlCompileException(s"aggregate $n outside aggregation context")
     case Fn(name, args, _) => scalarFn(name, args, ctx)

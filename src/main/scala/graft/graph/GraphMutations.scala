@@ -32,7 +32,8 @@ object GraphMutations {
             throw new IllegalArgumentException(
               s"duplicate node id(s) on insert into $label")
         }
-        existing.unionByName(rows, allowMissingColumns = true)
+        SchemaReconcile.union(Seq(existing, rows),
+          s"INSERT into node label $label")
     }
     g.mutated(g.nodeTables + (label -> updated), g.edgeTables,
       Set(s"nodes_$label"))
@@ -44,7 +45,11 @@ object GraphMutations {
     val updated = g.edgeTables.get(label) match {
       case None => (et, rows)
       case Some((t, existing)) =>
-        (t, existing.unionByName(rows, allowMissingColumns = true))
+        // inserting a property under a different type widens the table
+        // column to the common supertype (dynamic-value parity; an
+        // irreconcilable type errors here, before any row lands)
+        (t, SchemaReconcile.union(Seq(existing, rows),
+          s"INSERT into edge type $label"))
     }
     g.mutated(g.nodeTables, g.edgeTables + (label -> updated),
       Set(s"edges_$label"))
@@ -67,9 +72,9 @@ object GraphMutations {
     val updated = g.nodeTables.get(newLabel) match {
       case None => rows
       case Some(existing) =>
-        existing.unionByName(
-          rows.join(existing.select(col("id")), Seq("id"), "left_anti"),
-          allowMissingColumns = true)
+        SchemaReconcile.union(Seq(existing,
+          rows.join(existing.select(col("id")), Seq("id"), "left_anti")),
+          s"SET :$newLabel")
     }
     g.mutated(g.nodeTables + (newLabel -> updated), g.edgeTables,
       Set(s"nodes_$newLabel"))

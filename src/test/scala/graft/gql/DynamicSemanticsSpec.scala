@@ -344,4 +344,77 @@ class DynamicSemanticsSpec extends AnyFunSuite {
     assert(n == 4L) // 2 Transaction + 2 Referral
     assert(d.gql("MATCH (a:Account)-[t]->(m:Merchant) RETURN t").count() == 0L)
   }
+
+  /** The SAME property name under DIFFERENT types across edge types —
+    * reference dynamic rows allow `amount: i64` on one edge type and a
+    * string on another (pattern_tests.rs:151,509 multi-type ground).
+    * The union reconciles to the common supertype per column; on a
+    * numeric/string mix that is STRING (documented divergence from the
+    * reference's per-row dynamic rendering — the row set is identical);
+    * on a numeric/numeric mix, the standard widening (no divergence).
+    */
+  private def hetGraph(): PropertyGraph = {
+    val s = spark
+    import s.implicits._
+    val accounts = (1 to 4).map(i => (i.toLong, s"A$i")).toDF("id", "name")
+    val wires = Seq((1L, 2L, 10L, 500L)).toDF("src", "dst", "eid", "amount")
+    val notes = Seq((2L, 1L, 20L, "five hundred"))
+      .toDF("src", "dst", "eid", "amount")
+    val fees = Seq((3L, 4L, 30L, 2.5)).toDF("src", "dst", "eid", "amount")
+    new PropertyGraph(
+      Map("Account" -> accounts),
+      Map("WIRE" -> (EdgeType("WIRE", "Account", "Account"), wires),
+        "NOTE" -> (EdgeType("NOTE", "Account", "Account"), notes),
+        "FEE" -> (EdgeType("FEE", "Account", "Account"), fees)))
+  }
+
+  test("bigint/string property across edge types reconciles to string") {
+    val d = SparkFixture.gqlSession(hetGraph())
+    val rows = d.gql(
+      "MATCH (:Account)-[t:WIRE|NOTE]->(:Account) " +
+        "RETURN t.amount AS amt ORDER BY amt")
+      .collect().map(_.getString(0))
+    // previously this threw CAST_INVALID_INPUT mid-stage ('five hundred'
+    // coerced to the first branch's bigint)
+    assert(rows.toSeq == Seq("500", "five hundred"))
+  }
+
+  test("bigint/double property across edge types widens numerically") {
+    val d = SparkFixture.gqlSession(hetGraph())
+    val rows = d.gql(
+      "MATCH (:Account)-[t:WIRE|FEE]->(:Account) " +
+        "RETURN t.amount AS amt ORDER BY amt")
+      .collect().map(_.getDouble(0))
+    assert(rows.toSeq == Seq(2.5, 500.0))
+  }
+
+  test("heterogeneous DML widens the stored column, rows land intact") {
+    val d = SparkFixture.gqlSession(hetGraph())
+    // WIRE.amount is bigint; inserting a string amount widens the table
+    // column to string instead of corrupting or crashing
+    d.execute("MATCH (a:Account {id: 3}), (b:Account {id: 4}) " +
+      "INSERT (a)-[:WIRE {eid: 11, amount: 'pending'}]->(b)")
+    val amts = d.gql(
+      "MATCH (:Account)-[t:WIRE]->(:Account) RETURN t.amount AS amt ORDER BY amt")
+      .collect().map(_.getString(0))
+    assert(amts.toSeq == Seq("500", "pending"))
+  }
+
+  test("irreconcilable property types are a compile error, not a stage crash") {
+    val s2 = spark
+    import s2.implicits._
+    val accounts = (1 to 2).map(i => (i.toLong, s"A$i")).toDF("id", "name")
+    val xs = Seq((1L, 2L, 1L, Seq(1, 2))).toDF("src", "dst", "eid", "amount")
+    val ys = Seq((2L, 1L, 2L, true)).toDF("src", "dst", "eid", "amount")
+    val g = new PropertyGraph(
+      Map("Account" -> accounts),
+      Map("X" -> (EdgeType("X", "Account", "Account"), xs),
+        "Y" -> (EdgeType("Y", "Account", "Account"), ys)))
+    val d = SparkFixture.gqlSession(g)
+    val ex = intercept[GqlCompileException] {
+      d.gql("MATCH (:Account)-[t:X|Y]->(:Account) RETURN t.amount AS amt")
+    }
+    assert(ex.getMessage.contains("amount") &&
+      ex.getMessage.contains("irreconcilable"))
+  }
 }

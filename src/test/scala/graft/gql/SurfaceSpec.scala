@@ -736,6 +736,41 @@ class SurfaceSpec extends AnyFunSuite {
       .collect().head.getBoolean(1))
   }
 
+  test("cross-query set ops on edge variables dedup by (type, eid)") {
+    // two edge types with OVERLAPPING eids: value-based comparison would
+    // merge WIRE#1 with NOTE#1; identity comparison must not (round-12,
+    // aligning cross-query set ops with within-query DISTINCT identity)
+    val sp = SparkFixture.spark
+    import sp.implicits._
+    val accounts = (1 to 4).map(i => (i.toLong, s"A$i")).toDF("id", "name")
+    val wires = Seq((1L, 2L, 1L, 10.0), (2L, 3L, 2L, 20.0))
+      .toDF("src", "dst", "eid", "amount")
+    val notes = Seq((3L, 4L, 1L, 5.0), (4L, 1L, 3L, 6.0))
+      .toDF("src", "dst", "eid", "amount")
+    val g = new graft.graph.PropertyGraph(
+      Map("Account" -> accounts),
+      Map("WIRE" -> (graft.graph.EdgeType("WIRE", "Account", "Account"), wires),
+        "NOTE" -> (graft.graph.EdgeType("NOTE", "Account", "Account"), notes)))
+    val t = SparkFixture.gqlSession(g)
+    def q(gq: String): Long = t.gql(gq).count()
+    // UNION: eids {1,2} vs {1,3} — by value 3 rows, by identity 4
+    assert(q("MATCH ()-[t:WIRE]->() RETURN t " +
+      "UNION MATCH ()-[t:NOTE]->() RETURN t") == 4L)
+    // INTERSECT: no edge is in both types — by value eid 1 matches
+    assert(q("MATCH ()-[t:WIRE]->() RETURN t " +
+      "INTERSECT MATCH ()-[t:NOTE]->() RETURN t") == 0L)
+    // EXCEPT: nothing removed — WIRE#1 is not NOTE#1
+    assert(q("MATCH ()-[t:WIRE]->() RETURN t " +
+      "EXCEPT MATCH ()-[t:NOTE]->() RETURN t") == 2L)
+    // same-type operands still compare equal (sanity: identity columns
+    // are literals here and agree across sides)
+    assert(q("MATCH ()-[t:WIRE]->() RETURN t " +
+      "INTERSECT MATCH ()-[t:WIRE]->() RETURN t") == 2L)
+    // value items keep plain value semantics through the same machinery
+    assert(q("MATCH ()-[t:WIRE]->() RETURN t.amount AS a " +
+      "UNION MATCH ()-[t:WIRE]->() RETURN t.amount AS a") == 2L)
+  }
+
   test("a role literally named 'role' grants and revokes") {
     val t = fresh()
     t.execute("CREATE USER carol")
