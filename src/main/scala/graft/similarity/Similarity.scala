@@ -20,6 +20,73 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Driver-side Lloyd k-means over a bounded sample (Euclidean, 10
+    * rounds, deterministic LCG seeding) — the one trainer behind
+    * [[IvfIndex]], [[PqCodec]], and [[IvfPqrIndex]]. Training on a
+    * sample is the FAISS architecture: centroids only partition the
+    * space, so a fleet of distributed k-means jobs buys nothing.
+    */
+  private[similarity] def lloydTrain(sample: Array[Array[Double]], k: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = sample.length
+    val dim = sample.head.length
+    var state = seed
+    def next(): Long = { state = (state * 48271L) % 2147483647L; state }
+    val centroids = Array.tabulate(math.min(k, n))(_ =>
+      sample((next() % n).toInt.abs).clone())
+    val assignOf = new Array[Int](n)
+    for (_ <- 0 until 10) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) {
+            val diff = sample(i)(j) - centroids(c)(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assignOf(i) = best
+        i += 1
+      }
+      val sums = Array.fill(centroids.length, dim)(0.0)
+      val counts = new Array[Int](centroids.length)
+      i = 0
+      while (i < n) {
+        val c = assignOf(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < centroids.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    centroids
+  }
+
+  /** Nearest index in `cents` for a local vector (Euclidean). */
+  private[similarity] def nearestIdx(v: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) {
+        val diff = v(j) - cents(c)(j); d += diff * diff; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Dot product of two float-array columns, accumulated in double. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -294,6 +361,179 @@ object Similarity {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= topK)
         .select(col("qid"), col("id"), col("adist"),
+          col("rk").cast("long").as("rk"))
+    }
+  }
+
+  /** IVF-PQ with residual refinement (FAISS IndexIVFPQR architecture):
+    *
+    *   1. a coarse quantizer (k centroids) partitions the corpus into
+    *      posting lists — vectors are stored as their list id plus PQ
+    *      codes of the RESIDUAL `v − centroid` (residuals have far less
+    *      variance than raw vectors, so the same code budget quantizes
+    *      them much more accurately than flat PQ);
+    *   2. a second, refinement PQ encodes the residual-of-residual
+    *      `v − centroid − decode(codes1)`;
+    *   3. queries probe `nprobe` lists, score candidates by asymmetric
+    *      distance on the first-level codes (query residual against the
+    *      code-selected sub-centroids, nothing decoded), keep a
+    *      `refineFactor × topK` shortlist, and re-rank it by cosine
+    *      against the two-level reconstruction
+    *      `centroid + decode(codes1) + decode(codes2)`.
+    *
+    * Scale story: training is bounded driver-side Lloyd (sample), the
+    * encode is a narrow map, the only shuffle is the posting-list
+    * equi-join on `cid`, ADC runs on the candidates only, and the
+    * refinement touches just the shortlist. The encoded corpus is
+    * `(id, cid, codes1, codes2)` — `m1+m2` nibbles plus a small int per
+    * vector: at the default 8+8 that is 8 B ≈ 32× compression, with
+    * measured recall@10 of 0.5-0.7 at sf0.01 vs flat [[PqCodec]]'s
+    * 0.1-0.4 (the e05/e06 oracle rows pin exactly that). A strict
+    * equal-budget split (4+4 nibbles) only TIES flat PQ on near-random
+    * embeddings — two coarse 16-dim quantization stages lose what one
+    * 8-dim stage keeps — so the refinement bytes are the price of the
+    * recall, as in FAISS's IndexIVFPQR.
+    */
+  final class IvfPqrIndex(dim: Int, k: Int = 16, nprobe: Int = 4,
+      m1: Int = 8, m2: Int = 8, refineFactor: Int = 8,
+      seed: Long = 20240505L, trainSample: Int = 10000) {
+    require(dim % m1 == 0, s"m1=$m1 must divide dim=$dim")
+    require(dim % m2 == 0, s"m2=$m2 must divide dim=$dim")
+    require(nprobe <= k, "nprobe must be <= k")
+    private val sub1 = dim / m1
+    private val sub2 = dim / m2
+    private val K = 16
+    private var coarse: Array[Array[Double]] = _
+    private var cb1: Array[Array[Array[Double]]] = _ // m1 × K × sub1
+    private var cb2: Array[Array[Array[Double]]] = _ // m2 × K × sub2
+
+    /** Train coarse centroids and both residual codebooks on one
+      * hash-spread corpus sample (deterministic; see IvfIndex.assign for
+      * why the draw is hash-ranked).
+      */
+    def train(corpus: DataFrame, idCol: String, vecCol: String): this.type = {
+      val sample = corpus.select(col(vecCol).as("v"), col(idCol).as("i"))
+        .orderBy(xxhash64(col("i")), col("i")).limit(trainSample)
+        .select("v").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      require(sample.nonEmpty, "IvfPqrIndex: empty training sample")
+      coarse = lloydTrain(sample, k, seed)
+      val res1 = sample.map { v =>
+        val c = coarse(nearestIdx(v, coarse))
+        Array.tabulate(dim)(j => v(j) - c(j))
+      }
+      cb1 = Array.tabulate(m1)(j => lloydTrain(
+        res1.map(_.slice(j * sub1, (j + 1) * sub1)), K, seed + 1 + j))
+      val res2 = res1.map { r =>
+        val out = r.clone()
+        var j = 0
+        while (j < m1) {
+          val s = r.slice(j * sub1, (j + 1) * sub1)
+          val c = cb1(j)(nearestIdx(s, cb1(j)))
+          var t = 0
+          while (t < sub1) { out(j * sub1 + t) -= c(t); t += 1 }
+          j += 1
+        }
+        out
+      }
+      cb2 = Array.tabulate(m2)(j => lloydTrain(
+        res2.map(_.slice(j * sub2, (j + 1) * sub2)), K, seed + 101 + j))
+      this
+    }
+
+    private def litVec(c: Array[Double]): Column = array(c.map(lit): _*)
+    private def litBook(cb: Array[Array[Double]]): Column =
+      array(cb.map(litVec): _*)
+    private val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+
+    /** Nearest coarse centroid id of a vector column. */
+    private def cidOf(vec: Column): Column =
+      array_min(array(coarse.zipWithIndex.map { case (c, i) =>
+        struct(l2(vec, litVec(c)).as("d"), lit(i).as("cid"))
+      }: _*)).getField("cid")
+
+    /** `nprobe` nearest coarse centroids of a vector column. */
+    private def probeCids(vec: Column): Column =
+      slice(array_sort(array(coarse.zipWithIndex.map { case (c, i) =>
+        struct(l2(vec, litVec(c)).as("d"), lit(i).as("cid"))
+      }: _*)), 1, nprobe).getField("cid")
+
+    /** PQ codes of a residual column against one codebook set. */
+    private def encodeWith(res: Column, cb: Array[Array[Array[Double]]],
+        m: Int, sub: Int): Column = array((0 until m).map { j =>
+      val s = slice(res, j * sub + 1, sub)
+      array_min(array(cb(j).zipWithIndex.map { case (c, i) =>
+        struct(l2(s, litVec(c)).as("d"), lit(i).as("i"))
+      }: _*)).getField("i")
+    }: _*)
+
+    /** Decoded (flattened) reconstruction of a codes column. */
+    private def decodeWith(codes: Column, cb: Array[Array[Array[Double]]],
+        m: Int): Column = flatten(array((0 until m).map { j =>
+      element_at(litBook(cb(j)), element_at(codes, j + 1).cast("int") + 1)
+    }: _*))
+
+    /** Encode a corpus: `(id, cid, codes1, codes2)` — the compressed
+      * representation the index stores; raw vectors are not retained.
+      */
+    def encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val withCid = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("cid", cidOf(col("vec")))
+        .withColumn("__res", zip_with(col("vec"),
+          element_at(array(coarse.map(litVec): _*), col("cid") + 1),
+          (a, b) => a.cast("double") - b))
+      val withC1 = withCid
+        .withColumn("codes1", encodeWith(col("__res"), cb1, m1, sub1))
+        .withColumn("__res2", zip_with(col("__res"),
+          decodeWith(col("codes1"), cb1, m1), (a, b) => a - b))
+      withC1
+        .withColumn("codes2", encodeWith(col("__res2"), cb2, m2, sub2))
+        .select("id", "cid", "codes1", "codes2")
+    }
+
+    /** Approximate top-k: probe → ADC on codes1 → shortlist → refine by
+      * cosine against the two-level reconstruction.
+      */
+    def annTopK(encoded: DataFrame, queries: DataFrame, qidCol: String,
+        qvecCol: String, topK: Int): DataFrame = {
+      val probed = queries
+        .select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+        .withColumn("cid", explode(probeCids(col("qvec"))))
+      val cands = probed.join(encoded, "cid")
+        .filter(col("id") =!= col("qid"))
+        // query residual against THIS candidate's list centroid — ADC
+        // needs it per row, so compute it once as a column
+        .withColumn("__qres", zip_with(col("qvec"),
+          element_at(array(coarse.map(litVec): _*), col("cid") + 1),
+          (a, b) => a.cast("double") - b))
+        .withColumn("adist", (0 until m1).map { j =>
+          val qs = slice(col("__qres"), j * sub1 + 1, sub1)
+          val sel = element_at(litBook(cb1(j)),
+            element_at(col("codes1"), j + 1).cast("int") + 1)
+          l2(qs, sel)
+        }.reduce(_ + _))
+      val wShort = Window.partitionBy(col("qid"))
+        .orderBy(col("adist"), col("id"))
+      val short = cands
+        .withColumn("srk", row_number().over(wShort))
+        .filter(col("srk") <= refineFactor * topK)
+      val recon = zip_with(zip_with(
+        element_at(array(coarse.map(litVec): _*), col("cid") + 1),
+        decodeWith(col("codes1"), cb1, m1), (a, b) => a + b),
+        decodeWith(col("codes2"), cb2, m2), (a, b) => a + b)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("id"))
+      short
+        .select(col("qid"), col("id"),
+          cosine(col("qvec"), recon).as("score"))
+        .distinct() // a candidate can arrive via several probed lists
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select(col("qid"), col("id"), round(col("score"), 6).as("score"),
           col("rk").cast("long").as("rk"))
     }
   }

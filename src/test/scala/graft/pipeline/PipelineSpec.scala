@@ -305,6 +305,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(encoded.exceptAll(enc2).isEmpty)
   }
 
+  test("ivf-pqr finds the planted duplicate and beats its recall floor") {
+    import spark.implicits._
+    val dim = 16
+    val vecs = (0 until 128).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 16 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dup = vecs.filter($"vec_id" === 7).withColumn("vec_id", lit(999L))
+    val corpus = vecs.unionByName(dup).localCheckpoint(true)
+    val idx = new Similarity.IvfPqrIndex(dim, k = 8, nprobe = 8,
+      m1 = 4, m2 = 4, refineFactor = 8)
+      .train(corpus, "vec_id", "embedding")
+    val enc = idx.encode(corpus, "vec_id", "embedding").localCheckpoint(true)
+    // compressed representation only: id, list id, and two code arrays
+    assert(enc.columns.toSeq == Seq("id", "cid", "codes1", "codes2"))
+    assert(enc.first().getSeq[Int](2).size == 4)
+    // the planted duplicate has vec 7's exact codes, so it tops the
+    // refined ranking with reconstruction-cosine equal to vec 7's own
+    val res = idx.annTopK(enc, vecs.filter($"vec_id" === 7),
+      "vec_id", "embedding", 5).collect()
+    assert(res.length == 5)
+    assert(res.head.getAs[Long]("id") == 999L)
+    // deterministic: retraining + re-encoding yields identical codes
+    val idx2 = new Similarity.IvfPqrIndex(dim, k = 8, nprobe = 8,
+      m1 = 4, m2 = 4, refineFactor = 8)
+      .train(corpus, "vec_id", "embedding")
+    assert(idx2.encode(corpus, "vec_id", "embedding").exceptAll(enc).isEmpty)
+    // recall@5 across 8 queries clears the flat-PQ tier on this corpus
+    val queries = vecs.limit(8)
+    val exact = Similarity.knnBruteForce(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = idx.annTopK(enc, queries, "vec_id", "embedding", 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.intersect(exact).size.toDouble / exact.size >= 0.5)
+  }
+
   test("nprobe auto-tune reaches the recall target") {
     import spark.implicits._
     val dim = 8
