@@ -167,8 +167,12 @@ object ScaleProbe {
     val probes =
       if (nCopies <= 10) allProbes
       else allProbes.filter { case (n, _) =>
+        // d14 rides the >10× tiers since round 12: the adaptive Bloom
+        // capacity (and its runtime-conf clamp) is exactly the behavior
+        // the 100× tier exists to confirm
         Set("d08_neardup_pairs", "e02_ann_lsh", "g13_distributed",
-          "g08_distributed", "d10_seq_pack").contains(n)
+          "g08_distributed", "d10_seq_pack", "d14_incremental_dedup")
+          .contains(n)
       }
 
     // warm the JVM/codegen once so the first measured pair isn't paying

@@ -74,6 +74,27 @@ object Tables {
     */
   private val FactMinBytes: Long = 8L << 20
 
+  /** Widen gate for GRAPH-build fact loads — higher than [[FactMinBytes]]
+    * because the costs differ: a relational query reads the fact table
+    * once, while the memoized graph's edge lineage re-executes the widen
+    * exchange in EVERY hop of every query. Measured at sf0.1 (10.8 MB
+    * single-row-group lineitem): widening all graph facts cost ~25 %
+    * across the 43 graph queries (11.3 s → 14.2 s wall) — the per-query
+    * exchange outweighs the parallelism on a ~100 ms serial chunk. At
+    * the 10× probe tier (105 MB), the RAW load ran 10 heavy ~600 ms scan
+    * tasks while 21 cores idled inside the broadcast-fused hop stage
+    * (skew 6-13×) — there the exchange pays for itself several times
+    * over. 32 MB splits the two regimes: a serial chunk under it fuses
+    * in well under a second; over it, redistribution wins and keeps
+    * winning as data grows. On a multi-row-group warehouse the scan
+    * parallelizes natively and the gate is moot (est ≥ cores/2 → no-op).
+    */
+  private val GraphFactMinBytes: Long = 32L << 20
+
+  /** Fact-table load for graph construction — see [[GraphFactMinBytes]]. */
+  def graphFact(s: SparkSession, d: String, name: String): DataFrame =
+    widen(s, load(s, d, name), GraphFactMinBytes)
+
   private def widen(s: SparkSession, df: DataFrame,
       minBytes: Long = 0L): DataFrame = {
     val target = s.sparkContext.defaultParallelism

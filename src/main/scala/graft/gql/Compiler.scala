@@ -278,11 +278,12 @@ final class Compiler(graph: PropertyGraph,
         throw new GqlCompileException(
           s"$op sides have ${visL.length} vs ${visR.length} columns")
       val hidden = lh.filter(common)
-      // align the right side positionally on visible columns, by name on
-      // the (identically named) hidden identity columns
-      val ra = rd.select((visR ++ hidden).map(col).toIndexedSeq: _*)
-        .toDF((visL ++ hidden).toIndexedSeq: _*)
-      val la = ld.select((visL ++ hidden).map(col).toIndexedSeq: _*)
+      // align positionally (columns are already ordered visible-then-
+      // hidden on both sides, and the hidden names match by item index);
+      // col()-based reordering would mis-parse dotted output names like
+      // `a.name` as field access
+      val ra = rd.toDF((visL ++ hidden).toIndexedSeq: _*)
+      val la = ld
       val out = op match {
         case "UNION" => if (all) la.unionAll(ra) else la.unionAll(ra).distinct()
         case "INTERSECT" => if (all) la.intersectAll(ra) else la.intersect(ra)

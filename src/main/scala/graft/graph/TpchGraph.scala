@@ -36,15 +36,20 @@ object TpchGraph {
 
   private def build0(s: SparkSession, dir: String): PropertyGraph = {
     import s.implicits._
-    // RAW loads, not Tables' widened fact accessors: every graph hop
-    // equi-joins on src/dst and shuffles immediately, so the exchange
-    // parallelizes the work regardless of scan task count — a widen
-    // repartition would only add a stage to every hop's lineage
-    // (measured: +0.3-0.6 s per g* query at sf0.1)
-    val customer = Tables.load(s, dir, "customer")
-    val orders = Tables.load(s, dir, "orders")
-    val lineitem = Tables.load(s, dir, "lineitem")
-    val part = Tables.load(s, dir, "part")
+    // Bytes-gated widened loads at the GRAPH gate (32 MB — see
+    // Tables.GraphFactMinBytes for the measured tradeoff). Round 11 kept
+    // these raw on the rationale that "every hop shuffles immediately" —
+    // true when hops were shuffle joins, STALE once small node tables
+    // started broadcasting into the hop: a broadcast hop fuses join +
+    // partial agg INTO the scan stage, so the scan's task layout caps
+    // the whole hop's parallelism. At the 10× probe tier the raw-load
+    // gql02 ran 10 heavy ~600 ms scan tasks while 21 cores idled (stage
+    // skew 6-13×); over the 32 MB gate the widen exchange spreads the
+    // fused hop evenly, and under it (all of sf0.1) nothing changes.
+    val customer = Tables.graphFact(s, dir, "customer")
+    val orders = Tables.graphFact(s, dir, "orders")
+    val lineitem = Tables.graphFact(s, dir, "lineitem")
+    val part = Tables.graphFact(s, dir, "part")
     val supplier = Tables.supplier(s, dir)
     val nation = Tables.nation(s, dir)
     val region = Tables.region(s, dir)
