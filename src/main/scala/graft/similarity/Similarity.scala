@@ -212,14 +212,16 @@ object Similarity {
     /** Nearest-`np` centroid ids of a vector column, as array<int>. */
     private def probeCids(vec: Column, centroids: Array[Array[Double]],
         np: Int): Column = {
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        val cLit = array(c.map(x => lit(x.toFloat)): _*)
-        struct(graft.functions.VectorFunctions
-          .cosine(org.apache.spark.sql.SparkSession.active, vec, cLit).as("sim"),
-          lit(i).as("cid"))
-      }
+      // one typedLit matrix + a higher-order transform instead of k×dim
+      // literal nodes — same math, far smaller plan (see IvfPqrIndex)
+      val centLit = typedLit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
+      val scored = transform(sequence(lit(0), lit(centroids.length - 1)),
+        i => struct(graft.functions.VectorFunctions
+          .cosine(org.apache.spark.sql.SparkSession.active, vec,
+            element_at(centLit, i + 1)).as("sim"),
+          i.cast("int").as("cid")))
       // top-np by cosine: sort the k (sim, cid) structs descending
-      slice(reverse(array_sort(array(dists: _*))), 1, np)
+      slice(reverse(array_sort(scored)), 1, np)
         .getField("cid")
     }
 
@@ -321,8 +323,10 @@ object Similarity {
         .orderBy(xxhash64(col("i")), col("i")).limit(trainSample)
         .select("v").collect().map(_.getSeq[Float](0).toArray))
 
-    private def litVec(c: Array[Double]): Column =
-      array(c.map(x => lit(x)): _*)
+    // codebooks as ONE 3-level array literal — see IvfPqrIndex for the
+    // plan-size rationale (the per-element spelling was m×K×sub nodes)
+    private def bookLit: Column =
+      typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
 
     private def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b,
@@ -332,10 +336,8 @@ object Similarity {
     /** Codes column (array<int> of length m) for a vector column. */
     def encode(vec: Column): Column = array((0 until m).map { j =>
       val s = slice(vec, j * sub + 1, sub)
-      val dists = codebooks(j).zipWithIndex.map { case (c, i) =>
-        struct(l2(s, litVec(c)).as("d"), lit(i).as("i"))
-      }
-      array_min(array(dists: _*)).getField("i")
+      val dists = transform(element_at(bookLit, j + 1), c => l2(s, c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
 
     /** Asymmetric distance: query slices against the code-selected
@@ -344,7 +346,7 @@ object Similarity {
     def adcDistance(qvec: Column, codes: Column): Column =
       (0 until m).map { j =>
         val qs = slice(qvec, j * sub + 1, sub)
-        val sel = element_at(array(codebooks(j).map(litVec): _*),
+        val sel = element_at(element_at(bookLit, j + 1),
           element_at(codes, j + 1).cast("int") + 1)
         l2(qs, sel)
       }.reduce(_ + _)
@@ -441,40 +443,45 @@ object Similarity {
       this
     }
 
-    private def litVec(c: Array[Double]): Column = array(c.map(lit): _*)
-    private def litBook(cb: Array[Array[Double]]): Column =
-      array(cb.map(litVec): _*)
+    // All codebooks enter the plan as SINGLE array literals (typedLit)
+    // consumed by higher-order functions — the per-element `array(lit…)`
+    // spelling put ~20K literal nodes in the plan and made e06's wall
+    // time mostly Catalyst analysis + codegen (measured 3.6 s at sf0.1;
+    // ~1 s after this change). Same math, same results, tiny plan.
+    private def coarseLit: Column = typedLit(coarse.map(_.toSeq).toSeq)
+    private def bookLit(cb: Array[Array[Array[Double]]]): Column =
+      typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     private val l2 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b,
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
         lit(0.0), (acc, v) => acc + v)
 
-    /** Nearest coarse centroid id of a vector column. */
-    private def cidOf(vec: Column): Column =
-      array_min(array(coarse.zipWithIndex.map { case (c, i) =>
-        struct(l2(vec, litVec(c)).as("d"), lit(i).as("cid"))
-      }: _*)).getField("cid")
+    /** Nearest coarse centroid id of a vector column (argmin = position
+      * of the min distance; ties take the first index, as before).
+      */
+    private def cidOf(vec: Column): Column = {
+      val dists = transform(coarseLit, c => l2(vec, c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
 
     /** `nprobe` nearest coarse centroids of a vector column. */
     private def probeCids(vec: Column): Column =
-      slice(array_sort(array(coarse.zipWithIndex.map { case (c, i) =>
-        struct(l2(vec, litVec(c)).as("d"), lit(i).as("cid"))
-      }: _*)), 1, nprobe).getField("cid")
+      slice(array_sort(transform(sequence(lit(0), lit(coarse.length - 1)),
+        i => struct(l2(vec, element_at(coarseLit, i + 1)).as("d"),
+          i.cast("int").as("cid")))), 1, nprobe).getField("cid")
 
     /** PQ codes of a residual column against one codebook set. */
-    private def encodeWith(res: Column, cb: Array[Array[Array[Double]]],
-        m: Int, sub: Int): Column = array((0 until m).map { j =>
+    private def encodeWith(res: Column, cbL: Column, m: Int,
+        sub: Int): Column = array((0 until m).map { j =>
       val s = slice(res, j * sub + 1, sub)
-      array_min(array(cb(j).zipWithIndex.map { case (c, i) =>
-        struct(l2(s, litVec(c)).as("d"), lit(i).as("i"))
-      }: _*)).getField("i")
+      val dists = transform(element_at(cbL, j + 1), c => l2(s, c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
 
     /** Decoded (flattened) reconstruction of a codes column. */
-    private def decodeWith(codes: Column, cb: Array[Array[Array[Double]]],
-        m: Int): Column = flatten(array((0 until m).map { j =>
-      element_at(litBook(cb(j)), element_at(codes, j + 1).cast("int") + 1)
-    }: _*))
+    private def decodeWith(codes: Column, cbL: Column): Column =
+      flatten(transform(codes, (code, j) =>
+        element_at(element_at(cbL, j + 1), code.cast("int") + 1)))
 
     /** Encode a corpus: `(id, cid, codes1, codes2)` — the compressed
       * representation the index stores; raw vectors are not retained.
@@ -484,14 +491,14 @@ object Similarity {
         .select(col(idCol).as("id"), col(vecCol).as("vec"))
         .withColumn("cid", cidOf(col("vec")))
         .withColumn("__res", zip_with(col("vec"),
-          element_at(array(coarse.map(litVec): _*), col("cid") + 1),
+          element_at(coarseLit, col("cid") + 1),
           (a, b) => a.cast("double") - b))
       val withC1 = withCid
-        .withColumn("codes1", encodeWith(col("__res"), cb1, m1, sub1))
+        .withColumn("codes1", encodeWith(col("__res"), bookLit(cb1), m1, sub1))
         .withColumn("__res2", zip_with(col("__res"),
-          decodeWith(col("codes1"), cb1, m1), (a, b) => a - b))
+          decodeWith(col("codes1"), bookLit(cb1)), (a, b) => a - b))
       withC1
-        .withColumn("codes2", encodeWith(col("__res2"), cb2, m2, sub2))
+        .withColumn("codes2", encodeWith(col("__res2"), bookLit(cb2), m2, sub2))
         .select("id", "cid", "codes1", "codes2")
     }
 
@@ -508,11 +515,11 @@ object Similarity {
         // query residual against THIS candidate's list centroid — ADC
         // needs it per row, so compute it once as a column
         .withColumn("__qres", zip_with(col("qvec"),
-          element_at(array(coarse.map(litVec): _*), col("cid") + 1),
+          element_at(coarseLit, col("cid") + 1),
           (a, b) => a.cast("double") - b))
         .withColumn("adist", (0 until m1).map { j =>
           val qs = slice(col("__qres"), j * sub1 + 1, sub1)
-          val sel = element_at(litBook(cb1(j)),
+          val sel = element_at(element_at(bookLit(cb1), j + 1),
             element_at(col("codes1"), j + 1).cast("int") + 1)
           l2(qs, sel)
         }.reduce(_ + _))
@@ -522,9 +529,9 @@ object Similarity {
         .withColumn("srk", row_number().over(wShort))
         .filter(col("srk") <= refineFactor * topK)
       val recon = zip_with(zip_with(
-        element_at(array(coarse.map(litVec): _*), col("cid") + 1),
-        decodeWith(col("codes1"), cb1, m1), (a, b) => a + b),
-        decodeWith(col("codes2"), cb2, m2), (a, b) => a + b)
+        element_at(coarseLit, col("cid") + 1),
+        decodeWith(col("codes1"), bookLit(cb1)), (a, b) => a + b),
+        decodeWith(col("codes2"), bookLit(cb2)), (a, b) => a + b)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("id"))
       short
