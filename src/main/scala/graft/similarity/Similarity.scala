@@ -612,12 +612,13 @@ object Similarity {
       * too (planes are ±1.0, exact in float).
       */
     def signature(spark: org.apache.spark.sql.SparkSession, vec: Column): Column = {
-      val bits = planes.map { p =>
-        val planeLit = array(p.map(x => lit(x.toFloat)): _*)
-        when(graft.functions.VectorFunctions.cosine(spark, vec, planeLit) >= 0,
-          lit(1)).otherwise(lit(0))
-      }
-      array(bits.toIndexedSeq: _*)
+      // one typedLit plane matrix (numPlanes × dim literal nodes would
+      // otherwise bloat the plan — see IvfPqrIndex for the measurements)
+      val planesLit = typedLit(planes.map(_.map(_.toFloat).toSeq).toSeq)
+      transform(sequence(lit(0), lit(numPlanes - 1)), i =>
+        when(graft.functions.VectorFunctions
+          .cosine(spark, vec, element_at(planesLit, i + 1)) >= 0,
+          lit(1)).otherwise(lit(0)))
     }
 
     /** (id, band, bucket) — one row per band per input row. */
