@@ -69,4 +69,36 @@ class FuzzSpec extends AnyFunSuite {
       "RETURN t.no_such_prop AS x LIMIT 1").collect()
     assert(e.head.isNullAt(0))
   }
+
+  test("mixed-type property inserts never crash mid-stage") {
+    // the same property inserted under a rotating set of literal types:
+    // every step must either reconcile (common supertype) or fail with a
+    // compile-time error — never a CAST_INVALID_INPUT from deep inside a
+    // stage, and reads afterwards must see every inserted row
+    val s = SparkFixture.gqlSession(SparkFixture.fraudGraph)
+    val values = Seq("1", "2.5", "'three'", "true", "[1, 2]", "'4'",
+      "7", "'mixed bag'")
+    val rnd = new scala.util.Random(7)
+    var inserted = 0
+    values.zipWithIndex.foreach { case (v, i) =>
+      val stmt = s"INSERT (:Blob {id: ${9000 + i}, payload: $v})"
+      try { s.execute(stmt).collect(); inserted += 1 }
+      catch {
+        case _: GqlCompileException | _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"non-engine failure for $stmt: ${e.getClass}: ${e.getMessage}")
+      }
+      // interleaved reads must never hit a runtime cast error
+      val n = s.gql("MATCH (b:Blob) RETURN count(b) AS n")
+        .collect().head.getLong(0)
+      assert(n == inserted, s"after $stmt: $n rows visible, $inserted inserted")
+      // property read through the reconciled column succeeds
+      s.gql("MATCH (b:Blob) RETURN b.payload AS p ORDER BY b.id").collect()
+      // and a random predicate over the mixed column stays 3VL-safe
+      if (rnd.nextBoolean())
+        s.gql("MATCH (b:Blob) WHERE b.payload IS NOT NULL " +
+          "RETURN count(b) AS n").collect()
+    }
+    assert(inserted >= 6, s"only $inserted/8 inserts accepted")
+  }
 }

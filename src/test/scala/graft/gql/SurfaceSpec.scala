@@ -771,6 +771,26 @@ class SurfaceSpec extends AnyFunSuite {
       "UNION MATCH ()-[t:WIRE]->() RETURN t.amount AS a") == 2L)
   }
 
+  test("cross-query set ops on node variables dedup by (label, id)") {
+    val sp = SparkFixture.spark
+    import sp.implicits._
+    // ids collide across labels: A#1/A#2 vs B#1/B#3 are DIFFERENT nodes
+    val as = Seq((1L, "a1"), (2L, "a2")).toDF("id", "name")
+    val bs = Seq((1L, "b1"), (3L, "b3")).toDF("id", "name")
+    val g = new graft.graph.PropertyGraph(
+      Map("A" -> as, "B" -> bs), Map.empty)
+    val t = SparkFixture.gqlSession(g)
+    def q(gq: String): Long = t.gql(gq).count()
+    assert(q("MATCH (n:A) RETURN n UNION MATCH (m:B) RETURN m") == 4L)
+    assert(q("MATCH (n:A) RETURN n INTERSECT MATCH (m:B) RETURN m") == 0L)
+    assert(q("MATCH (n:A) RETURN n EXCEPT MATCH (m:B) RETURN m") == 2L)
+    // same label on both sides: identity columns agree, ids dedup
+    assert(q("MATCH (n:A) RETURN n UNION MATCH (m:A) RETURN m") == 2L)
+    // label-less operands carry the per-row label: the A/B unions of the
+    // same ids stay distinct entities
+    assert(q("MATCH (n) RETURN n UNION MATCH (m) RETURN m") == 4L)
+  }
+
   test("a role literally named 'role' grants and revokes") {
     val t = fresh()
     t.execute("CREATE USER carol")
