@@ -288,6 +288,50 @@ object IncrementalDedup {
     batch.join(out.select(col("id").as(idCol)).distinct(), Seq(idCol))
   }
 
+  /** Streaming front door for the cross-run exact dedup: fingerprint a
+    * DOCUMENT stream, drop in-stream duplicates within the watermark
+    * (`dropDuplicatesWithinWatermark` keys state on the fingerprint and
+    * evicts it as the watermark advances — bounded state, unlike a plain
+    * dropDuplicates), then remove documents already committed to a batch
+    * [[dedupeExact]] state dir via a stream-static LEFT ANTI join on the
+    * history parquet. The static side is re-planned every micro-batch,
+    * so batch commits that land while the stream runs are picked up at
+    * the next trigger — no bloom snapshot to go stale (the sidecar is a
+    * batch-side optimization; the streaming path's history probe IS the
+    * authoritative join).
+    *
+    * Batch mode degrades exactly (dropDuplicatesWithinWatermark becomes
+    * dropDuplicates, the anti join is a plain join), so a batch run of
+    * this function is the oracle for the streaming run — same contract
+    * as EventPipeline.dedupWithinWatermark.
+    *
+    * Returns the input columns of surviving (novel) documents. Within a
+    * watermark window the FIRST arrival of a fingerprint survives
+    * (arrival order, not id order — streams have no total id order).
+    */
+  def dedupeExactStream(stream: DataFrame, idCol: String, textCol: String,
+      tsCol: String, statePath: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val spark = stream.sparkSession
+    recoverCompaction(statePath)
+    val withFp = stream
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    // Spark rejects the within-watermark form on batch frames outright,
+    // so the batch oracle path takes the exact spelling explicitly
+    val fp =
+      if (stream.isStreaming)
+        withFp.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("__fp")
+      else withFp.dropDuplicates("__fp")
+    val path = s"$statePath/exact"
+    val out =
+      if (!Files.exists(Paths.get(path))) fp
+      else fp.join(
+        spark.read.parquet(path).select(col("fp").as("__fp")),
+        Seq("__fp"), "left_anti")
+    out.drop("__fp")
+  }
+
   /** Compact the append-only state: each dataset rewrites as one sorted,
     * deduplicated snapshot (range-partitioned so parquet min/max stats
     * prune probe joins). Run periodically — every batch appends a few

@@ -214,6 +214,27 @@ object PipelineQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // ---- streaming ingestion dedup (batch mode — the degradation IS
+    // the oracle contract, same as ev01-03): commit the first half as
+    // batch history, then run the streaming front door over the full
+    // corpus; survivors are exactly the fingerprints only the second
+    // half carries. The output is the fp set (deterministic regardless
+    // of which arrival of a duplicate survives in-stream).
+    "d19_stream_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-streamdedup").toString
+      graft.dedup.IncrementalDedup.dedupeExact(
+        docs.filter($"doc_id" < 250), "doc_id", "text", state).count()
+      val withTs = docs.withColumn("ts",
+        timestamp_micros($"doc_id" * 1000000L))
+      graft.dedup.IncrementalDedup.dedupeExactStream(
+          withTs, "doc_id", "text", "ts", state)
+        .select(TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"fp")
+    }),
+
     // ---- PII redaction (C4/FineWeb scrub stage). The synthetic corpus
     // carries no PII, so the row injects a deterministic email/IP/phone
     // per document (same construction in the oracle) and redacts it —
@@ -795,6 +816,14 @@ object PipelineQueries {
          |WHERE rn = 1 AND NOT EXISTS (
          |  SELECT 1 FROM f p WHERE p.doc_id < 250 AND p.fp = k.fp)
          |ORDER BY doc_id""".stripMargin,
+    // d19: surviving fingerprints = distinct fps carried ONLY by the
+    // second half (history = first-half fps; in-stream dups collapse)
+    "d19_stream_dedup" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fp FROM documents)
+         |SELECT DISTINCT fp FROM f k
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM f p WHERE p.doc_id < 250 AND p.fp = k.fp)
+         |ORDER BY fp""".stripMargin,
     "d12_stratified_split" -> stratSampleSql,
     "d13_contamination" -> contaminationSql,
     // d15: identical PII injection + the same 3-stage regex chain

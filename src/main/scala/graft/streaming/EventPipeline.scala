@@ -238,13 +238,17 @@ object EventPipeline {
   /** Late-arrival dedup: drop duplicate event_ids arriving within the
     * watermark window (`dropDuplicatesWithinWatermark` keeps state only
     * until the watermark passes — bounded state on unbounded input; a
-    * plain dropDuplicates would grow state forever). Batch mode degrades
-    * to exact dropDuplicates, so the batch run is the oracle.
+    * plain dropDuplicates would grow state forever). Spark REJECTS the
+    * within-watermark form on batch frames (it is not merely degraded),
+    * so batch inputs take the exact dropDuplicates spelling explicitly —
+    * that batch run is the oracle for the streaming one.
     */
   def dedupWithinWatermark(events: DataFrame,
       lateness: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Streaming anti-join: clicks with NO purchase by the same user
     * within 30 minutes after the click (abandonment detection). Spark

@@ -462,6 +462,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming document dedup equals batch and excludes history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val state = java.nio.file.Files.createTempDirectory("dedupstate").toString
+    val batchDocs = spark.read.parquet(dir)
+      .select($"doc_id", $"text")
+      .withColumn("ts", timestamp_micros($"doc_id" * 1000000L))
+    // first half committed as batch history
+    graft.dedup.IncrementalDedup.dedupeExact(
+      batchDocs.filter($"doc_id" < 250), "doc_id", "text", state).count()
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDocs = spark.readStream.schema(schema).parquet(dir)
+      .select($"doc_id", $"text")
+      .withColumn("ts", timestamp_micros($"doc_id" * 1000000L))
+    val q = graft.dedup.IncrementalDedup.dedupeExactStream(
+        streamDocs, "doc_id", "text", "ts", state)
+      .select(graft.text.TextAnalysis.fingerprint($"text").as("fp"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("streamdedup").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("select fp from streamdedup order by fp")
+      .collect().map(_.getString(0)).toSeq
+    // batch run of the SAME function is the oracle (degraded semantics)
+    val batch = graft.dedup.IncrementalDedup.dedupeExactStream(
+        batchDocs, "doc_id", "text", "ts", state)
+      .select(graft.text.TextAnalysis.fingerprint($"text").as("fp"))
+      .orderBy($"fp").collect().map(_.getString(0)).toSeq
+    assert(streamed == batch)
+    // independent model: fps carried only by the second half survive
+    val all = spark.read.parquet(dir).select($"doc_id",
+      graft.text.TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstHalf = all.filter(_._1 < 250).map(_._2).toSet
+    val expected = all.filter(r => !firstHalf.contains(r._2))
+      .map(_._2).distinct.sorted.toSeq
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming PII scrub equals batch (stateless pipeline stage)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
