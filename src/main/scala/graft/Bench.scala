@@ -208,13 +208,15 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val dir = java.nio.file.Paths.get(".")
       val rx = "BENCH_r(\\d+)\\.json".r
-      val newest = java.nio.file.Files.list(dir).iterator.asScala
-        .flatMap { p =>
+      val listing = java.nio.file.Files.list(dir)
+      val newest =
+        try listing.iterator.asScala.flatMap { p =>
           p.getFileName.toString match {
             case rx(n) => Some((n.toInt, p))
             case _ => None
           }
         }.toSeq.sortBy(-_._1).headOption
+        finally listing.close() // Files.list leaks a DirectoryStream fd
       newest match {
         case None => Map.empty
         case Some((_, p)) =>

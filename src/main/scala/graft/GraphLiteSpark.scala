@@ -1350,6 +1350,18 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
 
       case SecurityStmt(op, kind, name, target, ifClause) =>
         requireTxWritable(s"$op $kind")
+        // Security DDL is admin-gated as a UNIT for registered callers:
+        // gating only password rotation (round-12 first cut) was
+        // bypassable — a registered non-admin could CREATE ROLE admin,
+        // GRANT it to themselves, and then rotate anyone's credential.
+        // The rule mirrors GraphCatalog.mayManageUsers: a session whose
+        // user is not a registered catalog USER is the embedding
+        // application (trusted — it owns the warehouse files); a
+        // registered user needs role admin for ANY security statement.
+        if (!gls.catalog.isSecurityAdmin(user))
+          throw new GqlAuthException(
+            s"user '$user' may not run security DDL ($op $kind) — " +
+              "requires role admin")
         (op, kind) match {
         // for CREATE USER, `target` carries the IDENTIFIED BY/PASSWORD
         // secret. Duplicate create and missing drop ERROR unless the

@@ -95,6 +95,16 @@ object Tables {
   def graphFact(s: SparkSession, d: String, name: String): DataFrame =
     widen(s, load(s, d, name), GraphFactMinBytes)
 
+  /** Total bytes of a frame's scan input files — THE byte accounting the
+    * widen gate uses, exposed so audits assert against the same number
+    * (None when a file can't be stat-ed locally; widen then falls back
+    * to the partition count and the gate is not byte-driven).
+    */
+  def scanBytes(df: DataFrame): Option[Long] =
+    try Some(df.inputFiles.map(f => java.nio.file.Files.size(
+      java.nio.file.Paths.get(new java.net.URI(f)))).sum)
+    catch { case _: Exception => None }
+
   private def widen(s: SparkSession, df: DataFrame,
       minBytes: Long = 0L): DataFrame = {
     val target = s.sparkContext.defaultParallelism

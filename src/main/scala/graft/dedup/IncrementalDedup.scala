@@ -294,16 +294,20 @@ object IncrementalDedup {
     * evicts it as the watermark advances — bounded state, unlike a plain
     * dropDuplicates), then remove documents already committed to a batch
     * [[dedupeExact]] state dir via a stream-static LEFT ANTI join on the
-    * history parquet. The static side is re-planned every micro-batch,
-    * so batch commits that land while the stream runs are picked up at
-    * the next trigger — no bloom snapshot to go stale (the sidecar is a
-    * batch-side optimization; the streaming path's history probe IS the
-    * authoritative join).
+    * history parquet. The history is SNAPSHOTTED at stream start (the
+    * parquet file listing is captured when the static frame is created;
+    * Spark does not re-list it per micro-batch), so the contract is the
+    * standard lambda-architecture one: batch commits that land while the
+    * stream runs become visible at the next stream (re)start, and
+    * [[compactState]] must not rewrite the history under a running
+    * stream (the snapshotted listing would dangle). Within that contract
+    * the probe is exact — no bloom approximation.
     *
-    * Batch mode degrades exactly (dropDuplicatesWithinWatermark becomes
-    * dropDuplicates, the anti join is a plain join), so a batch run of
-    * this function is the oracle for the streaming run — same contract
-    * as EventPipeline.dedupWithinWatermark.
+    * Batch mode is exact by construction (the within-watermark dedup is
+    * replaced with plain dropDuplicates — Spark rejects the watermark
+    * form on batch frames — and the anti join reads current history), so
+    * a batch run of this function is the oracle for the streaming run —
+    * same contract as EventPipeline.dedupWithinWatermark.
     *
     * Returns the input columns of surviving (novel) documents. Within a
     * watermark window the FIRST arrival of a fingerprint survives

@@ -338,22 +338,29 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     if (kept.size == rows.size) false else { writeSecurity(kept); true }
   }
 
-  /** May `caller` rotate `target`'s password? Self-rotation is always
-    * allowed; rotating ANOTHER registered user's credential needs the
-    * `admin` role. A caller that is not itself a registered catalog user
-    * is the embedding application (catalog security is metadata the
-    * embedder enforces — see the header note), so it passes: anyone who
-    * can open an unregistered session already owns the warehouse files.
-    * (The reference admin-gates update_user at its coordinator,
+  /** May `caller` administer security state (users/roles/grants/ACEs)?
+    * A caller that is not itself a registered catalog user is the
+    * embedding application (catalog security is metadata the embedder
+    * enforces — see the header note), so it passes: anyone who can open
+    * an unregistered session already owns the warehouse files. A
+    * REGISTERED caller needs the `admin` role — gating any single
+    * operation alone is bypassable (CREATE ROLE admin + GRANT to self),
+    * so every security statement shares this one gate.
+    * (The reference admin-gates these at its coordinator,
     * query_coordinator.rs:478; this is the equivalent seam here.)
     */
-  def mayManageUsers(caller: String, target: String): Boolean = {
-    if (caller == target) return true
+  def isSecurityAdmin(caller: String): Boolean = {
     val rows = readSecurity()
     if (!rows.exists(r => r._1 == "USER" && r._2 == caller)) return true
     rows.exists(r => r._1 == "GRANT" && r._2.equalsIgnoreCase("admin") &&
       r._3 == caller)
   }
+
+  /** May `caller` rotate `target`'s password? Self-rotation is always
+    * allowed; anything else is [[isSecurityAdmin]].
+    */
+  def mayManageUsers(caller: String, target: String): Boolean =
+    caller == target || isSecurityAdmin(caller)
 
   def grantRole(role: String, user: String): Boolean = {
     val rows = readSecurity()

@@ -534,10 +534,12 @@ object Similarity {
         decodeWith(col("codes2"), bookLit(cb2)), (a, b) => a + b)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("id"))
+      // no distinct needed: each encoded vector carries exactly ONE cid,
+      // so the posting-list equi-join yields at most one row per
+      // (qid, id) — unlike multi-assignment LSH banding
       short
         .select(col("qid"), col("id"),
           cosine(col("qvec"), recon).as("score"))
-        .distinct() // a candidate can arrive via several probed lists
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= topK)
         .select(col("qid"), col("id"), round(col("score"), 6).as("score"),

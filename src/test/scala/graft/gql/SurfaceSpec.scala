@@ -836,6 +836,34 @@ class SurfaceSpec extends AnyFunSuite {
     assert(auth("alice", "a3"))
   }
 
+  test("security DDL is admin-gated as a unit for registered callers") {
+    val t = fresh()
+    t.execute("CREATE USER mallory IDENTIFIED BY 'm1'")
+    t.execute("CREATE USER victim IDENTIFIED BY 'v1'")
+    t.execute("CREATE ROLE admin")
+    val mallory = t.gls.session("mallory")
+    // the self-escalation that made a per-op gate worthless: a
+    // registered non-admin must not be able to mint or grant roles,
+    // create/drop users, or grant ACEs
+    for (stmt <- Seq(
+        "CREATE ROLE sneaky",
+        "GRANT ROLE admin TO mallory",
+        "DROP USER victim",
+        "CREATE USER crony IDENTIFIED BY 'c1'",
+        "REVOKE ROLE admin FROM mallory"))
+      intercept[graft.GqlAuthException] { mallory.execute(stmt) }
+    // nothing changed behind the denials
+    assert(t.call("gql.authenticate_user", Seq("victim", "v1"))
+      .collect().head.getBoolean(1))
+    assert(!t.call("gql.list_grants").collect()
+      .exists(_.getString(1) == "mallory"))
+    // a real admin (granted by the embedding application) can manage
+    t.execute("GRANT ROLE admin TO mallory")
+    mallory.execute("CREATE ROLE sneaky") // now allowed
+    assert(t.call("gql.list_roles").collect()
+      .exists(_.getString(0) == "sneaky"))
+  }
+
   // ---- NEXT chains + session parameters (executor.rs:8559-8641) ----
 
   test("NEXT chains statements; YIELD captures parameters for $refs") {
