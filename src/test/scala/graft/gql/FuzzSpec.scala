@@ -11,7 +11,7 @@ import graft.SparkFixture
   */
 class FuzzSpec extends AnyFunSuite {
 
-  test("840 mutated statements never crash the engine") {
+  test("1200 mutated statements never crash the engine") {
     val s = SparkFixture.gqlSession(SparkFixture.fraudGraph)
     val seeds = Seq(
       "MATCH (a:Account) WHERE a.balance > 1000 RETURN a.name, a.balance ORDER BY a.name LIMIT 5",
@@ -28,7 +28,15 @@ class FuzzSpec extends AnyFunSuite {
       "MATCH (a:Account)-[t]->(m:Merchant) WHERE t IS :Purchase RETURN TYPE(t) AS ty, t.amount",
       "MATCH (a:Account {absent_prop: 5})-[t {ghost: 1}]->(m) RETURN count(t) AS n",
       "MATCH (a:Account)-[t:Transaction|Purchase]->(m) WITH t, m RETURN TYPE(t) AS ty, m.name LIMIT 3",
-      "MATCH (n) RETURN n.never_written AS v, count(n) AS c GROUP BY n.never_written")
+      "MATCH (n) RETURN n.never_written AS v, count(n) AS c GROUP BY n.never_written",
+      // round-12 surface: set-op identity columns, anonymous-endpoint
+      // elision (reads and DML), heterogeneous-property DML
+      "MATCH ()-[t:Transaction]->() RETURN t UNION MATCH ()-[u:Purchase]->() RETURN u",
+      "MATCH (n:Account) RETURN n INTERSECT MATCH (m:Merchant) RETURN m",
+      "MATCH ()-[t]->() RETURN count(t) AS n",
+      "MATCH ()-[t:Purchase]->() SET t.amount = t.amount + 1",
+      "(MATCH (a:Account) RETURN a EXCEPT MATCH (b:Account) WHERE b.balance < 500 RETURN b) ORDER BY 1 LIMIT 7",
+      "INSERT (:Account {id: 77001, balance: 'not a number'})")
     val rnd = new scala.util.Random(42)
     val hardCrashes = scala.collection.mutable.ListBuffer.empty[(String, Throwable)]
     for (seed <- seeds; _ <- 0 until 60) {
