@@ -106,7 +106,7 @@ object Tables {
     catch { case _: Exception => None }
 
   private def widen(s: SparkSession, df: DataFrame,
-      minBytes: Long = 0L): DataFrame = {
+      minBytes: Long = 0L, fullTarget: Boolean = false): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     // estimate the scan's task count from file bytes ÷ maxPartitionBytes
     // (the split rule the scan itself uses) instead of materializing an
@@ -118,22 +118,39 @@ object Tables {
     val maxPart = math.max(1L, org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(
         s.conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
-    val (est, totalBytes) =
+    val (est, totalBytes, avgFileBytes) =
       try {
         val sizes = df.inputFiles.map(f => java.nio.file.Files.size(
           java.nio.file.Paths.get(new java.net.URI(f))))
         (sizes.map(b => math.max(1L, (b + maxPart - 1) / maxPart)).sum,
-          sizes.sum)
+          sizes.sum, if (sizes.isEmpty) 0L else sizes.sum / sizes.length)
       } catch {
-        case _: Exception => (df.rdd.getNumPartitions.toLong, Long.MaxValue)
+        case _: Exception =>
+          (df.rdd.getNumPartitions.toLong, Long.MaxValue, Long.MaxValue)
       }
-    if (totalBytes >= minBytes && est < math.max(2, target / 2))
+    // CPU-dense tables (fullTarget) additionally redistribute whenever
+    // the table is fragmented into SMALL files: `est` counts one task
+    // per file, but Spark bin-packs small files into shared splits and a
+    // row group lands entirely in whichever split holds its midpoint —
+    // measured at the 100× probe tier, a 100-file / 0.6 MB-each corpus
+    // planned 54 scan tasks of which only 25 carried rows, idling ~20 %
+    // of the cores through a 2 s md5/minhash CPU wave. File sizes under
+    // maxPartitionBytes/8 make that packing unpredictable, and for
+    // per-row-CPU-heavy work one narrow exchange is far cheaper than
+    // the idle wave; a properly sized warehouse (files at or above the
+    // split size) parallelizes natively and adds no exchange. Byte-cheap
+    // fact scans keep the half-target bar alone: an extra exchange there
+    // costs more than the tail it fills.
+    val smallFiles = fullTarget && avgFileBytes < maxPart / 8 &&
+      avgFileBytes != Long.MaxValue
+    val bar = if (fullTarget) target else math.max(2, target / 2)
+    if (totalBytes >= minBytes && (est < bar || smallFiles))
       df.repartition(target)
     else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =
-    widen(s, load(s, d, "documents"))
+    widen(s, load(s, d, "documents"), fullTarget = true)
   def embeddings(s: SparkSession, d: String): DataFrame =
-    widen(s, load(s, d, "embeddings"))
+    widen(s, load(s, d, "embeddings"), fullTarget = true)
 }
