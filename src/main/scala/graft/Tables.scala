@@ -128,22 +128,35 @@ object Tables {
         case _: Exception =>
           (df.rdd.getNumPartitions.toLong, Long.MaxValue, Long.MaxValue)
       }
-    // CPU-dense tables (fullTarget) additionally redistribute whenever
-    // the table is fragmented into SMALL files: `est` counts one task
-    // per file, but Spark bin-packs small files into shared splits and a
-    // row group lands entirely in whichever split holds its midpoint —
-    // measured at the 100× probe tier, a 100-file / 0.6 MB-each corpus
-    // planned 54 scan tasks of which only 25 carried rows, idling ~20 %
-    // of the cores through a 2 s md5/minhash CPU wave. File sizes under
-    // maxPartitionBytes/8 make that packing unpredictable, and for
-    // per-row-CPU-heavy work one narrow exchange is far cheaper than
-    // the idle wave; a properly sized warehouse (files at or above the
-    // split size) parallelizes natively and adds no exchange. Byte-cheap
-    // fact scans keep the half-target bar alone: an extra exchange there
-    // costs more than the tail it fills.
-    val smallFiles = fullTarget && avgFileBytes < maxPart / 8 &&
-      avgFileBytes != Long.MaxValue
-    val bar = if (fullTarget) target else math.max(2, target / 2)
+    // CPU-dense tables (fullTarget) additionally redistribute when the
+    // table is fragmented into SMALL files AND the packed-split estimate
+    // actually starves the cores. `est` counts one task per file, but
+    // Spark bin-packs small files into shared splits and a row group
+    // lands entirely in whichever split holds its midpoint — measured at
+    // the 100× probe tier, a 100-file / 0.6 MB-each corpus planned 54
+    // scan tasks of which only 25 carried rows, idling ~20 % of the
+    // cores through a 2 s md5/minhash CPU wave. The bin estimate mirrors
+    // Spark's own split sizing (openCost padding, bytes-per-core floor);
+    // requiring bins < 2× target leaves margin for the midpoint rule
+    // emptying up to half the bins, while a LARGE fragmented warehouse
+    // (common streaming-ingest layout) packs into plenty of full bins
+    // and adds no exchange. Files at/above the split size never enter
+    // this branch at all, and the byte-cheap fact scans keep the plain
+    // half-target bar: an extra exchange there costs more than the tail
+    // it fills.
+    val smallFiles = fullTarget && avgFileBytes != Long.MaxValue &&
+      avgFileBytes < maxPart / 8 && {
+        val openCost = math.max(1L, org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(
+            s.conf.get("spark.sql.files.openCostInBytes", "4194304")))
+        val nFiles = math.max(1L, totalBytes / math.max(1L, avgFileBytes))
+        val padded = totalBytes + nFiles * openCost
+        val maxSplit = math.min(maxPart,
+          math.max(openCost, padded / math.max(1, target)))
+        val bins = (padded + maxSplit - 1) / maxSplit
+        bins < 2L * target
+      }
+    val bar = math.max(2, target / 2)
     if (totalBytes >= minBytes && (est < bar || smallFiles))
       df.repartition(target)
     else df
