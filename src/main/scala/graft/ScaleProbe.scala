@@ -159,7 +159,12 @@ object ScaleProbe {
       // BloomFilterAggregate, probe via might_contain; capacity (and so
       // filter bytes through the agg shuffle) must grow with the corpus,
       // never ahead of it
-      "d14_incremental_dedup" -> SparkEntry.queries("d14_incremental_dedup"))
+      "d14_incremental_dedup" -> SparkEntry.queries("d14_incremental_dedup"),
+      // round-12 additions: IVF-PQR (train + encode + probe + refine) and
+      // the streaming-dedup front door (batch-degradation shape) — both
+      // must stay posting-list / anti-join shaped as data grows
+      "e06_ivfpqr" -> SparkEntry.queries("e06_ivfpqr"),
+      "d19_stream_dedup" -> SparkEntry.queries("d19_stream_dedup"))
 
     // past 10×, probe only the scale-critical shapes (the band join, the
     // ANN bucket join, and the forced distributed graph loops) — the
