@@ -156,6 +156,7 @@ object SimHash60 {
 object TextHashFunctions {
   val ShingleName = "graft_shingle_hash"
   val SimhashName = "graft_simhash"
+  val MarkerName = "graft_marker_counts"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -170,6 +171,16 @@ object TextHashFunctions {
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       SimhashName, exprs => SimHash60(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MarkerName, exprs => {
+        val ms = exprs(1) match {
+          case Literal(v, StringType) =>
+            v.asInstanceOf[UTF8String].toString.split('\u0001')
+          case other => throw new IllegalArgumentException(
+            s"$MarkerName expects a literal marker list, got $other")
+        }
+        MarkerCounts(exprs(0), ms)
+      }, "built-in")
   }
 
   def shingleHashes(spark: SparkSession, tokens: Column, n: Int, mod: Long): Column = {
@@ -180,5 +191,68 @@ object TextHashFunctions {
   def simhash(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function(SimhashName, tokens)
+  }
+
+  /** array<int> of per-marker counts over ` lower(text) ` — see
+    * [[MarkerCounts]].
+    */
+  def markerCounts(spark: SparkSession, text: Column,
+      markers: Seq[String]): Column = {
+    register(spark)
+    call_function(MarkerName, text, lit(markers.mkString("\u0001")))
+  }
+}
+
+/** Fused multi-marker substring counter — one lowercase+pad pass and a
+  * plain `indexOf` walk per marker, replacing the per-marker
+  * `length(padded) - length(regexp_replace(padded, marker, ''))`
+  * pipeline (~20 regex traversals of every document for language id +
+  * stopword scoring; measured 0.6 s of d12's 1.4 s at sf0.1).
+  *
+  * Count semantics are EXACTLY the length-diff formula's: non-
+  * overlapping, left-to-right (the scan advances past each whole match
+  * — ` the the ` counts ONE ` the `), over ` lower(text) ` with the
+  * same UTF8String lowercasing Spark's `lower` uses — so the DuckDB
+  * oracle's regexp-based SQL keeps producing identical values.
+  */
+case class MarkerCounts(child: Expression, markers: Array[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_marker_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    MarkerCounts.count(input.asInstanceOf[UTF8String], markers)
+
+  // Same static-forwarder caveat as ShingleHash: go through MODULE$.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markers", markers, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.MarkerCounts$$.MODULE$$.count($input, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MarkerCounts {
+  def count(s: UTF8String, markers: Array[String]): ArrayData = {
+    val padded = " " + s.toLowerCase.toString + " "
+    val out = new Array[Int](markers.length)
+    var j = 0
+    while (j < markers.length) {
+      val m = markers(j)
+      var c = 0
+      var i = padded.indexOf(m)
+      while (i >= 0) { c += 1; i = padded.indexOf(m, i + m.length) }
+      out(j) = c
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -77,13 +77,6 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the normalized text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Count occurrences of a literal marker inside ` lower(text) `
-    * (length-difference trick — same formula runs in DuckDB).
-    */
-  private def markerCount(padded: Column, marker: String): Column =
-    (length(padded) - length(regexp_replace(padded,
-      java.util.regex.Pattern.quote(marker), ""))) / marker.length
-
   /** Marker-word tables for the n-gram language heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and ", " of "),
@@ -95,9 +88,18 @@ object TextAnalysis {
     * counts with first-listed-language tie-break; all-zero → 'unknown'.
     */
   def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
+    // one fused lowercase+scan pass for ALL markers (MarkerCounts)
+    // instead of a regex traversal per marker — identical counts, the
+    // DuckDB oracle keeps its regexp length-diff formula
+    val all = langMarkers.flatMap(_._2)
+    val counts = graft.functions.TextHashFunctions.markerCounts(
+      org.apache.spark.sql.SparkSession.active, text, all)
+    var idx = 0
     val scores = langMarkers.map { case (lang, ms) =>
-      lang -> ms.map(markerCount(padded, _)).reduce(_ + _)
+      val sc = ms.indices.map(k => element_at(counts, idx + k + 1))
+        .reduce(_ + _)
+      idx += ms.size
+      lang -> sc
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scores.reverse.foldLeft(lit("unknown")) { case (acc, (lang, sc)) =>
@@ -125,8 +127,11 @@ object TextAnalysis {
 
   /** Total stopword-marker occurrences (integer-valued). */
   def stopHits(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    stopMarkers.map(markerCount(padded, _)).reduce(_ + _).cast("long")
+    // fused scan, same counts as the per-marker regex formula (langId)
+    val counts = graft.functions.TextHashFunctions.markerCounts(
+      org.apache.spark.sql.SparkSession.active, text, stopMarkers)
+    stopMarkers.indices.map(k => element_at(counts, k + 1))
+      .reduce(_ + _).cast("long")
   }
 
   /** English stopword-token ratio. */

@@ -63,4 +63,36 @@ class CodegenSpec extends AnyFunSuite {
       assert(cg.getAs[Long]("sim1") === ip.getAs[Long]("sim1"))
     }
   }
+
+  test("marker counts codegen and match the regex length-diff formula") {
+    import spark.implicits._
+    val markers = Seq(" the ", " and ", " of ")
+    val df = Seq(
+      "The quick the THE the end",   // case folding + repeats
+      " the the ",                    // overlapping-adjacent: counts ONE
+      "no markers here",
+      "of and the of of",             // boundary-padded hits
+      "").toDF("text")
+    val rows = codegenOnly {
+      df.select(
+        TextHashFunctions.markerCounts(spark, col("text"), markers).as("c1"),
+        TextHashFunctions.markerCounts(spark, reverse(col("text")), markers)
+          .as("c2")) // duplicated with a different child: freshName check
+        .collect()
+    }
+    // independent oracle: the regexp length-diff formula the old Column
+    // pipeline (and the DuckDB oracle SQL) uses
+    val expected = df.select(markers.map { m =>
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      ((length(padded) - length(regexp_replace(padded,
+        java.util.regex.Pattern.quote(m), ""))) / m.length).cast("int").as(m)
+    }: _*).collect()
+    rows.zip(expected).foreach { case (got, want) =>
+      val gotCounts = got.getSeq[Int](0)
+      markers.indices.foreach(i => assert(gotCounts(i) == want.getInt(i),
+        s"marker '${markers(i)}' mismatch: $gotCounts vs $want"))
+    }
+    // the adjacent-overlap rule specifically: " the the " counts 1
+    assert(rows(1).getSeq[Int](0) == Seq(1, 0, 0))
+  }
 }
