@@ -2361,12 +2361,16 @@ final class Compiler(graph: PropertyGraph,
     case CountStar() =>
       throw new GqlCompileException("count(*) outside aggregation context")
     // internal: set-op entity identity (see compileSetOp) — the
-    // label/type that pairs with the projected id to form the identity
+    // label/type that pairs with the projected id to form the identity.
+    // The entity KIND prefixes the label: a node label and an edge type
+    // may share a name, and node #1 of label X must never compare equal
+    // to edge #1 of type X
     case Fn("__SETOP_ID", Seq(Ident(v)), _) => ctx.bindings.get(v) match {
-      case Some(UnionNode) => col(s"${v}_label")
-      case Some(NodeBinding(ls)) => lit(ls.head)
+      case Some(UnionNode) => concat(lit("n:"), col(s"${v}_label"))
+      case Some(NodeBinding(ls)) => lit(s"n:${ls.head}")
       case Some(eb: EdgeBinding) =>
-        if (eb.types.size > 1) col(s"${v}_label") else lit(eb.types.head)
+        if (eb.types.size > 1) concat(lit("e:"), col(s"${v}_label"))
+        else lit(s"e:${eb.types.head}")
       case _ => lit(null).cast("string") // value item: inert under
                                          // null-safe set-op comparison
     }

@@ -791,6 +791,23 @@ class SurfaceSpec extends AnyFunSuite {
     assert(q("MATCH (n) RETURN n UNION MATCH (m) RETURN m") == 4L)
   }
 
+  test("a node label and edge type sharing a name stay distinct in set ops") {
+    val sp = SparkFixture.spark
+    import sp.implicits._
+    // node label X and edge type X, with id/eid 1 on both sides — the
+    // hidden identity is kind-prefixed, so they must never merge
+    val xs = Seq((1L, "x1"), (2L, "x2")).toDF("id", "name")
+    val edges = Seq((1L, 2L, 1L, 9.0)).toDF("src", "dst", "eid", "w")
+    val g = new graft.graph.PropertyGraph(
+      Map("X" -> xs),
+      Map("X" -> (graft.graph.EdgeType("X", "X", "X"), edges)))
+    val t = SparkFixture.gqlSession(g)
+    assert(t.gql("MATCH (n:X) RETURN n " +
+      "UNION MATCH ()-[t:X]->() RETURN t").count() == 3L) // 2 nodes + 1 edge
+    assert(t.gql("MATCH (n:X) RETURN n " +
+      "INTERSECT MATCH ()-[t:X]->() RETURN t").count() == 0L)
+  }
+
   test("a role literally named 'role' grants and revokes") {
     val t = fresh()
     t.execute("CREATE USER carol")
