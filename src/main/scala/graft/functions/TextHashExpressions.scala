@@ -175,7 +175,7 @@ object TextHashFunctions {
       MarkerName, exprs => {
         val ms = exprs(1) match {
           case Literal(v, StringType) =>
-            v.asInstanceOf[UTF8String].toString.split('\u0001')
+            v.asInstanceOf[UTF8String].toString.split('\u0001').toSeq
           case other => throw new IllegalArgumentException(
             s"$MarkerName expects a literal marker list, got $other")
         }
@@ -215,8 +215,11 @@ object TextHashFunctions {
   * same UTF8String lowercasing Spark's `lower` uses — so the DuckDB
   * oracle's regexp-based SQL keeps producing identical values.
   */
-case class MarkerCounts(child: Expression, markers: Array[String])
+case class MarkerCounts(child: Expression, markers: Seq[String])
     extends UnaryExpression {
+  // Seq, not Array: case-class equality must be by VALUE for expression
+  // canonicalization/CSE to recognize two identical counters
+  private lazy val markerArr: Array[String] = markers.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -227,11 +230,11 @@ case class MarkerCounts(child: Expression, markers: Array[String])
   override def prettyName: String = "graft_marker_counts"
 
   override def nullSafeEval(input: Any): Any =
-    MarkerCounts.count(input.asInstanceOf[UTF8String], markers)
+    MarkerCounts.count(input.asInstanceOf[UTF8String], markerArr)
 
   // Same static-forwarder caveat as ShingleHash: go through MODULE$.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("markers", markers, "java.lang.String[]")
+    val ref = ctx.addReferenceObj("markers", markerArr, "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, input =>
       s"${ev.value} = graft.functions.MarkerCounts$$.MODULE$$.count($input, $ref);")
   }
