@@ -144,6 +144,12 @@ object Tables {
     // this branch at all, and the byte-cheap fact scans keep the plain
     // half-target bar: an extra exchange there costs more than the tail
     // it fills.
+    // the bar itself differs by COST MODEL, not taste: for byte-cheap
+    // fact scans the exchange competes with cheap per-row work, so only
+    // sub-half-target parallelism justifies it; for CPU-dense tables a
+    // missing core means seconds of md5/minhash wave per wave, which
+    // dwarfs shipping the text once — they widen whenever the scan
+    // cannot fill EVERY core (e.g. 20 × 20 MB files on 32 cores)
     val smallFiles = fullTarget && avgFileBytes != Long.MaxValue &&
       avgFileBytes < maxPart / 8 && {
         val openCost = math.max(1L, org.apache.spark.network.util.JavaUtils
@@ -156,7 +162,7 @@ object Tables {
         val bins = (padded + maxSplit - 1) / maxSplit
         bins < 2L * target
       }
-    val bar = math.max(2, target / 2)
+    val bar = if (fullTarget) target else math.max(2, target / 2)
     if (totalBytes >= minBytes && (est < bar || smallFiles))
       df.repartition(target)
     else df

@@ -174,10 +174,13 @@ object TextHashFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       MarkerName, exprs => {
         val ms = exprs(1) match {
-          case Literal(v, StringType) =>
-            v.asInstanceOf[UTF8String].toString.split('\u0001').toSeq
+          case Literal(v, StringType) if v != null =>
+            // -1 limit keeps trailing empty segments so a malformed list
+            // fails MarkerCounts' require instead of silently shrinking
+            // (split's default drops them, misaligning element_at math)
+            v.asInstanceOf[UTF8String].toString.split("\u0001", -1).toSeq
           case other => throw new IllegalArgumentException(
-            s"$MarkerName expects a literal marker list, got $other")
+            s"$MarkerName expects a non-null literal marker list, got $other")
         }
         MarkerCounts(exprs(0), ms)
       }, "built-in")
@@ -194,10 +197,17 @@ object TextHashFunctions {
   }
 
   /** array<int> of per-marker counts over ` lower(text) ` — see
-    * [[MarkerCounts]].
+    * [[MarkerCounts]]. Markers must be non-empty and free of the
+    * `\u0001` delimiter (validated here; the same rules hold for direct
+    * SQL calls via the registry lambda). Registration lands in `spark`'s
+    * function registry — pass the session that will ANALYZE the plan
+    * (the repo-wide convention for the custom-expression helpers).
     */
   def markerCounts(spark: SparkSession, text: Column,
       markers: Seq[String]): Column = {
+    require(markers.nonEmpty && markers.forall(m =>
+      m.nonEmpty && !m.contains('\u0001')),
+      "markerCounts needs non-empty markers without the \\u0001 delimiter")
     register(spark)
     call_function(MarkerName, text, lit(markers.mkString("\u0001")))
   }
@@ -217,6 +227,11 @@ object TextHashFunctions {
   */
 case class MarkerCounts(child: Expression, markers: Seq[String])
     extends UnaryExpression {
+  // an empty marker would make the indexOf walk spin forever (indexOf
+  // of "" matches at every offset without advancing) — reject at
+  // construction, where both the Scala helper and the SQL registry land
+  require(markers.nonEmpty && markers.forall(_.nonEmpty),
+    "graft_marker_counts needs a non-empty list of non-empty markers")
   // Seq, not Array: case-class equality must be by VALUE for expression
   // canonicalization/CSE to recognize two identical counters
   private lazy val markerArr: Array[String] = markers.toArray
