@@ -113,6 +113,12 @@ object GraphLiteSpark {
 final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String) {
   /** Stable id for pooled lookup (UserSession::session_id analog). */
   val sessionId: String = java.util.UUID.randomUUID().toString
+  /** Whether `user` was a registered catalog USER when this session
+    * opened. Pinned here so the security-DDL gate fails CLOSED if the
+    * user is dropped mid-session — deletion must revoke, not escalate,
+    * an open session's privileges (see GraphCatalog.isSecurityAdmin).
+    */
+  private[graft] val registeredAtOpen: Boolean = gls.catalog.isRegisteredUser(user)
   /** Liveness + idle tracking for the managed pool (manager.rs expiry
     * and deactivation semantics). Unmanaged sessions carry the same
     * state but nothing ever expires them.
@@ -1358,7 +1364,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         // user is not a registered catalog USER is the embedding
         // application (trusted — it owns the warehouse files); a
         // registered user needs role admin for ANY security statement.
-        if (!gls.catalog.isSecurityAdmin(user))
+        if (!gls.catalog.isSecurityAdmin(user, registeredAtOpen))
           throw new GqlAuthException(
             s"user '$user' may not run security DDL ($op $kind) — " +
               "requires role admin")

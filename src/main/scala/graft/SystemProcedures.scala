@@ -103,7 +103,8 @@ object SystemProcedures {
         // admin-gated like the reference coordinator: a registered user
         // may rotate only their own password unless they hold role admin
         // (see GraphCatalog.mayManageUsers for the embedding-trust rule)
-        if (!gls.catalog.mayManageUsers(session.user, user))
+        if (!gls.catalog.mayManageUsers(session.user, user,
+            session.registeredAtOpen))
           throw new GqlAuthException(
             s"user '${session.user}' may not rotate credentials for '$user'")
         Seq((user, gls.catalog.setPassword(user, password)))

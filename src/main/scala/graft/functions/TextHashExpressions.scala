@@ -233,8 +233,13 @@ case class MarkerCounts(child: Expression, markers: Seq[String])
   require(markers.nonEmpty && markers.forall(_.nonEmpty),
     "graft_marker_counts needs a non-empty list of non-empty markers")
   // Seq, not Array: case-class equality must be by VALUE for expression
-  // canonicalization/CSE to recognize two identical counters
-  private lazy val markerArr: Array[String] = markers.toArray
+  // canonicalization/CSE to recognize two identical counters.
+  // Markers are normalized with the SAME UTF8String lowercasing applied
+  // to the text, so the contract holds for every entry point — the Scala
+  // helper AND direct SQL calls through the registry lambda (an
+  // uppercase marker used to silently count zero from SQL).
+  private lazy val markerArr: Array[String] =
+    markers.map(m => UTF8String.fromString(m).toLowerCase.toString).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -338,29 +338,42 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     if (kept.size == rows.size) false else { writeSecurity(kept); true }
   }
 
+  /** Is `name` currently a registered catalog USER? Sampled by
+    * [[graft.GqlSession]] at open time so the embedder/registered
+    * distinction is pinned per session, not re-derived per statement.
+    */
+  def isRegisteredUser(name: String): Boolean =
+    readSecurity().exists(r => r._1 == "USER" && r._2 == name)
+
   /** May `caller` administer security state (users/roles/grants/ACEs)?
-    * A caller that is not itself a registered catalog user is the
-    * embedding application (catalog security is metadata the embedder
-    * enforces — see the header note), so it passes: anyone who can open
-    * an unregistered session already owns the warehouse files. A
-    * REGISTERED caller needs the `admin` role — gating any single
-    * operation alone is bypassable (CREATE ROLE admin + GRANT to self),
-    * so every security statement shares this one gate.
+    * A caller that was NOT a registered catalog user when its session
+    * opened is the embedding application (catalog security is metadata
+    * the embedder enforces — see the header note), so it passes: anyone
+    * who can open an unregistered session already owns the warehouse
+    * files. A caller registered at open time needs the `admin` role —
+    * gating any single operation alone is bypassable (CREATE ROLE admin
+    * + GRANT to self), so every security statement shares this one gate.
+    * The open-time flag makes the gate fail CLOSED for a registered
+    * session whose user is later dropped: dropping a user revokes, never
+    * escalates, an open session's privileges (the grant rows went with
+    * the user, so the admin check below is false).
     * (The reference admin-gates these at its coordinator,
     * query_coordinator.rs:478; this is the equivalent seam here.)
     */
-  def isSecurityAdmin(caller: String): Boolean = {
+  def isSecurityAdmin(caller: String, registeredAtOpen: Boolean): Boolean = {
     val rows = readSecurity()
-    if (!rows.exists(r => r._1 == "USER" && r._2 == caller)) return true
-    rows.exists(r => r._1 == "GRANT" && r._2.equalsIgnoreCase("admin") &&
-      r._3 == caller)
+    val registeredNow = rows.exists(r => r._1 == "USER" && r._2 == caller)
+    if (!registeredAtOpen && !registeredNow) return true
+    registeredNow && rows.exists(r =>
+      r._1 == "GRANT" && r._2.equalsIgnoreCase("admin") && r._3 == caller)
   }
 
   /** May `caller` rotate `target`'s password? Self-rotation is always
     * allowed; anything else is [[isSecurityAdmin]].
     */
-  def mayManageUsers(caller: String, target: String): Boolean =
-    caller == target || isSecurityAdmin(caller)
+  def mayManageUsers(caller: String, target: String,
+      registeredAtOpen: Boolean): Boolean =
+    caller == target || isSecurityAdmin(caller, registeredAtOpen)
 
   def grantRole(role: String, user: String): Boolean = {
     val rows = readSecurity()

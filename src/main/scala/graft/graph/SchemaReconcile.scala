@@ -52,12 +52,11 @@ object SchemaReconcile {
     case (x, NullType) => Some(x)
     case (x: DecimalType, y: DecimalType) =>
       // enough integral digits and enough scale for both
-      val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
-      val scale = math.max(x.scale, y.scale)
-      Some(DecimalType(math.min(DecimalType.MAX_PRECISION, intDigits + scale),
-        scale))
-    case (x: DecimalType, y) if isIntegral(y) => Some(widerDecimalIntegral(x))
-    case (x, y: DecimalType) if isIntegral(x) => Some(widerDecimalIntegral(y))
+      Some(boundedDecimal(
+        math.max(x.precision - x.scale, y.precision - y.scale),
+        math.max(x.scale, y.scale)))
+    case (x: DecimalType, y) if isIntegral(y) => Some(widerDecimalIntegral(x, y))
+    case (x, y: DecimalType) if isIntegral(x) => Some(widerDecimalIntegral(y, x))
     case (_: DecimalType, y) if isFractional(y) => Some(DoubleType)
     case (x, _: DecimalType) if isFractional(x) => Some(DoubleType)
     case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
@@ -71,9 +70,26 @@ object SchemaReconcile {
     case _ => None
   }
 
-  private def widerDecimalIntegral(d: DecimalType): DecimalType =
-    // a long needs up to 20 integral digits
-    DecimalType(math.min(DecimalType.MAX_PRECISION, 20 + d.scale), d.scale)
+  // max base-10 digits an integral type's values can need
+  private val integralDigits: Map[DataType, Int] =
+    Map(ByteType -> 3, ShortType -> 5, IntegerType -> 10, LongType -> 20)
+
+  private def widerDecimalIntegral(d: DecimalType, i: DataType): DataType =
+    boundedDecimal(math.max(d.precision - d.scale, integralDigits(i)), d.scale)
+
+  /** A decimal with `intDigits` integral digits and `scale` fractional
+    * ones — or DoubleType when that doesn't fit in MAX_PRECISION. The
+    * lossless contract forbids the two silent alternatives: clamping
+    * precision while keeping scale overflows large integral values to
+    * NULL (or an ANSI cast error) at runtime, and shrinking scale drops
+    * fractional digits. DoubleType is the same meet already used for
+    * decimal × fractional — approximate by declared type, never a
+    * runtime overflow.
+    */
+  private def boundedDecimal(intDigits: Int, scale: Int): DataType =
+    if (intDigits + scale <= DecimalType.MAX_PRECISION)
+      DecimalType(intDigits + scale, scale)
+    else DoubleType
 
   /** Union `frames` by name (missing columns pad to NULL), with every
     * shared column first cast to the common supertype across ALL

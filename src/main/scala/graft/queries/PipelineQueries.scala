@@ -57,6 +57,33 @@ object PipelineQueries {
   private val PqrRecallFloor = 0.3
   private val PqrNprobe = 12
 
+  /** Scratch state dirs for the incremental/streaming dedup queries.
+    * Each invocation needs a FRESH dir (the query's contract is "commit
+    * batch 1 into empty state"), but the returned frame reads the state
+    * lazily, so deletion can't happen inline — a process-level shutdown
+    * hook reaps every dir instead. Without this, bench reruns +
+    * delta-guard passes + scale probes leaked parquet history into /tmp
+    * across rounds.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    sys.addShutdownHook {
+      scratchDirs.forEach { root =>
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(root))
+          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash group-by on normalized fingerprint
     "d01_exact_dedup" -> ((s: SparkSession, d: String) => {
@@ -205,8 +232,7 @@ object PipelineQueries {
     "d14_incremental_dedup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select($"doc_id", $"text")
-      val state = java.nio.file.Files
-        .createTempDirectory("graft-incdedup").toString
+      val state = scratchDir("graft-incdedup")
       graft.dedup.IncrementalDedup.dedupeExact(
         docs.filter($"doc_id" < 250), "doc_id", "text", state).count()
       graft.dedup.IncrementalDedup.dedupeExact(
@@ -223,8 +249,7 @@ object PipelineQueries {
     "d19_stream_dedup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select($"doc_id", $"text")
-      val state = java.nio.file.Files
-        .createTempDirectory("graft-streamdedup").toString
+      val state = scratchDir("graft-streamdedup")
       graft.dedup.IncrementalDedup.dedupeExact(
         docs.filter($"doc_id" < 250), "doc_id", "text", state).count()
       val withTs = docs.withColumn("ts",

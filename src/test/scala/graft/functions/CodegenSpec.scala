@@ -95,4 +95,25 @@ class CodegenSpec extends AnyFunSuite {
     // the adjacent-overlap rule specifically: " the the " counts 1
     assert(rows(1).getSeq[Int](0) == Seq(1, 0, 0))
   }
+
+  test("marker case is normalized for SQL and Scala callers alike") {
+    import spark.implicits._
+    val df = Seq("The quick the THE end").toDF("text")
+    // uppercase markers count the same as lowercase ones — the
+    // expression lowercases markers with the same UTF8String fold it
+    // applies to the text, for every entry point
+    val viaScala = df.select(
+      TextHashFunctions.markerCounts(spark, col("text"), Seq(" The ", " QUICK "))
+        .as("c")).head().getSeq[Int](0)
+    assert(viaScala == Seq(2, 1))
+    // direct SQL through the registry lambda (the path that used to
+    // silently count zero for non-lowercase markers)
+    TextHashFunctions.register(spark)
+    df.createOrReplaceTempView("marker_case_t")
+    val delim = "\u0001"
+    val viaSql = spark.sql(
+      "SELECT graft_marker_counts(text, ' The " + delim +
+        " QUICK ') AS c FROM marker_case_t").head().getSeq[Int](0)
+    assert(viaSql == Seq(2, 1))
+  }
 }

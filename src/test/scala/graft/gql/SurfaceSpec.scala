@@ -881,6 +881,28 @@ class SurfaceSpec extends AnyFunSuite {
       .exists(_.getString(0) == "sneaky"))
   }
 
+  test("dropping a user fails its open sessions CLOSED, never open") {
+    val t = fresh()
+    t.execute("CREATE USER mallory IDENTIFIED BY 'm1'")
+    t.execute("CREATE USER victim IDENTIFIED BY 'v1'")
+    t.execute("CREATE ROLE admin")
+    val mallory = t.gls.session("mallory") // registered at open
+    intercept[graft.GqlAuthException] { mallory.execute("DROP USER victim") }
+    // the embedder drops mallory while the session is still open: the
+    // live session must NOT be promoted to embedder trust — deletion
+    // revokes privileges, it can't escalate them
+    t.execute("DROP USER mallory")
+    intercept[graft.GqlAuthException] { mallory.execute("DROP USER victim") }
+    intercept[graft.GqlAuthException] {
+      mallory.call("gql.update_user", Seq("victim", "pwned")).collect()
+    }
+    assert(t.call("gql.authenticate_user", Seq("victim", "v1"))
+      .collect().head.getBoolean(1))
+    // a genuinely-unregistered session (embedder) remains trusted
+    t.execute("CREATE USER back IDENTIFIED BY 'b1'")
+    t.execute("DROP USER back")
+  }
+
   // ---- NEXT chains + session parameters (executor.rs:8559-8641) ----
 
   test("NEXT chains statements; YIELD captures parameters for $refs") {

@@ -46,6 +46,48 @@ class SchemaReconcileSpec extends AnyFunSuite {
       assert(w != StringType, s"$a + $b must not meet at string")
   }
 
+  test("decimal widening never truncates integral capacity") {
+    // long + high-scale decimal can't fit losslessly in decimal(38,_):
+    // the meet must fall to double, not clamp precision while keeping
+    // scale (which would overflow large longs to NULL at runtime)
+    assert(SchemaReconcile.widerType(LongType, DecimalType(38, 20))
+      .contains(DoubleType))
+    assert(SchemaReconcile.widerType(DecimalType(38, 20), DecimalType(20, 0))
+      .contains(DoubleType))
+    // integral meets must keep ALL integral digits of the wider side
+    assert(SchemaReconcile.widerType(DecimalType(30, 0), LongType)
+      .contains(DecimalType(30, 0)))
+    assert(SchemaReconcile.widerType(DecimalType(10, 2), LongType)
+      .contains(DecimalType(22, 2)))
+    assert(SchemaReconcile.widerType(DecimalType(10, 2), IntegerType)
+      .contains(DecimalType(12, 2)))
+  }
+
+  test("widened decimal pairs round-trip extreme values without NULLs") {
+    val s = SparkFixture.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq(
+      (LongType, DecimalType(38, 20)), (DecimalType(30, 0), LongType),
+      (DecimalType(10, 2), LongType), (DecimalType(38, 0), LongType))
+    // per side, the most demanding value REPRESENTABLE in that side's
+    // type must survive the cast to the meet (value-level, not canCast)
+    def extreme(t: DataType): String = t match {
+      case d: DecimalType =>
+        "9" * (d.precision - d.scale) +
+          (if (d.scale > 0) "." + "9" * d.scale else "")
+      case _ => Long.MaxValue.toString
+    }
+    for ((a, b) <- pairs; w <- SchemaReconcile.widerType(a, b);
+        t <- Seq(a, b)) {
+      val r = Seq(extreme(t)).toDF("v")
+        .select(col("v").cast(t).as("in"), col("v").cast(t).cast(w).as("out"))
+        .head()
+      assert(!r.isNullAt(0), s"probe not representable in $t for ($a,$b)")
+      assert(!r.isNullAt(1), s"${extreme(t)} overflowed $t -> $w for ($a,$b)")
+    }
+  }
+
   test("irreconcilable pairs are refused, not silently coerced") {
     assert(SchemaReconcile.widerType(ArrayType(IntegerType), BooleanType).isEmpty)
     assert(SchemaReconcile.widerType(BinaryType, LongType).isEmpty)
