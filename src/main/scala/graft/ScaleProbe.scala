@@ -149,6 +149,12 @@ object ScaleProbe {
           .select($"root_id", $"node_id", $"dist")
       }),
       "gql02_twohop" -> SparkEntry.queries("gql02_twohop"),
+      // round-13 additions (graph-query family): path-array enumeration
+      // and grouped correlated-ALL broadcasts — the memory/shuffle
+      // profiles that change shape at 100× are path materialization and
+      // the per-group min/max broadcast join
+      "gql11_path_var" -> SparkEntry.queries("gql11_path_var"),
+      "gql13_quantified" -> SparkEntry.queries("gql13_quantified"),
       // sequence packing: per-shard window + shared-partitioning agg —
       // should scale ~linearly in corpus size (one hash shuffle)
       "d10_seq_pack" -> SparkEntry.queries("d10_seq_pack"),
@@ -176,7 +182,12 @@ object ScaleProbe {
         // capacity (and its runtime-conf clamp) is exactly the behavior
         // the 100× tier exists to confirm
         Set("d08_neardup_pairs", "e02_ann_lsh", "g13_distributed",
-          "g08_distributed", "d10_seq_pack", "d14_incremental_dedup")
+          "g08_distributed", "d10_seq_pack", "d14_incremental_dedup",
+          // graph-query family rides the 30× tier (round 13): path
+          // enumeration and correlated-ALL carry per-row path arrays
+          // and grouped broadcasts whose memory profile is what the
+          // larger tier exists to observe
+          "gql02_twohop", "gql11_path_var", "gql13_quantified")
           .contains(n)
       }
 

@@ -157,29 +157,34 @@ object GraphMutations {
   private def deleteNodesDoomed(g: PropertyGraph, label: String,
       doomed0: DataFrame, detach: Boolean): PropertyGraph = {
     val t = g.nodeTables(label)
-    val doomed = doomed0.cache()
+    // the doomed set usually DERIVES from `t` (MATCH … DELETE filters the
+    // same table), so its `id` resolves to the same attribute as t("id");
+    // alias it so every join below is an explicit cross-frame equi-join,
+    // not a trivially-true same-attribute predicate Spark has to
+    // disambiguate (and WARN about) itself
+    val doomed = doomed0.select(col("id").as("__doomed_id")).cache()
     val incidentTables = g.edgeTables.filter { case (_, (et, _)) =>
       et.srcLabel == label || et.dstLabel == label
     }
     if (!detach) {
       val hasIncident = incidentTables.exists { case (_, (et, e)) =>
         val srcHit = et.srcLabel == label &&
-          !e.join(doomed, e("src") === doomed("id"), "left_semi").isEmpty
+          !e.join(doomed, e("src") === doomed("__doomed_id"), "left_semi").isEmpty
         val dstHit = et.dstLabel == label &&
-          !e.join(doomed, e("dst") === doomed("id"), "left_semi").isEmpty
+          !e.join(doomed, e("dst") === doomed("__doomed_id"), "left_semi").isEmpty
         srcHit || dstHit
       }
       if (hasIncident)
         throw new IllegalStateException(
           s"cannot DELETE $label nodes with incident edges — use DETACH DELETE")
     }
-    val newNodes = t.join(doomed, t("id") === doomed("id"), "left_anti")
+    val newNodes = t.join(doomed, t("id") === doomed("__doomed_id"), "left_anti")
     val newEdges = g.edgeTables.map { case (l, (et, e)) =>
       var out = e
       if (detach && et.srcLabel == label)
-        out = out.join(doomed, out("src") === doomed("id"), "left_anti")
+        out = out.join(doomed, out("src") === doomed("__doomed_id"), "left_anti")
       if (detach && et.dstLabel == label)
-        out = out.join(doomed, out("dst") === doomed("id"), "left_anti")
+        out = out.join(doomed, out("dst") === doomed("__doomed_id"), "left_anti")
       l -> (et, out)
     }
     val touchedEdges =
@@ -204,8 +209,9 @@ object GraphMutations {
   /** DELETE edges whose eids appear in `eids` (column `eid`). */
   def deleteEdgesIn(g: PropertyGraph, label: String, eids: DataFrame): PropertyGraph = {
     val (et, e) = g.edgeTables(label)
-    val doomed = eids.select(col("eid")).distinct()
-    val kept = e.join(doomed, e("eid") === doomed("eid"), "left_anti")
+    // aliased for the same shared-lineage reason as deleteNodesDoomed
+    val doomed = eids.select(col("eid").as("__doomed_eid")).distinct()
+    val kept = e.join(doomed, e("eid") === doomed("__doomed_eid"), "left_anti")
     g.mutated(g.nodeTables, g.edgeTables + (label -> (et, kept)),
       Set(s"edges_$label"))
   }

@@ -179,23 +179,31 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val b = r.payload
-        if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
-          val w = RealCodec.decodeWav(b)
-          var peak = 0L; var sum = 0L; var i = 0
-          while (i < w.samples.length) {
-            val a = math.abs(w.samples(i).toLong)
-            if (a > peak) peak = a
-            sum += a; i += 1
-          }
-          MediaDecoded(r.media_id, "wav", 0L, 0L, w.sampleRate.toLong,
-            w.nSamples.toLong, w.durationMs, peak,
-            sum.toDouble / math.max(w.samples.length, 1))
-        } else {
-          val img = RealCodec.decodeBmp(b)
-          var sum = 0L; var i = 0
-          while (i < img.pixels.length) { sum += img.pixels(i); i += 1 }
-          MediaDecoded(r.media_id, "bmp", img.width.toLong, img.height.toLong,
-            0L, 0L, 0.0, 0L, sum.toDouble / math.max(img.pixels.length, 1))
+        RealCodec.sniff(b) match {
+          case "wav" =>
+            val w = RealCodec.decodeWav(b)
+            var peak = 0L; var sum = 0L; var i = 0
+            while (i < w.samples.length) {
+              val a = math.abs(w.samples(i).toLong)
+              if (a > peak) peak = a
+              sum += a; i += 1
+            }
+            MediaDecoded(r.media_id, "wav", 0L, 0L, w.sampleRate.toLong,
+              w.nSamples.toLong, w.durationMs, peak,
+              sum.toDouble / math.max(w.samples.length, 1))
+          case fmt @ ("bmp" | "png" | "jpeg" | "gif") =>
+            val img = RealCodec.decodeRaster(b)
+            var sum = 0L; var i = 0
+            while (i < img.pixels.length) { sum += img.pixels(i); i += 1 }
+            MediaDecoded(r.media_id, fmt, img.width.toLong, img.height.toLong,
+              0L, 0L, 0.0, 0L, sum.toDouble / math.max(img.pixels.length, 1))
+          case _ =>
+            // flag-don't-guess (header contract): a payload no decoder
+            // recognizes — container video (MP4 — no JDK codec exists),
+            // truncated magic, junk — yields the documented flag row
+            // (format "unknown", all features 0), never a decode attempt
+            // that throws mid-stage at pipeline scale
+            MediaDecoded(r.media_id, "unknown", 0L, 0L, 0L, 0L, 0.0, 0L, 0.0)
         }
       }
     }

@@ -819,4 +819,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(up.pixels((3 * 4 + 0) * 3) == 50)    // bottom-left
     assert(up.pixels((3 * 4 + 3) * 3) == 150)   // bottom-right
   }
+
+  test("container video (MP4) rows yield flag columns, never a decode attempt") {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, RealCodec}
+    // a real MP4 signature: [size]['ftyp']['isom' brand...] — no JDK
+    // codec exists for container video, so the documented contract is
+    // flag-don't-guess (reference has no multimodal analog; this is the
+    // m03 contract)
+    val mp4: Array[Byte] = Array[Byte](0, 0, 0, 0x18) ++
+      "ftypisom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+      "isommp41".getBytes("US-ASCII")
+    assert(RealCodec.sniff(mp4) == "unknown")
+    assert(Multimodal.probeDims(mp4) == (("unknown", 0, 0, 0)))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4, "synth"),
+      Multimodal.MediaRecord(2L, "image",
+        RealCodec.encodeBmp24(2, 2, (_, _, _) => 10), "synth")).toDS()
+    // m01 feature stage: flagged dims, real byte stats still computed
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats(0).width == 0 && feats(0).height == 0 &&
+      feats(0).n_frames == 0)
+    assert(feats(0).n_bytes == mp4.length && feats(0).byte_entropy > 0.0)
+    // m03 decode stage: the documented flag row (format "unknown",
+    // every feature 0) — not an exception mid-stage
+    val dec = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(dec(0).format == "unknown")
+    assert(dec(0).width == 0L && dec(0).height == 0L &&
+      dec(0).sample_rate == 0L && dec(0).n_samples == 0L &&
+      dec(0).duration_ms == 0.0 && dec(0).peak == 0L && dec(0).mean_val == 0.0)
+    assert(dec(1).format == "bmp" && dec(1).width == 2L)
+    // m02 transform stages: the flagged row is dropped, not guessed at
+    assert(Multimodal.resizeStage(media, 8, 8).collect()
+      .map(_.media_id).toSeq == Seq(2L))
+    assert(Multimodal.frameSampleStage(media, 1).collect().isEmpty)
+  }
+
+  test("exact-KNN oracle cache hits per dataset and invalidates on rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-oracle-spec")
+    def writeEmb(seed: Int): Unit =
+      spark.range(40).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, 7), j -> cast(sin(id * $seed + j) as float))")
+            .as("embedding"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+    writeEmb(3)
+    val first = graft.queries.PipelineQueries
+      .exactTopKCached(spark, dir.toString, 5).collect()
+    // same dataset → cache hit: byte-identical answer
+    val again = graft.queries.PipelineQueries
+      .exactTopKCached(spark, dir.toString, 5).collect()
+    assert(first.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+    // rewriting the dataset changes the signature → recompute, and the
+    // answer reflects the NEW vectors (a stale cache would not)
+    writeEmb(11)
+    val fresh = graft.queries.PipelineQueries
+      .exactTopKCached(spark, dir.toString, 5).collect()
+    assert(fresh.map(_.toString).sorted.toSeq !=
+      first.map(_.toString).sorted.toSeq)
+  }
 }
