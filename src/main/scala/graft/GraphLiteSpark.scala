@@ -595,18 +595,27 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           // TextAnalysis.stableHash60 — engine-stable)
           java.nio.ByteBuffer.wrap(md).getLong(0) & 0x0FFFFFFFFFFFFFFFL
         }
+        // `id` may be an integer OR a string (reference parity: string
+        // ids are idiomatic — with_clause_property_access_bug.rs,
+        // duplicate_edge_warning_test.rs `{id: 'u1'}`). A string id makes
+        // the label table's id column StringType; every downstream
+        // consumer (hops, inline filters, identity set ops, analytics)
+        // is an equi-join or comparison on the column, so the engine is
+        // id-type-agnostic per label. Mixing id types within one label
+        // widens via SchemaReconcile like any other property.
         case class Occ(label: String, props: Seq[(String, Any)],
-            id: Long, hashed: Boolean)
+            id: Any, hashed: Boolean)
         def mkOcc(np: NodePattern): Occ = {
           val label = np.labels.headOption.getOrElse(
             throw new GqlCompileException("INSERT nodes need a label"))
           val props0 = np.props.map { case (k, e) => k -> norm(evalStandalone(e)) }
           props0.collectFirst { case ("id", v) => v } match {
             case Some(v) =>
-              val idv = v match {
+              val idv: Any = v match {
                 case l: java.lang.Long => l.longValue()
+                case s: String => s
                 case other => throw new GqlCompileException(
-                  s"INSERT id must be an integer, got $other")
+                  s"INSERT id must be an integer or string, got $other")
               }
               Occ(label, props0, idv, hashed = false)
             case None =>
@@ -652,15 +661,15 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
               s"INSERT: all $label nodes must list the same properties")
           // in-batch dedupe (keep first), then drop ids already present;
           // only hash-identity nodes dedupe — explicit ids stay as given
-          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Any]
           val unique = os.filter(o => !o.hashed || seen.add(o.id))
           val hashedIds = unique.collect { case o if o.hashed => o.id }
-          val existing: Set[Long] =
+          val existing: Set[Any] =
             if (hashedIds.isEmpty) Set.empty
             else graph.nodeTables.get(label) match {
               case Some(t) => t.select(col("id"))
                 .filter(col("id").isin(hashedIds: _*))
-                .collect().map(_.getLong(0)).toSet
+                .collect().map(_.get(0)).toSet
               case None => Set.empty
             }
           val fresh = unique.filter(o => !o.hashed || !existing(o.id))
@@ -727,7 +736,14 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
             currentType.foreach(gt => graft.graph.GraphType.validateEdge(gt,
               etype, Some(srcO.label), Some(dstO.label),
               eprops.map { case (k, v) => k -> valueTag(v) }))
-            var rows = Seq((srcO.id, dstO.id)).toDF("src", "dst")
+            // endpoint ids may be Long or String (see Occ): build the
+            // two-column frame with each side's actual type
+            val epSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("src", valueType(srcO.id)),
+              org.apache.spark.sql.types.StructField("dst", valueType(dstO.id))))
+            var rows = spark.createDataFrame(
+              spark.sparkContext.parallelize(Seq(
+                org.apache.spark.sql.Row(srcO.id, dstO.id))), epSchema)
               .withColumn("eid", graft.text.TextAnalysis.stableHash60(
                 org.apache.spark.sql.functions.concat_ws("#",
                   lit(etype), col("src"), col("dst"))))
@@ -784,8 +800,12 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                 .map(f => f.name -> dtTag(f.dataType)))
           }
           if (explicitId) {
-            rows = rows.withColumn("id", col("id").cast("long"))
-              .localCheckpoint(true)
+            // integral ids normalize to long; string ids stay strings
+            // (same contract as the literal-INSERT path's Occ)
+            val idDt = rows.schema("id").dataType
+            if (idDt != org.apache.spark.sql.types.StringType)
+              rows = rows.withColumn("id", col("id").cast("long"))
+            rows = rows.localCheckpoint(true)
             total += rows.count()
             g = graph2.insertNodes(g, label, rows)
           } else {

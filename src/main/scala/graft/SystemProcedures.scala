@@ -170,7 +170,13 @@ object SystemProcedures {
         Seq((srcId.toLong, dstId.toLong, hit))
           .toDF("src", "dst", "reachable")
       case other =>
-        throw new IllegalArgumentException(s"unknown procedure: $other")
+        // reference error contract (system_procedures.rs:93, pinned by
+        // unknown_procedure_test.rs): say "procedure not found", list the
+        // available system procedures so the user can self-correct, and
+        // never blame a missing graph context
+        throw new IllegalArgumentException(
+          s"System procedure not found or not supported: $other. " +
+            s"Available system procedures: ${names.mkString(", ")}")
     }
   }
 

@@ -989,10 +989,39 @@ final class Compiler(graph: PropertyGraph,
       inner = Some(d); innerCtx = c
     }
     val innerDf = inner.getOrElse(throw new GqlCompileException("empty EXISTS"))
-    val shared = base.columns.toSet.intersect(innerDf.columns.toSet).toSeq.sorted
+    val shared = minimalSharedKey(
+      base.columns.toSet.intersect(innerDf.columns.toSet).toSeq.sorted, ctx)
     if (shared.isEmpty)
       throw new GqlCompileException("EXISTS pattern must share a variable")
     (innerDf, shared, innerCtx)
+  }
+
+  /** Reduce a shared-column join set to entity IDENTITY keys: for every
+    * entity variable bound in `ctx` whose identity column is present,
+    * its other `${v}_*` property columns are functionally dependent on
+    * the identity (entity bindings re-attach properties from the label
+    * table by id), so keeping them only widens the shuffle/group-by key
+    * — round-13 diagnosis: gql13's correlated-ALL unnesting grouped 18M
+    * joined rows by SEVEN part columns (strings included) and
+    * sort-merge-joined back on that wide key, 4 s/task at the 30× tier;
+    * keyed on `p_id` alone the same unnesting broadcasts. `${v}_label`
+    * stays when present (union-scan identity is (label, id)); value
+    * aliases are never pruned — only statically-known entity bindings.
+    */
+  private def minimalSharedKey(shared: Seq[String], ctx: Ctx): Seq[String] = {
+    var keepSet = shared.toSet
+    ctx.bindings.foreach { case (v, b) =>
+      val idCol = b match {
+        case _: EdgeBinding => Some(s"${v}_eid")
+        case _: NodeBinding | UnionNode => Some(s"${v}_id")
+        case _ => None // value alias: never pruned
+      }
+      idCol.filter(keepSet).foreach { id =>
+        val keep = Set(id, s"${v}_label")
+        keepSet = keepSet.filterNot(c => c.startsWith(s"${v}_") && !keep(c))
+      }
+    }
+    shared.filter(keepSet)
   }
 
   /** EXISTS at a top-level WHERE conjunct — semi/anti join. */
@@ -1322,13 +1351,19 @@ final class Compiler(graph: PropertyGraph,
                 "(one value per outer row)")
           val (innerDf, valueName, aggregated, ordName) =
             compileCorrelatedPipeline(qq, ctx)
-          val shared = df.columns.toSet
-            .intersect(innerDf.columns.toSet).toSeq.sorted
+          val shared = minimalSharedKey(df.columns.toSet
+            .intersect(innerDf.columns.toSet).toSeq.sorted, ctx)
           if (shared.isEmpty)
             throw new GqlCompileException(
               "correlated subquery must share a variable with the outer query")
           val perKey =
-            if (aggregated) innerDf.withColumnRenamed(valueName, name)
+            if (aggregated)
+              // select down to key + value: with the minimal identity
+              // key, leftover same-named property columns on the inner
+              // side would otherwise collide after the join (they are
+              // identity-determined, so this is row-preserving)
+              innerDf.withColumnRenamed(valueName, name)
+                .select((shared :+ name).map(col): _*)
             else ordName match {
               // ordered sub: the scalar is the FIRST row per key
               // (executor.rs:8502-8527 first-row semantics) — min_by on
@@ -1422,8 +1457,8 @@ final class Compiler(graph: PropertyGraph,
             if (aggregated)
               throw new GqlCompileException(
                 "quantified subquery must return a plain value, not an aggregate")
-            val shared = df.columns.toSet
-              .intersect(innerDf.columns.toSet).toSeq.sorted
+            val shared = minimalSharedKey(df.columns.toSet
+              .intersect(innerDf.columns.toSet).toSeq.sorted, ctx)
             if (shared.isEmpty)
               throw new GqlCompileException(
                 "correlated subquery must share a variable with the outer query")

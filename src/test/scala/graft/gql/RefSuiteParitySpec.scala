@@ -286,4 +286,135 @@ class RefSuiteParitySpec extends AnyFunSuite {
       .count()
     assert(n == 4L)
   }
+
+  // ---- with_clause_property_access_bug.rs:11-69 ----
+
+  test("property access works identically in RETURN and WITH") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/bug_test")
+    t.execute("SESSION SET GRAPH /main/bug_test")
+    t.execute("INSERT (test:Node {id: 'test123', name: 'Test Node', " +
+      "data: [1.0, 2.0, 3.0], number: 42, text: 'hello'})")
+    // 1: property access in RETURN
+    val r1 = t.gql("MATCH (n:Node {id: 'test123'}) " +
+      "RETURN n.data, n.number, n.text, n.name").collect()
+    assert(r1.length == 1)
+    assert(r1.head.getSeq[Double](0) == Seq(1.0, 2.0, 3.0))
+    assert(r1.head.getLong(1) == 42L && r1.head.getString(2) == "hello" &&
+      r1.head.getString(3) == "Test Node")
+    // 2: the same accesses through WITH aliases (the reference's bug
+    // report shape — must produce the same values)
+    val r2 = t.gql("MATCH (n:Node {id: 'test123'}) " +
+      "WITH n.data as arr, n.number as num, n.text as txt, n.name as nm " +
+      "RETURN arr, num, txt, nm").collect()
+    assert(r2.length == 1)
+    assert(r2.head.getSeq[Double](0) == Seq(1.0, 2.0, 3.0))
+    assert(r2.head.getLong(1) == 42L && r2.head.getString(2) == "hello" &&
+      r2.head.getString(3) == "Test Node")
+  }
+
+  test("WITH mixes an entity re-alias and a property projection") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/bug_test2")
+    t.execute("SESSION SET GRAPH /main/bug_test2")
+    t.execute("INSERT (test:Node {id: 'test123', name: 'Test Node', " +
+      "data: [1.0, 2.0, 3.0], number: 42, text: 'hello'})")
+    // 3: node alias + property alias side by side
+    val r3 = t.gql("MATCH (n:Node {id: 'test123'}) " +
+      "WITH n as node, n.data as arr RETURN node, arr").collect()
+    assert(r3.length == 1)
+    assert(r3.head.getSeq[Double](r3.head.fieldIndex("arr")) ==
+      Seq(1.0, 2.0, 3.0))
+    // 4: the workaround shape — entity through WITH, properties in RETURN
+    val r4 = t.gql("MATCH (n:Node {id: 'test123'}) WITH n as node " +
+      "RETURN node.data, node.number, node.text, node.name").collect()
+    assert(r4.length == 1)
+    assert(r4.head.getSeq[Double](0) == Seq(1.0, 2.0, 3.0))
+    assert(r4.head.getLong(1) == 42L && r4.head.getString(2) == "hello" &&
+      r4.head.getString(3) == "Test Node")
+  }
+
+  // ---- with_clause_property_access_bug.rs:71-117 ----
+
+  test("comma-pattern nodes both pass WITH and keep property access") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/workaround")
+    t.execute("SESSION SET GRAPH /main/workaround")
+    t.execute("INSERT (doc1:Document {title: 'Doc1', score: 85})")
+    t.execute("INSERT (doc2:Document {title: 'Doc2', score: 92})")
+    val rows = t.gql(
+      "MATCH (query_doc:Document {title: 'Doc1'}), (all_docs:Document) " +
+        "WITH query_doc, all_docs " +
+        "RETURN all_docs.title, query_doc.score as query_score, " +
+        "all_docs.score as doc_score").collect()
+    // the anchored doc pairs with BOTH documents (itself included)
+    assert(rows.length == 2)
+    assert(rows.forall(_.getLong(1) == 85L))
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSet ==
+      Set(("Doc1", 85L), ("Doc2", 92L)))
+  }
+
+  // ---- rollback_batch_test.rs:10-78 ----
+
+  test("ROLLBACK undoes batch SET operations as a unit") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/rollback_batch_test")
+    t.execute("SESSION SET GRAPH /main/rollback_batch_test")
+    t.execute("INSERT (:Person {name: 'Charlie', age: 28, city: 'LA', " +
+      "status: 'active'})")
+    t.execute("START TRANSACTION")
+    t.execute("MATCH (p:Person {name: 'Charlie'}) " +
+      "SET p.age = 29, p.city = 'SF', p.status = 'inactive'")
+    val mid = t.gql("MATCH (p:Person {name: 'Charlie'}) RETURN p.age as age, " +
+      "p.city as city, p.status as status").collect().head
+    assert(mid.getLong(0) == 29L && mid.getString(1) == "SF" &&
+      mid.getString(2) == "inactive")
+    t.execute("ROLLBACK")
+    val fin = t.gql("MATCH (p:Person {name: 'Charlie'}) RETURN p.age as age, " +
+      "p.city as city, p.status as status").collect().head
+    assert(fin.getLong(0) == 28L && fin.getString(1) == "LA" &&
+      fin.getString(2) == "active")
+  }
+
+  // ---- rollback_simple_test.rs:12-77 ----
+
+  test("ROLLBACK restores a single SET and never deletes the node") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/rollback_debug_test")
+    t.execute("SESSION SET GRAPH /main/rollback_debug_test")
+    t.execute("INSERT (:Person {name: 'Dave', age: 40})")
+    assert(long(t.gql("MATCH (p:Person {name: 'Dave'}) RETURN p.age as age"))
+      == 40L)
+    t.execute("START TRANSACTION")
+    t.execute("MATCH (p:Person {name: 'Dave'}) SET p.age = 41")
+    assert(long(t.gql("MATCH (p:Person {name: 'Dave'}) RETURN p.age as age"))
+      == 41L)
+    t.execute("ROLLBACK")
+    val after = t.gql("MATCH (p:Person {name: 'Dave'}) " +
+      "RETURN p.age as age, p.name as name").collect()
+    assert(after.nonEmpty, "node must survive ROLLBACK")
+    assert(after.head.getLong(0) == 40L && after.head.getString(1) == "Dave")
+  }
+
+  // ---- unknown_procedure_test.rs ----
+
+  test("unknown gql procedure error names the contract, not graph context") {
+    val t = freshSession()
+    val e = intercept[Exception] {
+      t.execute("CALL gql.nonexistent_procedure();").collect()
+    }
+    val msg = e.getMessage
+    assert(msg.contains("procedure not found") || msg.contains("not supported"))
+    assert(!msg.contains("No graph context"))
+    assert(msg.contains("Available system procedures"))
+  }
+
+  test("unknown procedure error lists available procedures") {
+    val t = freshSession()
+    val e = intercept[Exception] {
+      t.execute("CALL gql.bad_procedure_name();").collect()
+    }
+    assert(e.getMessage.contains("list_schemas") ||
+      e.getMessage.contains("list_graphs"))
+  }
 }
