@@ -57,6 +57,13 @@ object PipelineQueries {
   private val PqrRecallFloor = 0.3
   private val PqrNprobe = 12
 
+  /** d20 mixture weights (also interpolated into the oracle SQL): the
+    * kept corpus targets 50/30/20 token mass across three sources; the
+    * binding source (the one scarcest relative to its weight) keeps
+    * 100% and sets the budget.
+    */
+  private val MixWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
   /** Scratch state dirs for the incremental/streaming dedup queries.
     * Each invocation needs a FRESH dir (the query's contract is "commit
     * batch 1 into empty state"), but the returned frame reads the state
@@ -461,6 +468,48 @@ object PipelineQueries {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // ---- SemDeDup-style semantic dedup: near-dup clusters over the
+    // embedding cosine pair graph (e03's deterministic LSH candidates),
+    // keep one representative (min id) per cluster plus every singleton.
+    // The pair graph is linear in corpus size by banding; components via
+    // the same distributed machinery as d11.
+    "e07_semantic_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+      val emb = base.unionByName(base.filter($"vec_id" < 50)
+        .withColumn("vec_id", $"vec_id" + 10000))
+      val lsh = new Similarity.RandomHyperplaneLsh(64, 32, 4)
+      val cb = lsh.buckets(emb, "vec_id", "embedding")
+      val cand = cb.join(
+          cb.select($"band", $"bucket", $"id".as("id_b")), Seq("band", "bucket"))
+        .filter($"id" < $"id_b")
+        .select($"id".as("id_a"), $"id_b").distinct()
+      val v = emb.select($"vec_id", $"embedding")
+      val pairs = cand
+        .join(v.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
+        .join(v.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
+        .filter(round(
+          graft.functions.VectorFunctions.cosine(s, $"va", $"vb"), 6) >= 0.95)
+        .select($"id_a", $"id_b")
+      val dropped = Dedup.dupClusters(pairs, "id_a", "id_b")
+        .filter(!$"is_canonical").select($"doc_id".as("vec_id"))
+      emb.select($"vec_id")
+        .join(dropped, Seq("vec_id"), "left_anti")
+        .orderBy($"vec_id")
+    }),
+
+    // ---- multi-source mixture sampling: down-sample each source so the
+    // kept token mass follows the target mixture (Sampling.mixtureSample
+    // — hash-keyed ppm decisions, budget set by the binding source)
+    "d20_mixture_sample" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.text.Sampling.mixtureSample(
+          Tables.documents(s, d).select($"doc_id", $"text", $"source"),
+          "doc_id", "text", "source", MixWeights)
+        .select($"doc_id", $"source", $"rate_ppm")
+        .orderBy($"doc_id")
+    }),
+
     // ---- multimodal: binary payload -> batched feature extraction.
     // The corpus here is the documents' text bytes flowing through the
     // binary column — deliberately NOT decodable media, so the real
@@ -774,8 +823,11 @@ object PipelineQueries {
        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
   }
 
-  private val embedNeardupSql: String = {
-    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared CTE chain for the salted embedding corpus -> LSH candidate
+    * pairs -> reranked cosine pairs (e03 and e07 both build on `s`).
+    */
+  private def embedPairCtes: String =
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |e AS (SELECT vec_id, v FROM base
        |  UNION ALL
        |  SELECT vec_id + 10000, v FROM base WHERE vec_id < 50),
@@ -787,9 +839,57 @@ object PipelineQueries {
        |  FROM bk l JOIN bk r
        |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
        |s AS (SELECT id_a, id_b, round(${cosSql("va.v", "vb.v")}, 6) AS cos
-       | FROM cand JOIN e va ON va.vec_id = id_a JOIN e vb ON vb.vec_id = id_b)
+       | FROM cand JOIN e va ON va.vec_id = id_a JOIN e vb ON vb.vec_id = id_b)""".stripMargin
+
+  private val embedNeardupSql: String =
+    s"""WITH $embedPairCtes
        |SELECT id_a, id_b, cos FROM s WHERE cos >= 0.95
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** e07 oracle: SemDeDup-style survivors — connected components over
+    * the cosine>=0.95 pair graph (same recursive-CTE construction as
+    * d11's dupClustersSql), keep each component's min id plus every
+    * singleton.
+    */
+  private val semanticDedupSql: String =
+    s"""WITH RECURSIVE $embedPairCtes,
+       |p AS (SELECT id_a, id_b FROM s WHERE cos >= 0.95),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e2.src, rc.r FROM edges e2 JOIN reach rc ON e2.dst = rc.id),
+       |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |dropped AS (SELECT id FROM comp WHERE id <> rep)
+       |SELECT vec_id FROM e
+       |WHERE vec_id NOT IN (SELECT id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+
+  /** d20 oracle: identical budget/rate arithmetic (double ops in the
+    * same order) and the same md5 ppm-bucket rule as
+    * [[graft.text.Sampling.mixtureSample]]; normalized weights are
+    * interpolated from the SAME Scala doubles the Spark side uses.
+    */
+  private val mixtureSampleSql: String = {
+    val wsum = MixWeights.values.sum
+    val values = MixWeights.toSeq.sortBy(_._1)
+      .map { case (src, w) => s"('$src', ${w / wsum})" }.mkString(", ")
+    val keys = MixWeights.keys.toSeq.sorted.map(k => s"'$k'").mkString(", ")
+    s"""WITH w(source, w) AS (VALUES $values),
+       |t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE source IN ($keys)),
+       |ps AS (SELECT t.source, CAST(sum(n_tokens) AS DOUBLE) AS toks,
+       |    any_value(w.w) AS w
+       |  FROM t JOIN w ON t.source = w.source GROUP BY t.source),
+       |b AS (SELECT min(toks / w) AS budget FROM ps),
+       |r AS (SELECT source,
+       |    CAST(floor(w * budget / toks * 1000000.0) AS BIGINT) AS rate_ppm
+       |  FROM ps CROSS JOIN b)
+       |SELECT t.doc_id, t.source, r.rate_ppm
+       |FROM t JOIN r ON t.source = r.source
+       |WHERE ${hash60Sql("'mix' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   /** m01 oracle: payload size + Shannon byte entropy recomputed from
@@ -960,6 +1060,8 @@ object PipelineQueries {
     "e01_knn_exact" -> knnSql,
     "e02_ann_lsh" -> annLshSql,
     "e03_embed_neardup" -> embedNeardupSql,
+    "e07_semantic_dedup" -> semanticDedupSql,
+    "d20_mixture_sample" -> mixtureSampleSql,
     // e04 recall gate: the Spark side measures IVF recall@10 against the
     // brute-force exact answer (e01's oracled formula); the oracle pins
     // the contract — every query returns a full exact top-10 and clears

@@ -48,4 +48,41 @@ object Sampling {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Multi-source mixture sampling (the data-mixture step of a training
+    * pipeline): down-sample each listed source so the KEPT token mass
+    * follows `weights`, without upsampling anything. The budget is set
+    * by the binding source — `B = min_s(tokens_s / w_s)` over the
+    * normalized weights — so the scarcest-relative-to-its-weight source
+    * keeps 100% and every other source keeps
+    * `rate_s = w_s · B / tokens_s`. The keep decision is the same
+    * hash-keyed per-row rule as [[stratifiedSample]] (ppm granularity,
+    * salt "mix"): pure narrow map after a broadcast of the ≤|sources|
+    * rate rows — the corpus never shuffles, re-runs reproduce the same
+    * sample bit-for-bit, and the DuckDB oracle replays every decision.
+    * Sources not in `weights` are excluded (mixture definition = the
+    * listed sources). Output carries the per-source `rate_ppm` so the
+    * realized mixture is auditable downstream.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixtureSample needs positive weights for at least one source")
+    val wsum = weights.values.sum
+    val wCol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, w)) =>
+        when(col(sourceCol) === src, lit(w / wsum)).otherwise(acc)
+    }
+    val in = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+    val perSrc = in.groupBy(col(sourceCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).cast("double").as("toks"))
+      .withColumn("w", wCol)
+    val budget = perSrc.agg(min(col("toks") / col("w")).as("budget"))
+    val rates = perSrc.crossJoin(broadcast(budget))
+      .select(col(sourceCol),
+        floor(col("w") * col("budget") / col("toks") * lit(1000000.0))
+          .cast("long").as("rate_ppm"))
+    in.join(broadcast(rates), sourceCol)
+      .filter(hashBucket(col(idCol), 1000000, salt = "mix") < col("rate_ppm"))
+  }
 }
