@@ -178,7 +178,12 @@ object ScaleProbe {
       // the streaming-dedup front door (batch-degradation shape) — both
       // must stay posting-list / anti-join shaped as data grows
       "e06_ivfpqr" -> SparkEntry.queries("e06_ivfpqr"),
-      "d19_stream_dedup" -> SparkEntry.queries("d19_stream_dedup"))
+      "d19_stream_dedup" -> SparkEntry.queries("d19_stream_dedup"),
+      // round-13 additions: semantic dedup (pair graph + components over
+      // embeddings) and mixture sampling (per-source agg broadcast +
+      // narrow hash filter) — both must stay banding/broadcast shaped
+      "e07_semantic_dedup" -> SparkEntry.queries("e07_semantic_dedup"),
+      "d20_mixture_sample" -> SparkEntry.queries("d20_mixture_sample"))
 
     // past 10×, probe only the scale-critical shapes (the band join, the
     // ANN bucket join, and the forced distributed graph loops) — the
