@@ -498,6 +498,17 @@ object PipelineQueries {
         .orderBy($"vec_id")
     }),
 
+    // ---- sliding-window document chunking (long-doc prep for
+    // pretraining / embedding indexing): 64-token windows, stride 48,
+    // token-addressed, narrow map — no shuffle at any corpus size
+    "d21_doc_chunks" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.text.TextAnalysis.chunkByTokens(
+          Tables.documents(s, d).select($"doc_id", $"text"),
+          "doc_id", "text", maxTokens = 64, stride = 48)
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // ---- multi-source mixture sampling: down-sample each source so the
     // kept token mass follows the target mixture (Sampling.mixtureSample
     // — hash-keyed ppm decisions, budget set by the binding source)
@@ -1061,6 +1072,19 @@ object PipelineQueries {
     "e02_ann_lsh" -> annLshSql,
     "e03_embed_neardup" -> embedNeardupSql,
     "e07_semantic_dedup" -> semanticDedupSql,
+    "d21_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |x AS (SELECT doc_id, toks, n,
+         |    unnest(range(CAST((n - 1) // 48 + 1 AS BIGINT))) AS chunk_id
+         |  FROM c),
+         |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |    CAST(chunk_id * 48 AS BIGINT) AS start, toks, n FROM x)
+         |SELECT doc_id, chunk_id,
+         |  CAST(least(64, n - start) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+         |    AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "d20_mixture_sample" -> mixtureSampleSql,
     // e04 recall gate: the Spark side measures IVF recall@10 against the
     // brute-force exact answer (e01's oracled formula); the oracle pins

@@ -42,6 +42,33 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
 
+  /** Sliding-window document chunking — the long-document preparation
+    * step for pretraining and embedding indexing: windows of up to
+    * `maxTokens` whitespace tokens, starts every `stride` tokens
+    * (overlap = maxTokens − stride), last window may be partial, every
+    * token is covered. A pure narrow map (tokens → posexplode of the
+    * start sequence → slice), no shuffle at any corpus size; chunk text
+    * is the space-rejoin of the token slice (whitespace-normalized by
+    * construction — the contract, since windows are token-addressed).
+    * Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      "chunkByTokens needs 0 < stride <= maxTokens")
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0),
+          greatest(col("__n") - 1, lit(0)), lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        least(lit(maxTokens.toLong), col("__n") - col("col"))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("col") + 1, lit(maxTokens)), " ")
+          .as("chunk_text"))
+  }
+
   // ---- PII scrubbing (the standard web-corpus redaction stage:
   // C4/FineWeb-style pipelines replace emails / IP addresses / phone
   // numbers with placeholder tokens before training) ----
