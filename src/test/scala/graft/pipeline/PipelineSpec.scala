@@ -881,4 +881,93 @@ class PipelineSpec extends AnyFunSuite {
     assert(fresh.map(_.toString).sorted.toSeq !=
       first.map(_.toString).sorted.toSeq)
   }
+
+  test("chunkByTokens: coverage, overlap, partial last window, empty docs") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // shorter than window
+      (3L, "   ")                                      // whitespace-only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
+      maxTokens = 4, stride = 3).orderBy($"doc_id", $"chunk_id").collect()
+    // doc 1: starts 0,3,6,9 -> 4 chunks; doc 2: 1 chunk; doc 3 produces
+    // Spark's split("") = [""] single token — chunked as one 1-token row
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 1L)) // last partial
+    assert(d1(0).getString(3) == "t1 t2 t3 t4")
+    assert(d1(1).getString(3) == "t4 t5 t6 t7")  // overlap = 1 token
+    assert(d1(3).getString(3) == "t10")
+    // every token covered exactly: union of slices == token set
+    val covered = d1.flatMap(_.getString(3).split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    assert(out.count(_.getLong(0) == 2L) == 1)
+    assert(out.filter(_.getLong(0) == 2L).head.getString(3) == "a b c")
+  }
+
+  test("mixtureSample: binding source keeps 100%, rates follow weights") {
+    import spark.implicits._
+    import graft.text.Sampling
+    // src A: 100 docs x 10 tokens = 1000; src B: 100 x 20 = 2000;
+    // weights 50/50 -> budget = min(1000/.5, 2000/.5) = 2000 ->
+    // A keeps 100% (binding), B keeps 50%
+    val docs = spark.range(200).select(
+      col("id").as("doc_id"),
+      when(col("id") < 100, "A").otherwise("B").as("source"),
+      when(col("id") < 100, lit((1 to 10).map(_ => "w").mkString(" ")))
+        .otherwise(lit((1 to 20).map(_ => "w").mkString(" "))).as("text"))
+    val kept = Sampling.mixtureSample(docs, "doc_id", "text", "source",
+      Map("A" -> 0.5, "B" -> 0.5))
+    val rates = kept.select($"source", $"rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("A") == 1000000L) // binding source: keep everything
+    assert(rates("B") == 500000L)
+    val bySrc = kept.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("A") == 100L)
+    // hash-keyed keeps ~50% of B (exact count is deterministic)
+    assert(bySrc("B") > 30L && bySrc("B") < 70L)
+    // unlisted sources are excluded entirely
+    val withC = docs.withColumn("source",
+      when(col("doc_id") === 0, "C").otherwise(col("source")))
+    val keptC = Sampling.mixtureSample(withC, "doc_id", "text", "source",
+      Map("A" -> 0.5, "B" -> 0.5))
+    assert(keptC.filter($"source" === "C").isEmpty)
+  }
+
+  test("semantic dedup drops exactly the salted duplicate vectors") {
+    import spark.implicits._
+    // exact duplicate vectors land in identical LSH buckets at cos 1.0;
+    // distinct vectors are murmur3-hash pseudo-random (harmonic families
+    // like sin(f(i)+j) or sin(f(i)·j) alias — pairs whose phase or
+    // frequency nearly coincides mod 2π land at cosine ≈ 1 and merge
+    // the corpus; hash noise has pairwise cosine ~N(0, 1/8))
+    val base = spark.range(100).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "j -> cast((pmod(hash(id, j), 2000) - 1000) / 1000.0 as float))")
+        .as("embedding"))
+    val dup = base.filter($"vec_id" < 10)
+      .withColumn("vec_id", $"vec_id" + 1000)
+    val emb = base.unionByName(dup)
+    val lsh = new Similarity.RandomHyperplaneLsh(64, 32, 4)
+    val cb = lsh.buckets(emb, "vec_id", "embedding")
+    val cand = cb.join(cb.select($"band", $"bucket", $"id".as("id_b")),
+        Seq("band", "bucket"))
+      .filter($"id" < $"id_b").select($"id".as("id_a"), $"id_b").distinct()
+    val v = emb.select($"vec_id", $"embedding")
+    val pairs = cand
+      .join(v.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
+      .join(v.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
+      .filter(round(graft.functions.VectorFunctions.cosine(spark, $"va", $"vb"), 6) >= 0.95)
+      .select($"id_a", $"id_b")
+    val dropped = Dedup.dupClusters(pairs, "id_a", "id_b")
+      .filter(!$"is_canonical").select($"doc_id".as("vec_id"))
+    val survivors = emb.select($"vec_id")
+      .join(dropped, Seq("vec_id"), "left_anti")
+    // each dup cluster {i, i+1000} keeps min id i; everything else stays
+    assert(survivors.count() == 100L)
+    assert(survivors.filter($"vec_id" >= 1000).isEmpty)
+  }
 }
