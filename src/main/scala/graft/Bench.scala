@@ -208,12 +208,17 @@ object Bench {
       val (rows, files, rgs, bytes) = parquetLayout(s"$sfDir/$t.parquet")
       s""""$t":[$rows,$files,$rgs,$bytes]"""
     }.mkString(",\"layout\":{", ",", "}")
-    // ambient-noise band: the totals of the two timing passes. The gap
-    // between them IS the machine's noise this run — a cross-round delta
+    // ambient-noise band: the totals of the two timing passes over the
+    // queries that succeeded in BOTH (a query failing in exactly one
+    // pass would otherwise inflate the band by its whole runtime and
+    // mask real regressions of that size). The gap between the two
+    // totals IS the machine's noise this run — a cross-round delta
     // smaller than this band is not evidence of a code regression.
     // Compact array form: the JSON line must survive a 2 KB tail capture.
+    val inBoth = named.map(_._1)
+      .filter(n => pass1(n).isDefined && pass2(n).isDefined)
     def bandTotal(p: Map[String, Option[Double]]): Double =
-      p.values.flatten.sum
+      inBoth.flatMap(p(_)).sum
     val band =
       s""","band":[${f3(bandTotal(pass1))},${f3(bandTotal(pass2))}]"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$band$layout$rerunTag$failedTag}""")

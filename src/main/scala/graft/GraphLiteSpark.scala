@@ -664,15 +664,21 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           val seen = scala.collection.mutable.LinkedHashSet.empty[Any]
           val unique = os.filter(o => !o.hashed || seen.add(o.id))
           val hashedIds = unique.collect { case o if o.hashed => o.id }
-          val existing: Set[Any] =
+          // compare as STRINGS: once a label's id column has widened to
+          // StringType (string ids inserted earlier), the collected
+          // existing ids are Strings while hash identities are Longs —
+          // a typed Set membership would silently stop deduping
+          val existing: Set[String] =
             if (hashedIds.isEmpty) Set.empty
             else graph.nodeTables.get(label) match {
-              case Some(t) => t.select(col("id"))
-                .filter(col("id").isin(hashedIds: _*))
-                .collect().map(_.get(0)).toSet
+              case Some(t) => t.select(col("id").cast("string"))
+                .filter(col("id").cast("string")
+                  .isin(hashedIds.map(String.valueOf): _*))
+                .collect().map(_.getString(0)).toSet
               case None => Set.empty
             }
-          val fresh = unique.filter(o => !o.hashed || !existing(o.id))
+          val fresh = unique.filter(o =>
+            !o.hashed || !existing(String.valueOf(o.id)))
           val dupSkipped = (os.size - fresh.size).toLong
           val warn =
             if (dupSkipped > 0)
@@ -737,13 +743,16 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
               etype, Some(srcO.label), Some(dstO.label),
               eprops.map { case (k, v) => k -> valueTag(v) }))
             // endpoint ids may be Long or String (see Occ): build the
-            // two-column frame with each side's actual type
+            // two-column frame with each side's actual type — as a
+            // LOCAL relation (the list overload), not an RDD: a
+            // parallelize per inline edge would cost a cluster job per
+            // row and hide the known-1-row size from the anti-join
             val epSchema = org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("src", valueType(srcO.id)),
               org.apache.spark.sql.types.StructField("dst", valueType(dstO.id))))
             var rows = spark.createDataFrame(
-              spark.sparkContext.parallelize(Seq(
-                org.apache.spark.sql.Row(srcO.id, dstO.id))), epSchema)
+              java.util.List.of(org.apache.spark.sql.Row(srcO.id, dstO.id)),
+              epSchema)
               .withColumn("eid", graft.text.TextAnalysis.stableHash60(
                 org.apache.spark.sql.functions.concat_ws("#",
                   lit(etype), col("src"), col("dst"))))

@@ -229,6 +229,11 @@ object ScaleProbe {
       val (tb2, _) = once(sfDir)
       val tBase = math.min(tb1, tb2)
       val (tCold, nBig) = once(outDir)
+      // drain the async listener bus BEFORE reset: straggler cold-pass
+      // task events arriving after reset would be recorded as warm-pass
+      // stats — the exact cold-cache artifact the warm pass exists to
+      // exclude
+      Thread.sleep(500)
       stats.reset()
       val (tWarm, _) = once(outDir)
       val tBig = math.min(tCold, tWarm)

@@ -1010,6 +1010,17 @@ final class Compiler(graph: PropertyGraph,
     */
   private def minimalSharedKey(shared: Seq[String], ctx: Ctx): Seq[String] = {
     var keepSet = shared.toSet
+    val allVars = ctx.bindings.keySet
+    // `${v}_prop` naming is ambiguous across prefix-related variable
+    // names: with bindings `p` and `p_two`, the column `p_two_id` parses
+    // as either p.two_id or p_two's identity. A column is owned by v
+    // only when no OTHER binding name is a longer (or whole-name) match
+    // — otherwise pruning for `p` would strip `p_two`'s identity (or a
+    // value alias like `p_total`) out of the correlation key and the
+    // subquery would silently decorrelate on that variable.
+    def ownedBy(c: String, v: String): Boolean =
+      c.startsWith(s"${v}_") && !allVars.exists(v2 => v2 != v &&
+        v2.length > v.length && (c == v2 || c.startsWith(s"${v2}_")))
     ctx.bindings.foreach { case (v, b) =>
       val idCol = b match {
         case _: EdgeBinding => Some(s"${v}_eid")
@@ -1018,7 +1029,7 @@ final class Compiler(graph: PropertyGraph,
       }
       idCol.filter(keepSet).foreach { id =>
         val keep = Set(id, s"${v}_label")
-        keepSet = keepSet.filterNot(c => c.startsWith(s"${v}_") && !keep(c))
+        keepSet = keepSet.filterNot(c => ownedBy(c, v) && !keep(c))
       }
     }
     shared.filter(keepSet)

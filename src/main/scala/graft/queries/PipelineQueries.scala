@@ -895,7 +895,7 @@ object PipelineQueries {
        |  FROM t JOIN w ON t.source = w.source GROUP BY t.source),
        |b AS (SELECT min(toks / w) AS budget FROM ps),
        |r AS (SELECT source,
-       |    CAST(floor(w * budget / toks * 1000000.0) AS BIGINT) AS rate_ppm
+       |    CAST(floor(w * budget / toks * 1000000.0 + 0.5) AS BIGINT) AS rate_ppm
        |  FROM ps CROSS JOIN b)
        |SELECT t.doc_id, t.source, r.rate_ppm
        |FROM t JOIN r ON t.source = r.source

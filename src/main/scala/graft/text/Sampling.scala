@@ -78,10 +78,15 @@ object Sampling {
       .agg(sum(TextAnalysis.tokenCount(col(textCol))).cast("double").as("toks"))
       .withColumn("w", wCol)
     val budget = perSrc.agg(min(col("toks") / col("w")).as("budget"))
+    // floor(x + 0.5): the binding source's rate is algebraically 1.0
+    // but w·(toks/w)/toks can land at 0.999999… in doubles — a bare
+    // floor would silently drop its ppm-999999 docs and break the
+    // "binding source keeps 100%" contract. Half-up rounding keeps that
+    // invariant unconditionally (the oracle applies the same formula).
     val rates = perSrc.crossJoin(broadcast(budget))
       .select(col(sourceCol),
-        floor(col("w") * col("budget") / col("toks") * lit(1000000.0))
-          .cast("long").as("rate_ppm"))
+        floor(col("w") * col("budget") / col("toks") * lit(1000000.0)
+          + lit(0.5)).cast("long").as("rate_ppm"))
     in.join(broadcast(rates), sourceCol)
       .filter(hashBucket(col(idCol), 1000000, salt = "mix") < col("rate_ppm"))
   }

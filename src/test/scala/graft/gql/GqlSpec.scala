@@ -271,4 +271,19 @@ class GqlSpec extends AnyFunSuite {
     assert(s.gql("MATCH (a:Nope) RETURN count(a) AS n")
       .collect().head.getLong(0) == 0L)
   }
+
+  test("correlated EXISTS keys every shared variable, even prefix-related names") {
+    // regression (r13 minimalSharedKey): with bindings `a` and `a_two`,
+    // pruning by bare name prefix stripped a_two's identity out of the
+    // correlation key — the EXISTS then semi-joined on a alone and every
+    // (a, a_two) pair passed. Account i reaches merchants (i-1)%20 and
+    // (i+9)%20, so among ids 1..10 only i = j pairs share a merchant:
+    // the correct count is exactly 10 (the broken key returns 100).
+    val n = one(
+      "MATCH (a:Account), (a_two:Account) " +
+        "WHERE a.id <= 10 AND a_two.id <= 10 " +
+        "AND EXISTS { (a)-[:Transaction]->(m:Merchant)<-[:Transaction]-(a_two) } " +
+        "RETURN count(a) AS n")
+    assert(n == 10L)
+  }
 }
