@@ -125,13 +125,27 @@ object Bench {
     }.toMap
     val pass1 = timeAll()
     val pass2 = timeAll()
+    // Noisy-box escalation (round-13 verdict: BOTH driver passes ran
+    // under heavy external load — pass totals 66.5/54.6 s vs a 42.2 s
+    // min-sum — and per-query regressions were unreconcilable): when even
+    // the BEST pass total exceeds the per-query min-sum by >1.3×, the
+    // box was loaded during both passes, so buy one more full pass before
+    // committing numbers. The extra pass rides in the band array (3
+    // entries instead of 2) so the artifact says it happened.
+    def bandTotalOf(p: Map[String, Option[Double]],
+        names: Seq[String]): Double = names.flatMap(p(_)).sum
+    val inBoth0 = named.map(_._1)
+      .filter(n => pass1(n).isDefined && pass2(n).isDefined)
+    val minSum0 = inBoth0
+      .map(n => math.min(pass1(n).get, pass2(n).get)).sum
+    val noisyBox = inBoth0.nonEmpty && minSum0 > 0 &&
+      math.min(bandTotalOf(pass1, inBoth0), bandTotalOf(pass2, inBoth0)) /
+        minSum0 > 1.3
+    val passes: Seq[Map[String, Option[Double]]] =
+      if (noisyBox) Seq(pass1, pass2, timeAll()) else Seq(pass1, pass2)
     val twoPass = named.map { case (name, _) =>
-      name -> ((pass1(name), pass2(name)) match {
-        case (Some(a), Some(b)) => math.min(a, b)
-        case (Some(a), None) => a
-        case (None, Some(b)) => b
-        case (None, None) => -1.0
-      })
+      val vs = passes.flatMap(_(name))
+      name -> (if (vs.isEmpty) -1.0 else vs.min)
     }
     // Cross-round delta guard: round 11's driver artifact showed d06-d11
     // 1.5-4x slower than round 10 on unchanged code — a transient load
@@ -145,8 +159,14 @@ object Bench {
     // 1.94x move rode under the old uniform 2x bar precisely because its
     // PRIOR was small); sub-0.5 s pairs keep 2x. The 0.15 s absolute
     // floor stays on both, so ~0.1 s jitter never triggers passes.
-    def guardThreshold(p: Double, v: Double): Double =
-      if (p >= 0.5 || v >= 0.5) 1.5 * p else 2 * p
+    // focus set: queries with a history of unexplained cross-round moves
+    // get the tightest bar regardless of magnitude (g03's 1.34× r13 move
+    // rode inside the loaded-box band — make it earn extra passes)
+    val guardFocus = Set("g03")
+    def guardThreshold(key: String, p: Double, v: Double): Double =
+      if (guardFocus(key)) 1.3 * p
+      else if (p >= 0.5 || v >= 0.5) 1.5 * p
+      else 2 * p
     val sfTagForPrior =
       sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val prior = priorRoundTimes(sfTagForPrior)
@@ -154,14 +174,14 @@ object Bench {
     val results = twoPass.map { case (name, v) =>
       val key = name.takeWhile(_ != '_')
       val suspect = prior.get(key).exists(p =>
-        v >= 0 && p > 0 && v > guardThreshold(p, v) && v - p > 0.15)
+        v >= 0 && p > 0 && v > guardThreshold(key, p, v) && v - p > 0.15)
       if (!suspect) name -> v
       else {
         var best = v
         var extra = 0
         val fn = SparkEntry.queries(name)
         while (extra < 2 &&
-            prior.get(key).exists(p => best > guardThreshold(p, best))) {
+            prior.get(key).exists(p => best > guardThreshold(key, p, best))) {
           extra += 1
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count()
@@ -215,13 +235,15 @@ object Bench {
     // totals IS the machine's noise this run — a cross-round delta
     // smaller than this band is not evidence of a code regression.
     // Compact array form: the JSON line must survive a 2 KB tail capture.
-    val inBoth = named.map(_._1)
-      .filter(n => pass1(n).isDefined && pass2(n).isDefined)
-    def bandTotal(p: Map[String, Option[Double]]): Double =
-      inBoth.flatMap(p(_)).sum
-    val band =
-      s""","band":[${f3(bandTotal(pass1))},${f3(bandTotal(pass2))}]"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$band$layout$rerunTag$failedTag}""")
+    val inAll = named.map(_._1)
+      .filter(n => passes.forall(_(n).isDefined))
+    val band = passes.map(p => f3(bandTotalOf(p, inAll)))
+      .mkString(""","band":[""", ",", "]")
+    // a SPARK_GRAFT_ONLY subset run marks itself partial so the next
+    // round's delta guard never adopts it as "the prior round" and
+    // silently loses coverage for every other query
+    val partialTag = if (only.isDefined) ""","partial":true""" else ""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$partialTag$band$layout$rerunTag$failedTag}""")
     spark.stop()
   }
 
@@ -249,6 +271,11 @@ object Bench {
         case None => Map.empty
         case Some((_, p)) =>
           val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          // a partial (SPARK_GRAFT_ONLY) artifact covers a query subset —
+          // adopting it as the prior would drop guard coverage for every
+          // other query
+          if ("\"partial\"\\s*:\\s*true".r.findFirstIn(text).isDefined)
+            return Map.empty
           // the driver wrapper pretty-prints ("queries": {) while Bench's
           // own line is compact ("queries":{) — accept both, and take the
           // flat object up to its first closing brace

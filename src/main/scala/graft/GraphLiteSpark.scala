@@ -686,28 +686,56 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
             else null
           if (fresh.isEmpty) (label, 0L, warn)
           else {
-          // column type per key: first non-null value across the batch;
+          // column type per key: the common supertype of EVERY non-null
+          // value across the batch (one INSERT mixing id:5 and id:'u7'
+          // widens the field to string — same SchemaReconcile meet the
+          // cross-statement union applies — instead of inferring from the
+          // first value and crashing createDataFrame on the second);
           // for an all-null column, the graph type's declared type or the
           // existing label column's type — never a String placeholder,
           // which would poison the label table's schema for later
           // non-null inserts (union/schema mismatch at read time)
           val schema = org.apache.spark.sql.types.StructType(
             fresh.head.props.map(_._1).map { k =>
-              val firstNonNull =
-                fresh.iterator.flatMap(_.props.collect {
-                  case (`k`, v) if v != null => v }).nextOption()
-              val dt = firstNonNull.map(valueType).getOrElse(
-                declaredSparkType(label, k)
-                  .orElse(graph.nodeTables.get(label).flatMap(
-                    _.schema.fields.find(_.name == k).map(_.dataType)))
-                  .getOrElse(throw new GqlCompileException(
-                    s"INSERT $label.$k: cannot infer a type for an " +
-                      "all-null new column — declare the property in a " +
-                      "graph type or insert a non-null value")))
+              val nonNull = fresh.iterator.flatMap(_.props.collect {
+                case (`k`, v) if v != null => v }).toSeq
+              val dt =
+                if (nonNull.isEmpty)
+                  declaredSparkType(label, k)
+                    .orElse(graph.nodeTables.get(label).flatMap(
+                      _.schema.fields.find(_.name == k).map(_.dataType)))
+                    .getOrElse(throw new GqlCompileException(
+                      s"INSERT $label.$k: cannot infer a type for an " +
+                        "all-null new column — declare the property in a " +
+                        "graph type or insert a non-null value"))
+                else nonNull.map(valueType).reduce { (a, b) =>
+                  graft.graph.SchemaReconcile.widerType(a, b).getOrElse(
+                    throw new GqlCompileException(
+                      s"INSERT $label.$k: irreconcilable value types " +
+                        s"${a.simpleString} and ${b.simpleString} within " +
+                        "one batch"))
+                }
               org.apache.spark.sql.types.StructField(k, dt)
             })
+          // values coerce to the batch-meet field type (a Long 5 under a
+          // string-widened field becomes "5" — the same rendering the eid
+          // concat_ws convention and the edge-endpoint alignment use)
+          def coerce(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+            import org.apache.spark.sql.types._
+            if (v == null) null else (dt, v) match {
+              case (StringType, s: String) => s
+              case (StringType, other) => hashRender(other)
+              case (DoubleType, n: java.lang.Number) => n.doubleValue()
+              case (LongType, n: java.lang.Number) => n.longValue()
+              case (_: DecimalType, bd: java.math.BigDecimal) => bd
+              case (_: DecimalType, n: java.lang.Number) =>
+                new java.math.BigDecimal(n.toString)
+              case _ => v
+            }
+          }
           val rows = fresh.map { o =>
-            org.apache.spark.sql.Row(o.props.map(_._2): _*)
+            org.apache.spark.sql.Row(o.props.map { case (k, v) =>
+              coerce(v, schema(k).dataType) }: _*)
           }
           val df = spark.createDataFrame(
             spark.sparkContext.parallelize(rows.toSeq), schema)

@@ -49,6 +49,12 @@ object SystemProcedures {
       args: Seq[String] = Seq.empty): DataFrame = {
     val spark = gls.spark
     import spark.implicits._
+    // the id type the GraphIndexScan procedures resolve their textual
+    // arguments against: the target edge label's endpoint type (equal to
+    // the node tables' id type by the insert-path invariant)
+    def edgeIdType(edgeLabel: String): org.apache.spark.sql.types.DataType =
+      session.graph.edgeTables.get(edgeLabel).map(_._2.schema("src").dataType)
+        .getOrElse(org.apache.spark.sql.types.LongType)
     name match {
       case "gql.list_schemas" =>
         gls.catalog.listSchemas().toDF("schema_name")
@@ -139,12 +145,19 @@ object SystemProcedures {
       // physical.rs:42-67: FindNeighbors / ShortestPath / IsReachable) —
       // all ride PropertyGraph.bfs (per-node frontier state; composes
       // with CALL … YIELD … WHERE)
+      // id arguments are TYPE-AGNOSTIC (reference parity: node ids are
+      // strings everywhere, storage/types.rs:68-72, and GraphIndexScan
+      // ops don't parse them — physical.rs:42-67): each textual arg casts
+      // to the graph's actual endpoint id type, so '42' resolves on a
+      // Long-id graph and 'u1' on a string-id graph — never a .toLong
+      // that throws on the latter
       case "gql.find_neighbors" =>
         session.requirePerm("SELECT")
         val Seq(edgeLabel, startId, maxHops) = fixedArgs(name, args, 3)
         import org.apache.spark.sql.functions.{col, lit}
+        val idT = edgeIdType(edgeLabel)
         session.graph.bfs(
-            spark.range(1).select(lit(startId.toLong).as("root_id")),
+            spark.range(1).select(lit(startId).cast(idT).as("root_id")),
             edgeLabel, maxHops.toInt)
           .filter(col("dist") > 0)
           .select(col("node_id").as("neighbor_id"), col("dist"))
@@ -153,22 +166,24 @@ object SystemProcedures {
         session.requirePerm("SELECT")
         val Seq(edgeLabel, srcId, dstId, maxLen) = fixedArgs(name, args, 4)
         import org.apache.spark.sql.functions.{col, lit}
+        val idT = edgeIdType(edgeLabel)
         session.graph.bfs(
-            spark.range(1).select(lit(srcId.toLong).as("root_id")),
+            spark.range(1).select(lit(srcId).cast(idT).as("root_id")),
             edgeLabel, maxLen.toInt)
-          .filter(col("node_id") === dstId.toLong)
-          .select(lit(srcId.toLong).as("src"), lit(dstId.toLong).as("dst"),
-            col("dist"))
+          .filter(col("node_id") === lit(dstId).cast(idT))
+          .select(lit(srcId).cast(idT).as("src"),
+            lit(dstId).cast(idT).as("dst"), col("dist"))
       case "gql.is_reachable" =>
         session.requirePerm("SELECT")
         val Seq(edgeLabel, srcId, dstId, maxHops) = fixedArgs(name, args, 4)
         import org.apache.spark.sql.functions.{col, lit}
+        val idT = edgeIdType(edgeLabel)
         val hit = !session.graph.bfs(
-            spark.range(1).select(lit(srcId.toLong).as("root_id")),
+            spark.range(1).select(lit(srcId).cast(idT).as("root_id")),
             edgeLabel, maxHops.toInt)
-          .filter(col("node_id") === dstId.toLong).isEmpty
-        Seq((srcId.toLong, dstId.toLong, hit))
-          .toDF("src", "dst", "reachable")
+          .filter(col("node_id") === lit(dstId).cast(idT)).isEmpty
+        spark.range(1).select(lit(srcId).cast(idT).as("src"),
+          lit(dstId).cast(idT).as("dst"), lit(hit).as("reachable"))
       case other =>
         // reference error contract (system_procedures.rs:93, pinned by
         // unknown_procedure_test.rs): say "procedure not found", list the

@@ -56,25 +56,77 @@ object Analytics {
     (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
   }
 
-  private def toGraphX(g: PropertyGraph, nodeLabel: String,
-      edgeLabel: String): XGraph[Long, Long] = {
-    val vertices = g.nodeTables(nodeLabel).select(col("id"))
-      .rdd.map(r => (r.getLong(0), r.getLong(0)))
-    val edges = g.edgeTables(edgeLabel)._2.select(col("src"), col("dst"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
-    XGraph(vertices, edges, defaultVertexAttr = -1L,
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  /** GraphX vertex/edge RDDs for (nodes, edges) frames, keyed by Long.
+    *
+    * Long-id graphs key directly (no extra work, the historical path).
+    * Any other id type — string ids are reference-idiomatic
+    * (storage/types.rs:68-72) but GraphX VertexId is hard-wired to Long —
+    * keys by a 64-bit surrogate (xxhash64 of the id's string rendering,
+    * computed distributed, engine-stable), returned with the
+    * `(id, __vid)` map so callers join results back to original ids. A
+    * surrogate collision (birthday bound ~n²/2^65 — negligible but not
+    * zero) aborts with a clear message instead of silently merging two
+    * nodes into one vertex.
+    */
+  private def graphxRdds(nodes: DataFrame, edgesDf: DataFrame):
+      (org.apache.spark.rdd.RDD[(Long, Long)],
+       org.apache.spark.rdd.RDD[Edge[Long]], Option[DataFrame]) = {
+    import org.apache.spark.sql.types.LongType
+    val longKeyed = nodes.schema("id").dataType == LongType &&
+      edgesDf.schema.fields.take(2).forall(_.dataType == LongType)
+    if (longKeyed) {
+      val vertices = nodes.rdd.map(r => (r.getLong(0), r.getLong(0)))
+      val edges = edgesDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+      (vertices, edges, None)
+    } else {
+      val idMap = nodes.distinct()
+        .select(col("id"), xxhash64(col("id").cast("string")).as("__vid"))
+        .cache()
+      val c = idMap.agg(count(lit(1)), count_distinct(col("__vid"))).head()
+      if (c.getLong(0) != c.getLong(1))
+        throw new IllegalStateException(
+          "surrogate vertex-id hash collision — analytics would merge " +
+            "distinct nodes; re-key the graph")
+      val eCols = edgesDf.columns
+      val edges = edgesDf
+        .select(xxhash64(col(eCols(0)).cast("string")).as("s"),
+          xxhash64(col(eCols(1)).cast("string")).as("d"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+      val vertices = idMap.select(col("__vid"))
+        .rdd.map(r => (r.getLong(0), r.getLong(0)))
+      (vertices, edges, Some(idMap))
+    }
   }
+
+  private def toGraphX(g: PropertyGraph, nodeLabel: String,
+      edgeLabel: String): (XGraph[Long, Long], Option[DataFrame]) = {
+    val (vertices, edges, idMap) = graphxRdds(
+      g.nodeTables(nodeLabel).select(col("id")),
+      g.edgeTables(edgeLabel)._2.select(col("src"), col("dst")))
+    (XGraph(vertices, edges, defaultVertexAttr = -1L,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK), idMap)
+  }
+
+  /** Re-key a `__vid`-keyed result frame back to original ids (surrogate
+    * graphs); Long-id graphs pass through with `__vid` renamed to `id`.
+    */
+  private def joinBack(res: DataFrame, idMap: Option[DataFrame]): DataFrame =
+    idMap match {
+      case None => res.withColumnRenamed("__vid", "id")
+      case Some(m) =>
+        res.join(m, "__vid").select(
+          (col("id") +: res.columns.filterNot(_ == "__vid").map(col)): _*)
+    }
 
   /** PageRank (damping 0.85). Returns (id, rank rounded to 6). */
   def pageRank(spark: SparkSession, g: PropertyGraph, nodeLabel: String,
       edgeLabel: String, iterations: Int = 10): DataFrame = {
     import spark.implicits._
-    toGraphX(g, nodeLabel, edgeLabel)
-      .staticPageRank(iterations).vertices
+    val (gx, idMap) = toGraphX(g, nodeLabel, edgeLabel)
+    joinBack(gx.staticPageRank(iterations).vertices
       .map { case (id, rank) => (id, math.rint(rank * 1e6) / 1e6) }
-      .toDF("id", "rank")
+      .toDF("__vid", "rank"), idMap)
   }
 
   /** Connected components (undirected). Returns (id, component) where
@@ -108,9 +160,20 @@ object Analytics {
     // contract-then-finish-small shape GraphFrames/GraphX AggregateMessages
     // CC implementations use for their final rounds.
     if (edgeCount <= localEdgeLimit) {
-      import spark.implicits._
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
+      // id-type-agnostic: keys are Any (Long or String per the graph),
+      // ordered by the id type's natural order so union-by-min keeps the
+      // oracle's label choice (smallest id — lexicographic for strings)
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val idT = vertices.schema("id").dataType
+      val lt: (Any, Any) => Boolean = idT match {
+        case StringType => (a, b) =>
+          a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+        case _ => (a, b) =>
+          a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+      }
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
         var r = x
         while (parent.get(r) != r) r = parent.get(r)
         var c = x
@@ -118,18 +181,24 @@ object Analytics {
         r
       }
       directed.collect().foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
+        val a = row.get(0); val b = row.get(1)
         if (!parent.containsKey(a)) parent.put(a, a)
         if (!parent.containsKey(b)) parent.put(b, b)
         val ra = find(a); val rb = find(b)
         // union-by-min: the larger root points at the smaller, so every
         // root IS the component's minimum id (the oracle's label choice)
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
       }
-      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      val labels =
+        new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
       val it = parent.keySet().iterator()
-      while (it.hasNext) { val k = it.next(); labels += ((k, find(k))) }
-      val mapDf = labels.toSeq.toDF("mid", "mcomp")
+      while (it.hasNext) {
+        val k = it.next(); labels += org.apache.spark.sql.Row(k, find(k))
+      }
+      val mapDf = spark.createDataFrame(labels.asJava, StructType(Seq(
+        StructField("mid", idT), StructField("mcomp", idT))))
       return vertices.join(broadcast(mapDf), col("id") === col("mid"), "left_outer")
         .select(col("id"), coalesce(col("mcomp"), col("id")).as("component"))
     }
@@ -228,25 +297,54 @@ object Analytics {
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    val vertices = g.nodeTables(nodeLabel).select(col("id"))
-      .rdd.map(r => (r.getLong(0), r.getLong(0)))
-    val edges = canonical.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
-    XGraph(vertices, edges, defaultVertexAttr = -1L)
+    val (vertices, edges, idMap) = graphxRdds(
+      g.nodeTables(nodeLabel).select(col("id")), canonical)
+    joinBack(XGraph(vertices, edges, defaultVertexAttr = -1L)
       .triangleCount().vertices
       .map { case (id, n) => (id, n.toLong) }
-      .toDF("id", "n_triangles")
+      .toDF("__vid", "n_triangles"), idMap)
   }
 
   /** Single-source shortest path lengths (hop counts) to all reachable
     * nodes — GraphX Pregel ShortestPaths (physical.rs:50-61 analog).
+    * Landmarks take the graph's id type (Long or String — reference
+    * parity, ids are strings in storage/types.rs).
     */
   def shortestPathLengths(spark: SparkSession, g: PropertyGraph,
-      nodeLabel: String, edgeLabel: String, landmarks: Seq[Long]): DataFrame = {
+      nodeLabel: String, edgeLabel: String, landmarks: Seq[Any]): DataFrame = {
     import spark.implicits._
-    org.apache.spark.graphx.lib.ShortestPaths
-      .run(toGraphX(g, nodeLabel, edgeLabel), landmarks)
-      .vertices
-      .flatMap { case (id, m) => m.map { case (lm, d) => (id, lm, d.toLong) } }
-      .toDF("id", "landmark", "dist")
+    val (gx, idMap) = toGraphX(g, nodeLabel, edgeLabel)
+    idMap match {
+      case None =>
+        org.apache.spark.graphx.lib.ShortestPaths
+          .run(gx, landmarks.map(_.asInstanceOf[Number].longValue))
+          .vertices
+          .flatMap { case (id, m) => m.map { case (lm, d) => (id, lm, d.toLong) } }
+          .toDF("id", "landmark", "dist")
+      case Some(m) =>
+        // resolve landmark surrogates through the id map (few landmarks —
+        // a filtered collect), then re-key BOTH result columns at the end
+        val lmStrs = landmarks.map(String.valueOf)
+        val vidToLm = m.filter(col("id").cast("string").isin(lmStrs: _*))
+          .select(col("__vid"), col("id"))
+          .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+        val res = org.apache.spark.graphx.lib.ShortestPaths
+          .run(gx, vidToLm.keys.toSeq)
+          .vertices
+          .flatMap { case (id, mm) =>
+            mm.map { case (lm, d) => (id, lm, d.toLong) } }
+          .toDF("__vid", "__lmvid", "dist")
+        val lmDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(vidToLm.toSeq.map {
+            case (v, lm) => org.apache.spark.sql.Row(v, lm) }),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__lmvid2",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("landmark",
+              m.schema("id").dataType))))
+        joinBack(res, idMap)
+          .join(broadcast(lmDf), col("__lmvid") === col("__lmvid2"))
+          .select(col("id"), col("landmark"), col("dist"))
+    }
   }
 }

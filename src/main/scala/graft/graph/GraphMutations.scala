@@ -20,6 +20,16 @@ object GraphMutations {
   /** INSERT nodes (write_engine/operations/insert.rs analog). Rows must
     * carry an `id` column; duplicate ids with existing rows are rejected
     * like the reference's duplicate-insert tests.
+    *
+    * Id-type invariant: when the union widens this label's `id` column to
+    * StringType (reference parity — string node ids are idiomatic,
+    * storage/types.rs:68-72), every incident edge table's src/dst widens
+    * with it. Leaving the edges LongType would make the next hop join
+    * compare String to Long, which Spark's PromoteStrings coerces to
+    * Double — and 60-bit hash identities exceed Double's 2^53 exact-int
+    * range, silently corrupting the join. Casting Long→String here uses
+    * the same rendering as the eid `concat_ws` convention, so eids stay
+    * stable.
     */
   def insertNodes(g: PropertyGraph, label: String, rows: DataFrame,
       failOnDuplicate: Boolean = true): PropertyGraph = {
@@ -27,7 +37,15 @@ object GraphMutations {
       case None => rows
       case Some(existing) =>
         if (failOnDuplicate) {
-          val dups = rows.join(existing.select("id"), "id")
+          // compare through string when the incoming id type differs from
+          // the table's (a string id arriving at a Long-id label) — the
+          // raw join would ANSI-cast 'u3' to BIGINT and throw before the
+          // union gets a chance to widen the column
+          val dups =
+            if (rows.schema("id").dataType == existing.schema("id").dataType)
+              rows.join(existing.select("id"), "id")
+            else rows.select(col("id").cast("string").as("id"))
+              .join(existing.select(col("id").cast("string").as("id")), "id")
           if (!dups.isEmpty)
             throw new IllegalArgumentException(
               s"duplicate node id(s) on insert into $label")
@@ -35,20 +53,47 @@ object GraphMutations {
         SchemaReconcile.union(Seq(existing, rows),
           s"INSERT into node label $label")
     }
-    g.mutated(g.nodeTables + (label -> updated), g.edgeTables,
-      Set(s"nodes_$label"))
+    import org.apache.spark.sql.types.StringType
+    var touched = Set(s"nodes_$label")
+    val newEdges =
+      if (updated.schema("id").dataType != StringType) g.edgeTables
+      else g.edgeTables.map { case (l, (et, e)) =>
+        var out = e
+        if (et.srcLabel == label && out.schema("src").dataType != StringType)
+          out = out.withColumn("src", col("src").cast(StringType))
+        if (et.dstLabel == label && out.schema("dst").dataType != StringType)
+          out = out.withColumn("dst", col("dst").cast(StringType))
+        if (!(out eq e)) touched += s"edges_$l"
+        l -> (et, out)
+      }
+    g.mutated(g.nodeTables + (label -> updated), newEdges, touched)
   }
 
-  /** INSERT edges. Rows carry (src, dst, eid, props…). */
+  /** INSERT edges. Rows carry (src, dst, eid, props…).
+    *
+    * Endpoint alignment (see [[insertNodes]]'s id-type invariant): when an
+    * endpoint label's node ids are StringType, the incoming rows' src/dst
+    * cast to string before the union, so the edge table's endpoint type
+    * always equals the node table's id type and hop joins stay exact
+    * equi-joins on one type.
+    */
   def insertEdges(g: PropertyGraph, label: String, et: EdgeType,
       rows: DataFrame): PropertyGraph = {
+    import org.apache.spark.sql.types.StringType
+    def idIsString(lbl: String): Boolean =
+      g.nodeTables.get(lbl).exists(_.schema("id").dataType == StringType)
+    var aligned = rows
+    if (idIsString(et.srcLabel) && aligned.schema("src").dataType != StringType)
+      aligned = aligned.withColumn("src", col("src").cast(StringType))
+    if (idIsString(et.dstLabel) && aligned.schema("dst").dataType != StringType)
+      aligned = aligned.withColumn("dst", col("dst").cast(StringType))
     val updated = g.edgeTables.get(label) match {
-      case None => (et, rows)
+      case None => (et, aligned)
       case Some((t, existing)) =>
         // inserting a property under a different type widens the table
         // column to the common supertype (dynamic-value parity; an
         // irreconcilable type errors here, before any row lands)
-        (t, SchemaReconcile.union(Seq(existing, rows),
+        (t, SchemaReconcile.union(Seq(existing, aligned),
           s"INSERT into edge type $label"))
     }
     g.mutated(g.nodeTables, g.edgeTables + (label -> updated),

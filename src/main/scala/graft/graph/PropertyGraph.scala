@@ -210,7 +210,24 @@ final class PropertyGraph(
     val props = e.columns.filterNot(c => c == "src" || c == "dst")
     val renamed = props.foldLeft(e)((d, c) => d.withColumnRenamed(c, s"${edgeVar}_$c"))
       .withColumnRenamed("src", s"${from}_id").withColumnRenamed("dst", s"${to}_id")
-    val joined = binding.join(renamed, s"${from}_id")
+    // defensive id-type alignment: the insert path keeps edge endpoint
+    // types equal to node id types, but a binding captured BEFORE a
+    // string-widening insert can still carry Long ids — align through an
+    // explicit string cast (exact for both sides) rather than letting
+    // PromoteStrings coerce String vs Long to Double, which is lossy
+    // above 2^53
+    val fromId = s"${from}_id"
+    import org.apache.spark.sql.types.StringType
+    val (bAligned, eAligned) =
+      (binding.schema(fromId).dataType, renamed.schema(fromId).dataType) match {
+        case (a, b) if a == b => (binding, renamed)
+        case (StringType, _) =>
+          (binding, renamed.withColumn(fromId, col(fromId).cast(StringType)))
+        case (_, StringType) =>
+          (binding.withColumn(fromId, col(fromId).cast(StringType)), renamed)
+        case _ => (binding, renamed) // numeric/numeric: Spark's widening is exact
+      }
+    val joined = bAligned.join(eAligned, fromId)
     if (!dstProps) joined
     else {
       val dstLabel = direction match {
@@ -220,7 +237,17 @@ final class PropertyGraph(
       val n = nodeTables(dstLabel)
       val nRenamed = n.columns.foldLeft(n)((d, c) =>
         d.withColumnRenamed(c, if (c == "id") s"${to}_id" else s"${to}_$c"))
-      joined.join(broadcastIfSmall(dstLabel, nRenamed), s"${to}_id")
+      val toId = s"${to}_id"
+      val (jAligned, nAligned) =
+        (joined.schema(toId).dataType, nRenamed.schema(toId).dataType) match {
+          case (a, b) if a == b => (joined, nRenamed)
+          case (StringType, _) =>
+            (joined, nRenamed.withColumn(toId, col(toId).cast(StringType)))
+          case (_, StringType) =>
+            (joined.withColumn(toId, col(toId).cast(StringType)), nRenamed)
+          case _ => (joined, nRenamed)
+        }
+      jAligned.join(broadcastIfSmall(dstLabel, nAligned), toId)
     }
   }
 
@@ -323,6 +350,16 @@ final class PropertyGraph(
       case Direction.Both => raw.select("src", "dst")
         .unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
     }).select("src", "dst")
+    // id-type-agnostic (reference parity: node ids are strings everywhere,
+    // storage/types.rs:68-72, and GraphIndexScan ops don't care —
+    // physical.rs:42-67): the frontier joins below work on whatever the
+    // edge endpoint type is; roots cast to it up front so a Long root
+    // against a string-id graph (or a string "5" against a Long graph)
+    // still joins exactly instead of through a lossy numeric promotion
+    val idType = e0.schema("src").dataType
+    val sourcesT =
+      if (sources.schema("root_id").dataType == idType) sources
+      else sources.select(col("root_id").cast(idType).as("root_id"))
     val edgeCount = e0.count()
 
     // Small-edge-set fast path (same gate family as
@@ -335,26 +372,29 @@ final class PropertyGraph(
     // and falls through to the distributed loop instead of straining the
     // driver heap.
     if (edgeCount <= localEdgeLimit) {
-      val rootRows = sources.select(col("root_id")).limit(1001).collect()
+      val rootRows = sourcesT.select(col("root_id")).limit(1001).collect()
       if (rootRows.length <= 1000) {
-        val roots = rootRows.map(_.getLong(0)).distinct
-        val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        // keys are Any (Long or String per the graph's id type) — the
+        // adjacency walk only needs hash equality, and the result frame
+        // gets an explicit schema carrying the id type through
+        val roots = rootRows.map(_.get(0)).distinct
+        val adj = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]()
         e0.collect().foreach { r =>
-          adj.computeIfAbsent(r.getLong(0),
-            _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+          adj.computeIfAbsent(r.get(0),
+            _ => scala.collection.mutable.ArrayBuffer.empty[Any]) += r.get(1)
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
         var overflow = false
         var ri = 0
         while (ri < roots.length && !overflow) {
           val root = roots(ri)
-          val dist = new java.util.HashMap[Long, Long]()
+          val dist = new java.util.HashMap[Any, Long]()
           var frontier = List(root)
           dist.put(root, 0L)
-          out += ((root, root, 0L))
+          out += org.apache.spark.sql.Row(root, root, 0L)
           var d = 1L
           while (d <= maxIter && frontier.nonEmpty && !overflow) {
-            val next = scala.collection.mutable.ListBuffer.empty[Long]
+            val next = scala.collection.mutable.ListBuffer.empty[Any]
             // cap checked per EMISSION, not per level: a dense level could
             // otherwise overshoot by up to the full node set of boxed
             // tuples on the driver heap before overflow triggered
@@ -368,7 +408,7 @@ final class PropertyGraph(
                   val v = ns(i)
                   if (!dist.containsKey(v)) {
                     dist.put(v, d)
-                    out += ((root, v, d))
+                    out += org.apache.spark.sql.Row(root, v, d)
                     next += v
                     if (out.size > 5000000) overflow = true
                   }
@@ -382,9 +422,12 @@ final class PropertyGraph(
           ri += 1
         }
         if (!overflow) {
-          val sess = sources.sparkSession
-          import sess.implicits._
-          return out.toSeq.toDF("root_id", "node_id", "dist")
+          val sess = sourcesT.sparkSession
+          import org.apache.spark.sql.types.{LongType, StructField, StructType}
+          import scala.jdk.CollectionConverters._
+          return sess.createDataFrame(out.asJava, StructType(Seq(
+            StructField("root_id", idType), StructField("node_id", idType),
+            StructField("dist", LongType, nullable = false))))
         }
       }
     }
@@ -414,7 +457,7 @@ final class PropertyGraph(
     val e = work.createDataFrame(e0.rdd, e0.schema).localCheckpoint(true)
     // one BFS per DISTINCT root — the local fast path dedups duplicate
     // root_ids, so the distributed loop must agree on duplicate inputs
-    val src0 = sources.select(col("root_id")).distinct()
+    val src0 = sourcesT.select(col("root_id")).distinct()
       .select(col("root_id"), col("root_id").as("id"), lit(0L).as("dist"))
     var visited = work.createDataFrame(src0.rdd, src0.schema)
       .localCheckpoint(true)

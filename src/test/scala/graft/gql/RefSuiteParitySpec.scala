@@ -417,4 +417,83 @@ class RefSuiteParitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("list_schemas") ||
       e.getMessage.contains("list_graphs"))
   }
+
+  // ---- string node ids (storage/types.rs:68-72: ids are Strings; the
+  // GraphIndexScan procedures are id-type-agnostic, physical.rs:42-67).
+  // Round 13 made string ids idiomatic at INSERT; these pin the
+  // analytics/procedure surface on such graphs. ----
+
+  test("GraphIndexScan procedures answer on a string-id INSERT graph") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/string_id_graph")
+    t.execute("SESSION SET GRAPH /main/string_id_graph")
+    t.execute("INSERT (a:User {id: 'u1', name: 'Alice'})," +
+      " (b:User {id: 'u2', name: 'Bob'})," +
+      " (c:User {id: 'u3', name: 'Carol'})," +
+      " (d:User {id: 'u4', name: 'Dan'})," +
+      " (a)-[:FOLLOWS]->(b), (b)-[:FOLLOWS]->(c), (c)-[:FOLLOWS]->(d)")
+    val nbrs = t.execute("CALL gql.find_neighbors(FOLLOWS, u1, 2)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(nbrs.toSeq == Seq(("u2", 1L), ("u3", 2L)))
+    val sp = t.execute("CALL gql.shortest_path(FOLLOWS, u1, u4, 10)")
+      .collect().head
+    assert(sp.getString(0) == "u1" && sp.getString(1) == "u4" &&
+      sp.getLong(2) == 3L)
+    assert(t.execute("CALL gql.is_reachable(FOLLOWS, u1, u4, 10)")
+      .collect().head.getBoolean(2))
+    assert(!t.execute("CALL gql.is_reachable(FOLLOWS, u4, u1, 10)")
+      .collect().head.getBoolean(2)) // directed chain
+  }
+
+  test("pageRank and connected components run on a string-id graph") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/string_id_analytics")
+    t.execute("SESSION SET GRAPH /main/string_id_analytics")
+    t.execute("INSERT (a:User {id: 'u1'}), (b:User {id: 'u2'})," +
+      " (c:User {id: 'u3'}), (x:User {id: 'x9'})," +
+      " (a)-[:FOLLOWS]->(b), (b)-[:FOLLOWS]->(c)")
+    val spark = SparkFixture.spark
+    val ranks = graft.graph.Analytics
+      .pageRank(spark, t.graph, "User", "FOLLOWS", 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 4)
+    assert(ranks("u3") > ranks("u2") && ranks("u2") > ranks("u1"))
+    assert(ranks("u1") == ranks("x9")) // both rank-sources
+    val comp = graft.graph.Analytics
+      .connectedComponents(spark, t.graph, "User", "FOLLOWS")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map("u1" -> "u1", "u2" -> "u1", "u3" -> "u1",
+      "x9" -> "x9"))
+  }
+
+  test("mixing Long and string ids widens the label and its edges") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/mixed_id_graph")
+    t.execute("SESSION SET GRAPH /main/mixed_id_graph")
+    // Long ids with an edge first…
+    t.execute("INSERT (a:User {id: 1}), (b:User {id: 2}), " +
+      "(a)-[:FOLLOWS]->(b)")
+    // …then a string id in a LATER statement: the label's id column widens
+    // to string AND the existing FOLLOWS endpoints widen with it, so the
+    // hop join below compares string to string (never the Double coercion
+    // that silently corrupts 60-bit hash identities)
+    t.execute("INSERT (c:User {id: 'u3'})")
+    t.execute("MATCH (a:User {id: 'u3'}), (b:User) WHERE b.id = '1' " +
+      "INSERT (b)-[:FOLLOWS]->(a)")
+    val idT = t.graph.nodeTables("User").schema("id").dataType
+    assert(idT == org.apache.spark.sql.types.StringType)
+    val eT = t.graph.edgeTables("FOLLOWS")._2.schema("src").dataType
+    assert(eT == org.apache.spark.sql.types.StringType)
+    val hops = t.gql("MATCH (a:User)-[:FOLLOWS]->(b:User) " +
+      "RETURN a.id AS src, b.id AS dst ORDER BY src, dst").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(hops.toSeq == Seq(("1", "2"), ("1", "u3")))
+    // a single batch mixing id types widens within the batch too (the
+    // ADVICE r13 crash: schema inferred from the first value, rows built
+    // with the other type → createDataFrame encoder error)
+    t.execute("INSERT (p:Tag {id: 7}), (q:Tag {id: 'top'})")
+    val tagIds = t.gql("MATCH (x:Tag) RETURN x.id AS id ORDER BY id")
+      .collect().map(_.getString(0))
+    assert(tagIds.toSeq == Seq("7", "top"))
+  }
 }
