@@ -299,8 +299,19 @@ object Analytics {
       .filter(col("src") =!= col("dst")).distinct()
     val (vertices, edges, idMap) = graphxRdds(
       g.nodeTables(nodeLabel).select(col("id")), canonical)
-    joinBack(XGraph(vertices, edges, defaultVertexAttr = -1L)
-      .triangleCount().vertices
+    // the edge frame above IS pre-canonicalized (src < dst, deduped, no
+    // self-loops) — run that variant directly: Graph.triangleCount()
+    // re-canonicalizes into a NEW graph and outer-joins its counters
+    // back against the original's differently-indexed vertices, which is
+    // the "Joining two VertexPartitions with different indexes is slow"
+    // path (an index-breaking shuffle join per call at scale)
+    // surrogate hashing can invert the src<dst order the canonical frame
+    // established — restore it on the Long keys (narrow map, no shuffle)
+    val ordered = edges.map(e =>
+      if (e.srcId < e.dstId) e else Edge(e.dstId, e.srcId, e.attr))
+    joinBack(org.apache.spark.graphx.lib.TriangleCount
+      .runPreCanonicalized(XGraph(vertices, ordered, defaultVertexAttr = -1L))
+      .vertices
       .map { case (id, n) => (id, n.toLong) }
       .toDF("__vid", "n_triangles"), idMap)
   }

@@ -207,7 +207,15 @@ object GraphMutations {
     // alias it so every join below is an explicit cross-frame equi-join,
     // not a trivially-true same-attribute predicate Spark has to
     // disambiguate (and WARN about) itself
-    val doomed = doomed0.select(col("id").as("__doomed_id")).cache()
+    // cache() only when this doomed-set plan isn't already in the cache
+    // manager — re-running the same DELETE (bench passes, replayed
+    // scripts) canonicalizes to the same plan, and a blind re-cache emits
+    // the CacheManager "already cached" warning and churns the registry
+    val doomed0Aliased = doomed0.select(col("id").as("__doomed_id"))
+    val doomed =
+      if (doomed0Aliased.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        doomed0Aliased.cache()
+      else doomed0Aliased
     val incidentTables = g.edgeTables.filter { case (_, (et, _)) =>
       et.srcLabel == label || et.dstLabel == label
     }
