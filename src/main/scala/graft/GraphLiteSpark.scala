@@ -1841,7 +1841,8 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
            _: java.math.BigDecimal => LFloat
       case _: String => LString
       case _: java.lang.Boolean => LBool
-      case _: java.sql.Timestamp | _: java.sql.Date => LTemporal
+      case _: java.sql.Timestamp | _: java.sql.Date |
+           _: java.time.Duration => LTemporal
       case other => throw new GqlCompileException(
         s"unsupported INSERT property value: $other (${other.getClass.getName})")
     }
@@ -1859,7 +1860,8 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       case DoubleType | FloatType | _: DecimalType => LFloat
       case StringType => LString
       case BooleanType => LBool
-      case TimestampType | TimestampNTZType | DateType => LTemporal
+      case TimestampType | TimestampNTZType | DateType |
+           _: DayTimeIntervalType => LTemporal
       case NullType => LNull
       case other => throw new GqlCompileException(
         s"unsupported INSERT property type: $other")
@@ -1889,6 +1891,10 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       case _: java.lang.Boolean => BooleanType
       case _: java.sql.Timestamp => TimestampType
       case _: java.sql.Date => DateType
+      // duration('P…') property values (function_expression_insert_test
+      // .rs inserts these): Spark's external type for a day-time interval
+      case _: java.time.Duration =>
+        org.apache.spark.sql.types.DayTimeIntervalType()
       // list property literal (`tags: ['a', 'b']` —
       // utility_functions_test.rs inserts these); element type from the
       // first non-null element, string for an all-null/empty list

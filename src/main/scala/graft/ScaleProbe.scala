@@ -200,9 +200,21 @@ object ScaleProbe {
           // enumeration and correlated-ALL carry per-row path arrays
           // and grouped broadcasts whose memory profile is what the
           // larger tier exists to observe
-          "gql02_twohop", "gql11_path_var", "gql13_quantified")
+          "gql02_twohop", "gql11_path_var", "gql13_quantified",
+          // round-14: e07/d20 join the larger tiers like every other
+          // pipeline operator — e07's 10× skew 2.17 was attributed to
+          // bucket-count variance on sub-400 ms tasks, which only the
+          // 30×/100× tiers can confirm or refute
+          "e07_semantic_dedup", "d20_mixture_sample")
           .contains(n)
       }
+
+    // SPARK_GRAFT_PROBE_ONLY=gql13,e07 — reconciliation loop for a single
+    // contested probe row (same warm-up and min-of-two, no full-sweep wait)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val probesRun = probes.filter { case (n, _) =>
+      only.forall(os => os.contains(n) || os.exists(n.startsWith)) }
 
     // warm the JVM/codegen once so the first measured pair isn't paying
     // session startup
@@ -217,7 +229,7 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    probes.foreach { case (name, q) =>
+    probesRun.foreach { case (name, q) =>
       // min-of-two per tier, task stats from the WARM big-tier pass
       // (Bench's convention): the first 10× run pays cold page-cache +
       // JIT for ~600 MB it has never touched, which round-13 diagnosis

@@ -1035,6 +1035,40 @@ final class Compiler(graph: PropertyGraph,
     shared.filter(keepSet)
   }
 
+  /** Upper bound on the distinct correlation-key tuples of `shared`: a
+    * per-key aggregate emits AT MOST one row per outer entity, so
+    * identity keys bound to node labels multiply their (cached) label
+    * row counts. Any key that isn't a statically-bound node identity —
+    * edge identities, value aliases, unresolvable columns — makes the
+    * bound unknown (Long.MaxValue → the caller must NOT force a
+    * broadcast and defers to AQE). `${v}_label` columns only refine an
+    * id already counted, so they don't contribute a factor.
+    */
+  private def correlationKeyBound(shared: Seq[String], ctx: Ctx): Long = {
+    var bound = 1L
+    shared.foreach { c =>
+      val refiningLabel = c.endsWith("_label") &&
+        shared.contains(c.stripSuffix("_label") + "_id")
+      if (!refiningLabel) {
+        val factor: Long = ctx.bindings.collectFirst {
+          case (v, b) if c == s"${v}_id" => b
+        } match {
+          case Some(NodeBinding(labels)) =>
+            math.max(1L, graph.nodeCount(labels.head))
+          case Some(UnionNode) =>
+            graph.nodeTables.keysIterator
+              .map(l => math.max(1L, graph.nodeCount(l)))
+              .foldLeft(0L)((a, n) => if (Long.MaxValue - a < n) return Long.MaxValue else a + n)
+          case _ => return Long.MaxValue
+        }
+        bound =
+          try Math.multiplyExact(bound, factor)
+          catch { case _: ArithmeticException => return Long.MaxValue }
+      }
+    }
+    bound
+  }
+
   /** EXISTS at a top-level WHERE conjunct — semi/anti join. */
   private def existsJoin(base: DataFrame, paths: Seq[PathPattern],
       ctx: Ctx, joinType: String): DataFrame = {
@@ -1384,7 +1418,11 @@ final class Compiler(graph: PropertyGraph,
               case None => innerDf.groupBy(shared.map(col): _*)
                 .agg(first(col(valueName)).as(name))
             }
-          df = df.join(perKey, shared, "left_outer")
+          // ≤ one row per outer entity: broadcast when the entity-count
+          // bound fits (AQE mis-sizes this join from the partial-agg
+          // shuffle — see PropertyGraph.broadcastIfBoundedRows)
+          df = df.join(graph.broadcastIfBoundedRows(
+            correlationKeyBound(shared, ctx), perKey), shared, "left_outer")
           val countTop = qq.segments.last.projection.head.expr match {
             case CountStar() | Fn("COUNT", _, _) => true
             case _ => false
@@ -1481,7 +1519,12 @@ final class Compiler(graph: PropertyGraph,
           val aggs = innerDf.groupBy(shared.map(col): _*).agg(
             count(lit(1)).as(cntN), count(v).as(valN),
             min(v).as(mnN), max(v).as(mxN), countDistinct(v).as(ndvN))
-          df = df.join(aggs, shared, "left_outer")
+          // ≤ one row per outer entity: broadcast when the entity-count
+          // bound fits (round-14: AQE left this as a sort-merge join at
+          // the 100× tier because the PARTIAL-agg shuffle crossed the
+          // threshold while the final aggregate was dimension-sized)
+          df = df.join(graph.broadcastIfBoundedRows(
+            correlationKeyBound(shared, ctx), aggs), shared, "left_outer")
             .withColumn(cntN, coalesce(col(cntN), lit(0L)))
             .withColumn(valN, coalesce(col(valN), lit(0L)))
             .withColumn(xN, compileExpr(l, ctx))
@@ -2885,27 +2928,47 @@ final class Compiler(graph: PropertyGraph,
       case "LIST_SLICE" => slice(a(0), a(1).cast("int") + 1, (a(2) - a(1)).cast("int"))
       // temporal (temporal_functions.rs subset)
       case "DURATION" => args(0) match {
-        // ISO-8601 duration literal -> Spark interval
-        // (temporal_functions.rs:284; day/time parts only, like the ref)
+        // ISO-8601 duration literal -> Spark day-time interval. Y/M parts
+        // use the reference's fixed approximations (temporal_functions.rs
+        // parse_iso_duration: 1 year = 365 days, 1 month = 30 days —
+        // function_expression_insert_test.rs inserts duration('P30Y')), so
+        // P30Y lands as 10950 days. Divergence, documented: the reference
+        // collapses the result to SECONDS as a float Number; we keep a
+        // typed interval, which adds/compares against timestamps natively.
         case StrLit(iso) =>
-          val re = """P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
+          val re = """P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
           iso match {
-            case re(dd, hh, mm, ss) =>
+            case re(yy, mo, dd, hh, mm, ss) =>
+              val days = Option(yy).map(_.toLong * 365L).getOrElse(0L) +
+                Option(mo).map(_.toLong * 30L).getOrElse(0L) +
+                Option(dd).map(_.toLong).getOrElse(0L)
               val parts = Seq(
-                Option(dd).map(x => s"$x days"),
+                if (days > 0L) Some(s"$days days") else None,
                 Option(hh).map(x => s"$x hours"),
                 Option(mm).map(x => s"$x minutes"),
                 Option(ss).map(x => s"$x seconds")).flatten
-              if (parts.isEmpty)
+              if (parts.isEmpty && !iso.exists(_.isDigit))
                 throw new GqlCompileException(s"empty duration: $iso")
-              expr(s"INTERVAL '${parts.mkString(" ")}'")
+              expr(s"INTERVAL '${(if (parts.isEmpty) Seq("0 seconds")
+                else parts).mkString(" ")}'")
             case _ =>
               throw new GqlCompileException(s"unsupported ISO-8601 duration: $iso")
           }
         case other =>
           throw new GqlCompileException("DURATION expects a string literal")
       }
-      case "DATETIME" => to_timestamp(a(0))
+      case "DATETIME" => args(0) match {
+        // reference parity (temporal_functions.rs parse_iso_datetime +
+        // transactional_set_test.rs): a date-only literal is an ERROR —
+        // every accepted format carries a time component; a SET whose
+        // datetime fails must fail the whole statement, not warn
+        case StrLit(sv)
+            if !sv.contains('T') && !sv.contains(':') =>
+          throw new GqlCompileException(
+            s"Failed to evaluate datetime('$sv'): expected an ISO 8601 " +
+              "datetime with a time component")
+        case _ => to_timestamp(a(0))
+      }
       case "NOW" => current_timestamp()
       case "CURRENT_DATE" => current_date()
       case "CURRENT_TIME" => date_format(current_timestamp(), "HH:mm:ss")

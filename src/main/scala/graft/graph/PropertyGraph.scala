@@ -93,6 +93,23 @@ final class PropertyGraph(
   val broadcastByteLimit: Long = 100L << 20
   def broadcastIfSmall(label: String, df: DataFrame): DataFrame =
     broadcastIfSmallRows(nodeCount(label), df)
+
+  /** Force-broadcast a DERIVED frame whose row count the CALLER can
+    * bound (a per-entity aggregate: ≤ one row per entity) but whose
+    * plan stats still reflect the big input it derives from. Catalyst
+    * sizes an aggregate by its child, and AQE sizes the join by the
+    * PARTIAL-agg shuffle (mappers × keys — round-14 finding: gql13's
+    * dimension-keyed aggregate stayed a sort-merge join at the 100×
+    * tier because that shuffle crossed the threshold while the final
+    * aggregate was 20K rows). Row bound × schema-width model, saturated
+    * like the stats gate; over the limit defers to AQE unchanged.
+    */
+  def broadcastIfBoundedRows(rowBound: Long, df: DataFrame): DataFrame = {
+    val est =
+      try Math.multiplyExact(rowBound, estimatedRowBytes(df.schema))
+      catch { case _: ArithmeticException => Long.MaxValue }
+    if (est <= broadcastByteLimit) broadcast(df) else df
+  }
   /** Same gate for a frame spanning several labels (union scans): the
     * caller supplies the summed row estimate.
     */

@@ -77,19 +77,38 @@ object SchemaReconcile {
   private def widerDecimalIntegral(d: DecimalType, i: DataType): DataType =
     boundedDecimal(math.max(d.precision - d.scale, integralDigits(i)), d.scale)
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.SchemaReconcile")
+
   /** A decimal with `intDigits` integral digits and `scale` fractional
-    * ones — or DoubleType when that doesn't fit in MAX_PRECISION. The
-    * lossless contract forbids the two silent alternatives: clamping
-    * precision while keeping scale overflows large integral values to
-    * NULL (or an ANSI cast error) at runtime, and shrinking scale drops
-    * fractional digits. DoubleType is the same meet already used for
-    * decimal × fractional — approximate by declared type, never a
-    * runtime overflow.
+    * ones. When that exceeds MAX_PRECISION, the meet keeps ALL integral
+    * digits and shrinks the SCALE to what fits (decimal(38, 38-int)) —
+    * fractions round at cast time, but equality/ordering stay exact
+    * decimal semantics at the kept scale, which beats the previous
+    * DoubleType fallback (~15-16 significant digits AND float
+    * equality/ordering) for high-precision monetary columns. This cannot
+    * overflow: any branch whose values round up has integral capacity
+    * p-s < 38-keptScale = intDigits (its scale exceeds keptScale), so
+    * the +1 carry still fits; the branch that DEFINES intDigits has
+    * scale ≤ keptScale and casts exactly. Both reductions are
+    * approximate by declared type, never a runtime NULL/ANSI overflow —
+    * and both WARN, since the caller is silently losing fraction digits.
     */
   private def boundedDecimal(intDigits: Int, scale: Int): DataType =
     if (intDigits + scale <= DecimalType.MAX_PRECISION)
       DecimalType(intDigits + scale, scale)
-    else DoubleType
+    else if (intDigits <= DecimalType.MAX_PRECISION) {
+      val keptScale = DecimalType.MAX_PRECISION - intDigits
+      log.warn(s"approximate decimal meet: needed decimal($intDigits+" +
+        s"$scale) exceeds decimal(38) — keeping all $intDigits integral " +
+        s"digits, rounding fractions to scale $keptScale")
+      DecimalType(DecimalType.MAX_PRECISION, keptScale)
+    } else {
+      // unreachable from decimal/integral meets (intDigits ≤ 38 by
+      // construction) — kept as a safe fallback
+      log.warn("approximate decimal meet: >38 integral digits cannot " +
+        "stay decimal — falling to double (~15-16 significant digits)")
+      DoubleType
+    }
 
   /** Union `frames` by name (missing columns pad to NULL), with every
     * shared column first cast to the common supertype across ALL

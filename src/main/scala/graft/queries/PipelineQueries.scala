@@ -129,6 +129,86 @@ object PipelineQueries {
     s.read.parquet(cacheDir.toString)
   }
 
+  /** Measured mean recall@10 for the three lossy-index families — the
+    * recall-floor DRIFT alarm surface. The static floors above are
+    * measured-min constants; a datagen change could park actual recall
+    * just above a broken index and the e04/e05/e06 gates would stay
+    * green. This measures the real number so RecallDriftSpec can fail
+    * when it slides >0.15 below the recorded trailing value even while
+    * clearing the static floor. Index construction mirrors the
+    * e04/e05/e06 query bodies exactly (same k/nprobe/m/refine) — keep
+    * them in sync when tuning.
+    */
+  private[graft] def measuredRecall(s: SparkSession, d: String): Map[String, Double] = {
+    import s.implicits._
+    val exact = exactTopKCached(s, d, 10)
+    def mean(approx: DataFrame): Double = {
+      val hits = approx.join(exact.select($"qid", $"id"), Seq("qid", "id"))
+        .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select((coalesce($"n_hit", lit(0L)) / $"n_exact").as("r"))
+        .agg(avg($"r")).head.getDouble(0)
+    }
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter($"vec_id" < 5)
+    val ivf = new Similarity.IvfIndex(k = 16, nprobe = IvfNprobe)
+      .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
+    val pqc = new Similarity.PqCodec(64, m = 8).train(emb, "vec_id", "embedding")
+    val encPq = emb.select($"vec_id".as("id"),
+      pqc.encode($"embedding").as("codes")).localCheckpoint(true)
+    val pq = pqc.adcTopK(encPq, qs, "vec_id", "embedding", 10)
+    val idx = new Similarity.IvfPqrIndex(64, k = 16, nprobe = PqrNprobe,
+      m1 = 8, m2 = 8, refineFactor = 8).train(emb, "vec_id", "embedding")
+    val encR = idx.encode(emb, "vec_id", "embedding").localCheckpoint(true)
+    val pqr = idx.annTopK(encR, qs, "vec_id", "embedding", 10)
+    Map("e04_ivf" -> mean(ivf), "e05_pq" -> mean(pq), "e06_pqr" -> mean(pqr))
+  }
+
+  /** Shared e03/e07 surface: the salted embedding corpus → LSH candidate
+    * pairs → reranked cosine pairs `(id_a, id_b, cos)`.
+    *
+    * Bits per band ADAPT to corpus size
+    * ([[Similarity.adaptivePairBits]]): a fixed 256-bucket band space
+    * made within-bucket pair enumeration quadratic in corpus size — the
+    * round-14 30×-probe measured 7× time for 3× data on e07. Scaling the
+    * band space with n caps expected bucket occupancy at ~16, so
+    * candidate pairs stay ~bands·8·n (linear), the same capacity-follows-
+    * corpus design d14's Bloom sidecar uses. Below 65K vectors the rule
+    * returns the historical 8 bits, so sf0.01/sf0.1 results are
+    * bit-identical to previous rounds; the DuckDB oracle computes the
+    * SAME rule from the same corpus count (integer range-probe, no float
+    * log edge cases).
+    */
+  private val PairLshBands = 4
+  private val PairLshMaxBits = 24
+  // corpus-count memo keyed on the dataset dir (immutable within a run):
+  // the adaptive-bits rule needs |corpus| once, not a count job per bench
+  // pass — same cost-line discipline as exactTopKCached
+  private val pairCorpusCount =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def embedPairGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.embeddings(s, d)
+    val emb = base.unionByName(base.filter($"vec_id" < 50)
+      .withColumn("vec_id", $"vec_id" + 10000))
+    val bits = Similarity.adaptivePairBits(
+      pairCorpusCount.getOrElseUpdate(d, emb.count()))
+    val lsh = new Similarity.RandomHyperplaneLsh(
+      64, bits * PairLshBands, PairLshBands)
+    val cb = lsh.buckets(emb, "vec_id", "embedding")
+    val cand = cb.join(
+        cb.select($"band", $"bucket", $"id".as("id_b")), Seq("band", "bucket"))
+      .filter($"id" < $"id_b")
+      .select($"id".as("id_a"), $"id_b").distinct()
+    val v = emb.select($"vec_id", $"embedding")
+    cand
+      .join(v.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
+      .join(v.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
+      .select($"id_a", $"id_b",
+        round(graft.functions.VectorFunctions.cosine(s, $"va", $"vb"), 6).as("cos"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: hash group-by on normalized fingerprint
     "d01_exact_dedup" -> ((s: SparkSession, d: String) => {
@@ -446,24 +526,7 @@ object PipelineQueries {
     // corpus salted with duplicate vectors so the check has signal)
     "e03_embed_neardup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val base = Tables.embeddings(s, d)
-      val emb = base.unionByName(base.filter($"vec_id" < 50)
-        .withColumn("vec_id", $"vec_id" + 10000))
-      // 8 bits per band: ~256 buckets/band keeps candidate pairs ~n²/256
-      // instead of n²/16 — the candidate-pair rerank (codegen'd
-      // CosineSimilarity) is the hot path, so bound its input
-      val lsh = new Similarity.RandomHyperplaneLsh(64, 32, 4)
-      val cb = lsh.buckets(emb, "vec_id", "embedding")
-      val pairs = cb.join(
-          cb.select($"band", $"bucket", $"id".as("id_b")), Seq("band", "bucket"))
-        .filter($"id" < $"id_b")
-        .select($"id".as("id_a"), $"id_b").distinct()
-      val v = emb.select($"vec_id", $"embedding")
-      pairs
-        .join(v.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
-        .join(v.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
-        .select($"id_a", $"id_b",
-          round(graft.functions.VectorFunctions.cosine(s, $"va", $"vb"), 6).as("cos"))
+      embedPairGraph(s, d)
         .filter($"cos" >= 0.95)
         .orderBy($"id_a", $"id_b")
     }),
@@ -471,25 +534,15 @@ object PipelineQueries {
     // ---- SemDeDup-style semantic dedup: near-dup clusters over the
     // embedding cosine pair graph (e03's deterministic LSH candidates),
     // keep one representative (min id) per cluster plus every singleton.
-    // The pair graph is linear in corpus size by banding; components via
-    // the same distributed machinery as d11.
+    // The pair graph is linear in corpus size by ADAPTIVE banding (see
+    // embedPairGraph); components via the same machinery as d11.
     "e07_semantic_dedup" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       val base = Tables.embeddings(s, d)
       val emb = base.unionByName(base.filter($"vec_id" < 50)
         .withColumn("vec_id", $"vec_id" + 10000))
-      val lsh = new Similarity.RandomHyperplaneLsh(64, 32, 4)
-      val cb = lsh.buckets(emb, "vec_id", "embedding")
-      val cand = cb.join(
-          cb.select($"band", $"bucket", $"id".as("id_b")), Seq("band", "bucket"))
-        .filter($"id" < $"id_b")
-        .select($"id".as("id_a"), $"id_b").distinct()
-      val v = emb.select($"vec_id", $"embedding")
-      val pairs = cand
-        .join(v.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
-        .join(v.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
-        .filter(round(
-          graft.functions.VectorFunctions.cosine(s, $"va", $"vb"), 6) >= 0.95)
+      val pairs = embedPairGraph(s, d)
+        .filter($"cos" >= 0.95)
         .select($"id_a", $"id_b")
       val dropped = Dedup.dupClusters(pairs, "id_a", "id_b")
         .filter(!$"is_canonical").select($"doc_id".as("vec_id"))
@@ -799,8 +852,8 @@ object PipelineQueries {
     * `list_dot_product` on DOUBLE[] matches the codegen'd sequential
     * double accumulation bit-for-bit (proved by e01).
     */
-  private def lshSigSql(vcol: String): String = {
-    val lsh = new Similarity.RandomHyperplaneLsh(64, 32, 4)
+  private def lshSigSql(vcol: String, numPlanes: Int = 32): String = {
+    val lsh = new Similarity.RandomHyperplaneLsh(64, numPlanes, PairLshBands)
     lsh.planeRows.map { p =>
       val planeLit = p.map(x => if (x < 0) "-1.0" else "1.0")
         .mkString("[", ",", "]")
@@ -836,16 +889,26 @@ object PipelineQueries {
 
   /** Shared CTE chain for the salted embedding corpus -> LSH candidate
     * pairs -> reranked cosine pairs (e03 and e07 both build on `s`).
+    * Mirrors [[embedPairGraph]] exactly, including the ADAPTIVE bits-per-
+    * band rule (nb CTE: smallest b in [8,24] with 2^b·16 >= count(*),
+    * same integer range-probe as Similarity.adaptivePairBits); the
+    * signature interpolates all 96 planes and each band slices its own
+    * `bits` prefix — plane generation is prefix-stable, so band i's
+    * bits match the Spark side's shorter signature bit-for-bit.
     */
   private def embedPairCtes: String =
     s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |e AS (SELECT vec_id, v FROM base
        |  UNION ALL
        |  SELECT vec_id + 10000, v FROM base WHERE vec_id < 50),
-       |sg AS (SELECT vec_id, v, ${lshSigSql("v")} AS sig FROM e),
+       |sg AS (SELECT vec_id, v, ${lshSigSql("v", PairLshMaxBits * PairLshBands)} AS sig FROM e),
+       |nb AS (SELECT coalesce(min(r.b), $PairLshMaxBits) AS bits
+       |  FROM range(8, ${PairLshMaxBits + 1}) r(b),
+       |       (SELECT count(*) AS n FROM e) c
+       |  WHERE (CAST(1 AS BIGINT) << r.b) * 16 >= c.n),
        |bk AS (SELECT vec_id, b.band AS band,
-       |  CAST(to_json(list_slice(sig, b.band * 8 + 1, b.band * 8 + 8)) AS VARCHAR) AS bucket
-       | FROM sg CROSS JOIN range(4) AS b(band)),
+       |  CAST(to_json(list_slice(sig, b.band * nb.bits + 1, b.band * nb.bits + nb.bits)) AS VARCHAR) AS bucket
+       | FROM sg CROSS JOIN nb CROSS JOIN range($PairLshBands) AS b(band)),
        |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
        |  FROM bk l JOIN bk r
        |    ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id),

@@ -594,6 +594,23 @@ object Similarity {
     * same buckets on every engine/run). Signature bit p = sign(v · plane_p);
     * `bands` groups of `rowsPerBand` bits form bucket keys.
     */
+  /** Bits per band for the all-pairs LSH uses (e03/e07 pair graphs):
+    * smallest b in [8, 24] with 2^b buckets holding the corpus at ~16
+    * rows per bucket. A FIXED bucket space makes within-bucket pair
+    * enumeration quadratic in corpus size (the round-14 30×-probe
+    * finding: 7× time for 3× data); scaling buckets with n caps the
+    * expected bucket occupancy, so candidate pairs stay ~bands·8·n —
+    * linear. Integer arithmetic only (mirrored verbatim in the DuckDB
+    * oracle via a range() probe — no float log2 edge cases). Below 65K
+    * vectors this returns 8, bit-identical to the historical layout.
+    * Recall tradeoff: match probability per band is p^bits (p ≈ 0.9 at
+    * cos 0.95), so deeper corpora trade borderline-pair recall for
+    * linearity — near-exact duplicates (p ≥ 0.98, the SemDeDup regime)
+    * stay ≥0.99 recall at 4 bands through b=24.
+    */
+  def adaptivePairBits(n: Long): Int =
+    (8 to 24).find(b => (1L << b) * 16L >= n).getOrElse(24)
+
   final class RandomHyperplaneLsh(dim: Int, numPlanes: Int, bands: Int) {
     require(numPlanes % bands == 0, "numPlanes must divide into bands")
     val rowsPerBand: Int = numPlanes / bands

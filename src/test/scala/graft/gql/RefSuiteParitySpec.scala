@@ -418,6 +418,167 @@ class RefSuiteParitySpec extends AnyFunSuite {
       e.getMessage.contains("list_graphs"))
   }
 
+  // ---- match_set_transactional_test.rs:127-172 +
+  // transactional_set_test.rs:10-54: a SET whose property expression
+  // fails (date-only datetime — parse_iso_datetime requires a time
+  // component) must fail the WHOLE statement and change nothing ----
+
+  test("SET fails atomically when one property expression fails") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/txn_set_fail")
+    t.execute("SESSION SET GRAPH /main/txn_set_fail")
+    t.execute("INSERT (:Person {name: 'Charlie', age: 28, city: 'SF'})")
+    val e = intercept[Exception] {
+      t.execute("MATCH (p:Person {name: 'Charlie'}) SET p.age = 29, " +
+        "p.city = 'Seattle', p.birthday = datetime('1995-03-20')")
+    }
+    assert(e.getMessage.contains("datetime"),
+      s"error should mention the datetime failure: ${e.getMessage}")
+    val after = t.gql("MATCH (p:Person {name: 'Charlie'}) " +
+      "RETURN p.age AS age, p.city AS city").collect().head
+    assert(after.getLong(0) == 28L && after.getString(1) == "SF",
+      "no property may change when one evaluation fails")
+  }
+
+  // ---- transactional_set_test.rs:56-101 ----
+
+  test("SET with function expressions succeeds when all are valid") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/txn_set_ok")
+    t.execute("SESSION SET GRAPH /main/txn_set_ok")
+    t.execute("INSERT (:Person {name: 'Bob', age: 25})")
+    t.execute("MATCH (p:Person {name: 'Bob'}) SET p.age = 26, " +
+      "p.city = upper('seattle'), " +
+      "p.birthday = datetime('1992-05-15T00:00:00Z')")
+    val row = t.gql("MATCH (p:Person {name: 'Bob'}) RETURN p.age AS age, " +
+      "p.city AS city, p.birthday AS birthday").collect().head
+    assert(row.getLong(0) == 26L && row.getString(1) == "SEATTLE")
+    assert(!row.isNullAt(2), "birthday must be set")
+  }
+
+  // ---- function_expression_insert_test.rs:24-51 (duration in node
+  // INSERT; divergence: the reference collapses durations to seconds as
+  // a float Number — we store a typed day-time interval, same instant
+  // arithmetic, documented in COVERAGE.md) ----
+
+  test("duration() evaluates inside a node INSERT and queries back") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/duration_node")
+    t.execute("SESSION SET GRAPH /main/duration_node")
+    t.execute("INSERT (:Example {age: duration('P30Y')})")
+    val rows = t.gql("MATCH (e:Example) RETURN e.age AS age").collect()
+    assert(rows.length == 1)
+    assert(!rows.head.isNullAt(0), "duration must not be null")
+    // reference approximation: 1 year = 365 days (parse_iso_duration)
+    assert(rows.head.getAs[java.time.Duration](0) ==
+      java.time.Duration.ofDays(30L * 365L))
+  }
+
+  // ---- function_expression_insert_test.rs:53-104 ----
+
+  test("duration() evaluates inside a MATCH…INSERT edge") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/duration_edge")
+    t.execute("SESSION SET GRAPH /main/duration_edge")
+    t.execute("INSERT (:Person {name: 'Alice'})")
+    t.execute("INSERT (:Person {name: 'Bob'})")
+    t.execute("MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) " +
+      "INSERT (a)-[:KNOWS {duration: duration('P5Y'), since: 2020}]->(b)")
+    val row = t.gql("MATCH (a:Person {name: 'Alice'})-[r:KNOWS]->" +
+      "(b:Person {name: 'Bob'}) " +
+      "RETURN r.duration AS duration, r.since AS since").collect().head
+    assert(row.getAs[java.time.Duration](0) ==
+      java.time.Duration.ofDays(5L * 365L))
+    assert(row.getLong(1) == 2020L)
+  }
+
+  // ---- function_expression_insert_test.rs:106-157 ----
+
+  test("string and math functions evaluate inside node INSERTs") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/multi_fn_node")
+    t.execute("SESSION SET GRAPH /main/multi_fn_node")
+    t.execute("INSERT (:StringTest {value: upper('hello')})")
+    t.execute("INSERT (:StringTest {value: lower('WORLD')})")
+    t.execute("INSERT (:MathTest {value: abs(-42.5)})")
+    t.execute("INSERT (:MathTest {value: floor(42.7)})")
+    t.execute("INSERT (:MathTest {value: ceil(4.3)})")
+    t.execute("INSERT (:MathTest {value: round(3.14159)})")
+    assert(t.gql("MATCH (s:StringTest {value: 'HELLO'}) " +
+      "RETURN s.value AS value").collect().length == 1)
+    assert(t.gql("MATCH (s:StringTest {value: 'world'}) " +
+      "RETURN s.value AS value").collect().length == 1)
+    val maths = t.gql("MATCH (m:MathTest) RETURN m.value AS v ORDER BY v")
+      .collect().map(_.getDouble(0))
+    // round(3.14159)=3, ceil(4.3)=5, floor(42.7)=42, abs(-42.5)=42.5
+    assert(maths.toSeq == Seq(3.0, 5.0, 42.0, 42.5))
+  }
+
+  // ---- function_expression_insert_test.rs:159-238 ----
+
+  test("multiple function types evaluate inside a MATCH…INSERT edge") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/multi_fn_edge")
+    t.execute("SESSION SET GRAPH /main/multi_fn_edge")
+    t.execute("INSERT (:User {id: 1, name: 'Alice'})")
+    t.execute("INSERT (:User {id: 2, name: 'Bob'})")
+    t.execute("MATCH (a:User {id: 1}), (b:User {id: 2}) " +
+      "INSERT (a)-[:SENT_MESSAGE {" +
+      "subject: upper('hello'), " +
+      "preview: substring('This is a preview of the message', 0, 10), " +
+      "priority: abs(-5), " +
+      "sent_at: duration('P0DT1H30M'), " +
+      "word_count: round(123.7)}]->(b)")
+    val row = t.gql("MATCH (a:User {id: 1})-[r:SENT_MESSAGE]->(b:User {id: 2}) " +
+      "RETURN r.subject AS subject, r.preview AS preview, " +
+      "r.priority AS priority, r.sent_at AS sent_at, " +
+      "r.word_count AS word_count").collect().head
+    assert(row.getString(0) == "HELLO")
+    assert(row.getString(1) == "This is a ")
+    assert(row.getLong(2) == 5L)
+    assert(row.getAs[java.time.Duration](3) ==
+      java.time.Duration.ofMinutes(90L))
+    assert(row.getDouble(4) == 124.0)
+  }
+
+  // ---- function_expression_insert_test.rs:240-285 ----
+
+  test("nested function calls evaluate inside INSERT") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/nested_fn")
+    t.execute("SESSION SET GRAPH /main/nested_fn")
+    t.execute("INSERT (:Data {value: round(abs(-42.7)), " +
+      "text: upper(lower('MiXeD CaSe'))})")
+    val row = t.gql("MATCH (d:Data) RETURN d.value AS value, d.text AS text")
+      .collect().head
+    assert(row.getDouble(0) == 43.0)
+    assert(row.getString(1) == "MIXED CASE")
+  }
+
+  // ---- function_expression_insert_test.rs:287-340 ----
+
+  test("comprehensive function coverage across INSERT statements") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/comprehensive_fn")
+    t.execute("SESSION SET GRAPH /main/comprehensive_fn")
+    t.execute("INSERT (:Test {str1: upper('test'), str2: lower('TEST')})")
+    t.execute("INSERT (:Test {math1: abs(-100), math2: floor(99.9), " +
+      "math3: ceil(0.1)})")
+    t.execute("INSERT (:Test {temp1: duration('P1Y')})")
+    val s = t.gql("MATCH (x:Test) WHERE x.str1 IS NOT NULL " +
+      "RETURN x.str1 AS u, x.str2 AS l").collect()
+    assert(s.length == 1)
+    assert(s.head.getString(0) == "TEST" && s.head.getString(1) == "test")
+    val m = t.gql("MATCH (x:Test) WHERE x.math1 IS NOT NULL " +
+      "RETURN x.math1 AS a, x.math2 AS f, x.math3 AS c").collect()
+    assert(m.length == 1)
+    assert(m.head.getLong(0) == 100L && m.head.getLong(1) == 99L &&
+      m.head.getLong(2) == 1L)
+    val d = t.gql("MATCH (x:Test) WHERE x.temp1 IS NOT NULL " +
+      "RETURN x.temp1 AS t1").collect()
+    assert(d.length == 1 && !d.head.isNullAt(0))
+  }
+
   // ---- string node ids (storage/types.rs:68-72: ids are Strings; the
   // GraphIndexScan procedures are id-type-agnostic, physical.rs:42-67).
   // Round 13 made string ids idiomatic at INSERT; these pin the

@@ -48,12 +48,16 @@ class SchemaReconcileSpec extends AnyFunSuite {
 
   test("decimal widening never truncates integral capacity") {
     // long + high-scale decimal can't fit losslessly in decimal(38,_):
-    // the meet must fall to double, not clamp precision while keeping
-    // scale (which would overflow large longs to NULL at runtime)
+    // the meet keeps ALL integral digits and shrinks the SCALE to fit
+    // (r14 — previously fell to double, which also changed equality/
+    // ordering semantics for exact monetary values). Never clamps
+    // precision while keeping scale, which would overflow large longs
+    // to NULL at runtime; the round-trip test below proves the shrink
+    // cannot overflow either.
     assert(SchemaReconcile.widerType(LongType, DecimalType(38, 20))
-      .contains(DoubleType))
+      .contains(DecimalType(38, 18)))
     assert(SchemaReconcile.widerType(DecimalType(38, 20), DecimalType(20, 0))
-      .contains(DoubleType))
+      .contains(DecimalType(38, 18)))
     // integral meets must keep ALL integral digits of the wider side
     assert(SchemaReconcile.widerType(DecimalType(30, 0), LongType)
       .contains(DecimalType(30, 0)))

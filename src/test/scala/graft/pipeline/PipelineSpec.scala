@@ -970,4 +970,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors.count() == 100L)
     assert(survivors.filter($"vec_id" >= 1000).isEmpty)
   }
+
+  test("adaptive pair-LSH bits: 8 below 65K, then buckets track corpus") {
+    // the r14 30×-probe finding: fixed 256-bucket bands made e03/e07
+    // pair enumeration quadratic. The rule caps expected occupancy ~16.
+    assert(Similarity.adaptivePairBits(1L) == 8)
+    assert(Similarity.adaptivePairBits(2250L) == 8)    // sf0.1 corpus
+    assert(Similarity.adaptivePairBits((1L << 8) * 16L) == 8)  // 4096
+    assert(Similarity.adaptivePairBits(65536L) == 12)  // first step past 8
+    assert(Similarity.adaptivePairBits(66050L) == 13)  // 30× tier
+    assert(Similarity.adaptivePairBits(220050L) == 14) // 100× tier
+    assert(Similarity.adaptivePairBits(Long.MaxValue) == 24) // clamp
+    // prefix stability: a 96-plane signature's first 32 planes ARE the
+    // historical 32-plane layout — band slices stay bit-identical when
+    // bits grow (the oracle SQL interpolates the 96-plane matrix and
+    // slices per-band)
+    val small = new Similarity.RandomHyperplaneLsh(64, 32, 4).planeRows
+    val big = new Similarity.RandomHyperplaneLsh(64, 96, 4).planeRows
+    assert(big.take(32) == small)
+  }
 }
