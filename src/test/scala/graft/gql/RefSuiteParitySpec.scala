@@ -579,6 +579,20 @@ class RefSuiteParitySpec extends AnyFunSuite {
     assert(d.length == 1 && !d.head.isNullAt(0))
   }
 
+  // ---- list_graphs_bug_test_simple.rs ----
+
+  test("gql.list_graphs returns non-NULL schema and graph names") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/listable_graph")
+    val rows = t.execute("CALL gql.list_graphs()").collect()
+    assert(rows.nonEmpty, "should have at least one graph")
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && r.getString(0).nonEmpty, "schema_name non-NULL")
+      assert(!r.isNullAt(1) && r.getString(1).nonEmpty, "graph_name non-NULL")
+    }
+    assert(rows.exists(r => r.getString(1) == "listable_graph"))
+  }
+
   // ---- string node ids (storage/types.rs:68-72: ids are Strings; the
   // GraphIndexScan procedures are id-type-agnostic, physical.rs:42-67).
   // Round 13 made string ids idiomatic at INSERT; these pin the
