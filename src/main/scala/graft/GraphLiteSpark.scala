@@ -971,7 +971,10 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                 "mutates a single variable (use a WITH pipeline for several)"))
         if (labelAdds.nonEmpty && isEdge)
           throw new GqlCompileException("SET v:Label applies to nodes only")
-        val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
+        val pred = dmlPred(pattern, where, v, isEdge,
+          (if (isEdge) graph.edgeTables.get(label).map(_._2.columns)
+           else graph.nodeTables.get(label).map(_.columns))
+            .map(_.toSet).getOrElse(Set.empty[String]))
         val assigns = assignments.map { case (Prop(_, p), e) =>
           p -> rawColumn(e, v) }.toMap
         // a pattern over a missing label matches nothing — 0 affected,
@@ -1016,7 +1019,10 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
               s"REMOVE targets mix variables $v and $other — the simple form " +
                 "mutates a single variable (use a WITH pipeline for several)"))
         if (isEdge) throw new GqlCompileException("REMOVE on edges: use SET to null")
-        val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
+        val pred = dmlPred(pattern, where, v, isEdge,
+          (if (isEdge) graph.edgeTables.get(label).map(_._2.columns)
+           else graph.nodeTables.get(label).map(_.columns))
+            .map(_.toSet).getOrElse(Set.empty[String]))
         if (!graph.nodeTables.contains(label))
           return Seq(0L).toDF("properties_removed")
         val affected = graph.nodeScan(label, Some(pred)).count()
@@ -1050,7 +1056,10 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       case MatchDeleteStmt(pattern, where, target, detach) =>
         requirePerm("DELETE")
         val (label, isEdge, v) = dmlTarget(pattern, target)
-        val pred = where.map(rawColumn(_, v)).getOrElse(lit(true))
+        val pred = dmlPred(pattern, where, v, isEdge,
+          (if (isEdge) graph.edgeTables.get(label).map(_._2.columns)
+           else graph.nodeTables.get(label).map(_.columns))
+            .map(_.toSet).getOrElse(Set.empty[String]))
         if (isEdge && !graph.edgeTables.contains(label)) {
           Seq(0L).toDF("edges_deleted")
         } else if (!isEdge && !graph.nodeTables.contains(label)) {
@@ -1739,6 +1748,29 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       case _ => throw new GqlCompileException(
         s"DML target $v must be the pattern's single node or edge variable")
     }
+  }
+
+  /** Simple-DML row predicate: the WHERE clause AND the target pattern's
+    * inline property equalities. `MATCH (u:U {id: 2}) SET u.s = 99` must
+    * constrain to id = 2 — the round-14 string-id sweep found the simple
+    * SET/REMOVE/DELETE paths silently DROPPING inline props (only WHERE
+    * was compiled), so such a statement mutated every row of the label;
+    * the reference matches inline props in DML everywhere
+    * (match_delete.rs `{name: 'X'}` idioms). A property the table
+    * doesn't have compares as NULL → matches nothing (the same
+    * missing-property semantics the MATCH compiler uses).
+    */
+  private def dmlPred(pattern: Ast.PathPattern, where: Option[Ast.Expr],
+      v: String, isEdge: Boolean,
+      tableCols: Set[String]): org.apache.spark.sql.Column = {
+    val inlineProps =
+      if (isEdge) pattern.hops.headOption.map(_._1.props).getOrElse(Seq.empty)
+      else pattern.start.props
+    val inline = inlineProps.map { case (k, e) =>
+      (if (tableCols(k)) col(k) else lit(null)) === rawColumn(e, v)
+    }
+    (inline ++ where.map(rawColumn(_, v)))
+      .reduceOption(_ && _).getOrElse(lit(true))
   }
 
   /** Compile a DML expression against the raw (unprefixed) table columns

@@ -1,0 +1,90 @@
+package graft.gql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Inline-property predicates on the simple DML paths, pinned on
+  * MULTI-ROW graphs. The reference's own DML tests use inline props
+  * everywhere (`MATCH (p:Person {name: 'X'}) SET/DELETE …`,
+  * match_set_transactional_test.rs:145,193, readme_examples_test.rs:459)
+  * but always against single-row fixtures — which is exactly how a
+  * dropped predicate stays invisible (round-14 finding: the simple
+  * SET/REMOVE/DELETE paths compiled WHERE only and mutated every row of
+  * the label). Every case here puts SIBLING rows next to the target so
+  * an over-broad mutation fails loudly.
+  */
+class DmlPredicateSpec extends AnyFunSuite {
+
+  private def fresh(tag: String) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-dmlpred-$tag").toString
+    val t = graft.GraphLiteSpark.open(SparkFixture.spark, wh).session("u")
+    t.execute(s"CREATE GRAPH /main/$tag")
+    t.execute(s"SESSION SET GRAPH /main/$tag")
+    t.execute("INSERT (:P {id: 1, name: 'a', s: 10})," +
+      " (:P {id: 2, name: 'b', s: 20}), (:P {id: 3, name: 'b', s: 30})")
+    t
+  }
+
+  test("inline-prop SET touches only matching rows") {
+    val t = fresh("set_inline")
+    t.execute("MATCH (p:P {name: 'b'}) SET p.s = 99")
+    val got = t.gql("MATCH (p:P) RETURN p.id AS i, p.s AS s ORDER BY i")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 99L), (3L, 99L)))
+  }
+
+  test("inline props AND WHERE combine conjunctively") {
+    val t = fresh("set_both")
+    t.execute("MATCH (p:P {name: 'b'}) WHERE p.s > 25 SET p.s = 99")
+    val got = t.gql("MATCH (p:P) RETURN p.id AS i, p.s AS s ORDER BY i")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 99L)))
+  }
+
+  test("inline-prop REMOVE nulls only matching rows") {
+    val t = fresh("remove_inline")
+    t.execute("MATCH (p:P {id: 2}) REMOVE p.s")
+    val got = t.gql("MATCH (p:P) RETURN p.id AS i, p.s AS s ORDER BY i")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, -1L), (3L, 30L)))
+  }
+
+  test("inline-prop DELETE removes only matching rows") {
+    val t = fresh("delete_inline")
+    t.execute("MATCH (p:P {name: 'b'}) DELETE p")
+    assert(t.gql("MATCH (p:P) RETURN p.id AS i").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("inline-prop SET :Label adds the label to matching rows only") {
+    val t = fresh("label_inline")
+    t.execute("MATCH (p:P {id: 3}) SET p:Vip")
+    assert(t.gql("MATCH (v:Vip) RETURN v.id AS i").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    assert(t.gql("MATCH (p:P) RETURN count(p) AS n").collect()
+      .head.getLong(0) == 3L)
+  }
+
+  test("a pattern prop the table lacks matches nothing (no error)") {
+    val t = fresh("missing_prop")
+    t.execute("MATCH (p:P {nosuch: 1}) SET p.s = 99")
+    val got = t.gql("MATCH (p:P) RETURN p.s AS s ORDER BY s").collect()
+      .map(_.getLong(0))
+    assert(got.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("edge DML with endpoint inline props routes through the pipeline") {
+    val t = fresh("edge_inline")
+    t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R {w: 1}]->(b)")
+    t.execute("MATCH (a:P {id: 2}), (b:P {id: 3}) INSERT (a)-[:R {w: 2}]->(b)")
+    // endpoint constraint must limit the edge SET to the matching hop
+    t.execute("MATCH (a:P {id: 1})-[r:R]->(b:P) SET r.w = 99")
+    val ws = t.gql("MATCH (:P)-[r:R]->(:P) RETURN r.w AS w ORDER BY w")
+      .collect().map(_.getLong(0))
+    assert(ws.toSeq == Seq(2L, 99L))
+    // inline prop on the EDGE pattern itself
+    t.execute("MATCH (:P)-[r:R {w: 2}]->(:P) DELETE r")
+    assert(t.gql("MATCH (:P)-[r:R]->(:P) RETURN count(r) AS n")
+      .collect().head.getLong(0) == 1L)
+  }
+}

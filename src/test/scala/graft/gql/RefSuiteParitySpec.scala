@@ -641,6 +641,32 @@ class RefSuiteParitySpec extends AnyFunSuite {
       "x9" -> "x9"))
   }
 
+  test("DML (SET/REMOVE/DETACH DELETE) works on string-id graphs") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/string_id_dml")
+    t.execute("SESSION SET GRAPH /main/string_id_dml")
+    t.execute("INSERT (a:User {id: 'u1', score: 10})," +
+      " (b:User {id: 'u2', score: 20}), (c:User {id: 'u3', score: 30})," +
+      " (a)-[:FOLLOWS]->(b), (b)-[:FOLLOWS]->(c)")
+    t.execute("MATCH (u:User {id: 'u2'}) SET u.score = 99")
+    val scores = t.gql("MATCH (u:User) RETURN u.id AS id, u.score AS s " +
+      "ORDER BY id").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(scores.toSeq == Seq("u1" -> 10L, "u2" -> 99L, "u3" -> 30L))
+    t.execute("MATCH (u:User {id: 'u1'}) REMOVE u.score")
+    assert(t.gql("MATCH (u:User {id: 'u1'}) RETURN u.score AS s")
+      .collect().head.isNullAt(0))
+    // DETACH DELETE takes the incident string-keyed edges with it
+    t.execute("MATCH (u:User {id: 'u2'}) DETACH DELETE u")
+    assert(t.gql("MATCH (u:User) RETURN count(u) AS n")
+      .collect().head.getLong(0) == 2L)
+    assert(t.gql("MATCH (:User)-[f:FOLLOWS]->(:User) RETURN count(f) AS n")
+      .collect().head.getLong(0) == 0L)
+    // non-DETACH delete of a node with no incident edges succeeds
+    t.execute("MATCH (u:User {id: 'u3'}) DELETE u")
+    assert(t.gql("MATCH (u:User) RETURN u.id AS id").collect()
+      .map(_.getString(0)).toSeq == Seq("u1"))
+  }
+
   test("mixing Long and string ids widens the label and its edges") {
     val t = freshSession()
     t.execute("CREATE GRAPH /main/mixed_id_graph")

@@ -98,6 +98,27 @@ class StringIdGraphSpec extends AnyFunSuite {
     (0 until 10).foreach { i => assert(sp9(s"u$i") == (9L - i)) }
   }
 
+  test("paths and bfs directions are id-type-agnostic") {
+    import spark.implicits._
+    // paths() needs edge identities (eid) for TRAIL bookkeeping
+    val nodes = ((0 until 10).map(i => s"u$i") ++ Seq("x0", "x1")).toDF("id")
+    val edges = (0 until 9).map(i => (s"u$i", s"u${i + 1}", i.toLong))
+      .toDF("src", "dst", "eid")
+    val g = new PropertyGraph(Map("n" -> nodes),
+      Map("E" -> (EdgeType("E", "n", "n"), edges)))
+    // var-length path enumeration: path arrays carry the string ids
+    val p = g.paths(Seq("u0").toDF("start_id"), "E", 1, 3)
+      .orderBy(col("depth"), col("end_id")).collect()
+    assert(p.map(r => (r.getString(1), r.getInt(2))).toSeq ==
+      Seq(("u1", 1), ("u2", 2), ("u3", 3)))
+    assert(p.last.getSeq[String](3) == Seq("u0", "u1", "u2", "u3"))
+    // reverse BFS reaches u0 from u3 over In direction
+    val in = g.bfs(Seq("u3").toDF("root_id"), "E", 5,
+        direction = Direction.In)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(in("u0") == 3L)
+  }
+
   test("surrogate keying preserves identities past Double's 2^53 range") {
     import spark.implicits._
     // two ids whose Long values collide when compared as Doubles — the
