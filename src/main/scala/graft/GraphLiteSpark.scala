@@ -940,22 +940,66 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         Seq(total).toDF("edges_inserted")
 
       case MatchSetStmt(pattern, where, assignments, labelAdds)
-          if labelAdds.isEmpty && assignments.exists(a =>
-            pattern.hops.exists(_._1.variable.contains(a._1.variable))) =>
-        // SET touching an edge variable routes through the compiled
-        // pipeline: the hop machinery enforces the pattern's full
-        // semantics — (orientation, endpoint-label) combos, row-level
-        // endpoint constraints, inline props — and the pipeline DML
-        // partitions by the per-row matched type and applies each
-        // variable's group (node or edge) itself. ANY matching
-        // assignment routes the whole statement, so item order cannot
-        // change semantics.
+          if labelAdds.nonEmpty && labelAdds.forall(la =>
+            pattern.hops.exists(_._1.variable.contains(la._1))) &&
+            assignments.forall(a =>
+              pattern.hops.exists(_._1.variable.contains(a._1.variable))) =>
+        // reference parity (match_set.rs:835-846): SetItem::Label only
+        // ever labels NODES — `SET t:Label` on an edge variable is a
+        // SILENT no-op there (the statement succeeds; co-listed property
+        // items still apply — dml_tests.rs:527-535 bulk edge SET relies
+        // on this). We log the drop instead of silently ignoring, then
+        // route the surviving property items through the pipeline.
+        org.slf4j.LoggerFactory.getLogger("graft.GraphLiteSpark").warn(
+          s"SET ${labelAdds.map(la => la._1 + ":" + la._2).mkString(", ")}: " +
+            "labels apply to nodes only — ignored on edge variable(s) " +
+            "(reference parity: silent no-op)")
+        if (assignments.isEmpty) Seq(0L).toDF("properties_set")
+        else dispatchStmt(MatchSetStmt(pattern, where, assignments, Seq.empty))
+
+      case MatchSetStmt(pattern, where, assignments, labelAdds)
+          if pattern.hops.nonEmpty =>
+        // ANY hop pattern routes through the compiled pipeline: the hop
+        // machinery enforces the pattern's full semantics —
+        // (orientation, endpoint-label) combos, row-level endpoint
+        // constraints, inline props — and the pipeline DML partitions by
+        // the per-row matched type and applies each variable's group
+        // (node or edge) itself. This includes NODE targets
+        // (`MATCH (a)-[t]->(m) SET a.flag = true` — round-14: the simple
+        // path rejected these while the reference's executor iterates
+        // matches for any variable). Node label items capture their
+        // matched ids PRE-mutation (same reason as the simple path).
+        requirePerm("UPDATE")
         val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
           Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
           Seq.empty, None, Seq.empty, None, None)
-        dispatchStmt(PipelineMutationStmt(Ast.Query(Seq(seg)), "SET",
-          assignments.head._1.variable, assignments, Seq.empty,
-          detach = false))
+        val capturedLabels: Seq[(String, String, DataFrame)] =
+          if (labelAdds.isEmpty) Seq.empty
+          else {
+            val comp = new Compiler(graph, sessionParams, f64Mode)
+            val (bdf, bindings) =
+              comp.compileMutationPipeline(Ast.Query(Seq(seg)), Seq.empty)
+            labelAdds.map { case (v, newLabel) =>
+              bindings.get(v) match {
+                case Some(nb: comp.NodeBinding) =>
+                  (nb.primary,
+                    newLabel,
+                    bdf.select(col(s"${v}_id").as("id")).distinct()
+                      .localCheckpoint(true))
+                case _ => throw new GqlCompileException(
+                  s"SET $v:$newLabel applies to nodes only")
+              }
+            }
+          }
+        val affected =
+          if (assignments.isEmpty) capturedLabels.map(_._3.count()).sum
+          else dispatchStmt(PipelineMutationStmt(Ast.Query(Seq(seg)), "SET",
+            assignments.head._1.variable, assignments, Seq.empty,
+            detach = false)).collect().head.getLong(0)
+        capturedLabels.foreach { case (lbl, newLabel, ids) =>
+          currentGraph = Some(graph2.addNodeLabel(graph, lbl, ids, newLabel))
+        }
+        Seq(affected).toDF("properties_set")
 
       case MatchSetStmt(pattern, where, assignments, labelAdds) =>
         requirePerm("UPDATE")
@@ -1006,6 +1050,40 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           Seq(affected).toDF("properties_set")
         }
 
+      case MatchRemoveStmt(pattern, where, props, labelRemoves)
+          if pattern.hops.nonEmpty =>
+        // hop patterns route through the pipeline like SET (round-14):
+        // the simple path only handles a single-variable pattern
+        requirePerm("UPDATE")
+        val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
+          Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
+          Seq.empty, None, Seq.empty, None, None)
+        val capturedRm: Seq[(String, DataFrame)] =
+          if (labelRemoves.isEmpty) Seq.empty
+          else {
+            val comp = new Compiler(graph, sessionParams, f64Mode)
+            val (bdf, bindings) =
+              comp.compileMutationPipeline(Ast.Query(Seq(seg)), Seq.empty)
+            labelRemoves.map { case (v, rmLabel) =>
+              bindings.get(v) match {
+                case Some(_: comp.NodeBinding) =>
+                  (rmLabel, bdf.select(col(s"${v}_id").as("id")).distinct()
+                    .localCheckpoint(true))
+                case _ => throw new GqlCompileException(
+                  s"REMOVE $v:$rmLabel applies to nodes only")
+              }
+            }
+          }
+        val affected =
+          if (props.isEmpty) capturedRm.map(_._2.count()).sum
+          else dispatchStmt(PipelineMutationStmt(Ast.Query(Seq(seg)),
+            "REMOVE", props.head.variable, Seq.empty, props,
+            detach = false)).collect().head.getLong(0)
+        capturedRm.foreach { case (rmLabel, ids) =>
+          currentGraph = Some(graph2.removeNodeLabel(graph, ids, rmLabel))
+        }
+        Seq(affected).toDF("properties_removed")
+
       case MatchRemoveStmt(pattern, where, props, labelRemoves) =>
         requirePerm("UPDATE")
         val targetVar = props.headOption.map(_.variable)
@@ -1040,13 +1118,16 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         Seq(affected).toDF("properties_removed")
 
       case MatchDeleteStmt(pattern, where, target, detach)
-          if pattern.hops.exists(_._1.variable.contains(target)) =>
-        // EVERY edge DELETE routes through the compiled pipeline: the
-        // hop machinery enforces the pattern's endpoint labels,
+          if pattern.hops.nonEmpty =>
+        // EVERY hop-pattern DELETE routes through the compiled pipeline:
+        // the hop machinery enforces the pattern's endpoint labels,
         // orientation, and row-level constraints (the legacy
         // single-label path ignored endpoints — a pattern matching zero
         // edges could still delete a whole table), and the pipeline's
-        // multi-type binding partitions eids by the per-row matched type
+        // multi-type binding partitions eids by the per-row matched
+        // type. Round-14: node targets inside hop patterns
+        // (`MATCH (a)-[:R]->(b) DETACH DELETE b`) route here too — the
+        // simple path only handles a single-variable pattern
         val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
           Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
           Seq.empty, None, Seq.empty, None, None)

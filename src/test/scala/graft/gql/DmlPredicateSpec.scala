@@ -73,6 +73,44 @@ class DmlPredicateSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(10L, 20L, 30L))
   }
 
+  test("node SET inside a hop pattern mutates only topology matches") {
+    val t = fresh("hop_node_set")
+    t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R]->(b)")
+    // only id 1 has an outgoing R edge — a.flag must land on it alone
+    // (round-14: the simple path rejected node targets in hop patterns
+    // outright; the reference executor iterates matches per variable)
+    t.execute("MATCH (a:P)-[:R]->(b:P) SET a.flag = true")
+    val flagged = t.gql("MATCH (p:P) WHERE p.flag RETURN p.id AS i")
+      .collect().map(_.getLong(0))
+    assert(flagged.toSeq == Seq(1L))
+    // and on the hop's FAR end
+    t.execute("MATCH (a:P)-[:R]->(b:P) SET b.score = 7")
+    assert(t.gql("MATCH (p:P) WHERE p.score = 7 RETURN p.id AS i")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("node SET :Label and REMOVE inside hop patterns") {
+    val t = fresh("hop_node_label")
+    t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R]->(b)")
+    t.execute("MATCH (a:P)-[:R]->(b:P) SET b:Target")
+    assert(t.gql("MATCH (v:Target) RETURN v.id AS i").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    t.execute("MATCH (a:P)-[:R]->(b:P) REMOVE b.s")
+    val s = t.gql("MATCH (p:P) RETURN p.id AS i, p.s AS s ORDER BY i")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(s.toSeq == Seq((1L, 10L), (2L, -1L), (3L, 30L)))
+  }
+
+  test("node DETACH DELETE inside a hop pattern deletes the matched end") {
+    val t = fresh("hop_node_delete")
+    t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R]->(b)")
+    t.execute("MATCH (a:P)-[:R]->(b:P) DETACH DELETE b")
+    assert(t.gql("MATCH (p:P) RETURN p.id AS i ORDER BY i").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(t.gql("MATCH (:P)-[r:R]->(:P) RETURN count(r) AS n")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("edge DML with endpoint inline props routes through the pipeline") {
     val t = fresh("edge_inline")
     t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R {w: 1}]->(b)")

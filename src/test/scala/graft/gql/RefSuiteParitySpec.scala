@@ -579,6 +579,26 @@ class RefSuiteParitySpec extends AnyFunSuite {
     assert(d.length == 1 && !d.head.isNullAt(0))
   }
 
+  // ---- dml_tests.rs:527-535 (bulk edge SET listing an edge LABEL item:
+  // the reference's SetItem::Label only labels nodes — match_set.rs:
+  // 835-846 — so `SET t:MicroTransaction` on an edge is a silent no-op
+  // there while the co-listed property items still apply; we log the
+  // drop instead of silently ignoring, and the statement succeeds) ----
+
+  test("bulk edge SET with an edge label item succeeds, label is a no-op") {
+    val t = SparkFixture.gqlSession(SparkFixture.fraudGraph)
+    val expected = t.gql("MATCH (:Account)-[tx:Transaction]->(:Merchant) " +
+      "WHERE tx.amount < 60 RETURN count(tx) AS n").collect().head.getLong(0)
+    assert(expected > 0 && expected < 100) // the predicate is selective
+    t.execute("MATCH (a:Account)-[tx:Transaction]->(m:Merchant) " +
+      "WHERE tx.amount < 60 " +
+      "SET tx:MicroTransaction, tx.processed_date = '2024-01-01'")
+    val marked = t.gql("MATCH (:Account)-[tx:Transaction]->(:Merchant) " +
+      "WHERE tx.processed_date IS NOT NULL RETURN count(tx) AS n")
+      .collect().head.getLong(0)
+    assert(marked == expected, "property item applies to matching edges only")
+  }
+
   // ---- list_graphs_bug_test_simple.rs ----
 
   test("gql.list_graphs returns non-NULL schema and graph names") {
