@@ -76,11 +76,29 @@ object ScaleProbe {
         .withColumn("vec_id", col("vec_id") + lit(i * KeyOff)))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    buildScaledEvents(spark, sfDir, outDir, nCopies)
+
     // dimensions ride along unchanged (broadcast-sized at any SF)
     Seq("region", "nation", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+  }
+
+  /** Events: per-copy USER offset, timestamps unchanged — each copy is a
+    * disjoint user population with the same per-user session structure,
+    * so sessionization state (keyed on user) grows linearly and no
+    * single session inflates. Separate from [[buildScaled]] so dirs
+    * built before round 14 (no events) backfill without a full rebuild.
+    */
+  def buildScaledEvents(spark: SparkSession, sfDir: String, outDir: String,
+      nCopies: Int): Unit = {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until nCopies).map(i => events
+        .withColumn("user_id", col("user_id") + lit(i * KeyOff))
+        .withColumn("event_id", col("event_id") + lit(i * OrderOff)))
+      .reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** Per-task duration tracker: exposes, per probe run, the heaviest
@@ -131,6 +149,8 @@ object ScaleProbe {
 
     if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
       buildScaled(spark, sfDir, outDir, nCopies)
+    else if (!new java.io.File(s"$outDir/events.parquet").exists())
+      buildScaledEvents(spark, sfDir, outDir, nCopies) // r14 backfill
 
     val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d08_neardup_pairs" -> SparkEntry.queries("d08_neardup_pairs"),
@@ -183,7 +203,11 @@ object ScaleProbe {
       // embeddings) and mixture sampling (per-source agg broadcast +
       // narrow hash filter) — both must stay banding/broadcast shaped
       "e07_semantic_dedup" -> SparkEntry.queries("e07_semantic_dedup"),
-      "d20_mixture_sample" -> SparkEntry.queries("d20_mixture_sample"))
+      "d20_mixture_sample" -> SparkEntry.queries("d20_mixture_sample"),
+      // round-14: the event/sessionization family joins the probes —
+      // session_window state is keyed per user, so disjoint user copies
+      // must scale linearly (state rows ∝ users, no mega-session skew)
+      "ev03_session" -> SparkEntry.queries("ev03_session"))
 
     // past 10×, probe only the scale-critical shapes (the band join, the
     // ANN bucket join, and the forced distributed graph loops) — the
@@ -205,7 +229,7 @@ object ScaleProbe {
           // pipeline operator — e07's 10× skew 2.17 was attributed to
           // bucket-count variance on sub-400 ms tasks, which only the
           // 30×/100× tiers can confirm or refute
-          "e07_semantic_dedup", "d20_mixture_sample")
+          "e07_semantic_dedup", "d20_mixture_sample", "ev03_session")
           .contains(n)
       }
 
