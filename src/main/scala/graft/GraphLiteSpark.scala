@@ -940,24 +940,6 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         Seq(total).toDF("edges_inserted")
 
       case MatchSetStmt(pattern, where, assignments, labelAdds)
-          if labelAdds.nonEmpty && labelAdds.forall(la =>
-            pattern.hops.exists(_._1.variable.contains(la._1))) &&
-            assignments.forall(a =>
-              pattern.hops.exists(_._1.variable.contains(a._1.variable))) =>
-        // reference parity (match_set.rs:835-846): SetItem::Label only
-        // ever labels NODES — `SET t:Label` on an edge variable is a
-        // SILENT no-op there (the statement succeeds; co-listed property
-        // items still apply — dml_tests.rs:527-535 bulk edge SET relies
-        // on this). We log the drop instead of silently ignoring, then
-        // route the surviving property items through the pipeline.
-        org.slf4j.LoggerFactory.getLogger("graft.GraphLiteSpark").warn(
-          s"SET ${labelAdds.map(la => la._1 + ":" + la._2).mkString(", ")}: " +
-            "labels apply to nodes only — ignored on edge variable(s) " +
-            "(reference parity: silent no-op)")
-        if (assignments.isEmpty) Seq(0L).toDF("properties_set")
-        else dispatchStmt(MatchSetStmt(pattern, where, assignments, Seq.empty))
-
-      case MatchSetStmt(pattern, where, assignments, labelAdds)
           if pattern.hops.nonEmpty =>
         // ANY hop pattern routes through the compiled pipeline: the hop
         // machinery enforces the pattern's full semantics —
@@ -967,39 +949,17 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         // (node or edge) itself. This includes NODE targets
         // (`MATCH (a)-[t]->(m) SET a.flag = true` — round-14: the simple
         // path rejected these while the reference's executor iterates
-        // matches for any variable). Node label items capture their
-        // matched ids PRE-mutation (same reason as the simple path).
-        requirePerm("UPDATE")
+        // matches for any variable) and label items (edge-var labels are
+        // the reference's silent no-op, logged in the pipeline handler).
         val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
           Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
           Seq.empty, None, Seq.empty, None, None)
-        val capturedLabels: Seq[(String, String, DataFrame)] =
-          if (labelAdds.isEmpty) Seq.empty
-          else {
-            val comp = new Compiler(graph, sessionParams, f64Mode)
-            val (bdf, bindings) =
-              comp.compileMutationPipeline(Ast.Query(Seq(seg)), Seq.empty)
-            labelAdds.map { case (v, newLabel) =>
-              bindings.get(v) match {
-                case Some(nb: comp.NodeBinding) =>
-                  (nb.primary,
-                    newLabel,
-                    bdf.select(col(s"${v}_id").as("id")).distinct()
-                      .localCheckpoint(true))
-                case _ => throw new GqlCompileException(
-                  s"SET $v:$newLabel applies to nodes only")
-              }
-            }
-          }
-        val affected =
-          if (assignments.isEmpty) capturedLabels.map(_._3.count()).sum
-          else dispatchStmt(PipelineMutationStmt(Ast.Query(Seq(seg)), "SET",
-            assignments.head._1.variable, assignments, Seq.empty,
-            detach = false)).collect().head.getLong(0)
-        capturedLabels.foreach { case (lbl, newLabel, ids) =>
-          currentGraph = Some(graph2.addNodeLabel(graph, lbl, ids, newLabel))
-        }
-        Seq(affected).toDF("properties_set")
+        dispatchStmt(PipelineMutationStmt(Ast.Query(Seq(seg)), "SET",
+          assignments.headOption.map(_._1.variable)
+            .orElse(labelAdds.headOption.map(_._1))
+            .getOrElse(throw new GqlCompileException(
+              "SET requires at least one item")),
+          assignments, Seq.empty, detach = false, labelAdds = labelAdds))
 
       case MatchSetStmt(pattern, where, assignments, labelAdds) =>
         requirePerm("UPDATE")
@@ -1054,35 +1014,15 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           if pattern.hops.nonEmpty =>
         // hop patterns route through the pipeline like SET (round-14):
         // the simple path only handles a single-variable pattern
-        requirePerm("UPDATE")
         val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
           Seq(Ast.ReturnItem(Ast.Star(), None)), None, distinct = false,
           Seq.empty, None, Seq.empty, None, None)
-        val capturedRm: Seq[(String, DataFrame)] =
-          if (labelRemoves.isEmpty) Seq.empty
-          else {
-            val comp = new Compiler(graph, sessionParams, f64Mode)
-            val (bdf, bindings) =
-              comp.compileMutationPipeline(Ast.Query(Seq(seg)), Seq.empty)
-            labelRemoves.map { case (v, rmLabel) =>
-              bindings.get(v) match {
-                case Some(_: comp.NodeBinding) =>
-                  (rmLabel, bdf.select(col(s"${v}_id").as("id")).distinct()
-                    .localCheckpoint(true))
-                case _ => throw new GqlCompileException(
-                  s"REMOVE $v:$rmLabel applies to nodes only")
-              }
-            }
-          }
-        val affected =
-          if (props.isEmpty) capturedRm.map(_._2.count()).sum
-          else dispatchStmt(PipelineMutationStmt(Ast.Query(Seq(seg)),
-            "REMOVE", props.head.variable, Seq.empty, props,
-            detach = false)).collect().head.getLong(0)
-        capturedRm.foreach { case (rmLabel, ids) =>
-          currentGraph = Some(graph2.removeNodeLabel(graph, ids, rmLabel))
-        }
-        Seq(affected).toDF("properties_removed")
+        dispatchStmt(PipelineMutationStmt(Ast.Query(Seq(seg)), "REMOVE",
+          props.headOption.map(_.variable)
+            .orElse(labelRemoves.headOption.map(_._1))
+            .getOrElse(throw new GqlCompileException(
+              "REMOVE requires at least one item")),
+          Seq.empty, props, detach = false, labelRemoves = labelRemoves))
 
       case MatchRemoveStmt(pattern, where, props, labelRemoves) =>
         requirePerm("UPDATE")
@@ -1606,7 +1546,8 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
             throw new GqlCompileException(s"unknown ALTER INDEX op $other")
         }
 
-      case PipelineMutationStmt(q, op, target, assigns, removeProps, detach) =>
+      case PipelineMutationStmt(q, op, target, assigns, removeProps, detach,
+          labelAdds, labelRemoves) =>
         requirePerm(op match {
           case "SET" | "REMOVE" => "UPDATE"
           case "DELETE" => "DELETE"
@@ -1710,6 +1651,25 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                     g = graph2.setNodePropsFrom(g, label, updates, props)
                 }
             }
+            // SET v:Label items (after property groups — labels copy the
+            // already-updated rows, same convention as the simple path).
+            // An EDGE target is the reference's silent no-op
+            // (match_set.rs:835-846 labels nodes only) — log and skip.
+            labelAdds.foreach { case (v, newLabel) =>
+              bindings.get(v) match {
+                case Some(nb: compiler.NodeBinding) =>
+                  val ids = bdf.select(col(s"${v}_id").as("id")).distinct()
+                    .localCheckpoint(true)
+                  if (assigns.isEmpty) total += ids.count()
+                  g = graph2.addNodeLabel(g, nb.primary, ids, newLabel)
+                case Some(_: compiler.EdgeBinding) =>
+                  org.slf4j.LoggerFactory.getLogger("graft.GraphLiteSpark")
+                    .warn(s"SET $v:$newLabel: labels apply to nodes only — " +
+                      "ignored on edge variable (reference parity: silent no-op)")
+                case _ => throw new GqlCompileException(
+                  s"SET $v:$newLabel applies to nodes only")
+              }
+            }
             currentGraph = Some(g)
             Seq(total).toDF("properties_set")
           case "REMOVE" =>
@@ -1724,6 +1684,19 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                   d.withColumn(pr.prop, lit(null)))
                 total += updates.count()
                 g = graph2.setNodePropsFrom(g, label, withNulls, prs.map(_.prop))
+            }
+            // REMOVE v:Label items through the pipeline (node-only, like
+            // the simple path)
+            labelRemoves.foreach { case (v, rmLabel) =>
+              bindings.get(v) match {
+                case Some(_: compiler.NodeBinding) =>
+                  val ids = bdf.select(col(s"${v}_id").as("id")).distinct()
+                    .localCheckpoint(true)
+                  if (removeProps.isEmpty) total += ids.count()
+                  g = graph2.removeNodeLabel(g, ids, rmLabel)
+                case _ => throw new GqlCompileException(
+                  s"REMOVE $v:$rmLabel applies to nodes only")
+              }
             }
             currentGraph = Some(g)
             Seq(total).toDF("properties_removed")

@@ -317,7 +317,12 @@ object Ast {
     */
   case class PipelineMutationStmt(q: Query, op: String, target: String,
       assignments: Seq[(Prop, Expr)], props: Seq[Prop],
-      detach: Boolean) extends Statement
+      detach: Boolean,
+      /** SET v:Label / REMOVE v:Label items riding the pipeline (r14 —
+        * previously only the simple single-pattern form carried them).
+        */
+      labelAdds: Seq[(String, String)] = Seq.empty,
+      labelRemoves: Seq[(String, String)] = Seq.empty) extends Statement
   /** `MATCH … [WITH …]* [WHERE …] INSERT (v:Label {props}), …` — node
     * creation from the pipeline's binding table, one node per row
     * (match_with_tests.rs:13-170; property values are expressions over

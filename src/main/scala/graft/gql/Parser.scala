@@ -664,7 +664,13 @@ final class Parser(tokens: Vector[Token]) {
     if (!mutationEnd) err("expected SET, REMOVE, DELETE or INSERT")
     mutationEnd = false
     val segs = segsB.result()
-    val simple = segs.size == 1 && segs.head.steps.isEmpty
+    // the simple single-pattern statements compile against ONE label
+    // table — a comma pattern (`MATCH (a:X), (b:Y) DELETE a`: the b
+    // pattern gates whether ANY a matches) or an OPTIONAL MATCH must
+    // route through the pipeline, which compiles the full segment
+    // (r14: `matches.headOption` silently DROPPED the extra patterns)
+    val simple = segs.size == 1 && segs.head.steps.isEmpty &&
+      segs.head.matches.size == 1 && segs.head.optionalMatches.isEmpty
     val pattern = segs.head.matches.headOption.getOrElse(
       err("DML needs a MATCH pattern"))
     val where = segs.head.where
@@ -679,9 +685,13 @@ final class Parser(tokens: Vector[Token]) {
       val paths = insB.result()
       // node-only patterns create one node per binding row — through
       // WITH pipelines too (match_with_tests.rs); edge chains keep the
-      // simple matched-endpoints form
+      // matched-endpoints form, which takes the FULL comma-pattern list
+      // (so it is not gated on the single-pattern `simple` used by
+      // SET/REMOVE/DELETE)
       if (paths.forall(_.hops.isEmpty)) PipelineInsertStmt(Query(segs), paths)
-      else if (simple) MatchInsertStmt(segs.head.matches, where, paths)
+      else if (segs.size == 1 && segs.head.steps.isEmpty &&
+          segs.head.optionalMatches.isEmpty)
+        MatchInsertStmt(segs.head.matches, where, paths)
       else err("MATCH…WITH…INSERT takes node patterns; edge chains use " +
         "the simple MATCH…INSERT form")
     } else if (tryKw("SET")) {
@@ -702,10 +712,11 @@ final class Parser(tokens: Vector[Token]) {
       expectEnd()
       val (assigns, labels) = (as.result(), labelAdds.result())
       if (simple) MatchSetStmt(pattern, where, assigns, labels)
-      else if (labels.nonEmpty)
-        err("SET v:Label is only supported in the simple single-pattern form")
       else PipelineMutationStmt(Query(segs), "SET",
-        assigns.head._1.variable, assigns, Seq.empty, detach = false)
+        assigns.headOption.map(_._1.variable)
+          .orElse(labels.headOption.map(_._1))
+          .getOrElse(err("SET requires at least one item")),
+        assigns, Seq.empty, detach = false, labelAdds = labels)
     } else if (tryKw("REMOVE")) {
       val ps = Vector.newBuilder[Prop]
       // REMOVE v:Label items (RemoveItem::Label, ast.rs:943-948)
@@ -720,10 +731,11 @@ final class Parser(tokens: Vector[Token]) {
       expectEnd()
       val (props, labels) = (ps.result(), labelRms.result())
       if (simple) MatchRemoveStmt(pattern, where, props, labels)
-      else if (labels.nonEmpty)
-        err("REMOVE v:Label is only supported in the simple single-pattern form")
       else PipelineMutationStmt(Query(segs), "REMOVE",
-        props.head.variable, Seq.empty, props, detach = false)
+        props.headOption.map(_.variable)
+          .orElse(labels.headOption.map(_._1))
+          .getOrElse(err("REMOVE requires at least one item")),
+        Seq.empty, props, detach = false, labelRemoves = labels)
     } else {
       val detach = tryKw("DETACH")
       eatKw("DELETE")

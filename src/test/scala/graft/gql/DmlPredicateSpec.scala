@@ -111,6 +111,49 @@ class DmlPredicateSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 0L)
   }
 
+  test("comma patterns gate DML on the OTHER pattern matching") {
+    val t = fresh("comma_gate")
+    // r14: the simple path silently compiled only matches.head — a
+    // non-matching second pattern must gate the whole statement to zero
+    // rows (cross-join semantics), not be ignored
+    t.execute("MATCH (a:P), (b:P {id: 999}) SET a.s = 0")
+    assert(t.gql("MATCH (p:P) WHERE p.s = 0 RETURN count(p) AS n")
+      .collect().head.getLong(0) == 0L, "no b row ⇒ no a mutation")
+    t.execute("MATCH (a:P), (b:P {id: 1}) SET a.s = 0")
+    assert(t.gql("MATCH (p:P) WHERE p.s = 0 RETURN count(p) AS n")
+      .collect().head.getLong(0) == 3L, "matching b ⇒ every a mutates")
+    // comma-pattern DELETE with a non-matching gate deletes nothing
+    t.execute("MATCH (a:P), (b:P {id: 999}) DELETE a")
+    assert(t.gql("MATCH (p:P) RETURN count(p) AS n")
+      .collect().head.getLong(0) == 3L)
+  }
+
+  test("comma-pattern SET :Label rides the pipeline") {
+    val t = fresh("comma_label")
+    t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) SET a:Alpha, b:Beta")
+    assert(t.gql("MATCH (v:Alpha) RETURN v.id AS i").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t.gql("MATCH (v:Beta) RETURN v.id AS i").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("OPTIONAL MATCH DML deletes matched edges, no-ops on misses") {
+    val t = fresh("optional_dml")
+    t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R {w: 5}]->(b)")
+    // p=1 matches the optional edge; p=2,3 bind r to NULL — the DELETE
+    // must remove exactly the matched edge and ignore the null bindings
+    t.execute("MATCH (p:P) OPTIONAL MATCH (p)-[r:R]->(:P) DELETE r")
+    assert(t.gql("MATCH (:P)-[r:R]->(:P) RETURN count(r) AS n")
+      .collect().head.getLong(0) == 0L)
+    assert(t.gql("MATCH (p:P) RETURN count(p) AS n")
+      .collect().head.getLong(0) == 3L, "nodes untouched")
+    // OPTIONAL MATCH SET on the far end: only nodes with the edge mutate
+    t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R]->(b)")
+    t.execute("MATCH (p:P) OPTIONAL MATCH (p)-[:R]->(q:P) SET q.touched = true")
+    assert(t.gql("MATCH (p:P) WHERE p.touched RETURN p.id AS i").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("edge DML with endpoint inline props routes through the pipeline") {
     val t = fresh("edge_inline")
     t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R {w: 1}]->(b)")

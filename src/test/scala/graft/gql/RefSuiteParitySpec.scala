@@ -599,6 +599,27 @@ class RefSuiteParitySpec extends AnyFunSuite {
     assert(marked == expected, "property item applies to matching edges only")
   }
 
+  // ---- dml_tests.rs:515-525 (WITH-aggregate-driven SET: per-account
+  // transaction stats computed in the pipeline feed the assignment) ----
+
+  test("WITH aggregation feeds SET expressions per matched account") {
+    val t = SparkFixture.gqlSession(SparkFixture.fraudGraph)
+    // every account has exactly 2 of the 100 transactions
+    t.execute("MATCH (a:Account)-[tx:Transaction]->(m:Merchant) " +
+      "WITH a, count(tx) AS transaction_count, avg(tx.amount) AS avg_amount " +
+      "WHERE transaction_count > 1 " +
+      "SET a.activity_score = transaction_count * 0.1 + avg_amount * 0.0001, " +
+      "a.active_user = true")
+    val rows = t.gql("MATCH (a:Account) WHERE a.active_user " +
+      "RETURN count(a) AS n").collect()
+    assert(rows.head.getLong(0) == 50L, "all 50 accounts have 2 tx each")
+    val one = t.gql("MATCH (a:Account {id: 1}) " +
+      "RETURN a.activity_score AS s").collect().head
+    // account 1 holds tx 1 (amount 51) and tx 51 (amount 71): score =
+    // 2*0.1 + 61*0.0001
+    assert(math.abs(one.getDouble(0) - (0.2 + 61.0 * 0.0001)) < 1e-9)
+  }
+
   // ---- list_graphs_bug_test_simple.rs ----
 
   test("gql.list_graphs returns non-NULL schema and graph names") {
