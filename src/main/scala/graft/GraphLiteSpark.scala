@@ -638,6 +638,14 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
             val o = mkOcc(np)
             np.variable.foreach(varOccs(_) = o)
             inserted += o
+            // multi-label INSERT (dml_tests.rs:45,151 `(n:A:B {…})`): in
+            // the per-label-table model a node carrying several labels is
+            // the same (id, props) row in EVERY label's table — the
+            // multi-label intersection scan then matches it by shared id,
+            // and REMOVE n:B later drops just that table's row. The
+            // PRIMARY occ (labels.head) carries the identity; edges bind
+            // to it.
+            np.labels.drop(1).foreach(extra => inserted += o.copy(label = extra))
             o
         }
         val pathOccs: Seq[(PathPattern, Seq[Occ])] =
@@ -940,7 +948,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         Seq(total).toDF("edges_inserted")
 
       case MatchSetStmt(pattern, where, assignments, labelAdds)
-          if pattern.hops.nonEmpty =>
+          if pattern.hops.nonEmpty || pattern.start.labels.size != 1 =>
         // ANY hop pattern routes through the compiled pipeline: the hop
         // machinery enforces the pattern's full semantics —
         // (orientation, endpoint-label) combos, row-level endpoint
@@ -1011,7 +1019,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         }
 
       case MatchRemoveStmt(pattern, where, props, labelRemoves)
-          if pattern.hops.nonEmpty =>
+          if pattern.hops.nonEmpty || pattern.start.labels.size != 1 =>
         // hop patterns route through the pipeline like SET (round-14):
         // the simple path only handles a single-variable pattern
         val seg = Ast.Segment(Seq(pattern), Seq.empty, where, Seq.empty,
@@ -1058,7 +1066,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         Seq(affected).toDF("properties_removed")
 
       case MatchDeleteStmt(pattern, where, target, detach)
-          if pattern.hops.nonEmpty =>
+          if pattern.hops.nonEmpty || pattern.start.labels.size != 1 =>
         // EVERY hop-pattern DELETE routes through the compiled pipeline:
         // the hop machinery enforces the pattern's endpoint labels,
         // orientation, and row-level constraints (the legacy
@@ -1564,6 +1572,24 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           case _ => throw new GqlCompileException(
             s"mutation target $v is not bound by the pipeline")
         }
+        // label-less targets (`MATCH (n) DETACH DELETE n` —
+        // set_operations_tests.rs:596 cleanup idiom): the union scan
+        // carries (label, id) per row, so apply per label table; ids
+        // cast back to each table's own id type (the union may have
+        // widened mixed Long/string ids to string)
+        def perUnionLabel(v: String)(
+            apply: (String, DataFrame) => Long): Long = {
+          var total = 0L
+          graph.nodeTables.keys.toSeq.sorted.foreach { lbl =>
+            val idT = graph.nodeTables(lbl).schema("id").dataType
+            val ids = bdf.filter(col(s"${v}_label") === lit(lbl))
+              .select(col(s"${v}_id").cast(idT).as("id")).distinct()
+              .localCheckpoint(true)
+            val c = ids.count()
+            if (c > 0) total += apply(lbl, ids)
+          }
+          total
+        }
         op match {
           case "DELETE" =>
             bindings.get(target) match {
@@ -1600,6 +1626,15 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                     total
                   }
                 Seq(n).toDF("edges_deleted")
+              case Some(compiler.UnionNode) =>
+                var g = graph
+                val n = perUnionLabel(target) { (lbl, ids) =>
+                  val c = ids.count()
+                  g = graph2.deleteNodesIn(g, lbl, ids, detach)
+                  c
+                }
+                currentGraph = Some(g)
+                Seq(n).toDF("nodes_deleted")
               case _ =>
                 val label = nodeLabelOf(target)
                 val ids = bdf.select(col(s"${target}_id").as("id")).distinct()
@@ -1642,6 +1677,20 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                     if (eb.types.size == 1) applyType(eb.primary, bdf)
                     else eb.types.foreach(t => applyType(t,
                       bdf.filter(col(s"${v}_label") === lit(t))))
+                  case Some(compiler.UnionNode) =>
+                    graph.nodeTables.keys.toSeq.sorted.foreach { lbl =>
+                      val idT = graph.nodeTables(lbl).schema("id").dataType
+                      val updates = bdf
+                        .filter(col(s"${v}_label") === lit(lbl))
+                        .groupBy(col(s"${v}_id").cast(idT).as("id"))
+                        .agg(valueCols.head, valueCols.tail: _*)
+                        .localCheckpoint(true)
+                      val c = updates.count()
+                      if (c > 0) {
+                        g = graph2.setNodePropsFrom(g, lbl, updates, props)
+                        total += c
+                      }
+                    }
                   case _ =>
                     val label = nodeLabelOf(v)
                     val updates = bdf.groupBy(col(s"${v}_id").as("id"))
@@ -1677,13 +1726,25 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
             var total = 0L
             removeProps.groupBy(_.variable).toSeq.sortBy(_._1).foreach {
               case (v, prs) =>
-                val label = nodeLabelOf(v)
-                val updates = bdf.select(col(s"${v}_id").as("id")).distinct()
-                  .localCheckpoint(true)
-                val withNulls = prs.foldLeft(updates)((d, pr) =>
-                  d.withColumn(pr.prop, lit(null)))
-                total += updates.count()
-                g = graph2.setNodePropsFrom(g, label, withNulls, prs.map(_.prop))
+                bindings.get(v) match {
+                  case Some(compiler.UnionNode) =>
+                    total += perUnionLabel(v) { (lbl, ids) =>
+                      val withNulls = prs.foldLeft(ids)((d, pr) =>
+                        d.withColumn(pr.prop, lit(null)))
+                      g = graph2.setNodePropsFrom(g, lbl, withNulls,
+                        prs.map(_.prop))
+                      ids.count()
+                    }
+                  case _ =>
+                    val label = nodeLabelOf(v)
+                    val updates = bdf.select(col(s"${v}_id").as("id"))
+                      .distinct().localCheckpoint(true)
+                    val withNulls = prs.foldLeft(updates)((d, pr) =>
+                      d.withColumn(pr.prop, lit(null)))
+                    total += updates.count()
+                    g = graph2.setNodePropsFrom(g, label, withNulls,
+                      prs.map(_.prop))
+                }
             }
             // REMOVE v:Label items through the pipeline (node-only, like
             // the simple path)

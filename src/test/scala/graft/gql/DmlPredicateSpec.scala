@@ -154,6 +154,35 @@ class DmlPredicateSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("multi-label DML targets honor the label intersection") {
+    val t = fresh("multi_label")
+    t.execute("MATCH (p:P {id: 2}) SET p:Vip")
+    t.execute("MATCH (p:P {id: 3}) SET p:Vip")
+    // r14: the simple path used only labels.head — (p:P:Vip) mutated
+    // every P row, Vip or not
+    t.execute("MATCH (p:P:Vip) SET p.s = 99")
+    val got = t.gql("MATCH (p:P) RETURN p.id AS i, p.s AS s ORDER BY i")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 99L), (3L, 99L)))
+    t.execute("MATCH (p:P:Vip {id: 2}) DELETE p")
+    assert(t.gql("MATCH (p:P) RETURN p.id AS i ORDER BY i").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("label-less DML applies per matched label table") {
+    val t = fresh("label_less")
+    t.execute("INSERT (:Q {id: 100, s: 5})")
+    t.execute("MATCH (n) SET n.seen = true")
+    assert(t.gql("MATCH (p:P) WHERE p.seen RETURN count(p) AS n")
+      .collect().head.getLong(0) == 3L)
+    assert(t.gql("MATCH (q:Q) WHERE q.seen RETURN count(q) AS n")
+      .collect().head.getLong(0) == 1L)
+    // the reference's cleanup idiom (set_operations_tests.rs:596)
+    t.execute("MATCH (n) DETACH DELETE n")
+    assert(t.gql("MATCH (n) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("edge DML with endpoint inline props routes through the pipeline") {
     val t = fresh("edge_inline")
     t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R {w: 1}]->(b)")

@@ -620,6 +620,28 @@ class RefSuiteParitySpec extends AnyFunSuite {
     assert(math.abs(one.getDouble(0) - (0.2 + 61.0 * 0.0001)) < 1e-9)
   }
 
+  // ---- dml_tests.rs:145-185 (multi-label INSERT + property/label
+  // REMOVE): `(temp:TempNode:ExtraLabel {…})` must be matchable through
+  // BOTH labels and their intersection; REMOVE temp:ExtraLabel later
+  // drops just that label while the node survives under TempNode ----
+
+  test("multi-label INSERT, REMOVE properties, then REMOVE a label") {
+    val t = freshSession()
+    t.execute("CREATE GRAPH /main/remove_ops")
+    t.execute("SESSION SET GRAPH /main/remove_ops")
+    t.execute("INSERT (temp:TempNode:ExtraLabel " +
+      "{prop1: 'value1', prop2: 'value2', prop3: 'value3'})")
+    assert(long(t.gql("MATCH (x:TempNode:ExtraLabel) RETURN count(x) AS n"))
+      == 1L)
+    t.execute("MATCH (temp:TempNode) REMOVE temp.prop1, temp.prop2")
+    val rem = t.gql("MATCH (temp:TempNode) RETURN temp.prop3 AS remaining_prop")
+      .collect().head
+    assert(rem.getString(0) == "value3")
+    t.execute("MATCH (temp:TempNode:ExtraLabel) REMOVE temp:ExtraLabel")
+    assert(long(t.gql("MATCH (temp:TempNode) RETURN count(temp) AS n")) == 1L)
+    assert(long(t.gql("MATCH (x:ExtraLabel) RETURN count(x) AS n")) == 0L)
+  }
+
   // ---- list_graphs_bug_test_simple.rs ----
 
   test("gql.list_graphs returns non-NULL schema and graph names") {
