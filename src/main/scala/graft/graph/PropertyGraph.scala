@@ -170,11 +170,65 @@ final class PropertyGraph(
   def cachedPlan(key: String)(build: => DataFrame): DataFrame =
     planCache.getOrElseUpdate(key, build)
 
-  /** Copy with mutated tables, accumulating the touched dataset names. */
+  /** Copy-on-write layers stacked on each dataset since it was last
+    * materialized. Inherited (and advanced) by [[mutated]]; reset to 0
+    * when the table compacts. Transient: a deserialized copy starts
+    * from an empty map, which only delays the next compaction.
+    */
+  @transient private var mutationDepths: Map[String, Int] = Map.empty
+
+  /** Copy with mutated tables, accumulating the touched dataset names.
+    *
+    * Bounds the copy-on-write plan HEIGHT: a long interactive DML
+    * session (the reference's transactional tests run hundreds of
+    * sequential statements — txn manager.rs applies each to the live
+    * store) stacks one withColumn/filter/union layer per statement on
+    * the same table, so analysis cost grows per statement and Catalyst's
+    * treeString generation eventually overflows the driver stack (found
+    * by DmlDifferentialFuzzSpec at ~600 chained statements). Every
+    * [[PropertyGraph.compactAfterMutations]]-th touch of a dataset
+    * materializes it with an eager localCheckpoint — plan height stays
+    * O(threshold) at an amortized 1/threshold extra jobs per statement.
+    * The checkpointed RDD is then re-wrapped in a FRESH DataFrame on
+    * purpose: Spark's LogicalRDD inherits the origin plan's statistics
+    * through a checkpoint, and after chained DML joins those are
+    * multiplicative BigInt products whose digit count doubles per
+    * statement — by a few hundred statements merely MULTIPLYING them
+    * during stats propagation dominates all planning (found as
+    * Karatsuba/ToomCook3 frames in the fuzz run's profile). The re-wrap
+    * resets stats to the unknown-default sentinel, which is safe here:
+    * [[broadcastIfSmallRows]] treats stats ≥ 2^50 as unknown and sizes
+    * forced broadcasts from nodeCountCache × schema width instead, and
+    * AQE re-measures join sides from real shuffle bytes at runtime.
+    * Superseded checkpoint blocks are freed by the ContextCleaner once
+    * older graph versions (rollback snapshots) drop out of scope.
+    */
   private[graph] def mutated(newNodes: Map[String, DataFrame],
       newEdges: Map[String, (EdgeType, DataFrame)],
       touched: Set[String]): PropertyGraph = {
-    val g = new PropertyGraph(newNodes, newEdges, origin, dirty.map(_ ++ touched))
+    var nn = newNodes
+    var ne = newEdges
+    var depths = if (mutationDepths == null) Map.empty[String, Int] else mutationDepths
+    def compacted(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    touched.foreach { name =>
+      val n = depths.getOrElse(name, 0) + 1
+      if (n >= PropertyGraph.compactAfterMutations) {
+        if (name.startsWith("nodes_")) {
+          val lbl = name.stripPrefix("nodes_")
+          nn.get(lbl).foreach(df => nn += lbl -> compacted(df))
+        } else {
+          val lbl = name.stripPrefix("edges_")
+          ne.get(lbl).foreach { case (et, df) =>
+            ne += lbl -> (et, compacted(df)) }
+        }
+        depths += name -> 0
+      } else depths += name -> n
+    }
+    val g = new PropertyGraph(nn, ne, origin, dirty.map(_ ++ touched))
+    g.mutationDepths = depths
     g.nodeCountCache ++= nodeCountCache // inherit stats as estimates
     g
   }
@@ -538,4 +592,14 @@ final class PropertyGraph(
     val result = visited.withColumnRenamed("id", "node_id")
     sess.createDataFrame(result.rdd, result.schema)
   }
+}
+
+object PropertyGraph {
+  /** Copy-on-write layers a dataset may accumulate before [[PropertyGraph.mutated]]
+    * materializes it (see that method's scaladoc). Low enough that plan
+    * height stays trivially analyzable, high enough that a typical
+    * multi-statement transaction (reference txn tests run 5-20
+    * statements) pays at most one compaction job.
+    */
+  private[graph] val compactAfterMutations = 12
 }
