@@ -68,14 +68,7 @@ object ScaleProbe {
         .withColumn("doc_id", col("doc_id") + lit(i * KeyOff)))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    copies(embeddings, i => df =>
-      (if (i == 0) df
-       else df.withColumn("embedding", expr(
-         s"transform(embedding, (x, j) -> cast(x + 0.05 * cos(j + $i) as float))")))
-        .withColumn("vec_id", col("vec_id") + lit(i * KeyOff)))
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-
+    buildScaledEmbeddings(spark, sfDir, outDir, nCopies)
     buildScaledEvents(spark, sfDir, outDir, nCopies)
 
     // dimensions ride along unchanged (broadcast-sized at any SF)
@@ -83,6 +76,47 @@ object ScaleProbe {
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+  }
+
+  /** Embeddings: per-copy deterministic perturbation with a MIXED
+    * amplitude schedule (salt v2). The round-13 salt used one amplitude
+    * (0.05, cos≈0.96 to the original) — ABOVE e07's 0.95 dedup
+    * threshold, so the 100× tier degenerated into a ~99%-true-duplicate
+    * corpus and e07's headline ratio measured cluster collapse, not
+    * steady-state dedup (round-14 verdict watch item). v2 makes one
+    * copy in five a true near-duplicate (amplitude 0.025, cos≈0.99 to
+    * its original and to sibling near-dup copies) and the rest distinct
+    * (0.10-0.16, cos≈0.85-0.90 mutually and to the original), so at any
+    * tier the corpus is ~80% unique / ~20% clustered — semantic dedup
+    * keeps a meaningful survivor fraction and the ANN probes still see
+    * ~linear bucket growth.
+    *
+    * Distinct copies must also be distinct from EACH OTHER, or the
+    * transitive connected-components closure chains borderline pairs
+    * into mega-clusters (a single shared frequency `cos(j + i)` aliases
+    * at copy distance 17 ≈ 2π/0.37 and re-collapsed the 100× tier on
+    * the first v2 attempt). Each copy therefore gets its own frequency
+    * from a low-discrepancy golden-ratio schedule plus a golden-angle
+    * phase: any two copies' perturbations decorrelate across dimensions,
+    * so their mutual distance is √(a₁²+a₂²) — near-dup copies stay
+    * mutually ≈0.98 (one bounded cluster per original) and distinct
+    * copies stay mutually ≲0.90 at every tier.
+    */
+  def buildScaledEmbeddings(spark: SparkSession, sfDir: String,
+      outDir: String, nCopies: Int): Unit = {
+    val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val golden = 0.6180339887498949
+    (0 until nCopies).map { i =>
+      val amp = if (i % 5 == 1) 0.025 else 0.10 + 0.01 * (i % 7)
+      val omega = 0.9 + 2.2 * ((i * golden) % 1.0)
+      val phase = 2.39996 * i % (2 * math.Pi)
+      (if (i == 0) embeddings
+       else embeddings.withColumn("embedding", expr(
+         s"transform(embedding, (x, j) -> cast(x + $amp * cos(j * $omega + $phase) as float))")))
+        .withColumn("vec_id", col("vec_id") + lit(i * KeyOff))
+    }.reduce(_ unionByName _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    new java.io.File(s"$outDir/_embed_salt_v2").createNewFile()
   }
 
   /** Events: per-copy USER offset, timestamps unchanged — each copy is a
@@ -149,8 +183,12 @@ object ScaleProbe {
 
     if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
       buildScaled(spark, sfDir, outDir, nCopies)
-    else if (!new java.io.File(s"$outDir/events.parquet").exists())
-      buildScaledEvents(spark, sfDir, outDir, nCopies) // r14 backfill
+    else {
+      if (!new java.io.File(s"$outDir/events.parquet").exists())
+        buildScaledEvents(spark, sfDir, outDir, nCopies) // r14 backfill
+      if (!new java.io.File(s"$outDir/_embed_salt_v2").exists())
+        buildScaledEmbeddings(spark, sfDir, outDir, nCopies) // salt-v2 backfill
+    }
 
     val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d08_neardup_pairs" -> SparkEntry.queries("d08_neardup_pairs"),
