@@ -850,7 +850,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
             val idDt = rows.schema("id").dataType
             if (idDt != org.apache.spark.sql.types.StringType)
               rows = rows.withColumn("id", col("id").cast("long"))
-            rows = rows.localCheckpoint(true)
+            rows = graft.graph.PropertyGraph.materialized(rows)
             total += rows.count()
             g = graph2.insertNodes(g, label, rows)
           } else {
@@ -874,7 +874,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
             g.nodeTables.get(label).foreach { t =>
               rows = rows.join(t.select(col("id")), Seq("id"), "left_anti")
             }
-            val out = rows.localCheckpoint(true)
+            val out = graft.graph.PropertyGraph.materialized(rows)
             val n = out.count()
             if (n > 0)
               g = graph2.insertNodes(g, label, out, failOnDuplicate = false)
@@ -1584,7 +1584,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
             val idT = graph.nodeTables(lbl).schema("id").dataType
             val ids = bdf.filter(col(s"${v}_label") === lit(lbl))
               .select(col(s"${v}_id").cast(idT).as("id")).distinct()
-              .localCheckpoint(true)
+              .transform(graft.graph.PropertyGraph.materialized)
             val c = ids.count()
             if (c > 0) total += apply(lbl, ids)
           }
@@ -1604,7 +1604,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                     if (!graph.edgeTables.contains(eb.primary)) 0L
                     else {
                       val eids = bdf.select(col(s"${target}_eid").as("eid"))
-                        .distinct().localCheckpoint(true)
+                        .distinct().transform(graft.graph.PropertyGraph.materialized)
                       val c = eids.count()
                       currentGraph = Some(
                         graph2.deleteEdgesIn(graph, eb.primary, eids))
@@ -1617,7 +1617,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                       val eids = bdf
                         .filter(col(s"${target}_label") === lit(t))
                         .select(col(s"${target}_eid").as("eid"))
-                        .distinct().localCheckpoint(true)
+                        .distinct().transform(graft.graph.PropertyGraph.materialized)
                       val c = eids.count()
                       if (c > 0) { g = graph2.deleteEdgesIn(g, t, eids) }
                       total += c
@@ -1638,7 +1638,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
               case _ =>
                 val label = nodeLabelOf(target)
                 val ids = bdf.select(col(s"${target}_id").as("id")).distinct()
-                  .localCheckpoint(true)
+                  .transform(graft.graph.PropertyGraph.materialized)
                 val n = ids.count()
                 currentGraph = Some(graph2.deleteNodesIn(graph, label, ids, detach))
                 Seq(n).toDF("nodes_deleted")
@@ -1668,7 +1668,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                         val updates = rows
                           .groupBy(col(s"${v}_eid").as("eid"))
                           .agg(valueCols.head, valueCols.tail: _*)
-                          .localCheckpoint(true)
+                          .transform(graft.graph.PropertyGraph.materialized)
                         val c = updates.count()
                         if (c > 0)
                           g = graph2.setEdgePropsFrom(g, t, updates, props)
@@ -1684,7 +1684,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                         .filter(col(s"${v}_label") === lit(lbl))
                         .groupBy(col(s"${v}_id").cast(idT).as("id"))
                         .agg(valueCols.head, valueCols.tail: _*)
-                        .localCheckpoint(true)
+                        .transform(graft.graph.PropertyGraph.materialized)
                       val c = updates.count()
                       if (c > 0) {
                         g = graph2.setNodePropsFrom(g, lbl, updates, props)
@@ -1695,7 +1695,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                     val label = nodeLabelOf(v)
                     val updates = bdf.groupBy(col(s"${v}_id").as("id"))
                       .agg(valueCols.head, valueCols.tail: _*)
-                      .localCheckpoint(true)
+                      .transform(graft.graph.PropertyGraph.materialized)
                     total += updates.count()
                     g = graph2.setNodePropsFrom(g, label, updates, props)
                 }
@@ -1708,7 +1708,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
               bindings.get(v) match {
                 case Some(nb: compiler.NodeBinding) =>
                   val ids = bdf.select(col(s"${v}_id").as("id")).distinct()
-                    .localCheckpoint(true)
+                    .transform(graft.graph.PropertyGraph.materialized)
                   if (assigns.isEmpty) total += ids.count()
                   g = graph2.addNodeLabel(g, nb.primary, ids, newLabel)
                 case Some(_: compiler.EdgeBinding) =>
@@ -1738,7 +1738,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                   case _ =>
                     val label = nodeLabelOf(v)
                     val updates = bdf.select(col(s"${v}_id").as("id"))
-                      .distinct().localCheckpoint(true)
+                      .distinct().transform(graft.graph.PropertyGraph.materialized)
                     val withNulls = prs.foldLeft(updates)((d, pr) =>
                       d.withColumn(pr.prop, lit(null)))
                     total += updates.count()
@@ -1752,7 +1752,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
               bindings.get(v) match {
                 case Some(_: compiler.NodeBinding) =>
                   val ids = bdf.select(col(s"${v}_id").as("id")).distinct()
-                    .localCheckpoint(true)
+                    .transform(graft.graph.PropertyGraph.materialized)
                   if (removeProps.isEmpty) total += ids.count()
                   g = graph2.removeNodeLabel(g, ids, rmLabel)
                 case _ => throw new GqlCompileException(

@@ -150,9 +150,30 @@ object GraphMutations {
   def setNodeProps(g: PropertyGraph, label: String, pred: Column,
       assignments: Map[String, Column]): PropertyGraph = {
     val t = g.nodeTables(label)
-    val updated = assignments.foldLeft(t)(applyAssign(_, pred, _))
+    val updated = applyAssigns(t, pred, assignments)
     g.mutated(g.nodeTables + (label -> updated), g.edgeTables,
       Set(s"nodes_$label"))
+  }
+
+  /** Apply every item of one SET atomically against the PRE-statement
+    * row. Both the match predicate and each item's value expression are
+    * materialized into temp columns BEFORE any target column is
+    * overwritten: `pred` and the values are unresolved Column trees, so
+    * folding them over a progressively mutated frame would re-evaluate
+    * them against earlier items' writes — found by the DML differential
+    * fuzz as `MATCH (n:L {s: 1}) SET n.s = 4, n.name = 'x'` silently
+    * skipping the second item (after `s` became 4, the re-resolved
+    * `{s: 1}` matched nothing). The reference applies all items of a
+    * statement to the matched row snapshot (match_set.rs).
+    */
+  private def applyAssigns(df: DataFrame, pred: Column,
+      assignments: Map[String, Column]): DataFrame = {
+    val items = assignments.toSeq
+    val frozen = items.zipWithIndex.foldLeft(df.withColumn("__matched", pred)) {
+      case (d, ((_, v), i)) => d.withColumn(s"__val_$i", v) }
+    val assigned = items.zipWithIndex.foldLeft(frozen) {
+      case (d, ((k, _), i)) => applyAssign(d, col("__matched"), k -> col(s"__val_$i")) }
+    assigned.drop("__matched").drop(items.indices.map(i => s"__val_$i"): _*)
   }
 
   /** One property assignment. A target column that is all-NULL with no
@@ -299,7 +320,7 @@ object GraphMutations {
   def setEdgeProps(g: PropertyGraph, label: String, pred: Column,
       assignments: Map[String, Column]): PropertyGraph = {
     val (et, e) = g.edgeTables(label)
-    val updated = assignments.foldLeft(e)(applyAssign(_, pred, _))
+    val updated = applyAssigns(e, pred, assignments)
     g.mutated(g.nodeTables, g.edgeTables + (label -> (et, updated)),
       Set(s"edges_$label"))
   }

@@ -209,10 +209,7 @@ final class PropertyGraph(
     var nn = newNodes
     var ne = newEdges
     var depths = if (mutationDepths == null) Map.empty[String, Int] else mutationDepths
-    def compacted(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint(true)
-      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-    }
+    def compacted(df: DataFrame): DataFrame = PropertyGraph.materialized(df)
     touched.foreach { name =>
       val n = depths.getOrElse(name, 0) + 1
       if (n >= PropertyGraph.compactAfterMutations) {
@@ -595,6 +592,26 @@ final class PropertyGraph(
 }
 
 object PropertyGraph {
+  /** Materialize a derived frame eagerly and RESET its plan statistics.
+    *
+    * `localCheckpoint` alone truncates lineage but INHERITS the origin
+    * plan's statistics (Spark's LogicalRDD keeps originStats). Inside
+    * mutation pipelines those are multiplicative size-only join
+    * products — BigInts whose digit count compounds per statement — and
+    * a derived frame carrying them re-inflates every stored table it is
+    * joined back into (see [[PropertyGraph.mutated]]'s compaction note;
+    * found by the DML differential fuzz freezing in BigInteger
+    * multiplication during stats propagation). The bare re-wrap resets
+    * stats to the unknown-default sentinel; forced broadcasts size
+    * themselves from [[PropertyGraph!.broadcastIfSmallRows]]'s
+    * schema × row-count model instead, and AQE re-measures joins from
+    * real shuffle bytes at runtime.
+    */
+  def materialized(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Copy-on-write layers a dataset may accumulate before [[PropertyGraph.mutated]]
     * materializes it (see that method's scaladoc). Low enough that plan
     * height stays trivially analyzable, high enough that a typical

@@ -17,14 +17,17 @@ import graft.SparkFixture
   * non-null values (3VL), comma patterns gate on the OTHER pattern
   * matching at least one row, OPTIONAL MATCH null bindings no-op the
   * mutation, plain DELETE of a node with incident edges fails the WHOLE
-  * statement, DETACH DELETE takes incident edges along.
+  * statement, DETACH DELETE takes incident edges along, MATCH…INSERT of
+  * an already-present (type,src,dst) edge is a dedup no-op that keeps
+  * the OLD edge's properties, edge SET rewrites matched edges' props,
+  * multi-item SET applies all items to the matched rows.
   */
 class DmlDifferentialFuzzSpec extends AnyFunSuite {
 
   private type Props = Map[String, Any] // "s" -> Long | "name" -> String; null = removed
   private case class Model(
       var nodes: Map[String, Map[Long, Props]], // label -> id -> props
-      var edges: Vector[(Long, Long)]) // L-id -> M-id over type R
+      var edges: Map[(Long, Long), Long]) // (L-id, M-id) -> w, over type R
 
   // 250 statements ≈ 3 min keeps the routine suite tractable; the full
   // 600 (which originally exposed the unbounded copy-on-write plan height
@@ -48,15 +51,16 @@ class DmlDifferentialFuzzSpec extends AnyFunSuite {
     val m = Model(
       Map("L" -> (1 to 6).map(i => i.toLong -> seedProps(i)).toMap,
         "M" -> (1 to 6).map(i => (10 + i).toLong -> seedProps(i + 1)).toMap),
-      Vector((1L, 11L), (2L, 12L), (2L, 13L), (4L, 14L)))
+      Map((1L, 11L) -> 1L, (2L, 12L) -> 2L, (2L, 13L) -> 3L, (4L, 14L) -> 4L))
     m.nodes.foreach { case (lbl, rows) =>
       rows.toSeq.sortBy(_._1).foreach { case (id, p) =>
         t.execute(s"INSERT (:$lbl {id: $id, s: ${p("s")}, " +
           s"name: '${p("name")}'})")
       }
     }
-    m.edges.foreach { case (a, b) =>
-      t.execute(s"MATCH (a:L {id: $a}), (b:M {id: $b}) INSERT (a)-[:R]->(b)")
+    m.edges.toSeq.sortBy(_._1).foreach { case ((a, b), w) =>
+      t.execute(s"MATCH (a:L {id: $a}), (b:M {id: $b}) " +
+        s"INSERT (a)-[:R {w: $w}]->(b)")
     }
 
     // ---- model-side helpers ----
@@ -87,10 +91,12 @@ class DmlDifferentialFuzzSpec extends AnyFunSuite {
         assert(got == want, s"$lbl state diverged after: $stmt\n" +
           s"engine: $got\nmodel:  $want")
       }
-      val gotE = t.gql("MATCH (a:L)-[r:R]->(b:M) RETURN a.id AS a, b.id AS b " +
-        "ORDER BY a, b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(gotE == m.edges.sorted,
-        s"edges diverged after: $stmt\nengine: $gotE\nmodel:  ${m.edges.sorted}")
+      val gotE = t.gql("MATCH (a:L)-[r:R]->(b:M) RETURN a.id AS a, b.id AS b, " +
+        "r.w AS w ORDER BY a, b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val wantE = m.edges.toSeq.map { case ((a, b), w) => (a, b, w) }.sorted
+      assert(gotE == wantE,
+        s"edges diverged after: $stmt\nengine: $gotE\nmodel:  $wantE")
     }
 
     var executed = 0
@@ -111,7 +117,7 @@ class DmlDifferentialFuzzSpec extends AnyFunSuite {
       val whereStr = whereGt.fold("") { case (k, b) => s" WHERE n.$k > $b" }
       val k = rnd.nextInt(6).toLong
 
-      rnd.nextInt(7) match {
+      rnd.nextInt(10) match {
         case 0 => // SET
           val stmt = s"MATCH (n:$lbl$inlineStr)$whereStr SET n.s = $k"
           t.execute(stmt)
@@ -132,15 +138,15 @@ class DmlDifferentialFuzzSpec extends AnyFunSuite {
           val stmt = s"MATCH (n:$lbl$inlineStr)$whereStr ${d}DELETE n"
           val ids = matched(lbl, inline, whereGt)
           val incident = ids.exists(id =>
-            if (lbl == "L") m.edges.exists(_._1 == id)
-            else m.edges.exists(_._2 == id))
+            if (lbl == "L") m.edges.keys.exists(_._1 == id)
+            else m.edges.keys.exists(_._2 == id))
           if (!detach && incident) {
             intercept[Exception] { t.execute(stmt) } // whole stmt fails
           } else {
             t.execute(stmt)
             m.nodes += lbl -> (m.nodes(lbl) -- ids)
-            if (detach) m.edges = m.edges.filterNot { case (a, b) =>
-              (lbl == "L" && ids(a)) || (lbl == "M" && ids(b)) }
+            if (detach) m.edges = m.edges.filter { case ((a, b), _) =>
+              !((lbl == "L" && ids(a)) || (lbl == "M" && ids(b))) }
           }
           verify(stmt)
         case 3 => // comma pattern with a gate on the OTHER label
@@ -160,7 +166,7 @@ class DmlDifferentialFuzzSpec extends AnyFunSuite {
           val stmt = s"MATCH (a:L$inlineStr)-[:R]->(b:M) SET b.s = $k"
           t.execute(stmt)
           val srcs = matched("L", inline, None)
-          val dsts = m.edges.collect { case (a, b) if srcs(a) => b }.toSet
+          val dsts = m.edges.keys.collect { case (a, b) if srcs(a) => b }.toSet
           m.nodes += "M" -> m.nodes("M").map { case (id, p) =>
             id -> (if (dsts(id)) p + ("s" -> k) else p) }
           verify(stmt)
@@ -168,16 +174,43 @@ class DmlDifferentialFuzzSpec extends AnyFunSuite {
           val stmt = s"MATCH (a:L)-[r:R]->(b:M$inlineStr) DELETE r"
           t.execute(stmt)
           val dsts = matched("M", inline, None)
-          m.edges = m.edges.filterNot { case (_, b) => dsts(b) }
+          m.edges = m.edges.filter { case ((_, b), _) => !dsts(b) }
           verify(stmt)
         case 6 => // OPTIONAL MATCH SET on the optional end
           val stmt = s"MATCH (p:L) OPTIONAL MATCH (p)-[:R]->(q:M$inlineStr) " +
             s"SET q.s = $k"
           t.execute(stmt)
-          val dsts = m.edges.map(_._2).toSet
+          val dsts = m.edges.keys.map(_._2).toSet
             .intersect(matched("M", inline, None))
           m.nodes += "M" -> m.nodes("M").map { case (id, p) =>
             id -> (if (dsts(id)) p + ("s" -> k) else p) }
+          verify(stmt)
+        case 7 => // MATCH…INSERT edge; duplicate (type,src,dst) dedups to a
+          // no-op that KEEPS the old edge's props; missing endpoints no-op
+          val a = (rnd.nextInt(12) + 1).toLong
+          val b = (10 + rnd.nextInt(12) + 1).toLong
+          val stmt = s"MATCH (a:L {id: $a}), (b:M {id: $b}) " +
+            s"INSERT (a)-[:R {w: $k}]->(b)"
+          t.execute(stmt)
+          if (m.nodes("L").contains(a) && m.nodes("M").contains(b) &&
+              !m.edges.contains((a, b)))
+            m.edges += (a, b) -> k
+          verify(stmt)
+        case 8 => // edge-property SET constrained by the src
+          val stmt = s"MATCH (a:L$inlineStr)-[r:R]->(b:M) SET r.w = $k"
+          t.execute(stmt)
+          val srcs = matched("L", inline, None)
+          m.edges = m.edges.map { case ((a, b), w) =>
+            (a, b) -> (if (srcs(a)) k else w) }
+          verify(stmt)
+        case 9 => // multi-item SET: both props rewritten in one statement
+          val nm = names(rnd.nextInt(3))
+          val stmt =
+            s"MATCH (n:$lbl$inlineStr)$whereStr SET n.s = $k, n.name = '$nm'"
+          t.execute(stmt)
+          val ids = matched(lbl, inline, whereGt)
+          m.nodes += lbl -> m.nodes(lbl).map { case (id, p) =>
+            id -> (if (ids(id)) p + ("s" -> k) + ("name" -> nm) else p) }
           verify(stmt)
       }
       executed += 1
