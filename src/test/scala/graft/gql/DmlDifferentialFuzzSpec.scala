@@ -117,7 +117,7 @@ class DmlDifferentialFuzzSpec extends AnyFunSuite {
       val whereStr = whereGt.fold("") { case (k, b) => s" WHERE n.$k > $b" }
       val k = rnd.nextInt(6).toLong
 
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 => // SET
           val stmt = s"MATCH (n:$lbl$inlineStr)$whereStr SET n.s = $k"
           t.execute(stmt)
@@ -211,6 +211,20 @@ class DmlDifferentialFuzzSpec extends AnyFunSuite {
           val ids = matched(lbl, inline, whereGt)
           m.nodes += lbl -> m.nodes(lbl).map { case (id, p) =>
             id -> (if (ids(id)) p + ("s" -> k) + ("name" -> nm) else p) }
+          verify(stmt)
+        case 10 => // self-referencing value: every item reads the
+          // PRE-statement row (3VL: null s + 1 stays null)
+          val nm = names(rnd.nextInt(3))
+          val stmt = s"MATCH (n:$lbl$inlineStr)$whereStr " +
+            s"SET n.s = n.s + 1, n.name = '$nm'"
+          t.execute(stmt)
+          val ids = matched(lbl, inline, whereGt)
+          m.nodes += lbl -> m.nodes(lbl).map { case (id, p) =>
+            id -> (if (ids(id)) {
+              val s2: Any = p.get("s")
+                .collect { case v: Long => v + 1 }.getOrElse(null)
+              p + ("s" -> s2) + ("name" -> nm)
+            } else p) }
           verify(stmt)
       }
       executed += 1
