@@ -338,7 +338,7 @@ final class Compiler(graph: PropertyGraph,
           case other => throw new GqlCompileException(
             s"set-op ORDER BY must name an output column or position, got $other")
         }
-        if (s.ascending) c.asc else c.desc
+        if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
       }
       d = d.orderBy(sortCols: _*)
     }
@@ -870,7 +870,12 @@ final class Compiler(graph: PropertyGraph,
           .distinct().select(keep: _*)
     }
 
-    // ORDER BY resolved against output columns / hidden aggs
+    // ORDER BY resolved against output columns / hidden aggs.
+    // Nulls ordering matches the reference, not Spark's default:
+    // compare_values(nulls_first=false) sorts NULL as GREATER and DESC
+    // reverses AFTER the comparison (executor.rs:6689, 6728-6739), so
+    // ASC puts nulls last and DESC puts nulls first — Spark's asc/desc
+    // defaults are the exact opposite on both directions.
     if (seg1.orderBy.nonEmpty) {
       val sortCols = seg1.orderBy.map { s =>
         val c = s.expr match {
@@ -878,7 +883,7 @@ final class Compiler(graph: PropertyGraph,
             outCol(items(v.toInt - 1)._2) // ORDER BY <position>
           case e => compilePost(e, postCtx)
         }
-        if (s.ascending) c.asc else c.desc
+        if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
       }
       out = out.orderBy(sortCols: _*)
     }
@@ -1307,9 +1312,9 @@ final class Compiler(graph: PropertyGraph,
         // LIMIT without ORDER BY is an arbitrary subset — rank on the
         // value itself so the choice is at least deterministic
         val sortCols =
-          if (last.orderBy.isEmpty) Seq(col(valueName).asc)
+          if (last.orderBy.isEmpty) Seq(col(valueName).asc_nulls_last)
           else sortNames.zip(last.orderBy).map { case (n, s) =>
-            if (s.ascending) col(n).asc else col(n).desc
+            if (s.ascending) col(n).asc_nulls_last else col(n).desc_nulls_first
           }
         val rn = fresh("crank")
         val w = org.apache.spark.sql.expressions.Window

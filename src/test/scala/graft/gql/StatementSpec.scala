@@ -36,6 +36,23 @@ class StatementSpec extends AnyFunSuite {
       .collect().head.getDouble(0) == 200.0)
   }
 
+  test("ORDER BY nulls ordering: ASC last, DESC first (executor.rs:6728-6739)") {
+    // compare_values(nulls_first=false) sorts NULL as GREATER and DESC
+    // reverses AFTER the comparison — Spark's asc/desc defaults are the
+    // opposite on BOTH directions, so this pins the reference's rule
+    val s = freshSession()
+    s.execute("INSERT (:Nul {id: 1, v: 10})")
+    s.execute("INSERT (:Nul {id: 2})")
+    s.execute("INSERT (:Nul {id: 3, v: 5})")
+    s.execute("INSERT (:Nul {id: 4})")
+    val asc = s.gql("MATCH (n:Nul) RETURN n.id AS id ORDER BY n.v ASC, n.id ASC")
+      .collect().map(_.getLong(0)).toSeq
+    assert(asc == Seq(3L, 1L, 2L, 4L)) // nulls LAST under ASC
+    val desc = s.gql("MATCH (n:Nul) RETURN n.id AS id ORDER BY n.v DESC, n.id ASC")
+      .collect().map(_.getLong(0)).toSeq
+    assert(desc == Seq(2L, 4L, 1L, 3L)) // nulls FIRST under DESC
+  }
+
   test("DDL options: IF NOT EXISTS no-ops, DROP SCHEMA needs CASCADE " +
       "(ddl_independent_tests.rs:38-148)") {
     val s = freshSession()

@@ -114,4 +114,38 @@ class WhereDifferentialFuzzSpec extends AnyFunSuite {
       assert(got == want, s"\npredicate: ${render(p)}")
     }
   }
+
+  // ---- ORDER BY / SKIP / LIMIT over nullable keys ----
+  // Reference nulls rule (executor.rs:6728-6739): NULL compares GREATER
+  // and DESC reverses after — ASC nulls last, DESC nulls first. The final
+  // id key makes the full order deterministic on both sides.
+  private def keyOrd(asc: Boolean): Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = {
+      val c = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => 1 // greater
+        case (_, null) => -1
+        case (x: Long, y: Long) => x.compareTo(y)
+        case (x: String, y: String) => x.compareTo(y)
+        case _ => 0
+      }
+      if (asc) c else -c
+    }
+  }
+
+  (1 to 15).foreach { i =>
+    val (sAsc, nAsc) = (rnd.nextBoolean(), rnd.nextBoolean())
+    val skip = rnd.nextInt(4)
+    val limit = 1 + rnd.nextInt(8)
+    def d(a: Boolean) = if (a) "ASC" else "DESC"
+    test(s"order $i: s ${d(sAsc)}, name ${d(nAsc)} SKIP $skip LIMIT $limit") {
+      val got = t.gql("MATCH (n:N) RETURN n.id AS id " +
+        s"ORDER BY n.s ${d(sAsc)}, n.name ${d(nAsc)}, n.id " +
+        s"SKIP $skip LIMIT $limit").collect().map(_.getLong(0)).toSeq
+      val want = rows.sortBy { case (id, s, name) => (s, name, id) }(
+        Ordering.Tuple3(keyOrd(sAsc), keyOrd(nAsc), Ordering.Long))
+        .map(_._1).slice(skip, skip + limit)
+      assert(got == want)
+    }
+  }
 }
