@@ -19,6 +19,17 @@ private[graft] object ScalarFns {
   import org.apache.spark.sql.functions._
   import Ast.{Expr, NumLit}
 
+  /** The reference's modulo is EUCLIDEAN (f64::rem_euclid — both the `%`
+    * operator, executor.rs:5193-5197, and MOD(),
+    * mathematical_functions.rs): the result lies in [0, |divisor|)
+    * regardless of operand signs. Spark/SQL `%` is truncated (sign
+    * follows the dividend), so -7 % 3 would be -1 instead of the
+    * reference's 2. `((l % r) + |r|) % |r|` matches rem_euclid for every
+    * sign combination; modulo-by-zero still errors (ANSI), like the
+    * reference's RuntimeError.
+    */
+  def euclidMod(l: Column, r: Column): Column = ((l % r) + abs(r)) % abs(r)
+
   val names: Set[String] = Set(
     "UPPER", "LOWER", "TRIM", "SUBSTRING", "REPLACE", "REVERSE",
     "LENGTH", "CHAR_LENGTH",
@@ -52,7 +63,7 @@ private[graft] object ScalarFns {
       case "TAN" => tan(a(0))
       case "PI" => lit(math.Pi)
       case "SIGN" => signum(a(0))
-      case "MOD" => a(0) % a(1)
+      case "MOD" => ScalarFns.euclidMod(a(0), a(1))
       case "ROUND" if a.size == 2 => rawArgs(1) match {
         case NumLit(x, true) => round(a(0), x.toInt)
         case other => throw new GqlCompileException(
@@ -2680,7 +2691,7 @@ final class Compiler(graph: PropertyGraph,
     case "-" => l - r
     case "*" => l * r
     case "/" => l / r
-    case "%" => l % r
+    case "%" => ScalarFns.euclidMod(l, r) // reference rem_euclid semantics
     case "||" => concat(l, r)
     case "=" => l === r
     case "<>" => l =!= r

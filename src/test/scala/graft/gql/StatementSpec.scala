@@ -53,6 +53,15 @@ class StatementSpec extends AnyFunSuite {
     assert(desc == Seq(2L, 4L, 1L, 3L)) // nulls FIRST under DESC
   }
 
+  test("modulo is Euclidean like the reference (executor.rs:5193-5197)") {
+    val s = freshSession()
+    val r = s.gql("MATCH (a:Account {id: 1}) RETURN " +
+      "-7 % 3 AS m1, 7 % -3 AS m2, -7 % -3 AS m3, MOD(-7, 3) AS f1")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 1L, 2L, 2L))) // rem_euclid: result in [0, |divisor|)
+  }
+
   test("DDL options: IF NOT EXISTS no-ops, DROP SCHEMA needs CASCADE " +
       "(ddl_independent_tests.rs:38-148)") {
     val s = freshSession()
