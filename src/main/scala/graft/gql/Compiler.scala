@@ -42,10 +42,47 @@ private[graft] object ScalarFns {
       // string (string_functions.rs)
       case "UPPER" => upper(a(0))
       case "LOWER" => lower(a(0))
-      case "TRIM" => trim(a(0))
+      case "TRIM" =>
+        // reference TRIM forms (string_functions.rs:198-265): TRIM(s);
+        // TRIM(mode, s) when arg0 is a LEADING/TRAILING/BOTH literal;
+        // TRIM(s, char); TRIM(mode, chars, s). Mode forms trim the
+        // " \t\n\r" set; the char forms trim the given characters.
+        def modeOf(e: Expr): Option[String] = e match {
+          case Ast.StrLit(m)
+              if Set("LEADING", "TRAILING", "BOTH")(m.toUpperCase) =>
+            Some(m.toUpperCase)
+          case _ => None
+        }
+        def litChars(e: Expr): String = e match {
+          case Ast.StrLit(c) => c
+          case other => throw new GqlCompileException(
+            s"TRIM characters must be a string literal, got $other")
+        }
+        def trimBy(mode: String, chars: String, s: Column): Column =
+          mode match {
+            case "LEADING" => ltrim(s, chars)
+            case "TRAILING" => rtrim(s, chars)
+            case _ => rtrim(ltrim(s, chars), chars)
+          }
+        val ws = " \t\n\r"
+        a.size match {
+          case 1 => trim(a(0))
+          case 2 => modeOf(rawArgs(0)) match {
+            case Some(mode) => trimBy(mode, ws, a(1))
+            case None => trimBy("BOTH", litChars(rawArgs(1)), a(0))
+          }
+          case _ =>
+            trimBy(modeOf(rawArgs(0)).getOrElse("BOTH"),
+              litChars(rawArgs(1)), a(2))
+        }
       case "SUBSTRING" =>
-        if (a.size == 3) a(0).substr(a(1), a(2))
-        else a(0).substr(a(1), lit(Int.MaxValue))
+        // the reference clamps start <= 0 to the FIRST character and a
+        // length <= 0 to the empty string (string_functions.rs:364-392);
+        // Spark's substr instead counts a negative start from the END of
+        // the string — clamp both so the semantics match
+        val start = greatest(a(1), lit(1))
+        if (a.size == 3) a(0).substr(start, greatest(a(2), lit(0)))
+        else a(0).substr(start, lit(Int.MaxValue))
       case "REPLACE" => replace(a(0), a(1), a(2))
       case "REVERSE" => reverse(a(0))
       case "LENGTH" | "CHAR_LENGTH" => length(a(0)).cast("long")

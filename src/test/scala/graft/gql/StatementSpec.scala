@@ -62,6 +62,29 @@ class StatementSpec extends AnyFunSuite {
       == ((2L, 1L, 2L, 2L))) // rem_euclid: result in [0, |divisor|)
   }
 
+  test("SUBSTRING clamps non-positive start/length (string_functions.rs:364-392)") {
+    // the reference treats start <= 0 as the first character and
+    // length <= 0 as empty; Spark's raw substr counts negative starts
+    // from the END — this pins the reference's rule
+    val s = freshSession()
+    val r = s.gql("MATCH (a:Account {id: 1}) RETURN " +
+      "SUBSTRING('hello', -2, 3) AS a, SUBSTRING('hello', 0, 2) AS b, " +
+      "SUBSTRING('hello', 2, -1) AS c, SUBSTRING('hello', 99) AS d, " +
+      "SUBSTRING('hello', 2) AS e").collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+      r.getString(4)) == (("hel", "he", "", "", "ello")))
+  }
+
+  test("TRIM mode and character forms (string_functions.rs:198-265)") {
+    val s = freshSession()
+    val r = s.gql("MATCH (a:Account {id: 1}) RETURN " +
+      "TRIM('  x  ') AS t1, TRIM('LEADING', '  x  ') AS t2, " +
+      "TRIM('TRAILING', '  x  ') AS t3, TRIM('--x--', '-') AS t4, " +
+      "TRIM('leading', '-', '--x--') AS t5").collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+      r.getString(4)) == (("x", "x  ", "  x", "x", "x--")))
+  }
+
   test("DDL options: IF NOT EXISTS no-ops, DROP SCHEMA needs CASCADE " +
       "(ddl_independent_tests.rs:38-148)") {
     val s = freshSession()
