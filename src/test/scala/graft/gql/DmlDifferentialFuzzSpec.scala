@@ -42,7 +42,10 @@ class DmlDifferentialFuzzSpec extends AnyFunSuite {
     t.execute("CREATE GRAPH /main/dml_fuzz")
     t.execute("SESSION SET GRAPH /main/dml_fuzz")
 
-    val rnd = new scala.util.Random(20260814L)
+    // default seed is fixed for reproducibility; rotate via
+    // GRAFT_DML_FUZZ_SEED to shake out seed-dependent paths
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("GRAFT_DML_FUZZ_SEED", "20260814").toLong)
     val names = Array("x", "y", "z")
 
     // ---- seed an identical graph on both sides ----
