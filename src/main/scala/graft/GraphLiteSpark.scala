@@ -1578,17 +1578,19 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         // cast back to each table's own id type (the union may have
         // widened mixed Long/string ids to string)
         def perUnionLabel(v: String)(
-            apply: (String, DataFrame) => Long): Long = {
-          var total = 0L
+            apply: (String, DataFrame) => Unit): Long = {
           graph.nodeTables.keys.toSeq.sorted.foreach { lbl =>
             val idT = graph.nodeTables(lbl).schema("id").dataType
             val ids = bdf.filter(col(s"${v}_label") === lit(lbl))
               .select(col(s"${v}_id").cast(idT).as("id")).distinct()
               .transform(graft.graph.PropertyGraph.materialized)
-            val c = ids.count()
-            if (c > 0) total += apply(lbl, ids)
+            if (ids.count() > 0) apply(lbl, ids)
           }
-          total
+          // the mutation applies once per label TABLE (a multi-label
+          // node is the same id row in every table, see the INSERT
+          // comment above), but the reference counts logical NODES —
+          // report distinct ids across the union, not per-table sums
+          bdf.select(col(s"${v}_id").cast("string")).distinct().count()
         }
         op match {
           case "DELETE" =>
@@ -1629,9 +1631,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
               case Some(compiler.UnionNode) =>
                 var g = graph
                 val n = perUnionLabel(target) { (lbl, ids) =>
-                  val c = ids.count()
                   g = graph2.deleteNodesIn(g, lbl, ids, detach)
-                  c
                 }
                 currentGraph = Some(g)
                 Seq(n).toDF("nodes_deleted")
@@ -1685,12 +1685,13 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                         .groupBy(col(s"${v}_id").cast(idT).as("id"))
                         .agg(valueCols.head, valueCols.tail: _*)
                         .transform(graft.graph.PropertyGraph.materialized)
-                      val c = updates.count()
-                      if (c > 0) {
+                      if (updates.count() > 0)
                         g = graph2.setNodePropsFrom(g, lbl, updates, props)
-                        total += c
-                      }
                     }
+                    // count logical nodes, not per-label-table rows — a
+                    // multi-label node is the same id row in every table
+                    total += bdf.select(col(s"${v}_id").cast("string"))
+                      .distinct().count()
                   case _ =>
                     val label = nodeLabelOf(v)
                     val updates = bdf.groupBy(col(s"${v}_id").as("id"))
@@ -1733,7 +1734,6 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                         d.withColumn(pr.prop, lit(null)))
                       g = graph2.setNodePropsFrom(g, lbl, withNulls,
                         prs.map(_.prop))
-                      ids.count()
                     }
                   case _ =>
                     val label = nodeLabelOf(v)

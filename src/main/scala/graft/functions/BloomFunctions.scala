@@ -29,6 +29,9 @@ object BloomFunctions {
   private val ProbeName = "graft_bloom_might_contain"
 
   private def register(spark: SparkSession): Unit = {
+    // idempotent — re-registering logs a "replaced" WARN per query
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(AggName))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       AggName, exprs => {
         require(exprs(1).foldable && exprs(2).foldable,

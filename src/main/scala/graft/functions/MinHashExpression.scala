@@ -99,10 +99,16 @@ object MinHashFunctions {
 
   /** Register `graft_minhash(hashes, numHashes)`; the permutation family
     * comes from [[graft.dedup.Dedup.permutations]] resolved at plan time
-    * from the literal numHashes argument.
+    * from the literal numHashes argument. Idempotent: re-registering the
+    * same builder every call would log a "replaced a previously
+    * registered function" WARN per query, so an existing registration is
+    * left in place.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(Name))) return
+    reg.createOrReplaceTempFunction(
       Name, exprs => {
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) =>
@@ -116,6 +122,7 @@ object MinHashFunctions {
         MinHashSignature(exprs(0), perms.map(_._1).toArray,
           perms.map(_._2).toArray, graft.dedup.Dedup.MinhashPrime)
       }, "built-in")
+  }
 
   def minhash(spark: SparkSession, hashes: Column, numHashes: Int): Column = {
     register(spark)

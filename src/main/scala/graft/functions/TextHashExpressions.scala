@@ -159,6 +159,9 @@ object TextHashFunctions {
   val MarkerName = "graft_marker_counts"
 
   def register(spark: SparkSession): Unit = {
+    // idempotent — re-registering logs a "replaced" WARN per query
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(ShingleName))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShingleName, exprs => {
         def intLit(e: Expression): Long = e match {

@@ -84,10 +84,15 @@ object VectorFunctions {
 
   /** Register the expression in the session's function registry (the
     * Spark-4 path for building Columns from custom expressions).
+    * Idempotent — re-registering logs a "replaced" WARN per query.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(CosineName))) return
+    reg.createOrReplaceTempFunction(
       CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Codegen'd cosine similarity column (registers on first use). */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {

@@ -19,14 +19,18 @@ private[graft] object ScalarFns {
   import org.apache.spark.sql.functions._
   import Ast.{Expr, NumLit}
 
-  /** The reference's modulo is EUCLIDEAN (f64::rem_euclid — both the `%`
-    * operator, executor.rs:5193-5197, and MOD(),
-    * mathematical_functions.rs): the result lies in [0, |divisor|)
+  /** The reference's `%` OPERATOR is EUCLIDEAN (f64::rem_euclid,
+    * executor.rs:5193-5197): the result lies in [0, |divisor|)
     * regardless of operand signs. Spark/SQL `%` is truncated (sign
     * follows the dividend), so -7 % 3 would be -1 instead of the
     * reference's 2. `((l % r) + |r|) % |r|` matches rem_euclid for every
     * sign combination; modulo-by-zero still errors (ANSI), like the
     * reference's RuntimeError.
+    *
+    * The MOD() FUNCTION is different: ModFunction
+    * (mathematical_functions.rs:763, `dividend % divisor` on f64) is
+    * Rust's truncated remainder — MOD(-7, 3) = -1 there. So MOD() maps
+    * to Spark's native `%` below and only the operator uses euclidMod.
     */
   def euclidMod(l: Column, r: Column): Column = ((l % r) + abs(r)) % abs(r)
 
@@ -46,7 +50,10 @@ private[graft] object ScalarFns {
         // reference TRIM forms (string_functions.rs:198-265): TRIM(s);
         // TRIM(mode, s) when arg0 is a LEADING/TRAILING/BOTH literal;
         // TRIM(s, char); TRIM(mode, chars, s). Mode forms trim the
-        // " \t\n\r" set; the char forms trim the given characters.
+        // " \t\n\r" set. The 2-arg char form goes through
+        // extract_trim_char (string_functions.rs:292-303), which keeps
+        // only the FIRST character of the literal and maps an empty
+        // string to a space; only the 3-arg form trims the full set.
         def modeOf(e: Expr): Option[String] = e match {
           case Ast.StrLit(m)
               if Set("LEADING", "TRAILING", "BOTH")(m.toUpperCase) =>
@@ -64,12 +71,14 @@ private[graft] object ScalarFns {
             case "TRAILING" => rtrim(s, chars)
             case _ => rtrim(ltrim(s, chars), chars)
           }
+        def firstChar(chars: String): String =
+          if (chars.isEmpty) " " else chars.substring(0, 1)
         val ws = " \t\n\r"
         a.size match {
           case 1 => trim(a(0))
           case 2 => modeOf(rawArgs(0)) match {
             case Some(mode) => trimBy(mode, ws, a(1))
-            case None => trimBy("BOTH", litChars(rawArgs(1)), a(0))
+            case None => trimBy("BOTH", firstChar(litChars(rawArgs(1))), a(0))
           }
           case _ =>
             trimBy(modeOf(rawArgs(0)).getOrElse("BOTH"),
@@ -100,7 +109,7 @@ private[graft] object ScalarFns {
       case "TAN" => tan(a(0))
       case "PI" => lit(math.Pi)
       case "SIGN" => signum(a(0))
-      case "MOD" => ScalarFns.euclidMod(a(0), a(1))
+      case "MOD" => a(0) % a(1) // truncated, mathematical_functions.rs:763
       case "ROUND" if a.size == 2 => rawArgs(1) match {
         case NumLit(x, true) => round(a(0), x.toInt)
         case other => throw new GqlCompileException(
@@ -620,7 +629,8 @@ final class Compiler(graph: PropertyGraph,
           graph.nodeTables.get(b.primary).foreach { t =>
             val renamed = t.columns.foldLeft(t)((acc, c) =>
               acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))
-            df = Some(df.get.join(renamed, s"${v}_id"))
+            val (dA, rA) = alignIdTypes(df.get, renamed, s"${v}_id")
+            df = Some(dA.join(rA, s"${v}_id"))
           }
           // multi-label intersection: props merged from the OTHER label
           // tables (scanNodeMulti semantics) — each still-missing prop
@@ -633,7 +643,8 @@ final class Compiler(graph: PropertyGraph,
               if (cols.nonEmpty) {
                 val side = t.select(col("id").as(s"${v}_id") +:
                   cols.map(c => col(c).as(s"${v}_$c")): _*)
-                df = Some(df.get.join(side, Seq(s"${v}_id")))
+                val (dA, sA) = alignIdTypes(df.get, side, s"${v}_id")
+                df = Some(dA.join(sA, Seq(s"${v}_id")))
                 missing --= cols
               }
             }
@@ -648,7 +659,8 @@ final class Compiler(graph: PropertyGraph,
           val all = scanAllLabels(v, Seq.empty, ctx)
           val side = all.select((Seq(col(s"${v}_id"), col(s"${v}_label")) ++
             missing.toSeq.sorted.map(pr => col(s"${v}_$pr"))): _*)
-          df = Some(df.get.join(side, Seq(s"${v}_id", s"${v}_label")))
+          val (dA, sA) = alignIdTypes(df.get, side, s"${v}_id")
+          df = Some(dA.join(sA, Seq(s"${v}_id", s"${v}_label")))
         }
       case _ => ()
     }
@@ -1989,6 +2001,27 @@ final class Compiler(graph: PropertyGraph,
     d
   }
 
+  /** Align the id-key types of two join sides before an equi-join.
+    * After a string-widening INSERT one label table can be StringType
+    * while another is still LongType; Spark's PromoteStrings would
+    * coerce String-vs-Long to Double, which silently corrupts ids above
+    * 2^53 — the same hazard PropertyGraph's hop joins and
+    * GraphMutations.insertNodes already guard. Casting the non-string
+    * side to string is exact for both.
+    */
+  private def alignIdTypes(left: DataFrame, right: DataFrame,
+      key: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.StringType
+    (left.schema(key).dataType, right.schema(key).dataType) match {
+      case (a, b) if a == b => (left, right)
+      case (StringType, _) =>
+        (left, right.withColumn(key, col(key).cast(StringType)))
+      case (_, StringType) =>
+        (left.withColumn(key, col(key).cast(StringType)), right)
+      case _ => (left, right) // numeric/numeric: Spark's widening is exact
+    }
+  }
+
   /** Multi-label scan `(a:L1:L2)` — intersection semantics: the carrier
     * (first) label provides identity and its properties; each further
     * label constrains membership, joining in any property columns the
@@ -2008,7 +2041,8 @@ final class Compiler(graph: PropertyGraph,
         c == "id" || d.columns.contains(s"${v}_$c"))
       val side = t.select((Seq(col("id").as(s"${v}_id")) ++
         extra.map(c => col(c).as(s"${v}_$c"))): _*)
-      d = d.join(side, s"${v}_id")
+      val (dA, sideA) = alignIdTypes(d, side, s"${v}_id")
+      d = dA.join(sideA, s"${v}_id")
     }
     props.foreach { case (k, lit) =>
       d = propFilter(d, s"${v}_$k", lit, ctx)

@@ -110,13 +110,23 @@ object Analytics {
 
   /** Re-key a `__vid`-keyed result frame back to original ids (surrogate
     * graphs); Long-id graphs pass through with `__vid` renamed to `id`.
+    *
+    * The idMap cache is dropped here, before returning: it has already
+    * served its eager consumers (the collision guard's head() and the
+    * GraphX build), and leaving one cached frame per analytics call
+    * accumulates in the CacheManager for the session's lifetime. If the
+    * caller evaluates the returned plan later, the map recomputes — a
+    * deterministic distinct+xxhash64 over node ids, cheap next to the
+    * algorithm itself.
     */
   private def joinBack(res: DataFrame, idMap: Option[DataFrame]): DataFrame =
     idMap match {
       case None => res.withColumnRenamed("__vid", "id")
       case Some(m) =>
-        res.join(m, "__vid").select(
+        val out = res.join(m, "__vid").select(
           (col("id") +: res.columns.filterNot(_ == "__vid").map(col)): _*)
+        m.unpersist(blocking = false)
+        out
     }
 
   /** PageRank (damping 0.85). Returns (id, rank rounded to 6). */

@@ -183,6 +183,20 @@ class DmlPredicateSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 0L)
   }
 
+  test("multi-label nodes count once in label-less DML tallies") {
+    val t = fresh("multi_label_count")
+    // id 2 now lives in BOTH the P and Vip tables (one logical node)
+    t.execute("MATCH (p:P {id: 2}) SET p:Vip")
+    val set = t.execute("MATCH (n) SET n.seen = true")
+      .collect().head.getLong(0)
+    assert(set == 3L, "a 2-label node must tally as ONE updated node")
+    val del = t.execute("MATCH (n) DETACH DELETE n")
+      .collect().head.getLong(0)
+    assert(del == 3L, "a 2-label node must tally as ONE deleted node")
+    assert(t.gql("MATCH (n) RETURN count(n) AS c")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("edge DML with endpoint inline props routes through the pipeline") {
     val t = fresh("edge_inline")
     t.execute("MATCH (a:P {id: 1}), (b:P {id: 2}) INSERT (a)-[:R {w: 1}]->(b)")

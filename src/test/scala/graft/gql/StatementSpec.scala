@@ -53,13 +53,17 @@ class StatementSpec extends AnyFunSuite {
     assert(desc == Seq(2L, 4L, 1L, 3L)) // nulls FIRST under DESC
   }
 
-  test("modulo is Euclidean like the reference (executor.rs:5193-5197)") {
+  test("% operator is Euclidean, MOD() is truncated, like the reference " +
+      "(executor.rs:5193-5197 vs mathematical_functions.rs:763)") {
     val s = freshSession()
     val r = s.gql("MATCH (a:Account {id: 1}) RETURN " +
-      "-7 % 3 AS m1, 7 % -3 AS m2, -7 % -3 AS m3, MOD(-7, 3) AS f1")
+      "-7 % 3 AS m1, 7 % -3 AS m2, -7 % -3 AS m3, " +
+      "MOD(-7, 3) AS f1, MOD(7, -3) AS f2, MOD(7, 3) AS f3")
       .collect().head
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      == ((2L, 1L, 2L, 2L))) // rem_euclid: result in [0, |divisor|)
+    // `%` is rem_euclid: result in [0, |divisor|)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
+    // MOD() is Rust `%` on f64: sign follows the dividend
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((-1L, 1L, 1L)))
   }
 
   test("SUBSTRING clamps non-positive start/length (string_functions.rs:364-392)") {
@@ -80,9 +84,16 @@ class StatementSpec extends AnyFunSuite {
     val r = s.gql("MATCH (a:Account {id: 1}) RETURN " +
       "TRIM('  x  ') AS t1, TRIM('LEADING', '  x  ') AS t2, " +
       "TRIM('TRAILING', '  x  ') AS t3, TRIM('--x--', '-') AS t4, " +
-      "TRIM('leading', '-', '--x--') AS t5").collect().head
+      "TRIM('leading', '-', '--x--') AS t5, " +
+      // 2-arg char form uses only the FIRST character of the literal
+      // (extract_trim_char, string_functions.rs:292-303); empty → space
+      "TRIM('xyxAyx', 'xy') AS t6, TRIM('  x  ', '') AS t7, " +
+      // 3-arg form trims the full character SET (trim_string)
+      "TRIM('BOTH', 'xy', 'xyxAyx') AS t8").collect().head
     assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3),
       r.getString(4)) == (("x", "x  ", "  x", "x", "x--")))
+    assert((r.getString(5), r.getString(6), r.getString(7))
+      == (("yxAy", "x", "A")))
   }
 
   test("DDL options: IF NOT EXISTS no-ops, DROP SCHEMA needs CASCADE " +
