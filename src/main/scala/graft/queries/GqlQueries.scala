@@ -374,7 +374,56 @@ object GqlQueries {
         |FOR x IN [1, 2]
         |FILTER double_id + x > 2
         |RETURN r.name AS name, double_id + x AS v
-        |ORDER BY name, v""".stripMargin))
+        |ORDER BY name, v""".stripMargin)),
+
+    // simple-path DML with INLINE-PROP predicates on a multi-row label
+    // (round-14 postmortem: the severe `SET updated every row` bug
+    // lived exactly here and sailed through gql26, which only exercises
+    // the WITH-pipeline path; the reference's own dml_tests.rs fixtures
+    // are single-row). Each statement's predicate must confine the
+    // mutation to its 5-of-25 nation slice or the read-back diverges.
+    "gql28_simple_dml" -> ((s: SparkSession, d: String) => {
+      val t = GraphLiteSpark.open(s, "/tmp/graft-warehouse").session("driver")
+        .useGraph(TpchGraph.build(s, d))
+      t.execute("MATCH (n:nation {regionkey: 2}) SET n.name = n.name || '!'")
+      t.execute("MATCH (n:nation {regionkey: 0}) REMOVE n.regionkey")
+      t.execute("MATCH (n:nation {regionkey: 4}) DETACH DELETE n")
+      t.gql("""MATCH (n:nation)
+              |RETURN n.id AS id, n.name AS name, n.regionkey AS regionkey
+              |ORDER BY id""".stripMargin)
+    }),
+
+    // hop-pattern DML: inline props on BOTH endpoints confine a SET,
+    // then a hop-target DETACH DELETE removes one nation's customers
+    // (the round-14 hop-target routing) — final customer state read back
+    "gql29_hop_dml" -> ((s: SparkSession, d: String) => {
+      val t = GraphLiteSpark.open(s, "/tmp/graft-warehouse").session("driver")
+        .useGraph(TpchGraph.build(s, d))
+      t.execute("MATCH (c:customer {mktsegment: 'BUILDING'})-[:IN_NATION]->" +
+        "(n:nation {regionkey: 3}) SET c.acctbal = 0.0")
+      t.execute("MATCH (c:customer)-[:IN_NATION]->(n:nation {name: 'NATION_7'}) " +
+        "DETACH DELETE c")
+      t.gql("""MATCH (c:customer)
+              |RETURN c.id AS id, c.acctbal AS acctbal
+              |ORDER BY id""".stripMargin)
+    }),
+
+    // edge DML with inline props on the edge pattern itself: SET rewrites
+    // one priority class's totalprice, DELETE drops another class's
+    // edges entirely; the grouped read-back sees both effects at once
+    "gql30_edge_dml" -> ((s: SparkSession, d: String) => {
+      val t = GraphLiteSpark.open(s, "/tmp/graft-warehouse").session("driver")
+        .useGraph(TpchGraph.build(s, d))
+      t.execute("MATCH (:customer)-[r:PLACED {priority: '1-URGENT'}]->" +
+        "(:orders) SET r.totalprice = 1.0")
+      t.execute("MATCH (:customer)-[r:PLACED {priority: '5-LOW'}]->" +
+        "(:orders) DELETE r")
+      t.gql("""MATCH (:customer)-[r:PLACED]->(:orders)
+              |WITH r.priority AS priority, count(r) AS n,
+              |     sum(r.totalprice) AS st
+              |RETURN priority, n, round(st, 2) AS total
+              |ORDER BY priority""".stripMargin)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -565,6 +614,25 @@ object GqlQueries {
       """SELECT r_name AS name, CAST(r_regionkey * 2 + x AS BIGINT) AS v
         |FROM region CROSS JOIN (VALUES (1), (2)) t(x)
         |WHERE r_regionkey * 2 + x > 2
-        |ORDER BY name, v""".stripMargin
+        |ORDER BY name, v""".stripMargin,
+    "gql28_simple_dml" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        | CASE WHEN n_regionkey = 2 THEN n_name || '!' ELSE n_name END AS name,
+        | CASE WHEN n_regionkey = 0 THEN NULL
+        |      ELSE CAST(n_regionkey AS BIGINT) END AS regionkey
+        |FROM nation WHERE n_regionkey <> 4 ORDER BY id""".stripMargin,
+    "gql29_hop_dml" ->
+      """SELECT c_custkey AS id,
+        | CASE WHEN c_mktsegment = 'BUILDING' AND n_regionkey = 3
+        |      THEN 0.0 ELSE c_acctbal END AS acctbal
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE n_name <> 'NATION_7'
+        |ORDER BY id""".stripMargin,
+    "gql30_edge_dml" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        | ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |               THEN 1.0 ELSE o_totalprice END), 2) AS total
+        |FROM orders WHERE o_orderpriority <> '5-LOW'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
