@@ -123,7 +123,33 @@ object Bench {
         }
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
+    // Absolute-load calibration (round-14 verdict: the band sees the
+    // DIFFERENCE between passes, so uniform ambient load that hits both
+    // passes equally is invisible — r13's 42.2 s and r14's 49.8 s
+    // artifacts were indistinguishable from code drift). Before each
+    // timing pass a fixed-work CPU probe runs; its quiet-box constant is
+    // committed below. A probe >1.2x the constant means other tenants
+    // hold cores RIGHT NOW: wait out the spike (up to 3x15 s) before
+    // spending a 40 s pass on numbers the round would have to disown.
+    // All probe readings ride in the artifact ("cal", vs "cal0") so a
+    // regression claim can first be checked against the machine state
+    // that produced it.
+    val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probeGate(): Unit = {
+      var p = cpuProbe(cpus.toInt)
+      var tries = 0
+      while (p > 1.2 * CalibrationQuiet && tries < 3) {
+        System.err.println(f"[bench] cpu probe $p%.3f s > 1.2x " +
+          f"$CalibrationQuiet%.3f s quiet constant — waiting out load")
+        Thread.sleep(15000)
+        tries += 1
+        p = cpuProbe(cpus.toInt)
+      }
+      cals += p
+    }
+    probeGate()
     val pass1 = timeAll()
+    probeGate()
     val pass2 = timeAll()
     // Noisy-box escalation (round-13 verdict: BOTH driver passes ran
     // under heavy external load — pass totals 66.5/54.6 s vs a 42.2 s
@@ -142,7 +168,8 @@ object Bench {
       math.min(bandTotalOf(pass1, inBoth0), bandTotalOf(pass2, inBoth0)) /
         minSum0 > 1.3
     val passes: Seq[Map[String, Option[Double]]] =
-      if (noisyBox) Seq(pass1, pass2, timeAll()) else Seq(pass1, pass2)
+      if (noisyBox) { probeGate(); Seq(pass1, pass2, timeAll()) }
+      else Seq(pass1, pass2)
     val twoPass = named.map { case (name, _) =>
       val vs = passes.flatMap(_(name))
       name -> (if (vs.isEmpty) -1.0 else vs.min)
@@ -243,8 +270,53 @@ object Bench {
     // round's delta guard never adopts it as "the prior round" and
     // silently loses coverage for every other query
     val partialTag = if (only.isDefined) ""","partial":true""" else ""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$partialTag$band$layout$rerunTag$failedTag}""")
+    // calibration readings: one probe per timing pass vs the committed
+    // quiet constant; a "loaded":true flag means the LAST probe still
+    // exceeded the 1.2x gate after the waits, i.e. every number in this
+    // artifact was taken on a contended box and cross-round deltas
+    // against it are machine state, not code
+    val calTag = cals.map(f3).mkString(
+      s""","cal0":${f3(CalibrationQuiet)},"cal":[""", ",", "]") +
+      (if (cals.nonEmpty && cals.last > 1.2 * CalibrationQuiet)
+        ""","loaded":true""" else "")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"$partialTag$band$calTag$layout$rerunTag$failedTag}""")
     spark.stop()
+  }
+
+  /** Wall time of the fixed-work CPU probe on a quiet box: `cpus`
+    * threads (~= cores in driver runs) each doing 150M xorshift rounds.
+    * Measured on the round-15 quiet window at 32 threads on the 32-core
+    * driver box: 0.34-0.43 s across reps, 0.34 s JIT-steady. The 1.2x
+    * gate therefore trips at ~0.46 s — beyond the observed quiet spread
+    * but well under the 2-6x readings a contended box produces (probe
+    * wall time scales with runnable-thread oversubscription, exactly the
+    * contention that inflated the r13/r14 driver artifacts).
+    */
+  private val CalibrationQuiet = 0.38
+
+  /** Fixed-work CPU probe: wall-clock of `threads` xorshift workers.
+    * Quiet, with threads <= cores, every worker gets its own core and
+    * the wall time is the single-thread work time; under external load
+    * workers queue behind other tenants' runnable threads and the wall
+    * time inflates proportionally. A short unmeasured burst first keeps
+    * C2 compilation out of the measured window.
+    */
+  private def cpuProbe(threads: Int): Double = {
+    val work = 150000000L
+    def burn(seed: Long, rounds: Long): Long = {
+      var x = seed; var n = 0L
+      while (n < rounds) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1 }
+      x
+    }
+    if (burn(1L, work / 15) == 42L) System.err.print("") // JIT warm
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() =>
+        if (burn(0x9e3779b97f4a7c15L + i, work) == 42L) System.err.print(""))
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Per-query times from the newest BENCH_r*.json in the working
