@@ -3059,8 +3059,40 @@ final class Compiler(graph: PropertyGraph,
       case "NOW" => current_timestamp()
       case "CURRENT_DATE" => current_date()
       case "CURRENT_TIME" => date_format(current_timestamp(), "HH:mm:ss")
-      case "DATE_ADD" => date_add(a(0), a(1).cast("int"))
-      case "DATE_SUB" => date_sub(a(0), a(1).cast("int"))
+      // DATE_ADD/DATE_SUB(datetime, n, unit) (temporal_functions.rs:
+      // 663-938): always 3-arg in the reference (validate_argument_count
+      // (3)). Duration units shift the instant; MONTH/YEAR are calendar
+      // steps with the reference's keep-on-invalid quirk (RefDateArith).
+      // Component math runs in the session zone, the same convention as
+      // EXTRACT's sessionLocal.
+      case "DATE_ADD" | "DATE_SUB" =>
+        if (args.size != 3) throw new GqlCompileException(
+          s"$name expects 3 arguments (datetime, interval, unit)")
+        val unit = args(2) match {
+          case StrLit(u) => u.toUpperCase
+          case other => throw new GqlCompileException(
+            s"$name unit must be a string literal, got $other")
+        }
+        if (!Set("SECOND", "SECONDS", "MINUTE", "MINUTES", "HOUR", "HOURS",
+            "DAY", "DAYS", "WEEK", "WEEKS", "MONTH", "MONTHS",
+            "YEAR", "YEARS")(unit))
+          throw new GqlCompileException(s"Unsupported $name unit: '$unit'. " +
+            "Supported units: SECOND, MINUTE, HOUR, DAY, WEEK, MONTH, YEAR")
+        graft.functions.TemporalFunctions.register(
+          org.apache.spark.sql.SparkSession.active)
+        val fname =
+          if (name == "DATE_SUB") graft.functions.TemporalFunctions.SubName
+          else graft.functions.TemporalFunctions.AddName
+        val needShift = sessionTz != "UTC" && (args(0) match {
+          case ZonedShape() => false
+          case Fn("LOCAL_DATETIME", _, _) => false
+          case _ => true
+        })
+        val tsIn =
+          if (needShift) from_utc_timestamp(a(0).cast("timestamp"), sessionTz)
+          else a(0).cast("timestamp")
+        val res = call_function(fname, tsIn, a(1).cast("long"), lit(unit))
+        if (needShift) to_utc_timestamp(res, sessionTz) else res
       case "EXTRACT_YEAR" | "YEAR" =>
         year(sessionLocal(args(0), a(0))).cast("long")
       case "EXTRACT_MONTH" | "MONTH" =>
@@ -3078,6 +3110,12 @@ final class Compiler(graph: PropertyGraph,
           case other => throw new GqlCompileException(
             s"EXTRACT expects a field name, got $other")
         }
+        // the reference's EXTRACT also accepts the timezone fields
+        // (temporal_functions.rs:593-650) — same logic as
+        // EXTRACT_TIMEZONE, unconverted (TIMEZONE_HOUR is fractional
+        // for half-hour zones, TIMEZONE is a string)
+        if (Set("TIMEZONE", "TIMEZONE_HOUR", "TIMEZONE_MINUTE")(field))
+          return scalarFn("EXTRACT_TIMEZONE", args, ctx)
         val ts = sessionLocal(args(1), a(1))
         (field match {
           case "YEAR" => year(ts)
@@ -3086,7 +3124,18 @@ final class Compiler(graph: PropertyGraph,
           case "HOUR" => hour(ts)
           case "MINUTE" => minute(ts)
           case "SECOND" => second(ts)
-          case "DOW" | "DAYOFWEEK" => dayofweek(ts)
+          // reference DOW counts days FROM SUNDAY, 0-6
+          // (num_days_from_sunday, temporal_functions.rs:579); Spark's
+          // dayofweek is 1-7 with Sunday=1
+          case "DOW" | "DAYOFWEEK" => dayofweek(ts) - lit(1)
+          case "DOY" | "DAYOFYEAR" => dayofyear(ts)
+          // ISO week, matching the reference's iso_week().week()
+          case "WEEK" => weekofyear(ts)
+          case "QUARTER" => quarter(ts)
+          // EPOCH is the UTC instant's unix seconds regardless of zone
+          // (datetime.timestamp(), temporal_functions.rs:589) — no
+          // sessionLocal shift
+          case "EPOCH" => unix_timestamp(a(1))
           case other => throw new GqlCompileException(s"EXTRACT field $other")
         }).cast("long")
       // DURATION_NUMERIC(n, 'MINUTES') -> seconds (temporal_functions
@@ -3098,15 +3147,24 @@ final class Compiler(graph: PropertyGraph,
             s"DURATION_NUMERIC expects a unit string, got $other")
         }
         val mult = unit match {
-          case "MILLISECOND" | "MILLISECONDS" | "MS" => 0.001
-          case "SECOND" | "SECONDS" | "S" => 1.0
-          case "MINUTE" | "MINUTES" | "M" | "MIN" => 60.0
-          case "HOUR" | "HOURS" | "H" => 3600.0
-          case "DAY" | "DAYS" | "D" => 86400.0
-          case "WEEK" | "WEEKS" | "W" => 604800.0
+          case "SECOND" | "SECONDS" | "S" => 1L
+          case "MINUTE" | "MINUTES" | "M" | "MIN" => 60L
+          case "HOUR" | "HOURS" | "H" => 3600L
+          case "DAY" | "DAYS" | "D" => 86400L
+          case "WEEK" | "WEEKS" | "W" => 604800L
+          // the reference's fixed approximations (parse_numeric_duration:
+          // 30-day months, 365-day years)
+          case "MONTH" | "MONTHS" => 2592000L
+          case "YEAR" | "YEARS" | "Y" => 31536000L
           case other => throw new GqlCompileException(s"unknown unit $other")
         }
-        a(0).cast("double") * lit(mult)
+        // reference: negative durations error, and the seconds total is
+        // truncated to a whole i64 before returning as a float Number
+        // (parse_numeric_duration, temporal_functions.rs:1168-1197)
+        when(a(0) < 0, raise_error(
+          lit("Duration cannot be negative")).cast("double"))
+          .otherwise((a(0).cast("double") * lit(mult.toDouble))
+            .cast("long").cast("double"))
       // TIME_WINDOW(ts, '<n unit>') -> tumbling window start the row
       // falls in (temporal_functions.rs:938)
       case "TIME_WINDOW" =>
