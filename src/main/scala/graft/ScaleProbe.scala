@@ -245,7 +245,31 @@ object ScaleProbe {
       // round-14: the event/sessionization family joins the probes —
       // session_window state is keyed per user, so disjoint user copies
       // must scale linearly (state rows ∝ users, no mega-session skew)
-      "ev03_session" -> SparkEntry.queries("ev03_session"))
+      "ev03_session" -> SparkEntry.queries("ev03_session"),
+      // round-15: the four families the r14 verdict flagged as having no
+      // >1x evidence. q35 windows 30x orders; m02 stages 30x documents;
+      // gql22 re-clusters a 30x customer layout through CREATE/OPTIMIZE
+      // INDEX; the storage roundtrip probes a FACT-sized graph (the
+      // oracle-gated gql19 saves nation+region, which ride unscaled — a
+      // dimension-sized roundtrip shows nothing at any tier)
+      "q35_asof_scd2" -> SparkEntry.queries("q35_asof_scd2"),
+      "m02_multimodal_stages" -> SparkEntry.queries("m02_multimodal_stages"),
+      "gql22_index_cluster" -> SparkEntry.queries("gql22_index_cluster"),
+      "gql19_save_fact" -> ((s: SparkSession, d: String) => {
+        import graft.graph.PropertyGraph
+        val g = graft.graph.TpchGraph.build(s, d)
+        val sub = new PropertyGraph(
+          Map("customer" -> g.nodeTables("customer")),
+          Map("NEXT" -> g.edgeTables("NEXT")))
+        val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+        val sess = gls.session("driver").useGraph(sub)
+        sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
+        sess.saveGraphAs("/probe/custfact", force = true)
+        gls.session("driver").useGraph("/probe/custfact")
+          .gql("""MATCH (a:customer)-[:NEXT]->(b:customer)
+            |WHERE a.acctbal > 9000
+            |RETURN count(b) AS n""".stripMargin)
+      }))
 
     // past 10×, probe only the scale-critical shapes (the band join, the
     // ANN bucket join, and the forced distributed graph loops) — the
@@ -267,7 +291,10 @@ object ScaleProbe {
           // pipeline operator — e07's 10× skew 2.17 was attributed to
           // bucket-count variance on sub-400 ms tasks, which only the
           // 30×/100× tiers can confirm or refute
-          "e07_semantic_dedup", "d20_mixture_sample", "ev03_session")
+          "e07_semantic_dedup", "d20_mixture_sample", "ev03_session",
+          // round-15: the storage/index/multimodal/bitemporal families
+          "q35_asof_scd2", "m02_multimodal_stages", "gql22_index_cluster",
+          "gql19_save_fact")
           .contains(n)
       }
 
