@@ -2848,6 +2848,10 @@ final class Compiler(graph: PropertyGraph,
     def unapply(e: Expr): Boolean = e match {
       case Fn("AT_TIME_ZONE" | "TIMEZONE" | "ZONED_DATETIME" | "CONVERT_TZ",
         _, _) => true
+      // date arithmetic preserves the operand's zone (convert_from_utc,
+      // temporal_functions.rs:798-803) — the shape propagates
+      case Fn("DATE_ADD" | "DATE_SUB", args, _)
+          if args.nonEmpty && unapply(args(0)) => true
       // an alias whose defining expression was zoned (tracked across
       // WITH re-aliasing and LET in [[zonedVals]])
       case Ident(v) => zonedVals.contains(v)
@@ -3083,16 +3087,42 @@ final class Compiler(graph: PropertyGraph,
         val fname =
           if (name == "DATE_SUB") graft.functions.TemporalFunctions.SubName
           else graft.functions.TemporalFunctions.AddName
-        val needShift = sessionTz != "UTC" && (args(0) match {
-          case ZonedShape() => false
-          case Fn("LOCAL_DATETIME", _, _) => false
-          case _ => true
-        })
-        val tsIn =
-          if (needShift) from_utc_timestamp(a(0).cast("timestamp"), sessionTz)
-          else a(0).cast("timestamp")
-        val res = call_function(fname, tsIn, a(1).cast("long"), lit(unit))
-        if (needShift) to_utc_timestamp(res, sessionTz) else res
+        val calendarUnit = unit.startsWith("MONTH") || unit.startsWith("YEAR")
+        args(0) match {
+          case ZonedShape() =>
+            // zoned values keep their zone (convert_from_utc,
+            // temporal_functions.rs:62-73): duration units shift the UTC
+            // instant directly (chrono's local + Duration IS an instant
+            // shift, no DST ambiguity); MONTH/YEAR step the LOCAL
+            // calendar in the value's zone (add_duration_dst_aware's
+            // with_month/with_year on the zone-local components).
+            // Deliberate divergence: the reference's DATE_SUB only has a
+            // naive arm and ERRORS on zoned values (temporal_functions
+            // .rs:855-861 falls to the type-error arm) — we apply the
+            // same zone-preserving arithmetic both directions, like the
+            // outer-join case where the repo ships correct over a
+            // reference gap
+            val tz = a(0).getField("tz").cast("string")
+            val ts = a(0).getField("ts")
+            val newTs =
+              if (!calendarUnit)
+                call_function(fname, ts, a(1).cast("long"), lit(unit))
+              else to_utc_timestamp(
+                call_function(fname, from_utc_timestamp(ts, tz),
+                  a(1).cast("long"), lit(unit)), tz)
+            struct(tz.as("tz"), newTs.as("ts"))
+          case _ =>
+            val needShift = sessionTz != "UTC" && (args(0) match {
+              case Fn("LOCAL_DATETIME", _, _) => false
+              case _ => true
+            })
+            val tsIn =
+              if (needShift)
+                from_utc_timestamp(a(0).cast("timestamp"), sessionTz)
+              else a(0).cast("timestamp")
+            val res = call_function(fname, tsIn, a(1).cast("long"), lit(unit))
+            if (needShift) to_utc_timestamp(res, sessionTz) else res
+        }
       case "EXTRACT_YEAR" | "YEAR" =>
         year(sessionLocal(args(0), a(0))).cast("long")
       case "EXTRACT_MONTH" | "MONTH" =>

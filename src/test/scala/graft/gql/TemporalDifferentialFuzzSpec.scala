@@ -240,6 +240,38 @@ class TemporalDifferentialFuzzSpec extends AnyFunSuite {
         _.getMessage.contains("Duration cannot be negative")))
   }
 
+  test("zoned DATE_ADD steps the LOCAL calendar and keeps the zone " +
+      "(add_duration_dst_aware month/year arms)") {
+    val zone = "America/New_York"
+    val zid = java.time.ZoneId.of(zone)
+    // wall-clock hours 5-20 keep both the base and the stepped local
+    // time away from the 1-3 AM DST window, so the local-calendar
+    // comparison is resolver-independent
+    val cases = Seq.fill(60) {
+      val ts = randTs()
+      val safe = LocalDateTime.of(ts.getYear, ts.getMonthValue,
+        ts.getDayOfMonth, 5 + rnd.nextInt(16), ts.getMinute, ts.getSecond)
+      (safe, rnd.nextInt(49) - 24L)
+    }
+    cases.grouped(20).foreach { batch =>
+      val got = evalBatch(batch.map { case (utc, n) =>
+        s"LOCAL_DATETIME(DATE_ADD(AT_TIME_ZONE(${gqlTs(utc)}, '$zone'), " +
+          s"$n, 'MONTH'))" })
+      batch.zip(got).foreach { case ((utc, n), g) =>
+        // model: render the UTC instant in the zone, step the LOCAL
+        // calendar with the sticky month rule, compare wall clocks
+        val local = utc.atZone(ZoneOffset.UTC)
+          .withZoneSameInstant(zid).toLocalDateTime
+        val want = modelArith(local, n, "MONTH", subtract = false)
+        // render via UTC explicitly — Timestamp.toLocalDateTime uses the
+        // JVM default zone, which this assertion must not depend on
+        val gotLocal = g.asInstanceOf[java.sql.Timestamp]
+          .toInstant.atOffset(ZoneOffset.UTC).toLocalDateTime
+        assert(gotLocal == want, s"$utc UTC + $n MONTH in $zone")
+      }
+    }
+  }
+
   test("timezone offsets across DST boundaries (AT_TIME_ZONE + " +
       "EXTRACT_TIMEZONE vs java.time zone rules)") {
     // America/New_York 2024: spring-forward Mar 10 07:00 UTC,

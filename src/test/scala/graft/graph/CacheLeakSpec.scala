@@ -27,6 +27,10 @@ class CacheLeakSpec extends AnyFunSuite {
   }
 
   test("100 analytics calls on a string-id graph leave the SQL cache flat") {
+    // suites share one forked JVM and run sequentially; earlier suites
+    // may leave legitimately cached frames behind — this spec owns the
+    // cache-flatness claim only for ITS calls, so start from empty
+    spark.catalog.clearCache()
     val g = stringGraph
     // the surrogate idMap is the only frame these paths cache; a leak
     // shows up as one lingering CacheManager entry per call
