@@ -82,8 +82,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
         else d)
     datasets.foreach { case (ds, df) =>
       if (dirtySet.contains(ds))
-        clustered(ds, typed(df)).write.mode(SaveMode.Overwrite)
-          .parquet(s"$staging/$ds")
+        writeClustered(ds, typed(df), s"$staging/$ds")
     }
     def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
       Files.createDirectories(dst)
@@ -188,13 +187,138 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       case None => df
     }
 
+  /** The bucket-partition column name of the bucketed clustered layout. */
+  val BucketCol = "__ixb"
+
+  /** Range-bucket id for a key value against ascending `bounds` (NULLs
+    * and values above the top boundary land in the last bucket).
+    */
+  private def bucketExpr(c: org.apache.spark.sql.Column,
+      bounds: Seq[Double]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    bounds.zipWithIndex.reverse.foldLeft(
+      lit(bounds.size): org.apache.spark.sql.Column) {
+      case (acc, (b, i)) => when(c <= lit(b), lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Stable bucket boundaries for a bucketed index: computed once from
+    * the first layout build (approx quantiles of the lead key) and
+    * persisted as an index option, so later incremental rewrites assign
+    * the SAME ranges — shifting boundaries would dirty every bucket.
+    */
+  private def bucketBounds(ixName: String, df: DataFrame, keyCol: String,
+      buckets: Int): Seq[Double] = {
+    listIndexOptions(ixName).toMap.get("__bounds") match {
+      case Some(s) if s.nonEmpty => s.split(",").toSeq.map(_.toDouble)
+      case _ =>
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        val bounds = df.stat.approxQuantile(keyCol, probs, 0.01).toSeq
+        setIndexOption(ixName, "__bounds", bounds.mkString(","))
+        bounds
+    }
+  }
+
+  /** The bucketed layout spec for `table`, when opted in via
+    * `ALTER INDEX <ix> SET OPTION buckets = N` and the lead key is
+    * numeric: (index name, index columns, bucket count).
+    */
+  private def bucketedSpec(table: String,
+      df: DataFrame): Option[(String, Seq[String], Int)] =
+    readIndexes().find(ix => ix._2 == table &&
+        ix._3.nonEmpty && ix._3.forall(df.columns.contains)).flatMap {
+      case (name, _, cols) =>
+        val numeric = df.schema(cols.head).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        listIndexOptions(name).toMap.get("buckets")
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+          .filter(b => b > 1 && numeric)
+          .map(b => (name, cols, b))
+    }
+
+  /** Write `df` to `path` under the table's clustered layout.
+    *
+    * Default: one range shuffle + in-partition sort (the monolithic
+    * rewrite — fine per label, O(table) at warehouse scale). With a
+    * bucketed index (`buckets = N` option), the layout becomes
+    * N range-bucket PARTITION DIRECTORIES (`__ixb=K/`), each internally
+    * sorted on the index key: the 100 TB shape, where a re-layout is N
+    * independent, resumable units and post-DML maintenance rewrites
+    * only the buckets a mutation touched ([[reclusterBuckets]]) instead
+    * of range-shuffling the whole table. Query results are
+    * layout-invariant; per-file min/max stats prune inside buckets the
+    * same way they prune the flat layout.
+    */
+  private def writeClustered(table: String, df: DataFrame,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    bucketedSpec(table, df) match {
+      case Some((name, cols, b)) =>
+        val bounds = bucketBounds(name, df, cols.head, b)
+        // sort by (bucket, key...): the partitioned writer requires rows
+        // ordered by its partition columns and would otherwise inject
+        // its own sort on __ixb ALONE, destroying the key order inside
+        // each bucket
+        df.withColumn(BucketCol, bucketExpr(col(cols.head), bounds))
+          .repartition(col(BucketCol))
+          .sortWithinPartitions((BucketCol +: cols).map(col): _*)
+          .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+          .parquet(path)
+      case None =>
+        clustered(table, df).write.mode(SaveMode.Overwrite).parquet(path)
+    }
+  }
+
+  /** Rewrite ONLY the named range buckets of a bucketed table — the
+    * incremental maintenance primitive: a DML delta maps to bucket ids
+    * through the stored boundaries, and each unit re-sorts one bucket's
+    * rows in place via dynamic partition overwrite. Unit cost is
+    * O(bucket), not O(table); units are independently schedulable and
+    * resumable, which is what a 100K-file label needs. The bucket's
+    * rows pass through a localCheckpoint so the write does not read the
+    * files it replaces.
+    */
+  def reclusterBuckets(schema: String, name: String, table: String,
+      bucketIds: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dir = s"${graphDir(schema, name)}/$table"
+    require(Files.exists(Paths.get(dir)), s"no such dataset: $dir")
+    val ix = readIndexes().find(_._2 == table).getOrElse(
+      throw new IllegalArgumentException(s"no index on $table"))
+    val cols = ix._3
+    // checkpoint BEFORE the sort: the write must not read the files it
+    // replaces, and a checkpoint would not preserve the sort order the
+    // partitioned writer needs (it would re-sort on __ixb alone)
+    val rows = spark.read.parquet(dir)
+      .filter(col(BucketCol).isin(bucketIds.map(Integer.valueOf): _*))
+      .repartition(col(BucketCol))
+      .localCheckpoint(true)
+      .sortWithinPartitions((BucketCol +: cols).map(col): _*)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(dir)
+    finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      Analytics.unpersistCheckpoint(rows)
+    }
+  }
+
   def loadGraph(schema: String, name: String): PropertyGraph = {
     val dir = graphDir(schema, name)
     val p = Paths.get(dir)
     require(Files.exists(p), s"no such graph: $schema/$name")
     val entries = Files.list(p).iterator.asScala.map(_.getFileName.toString).toSeq
+    // a bucketed clustered layout surfaces its partition column on read —
+    // it is storage metadata, not graph data
+    def noBucket(df: DataFrame): DataFrame =
+      if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
     val nodes = entries.filter(_.startsWith("nodes_")).map { e =>
-      e.stripPrefix("nodes_") -> spark.read.parquet(s"$dir/$e")
+      e.stripPrefix("nodes_") -> noBucket(spark.read.parquet(s"$dir/$e"))
     }.toMap
     val meta = if (Files.exists(Paths.get(s"$dir/_meta")))
       Files.readString(Paths.get(s"$dir/_meta")).split("\n").filter(_.nonEmpty)
@@ -204,7 +328,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val edges = entries.filter(_.startsWith("edges_")).map { e =>
       val label = e.stripPrefix("edges_")
       val et = meta.getOrElse(label, EdgeType(label, "", ""))
-      label -> (et, spark.read.parquet(s"$dir/$e"))
+      label -> (et, noBucket(spark.read.parquet(s"$dir/$e")))
     }.toMap
     // loaded graphs know their origin and start clean — mutations mark
     // the touched datasets so saves back to the same path go incremental

@@ -1,0 +1,124 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkFixture
+
+/** Bucketed clustered layout (`ALTER INDEX … SET OPTION buckets = N`):
+  * the 100 TB re-layout shape. The flat clustered layout is one
+  * range shuffle over the whole table; the bucketed layout is N
+  * independent `__ixb=K/` partition directories, each sorted on the
+  * index key, with stable persisted boundaries — so a full re-layout is
+  * N resumable units and post-DML maintenance (reclusterBuckets)
+  * rewrites ONLY the touched buckets, leaving every other bucket's
+  * files byte-identical on disk.
+  */
+class BucketedIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def fixture() = {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketix").toString
+    val cat = new GraphCatalog(spark, wh)
+    val nodes = (1L to 4000L).map(i => (i, (i * 7919 % 10000).toDouble))
+      .toDF("id", "acctbal")
+    val g = new PropertyGraph(Map("customer" -> nodes), Map.empty)
+    cat.createSchema("ix")
+    cat.createIndex("cust_bal", "nodes_customer", Seq("acctbal"))
+    cat.setIndexOption("cust_bal", "buckets", "8")
+    cat.saveGraph("ix", "g1", g, force = true)
+    (cat, wh)
+  }
+
+  private def bucketDirs(wh: String): Seq[java.io.File] =
+    new java.io.File(s"$wh/ix/g1/nodes_customer").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__ixb=")).toSeq
+      .sortBy(_.getName)
+
+  private def fileStamps(d: java.io.File): Map[String, Long] =
+    d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+
+  test("layout: N bucket directories, key-sorted inside, results " +
+      "layout-invariant, no __ixb on load") {
+    val (cat, wh) = fixture()
+    val dirs = bucketDirs(wh)
+    assert(dirs.size == 8, s"expected 8 bucket dirs, got ${dirs.map(_.getName)}")
+    val loaded = cat.loadGraph("ix", "g1")
+    assert(!loaded.nodeTables("customer").columns.contains("__ixb"))
+    // every row survives the bucketed write, and a range query matches
+    // the source frame
+    val got = loaded.nodeTables("customer")
+      .filter(col("acctbal") > 9000).agg(count(lit(1)), sum(col("id")))
+      .head()
+    import spark.implicits._
+    val want = (1L to 4000L).map(i => (i, (i * 7919 % 10000).toDouble))
+      .filter(_._2 > 9000)
+    assert(got.getLong(0) == want.size.toLong)
+    assert(got.getLong(1) == want.map(_._1).sum)
+    // inside one bucket dir the key is sorted (file-level min/max stay
+    // tight, the pruning property the layout exists for)
+    val one = spark.read.parquet(dirs(3).getPath)
+    val vals = one.select("acctbal").collect().map(_.getDouble(0)).toSeq
+    assert(vals == vals.sorted, "bucket rows must be key-sorted")
+  }
+
+  test("reclusterBuckets rewrites only the named buckets") {
+    val (cat, wh) = fixture()
+    val before = bucketDirs(wh).map(d => d.getName -> fileStamps(d)).toMap
+    Thread.sleep(1100) // mtime granularity
+    cat.reclusterBuckets("ix", "g1", "nodes_customer", Seq(2, 5))
+    val after = bucketDirs(wh).map(d => d.getName -> fileStamps(d)).toMap
+    assert(after.keySet == before.keySet, "bucket set must not change")
+    before.keys.foreach { b =>
+      val idx = b.stripPrefix("__ixb=").toInt
+      if (idx == 2 || idx == 5)
+        assert(after(b) != before(b), s"$b should have been rewritten")
+      else
+        assert(after(b) == before(b),
+          s"$b must be untouched by a 2-bucket maintenance pass")
+    }
+    // results invariant after partial maintenance
+    val loaded = cat.loadGraph("ix", "g1")
+    assert(loaded.nodeTables("customer").count() == 4000L)
+  }
+
+  test("statement surface: SET OPTION buckets + OPTIMIZE INDEX produce " +
+      "the bucketed layout") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketsql").toString
+    val t = graft.GraphLiteSpark.open(spark, wh).session("u")
+    val nodes = (1L to 1000L).map(i => (i, (i * 7919 % 10000).toDouble))
+      .toDF("id", "acctbal")
+    t.useGraph(new PropertyGraph(Map("customer" -> nodes), Map.empty))
+    t.execute("CREATE SCHEMA IF NOT EXISTS /bix")
+    t.saveGraphAs("/bix/cust", force = true)
+    t.execute("CREATE GRAPH INDEX bal_ix ON nodes_customer (acctbal)")
+    t.execute("ALTER INDEX bal_ix SET OPTION buckets = 4")
+    t.execute("OPTIMIZE INDEX bal_ix")
+    val dirs = new java.io.File(s"$wh/bix/cust/nodes_customer").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__ixb=")).toSeq
+    assert(dirs.size == 4, s"expected 4 bucket dirs, got ${dirs.map(_.getName)}")
+    val n = graft.GraphLiteSpark.open(spark, wh).session("u")
+      .useGraph("/bix/cust")
+      .gql("MATCH (c:customer) WHERE c.acctbal > 9000 RETURN count(c) AS n")
+      .collect().head.getLong(0)
+    assert(n == nodes.filter($"acctbal" > 9000).count())
+  }
+
+  test("boundaries persist: a second save reuses the same bucket ranges") {
+    val (cat, wh) = fixture()
+    val boundsBefore = cat.listIndexOptions("cust_bal").toMap.apply("__bounds")
+    // mutate-and-save: append rows at the top of the key range; the
+    // boundaries must NOT move (shifting would dirty every bucket)
+    import spark.implicits._
+    val g2 = new PropertyGraph(Map("customer" ->
+      ((1L to 4000L).map(i => (i, (i * 7919 % 10000).toDouble)) ++
+        (4001L to 4200L).map(i => (i, 9999.0))).toDF("id", "acctbal")),
+      Map.empty)
+    cat.saveGraph("ix", "g1", g2, force = true)
+    assert(cat.listIndexOptions("cust_bal").toMap.apply("__bounds") == boundsBefore)
+    assert(bucketDirs(wh).size == 8)
+    assert(cat.loadGraph("ix", "g1").nodeTables("customer").count() == 4200L)
+  }
+}
