@@ -36,7 +36,8 @@ class AggDifferentialFuzzSpec extends AnyFunSuite {
       .session("u").useGraph(g)
   }
 
-  private val rnd = new scala.util.Random(20260816L)
+  private val rnd = new scala.util.Random(
+    sys.env.getOrElse("GRAFT_AGG_FUZZ_SEED", "20260816").toLong)
 
   // simple random predicates (the boolean-tree space is
   // WhereDifferentialFuzzSpec's job; here WHERE just varies the groups,

@@ -47,7 +47,8 @@ class WhereDifferentialFuzzSpec extends AnyFunSuite {
   private case class Not(p: P) extends P
   private case class Bin(op: String, a: P, b: P) extends P    // AND/OR/XOR
 
-  private val rnd = new scala.util.Random(20260815L)
+  private val rnd = new scala.util.Random(
+    sys.env.getOrElse("GRAFT_WHERE_FUZZ_SEED", "20260815").toLong)
   private def gen(depth: Int): P =
     if (depth == 0) rnd.nextInt(6) match {
       case 0 => Cmp(Seq(">", "<", "=", "<>", ">=", "<=")(rnd.nextInt(6)),

@@ -67,7 +67,8 @@ class PathDifferentialFuzzSpec extends AnyFunSuite {
     case Direction.Both => edges ++ edges.map(a => Arc(a.dst, a.src, a.eid))
   }
 
-  private val rnd = new scala.util.Random(20260815L)
+  private val rnd = new scala.util.Random(
+    sys.env.getOrElse("GRAFT_PATH_FUZZ_SEED", "20260815").toLong)
   private val nodeIds = (1L to 5L).toSeq
 
   (1 to 3).foreach { gi =>
