@@ -2998,7 +2998,18 @@ final class Compiler(graph: PropertyGraph,
         }
         array(nodes: _*)
       // list (list_functions.rs)
-      case "LIST_CONTAINS" => array_contains(a(0), a(1))
+      case "LIST_CONTAINS" =>
+        // reference equality is total Value equality (list_functions.rs
+        // :37-40 `item == element_arg`): Null == Null is TRUE, and a
+        // no-match over a list containing nulls is FALSE — Spark's
+        // array_contains returns NULL for both. A statically-null
+        // needle compiles to the null-scan alone (array_contains
+        // rejects NullType at analysis, even in a dead branch).
+        if (staticKind(args(1), ctx).contains("NULL"))
+          exists(a(0), x => x.isNull)
+        else
+          when(a(1).isNull, exists(a(0), x => x.isNull))
+            .otherwise(coalesce(array_contains(a(0), a(1)), lit(false)))
       // LIST_LENGTH is list-only (list_functions.rs:273-318, errors on
       // non-lists). SIZE additionally accepts strings (byte length —
       // Rust s.len(), graph_functions.rs:629) and returns 0 for NULL
@@ -3013,10 +3024,27 @@ final class Compiler(graph: PropertyGraph,
           val c = a(0)
           when(c.isNull, lit(0L)).otherwise(size(c).cast("long"))
       }
-      case "LIST_APPEND" => concat(a(0), array(a(1)))
-      case "LIST_PREPEND" => concat(array(a(1)), a(0))
+      // a LIST second argument EXTENDS rather than nests
+      // (list_functions.rs:158-167 matches on Value::List and extends)
+      case "LIST_APPEND" => staticKind(args(1), ctx) match {
+        case Some("LIST") => concat(a(0), a(1))
+        case _ => concat(a(0), array(a(1)))
+      }
+      case "LIST_PREPEND" => staticKind(args(1), ctx) match {
+        case Some("LIST") => concat(a(1), a(0))
+        case _ => concat(array(a(1)), a(0))
+      }
       case "LIST_REVERSE" => reverse(a(0))
-      case "LIST_SLICE" => slice(a(0), a(1).cast("int") + 1, (a(2) - a(1)).cast("int"))
+      case "LIST_SLICE" =>
+        // reference (list_functions.rs:95-141): 0-based start, EXCLUSIVE
+        // end, end clamps to len; a negative start (the `as usize` cast
+        // wraps huge -> start >= len) and end <= start both return the
+        // EMPTY list. Spark's slice instead errors on start 0/negative
+        // lengths and counts negative starts from the END — guard them.
+        val s = a(1).cast("int")
+        val e = a(2).cast("int")
+        when(s < 0 || e <= s, slice(a(0), lit(1), lit(0)))
+          .otherwise(slice(a(0), s + 1, e - s))
       // temporal (temporal_functions.rs subset)
       case "DURATION" => args(0) match {
         // ISO-8601 duration literal -> Spark day-time interval. Y/M parts

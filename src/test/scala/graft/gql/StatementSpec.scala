@@ -96,6 +96,31 @@ class StatementSpec extends AnyFunSuite {
       == (("yxAy", "x", "A")))
   }
 
+  test("list function edges match the reference (list_functions.rs)") {
+    val s = freshSession()
+    val r = s.gql("MATCH (a:Account {id: 1}) RETURN " +
+      // LIST_SLICE: 0-based start, exclusive end; negative start and
+      // end <= start -> EMPTY (the `as usize` wrap); end clamps to len
+      "LIST_SLICE([10, 20, 30, 40], 1, 3) AS s1, " +
+      "LIST_SLICE([10, 20, 30, 40], -1, 2) AS s2, " +
+      "LIST_SLICE([10, 20, 30, 40], 3, 2) AS s3, " +
+      "LIST_SLICE([10, 20, 30, 40], 2, 99) AS s4, " +
+      // LIST_CONTAINS: total Value equality — Null == Null is TRUE and
+      // a miss over a null-holding list is FALSE (not UNKNOWN)
+      "LIST_CONTAINS([1, null], null) AS c1, " +
+      "LIST_CONTAINS([1, null], 2) AS c2, " +
+      // a LIST second argument EXTENDS instead of nesting
+      "LIST_APPEND([1, 2], [3, 4]) AS ap, " +
+      "LIST_PREPEND([3, 4], [1, 2]) AS pp").collect().head
+    assert(r.getSeq[Long](0) == Seq(20L, 30L))
+    assert(r.getSeq[Long](1) == Seq.empty)
+    assert(r.getSeq[Long](2) == Seq.empty)
+    assert(r.getSeq[Long](3) == Seq(30L, 40L))
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getSeq[Long](6) == Seq(1L, 2L, 3L, 4L))
+    assert(r.getSeq[Long](7) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("DDL options: IF NOT EXISTS no-ops, DROP SCHEMA needs CASCADE " +
       "(ddl_independent_tests.rs:38-148)") {
     val s = freshSession()
