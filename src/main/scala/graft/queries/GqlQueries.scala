@@ -376,6 +376,26 @@ object GqlQueries {
         |RETURN r.name AS name, double_id + x AS v
         |ORDER BY name, v""".stripMargin)),
 
+    // r15 temporal registry on the oracle board: EXTRACT's chrono
+    // fields (DOW Sunday=0, ISO WEEK, DOY/QUARTER/EPOCH) and the 3-arg
+    // DATE_ADD/DATE_SUB — DuckDB's dow/weekofyear/epoch match chrono
+    // directly, and the reference's sticky +1 MONTH (keep the value
+    // when the next month lacks the day) is the CASE on
+    // days-in-next-month; interval HOUR/DAY arithmetic is an instant
+    // shift in both engines
+    "gql31_temporal" -> ((s: SparkSession, d: String) => run(s, d,
+      """MATCH (o:orders) WHERE o.id < 500
+        |RETURN o.id AS id,
+        |       EXTRACT(DOW, o.orderdate) AS dow,
+        |       EXTRACT(DOY, o.orderdate) AS doy,
+        |       EXTRACT(WEEK, o.orderdate) AS wk,
+        |       EXTRACT(QUARTER, o.orderdate) AS q,
+        |       EXTRACT(EPOCH, o.orderdate) AS epoch,
+        |       DATE_ADD(o.orderdate, 36, 'HOUR') AS plus36h,
+        |       DATE_ADD(o.orderdate, 1, 'MONTH') AS plus1m,
+        |       DATE_SUB(o.orderdate, 2, 'WEEK') AS minus2w
+        |ORDER BY id""".stripMargin)),
+
     // simple-path DML with INLINE-PROP predicates on a multi-row label
     // (round-14 postmortem: the severe `SET updated every row` bug
     // lived exactly here and sailed through gql26, which only exercises
@@ -615,6 +635,21 @@ object GqlQueries {
         |FROM region CROSS JOIN (VALUES (1), (2)) t(x)
         |WHERE r_regionkey * 2 + x > 2
         |ORDER BY name, v""".stripMargin,
+    "gql31_temporal" ->
+      """SELECT o_orderkey AS id,
+        | CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        | CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch,
+        | o_orderdate + INTERVAL 36 HOUR AS plus36h,
+        | CASE WHEN EXTRACT(day FROM o_orderdate) > EXTRACT(day FROM
+        |        (date_trunc('month', o_orderdate) + INTERVAL 2 MONTH
+        |         - INTERVAL 1 DAY))
+        |      THEN o_orderdate
+        |      ELSE o_orderdate + INTERVAL 1 MONTH END AS plus1m,
+        | o_orderdate - INTERVAL 14 DAY AS minus2w
+        |FROM orders WHERE o_orderkey < 500 ORDER BY id""".stripMargin,
     "gql28_simple_dml" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         | CASE WHEN n_regionkey = 2 THEN n_name || '!' ELSE n_name END AS name,
