@@ -255,6 +255,12 @@ object ScaleProbe {
       "q35_asof_scd2" -> SparkEntry.queries("q35_asof_scd2"),
       "m02_multimodal_stages" -> SparkEntry.queries("m02_multimodal_stages"),
       "gql22_index_cluster" -> SparkEntry.queries("gql22_index_cluster"),
+      // r15: the DML gates at scale — hop-pattern mutation over 30x
+      // customers and edge DML over 30x PLACED edges; the mutation
+      // pipeline's update-frame joins and copy-on-write rewrites are
+      // the memory/shuffle profile a 100 TB warehouse mutation has
+      "gql29_hop_dml" -> SparkEntry.queries("gql29_hop_dml"),
+      "gql30_edge_dml" -> SparkEntry.queries("gql30_edge_dml"),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -294,7 +300,7 @@ object ScaleProbe {
           "e07_semantic_dedup", "d20_mixture_sample", "ev03_session",
           // round-15: the storage/index/multimodal/bitemporal families
           "q35_asof_scd2", "m02_multimodal_stages", "gql22_index_cluster",
-          "gql19_save_fact")
+          "gql19_save_fact", "gql29_hop_dml", "gql30_edge_dml")
           .contains(n)
       }
 
