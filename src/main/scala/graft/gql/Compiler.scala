@@ -41,7 +41,14 @@ private[graft] object ScalarFns {
     "LOG", "LOG10", "EXP", "SIN", "COS", "TAN", "PI", "SIGN", "MOD",
     "ROUND", "NULLIF", "COALESCE")
 
-  def apply(name: String, a: Seq[Column], rawArgs: Seq[Expr]): Column =
+  def apply(name: String, args0: Seq[Column], rawArgs: Seq[Expr]): Column = {
+    // a missing argument must be a NAMED error like the reference's
+    // InvalidArgumentCount (function_trait.rs validate_argument_count),
+    // not an IndexOutOfBounds crash out of the dispatch below
+    def a(i: Int): Column =
+      if (i >= args0.size) throw new GqlCompileException(
+        s"$name expects at least ${i + 1} arguments, got ${args0.size}")
+      else args0(i)
     name match {
       // string (string_functions.rs)
       case "UPPER" => upper(a(0))
@@ -74,7 +81,7 @@ private[graft] object ScalarFns {
         def firstChar(chars: String): String =
           if (chars.isEmpty) " " else chars.substring(0, 1)
         val ws = " \t\n\r"
-        a.size match {
+        args0.size match {
           case 1 => trim(a(0))
           case 2 => modeOf(rawArgs(0)) match {
             case Some(mode) => trimBy(mode, ws, a(1))
@@ -90,7 +97,7 @@ private[graft] object ScalarFns {
         // Spark's substr instead counts a negative start from the END of
         // the string — clamp both so the semantics match
         val start = greatest(a(1), lit(1))
-        if (a.size == 3) a(0).substr(start, greatest(a(2), lit(0)))
+        if (args0.size == 3) a(0).substr(start, greatest(a(2), lit(0)))
         else a(0).substr(start, lit(Int.MaxValue))
       case "REPLACE" => replace(a(0), a(1), a(2))
       case "REVERSE" => reverse(a(0))
@@ -110,7 +117,7 @@ private[graft] object ScalarFns {
       case "PI" => lit(math.Pi)
       case "SIGN" => signum(a(0))
       case "MOD" => a(0) % a(1) // truncated, mathematical_functions.rs:763
-      case "ROUND" if a.size == 2 => rawArgs(1) match {
+      case "ROUND" if args0.size == 2 => rawArgs(1) match {
         case NumLit(x, true) => round(a(0), x.toInt)
         case other => throw new GqlCompileException(
           s"ROUND scale must be an integer literal, got $other")
@@ -118,10 +125,11 @@ private[graft] object ScalarFns {
       case "ROUND" => round(a(0))
       // null (null_functions.rs)
       case "NULLIF" => nullif(a(0), a(1))
-      case "COALESCE" => coalesce(a: _*)
+      case "COALESCE" => coalesce(args0: _*)
       case other => throw new GqlCompileException(
         s"not a shared scalar function: $other")
     }
+  }
 }
 
 /** Compiles the GQL AST straight to DataFrame transformations.
@@ -2976,7 +2984,20 @@ final class Compiler(graph: PropertyGraph,
   /** Scalar function registry — mirrors functions/mod.rs:39-256; each maps
     * to org.apache.spark.sql.functions (codegen'd, no UDFs).
     */
-  private def scalarFn(name: String, args: Seq[Expr], ctx: Ctx): Column = {
+  private def scalarFn(name: String, args: Seq[Expr], ctx: Ctx): Column =
+    // an arity miss anywhere in the dispatch below (args(i) in a
+    // pattern, a(i) in a builder) must surface as the reference's
+    // named InvalidArgumentCount error, never an IndexOutOfBounds
+    // crash — compilation is driver-side, so the only way a dispatch
+    // indexes past the list is a caller passing too few arguments
+    try scalarFn0(name, args, ctx)
+    catch {
+      case _: IndexOutOfBoundsException =>
+        throw new GqlCompileException(
+          s"$name: wrong number of arguments (${args.size})")
+    }
+
+  private def scalarFn0(name: String, args: Seq[Expr], ctx: Ctx): Column = {
     def a(i: Int): Column = compileExpr(args(i), ctx)
     def varName(i: Int): String = args(i) match {
       case Ident(v) => v
@@ -3378,10 +3399,19 @@ final class Compiler(graph: PropertyGraph,
       }
       // special (special_functions.rs:29-178)
       case "ALL_DIFFERENT" =>
+        // reference: >=1 argument; a single argument is trivially all-
+        // different (the seen-set loop finds no duplicate,
+        // special_functions.rs:70-86)
+        if (args.isEmpty) throw new GqlCompileException(
+          "ALL_DIFFERENT expects at least 1 argument")
         val cols = args.map(compileExpr(_, ctx))
-        cols.combinations(2).map { case Seq(x, y) => x =!= y }
+        if (cols.size == 1) lit(true)
+        else cols.combinations(2).map { case Seq(x, y) => x =!= y }
           .reduce(_ && _)
       case "SAME" =>
+        // reference: exactly 2 (special_functions.rs:140-145)
+        if (args.size != 2) throw new GqlCompileException(
+          s"SAME expects 2 arguments, got ${args.size}")
         args.map(compileExpr(_, ctx)).sliding(2).map {
           case Seq(x, y) => x === y
         }.reduce(_ && _)

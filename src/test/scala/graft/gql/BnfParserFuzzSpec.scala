@@ -140,11 +140,16 @@ class BnfParserFuzzSpec extends AnyFunSuite {
   // lexical leaves are generated from pools, not char-by-char (a random
   // letter soup is all parse errors and exercises nothing downstream);
   // <graph-pattern> is referenced by INSERT but undefined in the file —
-  // the reference parser reads a path pattern there
+  // the reference parser reads a path pattern there. One identifier in
+  // ~7 is a REGISTRY FUNCTION NAME so <function-call> productions reach
+  // the function dispatch with random arity/argument kinds (the r15
+  // wrong-arity IndexOutOfBounds class hid exactly there)
+  private val fnPool = graft.SystemProcedures.gqlFunctions.map(_._1)
   private val idPool = Seq("a", "b", "n", "m", "x", "Person", "KNOWS", "p1")
   private def overrides(name: String): Option[() => String] = name match {
     case "identifier" | "regular-id" =>
-      Some(() => idPool(rnd.nextInt(idPool.size)))
+      Some(() => if (rnd.nextInt(7) == 0) fnPool(rnd.nextInt(fnPool.size))
+        else idPool(rnd.nextInt(idPool.size)))
     case "quoted-string" | "time-zone-string" =>
       Some(() => Seq("'s1'", "'UTC'", "''")(rnd.nextInt(3)))
     case "number" => Some(() => Seq("0", "1", "2.5", "-3")(rnd.nextInt(4)))
