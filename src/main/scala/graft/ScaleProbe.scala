@@ -261,6 +261,13 @@ object ScaleProbe {
       // the memory/shuffle profile a 100 TB warehouse mutation has
       "gql29_hop_dml" -> SparkEntry.queries("gql29_hop_dml"),
       "gql30_edge_dml" -> SparkEntry.queries("gql30_edge_dml"),
+      // the pair-graph BUILD stage (corpus preparation): e03/e07 now
+      // read the per-dataset persisted artifact, so the expensive LSH
+      // bucket join + cosine rerank needs its own scale row — this
+      // probe bypasses the cache on purpose
+      "e03_pair_build" -> ((s: SparkSession, d: String) =>
+        graft.queries.PipelineQueries.embedPairGraph(s, d)
+          .filter(org.apache.spark.sql.functions.col("cos") >= 0.95)),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -300,7 +307,8 @@ object ScaleProbe {
           "e07_semantic_dedup", "d20_mixture_sample", "ev03_session",
           // round-15: the storage/index/multimodal/bitemporal families
           "q35_asof_scd2", "m02_multimodal_stages", "gql22_index_cluster",
-          "gql19_save_fact", "gql29_hop_dml", "gql30_edge_dml")
+          "gql19_save_fact", "gql29_hop_dml", "gql30_edge_dml",
+          "e03_pair_build")
           .contains(n)
       }
 

@@ -220,7 +220,7 @@ object PipelineQueries {
       embedPairGraph(s, d).write.mode("overwrite").parquet(cacheDir.toString)
     s.read.parquet(cacheDir.toString)
   }
-  private def embedPairGraph(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embedPairGraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.embeddings(s, d)
     val emb = base.unionByName(base.filter($"vec_id" < 50)
