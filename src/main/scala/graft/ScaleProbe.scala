@@ -191,7 +191,11 @@ object ScaleProbe {
     }
 
     val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "d08_neardup_pairs" -> SparkEntry.queries("d08_neardup_pairs"),
+      // d08/d11 read the per-dataset stored pair graph since r16 — the
+      // banded-LSH scale behavior they used to exercise lives in the
+      // cache-bypassing d11_pair_build probe below
+      "d11_pair_build" -> ((s: SparkSession, d: String) =>
+        graft.queries.PipelineQueries.docPairGraph(s, d)),
       "e02_ann_lsh" -> SparkEntry.queries("e02_ann_lsh"),
       "g08_bfs" -> SparkEntry.queries("g08_bfs"),
       "g13_connected_components" -> SparkEntry.queries("g13_connected_components"),
@@ -293,7 +297,7 @@ object ScaleProbe {
         // d14 rides the >10× tiers since round 12: the adaptive Bloom
         // capacity (and its runtime-conf clamp) is exactly the behavior
         // the 100× tier exists to confirm
-        Set("d08_neardup_pairs", "e02_ann_lsh", "g13_distributed",
+        Set("d11_pair_build", "e02_ann_lsh", "g13_distributed",
           "g08_distributed", "d10_seq_pack", "d14_incremental_dedup",
           // graph-query family rides the 30× tier (round 13): path
           // enumeration and correlated-ALL carry per-row path arrays

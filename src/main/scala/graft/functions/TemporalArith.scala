@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Reference DATE_ADD / DATE_SUB calendar arithmetic
@@ -25,13 +25,15 @@ import org.apache.spark.sql.types._
   * deliberately NOT java.time's clamping `plusMonths`; the month step
   * is hand-rolled to match the reference loop.
   *
-  * Component arithmetic happens on the micros' UTC rendering; the
-  * compiler wraps the input/output in from/to_utc_timestamp for
-  * non-UTC sessions (the same sessionLocal convention EXTRACT uses).
+  * Component arithmetic happens on the micros' UTC rendering; for
+  * non-UTC sessions the compiler wraps input/output in
+  * from/to_utc_timestamp for the CALENDAR units only (the sessionLocal
+  * convention EXTRACT uses) — duration units pass straight through, so
+  * they stay absolute instant shifts across DST like chrono's.
   */
 case class RefDateArith(left: Expression, right: Expression,
     unit: String, subtract: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -60,45 +62,70 @@ case class RefDateArith(left: Expression, right: Expression,
   override def nullSafeEval(tsAny: Any, nAny: Any): Any = {
     val micros = tsAny.asInstanceOf[Long]
     val k0 = nAny.asInstanceOf[Long]
-    val k = if (subtract) -k0 else k0
     unitMicros match {
-      case Some(um) => micros + k * um
-      case None =>
-        val secs = Math.floorDiv(micros, 1000000L)
-        val frac = Math.floorMod(micros, 1000000L)
-        var ldt = java.time.LocalDateTime.ofEpochSecond(
-          secs, frac.toInt * 1000, java.time.ZoneOffset.UTC)
-        if (isYear) {
-          // single with_year; invalid (Feb 29 -> non-leap) keeps base
-          val ny = ldt.getYear + k.toInt
-          if (!(ldt.getMonthValue == 2 && ldt.getDayOfMonth == 29 &&
-              !java.time.Year.isLeap(ny.toLong)))
-            ldt = ldt.withYear(ny)
-        } else {
-          // month loop: one calendar month per step, same day-of-month;
-          // a step whose target month lacks the day keeps the previous
-          // value, and the retry fails identically -> stop early
-          var i = 0L
-          val steps = math.abs(k)
-          val fwd = k > 0
-          var stuck = false
-          while (i < steps && !stuck) {
-            val y = ldt.getYear
-            val m = ldt.getMonthValue
-            val (ny, nm) =
-              if (fwd) { if (m == 12) (y + 1, 1) else (y, m + 1) }
-              else { if (m == 1) (y - 1, 12) else (y, m - 1) }
-            if (ldt.getDayOfMonth <=
-                java.time.YearMonth.of(ny, nm).lengthOfMonth) {
-              ldt = java.time.LocalDateTime.of(ny, nm, ldt.getDayOfMonth,
-                ldt.getHour, ldt.getMinute, ldt.getSecond, ldt.getNano)
-            } else stuck = true
-            i += 1
-          }
-        }
-        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-          ldt.getNano / 1000L
+      case Some(um) => micros + (if (subtract) -k0 else k0) * um
+      case None => calendarStep(micros, k0)
     }
+  }
+
+  /** MONTH/YEAR calendar step on a UTC-rendered instant — public so the
+    * generated code calls the same logic through an
+    * [[CodegenContext.addReferenceObj]] handle.
+    */
+  def calendarStep(micros: Long, k0: Long): Long = {
+    val k = if (subtract) -k0 else k0
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    var ldt = java.time.LocalDateTime.ofEpochSecond(
+      secs, frac.toInt * 1000, java.time.ZoneOffset.UTC)
+    if (isYear) {
+      // single with_year; invalid (Feb 29 -> non-leap) keeps base
+      val ny = ldt.getYear + k.toInt
+      if (!(ldt.getMonthValue == 2 && ldt.getDayOfMonth == 29 &&
+          !java.time.Year.isLeap(ny.toLong)))
+        ldt = ldt.withYear(ny)
+    } else {
+      // month loop: one calendar month per step, same day-of-month;
+      // a step whose target month lacks the day keeps the previous
+      // value, and the retry fails identically -> stop early
+      var i = 0L
+      val steps = math.abs(k)
+      val fwd = k > 0
+      var stuck = false
+      while (i < steps && !stuck) {
+        val y = ldt.getYear
+        val m = ldt.getMonthValue
+        val (ny, nm) =
+          if (fwd) { if (m == 12) (y + 1, 1) else (y, m + 1) }
+          else { if (m == 1) (y - 1, 12) else (y, m - 1) }
+        if (ldt.getDayOfMonth <=
+            java.time.YearMonth.of(ny, nm).lengthOfMonth) {
+          ldt = java.time.LocalDateTime.of(ny, nm, ldt.getDayOfMonth,
+            ldt.getHour, ldt.getMinute, ldt.getSecond, ldt.getNano)
+        } else stuck = true
+        i += 1
+      }
+    }
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      ldt.getNano / 1000L
+  }
+
+  /** Whole-stage codegen (r15 verdict: this was the one new expression
+    * still on CodegenFallback). Duration units inline to one multiply-
+    * add on the micros — branch-free, stays fused in the stage; the
+    * MONTH/YEAR calendar loop calls [[calendarStep]] through a
+    * reference handle (same logic as interpreted eval, no boxing, no
+    * InternalRow detour).
+    */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = unitMicros match {
+    case Some(um) =>
+      val sign = if (subtract) "-" else ""
+      defineCodeGen(ctx, ev, (ts, n) => s"$ts + ($sign($n)) * ${um}L")
+    case None =>
+      val self = ctx.addReferenceObj("refDateArith", this,
+        classOf[RefDateArith].getName)
+      defineCodeGen(ctx, ev, (ts, n) => s"$self.calendarStep($ts, $n)")
   }
 
   override protected def withNewChildrenInternal(

@@ -41,7 +41,8 @@ private[graft] object ScalarFns {
     "LOG", "LOG10", "EXP", "SIN", "COS", "TAN", "PI", "SIGN", "MOD",
     "ROUND", "NULLIF", "COALESCE")
 
-  def apply(name: String, args0: Seq[Column], rawArgs: Seq[Expr]): Column = {
+  def apply(name: String, args0: Seq[Column], rawArgs: Seq[Expr],
+      kindOf: Expr => Option[String] = _ => None): Column = {
     // a missing argument must be a NAMED error like the reference's
     // InvalidArgumentCount (function_trait.rs validate_argument_count),
     // not an IndexOutOfBounds crash out of the dispatch below
@@ -49,10 +50,25 @@ private[graft] object ScalarFns {
       if (i >= args0.size) throw new GqlCompileException(
         s"$name expects at least ${i + 1} arguments, got ${args0.size}")
       else args0(i)
+    // the string functions' convert-to-string arm renders numbers through
+    // Rust's f64 Display (string_functions.rs:52-57 n.to_string()), which
+    // DROPS the trailing ".0" of integral values — Value::Number(-11.0)
+    // renders "-11" where Spark's cast gives "-11.0". Found by
+    // ValueFunctionDifferentialFuzzSpec; applied only when the argument's
+    // static kind is NUMBER (strings must not detour through a numeric
+    // cast, which ANSI would fail on non-numeric text).
+    def s(i: Int): Column =
+      if (!kindOf(rawArgs(i)).contains("NUMBER")) a(i)
+      else {
+        val d = a(i).cast("double")
+        when(d === d.cast("long").cast("double") &&
+            abs(d) < lit(9.0e18), d.cast("long").cast("string"))
+          .otherwise(a(i).cast("string"))
+      }
     name match {
       // string (string_functions.rs)
-      case "UPPER" => upper(a(0))
-      case "LOWER" => lower(a(0))
+      case "UPPER" => upper(s(0))
+      case "LOWER" => lower(s(0))
       case "TRIM" =>
         // reference TRIM forms (string_functions.rs:198-265): TRIM(s);
         // TRIM(mode, s) when arg0 is a LEADING/TRAILING/BOTH literal;
@@ -82,14 +98,14 @@ private[graft] object ScalarFns {
           if (chars.isEmpty) " " else chars.substring(0, 1)
         val ws = " \t\n\r"
         args0.size match {
-          case 1 => trim(a(0))
+          case 1 => trim(s(0))
           case 2 => modeOf(rawArgs(0)) match {
-            case Some(mode) => trimBy(mode, ws, a(1))
-            case None => trimBy("BOTH", firstChar(litChars(rawArgs(1))), a(0))
+            case Some(mode) => trimBy(mode, ws, s(1))
+            case None => trimBy("BOTH", firstChar(litChars(rawArgs(1))), s(0))
           }
           case _ =>
             trimBy(modeOf(rawArgs(0)).getOrElse("BOTH"),
-              litChars(rawArgs(1)), a(2))
+              litChars(rawArgs(1)), s(2))
         }
       case "SUBSTRING" =>
         // the reference clamps start <= 0 to the FIRST character and a
@@ -97,10 +113,10 @@ private[graft] object ScalarFns {
         // Spark's substr instead counts a negative start from the END of
         // the string — clamp both so the semantics match
         val start = greatest(a(1), lit(1))
-        if (args0.size == 3) a(0).substr(start, greatest(a(2), lit(0)))
-        else a(0).substr(start, lit(Int.MaxValue))
-      case "REPLACE" => replace(a(0), a(1), a(2))
-      case "REVERSE" => reverse(a(0))
+        if (args0.size == 3) s(0).substr(start, greatest(a(2), lit(0)))
+        else s(0).substr(start, lit(Int.MaxValue))
+      case "REPLACE" => replace(s(0), s(1), s(2))
+      case "REVERSE" => reverse(s(0))
       case "LENGTH" | "CHAR_LENGTH" => length(a(0)).cast("long")
       // math (mathematical_functions.rs, numeric_functions.rs)
       case "ABS" => abs(a(0))
@@ -696,6 +712,7 @@ final class Compiler(graph: PropertyGraph,
     // else filters.
     def applyWhere(w: Expr): Unit = {
       var base = df.getOrElse(throw new GqlCompileException("WHERE without input"))
+      curFrame = Some(base)
       splitAnd(w).foreach {
         case ExistsPattern(paths) => base = existsJoin(base, paths, ctx, "left_semi")
         case Not(ExistsPattern(paths)) => base = existsJoin(base, paths, ctx, "left_anti")
@@ -747,6 +764,7 @@ final class Compiler(graph: PropertyGraph,
             df = Some(d)
             ctx = Ctx(ctx.bindings + (as -> NodeBinding(labels)))
           case _ =>
+            curFrame = Some(in)
             df = Some(in.withColumn(as, explode(compileExpr(e, ctx))))
             ctx = Ctx(ctx.bindings + (as -> ValueBinding))
         }
@@ -755,6 +773,7 @@ final class Compiler(graph: PropertyGraph,
       case StLet(defs) =>
         var in = df.getOrElse(singleRow)
         defs.foreach { case (v, e) =>
+          curFrame = Some(in)
           in = in.withColumn(v, compileExpr(e, ctx))
           aliasKinds = staticKind(e, ctx) match {
             case Some(k) => aliasKinds + (v -> k)
@@ -795,6 +814,8 @@ final class Compiler(graph: PropertyGraph,
           orderBy = seg.orderBy.zip(oe).map { case (s, e2) =>
             s.copy(expr = e2) })
       }
+
+    curFrame = Some(base)
 
     // ---- projection (+ implicit/explicit grouping) ----
     // RETURN * expands to every bound variable (entities as ids), sorted;
@@ -2949,6 +2970,46 @@ final class Compiler(graph: PropertyGraph,
     case _ => None
   }
 
+  /** Kind of an already-compiled column, when its Catalyst expression is
+    * resolved (property refs on concrete frames are; computed columns
+    * usually are not — those return None). The dtype-based last resort
+    * behind [[staticKind]] for list-extend dispatch. */
+  /** The frame the expression currently being compiled will evaluate
+    * against — maintained by the segment compiler at each compileExpr
+    * batch so [[colKind]] can analyze a single-column projection when
+    * the column's own expression is unresolved (plain col() refs). */
+  private var curFrame: Option[DataFrame] = None
+
+  /** SAME/ALL_DIFFERENT equality through the reference's TYPED
+    * comparables (value_to_comparable, special_functions.rs:243-258):
+    * the ComparableValue enum never equates values of different kinds,
+    * so SAME(1, '1') is false — where a raw Spark `===` would
+    * PromoteStrings-coerce and either equate them or ANSI-fail on
+    * non-numeric text (found by ValueFunctionDifferentialFuzzSpec).
+    * Statically cross-kind pairs compile to a constant; same/unknown
+    * kinds keep column equality (NUMBER covers long vs double like the
+    * reference's uniform f64). NULL arguments keep SQL 3VL — the
+    * reference ERRORS there (no Null arm in value_to_comparable), a
+    * documented divergence: a per-row abort has no Column analog and
+    * the reference never exercises that path.
+    */
+  private def comparableEq(x: Ast.Expr, y: Ast.Expr, ctx: Ctx): Column =
+    (staticKind(x, ctx), staticKind(y, ctx)) match {
+      case (Some(a), Some(b))
+          if a != b && a != "NULL" && b != "NULL" => lit(false)
+      case _ => compileExpr(x, ctx) === compileExpr(y, ctx)
+    }
+
+  private def colKind(c: Column): Option[String] =
+    // analyze a one-column projection against the current frame — the
+    // only reliable way to type a ColumnNode-backed Column (its raw
+    // Catalyst expression is a ColumnNodeExpression wrapper that claims
+    // resolved=true with a bogus NullType). Driver-side analysis of a
+    // single select; runs only on the staticKind-None fallback path.
+    curFrame.flatMap(f =>
+      scala.util.Try(f.select(c).schema.head.dataType).toOption)
+      .flatMap(dtKind(_))
+
   /** Spark column type → reference value-kind name (for [[staticKind]]'s
     * property-schema lookups). */
   private def dtKind(dt: org.apache.spark.sql.types.DataType): Option[String] = {
@@ -3006,7 +3067,8 @@ final class Compiler(graph: PropertyGraph,
     // the context-free string/math/null families live in the shared
     // [[ScalarFns]] table (same table the DML evaluator uses)
     if (ScalarFns.names(name))
-      return ScalarFns(name, args.map(compileExpr(_, ctx)), args)
+      return ScalarFns(name, args.map(compileExpr(_, ctx)), args,
+        kindOf = e => staticKind(e, ctx))
     name match {
       // JSON rendering (beyond ref — arrays/paths as engine-stable text)
       case "TO_JSON" => to_json(a(0))
@@ -3046,24 +3108,35 @@ final class Compiler(graph: PropertyGraph,
           when(c.isNull, lit(0L)).otherwise(size(c).cast("long"))
       }
       // a LIST second argument EXTENDS rather than nests
-      // (list_functions.rs:158-167 matches on Value::List and extends)
-      case "LIST_APPEND" => staticKind(args(1), ctx) match {
-        case Some("LIST") => concat(a(0), a(1))
-        case _ => concat(a(0), array(a(1)))
-      }
-      case "LIST_PREPEND" => staticKind(args(1), ctx) match {
-        case Some("LIST") => concat(a(1), a(0))
-        case _ => concat(array(a(1)), a(0))
-      }
+      // (list_functions.rs:158-167 matches on Value::List and extends).
+      // When the AST gives no static kind (e.g. an alias whose defining
+      // expression lost its kind), fall back to the compiled column's
+      // resolved dataType — the same dtype evidence staticKind reads
+      // from table schemas — so a runtime list still extends.
+      case "LIST_APPEND" =>
+        staticKind(args(1), ctx).orElse(colKind(a(1))) match {
+          case Some("LIST") => concat(a(0), a(1))
+          case _ => concat(a(0), array(a(1)))
+        }
+      case "LIST_PREPEND" =>
+        staticKind(args(1), ctx).orElse(colKind(a(1))) match {
+          case Some("LIST") => concat(a(1), a(0))
+          case _ => concat(array(a(1)), a(0))
+        }
       case "LIST_REVERSE" => reverse(a(0))
       case "LIST_SLICE" =>
         // reference (list_functions.rs:95-141): 0-based start, EXCLUSIVE
-        // end, end clamps to len; a negative start (the `as usize` cast
-        // wraps huge -> start >= len) and end <= start both return the
-        // EMPTY list. Spark's slice instead errors on start 0/negative
-        // lengths and counts negative starts from the END — guard them.
+        // end, end clamps to len. BOTH indices cast `as usize`, so a
+        // negative index wraps huge: for START that means start >= len
+        // -> EMPTY list; for END the min(end, len) clamp lands on len,
+        // so a NEGATIVE end slices to the end of the list
+        // (LIST_SLICE([10,20,30], 1, -1) = [20,30]). end <= start after
+        // the clamp is empty. Spark's slice instead errors on start
+        // 0/negative lengths and counts negative starts from the END —
+        // guard them.
         val s = a(1).cast("int")
-        val e = a(2).cast("int")
+        val e0 = a(2).cast("int")
+        val e = when(e0 < 0, size(a(0))).otherwise(e0)
         when(s < 0 || e <= s, slice(a(0), lit(1), lit(0)))
           .otherwise(slice(a(0), s + 1, e - s))
       // temporal (temporal_functions.rs subset)
@@ -3161,10 +3234,20 @@ final class Compiler(graph: PropertyGraph,
                   a(1).cast("long"), lit(unit)), tz)
             struct(tz.as("tz"), newTs.as("ts"))
           case _ =>
-            val needShift = sessionTz != "UTC" && (args(0) match {
-              case Fn("LOCAL_DATETIME", _, _) => false
-              case _ => true
-            })
+            // duration units (SECOND..WEEK) are chrono Duration adds on
+            // the INSTANT (temporal_functions.rs:756-768; DateTime +
+            // Duration shifts the UTC timestamp, so +1 DAY is always
+            // 86,400 s even across a DST transition) — no session-zone
+            // round-trip, which would turn the shift wall-clock-
+            // preserving (23/25 h days). Only MONTH/YEAR calendar steps
+            // read local components, which under the repo's session-
+            // local component convention (sessionLocal/EXTRACT) run in
+            // the session zone.
+            val needShift = calendarUnit && sessionTz != "UTC" &&
+              (args(0) match {
+                case Fn("LOCAL_DATETIME", _, _) => false
+                case _ => true
+              })
             val tsIn =
               if (needShift)
                 from_utc_timestamp(a(0).cast("timestamp"), sessionTz)
@@ -3404,17 +3487,15 @@ final class Compiler(graph: PropertyGraph,
         // special_functions.rs:70-86)
         if (args.isEmpty) throw new GqlCompileException(
           "ALL_DIFFERENT expects at least 1 argument")
-        val cols = args.map(compileExpr(_, ctx))
-        if (cols.size == 1) lit(true)
-        else cols.combinations(2).map { case Seq(x, y) => x =!= y }
-          .reduce(_ && _)
+        if (args.size == 1) lit(true)
+        else args.combinations(2).map { case Seq(x, y) =>
+          !comparableEq(x, y, ctx)
+        }.reduce(_ && _)
       case "SAME" =>
         // reference: exactly 2 (special_functions.rs:140-145)
         if (args.size != 2) throw new GqlCompileException(
           s"SAME expects 2 arguments, got ${args.size}")
-        args.map(compileExpr(_, ctx)).sliding(2).map {
-          case Seq(x, y) => x === y
-        }.reduce(_ && _)
+        comparableEq(args(0), args(1), ctx)
       case "PROPERTY_EXISTS" =>
         val v = varName(0)
         val propName = args(1) match {

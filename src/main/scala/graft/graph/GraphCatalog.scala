@@ -81,15 +81,16 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
             org.apache.spark.sql.functions.col(f.name).cast("string"))
         else d)
     datasets.foreach { case (ds, df) =>
-      if (dirtySet.contains(ds))
-        writeClustered(ds, typed(df), s"$staging/$ds")
-    }
-    def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-      Files.createDirectories(dst)
-      Files.list(src).iterator.asScala.foreach { f =>
-        val t = dst.resolve(f.getFileName)
-        if (Files.isDirectory(f)) linkTree(f, t)
-        else Files.createLink(t, f)
+      if (dirtySet.contains(ds)) {
+        val t = typed(df)
+        // bucket-scoped path first: when the dataset has a bucketed
+        // index with persisted boundaries AND the mutations recorded
+        // their touched identity keys, rewrite only the touched range
+        // buckets and hard-link the rest — O(touched buckets) instead
+        // of O(table), the incremental-maintenance economics of
+        // [[reclusterBuckets]] applied at the copy-on-write boundary
+        if (!(incremental && writeBucketScoped(ds, t, dir, staging, g)))
+          writeClustered(ds, t, s"$staging/$ds")
       }
     }
     datasets.foreach { case (ds, _) =>
@@ -102,6 +103,83 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     Files.writeString(Paths.get(s"$staging/_meta"), meta)
     deleteRecursive(Paths.get(dir))
     Files.move(Paths.get(staging), Paths.get(dir))
+  }
+
+  /** Mirror `src` under `dst` as hard links — a metadata move, no data
+    * copied; the live directory stays complete until the atomic swap.
+    */
+  private def linkTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    Files.list(src).iterator.asScala.foreach { f =>
+      val t = dst.resolve(f.getFileName)
+      if (Files.isDirectory(f)) linkTree(f, t)
+      else Files.createLink(t, f)
+    }
+  }
+
+  /** Bucket-scoped incremental write of one dirty dataset into staging.
+    *
+    * Applicable when (a) the dataset carries a bucketed index whose
+    * range boundaries are already persisted, (b) the live directory is
+    * already in the bucketed `__ixb=K/` layout, and (c) every mutation
+    * since load recorded its touched identity keys
+    * ([[PropertyGraph.touchedKeys]]). The touched keys map to bucket
+    * ids through the stored boundaries — on BOTH the pre- and
+    * post-mutation key values, so a SET on the indexed column that
+    * moves a row between buckets rewrites both its source and target
+    * bucket. Untouched buckets enter staging as hard links.
+    *
+    * This is the 100 TB maintenance story the bucketed layout exists
+    * for: a DML touching one bucket of a 100K-file label costs one
+    * bucket's rewrite plus link metadata, not an O(table) range
+    * shuffle. Returns false (caller falls back to the monolithic
+    * [[writeClustered]]) whenever any precondition fails.
+    */
+  private def writeBucketScoped(ds: String, df: DataFrame, liveDir: String,
+      staging: String, g: PropertyGraph): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val keys = g.touchedKeysFor(ds).orNull
+    if (keys == null) return false
+    val spec = bucketedSpec(ds, df).orNull
+    if (spec == null) return false
+    val (ixName, cols, _) = spec
+    val bounds = listIndexOptions(ixName).toMap.get("__bounds")
+      .filter(_.nonEmpty).map(_.split(",").toSeq.map(_.toDouble)).orNull
+    if (bounds == null) return false
+    val idCol = if (ds.startsWith("nodes_")) "id" else "eid"
+    if (!df.columns.contains(idCol)) return false
+    val oldPath = Paths.get(s"$liveDir/$ds")
+    if (!Files.exists(oldPath)) return false
+    val bucketDirs = Files.list(oldPath).iterator.asScala
+      .filter(_.getFileName.toString.startsWith(s"$BucketCol=")).toSeq
+    if (bucketDirs.isEmpty) return false // live layout not bucketed yet
+    val old = spark.read.parquet(oldPath.toString)
+    // index-key values of the touched rows, pre- and post-mutation
+    // (identity keys render through string, the union type across
+    // id-widening — see GraphMutations.keyFrame)
+    def keyVals(f: DataFrame) =
+      f.join(keys, f(idCol).cast("string") === keys("__k"), "left_semi")
+        .select(col(cols.head))
+    val touchedBuckets = keyVals(old).union(keyVals(df))
+      .select(bucketExpr(col(cols.head), bounds).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touchedBuckets.isEmpty) // mutations matched no rows
+      Files.createDirectories(Paths.get(s"$staging/$ds"))
+    else
+      df.withColumn(BucketCol, bucketExpr(col(cols.head), bounds))
+        .filter(col(BucketCol)
+          .isin(touchedBuckets.toSeq.map(Integer.valueOf): _*))
+        .repartition(col(BucketCol))
+        .sortWithinPartitions((BucketCol +: cols).map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .parquet(s"$staging/$ds")
+    bucketDirs.foreach { d =>
+      val k = d.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+      if (!touchedBuckets.contains(k))
+        linkTree(d, Paths.get(s"$staging/$ds/${d.getFileName}"))
+    }
+    true
   }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
@@ -225,7 +303,11 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     */
   private def bucketedSpec(table: String,
       df: DataFrame): Option[(String, Seq[String], Int)] =
-    readIndexes().find(ix => ix._2 == table &&
+    // scan ALL indexes on the table for the one carrying a valid buckets
+    // option — a table may hold several indexes and only the bucketed
+    // one defines the __ixb layout (first-match would miss it, or pick a
+    // non-bucketed sibling's key)
+    readIndexes().iterator.filter(ix => ix._2 == table &&
         ix._3.nonEmpty && ix._3.forall(df.columns.contains)).flatMap {
       case (name, _, cols) =>
         val numeric = df.schema(cols.head).dataType
@@ -234,7 +316,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
           .flatMap(v => scala.util.Try(v.toInt).toOption)
           .filter(b => b > 1 && numeric)
           .map(b => (name, cols, b))
-    }
+    }.to(LazyList).headOption
 
   /** Write `df` to `path` under the table's clustered layout.
     *
@@ -283,13 +365,17 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     import org.apache.spark.sql.functions.col
     val dir = s"${graphDir(schema, name)}/$table"
     require(Files.exists(Paths.get(dir)), s"no such dataset: $dir")
-    val ix = readIndexes().find(_._2 == table).getOrElse(
-      throw new IllegalArgumentException(s"no index on $table"))
-    val cols = ix._3
+    // resolve the BUCKETED index (buckets option + persisted bounds),
+    // not merely the first index on the table — with two indexes,
+    // first-match could re-sort buckets on the WRONG key and silently
+    // destroy the in-bucket order the layout exists for
+    val probe = spark.read.parquet(dir)
+    val (_, cols, _) = bucketedSpec(table, probe).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed index on $table"))
     // checkpoint BEFORE the sort: the write must not read the files it
     // replaces, and a checkpoint would not preserve the sort order the
     // partitioned writer needs (it would re-sort on __ixb alone)
-    val rows = spark.read.parquet(dir)
+    val rows = probe
       .filter(col(BucketCol).isin(bucketIds.map(Integer.valueOf): _*))
       .repartition(col(BucketCol))
       .localCheckpoint(true)

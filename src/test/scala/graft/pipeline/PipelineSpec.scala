@@ -989,4 +989,31 @@ class PipelineSpec extends AnyFunSuite {
     val big = new Similarity.RandomHyperplaneLsh(64, 96, 4).planeRows
     assert(big.take(32) == small)
   }
+
+  test("pair-graph artifact signatures are parameter-complete: changing " +
+      "any computation constant changes the signature") {
+    import graft.queries.PipelineQueries.{pairGraphParamSig, docPairGraphParamSig}
+    val base = pairGraphParamSig()
+    // each parameter independently perturbs the cosine-graph signature
+    assert(pairGraphParamSig(dim = 32) != base)
+    assert(pairGraphParamSig(bands = 8) != base)
+    assert(pairGraphParamSig(synCount = 51L) != base)
+    assert(pairGraphParamSig(synOffset = 20000L) != base)
+    assert(pairGraphParamSig(scale = 5) != base)
+    // the plane encoding sees the hyperplane seed/LCG/±1 scheme: the
+    // probe's actual first plane row is embedded bit-for-bit
+    val planes = new Similarity.RandomHyperplaneLsh(64, 4, 4).planeRows.head
+      .map(v => if (v > 0) '1' else '0').mkString
+    assert(base.endsWith(s"planes=$planes"))
+    // …and the minhash-graph signature likewise
+    val dBase = docPairGraphParamSig()
+    assert(docPairGraphParamSig(n = 7) != dBase)
+    assert(docPairGraphParamSig(numHashes = 64) != dBase)
+    assert(docPairGraphParamSig(bands = 4) != dBase)
+    assert(docPairGraphParamSig(tau = 0.8) != dBase)
+    assert(docPairGraphParamSig(saltCount = 21L) != dBase)
+    assert(docPairGraphParamSig(saltOffset = 2000000L) != dBase)
+    // the two computations can never collide on one artifact directory
+    assert(base != dBase)
+  }
 }
