@@ -165,6 +165,45 @@ object ScaleProbe {
     }
   }
 
+  /** See the r16 probe registration comment: one-row DML + incremental
+    * save on a persisted customer label, with (`buckets` > 0) or without
+    * a bucketed clustered index. Setup is marker-gated per (dir,
+    * variant) so repeated measurement passes time only the maintenance
+    * operation.
+    */
+  private def dmlSaveProbe(buckets: Int)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.graph.PropertyGraph
+    val variant = if (buckets > 0) "bucketed" else "full"
+    val wh = "/tmp/graft-dml-save-probe-" + variant + "-" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    val gls = GraphLiteSpark.open(s, wh)
+    val marker = new java.io.File(s"$wh/.setup_done")
+    if (!marker.exists()) {
+      // the WIDE fact table (9 columns), where a full clustered rewrite
+      // actually costs what warehouse maintenance costs — on a 3-column
+      // dimension the bucket-map jobs' fixed overhead swamps the write
+      // savings and the probe would measure job-scheduling, not layout
+      val ord = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"), col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("totalprice"),
+        col("o_orderdate").as("orderdate"), col("o_orderpriority").as("priority"))
+      val sess = gls.session("driver")
+        .useGraph(new PropertyGraph(Map("orders" -> ord), Map.empty))
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
+      sess.saveGraphAs(s"/probe/dml_$variant", force = true)
+      sess.execute(s"CREATE GRAPH INDEX dmlix_$variant ON nodes_orders (totalprice)")
+      if (buckets > 0)
+        sess.execute(s"ALTER INDEX dmlix_$variant SET OPTION buckets = $buckets")
+      sess.execute(s"OPTIMIZE INDEX dmlix_$variant")
+      marker.createNewFile()
+    }
+    val t = gls.session("driver").useGraph(s"/probe/dml_$variant")
+    t.execute("MATCH (o:orders {id: 7}) SET o.totalprice = 1.0")
+    t.saveGraphAs(s"/probe/dml_$variant") // incremental maintenance save
+    t.gql("MATCH (o:orders {id: 7}) RETURN count(o) AS n")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nCopies = if (args.length > 2) args(2).toInt else 10
@@ -272,6 +311,18 @@ object ScaleProbe {
       "e03_pair_build" -> ((s: SparkSession, d: String) =>
         graft.queries.PipelineQueries.embedPairGraph(s, d)
           .filter(org.apache.spark.sql.functions.col("cos") >= 0.95)),
+      // r16: post-DML warehouse maintenance, bucket-scoped vs full. Both
+      // probes run one single-row DML on a persisted customer label and
+      // save incrementally; the *_bucketed variant's label carries a
+      // 16-bucket clustered index, so the save rewrites ONLY the touched
+      // bucket(s) and hard-links the rest (GraphCatalog.writeBucketScoped)
+      // while the *_full variant pays the label's whole clustered
+      // rewrite. The gap between the two rows is the incremental-
+      // maintenance dividend the bucketed layout exists for at 100 TB.
+      // One-time setup (ingest + index + initial layout) is marker-gated
+      // so the measured passes time only the DML + maintenance save.
+      "dml_save_full" -> dmlSaveProbe(buckets = 0),
+      "dml_save_bucketed" -> dmlSaveProbe(buckets = 16),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -312,7 +363,9 @@ object ScaleProbe {
           // round-15: the storage/index/multimodal/bitemporal families
           "q35_asof_scd2", "m02_multimodal_stages", "gql22_index_cluster",
           "gql19_save_fact", "gql29_hop_dml", "gql30_edge_dml",
-          "e03_pair_build")
+          "e03_pair_build",
+          // r16: the bucket-scoped maintenance dividend is a >10× story
+          "dml_save_full", "dml_save_bucketed")
           .contains(n)
       }
 

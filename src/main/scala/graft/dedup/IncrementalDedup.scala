@@ -336,6 +336,67 @@ object IncrementalDedup {
     out.drop("__fp")
   }
 
+  /** Exactly-once BATCH COMMIT protocol around the exact incremental
+    * dedup — the recovery story a 100 TB ingestion pipeline actually
+    * needs ([[dedupeExact]]'s flat append-only state assumes each batch
+    * runs once; a driver crash between its state append and the
+    * caller's output write would make a re-run drop the whole batch as
+    * "already seen").
+    *
+    * Protocol (idempotent under re-runs from ANY crash point):
+    *  1. committed marker exists → the batch fully landed; return the
+    *     committed output (re-delivery, not re-admission).
+    *  2. survivors compute against COMMITTED batches only — a crashed
+    *     attempt's partial state dir is invisible to the history probe
+    *     by construction, so the re-run never deduplicates a batch
+    *     against its own half-written fingerprints.
+    *  3. the batch's fingerprints and its output both write with
+    *     OVERWRITE into per-batch directories (a re-run replaces any
+    *     partial files), and the marker is created LAST — the single
+    *     atomic commit point covering state and output together.
+    *
+    * State layout: `<state>/exact_batches/ingest_<id>/` (fingerprints),
+    * `<out>/<id>/` (surviving rows), `<state>/exact_commits/<id>`
+    * (marker). The bloom sidecar is not used on this path — it is a
+    * pre-filter optimization of the flat layout; the anti-join here is
+    * the authoritative (and only) probe, so results stay exact.
+    */
+  def dedupeExactCommit(batch: DataFrame, idCol: String, textCol: String,
+      statePath: String, outPath: String, batchId: String): DataFrame = {
+    require(batchId.matches("[A-Za-z0-9_-]+"), s"unsafe batch id: $batchId")
+    val spark = batch.sparkSession
+    val commits = Paths.get(s"$statePath/exact_commits")
+    val marker = commits.resolve(batchId)
+    val outDir = s"$outPath/$batchId"
+    if (Files.exists(marker)) return spark.read.parquet(outDir)
+    val committedDirs: Seq[String] =
+      if (!Files.exists(commits)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(commits).iterator.asScala.map(_.getFileName.toString)
+          .map(id => s"$statePath/exact_batches/ingest_$id")
+          .filter(d => Files.exists(Paths.get(d))).toSeq.sorted
+      }
+    val fp = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    var keep = fp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (committedDirs.nonEmpty)
+      keep = keep.join(
+        spark.read.parquet(committedDirs: _*).select(col("fp").as("__fp")),
+        Seq("__fp"), "left_anti")
+    // checkpoint before the two writes: both must see the SAME survivor
+    // set, and the second write must not recompute a lineage that reads
+    // state the first write just changed
+    val out = keep.localCheckpoint(true)
+    out.select(col("__fp").as("fp")).write.mode("overwrite")
+      .parquet(s"$statePath/exact_batches/ingest_$batchId")
+    out.drop("__fp").write.mode("overwrite").parquet(outDir)
+    Files.createDirectories(commits)
+    Files.createFile(marker) // the commit point
+    spark.read.parquet(outDir)
+  }
+
   /** Compact the append-only state: each dataset rewrites as one sorted,
     * deduplicated snapshot (range-partitioned so parquet min/max stats
     * prune probe joins). Run periodically — every batch appends a few

@@ -155,15 +155,23 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       .filter(_.getFileName.toString.startsWith(s"$BucketCol=")).toSeq
     if (bucketDirs.isEmpty) return false // live layout not bucketed yet
     val old = spark.read.parquet(oldPath.toString)
-    // index-key values of the touched rows, pre- and post-mutation
-    // (identity keys render through string, the union type across
-    // id-widening — see GraphMutations.keyFrame)
+    // index-key values of the touched rows, pre- and post-mutation.
+    // Identity keys are recorded as strings (the union type across
+    // id-widening — see GraphMutations.keyFrame); cast the TINY key
+    // side back to the table's id type once, so the 2 table-side scans
+    // join natively instead of string-rendering every row's id
+    val keysTyped = keys.select(
+      col("__k").cast(df.schema(idCol).dataType).as("__k"))
     def keyVals(f: DataFrame) =
-      f.join(keys, f(idCol).cast("string") === keys("__k"), "left_semi")
+      f.join(keysTyped, f(idCol) === col("__k"), "left_semi")
         .select(col(cols.head))
     val touchedBuckets = keyVals(old).union(keyVals(df))
       .select(bucketExpr(col(cols.head), bounds).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
+    // cost gate: when a mutation touched most of the buckets anyway,
+    // the monolithic range-shuffle rewrite is cheaper than per-bucket
+    // writes plus links — bucket-scoping is for the sparse-delta case
+    if (touchedBuckets.size * 2 > bounds.size + 1) return false
     if (touchedBuckets.isEmpty) // mutations matched no rows
       Files.createDirectories(Paths.get(s"$staging/$ds"))
     else

@@ -570,6 +570,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(IncrementalDedup.dedupeExact(b2, "doc_id", "text", state).count() == 0)
   }
 
+  test("batch-commit dedup is exactly-once across a crash between state " +
+      "commit and output commit (r15 verdict #7)") {
+    import spark.implicits._
+    import graft.dedup.IncrementalDedup
+    val state = java.nio.file.Files.createTempDirectory("commit-state").toString
+    val outRoot = java.nio.file.Files.createTempDirectory("commit-out").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = Seq((1L, dup), (2L, "first batch unique text entirely"))
+      .toDF("doc_id", "text")
+    val ra = IncrementalDedup.dedupeExactCommit(
+      a, "doc_id", "text", state, outRoot, "A")
+    assert(ra.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // ---- simulate batch B crashing BETWEEN state commit and output
+    // commit: its fingerprint state dir exists, but no output directory
+    // and no commit marker — exactly the on-disk aftermath of a driver
+    // death at that point
+    val b = Seq((3L, dup), (4L, "second batch fresh material here"))
+      .toDF("doc_id", "text")
+    b.withColumn("fp", graft.text.TextAnalysis.fingerprint($"text"))
+      .select("fp").write.mode("overwrite")
+      .parquet(s"$state/exact_batches/ingest_B")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$state/exact_commits/B")))
+
+    // the RE-RUN must neither drop the batch (its own crashed state must
+    // be invisible to the history probe) nor double-admit vs batch A
+    val rb = IncrementalDedup.dedupeExactCommit(
+      b, "doc_id", "text", state, outRoot, "B")
+    assert(rb.collect().map(_.getLong(0)).toSet == Set(4L),
+      "re-run after crash must admit exactly the novel doc")
+
+    // a SECOND re-run (crash after the marker / duplicate delivery)
+    // short-circuits to the committed output — no double admission
+    val rb2 = IncrementalDedup.dedupeExactCommit(
+      b, "doc_id", "text", state, outRoot, "B")
+    assert(rb2.collect().map(_.getLong(0)).toSet == Set(4L))
+
+    // global invariant: every document admitted EXACTLY once across all
+    // committed outputs
+    val all = spark.read.parquet(s"$outRoot/A", s"$outRoot/B")
+    assert(all.count() == 3)
+    assert(all.select("doc_id").distinct().count() == 3)
+    // and batch C still dedups against A and B's committed state
+    val c = Seq((5L, dup), (6L, "second batch fresh material here"))
+      .toDF("doc_id", "text")
+    assert(IncrementalDedup.dedupeExactCommit(
+      c, "doc_id", "text", state, outRoot, "C").count() == 0)
+  }
+
   test("incremental near-dedup uses persisted LSH buckets across runs") {
     import spark.implicits._
     import graft.dedup.IncrementalDedup
