@@ -188,8 +188,11 @@ object Bench {
     // floor stays on both, so ~0.1 s jitter never triggers passes.
     // focus set: queries with a history of unexplained cross-round moves
     // get the tightest bar regardless of magnitude (g03's 1.34× r13 move
-    // rode inside the loaded-box band — make it earn extra passes)
-    val guardFocus = Set("g03")
+    // rode inside the loaded-box band — make it earn extra passes).
+    // r16 adds the four queries the r15 verdict flagged at +27-42% with
+    // unchanged plans: d11 (since given the stored pair-graph artifact),
+    // m01/m02 (multimodal decode), q18 (temporal registry)
+    val guardFocus = Set("g03", "d11", "m01", "m02", "q18")
     def guardThreshold(key: String, p: Double, v: Double): Double =
       if (guardFocus(key)) 1.3 * p
       else if (p >= 0.5 || v >= 0.5) 1.5 * p

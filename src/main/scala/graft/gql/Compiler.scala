@@ -122,11 +122,37 @@ private[graft] object ScalarFns {
       case "ABS" => abs(a(0))
       case "CEIL" | "CEILING" => ceil(a(0))
       case "FLOOR" => floor(a(0))
-      case "SQRT" => sqrt(a(0))
-      case "POWER" | "POW" => pow(a(0), a(1))
-      case "LOG" => log(a(0))
-      case "LOG10" => log10(a(0))
-      case "EXP" => exp(a(0))
+      // domain violations ERROR the statement in the reference
+      // (mathematical_functions.rs: SQRT<0 rs:216, LOG/LOG10<=0
+      // rs:339/394, POWER->NaN/Inf rs:283, EXP->Inf rs:451) — Spark
+      // would instead return NaN/NULL/Infinity. raise_error keeps the
+      // happy path codegen'd; the branch only fires on the bad row.
+      case "SQRT" =>
+        when(a(0) < 0, raise_error(
+          lit("SQRT of negative number is undefined")).cast("double"))
+          .otherwise(sqrt(a(0)))
+      case "POWER" | "POW" =>
+        val r = pow(a(0), a(1))
+        when(isnan(r) || r === lit(Double.PositiveInfinity) ||
+            r === lit(Double.NegativeInfinity),
+          raise_error(concat_ws("", lit("POWER("), a(0).cast("string"),
+            lit(", "), a(1).cast("string"),
+            lit(") results in invalid value"))).cast("double"))
+          .otherwise(r)
+      case "LOG" =>
+        when(a(0) <= 0, raise_error(
+          lit("LOG of zero or negative number is undefined")).cast("double"))
+          .otherwise(log(a(0)))
+      case "LOG10" =>
+        when(a(0) <= 0, raise_error(
+          lit("LOG10 of zero or negative number is undefined")).cast("double"))
+          .otherwise(log10(a(0)))
+      case "EXP" =>
+        val r = exp(a(0))
+        when(r === lit(Double.PositiveInfinity),
+          raise_error(concat_ws("", lit("EXP("), a(0).cast("string"),
+            lit(") results in overflow"))).cast("double"))
+          .otherwise(r)
       case "SIN" => sin(a(0))
       case "COS" => cos(a(0))
       case "TAN" => tan(a(0))

@@ -305,6 +305,63 @@ class ValueFunctionDifferentialFuzzSpec extends AnyFunSuite {
     assert(got == Seq(0L, 3L, 0L))
   }
 
+  // ---- math functions ------------------------------------------------------
+  test("math functions: value lockstep + the reference's DOMAIN error " +
+      "arms (mathematical_functions.rs; NULL keeps SQL propagation, " +
+      "documented like IN/NOT IN)") {
+    // value lockstep on dyadic doubles (exact in f64 on both sides)
+    val xs = Seq.fill(60)((rnd.nextInt(3201) - 1600) / 16.0)
+    runCases(xs)(x => s"ABS($x)") { case (x, g) =>
+      assert(g == math.abs(x), s"ABS($x)") }
+    runCases(xs)(x => s"CEIL($x)") { case (x, g) =>
+      assert(g.toString.toDouble == math.ceil(x), s"CEIL($x)") }
+    runCases(xs)(x => s"FLOOR($x)") { case (x, g) =>
+      assert(g.toString.toDouble == math.floor(x), s"FLOOR($x)") }
+    runCases(xs)(x => s"SIGN($x)") { case (x, g) =>
+      assert(g.toString.toDouble == math.signum(x), s"SIGN($x)") }
+    runCases(xs.filter(_ > 0))(x => s"SQRT($x)") { case (x, g) =>
+      assert(math.abs(g.asInstanceOf[Double] - math.sqrt(x)) < 1e-12) }
+    runCases(xs.filter(_ > 0))(x => s"LOG($x)") { case (x, g) =>
+      assert(math.abs(g.asInstanceOf[Double] - math.log(x)) < 1e-12) }
+    // MOD is Rust's truncated % on f64 (rs:764)
+    val mods = Seq.fill(40)((rnd.nextInt(401) - 200L, rnd.nextInt(39) + 1L))
+      .flatMap { case (a, b) => Seq((a, b), (a, -b)) }
+    runCases(mods) { case (a, b) => s"MOD($a, $b)" } { case ((a, b), g) =>
+      assert(g.toString.toDouble == (a % b).toDouble, s"MOD($a, $b)")
+    }
+    // ROUND follows Oracle half-away-from-zero (numeric_functions.rs:104)
+    val rounds = Seq.fill(40)(((rnd.nextInt(3201) - 1600) / 16.0,
+      rnd.nextInt(3)))
+    runCases(rounds) { case (x, d) => s"ROUND($x, $d)" } { case ((x, d), g) =>
+      val m = math.pow(10, d)
+      val want = if (x == 0.0) 0.0
+        else if (x < 0) -math.floor(-x * m + 0.5) / m
+        else math.floor(x * m + 0.5) / m
+      assert(math.abs(g.toString.toDouble - want) < 1e-9, s"ROUND($x, $d)")
+    }
+    // DOMAIN violations error the statement like the reference
+    // (SQRT<0 rs:216, LOG<=0 rs:339, LOG10<=0 rs:394, EXP->Inf rs:451,
+    // POWER->NaN rs:283, MOD by zero rs:759)
+    Seq(
+      "SQRT(-4)" -> "SQRT of negative",
+      "LOG(0)" -> "LOG of zero or negative",
+      "LOG(-3.5)" -> "LOG of zero or negative",
+      "LOG10(0)" -> "LOG10 of zero or negative",
+      "EXP(1000)" -> "overflow",
+      "POWER(-8, 0.5)" -> "invalid value").foreach { case (e, msg) =>
+      val err = intercept[Exception] { evalBatch(Seq(e)) }
+      def all(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ all(t.getCause)
+      assert(all(err).exists(_.contains(msg)), s"$e should error with '$msg'")
+    }
+    intercept[Exception] { evalBatch(Seq("MOD(7, 0)")) }
+    // NULL propagates (SQL 3VL; the reference's as_number arm would
+    // error — documented divergence, same convention as IN/NOT IN)
+    assert(evalBatch(Seq("ABS(NULL)", "SQRT(NULL)", "LOG(NULL)")) ==
+      Seq(null, null, null))
+  }
+
   // ---- SAME / ALL_DIFFERENT -------------------------------------------------
   test("SAME/ALL_DIFFERENT: typed comparables — cross-kind values are " +
       "NEVER equal (special_functions.rs:243-258)") {
