@@ -50,20 +50,26 @@ private[graft] object ScalarFns {
       if (i >= args0.size) throw new GqlCompileException(
         s"$name expects at least ${i + 1} arguments, got ${args0.size}")
       else args0(i)
-    // the string functions' convert-to-string arm renders numbers through
-    // Rust's f64 Display (string_functions.rs:52-57 n.to_string()), which
-    // DROPS the trailing ".0" of integral values — Value::Number(-11.0)
-    // renders "-11" where Spark's cast gives "-11.0". Found by
-    // ValueFunctionDifferentialFuzzSpec; applied only when the argument's
-    // static kind is NUMBER (strings must not detour through a numeric
-    // cast, which ANSI would fail on non-numeric text).
-    def s(i: Int): Column =
-      if (!kindOf(rawArgs(i)).contains("NUMBER")) a(i)
-      else {
-        val d = a(i).cast("double")
-        when(d === d.cast("long").cast("double") &&
-            abs(d) < lit(9.0e18), d.cast("long").cast("string"))
-          .otherwise(a(i).cast("string"))
+    // the string functions' convert-to-string arm
+    // (string_functions.rs:52-66): NUMBER renders through Rust's f64
+    // Display, which DROPS the trailing ".0" of integral values —
+    // Value::Number(-11.0) renders "-11" where Spark's cast gives
+    // "-11.0" (found by ValueFunctionDifferentialFuzzSpec; applied only
+    // when the static kind is NUMBER — strings must not detour through
+    // a numeric cast, which ANSI would fail on non-numeric text).
+    // Non-convertible kinds (lists, datetimes, entities) take the `_`
+    // arm: NULL for UPPER/LOWER/REVERSE/SUBSTRING; TRIM's
+    // value_to_string instead yields "" (rs:285-287) — `onBad` selects.
+    def s(i: Int, onBad: => Column = lit(null).cast("string")): Column =
+      kindOf(rawArgs(i)) match {
+        case Some("NUMBER") =>
+          val d = a(i).cast("double")
+          when(d === d.cast("long").cast("double") &&
+              abs(d) < lit(9.0e18), d.cast("long").cast("string"))
+            .otherwise(a(i).cast("string"))
+        case Some("LIST") | Some("DATETIME") | Some("NODE") |
+            Some("EDGE") | Some("PATH") => onBad
+        case _ => a(i)
       }
     name match {
       // string (string_functions.rs)
@@ -98,14 +104,15 @@ private[graft] object ScalarFns {
           if (chars.isEmpty) " " else chars.substring(0, 1)
         val ws = " \t\n\r"
         args0.size match {
-          case 1 => trim(s(0))
+          case 1 => trim(s(0, lit("")))
           case 2 => modeOf(rawArgs(0)) match {
-            case Some(mode) => trimBy(mode, ws, s(1))
-            case None => trimBy("BOTH", firstChar(litChars(rawArgs(1))), s(0))
+            case Some(mode) => trimBy(mode, ws, s(1, lit("")))
+            case None =>
+              trimBy("BOTH", firstChar(litChars(rawArgs(1))), s(0, lit("")))
           }
           case _ =>
             trimBy(modeOf(rawArgs(0)).getOrElse("BOTH"),
-              litChars(rawArgs(1)), s(2))
+              litChars(rawArgs(1)), s(2, lit("")))
         }
       case "SUBSTRING" =>
         // the reference clamps start <= 0 to the FIRST character and a
@@ -115,7 +122,17 @@ private[graft] object ScalarFns {
         val start = greatest(a(1), lit(1))
         if (args0.size == 3) s(0).substr(start, greatest(a(2), lit(0)))
         else s(0).substr(start, lit(Int.MaxValue))
-      case "REPLACE" => replace(s(0), s(1), s(2))
+      case "REPLACE" =>
+        // unlike UPPER's null arm, REPLACE's to_string ERRORS on
+        // non-convertible arguments (string_functions.rs:498-517)
+        Seq("First", "Search", "Replacement").zipWithIndex.foreach {
+          case (pos, i) =>
+            if (Seq("LIST", "DATETIME", "NODE", "EDGE", "PATH")
+                .exists(kindOf(rawArgs(i)).contains))
+              throw new GqlCompileException(
+                s"$pos argument must be convertible to string")
+        }
+        replace(s(0), s(1), s(2))
       case "REVERSE" => reverse(s(0))
       case "LENGTH" | "CHAR_LENGTH" => length(a(0)).cast("long")
       // math (mathematical_functions.rs, numeric_functions.rs)

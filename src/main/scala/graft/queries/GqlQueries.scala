@@ -443,6 +443,36 @@ object GqlQueries {
               |     sum(r.totalprice) AS st
               |RETURN priority, n, round(st, 2) AS total
               |ORDER BY priority""".stripMargin)
+    }),
+
+    // r16: DML through the BUCKETED warehouse layout, end to end on the
+    // oracle board — persist a bucketed-index label, mutate it, save
+    // INCREMENTALLY (the bucket-scoped path: touched keys map to range
+    // buckets, untouched buckets hard-link), then read the state back
+    // from a FRESH load so the assertion covers the persisted bytes,
+    // not the session's copy-on-write frames. min/max readbacks are
+    // accumulation-free doubles, exact in both engines.
+    "gql32_bucket_dml" -> ((s: SparkSession, d: String) => {
+      import graft.graph.PropertyGraph
+      val g = TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer")), Map.empty)
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /bdml")
+      sess.saveGraphAs("/bdml/cust", force = true)
+      sess.execute("CREATE GRAPH INDEX bdml_bal ON nodes_customer (acctbal)")
+      sess.execute("ALTER INDEX bdml_bal SET OPTION buckets = 8")
+      sess.execute("OPTIMIZE INDEX bdml_bal") // bucketed layout on disk
+      val t = gls.session("driver").useGraph("/bdml/cust")
+      t.execute("MATCH (c:customer) WHERE c.id < 100 SET c.acctbal = 0.0")
+      t.execute("MATCH (c:customer {id: 150}) DETACH DELETE c")
+      t.saveGraphAs("/bdml/cust") // incremental -> bucket-scoped rewrite
+      gls.session("driver").useGraph("/bdml/cust")
+        .gql("""MATCH (c:customer)
+          |RETURN c.mktsegment AS seg, count(c) AS n,
+          |       min(c.acctbal) AS lo, max(c.acctbal) AS hi
+          |ORDER BY seg""".stripMargin)
     })
   )
 
@@ -656,6 +686,12 @@ object GqlQueries {
         | CASE WHEN n_regionkey = 0 THEN NULL
         |      ELSE CAST(n_regionkey AS BIGINT) END AS regionkey
         |FROM nation WHERE n_regionkey <> 4 ORDER BY id""".stripMargin,
+    "gql32_bucket_dml" ->
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        | min(CASE WHEN c_custkey < 100 THEN 0.0 ELSE c_acctbal END) AS lo,
+        | max(CASE WHEN c_custkey < 100 THEN 0.0 ELSE c_acctbal END) AS hi
+        |FROM customer WHERE c_custkey <> 150
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
     "gql29_hop_dml" ->
       """SELECT c_custkey AS id,
         | CASE WHEN c_mktsegment = 'BUILDING' AND n_regionkey = 3

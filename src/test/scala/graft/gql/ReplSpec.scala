@@ -86,8 +86,14 @@ class ReplSpec extends AnyFunSuite {
     val out2 = drive("FORMAT yaml;\nexit;\n")
     assert(out2.contains("error: Unknown output format: yaml"), out2)
     // NaN has no JSON representation — rendered null, object parseable
-    val out3 = drive("FORMAT json;\nRETURN SQRT(-1.0) AS x;\nexit;\n")
+    // (r16: SQRT(-1) now ERRORS like the reference's domain arm, so the
+    // NaN comes from an explicit cast; the error path is pinned below)
+    val out3 = drive("FORMAT json;\nRETURN CAST('NaN' AS DOUBLE) AS x;\nexit;\n")
     assert(out3.contains("{\"x\":null}"), out3)
+    // domain violations error the STATEMENT with the reference's message
+    // (mathematical_functions.rs:216) and the loop survives
+    val out5 = drive("RETURN SQRT(-1.0) AS x;\nexit;\n")
+    assert(out5.contains("SQRT of negative number is undefined"), out5)
     // FORMAT is per-session state: a fresh run starts back at table
     val out4 = drive(
       "MATCH (m:Merchant) RETURN m.id AS id ORDER BY id LIMIT 1;\nexit;\n")

@@ -125,6 +125,21 @@ class ValueFunctionDifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("non-convertible arguments: UPPER/LOWER/REVERSE/SUBSTRING of a " +
+      "LIST or DATETIME are NULL, TRIM's arm yields '', REPLACE errors " +
+      "(string_functions.rs:58-66, 285-287, 498-517)") {
+    val got = evalBatch(Seq(
+      "UPPER([1, 2])", "LOWER([1])", "REVERSE([9])",
+      "SUBSTRING([1, 2], 1, 1)",
+      "UPPER(DATETIME('2024-01-01T00:00:00'))",
+      "TRIM([1, 2])"))
+    assert(got == Seq(null, null, null, null, null, ""))
+    val err = intercept[Exception] {
+      evalBatch(Seq("REPLACE([1], 'a', 'b')"))
+    }
+    assert(err.getMessage.contains("must be convertible to string"))
+  }
+
   // ---- TRIM (all four forms) ---------------------------------------------
   test("TRIM forms: whitespace, mode+ws-set, first-char, full-set with " +
       "unknown-mode fallback (string_functions.rs:198-303)") {
