@@ -460,10 +460,12 @@ object GqlQueries {
       val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
       val sess = gls.session("driver").useGraph(sub)
       sess.execute("CREATE SCHEMA IF NOT EXISTS /bdml")
-      sess.saveGraphAs("/bdml/cust", force = true)
+      // index + bucket option BEFORE the first save: the save then
+      // writes the bucketed layout directly (one layout write, not a
+      // flat save + re-cluster + OPTIMIZE chain)
       sess.execute("CREATE GRAPH INDEX bdml_bal ON nodes_customer (acctbal)")
       sess.execute("ALTER INDEX bdml_bal SET OPTION buckets = 8")
-      sess.execute("OPTIMIZE INDEX bdml_bal") // bucketed layout on disk
+      sess.saveGraphAs("/bdml/cust", force = true) // bucketed layout on disk
       val t = gls.session("driver").useGraph("/bdml/cust")
       t.execute("MATCH (c:customer) WHERE c.id < 100 SET c.acctbal = 0.0")
       t.execute("MATCH (c:customer {id: 150}) DETACH DELETE c")
