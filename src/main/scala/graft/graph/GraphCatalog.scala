@@ -155,11 +155,25 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       .filter(_.getFileName.toString.startsWith(s"$BucketCol=")).toSeq
     if (bucketDirs.isEmpty) return false // live layout not bucketed yet
     val old = spark.read.parquet(oldPath.toString)
+    // SCHEMA-CHANGE gate: hard-linked buckets keep their original file
+    // schema, so a bucket-scoped save of a frame whose schema moved
+    // (id-type widening, added/removed/retyped property columns) would
+    // leave a MIXED-schema dataset — unreadable for type changes
+    // (INT64 files beside BINARY files) and silently column-dropping
+    // for additions (the reader samples one footer). Any schema drift
+    // falls back to the monolithic rewrite, which rewrites every file
+    // under the new schema.
+    val oldSchema = old.drop(BucketCol).schema
+      .map(f => (f.name, f.dataType)).toSet
+    val newSchema = df.schema.map(f => (f.name, f.dataType)).toSet
+    if (oldSchema != newSchema) return false
     // index-key values of the touched rows, pre- and post-mutation.
-    // Identity keys are recorded as strings (the union type across
-    // id-widening — see GraphMutations.keyFrame); cast the TINY key
-    // side back to the table's id type once, so the 2 table-side scans
-    // join natively instead of string-rendering every row's id
+    // The schema gate above guarantees old and df agree on the id type,
+    // so casting the TINY key side once (recorded as string, the union
+    // type across id-widening — see GraphMutations.keyFrame) joins both
+    // scans natively — no per-row string rendering, and no ANSI hazard
+    // casting widened string ids to bigint (widening changes the
+    // schema, which already bailed)
     val keysTyped = keys.select(
       col("__k").cast(df.schema(idCol).dataType).as("__k"))
     def keyVals(f: DataFrame) =

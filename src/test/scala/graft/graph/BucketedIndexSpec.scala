@@ -156,6 +156,57 @@ class BucketedIndexSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 3999L)
   }
 
+  test("multi-statement DML accumulates touched keys: one incremental " +
+      "save rewrites the UNION of the statements' buckets, links the rest") {
+    val (_, wh) = fixture()
+    val t = graft.GraphLiteSpark.open(spark, wh).session("u")
+      .useGraph("/ix/g1")
+    val before = bucketDirs(wh).map(d => d.getName -> fileStamps(d)).toMap
+    Thread.sleep(1100)
+    // three statements, three sparse slices; acctbal values stay within
+    // each row's current bucket so touched = the rows' own buckets
+    t.execute("MATCH (c:customer {id: 5}) SET c.acctbal = c.acctbal + 0.25")
+    t.execute("MATCH (c:customer {id: 2000}) SET c.acctbal = c.acctbal + 0.25")
+    t.execute("MATCH (c:customer {id: 3210}) DETACH DELETE c")
+    t.saveGraphAs("/ix/g1")
+    val after = bucketDirs(wh).map(d => d.getName -> fileStamps(d)).toMap
+    val changed = before.keys.filter(b => after(b) != before(b)).toSeq
+    assert(changed.size <= 6 && changed.nonEmpty,
+      s"3 sparse statements must touch a few buckets, got $changed")
+    assert(changed.size < 8, "at least one bucket must be hard-linked")
+    val loaded = graft.GraphLiteSpark.open(spark, wh).session("v")
+      .useGraph("/ix/g1")
+    assert(loaded.gql("MATCH (c:customer) RETURN count(c) AS n")
+      .collect().head.getLong(0) == 3999L)
+    val got = loaded.gql(
+      "MATCH (c:customer {id: 5}) RETURN c.acctbal AS b").collect()
+    assert(got.map(_.getDouble(0)).toSeq ==
+      Seq((5L * 7919 % 10000).toDouble + 0.25))
+  }
+
+  test("a SCHEMA-changing mutation (id-widening insert) falls back to " +
+      "the full rewrite — hard-linking old-schema buckets beside " +
+      "new-schema ones would corrupt the dataset") {
+    val (_, wh) = fixture()
+    val t = graft.GraphLiteSpark.open(spark, wh).session("u")
+      .useGraph("/ix/g1")
+    Thread.sleep(1100)
+    // a STRING-id insert widens the in-session id column to string while
+    // the live parquet still holds longs. A bucket-scoped save would
+    // link INT64-id files beside BINARY-id files (unreadable mix —
+    // caught by this very test before the schema gate existed); the
+    // save must detect the drift and rewrite the whole label
+    t.execute("INSERT (:customer {id: 'u-widen', acctbal: 123.5})")
+    t.saveGraphAs("/ix/g1")
+    val loaded = graft.GraphLiteSpark.open(spark, wh).session("v")
+      .useGraph("/ix/g1")
+    assert(loaded.gql("MATCH (c:customer) RETURN count(c) AS n")
+      .collect().head.getLong(0) == 4001L)
+    assert(loaded.gql(
+      "MATCH (c:customer {id: 'u-widen'}) RETURN c.acctbal AS b")
+      .collect().map(_.getDouble(0)).toSeq == Seq(123.5))
+  }
+
   test("boundaries persist: a second save reuses the same bucket ranges") {
     val (cat, wh) = fixture()
     val boundsBefore = cat.listIndexOptions("cust_bal").toMap.apply("__bounds")
