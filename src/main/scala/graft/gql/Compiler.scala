@@ -183,7 +183,16 @@ private[graft] object ScalarFns {
       }
       case "ROUND" => round(a(0))
       // null (null_functions.rs)
-      case "NULLIF" => nullif(a(0), a(1))
+      case "NULLIF" =>
+        // the reference compares through typed Value equality
+        // (null_functions.rs:53) — cross-kind operands are never equal,
+        // so NULLIF(1, '1') returns 1 where Spark's nullif would
+        // PromoteStrings-coerce them equal (the SAME/ALL_DIFFERENT rule)
+        (kindOf(rawArgs(0)), kindOf(rawArgs(1))) match {
+          case (Some(k0), Some(k1))
+              if k0 != k1 && k0 != "NULL" && k1 != "NULL" => a(0)
+          case _ => nullif(a(0), a(1))
+        }
       case "COALESCE" => coalesce(args0: _*)
       case other => throw new GqlCompileException(
         s"not a shared scalar function: $other")

@@ -415,5 +415,11 @@ class ValueFunctionDifferentialFuzzSpec extends AnyFunSuite {
       "ALL_DIFFERENT('a')",
       "ALL_DIFFERENT(1, '1', true, 'true', 1.5)"))
     assert(got == Seq(true, false, true, true))
+    // NULLIF uses the same typed Value equality (null_functions.rs:53):
+    // cross-kind operands never equate, null operands return expr1
+    val nif = evalBatch(Seq(
+      "NULLIF(1, '1')", "NULLIF(3, 3.0)", "NULLIF('a', 'a')",
+      "NULLIF(7, NULL)", "NULLIF(NULL, 7)"))
+    assert(nif == Seq(1L, null, null, 7L, null))
   }
 }
