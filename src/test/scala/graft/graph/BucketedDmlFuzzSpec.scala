@@ -29,7 +29,7 @@ class BucketedDmlFuzzSpec extends AnyFunSuite {
       "bucket-scoped save + fresh reload, stay in lockstep with the model") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucketfuzz").toString
     val gls = graft.GraphLiteSpark.open(spark, wh)
-    var t = gls.session("u")
+    val t = gls.session("u")
     t.execute("CREATE GRAPH /main/bfz")
     t.execute("SESSION SET GRAPH /main/bfz")
 
@@ -115,11 +115,10 @@ class BucketedDmlFuzzSpec extends AnyFunSuite {
           }
           s0
       }
-      t.saveGraphAs("/main/bfz") // incremental: the bucket-scoped path
+      // incremental save: the bucket-scoped path (saveGraphAs rebinds
+      // this session to the persisted snapshot, so `t` keeps working)
+      t.saveGraphAs("/main/bfz")
       verify(stmt)
-      // continue from the persisted state (the old session lineage
-      // points at replaced files for any rewritten bucket)
-      t = gls.session("u").useGraph("/main/bfz")
     }
   }
 }
