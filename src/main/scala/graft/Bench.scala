@@ -385,10 +385,12 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(path)
       val files: Seq[java.nio.file.Path] =
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).iterator.asScala
+        if (java.nio.file.Files.isDirectory(p)) {
+          val listing = java.nio.file.Files.list(p)
+          try listing.iterator.asScala
             .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        else Seq(p)
+          finally listing.close() // Files.list leaks a fd until closed
+        } else Seq(p)
       var rows = 0L; var rgs = 0; var bytes = 0L
       val conf = new org.apache.hadoop.conf.Configuration()
       files.foreach { f =>

@@ -983,12 +983,12 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                 "mutates a single variable (use a WITH pipeline for several)"))
         if (labelAdds.nonEmpty && isEdge)
           throw new GqlCompileException("SET v:Label applies to nodes only")
-        val pred = dmlPred(pattern, where, v, isEdge,
-          (if (isEdge) graph.edgeTables.get(label).map(_._2.columns)
-           else graph.nodeTables.get(label).map(_.columns))
-            .map(_.toSet).getOrElse(Set.empty[String]))
+        val tblSchema =
+          if (isEdge) graph.edgeTables.get(label).map(_._2.schema)
+          else graph.nodeTables.get(label).map(_.schema)
+        val pred = dmlPred(pattern, where, v, isEdge, tblSchema)
         val assigns = assignments.map { case (Prop(_, p), e) =>
-          p -> rawColumn(e, v) }.toMap
+          p -> rawColumn(e, v, tblSchema) }.toMap
         // a pattern over a missing label matches nothing — 0 affected,
         // not an error (pattern_tests.rs; labels appear via INSERT)
         if (if (isEdge) !graph.edgeTables.contains(label)
@@ -1046,9 +1046,8 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
                 "mutates a single variable (use a WITH pipeline for several)"))
         if (isEdge) throw new GqlCompileException("REMOVE on edges: use SET to null")
         val pred = dmlPred(pattern, where, v, isEdge,
-          (if (isEdge) graph.edgeTables.get(label).map(_._2.columns)
-           else graph.nodeTables.get(label).map(_.columns))
-            .map(_.toSet).getOrElse(Set.empty[String]))
+          if (isEdge) graph.edgeTables.get(label).map(_._2.schema)
+          else graph.nodeTables.get(label).map(_.schema))
         if (!graph.nodeTables.contains(label))
           return Seq(0L).toDF("properties_removed")
         val affected = graph.nodeScan(label, Some(pred)).count()
@@ -1086,9 +1085,8 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
         requirePerm("DELETE")
         val (label, isEdge, v) = dmlTarget(pattern, target)
         val pred = dmlPred(pattern, where, v, isEdge,
-          (if (isEdge) graph.edgeTables.get(label).map(_._2.columns)
-           else graph.nodeTables.get(label).map(_.columns))
-            .map(_.toSet).getOrElse(Set.empty[String]))
+          if (isEdge) graph.edgeTables.get(label).map(_._2.schema)
+          else graph.nodeTables.get(label).map(_.schema))
         if (isEdge && !graph.edgeTables.contains(label)) {
           Seq(0L).toDF("edges_deleted")
         } else if (!isEdge && !graph.nodeTables.contains(label)) {
@@ -1877,21 +1875,74 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     */
   private def dmlPred(pattern: Ast.PathPattern, where: Option[Ast.Expr],
       v: String, isEdge: Boolean,
-      tableCols: Set[String]): org.apache.spark.sql.Column = {
+      tableSchema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.Column = {
+    val tableCols =
+      tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty[String])
     val inlineProps =
       if (isEdge) pattern.hops.headOption.map(_._1.props).getOrElse(Seq.empty)
       else pattern.start.props
     val inline = inlineProps.map { case (k, e) =>
-      (if (tableCols(k)) col(k) else lit(null)) === rawColumn(e, v)
+      (if (tableCols(k)) col(k) else lit(null)) === rawColumn(e, v, tableSchema)
     }
-    (inline ++ where.map(rawColumn(_, v)))
+    (inline ++ where.map(rawColumn(_, v, tableSchema)))
       .reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  /** Compile a DML expression against the raw (unprefixed) table columns
-    * of the single pattern variable.
+  /** Static value kind of a DML expression, resolved against the target
+    * table's schema — the DML-side analog of the query compiler's
+    * staticKind, threaded into [[graft.gql.ScalarFns]] so the
+    * kind-sensitive arms (NUMBER→string Rust-Display rendering,
+    * non-convertible-kind NULL/empty/error arms, NULLIF's typed
+    * equality) apply identically on both surfaces: SET n.x = UPPER(n.bal)
+    * persists the same "3" that RETURN UPPER(n.bal) yields (ADVICE r16 —
+    * the shared table existed but the DML side passed no kindOf).
     */
-  private def rawColumn(e: Ast.Expr, v: String): org.apache.spark.sql.Column = {
+  private def dmlKind(e: Ast.Expr, v: String,
+      schema: Option[org.apache.spark.sql.types.StructType]): Option[String] = {
+    import Ast._
+    def fieldKind(name: String): Option[String] =
+      schema.flatMap(_.fields.find(_.name == name))
+        .flatMap(f => graft.gql.ScalarFns.dtKind(f.dataType))
+    e match {
+      case NumLit(_, _) => Some("NUMBER")
+      case StrLit(_) => Some("STRING")
+      case BoolLit(_) => Some("BOOLEAN")
+      case NullLit() => Some("NULL")
+      case Prop(`v`, p) => fieldKind(p)
+      case Ident(`v`) => fieldKind("id")
+      case Neg(_) => Some("NUMBER")
+      case Bin("+" | "-" | "*" | "/" | "%", _, _) => Some("NUMBER")
+      case Bin("||", l, r) =>
+        dmlKind(l, v, schema).orElse(dmlKind(r, v, schema))
+      case Bin(_, _, _) | Not(_) | IsNull(_, _) | InList(_, _, _) =>
+        Some("BOOLEAN")
+      case CaseExpr(_, whens, otherwise) =>
+        (whens.map(_._2) ++ otherwise)
+          .flatMap(dmlKind(_, v, schema)).find(_ != "NULL")
+      case Fn(name, fargs, _) => name.toUpperCase match {
+        case "UPPER" | "LOWER" | "TRIM" | "SUBSTRING" | "REPLACE" =>
+          Some("STRING")
+        case "ABS" | "CEIL" | "CEILING" | "FLOOR" | "SQRT" | "POWER" |
+            "POW" | "LOG" | "LOG10" | "EXP" | "SIN" | "COS" | "TAN" |
+            "PI" | "SIGN" | "MOD" | "ROUND" | "LENGTH" | "CHAR_LENGTH" =>
+          Some("NUMBER")
+        case "REVERSE" | "COALESCE" | "NULLIF" =>
+          fargs.headOption.flatMap(dmlKind(_, v, schema))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Compile a DML expression against the raw (unprefixed) table columns
+    * of the single pattern variable. `schema` is the target table's
+    * schema when known — it feeds [[dmlKind]] so the shared ScalarFns
+    * table gets the same kind evidence the query compiler derives.
+    */
+  private def rawColumn(e: Ast.Expr, v: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : org.apache.spark.sql.Column = {
     import Ast._
     e match {
       case Prop(`v`, p) => col(p)
@@ -1903,7 +1954,7 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
       case BoolLit(b) => lit(b)
       case NullLit() => lit(null)
       case Bin(op, l, r) =>
-        val (lc, rc) = (rawColumn(l, v), rawColumn(r, v))
+        val (lc, rc) = (rawColumn(l, v, schema), rawColumn(r, v, schema))
         op match {
           case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
           case "/" => lc / rc; case "%" => lc % rc
@@ -1941,7 +1992,8 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           val Fn(name, fargs, _) = fn
           val up = name.toUpperCase
           if (graft.gql.ScalarFns.names(up))
-            graft.gql.ScalarFns(up, fargs.map(rawColumn(_, v)), fargs)
+            graft.gql.ScalarFns(up, fargs.map(rawColumn(_, v, schema)), fargs,
+              kindOf = dmlKind(_, v, schema))
           else throw new GqlCompileException(
             s"DML function $up may not reference pattern variables " +
               "in the simple form — use a WITH pipeline")
@@ -1950,12 +2002,12 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           case f: java.lang.Float => f.doubleValue()
           case other => other
         })
-      case Not(x) => !rawColumn(x, v)
-      case Neg(x) => -rawColumn(x, v)
+      case Not(x) => !rawColumn(x, v, schema)
+      case Neg(x) => -rawColumn(x, v, schema)
       case IsNull(x, n) =>
-        val c = rawColumn(x, v); if (n) c.isNotNull else c.isNull
+        val c = rawColumn(x, v, schema); if (n) c.isNotNull else c.isNull
       case InList(x, items, n) =>
-        val c = rawColumn(x, v).isin(items.map(litValue): _*)
+        val c = rawColumn(x, v, schema).isin(items.map(litValue): _*)
         if (n) !c else c
       case other => throw new GqlCompileException(
         s"unsupported expression in DML: $other")

@@ -373,9 +373,12 @@ object IncrementalDedup {
       if (!Files.exists(commits)) Seq.empty
       else {
         import scala.jdk.CollectionConverters._
-        Files.list(commits).iterator.asScala.map(_.getFileName.toString)
-          .map(id => s"$statePath/exact_batches/ingest_$id")
-          .filter(d => Files.exists(Paths.get(d))).toSeq.sorted
+        val listing = Files.list(commits)
+        // Files.list leaks a directory handle unless closed (ADVICE r16)
+        val ids = try listing.iterator.asScala
+          .map(_.getFileName.toString).toSeq finally listing.close()
+        ids.map(id => s"$statePath/exact_batches/ingest_$id")
+          .filter(d => Files.exists(Paths.get(d))).sorted
       }
     val fp = batch.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
@@ -418,7 +421,9 @@ object IncrementalDedup {
       def rmrf(d: java.nio.file.Path): Unit =
         if (Files.exists(d)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+          val w = Files.walk(d) // closed: fd-leak class (ADVICE r16)
+          val all = try w.iterator.asScala.toSeq finally w.close()
+          all.reverse.foreach(Files.delete)
         }
       // swap by rename-aside: the live dataset is absent only between
       // two renames (not during the whole rewrite job), and a crash

@@ -57,20 +57,29 @@ private[graft] object ScalarFns {
     // "-11.0" (found by ValueFunctionDifferentialFuzzSpec; applied only
     // when the static kind is NUMBER — strings must not detour through
     // a numeric cast, which ANSI would fail on non-numeric text).
+    // Integral values format through "%.0f" — like Rust Display it
+    // prints full positional digits (no scientific notation above 9e18)
+    // and keeps the sign of -0.0 ("-0"). Accepted divergence: above
+    // ~1e22 a double's exact decimal expansion (what %.0f prints)
+    // can differ from Rust's shortest round-trip digits in the
+    // sub-ULP tail (1e23 → "99999999999999991611392" vs "1" + 23
+    // zeros); NaN/±Infinity fall through to Spark's cast.
     // Non-convertible kinds (lists, datetimes, entities) take the `_`
     // arm: NULL for UPPER/LOWER/REVERSE/SUBSTRING; TRIM's
     // value_to_string instead yields "" (rs:285-287) — `onBad` selects.
-    def s(i: Int, onBad: => Column = lit(null).cast("string")): Column =
-      kindOf(rawArgs(i)) match {
+    def s(i: Int, onBad: => Column = lit(null).cast("string")): Column = {
+      val c = a(i) // named arity error before any rawArgs access
+      (if (i < rawArgs.size) kindOf(rawArgs(i)) else None) match {
         case Some("NUMBER") =>
-          val d = a(i).cast("double")
-          when(d === d.cast("long").cast("double") &&
-              abs(d) < lit(9.0e18), d.cast("long").cast("string"))
-            .otherwise(a(i).cast("string"))
+          val d = c.cast("double")
+          when(!isnan(d) && abs(d) =!= lit(Double.PositiveInfinity) &&
+              d === floor(d), format_string("%.0f", d))
+            .otherwise(c.cast("string"))
         case Some("LIST") | Some("DATETIME") | Some("NODE") |
             Some("EDGE") | Some("PATH") => onBad
-        case _ => a(i)
+        case _ => c
       }
+    }
     name match {
       // string (string_functions.rs)
       case "UPPER" => upper(s(0))
@@ -127,8 +136,11 @@ private[graft] object ScalarFns {
         // non-convertible arguments (string_functions.rs:498-517)
         Seq("First", "Search", "Replacement").zipWithIndex.foreach {
           case (pos, i) =>
-            if (Seq("LIST", "DATETIME", "NODE", "EDGE", "PATH")
-                .exists(kindOf(rawArgs(i)).contains))
+            // arity-guarded: a missing argument falls through to s(i)'s
+            // named error below, never an index crash here
+            if (i < rawArgs.size &&
+                Seq("LIST", "DATETIME", "NODE", "EDGE", "PATH")
+                  .exists(kindOf(rawArgs(i)).contains))
               throw new GqlCompileException(
                 s"$pos argument must be convertible to string")
         }
@@ -188,14 +200,36 @@ private[graft] object ScalarFns {
         // (null_functions.rs:53) — cross-kind operands are never equal,
         // so NULLIF(1, '1') returns 1 where Spark's nullif would
         // PromoteStrings-coerce them equal (the SAME/ALL_DIFFERENT rule)
+        val (c0, c1) = (a(0), a(1)) // named arity error first
         (kindOf(rawArgs(0)), kindOf(rawArgs(1))) match {
           case (Some(k0), Some(k1))
-              if k0 != k1 && k0 != "NULL" && k1 != "NULL" => a(0)
-          case _ => nullif(a(0), a(1))
+              if k0 != k1 && k0 != "NULL" && k1 != "NULL" => c0
+          case _ => nullif(c0, c1)
         }
       case "COALESCE" => coalesce(args0: _*)
       case other => throw new GqlCompileException(
         s"not a shared scalar function: $other")
+    }
+  }
+
+  /** Spark column type → reference value-kind name (STRING / NUMBER /
+    * BOOLEAN / LIST / DATETIME / NULL). Shared by the query compiler's
+    * [[Compiler.staticKind]] schema lookups and the DML evaluator's
+    * schema-derived kindOf, so both surfaces classify property columns
+    * identically.
+    */
+  private[graft] def dtKind(
+      dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some("STRING")
+      case _: NumericType => Some("NUMBER")
+      case BooleanType => Some("BOOLEAN")
+      case _: ArrayType => Some("LIST")
+      case TimestampType | TimestampNTZType | DateType => Some("DATETIME")
+      case _: StructType => Some("DATETIME") // only zoned (tz, ts) structs
+      case NullType => Some("NULL")
+      case _ => None
     }
   }
 }
@@ -690,6 +724,15 @@ final class Compiler(graph: PropertyGraph,
   // segment
   // ------------------------------------------------------------------
   private def compileSegment(seg: Segment, prev: Option[DataFrame],
+      prevBindings: Map[String, Binding],
+      isFinal: Boolean): (DataFrame, Map[String, Binding]) =
+    // save/restore curFrame around the WHOLE segment: subquery and
+    // EXISTS compilation re-enters this method, and without the scope a
+    // nested segment's last frame assignment would leak into the outer
+    // segment's remaining compile batches (ADVICE r16)
+    withFrame(curFrame)(compileSegment0(seg, prev, prevBindings, isFinal))
+
+  private def compileSegment0(seg: Segment, prev: Option[DataFrame],
       prevBindings: Map[String, Binding], isFinal: Boolean): (DataFrame, Map[String, Binding]) = {
     var ctx = Ctx(prevBindings)
     var df = prev
@@ -998,8 +1041,12 @@ final class Compiler(graph: PropertyGraph,
 
     val postCtx = PostCtx(itemMap ++ hiddenAggs, ctx)
 
-    // WITH … WHERE (post-projection filter)
-    seg1.postWhere.foreach(w => out = out.filter(compilePost(w, postCtx)))
+    // WITH … WHERE (post-projection filter) — frame pinned to the
+    // post-projection output, not the stale pre-projection base
+    seg1.postWhere.foreach { w =>
+      curFrame = Some(out)
+      out = out.filter(compilePost(w, postCtx))
+    }
 
     if (seg1.distinct) {
       val keep = items.map { case (_, n) => outCol(n) }
@@ -1018,6 +1065,7 @@ final class Compiler(graph: PropertyGraph,
     // ASC puts nulls last and DESC puts nulls first — Spark's asc/desc
     // defaults are the exact opposite on both directions.
     if (seg1.orderBy.nonEmpty) {
+      curFrame = Some(out) // ORDER BY expressions evaluate against `out`
       val sortCols = seg1.orderBy.map { s =>
         val c = s.expr match {
           case NumLit(v, true) if v >= 1 && v <= items.size =>
@@ -3029,8 +3077,22 @@ final class Compiler(graph: PropertyGraph,
   /** The frame the expression currently being compiled will evaluate
     * against — maintained by the segment compiler at each compileExpr
     * batch so [[colKind]] can analyze a single-column projection when
-    * the column's own expression is unresolved (plain col() refs). */
+    * the column's own expression is unresolved (plain col() refs).
+    * Explicitly SCOPED: [[compileSegment]] saves and restores it around
+    * its whole body, so a nested segment compile (scalar subqueries,
+    * EXISTS branches — they re-enter compileSegment) cannot leave its
+    * inner frame behind for the outer batch's colKind to misread a
+    * same-named column against. */
   private var curFrame: Option[DataFrame] = None
+
+  /** Run `body` with [[curFrame]] pinned to `f`, restoring the previous
+    * frame afterwards — the explicit-scoping discipline for every
+    * compileExpr batch that may reach [[colKind]]. */
+  private def withFrame[T](f: Option[DataFrame])(body: => T): T = {
+    val saved = curFrame
+    curFrame = f
+    try body finally curFrame = saved
+  }
 
   /** SAME/ALL_DIFFERENT equality through the reference's TYPED
     * comparables (value_to_comparable, special_functions.rs:243-258):
@@ -3063,20 +3125,10 @@ final class Compiler(graph: PropertyGraph,
       .flatMap(dtKind(_))
 
   /** Spark column type → reference value-kind name (for [[staticKind]]'s
-    * property-schema lookups). */
-  private def dtKind(dt: org.apache.spark.sql.types.DataType): Option[String] = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case StringType => Some("STRING")
-      case _: NumericType => Some("NUMBER")
-      case BooleanType => Some("BOOLEAN")
-      case _: ArrayType => Some("LIST")
-      case TimestampType | TimestampNTZType | DateType => Some("DATETIME")
-      case _: StructType => Some("DATETIME") // only zoned (tz, ts) structs
-      case NullType => Some("NULL")
-      case _ => None
-    }
-  }
+    * property-schema lookups). Delegates to the [[ScalarFns]] table so the
+    * DML evaluator's schema-derived kindOf classifies identically. */
+  private def dtKind(dt: org.apache.spark.sql.types.DataType): Option[String] =
+    ScalarFns.dtKind(dt)
 
   /** Render a naive timestamp (a UTC instant — reference DateTime<Utc>,
     * value.rs:151) as its wall clock in the session time zone, the

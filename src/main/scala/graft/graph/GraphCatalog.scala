@@ -18,21 +18,38 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
 
   private def graphDir(schema: String, name: String) = s"$warehouse/$schema/$name"
 
+  /** Directory listing that CLOSES the underlying stream — `Files.list`
+    * holds a directory handle until closed, and the iterator-only idiom
+    * leaked one per call until GC (ADVICE r16); every listing in this
+    * class goes through here.
+    */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator.asScala.toSeq finally s.close()
+  }
+
+  // catalog open = recovery point: roll any save swap a crash
+  // interrupted forward (complete staging exists) or back (.old
+  // survives) before the first statement touches the warehouse —
+  // the moral equivalent of the reference's WAL recovery pass
+  // (txn/recovery.rs) for this copy-on-write design
+  recoverSwaps()
+
   def createSchema(schema: String): Unit =
     Files.createDirectories(Paths.get(s"$warehouse/$schema"))
 
   def listSchemas(): Seq[String] = {
     val p = Paths.get(warehouse)
     if (!Files.exists(p)) Seq.empty
-    else Files.list(p).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
+    else listDir(p).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).sorted
   }
 
   def listGraphs(schema: String): Seq[String] = {
     val p = Paths.get(s"$warehouse/$schema")
     if (!Files.exists(p)) Seq.empty
-    else Files.list(p).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq.sorted
+    else listDir(p).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).sorted
   }
 
   /** Save a graph version. Writes go to a hidden staging dir first, then
@@ -67,8 +84,11 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     // are LINKED — a dirty table's lineage may lazily read a clean
     // table's files (e.g. inserted edges derived from a node scan).
     // Clean datasets enter staging as hard links (no data copy) rather
-    // than moves, so the live dir stays complete until the final atomic
-    // swap — a crash mid-save leaves the old graph fully intact.
+    // than moves, so the live dir stays complete until [[commitSwap]]'s
+    // rename-aside promotion — a crash anywhere mid-save either leaves
+    // the old graph fully intact (before the first rename) or leaves a
+    // state [[recoverSwaps]] rolls forward/back at the next catalog
+    // open; no window loses both versions.
     // untyped all-NULL columns (SET x = NULL / REMOVE of a never-written
     // name) persist as string at the WRITE boundary only: Spark 4 can
     // round-trip NullType parquet, but external warehouse readers can't.
@@ -100,9 +120,98 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val meta = g.edgeTables.map { case (label, (et, _)) =>
       s"$label\t${et.srcLabel}\t${et.dstLabel}"
     }.mkString("\n")
+    // _meta is the staging COMMIT MARKER: it is written last, so its
+    // presence certifies a complete staging — recovery promotes only
+    // marked stagings
     Files.writeString(Paths.get(s"$staging/_meta"), meta)
-    deleteRecursive(Paths.get(dir))
-    Files.move(Paths.get(staging), Paths.get(dir))
+    commitSwap(dir, staging)
+  }
+
+  /** Promote `staging` to the live directory by rename-aside — the same
+    * protocol IncrementalDedup's compaction swap uses
+    * (IncrementalDedup.recoverCompaction): live → `.old_<name>`,
+    * staging → live, delete `.old`. Each step is a single rename, so
+    * every crash window leaves a state [[recoverSwaps]] rolls forward
+    * (complete staging present) or back (`.old` present) at the next
+    * catalog open. The previous protocol — recursive-delete live, then
+    * move — had an O(files) window (seconds at 100K-file labels) where
+    * a crash left NO live directory and an orphaned staging nothing
+    * recovered (VERDICT r16).
+    */
+  private def commitSwap(dir: String, staging: String): Unit = {
+    val live = Paths.get(dir)
+    val old = live.resolveSibling(s".old_${live.getFileName}")
+    deleteRecursive(old) // leftover of an older, already-recovered swap
+    if (Files.exists(live)) Files.move(live, old)
+    Files.move(Paths.get(staging), live)
+    deleteRecursive(old)
+  }
+
+  /** Parse `.staging_<name>_<nanos>` — the nanos suffix never contains
+    * an underscore, so the LAST underscore is the separator even when
+    * the graph name itself has underscores or trailing digits.
+    */
+  private def parseStaging(fname: String): Option[(String, Long)] = {
+    val base = fname.stripPrefix(".staging_")
+    val i = base.lastIndexOf('_')
+    if (!fname.startsWith(".staging_") || i <= 0) None
+    else scala.util.Try(base.substring(i + 1).toLong).toOption
+      .map(n => (base.substring(0, i), n))
+  }
+
+  /** Roll every interrupted [[saveGraph]] swap forward or back — run
+    * once at catalog open. Per graph name in each schema directory:
+    *  - live present → the swap committed (or never started): delete a
+    *    leftover `.old_<name>` and any stale stagings; live wins.
+    *  - live absent, a COMPLETE staging present (`_meta` marker
+    *    written) → the crash hit between the two renames: roll FORWARD
+    *    by promoting the newest complete staging, then drop `.old`.
+    *  - live absent, no complete staging, `.old_<name>` present → roll
+    *    BACK: restore `.old` as live.
+    * Incomplete stagings (no `_meta`) are always deleted.
+    *
+    * Assumes the catalog's single-writer discipline (snapshot
+    * semantics, SURVEY.md §7.3): recovery at open must not race a save
+    * in flight from another live session on the same warehouse — the
+    * same assumption the reference's WAL recovery makes at database
+    * open (txn/recovery.rs).
+    */
+  private def recoverSwaps(): Unit = {
+    val root = Paths.get(warehouse)
+    if (!Files.exists(root)) return
+    listDir(root).filter(Files.isDirectory(_)).foreach { schemaDir =>
+      val entries = listDir(schemaDir).map(_.getFileName.toString)
+      val stagings: Map[String, Seq[(Long, java.nio.file.Path)]] =
+        entries.flatMap(parseStaging).groupBy(_._1).map { case (n, xs) =>
+          n -> xs.map { case (_, nanos) =>
+            // re-resolve full path (parse gave name+nanos only)
+            (nanos, schemaDir.resolve(s".staging_${n}_$nanos"))
+          }.sortBy(-_._1)
+        }
+      val oldNames = entries.filter(_.startsWith(".old_"))
+        .map(_.stripPrefix(".old_"))
+      (stagings.keySet ++ oldNames).foreach { name =>
+        val live = schemaDir.resolve(name)
+        val old = schemaDir.resolve(s".old_$name")
+        val stag = stagings.getOrElse(name, Seq.empty)
+        if (Files.exists(live)) {
+          deleteRecursive(old)
+          stag.foreach { case (_, p) => deleteRecursive(p) }
+        } else {
+          val complete = stag.find { case (_, p) =>
+            Files.exists(p.resolve("_meta")) }
+          complete match {
+            case Some((_, p)) => // roll forward, then drop the backup
+              Files.move(p, live)
+              deleteRecursive(old)
+            case None => // roll back when a backup exists
+              if (Files.exists(old)) Files.move(old, live)
+          }
+          stag.filterNot(complete.contains)
+            .foreach { case (_, p) => deleteRecursive(p) }
+        }
+      }
+    }
   }
 
   /** Mirror `src` under `dst` as hard links — a metadata move, no data
@@ -111,7 +220,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   private def linkTree(src: java.nio.file.Path,
       dst: java.nio.file.Path): Unit = {
     Files.createDirectories(dst)
-    Files.list(src).iterator.asScala.foreach { f =>
+    listDir(src).foreach { f =>
       val t = dst.resolve(f.getFileName)
       if (Files.isDirectory(f)) linkTree(f, t)
       else Files.createLink(t, f)
@@ -151,8 +260,8 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     if (!df.columns.contains(idCol)) return false
     val oldPath = Paths.get(s"$liveDir/$ds")
     if (!Files.exists(oldPath)) return false
-    val bucketDirs = Files.list(oldPath).iterator.asScala
-      .filter(_.getFileName.toString.startsWith(s"$BucketCol=")).toSeq
+    val bucketDirs = listDir(oldPath)
+      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
     if (bucketDirs.isEmpty) return false // live layout not bucketed yet
     val old = spark.read.parquet(oldPath.toString)
     // SCHEMA-CHANGE gate: hard-linked buckets keep their original file
@@ -205,8 +314,11 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      val w = Files.walk(p) // closed: same handle-leak class as Files.list
+      val all = try w.iterator.asScala.toSeq finally w.close()
+      all.reverse.foreach(Files.delete)
+    }
 
   // ---- graph indexes (ast.rs:1707-1787 IndexStatement): the Spark-native
   // index is a CLUSTERED LAYOUT — the persisted dataset range-partitioned
@@ -420,7 +532,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val dir = graphDir(schema, name)
     val p = Paths.get(dir)
     require(Files.exists(p), s"no such graph: $schema/$name")
-    val entries = Files.list(p).iterator.asScala.map(_.getFileName.toString).toSeq
+    val entries = listDir(p).map(_.getFileName.toString)
     // a bucketed clustered layout surfaces its partition column on read —
     // it is storage metadata, not graph data
     def noBucket(df: DataFrame): DataFrame =
@@ -708,8 +820,8 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   def listProcedures(): Seq[String] = {
     val dir = Paths.get(s"$warehouse/_procedures")
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator.asScala.map(_.getFileName.toString)
-      .filter(_.endsWith(".gql")).map(_.stripSuffix(".gql")).toSeq.sorted
+    else listDir(dir).map(_.getFileName.toString)
+      .filter(_.endsWith(".gql")).map(_.stripSuffix(".gql")).sorted
   }
 
   // ---- graph types (schema/catalog/graph_type.rs analog): named node/
@@ -745,8 +857,8 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   def listGraphTypes(): Seq[String] = {
     val dir = Paths.get(s"$warehouse/_graph_types")
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator.asScala.map(_.getFileName.toString)
-      .filter(_.endsWith(".def")).map(_.stripSuffix(".def")).toSeq.sorted
+    else listDir(dir).map(_.getFileName.toString)
+      .filter(_.endsWith(".def")).map(_.stripSuffix(".def")).sorted
   }
 
   /** Apply a schema change, retaining the prior definition in the hidden
@@ -772,7 +884,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   def graphTypeVersionCount(name: String): Int = {
     val hist = Paths.get(s"$warehouse/_graph_types/.history")
     if (!Files.exists(hist)) 0
-    else Files.list(hist).iterator.asScala.map(_.getFileName.toString)
+    else listDir(hist).map(_.getFileName.toString)
       .count(f => f.startsWith(s"$name.v") && f.endsWith(".def"))
   }
 
