@@ -207,6 +207,60 @@ class BucketedIndexSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0)).toSeq == Seq(123.5))
   }
 
+  test("STRING lead key: bucketed layout builds, persists escaped " +
+      "boundaries, and a one-row DML rewrites <=2 buckets with the rest " +
+      "byte-identical (the reference's native id type is string — " +
+      "storage/types.rs:68-72 — so the incremental-maintenance story " +
+      "cannot be numeric-only, VERDICT r16 #2)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketstr").toString
+    val cat = new GraphCatalog(spark, wh)
+    // string ids with embedded commas and spaces: the escaped __bounds
+    // encoding must round-trip them
+    val nodes = (1 to 4000).map(i => (f"user,$i%05d x", (i * 7919 % 10000).toDouble))
+      .toDF("id", "acctbal")
+    val g = new PropertyGraph(Map("customer" -> nodes), Map.empty)
+    cat.createSchema("ix")
+    cat.createIndex("cust_sid", "nodes_customer", Seq("id"))
+    cat.setIndexOption("cust_sid", "buckets", "8")
+    cat.saveGraph("ix", "g1", g, force = true)
+
+    def dirs(): Seq[java.io.File] =
+      new java.io.File(s"$wh/ix/g1/nodes_customer").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__ixb=")).toSeq
+        .sortBy(_.getName)
+    assert(dirs().size == 8, s"expected 8 bucket dirs, got ${dirs().map(_.getName)}")
+    // boundaries persisted, escaped (no raw comma from an id value may
+    // act as a separator: 7 boundaries -> exactly 6 separator commas)
+    val bounds = cat.listIndexOptions("cust_sid").toMap.apply("__bounds")
+    assert(bounds.split(",", -1).length == 7, s"expected 7 boundaries: $bounds")
+    assert(!bounds.contains(" "), "boundaries must be URL-escaped")
+
+    // full content survives the string-bucketed write
+    val loaded = cat.loadGraph("ix", "g1")
+    assert(loaded.nodeTables("customer").count() == 4000L)
+
+    // one-row SET on a NON-key prop: the row's own bucket rewrites,
+    // every other bucket enters the new version as hard links
+    val t = graft.GraphLiteSpark.open(spark, wh).session("u")
+      .useGraph("/ix/g1")
+    val before = dirs().map(d => d.getName -> fileStamps(d)).toMap
+    Thread.sleep(1100) // mtime granularity
+    t.execute("MATCH (c:customer {id: 'user,00010 x'}) SET c.acctbal = 42.0")
+    t.saveGraphAs("/ix/g1") // incremental (no force)
+    val after = dirs().map(d => d.getName -> fileStamps(d)).toMap
+    assert(after.keySet == before.keySet, "bucket set must not change")
+    val changed = before.keys.filter(b => after(b) != before(b)).toSeq.sorted
+    assert(changed.size <= 2 && changed.nonEmpty,
+      s"a one-row DML must rewrite at most src+dst buckets, got $changed")
+    val v = graft.GraphLiteSpark.open(spark, wh).session("v")
+      .useGraph("/ix/g1")
+    assert(v.gql("MATCH (c:customer {id: 'user,00010 x'}) " +
+      "RETURN c.acctbal AS b").collect().map(_.getDouble(0)).toSeq == Seq(42.0))
+    assert(v.gql("MATCH (c:customer) RETURN count(c) AS n")
+      .collect().head.getLong(0) == 4000L)
+  }
+
   test("boundaries persist: a second save reuses the same bucket ranges") {
     val (cat, wh) = fixture()
     val boundsBefore = cat.listIndexOptions("cust_bal").toMap.apply("__bounds")
