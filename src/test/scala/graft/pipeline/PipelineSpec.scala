@@ -505,6 +505,87 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup kill-and-resume: a restart from the checkpoint " +
+      "neither double-admits nor drops vs the batch truth (r16 verdict #5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("sdcr-in").toString
+    val state = Files.createTempDirectory("sdcr-state").toString
+    val cp = Files.createTempDirectory("sdcr-cp").toString
+    val out = Files.createTempDirectory("sdcr-out").toString
+
+    // one parquet FILE per ingest batch: maxFilesPerTrigger=1 makes each
+    // file its own micro-batch, so the stop points below land between
+    // and inside micro-batches
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("sdcr-tmp").toString
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/$name.parquet"))
+    }
+    val dupA = "alpha beta gamma delta epsilon zeta eta theta"
+    val dupB = "repeated across stream files this one is too yes"
+    val hist = "historical text already committed by the batch layer"
+    // batch history: `hist`'s fingerprint is already committed
+    graft.dedup.IncrementalDedup.dedupeExact(
+      Seq((900L, hist)).toDF("doc_id", "text"), "doc_id", "text", state)
+      .count()
+
+    addFile("f1", Seq((1L, dupA), (2L, "unique one first file content")))
+    addFile("f2", Seq((3L, dupB), (4L, dupA), (5L, hist)))
+
+    // timestamps stay inside one watermark window (seconds apart vs the
+    // 10-minute default): the in-stream dedup state may NOT be evicted,
+    // so surviving a restart is purely the checkpoint's job
+    def startStream() = {
+      val schema = spark.read.parquet(s"$in/f1.parquet").schema
+      val sd = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withColumn("ts", timestamp_micros($"doc_id" * 1000000L))
+      graft.dedup.IncrementalDedup.dedupeExactStream(
+          sd, "doc_id", "text", "ts", state)
+        .select($"doc_id",
+          graft.text.TextAnalysis.fingerprint($"text").as("fp"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .format("parquet").option("path", out)
+        .start()
+    }
+    // phase 1: both files processed, stream stopped (state + sink
+    // committed through the checkpoint)
+    val q1 = startStream(); q1.processAllAvailable(); q1.stop()
+    // phase 2: new input lands — duplicates of phase-1 admissions, the
+    // history fp, and novel docs — and the stream is killed WITHOUT
+    // draining: whatever micro-batch was in flight dies uncommitted
+    addFile("f3", Seq((6L, dupA), (7L, dupB), (8L, hist),
+      (9L, "novel text arriving after the crash window")))
+    addFile("f4", Seq((10L, "last file fresh content entirely new")))
+    val q2 = startStream(); q2.stop()
+    // phase 3: restart from the SAME checkpoint and drain
+    val q3 = startStream(); q3.processAllAvailable(); q3.stop()
+
+    val got = spark.read.parquet(out).select($"fp")
+      .collect().map(_.getString(0)).toSeq
+    // batch truth: every distinct fingerprint of the whole input except
+    // the history's, admitted EXACTLY once across all three runs
+    val allRows = spark.read.parquet(in)
+    val expected = allRows
+      .select(graft.text.TextAnalysis.fingerprint($"text").as("fp"))
+      .distinct()
+      .join(spark.read.parquet(s"$state/exact").select($"fp"),
+        Seq("fp"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    assert(got.toSet == expected,
+      s"fp set diverged: got ${got.toSet}, want $expected")
+    assert(got.size == got.distinct.size,
+      s"double admission after restart: $got")
+    assert(got.size == expected.size)
+    assert(expected.size == 5) // dupA, dupB, 3 uniques; hist excluded
+  }
+
   test("streaming PII scrub equals batch (stateless pipeline stage)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
