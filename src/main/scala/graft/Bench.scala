@@ -191,8 +191,11 @@ object Bench {
     // rode inside the loaded-box band — make it earn extra passes).
     // r16 adds the four queries the r15 verdict flagged at +27-42% with
     // unchanged plans: d11 (since given the stored pair-graph artifact),
-    // m01/m02 (multimodal decode), q18 (temporal registry)
-    val guardFocus = Set("g03", "d11", "m01", "m02", "q18")
+    // m01/m02 (multimodal decode), q18 (temporal registry). r17 adds the
+    // two the r16 verdict flagged: gql04 (+31% artifact delta the quiet
+    // window contradicted) and gql22 (clustered save — its code path
+    // changed in r16, so moves there must earn extra passes).
+    val guardFocus = Set("g03", "d11", "m01", "m02", "q18", "gql04", "gql22")
     def guardThreshold(key: String, p: Double, v: Double): Double =
       if (guardFocus(key)) 1.3 * p
       else if (p >= 0.5 || v >= 0.5) 1.5 * p

@@ -1110,6 +1110,14 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
           else currentSchema.getOrElse(throw new GqlCompileException(
             s"relative graph name '${g.getOrElse("")}' needs " +
               "SESSION SET SCHEMA first"))
+        // "_"/"." prefixes are the warehouse's metadata namespace
+        // (_graph_types, _security, .staging_*) — a schema or graph so
+        // named would be invisible to listings and DROP SCHEMA /_graph_types
+        // CASCADE would delete the graph-type catalog
+        (schema +: g.toSeq).find(n => n.startsWith("_") || n.startsWith("."))
+          .foreach(n => throw new GqlCompileException(
+            s"'$n' is a reserved name — schema/graph names may not " +
+              "start with '_' or '.'"))
         (op, kind) match {
         case ("CREATE", "SCHEMA") =>
           // plain CREATE errors on an existing schema; IF NOT EXISTS

@@ -311,6 +311,14 @@ object ScaleProbe {
       "e03_pair_build" -> ((s: SparkSession, d: String) =>
         graft.queries.PipelineQueries.embedPairGraph(s, d)
           .filter(org.apache.spark.sql.functions.col("cos") >= 0.95)),
+      // r17: the build decomposed (verdict #4) — bucket assignment alone,
+      // then up to the banded candidate join, so a cross-round move in
+      // e03_pair_build attributes to a stage (projection vs band join vs
+      // cosine rerank) instead of staying "within past spread"
+      "e03_stage_buckets" -> ((s: SparkSession, d: String) =>
+        graft.queries.PipelineQueries.embedPairStages(s, d)._1),
+      "e03_stage_cand" -> ((s: SparkSession, d: String) =>
+        graft.queries.PipelineQueries.embedPairStages(s, d)._2),
       // r16: post-DML warehouse maintenance, bucket-scoped vs full. Both
       // probes run one single-row DML on a persisted customer label and
       // save incrementally; the *_bucketed variant's label carries a
@@ -363,7 +371,7 @@ object ScaleProbe {
           // round-15: the storage/index/multimodal/bitemporal families
           "q35_asof_scd2", "m02_multimodal_stages", "gql22_index_cluster",
           "gql19_save_fact", "gql29_hop_dml", "gql30_edge_dml",
-          "e03_pair_build",
+          "e03_pair_build", "e03_stage_buckets", "e03_stage_cand",
           // r16: the bucket-scoped maintenance dividend is a >10× story
           "dml_save_full", "dml_save_bucketed")
           .contains(n)

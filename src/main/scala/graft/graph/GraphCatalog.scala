@@ -42,7 +42,12 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val p = Paths.get(warehouse)
     if (!Files.exists(p)) Seq.empty
     else listDir(p).filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).filterNot(_.startsWith(".")).sorted
+      .map(_.getFileName.toString)
+      // "."-prefixed = staging/history; "_"-prefixed = catalog metadata
+      // (_graph_types, _procedures) — neither is a user schema (found by
+      // DdlCatalogFuzzSpec: CREATE GRAPH TYPE made _graph_types appear
+      // in gql.list_schemas)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).sorted
   }
 
   def listGraphs(schema: String): Seq[String] = {

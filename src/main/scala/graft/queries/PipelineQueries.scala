@@ -293,7 +293,16 @@ object PipelineQueries {
     Dedup.nearDupPairs(salted, "doc_id", "text",
       n = ShingleN, numHashes = DocMinHashes, bands = DocBands, tau = DocTau)
   }
-  private[graft] def embedPairGraph(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embedPairGraph(s: SparkSession, d: String): DataFrame =
+    embedPairStages(s, d)._3
+
+  /** The cosine pair-graph build decomposed into its three stages —
+    * (bucket assignment, banded candidate pairs, cosine rerank) — so the
+    * scale probes can time each stage alone (a 100× move in the full
+    * build then names its own stage instead of "the build got slower").
+    */
+  private[graft] def embedPairStages(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val base = Tables.embeddings(s, d)
     val emb = base.unionByName(base.filter($"vec_id" < PairSynDupCount)
@@ -308,12 +317,13 @@ object PipelineQueries {
       .filter($"id" < $"id_b")
       .select($"id".as("id_a"), $"id_b").distinct()
     val v = emb.select($"vec_id", $"embedding")
-    cand
+    val full = cand
       .join(v.select($"vec_id".as("id_a"), $"embedding".as("va")), "id_a")
       .join(v.select($"vec_id".as("id_b"), $"embedding".as("vb")), "id_b")
       .select($"id_a", $"id_b",
         round(graft.functions.VectorFunctions.cosine(s, $"va", $"vb"),
           PairCosScale).as("cos"))
+    (cb, cand, full)
   }
 
   val queries: Map[String, Q] = Map(
