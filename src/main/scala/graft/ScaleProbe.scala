@@ -422,6 +422,10 @@ object ScaleProbe {
       val plan = q(spark, outDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val cartesian = plan.contains("CartesianProduct")
+      // SPARK_GRAFT_PROBE_EXPLAIN=1: dump the big-tier physical plan per
+      // probe (plan-shape attribution for contested cross-round moves)
+      if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
+        println(s"=== PLAN $name ===\n$plan\n=== END $name ===")
       val ratio = tBig / math.max(tBase, 1e-9)
       println(f"""{"query":"$name","t_sf01":$tBase%.2f,"rows_sf01":$nBase,""" +
         f""""t_${nCopies}x":$tBig%.2f,"t_${nCopies}x_cold":$tCold%.2f,""" +
