@@ -298,7 +298,7 @@ object Bench {
     * wall time scales with runnable-thread oversubscription, exactly the
     * contention that inflated the r13/r14 driver artifacts).
     */
-  private val CalibrationQuiet = 0.38
+  private[graft] val CalibrationQuiet = 0.38
 
   /** Fixed-work CPU probe: wall-clock of `threads` xorshift workers.
     * Quiet, with threads <= cores, every worker gets its own core and
@@ -307,7 +307,7 @@ object Bench {
     * time inflates proportionally. A short unmeasured burst first keeps
     * C2 compilation out of the measured window.
     */
-  private def cpuProbe(threads: Int): Double = {
+  private[graft] def cpuProbe(threads: Int): Double = {
     val work = 150000000L
     def burn(seed: Long, rounds: Long): Long = {
       var x = seed; var n = 0L

@@ -220,9 +220,19 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
       buildScaled(spark, sfDir, outDir, nCopies)
-    else {
+      // a build leaves the JVM write-heavy (old-gen shuffle garbage,
+      // page cache full of freshly written bytes) — measured directly in
+      // r17: a stage probed at 3.0 s in a clean JVM read 15.8 s in the
+      // builder's JVM. Drop what we can and say so in the output; rows
+      // from a builder run still deserve a fresh-JVM re-run when they
+      // look contested.
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      System.err.println("[probe] tier built in THIS JVM — rows below " +
+        "may run hot; prefer a fresh-JVM re-run for contested numbers")
+    } else {
       if (!new java.io.File(s"$outDir/events.parquet").exists())
         buildScaledEvents(spark, sfDir, outDir, nCopies) // r14 backfill
       if (!new java.io.File(s"$outDir/_embed_salt_v2").exists())
@@ -397,7 +407,27 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // Per-probe absolute-load calibration (Bench's round-15 protocol,
+    // extended to the sweeps in r17): the e03_pair_build investigation
+    // showed a probe row can inflate several-fold from transient context
+    // (external load, or the sweep's own JVM having just built a tier)
+    // and the sweep had no way to say so. Each row now carries the CPU
+    // probe reading taken right before its measured passes, vs the
+    // committed quiet constant — a contested cross-round move checks its
+    // own machine state first. >1.2x spikes are waited out like Bench.
+    def calGate(): Double = {
+      var p = Bench.cpuProbe(cpus.toInt)
+      var tries = 0
+      while (p > 1.2 * Bench.CalibrationQuiet && tries < 3) {
+        System.err.println(f"[probe] cpu probe $p%.3f s loaded — waiting")
+        Thread.sleep(15000); tries += 1
+        p = Bench.cpuProbe(cpus.toInt)
+      }
+      p
+    }
+
     probesRun.foreach { case (name, q) =>
+      val cal = calGate()
       // min-of-two per tier, task stats from the WARM big-tier pass
       // (Bench's convention): the first 10× run pays cold page-cache +
       // JIT for ~600 MB it has never touched, which round-13 diagnosis
@@ -432,6 +462,7 @@ object ScaleProbe {
         f""""rows_${nCopies}x":$nBig,""" +
         f""""ratio":$ratio%.2f,"stages":$stages,"heaviest_stage_tasks":$tasks,""" +
         f""""med_task_ms":$medMs,"max_task_ms":$maxMs,"skew":$skew%.2f,""" +
+        f""""cal":$cal%.3f,"cal0":${Bench.CalibrationQuiet}%.2f,""" +
         s""""cartesian":$cartesian}""")
     }
     spark.stop()
