@@ -157,6 +157,20 @@ class DdlCatalogFuzzSpec extends AnyFunSuite {
         assert(threw == !expectAllowed,
           s"attach gate for $u on $path: expected allowed=$expectAllowed " +
             s"(aces: $pathAces, principals: $mine)")
+        // (c) per-operation SELECT gate: an attached session may query
+        // iff the path is ungoverned or a SELECT/ALL ACE names one of
+        // the user's principals (a user granted only INSERT attaches
+        // but may not read — security.rs Permission semantics)
+        if (!threw) {
+          val selAllowed = pathAces.isEmpty || pathAces.exists(a =>
+            (a._1 == "SELECT" || a._1 == "ALL") && mine.contains(a._3))
+          val selThrew =
+            try { s.gql("MATCH (n:Nope) RETURN n.id AS id").collect(); false }
+            catch { case _: graft.GqlAuthException => true }
+          assert(selThrew == !selAllowed,
+            s"SELECT gate for $u on $path: expected allowed=$selAllowed " +
+              s"(aces: $pathAces, principals: $mine)")
+        }
       }
     }
 
