@@ -204,6 +204,46 @@ object ScaleProbe {
     t.gql("MATCH (o:orders {id: 7}) RETURN count(o) AS n")
   }
 
+  /** Read-side bucket pruning A/B (r17): one point lookup on the
+    * clustered key of a persisted 16-bucket fact label, with
+    * [[graft.plans.BucketPrune]] on (reads ONE `__ixb=K/` directory) vs
+    * off (lists and scans all 16). The scan executes INSIDE the probe
+    * (dmlSaveProbe pattern) so the toggle window covers it; the returned
+    * frame is a literal readback. The gap between the two rows is the
+    * read-path dividend of the bucketed layout — at 100K-file labels it
+    * is also the file-listing/footer-read amplification the pruning
+    * removes, which local NVMe underprices (same caveat as the
+    * write-side pair, BENCH_NOTES r16).
+    */
+  private def bpruneProbe(pruned: Boolean)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.graph.PropertyGraph
+    val wh = "/tmp/graft-bprune-probe-" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val gls = GraphLiteSpark.open(s, wh)
+    val marker = new java.io.File(s"$wh/.setup_done")
+    if (!marker.exists()) {
+      val ord = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"), col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("totalprice"),
+        col("o_orderdate").as("orderdate"), col("o_orderpriority").as("priority"))
+      val sess = gls.session("driver")
+        .useGraph(new PropertyGraph(Map("orders" -> ord), Map.empty))
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
+      sess.execute("CREATE GRAPH INDEX bpix ON nodes_orders (id)")
+      sess.execute("ALTER INDEX bpix SET OPTION buckets = 16")
+      sess.saveGraphAs("/probe/bprune", force = true)
+      marker.createNewFile()
+    }
+    val prev = graft.plans.BucketPrune.enabled
+    graft.plans.BucketPrune.enabled = pruned
+    val n =
+      try gls.session("driver").useGraph("/probe/bprune")
+        .gql("MATCH (o:orders) WHERE o.id = 7 " +
+          "RETURN count(o) AS n, sum(o.totalprice) AS tp").count()
+      finally graft.plans.BucketPrune.enabled = prev
+    s.range(n).toDF("n")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nCopies = if (args.length > 2) args(2).toInt else 10
@@ -341,6 +381,9 @@ object ScaleProbe {
       // so the measured passes time only the DML + maintenance save.
       "dml_save_full" -> dmlSaveProbe(buckets = 0),
       "dml_save_bucketed" -> dmlSaveProbe(buckets = 16),
+      // r17: read-side pruning A/B on the same bucketed-layout economics
+      "bprune_point_pruned" -> bpruneProbe(pruned = true),
+      "bprune_point_full" -> bpruneProbe(pruned = false),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -383,7 +426,9 @@ object ScaleProbe {
           "gql19_save_fact", "gql29_hop_dml", "gql30_edge_dml",
           "e03_pair_build", "e03_stage_buckets", "e03_stage_cand",
           // r16: the bucket-scoped maintenance dividend is a >10× story
-          "dml_save_full", "dml_save_bucketed")
+          "dml_save_full", "dml_save_bucketed",
+          // r17: so is the read-side pruning dividend
+          "bprune_point_pruned", "bprune_point_full")
           .contains(n)
       }
 

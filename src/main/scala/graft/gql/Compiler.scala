@@ -2098,8 +2098,13 @@ final class Compiler(graph: PropertyGraph,
   private def emptyScan(v: String, extraProps: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = org.apache.spark.sql.SparkSession.active
+    // "id" is already the explicit long id column below — a query that
+    // mentions `v.id` puts "id" in usedProps, and keeping it in the prop
+    // list duplicated `<v>_id` (DdlCatalogFuzzSpec seed 20260817:
+    // MATCH (n:Nope) RETURN n.id over a label-less graph → Spark
+    // AMBIGUOUS_REFERENCE instead of the empty result)
     val propCols = (usedProps.getOrElse(v, Set.empty) ++ extraProps)
-      .toSeq.distinct.sorted
+      .toSeq.distinct.sorted.filterNot(_ == "id")
     val schema = StructType(
       StructField(s"${v}_id", LongType) +:
         propCols.map(p => StructField(s"${v}_$p", StringType)))
@@ -2186,6 +2191,11 @@ final class Compiler(graph: PropertyGraph,
     */
   private def scanAllLabels(v: String, props: Seq[(String, Expr)],
       ctx: Ctx): DataFrame = {
+    // a zero-label graph (freshly CREATEd, nothing INSERTed) matches
+    // nothing — same empty-result rule as an unknown label, not an error
+    if (graph.nodeTables.isEmpty)
+      return emptyScan(v, props.map(_._1))
+        .withColumn(s"${v}_label", lit(null).cast("string"))
     val scans = graph.nodeTables.toSeq.sortBy(_._1).map { case (l, t) =>
       t.columns.foldLeft(t)((acc, c) =>
         acc.withColumnRenamed(c, if (c == "id") s"${v}_id" else s"${v}_$c"))

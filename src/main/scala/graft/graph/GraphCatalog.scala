@@ -28,12 +28,54 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     try s.iterator.asScala.toSeq finally s.close()
   }
 
+  /** Write a small catalog metadata file ATOMICALLY: content goes to a
+    * same-directory `.tmp_` sibling first, then a single rename replaces
+    * the target. `Files.writeString` in place would truncate-then-write —
+    * a crash mid-write loses EVERY row of `_indexes` / `_security` / a
+    * graph-type def, the torn-write class the data-directory swap was
+    * hardened against (VERDICT r16 #1); metadata deserves the same
+    * guarantee. Readers never see the `.tmp_` name (all catalog listings
+    * skip "."-prefixed entries), and stale temps from a crash are swept
+    * at catalog open.
+    */
+  private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".tmp_${p.getFileName}_${System.nanoTime}")
+    Files.writeString(tmp, content)
+    import java.nio.file.StandardCopyOption._
+    try Files.move(tmp, p, ATOMIC_MOVE, REPLACE_EXISTING)
+    catch { // non-POSIX fs: plain replace keeps correctness, loses atomicity
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, p, REPLACE_EXISTING)
+    }
+  }
+
+  /** Sweep `.tmp_` leftovers of [[writeAtomic]] calls a crash interrupted
+    * — run once at catalog open, over the warehouse root and the metadata
+    * subdirectories that take atomic writes.
+    */
+  private def sweepTmp(): Unit =
+    (Paths.get(warehouse) +:
+      Seq("_procedures", "_graph_types").map(d => Paths.get(s"$warehouse/$d")))
+      .filter(Files.isDirectory(_)).foreach { d =>
+        listDir(d).filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.startsWith(".tmp_")).foreach(Files.delete(_))
+      }
+
   // catalog open = recovery point: roll any save swap a crash
   // interrupted forward (complete staging exists) or back (.old
   // survives) before the first statement touches the warehouse —
   // the moral equivalent of the reference's WAL recovery pass
   // (txn/recovery.rs) for this copy-on-write design
   recoverSwaps()
+  sweepTmp()
+
+  // install the read-side bucket-pruning optimizer rule once per session:
+  // it turns key predicates over bucketed warehouse scans into `__ixb`
+  // partition filters (specs registered per dataset at loadGraph)
+  if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketPrune))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BucketPrune
 
   def createSchema(schema: String): Unit =
     Files.createDirectories(Paths.get(s"$warehouse/$schema"))
@@ -127,9 +169,14 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     }.mkString("\n")
     // _meta is the staging COMMIT MARKER: it is written last, so its
     // presence certifies a complete staging — recovery promotes only
-    // marked stagings
-    Files.writeString(Paths.get(s"$staging/_meta"), meta)
+    // marked stagings; the atomic write keeps the marker all-or-nothing
+    // (a torn _meta would read as a COMPLETE staging with corrupt edge
+    // metadata and get rolled forward)
+    writeAtomic(Paths.get(s"$staging/_meta"), meta)
     commitSwap(dir, staging)
+    // the swap replaced this path's files — drop any pruning specs keyed
+    // under it; the next loadGraph re-registers from current options
+    graft.plans.BucketPrune.invalidateUnder(dir)
   }
 
   /** Promote `staging` to the live directory by rename-aside — the same
@@ -342,11 +389,9 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
         (a(0), a(1), a(2).split(",").toSeq.filter(_.nonEmpty))
       }
 
-  private def writeIndexes(rows: Seq[(String, String, Seq[String])]): Unit = {
-    Files.createDirectories(Paths.get(warehouse))
-    Files.writeString(indexFile,
+  private def writeIndexes(rows: Seq[(String, String, Seq[String])]): Unit =
+    writeAtomic(indexFile,
       rows.map { case (n, t, cs) => s"$n\t$t\t${cs.mkString(",")}" }.mkString("\n"))
-  }
 
   def createIndex(name: String, table: String, columns: Seq[String]): Boolean = {
     val rows = readIndexes()
@@ -377,11 +422,9 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
         val a = l.split("\t", 3); (a(0), a(1), if (a.length > 2) a(2) else "")
       }
 
-  private def writeIndexOptions(rows: Seq[(String, String, String)]): Unit = {
-    Files.createDirectories(Paths.get(warehouse))
-    Files.writeString(indexOptionsFile,
+  private def writeIndexOptions(rows: Seq[(String, String, String)]): Unit =
+    writeAtomic(indexOptionsFile,
       rows.map { case (n, k, v) => s"$n\t$k\t$v" }.mkString("\n"))
-  }
 
   def setIndexOption(name: String, key: String, value: String): Unit = {
     if (!readIndexes().exists(_._1 == name))
@@ -594,17 +637,52 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Register a loaded bucketed dataset with the read-side pruning rule:
+    * resolve its bucketed index, decode the persisted boundaries into
+    * raw values (the rule mirrors `bucketExpr`'s comparison semantics
+    * driver-side), and key the spec on the dataset directory the scan
+    * reads. Absent/typeless boundaries register nothing — pruning is an
+    * optimization and must never guess.
+    */
+  private def registerPrune(ds: String, df: DataFrame, dsDir: String): Unit =
+    bucketedSpec(ds, df).foreach { case (ixName, cols, _) =>
+      val stringKey = stringKeyed(df, cols.head)
+      val numericKey = df.schema(cols.head).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      listIndexOptions(ixName).toMap.get("__bounds").filter(_.nonEmpty)
+        .foreach { raw =>
+          val parts = raw.split(",", -1).toSeq.filter(_.nonEmpty)
+          val spec =
+            if (stringKey) graft.plans.BucketPrune.Spec(cols.head,
+              Array.empty[Double],
+              parts.map(s => org.apache.spark.unsafe.types.UTF8String
+                .fromString(java.net.URLDecoder.decode(s, "UTF-8"))).toArray,
+              stringKey = true)
+            else graft.plans.BucketPrune.Spec(cols.head,
+              parts.map(_.toDouble).toArray,
+              Array.empty[org.apache.spark.unsafe.types.UTF8String],
+              stringKey = false)
+          if (stringKey || numericKey)
+            graft.plans.BucketPrune.register(dsDir, spec)
+        }
+    }
+
   def loadGraph(schema: String, name: String): PropertyGraph = {
     val dir = graphDir(schema, name)
     val p = Paths.get(dir)
     require(Files.exists(p), s"no such graph: $schema/$name")
     val entries = listDir(p).map(_.getFileName.toString)
     // a bucketed clustered layout surfaces its partition column on read —
-    // it is storage metadata, not graph data
-    def noBucket(df: DataFrame): DataFrame =
-      if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+    // it is storage metadata, not graph data. Before the drop, register
+    // the dataset's pruning spec (lead key + persisted boundaries) so
+    // key predicates over this scan prune to their bucket directories.
+    def noBucket(ds: String, df: DataFrame): DataFrame =
+      if (df.columns.contains(BucketCol)) {
+        registerPrune(ds, df, s"$dir/$ds")
+        df.drop(BucketCol)
+      } else df
     val nodes = entries.filter(_.startsWith("nodes_")).map { e =>
-      e.stripPrefix("nodes_") -> noBucket(spark.read.parquet(s"$dir/$e"))
+      e.stripPrefix("nodes_") -> noBucket(e, spark.read.parquet(s"$dir/$e"))
     }.toMap
     val meta = if (Files.exists(Paths.get(s"$dir/_meta")))
       Files.readString(Paths.get(s"$dir/_meta")).split("\n").filter(_.nonEmpty)
@@ -614,7 +692,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val edges = entries.filter(_.startsWith("edges_")).map { e =>
       val label = e.stripPrefix("edges_")
       val et = meta.getOrElse(label, EdgeType(label, "", ""))
-      label -> (et, noBucket(spark.read.parquet(s"$dir/$e")))
+      label -> (et, noBucket(e, spark.read.parquet(s"$dir/$e")))
     }.toMap
     // loaded graphs know their origin and start clean — mutations mark
     // the touched datasets so saves back to the same path go incremental
@@ -624,13 +702,21 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   def dropSchema(schema: String): Boolean = {
     val p = Paths.get(s"$warehouse/$schema")
     if (!Files.exists(p)) false
-    else { deleteRecursive(p); true }
+    else {
+      deleteRecursive(p)
+      graft.plans.BucketPrune.invalidateUnder(p.toString)
+      true
+    }
   }
 
   def dropGraph(schema: String, name: String): Boolean = {
     val p = Paths.get(graphDir(schema, name))
     if (!Files.exists(p)) false
-    else { deleteRecursive(p); true }
+    else {
+      deleteRecursive(p)
+      graft.plans.BucketPrune.invalidateUnder(p.toString)
+      true
+    }
   }
 
   // ---- security metadata (exec/schema_engine/operations/security analog):
@@ -646,11 +732,9 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     else Files.readString(securityFile).split("\n").filter(_.nonEmpty).toSeq
       .map { l => val a = l.split("\t", 3); (a(0), a(1), if (a.length > 2) a(2) else "") }
 
-  private def writeSecurity(rows: Seq[(String, String, String)]): Unit = {
-    Files.createDirectories(Paths.get(warehouse))
-    Files.writeString(securityFile,
+  private def writeSecurity(rows: Seq[(String, String, String)]): Unit =
+    writeAtomic(securityFile,
       rows.map { case (k, n, t) => s"$k\t$n\t$t" }.mkString("\n"))
-  }
 
   def createPrincipal(kind: String, name: String): Boolean =
     createPrincipal(kind, name, None)
@@ -867,11 +951,8 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   // ---- stored procedures (catalog procedures, ast.rs:625-644): GQL text
   // under warehouse/_procedures/<name>.gql, re-parsed at CALL time.
 
-  def saveProcedure(name: String, body: String): Unit = {
-    val dir = Paths.get(s"$warehouse/_procedures")
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve(s"$name.gql"), body)
-  }
+  def saveProcedure(name: String, body: String): Unit =
+    writeAtomic(Paths.get(s"$warehouse/_procedures/$name.gql"), body)
 
   def dropProcedure(name: String): Boolean = {
     val f = Paths.get(s"$warehouse/_procedures/$name.gql")
@@ -901,7 +982,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     Files.createDirectories(dir)
     val f = dir.resolve(s"${gt.name}.def")
     if (Files.exists(f)) false
-    else { Files.writeString(f, GraphType.serialize(gt)); true }
+    else { writeAtomic(f, GraphType.serialize(gt)); true }
   }
 
   def dropGraphType(name: String): Boolean = {
@@ -941,7 +1022,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val version = graphTypeVersionCount(name) + 1
     Files.move(Paths.get(s"$warehouse/_graph_types/$name.def"),
       hist.resolve(s"$name.v$version.def"))
-    Files.writeString(Paths.get(s"$warehouse/_graph_types/$name.def"),
+    writeAtomic(Paths.get(s"$warehouse/_graph_types/$name.def"),
       GraphType.serialize(next))
     next
   }
@@ -961,11 +1042,9 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     else Files.readString(typeBindingsFile).split("\n").filter(_.nonEmpty)
       .toSeq.map { l => val a = l.split("\t", 2); (a(0), a(1)) }
 
-  private def writeTypeBindings(rows: Seq[(String, String)]): Unit = {
-    Files.createDirectories(Paths.get(warehouse))
-    Files.writeString(typeBindingsFile,
+  private def writeTypeBindings(rows: Seq[(String, String)]): Unit =
+    writeAtomic(typeBindingsFile,
       rows.map { case (p, t) => s"$p\t$t" }.mkString("\n"))
-  }
 
   /** Bind `/schema/graph` to a graph type (CREATE GRAPH … TYPED t). */
   def bindGraphType(path: String, typeName: String): Unit = {

@@ -475,6 +475,29 @@ object GqlQueries {
           |RETURN c.mktsegment AS seg, count(c) AS n,
           |       min(c.acctbal) AS lo, max(c.acctbal) AS hi
           |ORDER BY seg""".stripMargin)
+    }),
+
+    // r17: READ-side bucket pruning on the oracle board — persist a
+    // bucketed-id label, reload it fresh, and run a range predicate on
+    // the clustered key: the BucketPrune rule turns `id <= 150` into an
+    // `__ixb IN (0)` partition filter, so the scan reads one bucket
+    // directory of eight (BucketPruneSpec pins the plan; this query
+    // pins that the pruned scan returns exactly the oracle's rows).
+    "gql33_bucket_prune" -> ((s: SparkSession, d: String) => {
+      import graft.graph.PropertyGraph
+      val g = TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer")), Map.empty)
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /bprune")
+      sess.execute("CREATE GRAPH INDEX bprune_id ON nodes_customer (id)")
+      sess.execute("ALTER INDEX bprune_id SET OPTION buckets = 8")
+      sess.saveGraphAs("/bprune/cust", force = true) // bucketed layout
+      gls.session("driver").useGraph("/bprune/cust")
+        .gql("""MATCH (c:customer) WHERE c.id <= 150
+          |RETURN count(c) AS n,
+          |       min(c.acctbal) AS lo, max(c.acctbal) AS hi""".stripMargin)
     })
   )
 
@@ -706,6 +729,10 @@ object GqlQueries {
         | ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
         |               THEN 1.0 ELSE o_totalprice END), 2) AS total
         |FROM orders WHERE o_orderpriority <> '5-LOW'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gql33_bucket_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        | min(c_acctbal) AS lo, max(c_acctbal) AS hi
+        |FROM customer WHERE c_custkey <= 150""".stripMargin
   )
 }

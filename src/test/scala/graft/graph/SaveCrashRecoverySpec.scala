@@ -132,4 +132,58 @@ class SaveCrashRecoverySpec extends AnyFunSuite {
     assert(!Files.exists(s1) && !Files.exists(s2))
     assert(!Files.exists(Paths.get(s"$wh/s/.old_g1")))
   }
+
+  // ---- metadata torn-write protection: catalog files (`_indexes`,
+  // `_security`, procedure/graph-type defs) write through a same-dir
+  // `.tmp_` sibling + atomic rename, so a kill mid-write never truncates
+  // the live file; stale temps are swept at open.
+
+  test("kill mid-metadata-write: live _indexes/_security intact, " +
+      ".tmp_ leftovers swept at open") {
+    val (cat, wh) = fixture()
+    cat.createIndex("ix1", "nodes_user", Seq("id"))
+    cat.createPrincipal("user", "alice")
+    // aftermath of a kill mid-writeAtomic: a half-written temp beside
+    // each live file (the live file itself was never opened)
+    Files.writeString(Paths.get(s"$wh/.tmp__indexes_777"), "ix-half\tnod")
+    Files.writeString(Paths.get(s"$wh/.tmp__security_777"), "user\tmal")
+    Files.createDirectories(Paths.get(s"$wh/_procedures"))
+    Files.writeString(Paths.get(s"$wh/_procedures/.tmp_p.gql_777"), "RET")
+    val cat2 = new GraphCatalog(spark, wh) // open = sweep point
+    assert(cat2.listIndexes().map(_._1) == Seq("ix1"))
+    assert(cat2.listPrincipals("user").contains("alice"))
+    assert(!Files.exists(Paths.get(s"$wh/.tmp__indexes_777")))
+    assert(!Files.exists(Paths.get(s"$wh/.tmp__security_777")))
+    assert(!Files.exists(Paths.get(s"$wh/_procedures/.tmp_p.gql_777")))
+    // and the temp names never leak into listings even BEFORE a sweep
+    assert(!cat2.listSchemas().exists(_.startsWith(".")))
+  }
+
+  test("metadata writes leave no temp files behind and replace " +
+      "atomically-in-place") {
+    val (cat, wh) = fixture()
+    cat.createIndex("ixa", "nodes_user", Seq("id"))
+    cat.createIndex("ixb", "nodes_user", Seq("nm"))
+    cat.setIndexOption("ixa", "buckets", "4")
+    cat.createPrincipal("user", "bob", Some("pw"))
+    cat.saveProcedure("p1", "RETURN 1 AS x")
+    cat.saveGraphType(graft.graph.GraphType.GraphTypeDef("t1",
+      Seq(graft.graph.GraphType.NodeTypeDef("user",
+        Seq(graft.graph.GraphType.PropDef("id", "INT", required = true)))),
+      Seq.empty))
+    import scala.jdk.CollectionConverters._
+    def temps(p: Path): Seq[String] = {
+      val s = Files.list(p)
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".tmp_")).toSeq
+      finally s.close()
+    }
+    assert(temps(Paths.get(wh)).isEmpty)
+    assert(temps(Paths.get(s"$wh/_procedures")).isEmpty)
+    assert(temps(Paths.get(s"$wh/_graph_types")).isEmpty)
+    // replacement really replaced: both indexes visible after two writes
+    assert(cat.listIndexes().map(_._1).sorted == Seq("ixa", "ixb"))
+    assert(cat.listIndexOptions("ixa").contains(("buckets", "4")))
+    assert(cat.loadProcedure("p1").contains("RETURN 1 AS x"))
+  }
 }
