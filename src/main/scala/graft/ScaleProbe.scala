@@ -244,6 +244,52 @@ object ScaleProbe {
     s.range(n).toDF("n")
   }
 
+  /** Seeded 1-hop traversal over a 16-bucket EDGE label (r17): the
+    * graph-workload variant of [[bpruneProbe]]. The seed literal reaches
+    * the edge scan via InferFiltersFromConstraints (no broadcast of the
+    * seed needed — the filter is static), so with pruning on the hop
+    * lists and reads ONE `__ixb=K/` edge directory; off, all 16. This is
+    * the warehouse-scale replacement for the reference's in-memory
+    * adjacency index (graph_cache.rs:16-38) measured directly.
+    */
+  private def bpruneHopProbe(pruned: Boolean)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.graph.PropertyGraph
+    val wh = "/tmp/graft-bprune-hop-" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val gls = GraphLiteSpark.open(s, wh)
+    val marker = new java.io.File(s"$wh/.setup_done")
+    if (!marker.exists()) {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("mktsegment"))
+      val ord = Tables.orders(s, d)
+      val placed = ord.select(col("o_custkey").as("src"),
+        col("o_orderkey").as("dst"), col("o_orderkey").as("eid"),
+        col("o_totalprice").as("totalprice"))
+      val oNodes = ord.select(col("o_orderkey").as("id"),
+        col("o_totalprice").as("totalprice"),
+        col("o_orderdate").as("orderdate"))
+      val g = new PropertyGraph(
+        Map("customer" -> cust, "orders" -> oNodes),
+        Map("PLACED" -> (graft.graph.EdgeType("PLACED", "customer",
+          "orders"), placed)))
+      val sess = gls.session("driver").useGraph(g)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
+      sess.execute("CREATE GRAPH INDEX hpix ON edges_PLACED (src)")
+      sess.execute("ALTER INDEX hpix SET OPTION buckets = 16")
+      sess.saveGraphAs("/probe/bprunehop", force = true)
+      marker.createNewFile()
+    }
+    val prev = graft.plans.BucketPrune.enabled
+    graft.plans.BucketPrune.enabled = pruned
+    val n =
+      try gls.session("driver").useGraph("/probe/bprunehop")
+        .gql("MATCH (c:customer)-[p:PLACED]->(o:orders) WHERE c.id = 7 " +
+          "RETURN count(p) AS n, max(o.totalprice) AS hi").count()
+      finally graft.plans.BucketPrune.enabled = prev
+    s.range(n).toDF("n")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nCopies = if (args.length > 2) args(2).toInt else 10
@@ -384,6 +430,9 @@ object ScaleProbe {
       // r17: read-side pruning A/B on the same bucketed-layout economics
       "bprune_point_pruned" -> bpruneProbe(pruned = true),
       "bprune_point_full" -> bpruneProbe(pruned = false),
+      // r17: the traversal variant — seeded hop through a bucketed edge label
+      "bprune_hop_pruned" -> bpruneHopProbe(pruned = true),
+      "bprune_hop_full" -> bpruneHopProbe(pruned = false),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -428,7 +477,8 @@ object ScaleProbe {
           // r16: the bucket-scoped maintenance dividend is a >10× story
           "dml_save_full", "dml_save_bucketed",
           // r17: so is the read-side pruning dividend
-          "bprune_point_pruned", "bprune_point_full")
+          "bprune_point_pruned", "bprune_point_full",
+          "bprune_hop_pruned", "bprune_hop_full")
           .contains(n)
       }
 

@@ -498,6 +498,36 @@ object GqlQueries {
         .gql("""MATCH (c:customer) WHERE c.id <= 150
           |RETURN count(c) AS n,
           |       min(c.acctbal) AS lo, max(c.acctbal) AS hi""".stripMargin)
+    }),
+
+    // Seeded 1-hop traversal over a persisted graph whose EDGE table is
+    // range-bucketed on `src`: the reference's hottest access path —
+    // expand from a known node, served by its in-memory label index
+    // (graph_cache.rs:16-38) — re-expressed as layout + optimizer work:
+    // the seed literal flows through the expand join's equi-condition
+    // (Catalyst InferFiltersFromConstraints) and BucketPrune maps it to
+    // ONE `__ixb` edge bucket of 8, so the hop reads ~1/8 of the edge
+    // files instead of the whole label (plan pinned by PlanAudit
+    // `bprune_seeded_expand` and BucketPruneSpec; this query pins the
+    // RESULT on the DuckDB oracle end to end).
+    "gql34_seeded_hop" -> ((s: SparkSession, d: String) => {
+      import graft.graph.PropertyGraph
+      val g = TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer"),
+          "orders" -> g.nodeTables("orders")),
+        Map("PLACED" -> g.edgeTables("PLACED")))
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /bprune")
+      sess.execute("CREATE GRAPH INDEX hop_src ON edges_PLACED (src)")
+      sess.execute("ALTER INDEX hop_src SET OPTION buckets = 8")
+      sess.saveGraphAs("/bprune/hop", force = true)
+      gls.session("driver").useGraph("/bprune/hop")
+        .gql("""MATCH (c:customer)-[p:PLACED]->(o:orders)
+          |WHERE c.id = 7
+          |RETURN count(p) AS n, min(o.totalprice) AS lo,
+          |       max(o.totalprice) AS hi""".stripMargin)
     })
   )
 
@@ -733,6 +763,10 @@ object GqlQueries {
     "gql33_bucket_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         | min(c_acctbal) AS lo, max(c_acctbal) AS hi
-        |FROM customer WHERE c_custkey <= 150""".stripMargin
+        |FROM customer WHERE c_custkey <= 150""".stripMargin,
+    "gql34_seeded_hop" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        | min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders WHERE o_custkey = 7""".stripMargin
   )
 }

@@ -160,6 +160,68 @@ class BucketPruneSpec extends AnyFunSuite {
     assert(!plan.contains("__ixb"), s"stale bucket filter in:\n$plan")
   }
 
+  /** Seeded traversal: the reference's hottest access path is "expand
+    * from a known node" served by its in-memory label index
+    * (graph_cache.rs:16-38). At warehouse scale that becomes: bucket the
+    * EDGE table on `src`, and let Catalyst's constraint propagation turn
+    * `a.id = K AND e.src = a.id` into `e.src = K` on the edge side —
+    * which [[graft.plans.BucketPrune]] then maps to one `__ixb` bucket.
+    * No traversal-specific code: the literal seed flows through
+    * InferFiltersFromConstraints; this pins that the chain actually
+    * reaches the edge scan's partition filters end to end.
+    */
+  test("seeded 1-hop expand prunes the bucketed EDGE table through the " +
+      "join (constraint propagation)") {
+    import spark.implicits._
+    import graft.GraphLiteSpark
+    val wh = java.nio.file.Files.createTempDirectory("graft-bprune-e").toString
+    val gls = GraphLiteSpark.open(spark, wh)
+    val nodes = (1L to 2000L).map(i => (i, (i % 97).toDouble))
+      .toDF("id", "bal")
+    val edges = (1L to 8000L).map(i =>
+      (i, i % 2000 + 1, (i * 7) % 2000 + 1, (i % 13).toDouble))
+      .toDF("eid", "src", "dst", "w")
+    val g = new PropertyGraph(Map("acct" -> nodes),
+      Map("own" -> (EdgeType("own", "acct", "acct"), edges)))
+    val sess = gls.session("driver").useGraph(g)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS /pr")
+    sess.execute("CREATE GRAPH INDEX esrc ON edges_own (src)")
+    sess.execute("ALTER INDEX esrc SET OPTION buckets = 8")
+    sess.saveGraphAs("/pr/hop", force = true)
+    def q() = gls.session("driver").useGraph("/pr/hop")
+      .gql("MATCH (a:acct)-[e:own]->(b:acct) WHERE a.id = 7 " +
+        "RETURN count(e) AS n, sum(e.w) AS sw")
+    val out = q()
+    val rows = out.collect()
+    assert(rows.head.getLong(0) == 4L, s"seed 7 has 4 out-edges: $rows")
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the join + agg plan nests its scans inside AQE query stages;
+    // descend through them (collectLeaves stops at the stage boundary)
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(q.plan)
+    }.flatten
+    val edgeScans = scansIn(plan)
+      .filter(_.relation.location.rootPaths.head.toString.contains("edges_own"))
+    assert(edgeScans.nonEmpty, s"no edge scan in:\n$plan")
+    val s = edgeScans.head
+    assert(s.partitionFilters.exists(_.references.exists(_.name == "__ixb")),
+      s"edge scan has no __ixb partition filter:\n$plan")
+    assert(s.selectedPartitions.partitionCount == 1,
+      s"seeded expand read ${s.selectedPartitions.partitionCount} edge buckets")
+    // A/B: same rows with pruning off
+    BucketPrune.enabled = false
+    try assert(q().collect().toSeq == rows.toSeq)
+    finally BucketPrune.enabled = true
+  }
+
   test("GQL end to end: WHERE on the clustered key prunes the persisted " +
       "scan") {
     import graft.GraphLiteSpark
