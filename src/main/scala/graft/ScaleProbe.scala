@@ -143,13 +143,22 @@ object ScaleProbe {
   private final class TaskStats extends org.apache.spark.scheduler.SparkListener {
     private val byStage = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    // bytes read from storage across the pass (input file + shuffle-read
+    // excluded): on a page-cached local box wall time hides an N×
+    // I/O-reduction (a pruned 1-file scan loses on PARALLELISM to a hot
+    // 16-file scan), so read-path probes need the work metric, not just
+    // the wall metric — this is what a 1000-executor cluster pays for
+    private var inputBytes = 0L
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       synchronized {
         byStage.getOrElseUpdate(t.stageId,
           scala.collection.mutable.ArrayBuffer.empty) += t.taskInfo.duration
+        if (t.taskMetrics != null)
+          inputBytes += t.taskMetrics.inputMetrics.bytesRead
       }
-    def reset(): Unit = synchronized { byStage.clear() }
+    def reset(): Unit = synchronized { byStage.clear(); inputBytes = 0L }
+    def readMb: Double = synchronized { inputBytes / 1e6 }
     /** (stages, tasks in heaviest stage, median ms, max ms, skew). */
     def summary(): (Int, Int, Long, Long, Double) = synchronized {
       if (byStage.isEmpty) (0, 0, 0L, 0L, 0.0)
@@ -544,6 +553,7 @@ object ScaleProbe {
       val tBig = math.min(tCold, tWarm)
       Thread.sleep(500) // drain the async listener bus before summarizing
       val (stages, tasks, medMs, maxMs, skew) = stats.summary()
+      val readMb = stats.readMb
       val plan = q(spark, outDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val cartesian = plan.contains("CartesianProduct")
@@ -557,6 +567,7 @@ object ScaleProbe {
         f""""rows_${nCopies}x":$nBig,""" +
         f""""ratio":$ratio%.2f,"stages":$stages,"heaviest_stage_tasks":$tasks,""" +
         f""""med_task_ms":$medMs,"max_task_ms":$maxMs,"skew":$skew%.2f,""" +
+        f""""read_mb":$readMb%.1f,""" +
         f""""cal":$cal%.3f,"cal0":${Bench.CalibrationQuiet}%.2f,""" +
         s""""cartesian":$cartesian}""")
     }

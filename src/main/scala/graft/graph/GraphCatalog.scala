@@ -351,7 +351,17 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     if (touchedBuckets.isEmpty) // mutations matched no rows
       Files.createDirectories(Paths.get(s"$staging/$ds"))
     else
-      df.withColumn(BucketCol, bucketExpr(col(cols.head), bounds))
+      // the touched-range filter FIRST: plain key-range comparisons push
+      // to the underlying parquet scan (and BucketPrune maps their
+      // disjunction to an __ixb partition filter on the live bucketed
+      // layout), so rewriting one touched bucket READS one bucket
+      // directory instead of scanning the whole table to produce it —
+      // without this the write side was O(touched) but the read side
+      // stayed O(table). The bucketExpr isin filter stays as the exact
+      // arbiter (same boundaries, so the range pred is equivalent by
+      // construction; see touchedRangePred's equivalence note).
+      df.filter(touchedRangePred(col(cols.head), bounds, touchedBuckets))
+        .withColumn(BucketCol, bucketExpr(col(cols.head), bounds))
         .filter(col(BucketCol)
           .isin(touchedBuckets.toSeq.map(Integer.valueOf): _*))
         .repartition(col(BucketCol))
@@ -450,6 +460,34 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
 
   /** The bucket-partition column name of the bucketed clustered layout. */
   val BucketCol = "__ixb"
+
+  /** Pushable predicate equivalent to `bucketExpr(c, bounds) ∈ buckets`:
+    * the explicit key range of each touched bucket, OR-ed (plus IS NULL
+    * when the last bucket is touched). Equivalence with [[bucketExpr]]'s
+    * first-match arms, per bucket k:
+    *   k = 0      → `c <= bounds(0)`
+    *   0 < k < N  → `bounds(k-1) < c <= bounds(k)`
+    *   k = N      → `c > bounds(N-1)` (NaN included — Spark orders NaN
+    *                above every value, so the `<=` arms were all false
+    *                for it too) `OR c IS NULL` (the null arm bucketExpr's
+    *                otherwise-chain ends in)
+    * Duplicate boundaries make middle buckets empty ranges in both
+    * formulations. Being plain comparisons, the ranges PUSH to the
+    * parquet scan (row-group stats on the key-sorted files) and
+    * [[graft.plans.BucketPrune]] maps the disjunction to an `__ixb`
+    * partition-filter union — so the bucket-scoped REWRITE is also a
+    * bucket-scoped READ.
+    */
+  private def touchedRangePred(c: org.apache.spark.sql.Column,
+      bounds: Seq[org.apache.spark.sql.Column],
+      buckets: Set[Int]): org.apache.spark.sql.Column = {
+    val last = bounds.size
+    buckets.toSeq.sorted.map { k =>
+      if (k == 0) c <= bounds(0)
+      else if (k == last) (c > bounds(last - 1)) || c.isNull
+      else (c > bounds(k - 1)) && (c <= bounds(k))
+    }.reduce(_ || _)
+  }
 
   /** Range-bucket id for a key value against ascending boundary
     * LITERALS (NULLs and values above the top boundary land in the

@@ -190,6 +190,18 @@ object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(Literal(v, _), r) if isKey(r) && v != null =>
         bucketOf(v, spec).map(b => all.filter(_ <= b))
       case IsNull(l) if isKey(l) => Some(Set(spec.last))
+      // a disjunction constrains the key only when BOTH arms do — the
+      // implied set is the union. Arms recurse through bucketSet, so
+      // nested conjunctions work: `(k > 5 AND k <= 9) OR k IS NULL`
+      // maps to range-buckets ∪ {last}. This is also the shape the
+      // bucket-scoped maintenance read emits (GraphCatalog
+      // .touchedRangePred), which makes the one-bucket REWRITE also a
+      // one-bucket READ.
+      case Or(a, b) =>
+        for {
+          sa <- bucketSet(a, key, spec)
+          sb <- bucketSet(b, key, spec)
+        } yield sa ++ sb
       case _ => None
     }
   }
