@@ -143,22 +143,25 @@ object ScaleProbe {
   private final class TaskStats extends org.apache.spark.scheduler.SparkListener {
     private val byStage = scala.collection.mutable.Map
       .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
-    // bytes read from storage across the pass (input file + shuffle-read
-    // excluded): on a page-cached local box wall time hides an N×
-    // I/O-reduction (a pruned 1-file scan loses on PARALLELISM to a hot
-    // 16-file scan), so read-path probes need the work metric, not just
-    // the wall metric — this is what a 1000-executor cluster pays for
-    private var inputBytes = 0L
+    // input records read across the pass (file-source rows decoded;
+    // shuffle reads excluded): on a page-cached local box wall time
+    // hides an N× I/O-reduction (a pruned 1-file scan loses on
+    // PARALLELISM to a hot 16-file scan), so read-path probes need the
+    // work metric, not just the wall metric — this is what a
+    // 1000-executor cluster pays for. Records, not bytes: Hadoop FS
+    // byte statistics underreport on local `file://` reads, while
+    // recordsRead is counted by the parquet reader itself.
+    private var inputRecords = 0L
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       synchronized {
         byStage.getOrElseUpdate(t.stageId,
           scala.collection.mutable.ArrayBuffer.empty) += t.taskInfo.duration
         if (t.taskMetrics != null)
-          inputBytes += t.taskMetrics.inputMetrics.bytesRead
+          inputRecords += t.taskMetrics.inputMetrics.recordsRead
       }
-    def reset(): Unit = synchronized { byStage.clear(); inputBytes = 0L }
-    def readMb: Double = synchronized { inputBytes / 1e6 }
+    def reset(): Unit = synchronized { byStage.clear(); inputRecords = 0L }
+    def readRows: Long = synchronized { inputRecords }
     /** (stages, tasks in heaviest stage, median ms, max ms, skew). */
     def summary(): (Int, Int, Long, Long, Double) = synchronized {
       if (byStage.isEmpty) (0, 0, 0L, 0L, 0.0)
@@ -243,15 +246,26 @@ object ScaleProbe {
       sess.saveGraphAs("/probe/bprune", force = true)
       marker.createNewFile()
     }
+    // one LOADED session per warehouse, shared by the pruned and full
+    // variants: re-loading per pass would re-pay the broadcast-sizing
+    // count() of the fresh PropertyGraph (a full-table metadata scan)
+    // on every measurement, drowning the query-side read delta the A/B
+    // exists to expose — with a shared session both variants run the
+    // same frames and differ ONLY in the optimizer toggle
+    val sess = bpSessions.getOrElseUpdate(wh,
+      gls.session("driver").useGraph("/probe/bprune"))
     val prev = graft.plans.BucketPrune.enabled
     graft.plans.BucketPrune.enabled = pruned
     val n =
-      try gls.session("driver").useGraph("/probe/bprune")
-        .gql("MATCH (o:orders) WHERE o.id = 7 " +
+      try sess.gql("MATCH (o:orders) WHERE o.id = 7 " +
           "RETURN count(o) AS n, sum(o.totalprice) AS tp").count()
       finally graft.plans.BucketPrune.enabled = prev
     s.range(n).toDF("n")
   }
+
+  // shared loaded sessions for the bprune A/B probes (see comment above)
+  private val bpSessions =
+    scala.collection.concurrent.TrieMap.empty[String, GqlSession]
 
   /** Seeded 1-hop traversal over a 16-bucket EDGE label (r17): the
     * graph-workload variant of [[bpruneProbe]]. The seed literal reaches
@@ -264,7 +278,7 @@ object ScaleProbe {
   private def bpruneHopProbe(pruned: Boolean)(
       s: SparkSession, d: String): DataFrame = {
     import graft.graph.PropertyGraph
-    val wh = "/tmp/graft-bprune-hop-" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val wh = "/tmp/graft-bprune-hop2-" + d.replaceAll("[^A-Za-z0-9]", "_")
     val gls = GraphLiteSpark.open(s, wh)
     val marker = new java.io.File(s"$wh/.setup_done")
     if (!marker.exists()) {
@@ -286,14 +300,21 @@ object ScaleProbe {
       sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
       sess.execute("CREATE GRAPH INDEX hpix ON edges_PLACED (src)")
       sess.execute("ALTER INDEX hpix SET OPTION buckets = 16")
+      // dst side too: the edge leg prunes STATICALLY (the seed literal
+      // propagates through the join), the orders-node leg prunes at
+      // RUNTIME (BucketDynamicPrune collects the matched edges' dst
+      // bucket ids) — together the whole hop is O(touched buckets)
+      sess.execute("CREATE GRAPH INDEX hpix_o ON nodes_orders (id)")
+      sess.execute("ALTER INDEX hpix_o SET OPTION buckets = 16")
       sess.saveGraphAs("/probe/bprunehop", force = true)
       marker.createNewFile()
     }
+    val sess = bpSessions.getOrElseUpdate(wh,
+      gls.session("driver").useGraph("/probe/bprunehop"))
     val prev = graft.plans.BucketPrune.enabled
     graft.plans.BucketPrune.enabled = pruned
     val n =
-      try gls.session("driver").useGraph("/probe/bprunehop")
-        .gql("MATCH (c:customer)-[p:PLACED]->(o:orders) WHERE c.id = 7 " +
+      try sess.gql("MATCH (c:customer)-[p:PLACED]->(o:orders) WHERE c.id = 7 " +
           "RETURN count(p) AS n, max(o.totalprice) AS hi").count()
       finally graft.plans.BucketPrune.enabled = prev
     s.range(n).toDF("n")
@@ -553,7 +574,7 @@ object ScaleProbe {
       val tBig = math.min(tCold, tWarm)
       Thread.sleep(500) // drain the async listener bus before summarizing
       val (stages, tasks, medMs, maxMs, skew) = stats.summary()
-      val readMb = stats.readMb
+      val readRows = stats.readRows
       val plan = q(spark, outDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val cartesian = plan.contains("CartesianProduct")
@@ -567,7 +588,7 @@ object ScaleProbe {
         f""""rows_${nCopies}x":$nBig,""" +
         f""""ratio":$ratio%.2f,"stages":$stages,"heaviest_stage_tasks":$tasks,""" +
         f""""med_task_ms":$medMs,"max_task_ms":$maxMs,"skew":$skew%.2f,""" +
-        f""""read_mb":$readMb%.1f,""" +
+        s""""read_rows":$readRows,""" +
         f""""cal":$cal%.3f,"cal0":${Bench.CalibrationQuiet}%.2f,""" +
         s""""cartesian":$cartesian}""")
     }

@@ -76,6 +76,10 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
   if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketPrune))
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.BucketPrune
+  if (!spark.experimental.extraOptimizations
+      .contains(graft.plans.BucketDynamicPrune))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BucketDynamicPrune
 
   def createSchema(schema: String): Unit =
     Files.createDirectories(Paths.get(s"$warehouse/$schema"))

@@ -80,6 +80,13 @@ object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
 
   private[graft] def registeredCount: Int = registry.size
 
+  private[plans] def registryEmpty: Boolean = registry.isEmpty
+
+  /** Spec registered for a dataset directory, if any — shared with
+    * [[BucketDynamicPrune]], which matches relations inside joins. */
+  private[plans] def specForPath(p: String): Option[Spec] =
+    registry.get(canonical(p))
+
   private def canonical(p: String): String = {
     val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
     java.nio.file.Paths.get(noScheme).toAbsolutePath.normalize.toString

@@ -522,6 +522,11 @@ object GqlQueries {
       sess.execute("CREATE SCHEMA IF NOT EXISTS /bprune")
       sess.execute("CREATE GRAPH INDEX hop_src ON edges_PLACED (src)")
       sess.execute("ALTER INDEX hop_src SET OPTION buckets = 8")
+      // dst side: the matched edges' dst bucket ids prune the orders
+      // scan at RUNTIME (BucketDynamicPrune) — the edge side prunes
+      // statically; together the hop reads O(touched buckets)
+      sess.execute("CREATE GRAPH INDEX hop_oid ON nodes_orders (id)")
+      sess.execute("ALTER INDEX hop_oid SET OPTION buckets = 8")
       sess.saveGraphAs("/bprune/hop", force = true)
       gls.session("driver").useGraph("/bprune/hop")
         .gql("""MATCH (c:customer)-[p:PLACED]->(o:orders)
