@@ -457,6 +457,12 @@ object ScaleProbe {
       // so the measured passes time only the DML + maintenance save.
       "dml_save_full" -> dmlSaveProbe(buckets = 0),
       "dml_save_bucketed" -> dmlSaveProbe(buckets = 16),
+      // r17: substring dedup (window-fingerprint explode + compact-key
+      // group-by) and the stream-stream interval join — the explode
+      // factor and the per-user join state are the profiles that change
+      // shape with corpus size
+      "d22_substring_dedup" -> SparkEntry.queries("d22_substring_dedup"),
+      "ev04_stream_join" -> SparkEntry.queries("ev04_stream_join"),
       // r17: read-side pruning A/B on the same bucketed-layout economics
       "bprune_point_pruned" -> bpruneProbe(pruned = true),
       "bprune_point_full" -> bpruneProbe(pruned = false),
@@ -506,6 +512,8 @@ object ScaleProbe {
           "e03_pair_build", "e03_stage_buckets", "e03_stage_cand",
           // r16: the bucket-scoped maintenance dividend is a >10× story
           "dml_save_full", "dml_save_bucketed",
+          // r17: window-explode dedup + interval-join state at >10×
+          "d22_substring_dedup", "ev04_stream_join",
           // r17: so is the read-side pruning dividend
           "bprune_point_pruned", "bprune_point_full",
           "bprune_hop_pruned", "bprune_hop_full")

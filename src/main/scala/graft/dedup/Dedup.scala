@@ -210,4 +210,70 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Exact substring dedup accounting — the suffix-array dedup class
+    * (ExactSubstr, Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): a k-token window whose exact text occurs
+    * MORE THAN ONCE in the corpus (across documents or repeated inside
+    * one) is duplicated; overlapping/adjacent duplicated windows merge
+    * into maximal per-document spans. Returns one row per input document:
+    * (idCol, n_tokens, n_spans, dup_tokens, clean_tokens) — the per-doc
+    * duplicated-token accounting a removal pass would apply.
+    *
+    * Spark-first shape instead of a literal suffix array (which needs
+    * global character order and O(corpus) driver state): window
+    * fingerprints are md5 of the window text — 128 bits, so hash-equality
+    * IS text-equality at any corpus size (a 64-bit hash would see
+    * birthday collisions at 10^12 windows) — and duplication is one
+    * hash-partitioned group-by on the fingerprint. Per-stage costs:
+    *  - window build: narrow codegen map (sequence/transform/slice/md5),
+    *    ~(n_tokens) rows of (id, pos, 16 B hash) per doc — the same
+    *    explode factor as MinHash banding, no all-pairs anywhere;
+    *  - duplicate detection: groupBy(fingerprint) count — ONE wide
+    *    shuffle on a compact key; the semi-join back rides the same
+    *    hash partitioning (AQE keeps the aggregated side in place);
+    *  - span merge: running-max interval merge under a doc-partitioned
+    *    window — one shuffle keyed on the doc id, then the per-doc
+    *    aggregations reuse that partitioning.
+    */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kL = lit(k.toLong)
+    val t = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // positions 0..len-k (docs shorter than k contribute no windows; the
+    // filter runs BEFORE sequence() so start>stop never builds a
+    // descending sequence)
+    val wins = t.filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("wh"))
+    val dup = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select("wh")
+    val dupWins = wins.join(dup, Seq("wh"), "left_semi")
+    // interval merge: a window starts a new span iff its start lies
+    // beyond every earlier window's end (running max over pos+k);
+    // adjacent spans ([0,k) then [k,2k)) merge — a contiguous duplicated
+    // token range is one span regardless of which windows witnessed it
+    val byDoc = Window.partitionBy(idCol).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + kL)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = dupWins.withColumn("__new",
+      when(col("pos") <= coalesce(prevMaxEnd, lit(-1L)), 0L).otherwise(1L))
+    val islands = flagged.withColumn("__island", sum(col("__new")).over(byDoc))
+    val spans = islands.groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("__s"), (max(col("pos")) + kL).as("__e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s")).as("dup_tokens"))
+    t.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
+          .as("clean_tokens"))
+  }
 }

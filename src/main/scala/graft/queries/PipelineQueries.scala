@@ -64,6 +64,12 @@ object PipelineQueries {
     */
   private val MixWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
 
+  // d22 window length (tokens). Lee et al. use 50 BPE tokens on web-scale
+  // corpora; the synthetic docs are ~50 tokens total, so 8 keeps the
+  // duplicated-span population non-trivial while staying well above the
+  // by-chance-collision phrase length.
+  private val SubstrK = 8
+
   /** Scratch state dirs for the incremental/streaming dedup queries.
     * Each invocation needs a FRESH dir (the query's contract is "commit
     * batch 1 into empty state"), but the returned frame reads the state
@@ -675,6 +681,18 @@ object PipelineQueries {
         .orderBy($"doc_id", $"chunk_id")
     }),
 
+    // ---- exact substring dedup (suffix-array class, Lee et al. 2022):
+    // k-token windows occurring >1× in the corpus, merged into maximal
+    // per-doc spans; per-doc duplicated-token accounting. One compact
+    // fingerprint shuffle + one doc-keyed window — no all-pairs
+    "d22_substring_dedup" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.dedup.Dedup.substringSpans(
+          Tables.documents(s, d).select($"doc_id", $"text"),
+          "doc_id", "text", k = SubstrK)
+        .orderBy($"doc_id")
+    }),
+
     // ---- multi-source mixture sampling: down-sample each source so the
     // kept token mass follows the target mixture (Sampling.mixtureSample
     // — hash-keyed ppm decisions, budget set by the binding source)
@@ -766,6 +784,32 @@ object PipelineQueries {
       import s.implicits._
       EventPipeline.sessionized(Tables.events(s, d), "30 minutes")
         .orderBy($"user_id", $"sstart")
+    }),
+
+    // ---- stream-stream interval join (clicks × purchases of the same
+    // user within ±30 min, both sides watermarked so join state stays
+    // bounded on unbounded inputs); the batch run of the SAME transform
+    // body is the oracle for the streaming path (PipelineSpec runs it
+    // as a real two-stream join and pins batch ≡ streaming)
+    "ev04_stream_join" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      EventPipeline.streamStreamJoin(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"))
+        .orderBy($"user_id", $"click_id", $"purchase_ts")
+    }),
+
+    // ---- stream-stream ANTI join via watermarked LEFT OUTER + NULL
+    // filter (clicks with NO purchase in the next 30 min — funnel
+    // drop-off); Spark's supported stream-stream anti shape
+    "ev05_stream_anti" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      EventPipeline.clicksWithoutPurchase(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"))
+        .orderBy($"user_id", $"click_id")
     })
   )
 
@@ -1261,6 +1305,36 @@ object PipelineQueries {
          |  array_to_string(list_slice(toks, start + 1, start + 64), ' ')
          |    AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // d22: identical window fingerprints (md5 of the space-joined k-token
+    // slice — md5 hex matches across engines), identical interval merge
+    // (running max over pos+k; adjacent spans coalesce)
+    "d22_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks)-$SubstrK+1, 0)::BIGINT)) AS pos
+         |  FROM t),
+         |wins AS (SELECT doc_id, pos,
+         |    md5(array_to_string(toks[pos+1:pos+$SubstrK], ' ')) AS wh FROM p),
+         |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+         |dwin AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)),
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos <= coalesce(max(pos+$SubstrK) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      CAST(-1 AS BIGINT)) THEN 0 ELSE 1 END AS ni
+         |  FROM dwin),
+         |isl2 AS (SELECT doc_id, pos,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+         |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos)+$SubstrK AS e
+         |  FROM isl2 GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(e - s) AS BIGINT) AS dup_tokens FROM spans GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+         |  CAST(len(t.toks) AS BIGINT) - coalesce(a.dup_tokens, 0)
+         |    AS clean_tokens
+         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d20_mixture_sample" -> mixtureSampleSql,
     // e04 recall gate: the Spark side measures IVF recall@10 against the
     // brute-force exact answer (e01's oracled formula); the oracle pins
@@ -1379,6 +1453,22 @@ object PipelineQueries {
         | FROM b)
         |SELECT min(ts) AS sstart, max(ts) + INTERVAL 30 MINUTE AS send,
         | user_id, count(*) AS n_events, round(sum(value), 2) AS total
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+    "ev04_stream_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, a.ts AS click_ts,
+        | b.ts AS purchase_ts, b.value
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND b.ts >= a.ts - INTERVAL 30 MINUTE
+        | AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |ORDER BY a.user_id, click_id, purchase_ts""".stripMargin,
+    "ev05_stream_anti" ->
+      """SELECT a.user_id, a.event_id AS click_id, a.ts AS click_ts
+        |FROM events a
+        |WHERE a.event_type = 'click' AND NOT EXISTS (
+        |  SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+        |    AND b.user_id = a.user_id
+        |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE)
+        |ORDER BY a.user_id, click_id""".stripMargin
   )
 }

@@ -1147,4 +1147,36 @@ class PipelineSpec extends AnyFunSuite {
     // the two computations can never collide on one artifact directory
     assert(base != dBase)
   }
+
+  test("substring dedup: duplicated windows merge into maximal spans " +
+      "(cross-doc, within-doc, adjacent-merge, gap-split, short-doc)") {
+    import spark.implicits._
+    val docs = Seq(
+      // cross-doc: "a b c d" shared with doc 2 → one span each
+      (1L, "a b c d e f"),
+      (2L, "x x a b c d y"),
+      // within-doc repetition alone duplicates its windows → whole doc
+      (3L, "p q r p q r p q r"),
+      // shorter than k: no windows, clean by definition
+      (4L, "z1 z2"),
+      // two duplicated windows with a gap stay TWO spans
+      (5L, "u v w m n o u v w"),
+      // duplicated windows at pos 0 and 3 are ADJACENT (end 3 = start 3)
+      // → one contiguous span [0,6)
+      (6L, "g h i j k l"),
+      (7L, "g h i q r s j k l")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 6L, 1L, 4L, 2L),   // span [0,4)
+      (2L, 7L, 1L, 4L, 3L),   // span [2,6)
+      (3L, 9L, 1L, 9L, 0L),   // every window duplicated → [0,9)
+      (4L, 2L, 0L, 0L, 2L),
+      (5L, 9L, 2L, 6L, 3L),   // [0,3) and [6,9) — gap keeps them apart
+      (6L, 6L, 1L, 6L, 0L),   // [0,3) + [3,6) merge (adjacent)
+      (7L, 9L, 2L, 6L, 3L)))  // [0,3) and [6,9)
+  }
 }
