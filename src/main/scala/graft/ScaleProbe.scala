@@ -462,6 +462,7 @@ object ScaleProbe {
       // factor and the per-user join state are the profiles that change
       // shape with corpus size
       "d22_substring_dedup" -> SparkEntry.queries("d22_substring_dedup"),
+      "d23_substring_clean" -> SparkEntry.queries("d23_substring_clean"),
       "ev04_stream_join" -> SparkEntry.queries("ev04_stream_join"),
       // r17: read-side pruning A/B on the same bucketed-layout economics
       "bprune_point_pruned" -> bpruneProbe(pruned = true),
@@ -513,7 +514,7 @@ object ScaleProbe {
           // r16: the bucket-scoped maintenance dividend is a >10× story
           "dml_save_full", "dml_save_bucketed",
           // r17: window-explode dedup + interval-join state at >10×
-          "d22_substring_dedup", "ev04_stream_join",
+          "d22_substring_dedup", "d23_substring_clean", "ev04_stream_join",
           // r17: so is the read-side pruning dividend
           "bprune_point_pruned", "bprune_point_full",
           "bprune_hop_pruned", "bprune_hop_full")

@@ -236,15 +236,47 @@ object Dedup {
     *    window — one shuffle keyed on the doc id, then the per-doc
     *    aggregations reuse that partitioning.
     */
-  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+  /** The removal pass of exact substring dedup: every token covered by a
+    * duplicated k-window (see [[substringSpans]]) is dropped; the doc's
+    * remaining tokens re-join single-spaced. Returns
+    * (idCol, n_kept, clean_text) for EVERY input document — a fully
+    * duplicated doc survives as an empty string (the caller's length
+    * filter decides its fate), and a doc shorter than k passes through
+    * whitespace-normalized.
+    *
+    * Scale: covered token indexes are an explode of duplicated windows
+    * by k (bounded by k× the duplicated-window count, not the corpus);
+    * the kept-token anti-join and the re-assembly group-by both key on
+    * the doc id — the same single-key shuffle profile as the span
+    * accounting.
+    */
+  def substringClean(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val kL = lit(k.toLong)
     val t = docs.select(col(idCol),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
-    // positions 0..len-k (docs shorter than k contribute no windows; the
-    // filter runs BEFORE sequence() so start>stop never builds a
-    // descending sequence)
+    val dupWins = duplicatedWindows(t, idCol, k)
+    val covered = dupWins.select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k.toLong - 1))).as("i"))
+      .distinct()
+    val tokPos = t.select(col(idCol), posexplode(col("__toks")).as(Seq("i", "tok")))
+      .select(col(idCol), col("i").cast("long").as("i"), col("tok"))
+    val kept = tokPos.join(covered, Seq(idCol, "i"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    t.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** (idCol, pos, wh) rows of the k-windows whose fingerprint occurs
+    * more than once in the corpus — shared core of [[substringSpans]]
+    * and [[substringClean]]. `t` carries (idCol, __toks).
+    */
+  private def duplicatedWindows(t: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val wins = t.filter(size(col("__toks")) >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - k),
@@ -252,7 +284,19 @@ object Dedup {
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("wh"))
     val dup = wins.groupBy(col("wh"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select("wh")
-    val dupWins = wins.join(dup, Seq("wh"), "left_semi")
+    wins.join(dup, Seq("wh"), "left_semi")
+  }
+
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kL = lit(k.toLong)
+    val t = docs.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // positions 0..len-k (docs shorter than k contribute no windows; the
+    // filter inside duplicatedWindows runs BEFORE sequence() so
+    // start>stop never builds a descending sequence)
+    val dupWins = duplicatedWindows(t, idCol, k)
     // interval merge: a window starts a new span iff its start lies
     // beyond every earlier window's end (running max over pos+k);
     // adjacent spans ([0,k) then [k,2k)) merge — a contiguous duplicated

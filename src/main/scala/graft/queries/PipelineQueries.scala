@@ -693,6 +693,16 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- substring REMOVAL (the cleaning pass d22 accounts for): drop
+    // every token covered by a duplicated k-window, re-join the rest
+    "d23_substring_clean" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.dedup.Dedup.substringClean(
+          Tables.documents(s, d).select($"doc_id", $"text"),
+          "doc_id", "text", k = SubstrK)
+        .orderBy($"doc_id")
+    }),
+
     // ---- multi-source mixture sampling: down-sample each source so the
     // kept token mass follows the target mixture (Sampling.mixtureSample
     // — hash-keyed ppm decisions, budget set by the binding source)
@@ -1335,6 +1345,32 @@ object PipelineQueries {
          |  CAST(len(t.toks) AS BIGINT) - coalesce(a.dup_tokens, 0)
          |    AS clean_tokens
          |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // d23: same duplicated-window core as d22; covered token indexes =
+    // window start + 0..k-1, kept tokens re-join single-spaced in
+    // position order
+    "d23_substring_clean" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks)-$SubstrK+1, 0)::BIGINT)) AS pos
+         |  FROM t),
+         |wins AS (SELECT doc_id, pos,
+         |    md5(array_to_string(toks[pos+1:pos+$SubstrK], ' ')) AS wh FROM p),
+         |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+         |dwin AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)),
+         |cov AS (SELECT DISTINCT doc_id, pos + u AS i
+         |  FROM dwin, range(0, $SubstrK) r(u)),
+         |tok AS (SELECT doc_id,
+         |    unnest(list_transform(toks, (x, xi) -> {'i': xi - 1, 'tok': x}))
+         |      AS s FROM t),
+         |kept AS (SELECT tp.doc_id, tp.s.i AS i, tp.s.tok AS tok
+         |  FROM tok tp WHERE NOT EXISTS (
+         |    SELECT 1 FROM cov c WHERE c.doc_id = tp.doc_id AND c.i = tp.s.i)),
+         |clean AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(c.n_kept, 0) AS n_kept,
+         |  coalesce(c.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN clean c USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d20_mixture_sample" -> mixtureSampleSql,
     // e04 recall gate: the Spark side measures IVF recall@10 against the
     // brute-force exact answer (e01's oracled formula); the oracle pins

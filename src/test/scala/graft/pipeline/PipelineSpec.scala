@@ -1178,5 +1178,19 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 9L, 2L, 6L, 3L),   // [0,3) and [6,9) — gap keeps them apart
       (6L, 6L, 1L, 6L, 0L),   // [0,3) + [3,6) merge (adjacent)
       (7L, 9L, 2L, 6L, 3L)))  // [0,3) and [6,9)
+
+    // the removal pass drops exactly the covered tokens and re-joins the
+    // survivors in position order; fully-duplicated docs become ""
+    val cleaned = Dedup.substringClean(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(cleaned.toSeq == Seq(
+      (1L, 2L, "e f"),
+      (2L, 3L, "x x y"),
+      (3L, 0L, ""),
+      (4L, 2L, "z1 z2"),      // below k: passes through normalized
+      (5L, 3L, "m n o"),
+      (6L, 0L, ""),
+      (7L, 3L, "q r s")))
   }
 }

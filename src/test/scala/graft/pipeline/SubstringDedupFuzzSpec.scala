@@ -71,6 +71,33 @@ class SubstringDedupFuzzSpec extends AnyFunSuite {
           r.getLong(4))).toSeq
       val want = model(docs, k)
       assert(got == want, s"k=$k diverged\n got=$got\nwant=$want")
+
+      // the removal pass against the same model's covered-index set
+      val gotClean = Dedup.substringClean(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      val wantClean = cleanModel(docs, k)
+      assert(gotClean == wantClean,
+        s"k=$k clean diverged\n got=$gotClean\nwant=$wantClean")
     }
+  }
+
+  /** Removal-pass model: drop tokens covered by any duplicated window. */
+  private def cleanModel(docs: Seq[(Long, String)],
+      k: Int): Seq[(Long, Long, String)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val wins: Seq[(Long, Int, String)] = toks.flatMap { case (id, ts) =>
+      (0 to ts.length - k).map(i => (id, i, ts.slice(i, i + k).mkString(" ")))
+    }
+    val dupSet = wins.groupBy(_._3).filter(_._2.size > 1).keySet
+    val covByDoc = wins.filter(w => dupSet.contains(w._3))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(w => w._2 until w._2 + k).toSet).toMap
+    toks.map { case (id, ts) =>
+      val cov = covByDoc.getOrElse(id, Set.empty)
+      val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+      (id, kept.size.toLong, kept.mkString(" "))
+    }.sortBy(_._1)
   }
 }
