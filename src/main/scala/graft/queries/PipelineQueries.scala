@@ -703,6 +703,15 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // ---- corpus vocabulary with cumulative coverage (tokenizer prep):
+    // top-100 tokens by frequency + running corpus-coverage fraction
+    "d24_vocab_coverage" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      graft.text.CorpusStats.vocabCoverage(
+          Tables.documents(s, d).select($"text"), "text", topN = 100)
+        .orderBy($"rank")
+    }),
+
     // ---- multi-source mixture sampling: down-sample each source so the
     // kept token mass follows the target mixture (Sampling.mixtureSample
     // — hash-keyed ppm decisions, budget set by the binding source)
@@ -1371,6 +1380,19 @@ object PipelineQueries {
          |SELECT t.doc_id, coalesce(c.n_kept, 0) AS n_kept,
          |  coalesce(c.clean_text, '') AS clean_text
          |FROM t LEFT JOIN clean c USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // d24: rank ties break by token text; coverage is the exact double
+    // division of two integer counts (no rounding needed — IEEE-stable)
+    "d24_vocab_coverage" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY token),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c),
+         |r AS (SELECT token, n,
+         |    row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, token, n,
+         |  CAST(sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+         |    AS DOUBLE) / (SELECT t FROM tot) AS coverage
+         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "d20_mixture_sample" -> mixtureSampleSql,
     // e04 recall gate: the Spark side measures IVF recall@10 against the
     // brute-force exact answer (e01's oracled formula); the oracle pins

@@ -75,4 +75,36 @@ object CorpusStats {
       .select(col(idCol), col(sourceCol), col("src_docs"),
         col("src_avg_tokens"))
   }
+
+  /** Corpus vocabulary with cumulative coverage — the tokenizer-prep
+    * statistic: the `topN` most frequent tokens, each with its count,
+    * corpus frequency, and the running coverage fraction of the corpus
+    * a vocabulary truncated at that rank would reach. Rank ties break
+    * by token text, so the output is deterministic on any engine.
+    *
+    * Scale: one explode + hash-aggregate on the token (map-side partial
+    * combine does the heavy lifting — distinct tokens, not corpus
+    * tokens, cross the wire). Top-N runs as TakeOrderedAndProject
+    * (distributed per-partition heaps, never a global sort), so the
+    * single-partition ranking window only ever sees N rows — the
+    * full-vocabulary frame is never single-partitioned at any corpus
+    * size.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(topN)
+    val rankW = Window.orderBy(col("n").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(rankW))
+      // exact long-count division (no rounding): IEEE double division of
+      // two integer-valued operands is deterministic across engines
+      .withColumn("coverage",
+        sum(col("n")).over(rankW.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("__t").cast("double"))
+      .select(col("rank").cast("long").as("rank"), col("token"), col("n"),
+        col("coverage"))
+  }
 }

@@ -1193,4 +1193,19 @@ class PipelineSpec extends AnyFunSuite {
       (6L, 0L, ""),
       (7L, 3L, "q r s")))
   }
+
+  test("vocab coverage: frequency ranks, text tie-break, exact running " +
+      "coverage, top-N truncation") {
+    import spark.implicits._
+    val docs = Seq("b a", "a b c d").toDF("text")
+    // counts: a=2, b=2, c=1, d=1; total 6; ties (a,b) and (c,d) break
+    // by token text
+    val got = graft.text.CorpusStats.vocabCoverage(docs, "text", topN = 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 2L, 2.0 / 6),
+      (2L, "b", 2L, 4.0 / 6),
+      (3L, "c", 1L, 5.0 / 6)))   // d truncated by topN
+  }
 }
