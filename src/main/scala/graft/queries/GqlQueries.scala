@@ -533,6 +533,39 @@ object GqlQueries {
           |WHERE c.id = 7
           |RETURN count(p) AS n, min(o.totalprice) AS lo,
           |       max(o.totalprice) AS hi""".stripMargin)
+    }),
+
+    // The STRING-keyed bucket-scoped DML save loop (string ids are the
+    // reference's native id type, storage/types.rs:68-72): same shape as
+    // gql32 but the customer label's identity is a zero-padded string id
+    // and the bucketed index keys on it — boundaries sample as string
+    // quantiles, persist URL-escaped, and the incremental save's
+    // touched-key mapping compares in UTF8 order. Pins end to end that
+    // string-id graphs get the same O(touched buckets) maintenance as
+    // numeric ones (the r16 verdict's second watch).
+    "gql35_string_bucket_dml" -> ((s: SparkSession, d: String) => {
+      import graft.graph.PropertyGraph
+      import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+      val g = TpchGraph.build(s, d)
+      val cust = g.nodeTables("customer").withColumn("id",
+        concat(lit("C"), lpad(col("id").cast("string"), 6, "0")))
+      val sub = new PropertyGraph(Map("customer" -> cust), Map.empty)
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /sdml")
+      sess.execute("CREATE GRAPH INDEX sdml_id ON nodes_customer (id)")
+      sess.execute("ALTER INDEX sdml_id SET OPTION buckets = 8")
+      sess.saveGraphAs("/sdml/cust", force = true) // string-bucketed layout
+      val t = gls.session("driver").useGraph("/sdml/cust")
+      t.execute(
+        "MATCH (c:customer) WHERE c.id <= 'C000100' SET c.acctbal = 0.0")
+      t.execute("MATCH (c:customer {id: 'C000150'}) DETACH DELETE c")
+      t.saveGraphAs("/sdml/cust") // incremental -> string bucket-scoped
+      gls.session("driver").useGraph("/sdml/cust")
+        .gql("""MATCH (c:customer)
+          |RETURN c.mktsegment AS seg, count(c) AS n,
+          |       min(c.acctbal) AS lo, max(c.acctbal) AS hi
+          |ORDER BY seg""".stripMargin)
     })
   )
 
@@ -772,6 +805,14 @@ object GqlQueries {
     "gql34_seeded_hop" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         | min(o_totalprice) AS lo, max(o_totalprice) AS hi
-        |FROM orders WHERE o_custkey = 7""".stripMargin
+        |FROM orders WHERE o_custkey = 7""".stripMargin,
+    // gql35: 'C' || lpad(custkey, 6, '0') <= 'C000100' in UTF8 order is
+    // exactly custkey <= 100 for the zero-padded encoding
+    "gql35_string_bucket_dml" ->
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        | min(CASE WHEN c_custkey <= 100 THEN 0.0 ELSE c_acctbal END) AS lo,
+        | max(CASE WHEN c_custkey <= 100 THEN 0.0 ELSE c_acctbal END) AS hi
+        |FROM customer WHERE c_custkey <> 150
+        |GROUP BY 1 ORDER BY seg""".stripMargin
   )
 }
