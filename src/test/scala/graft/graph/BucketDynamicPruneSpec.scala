@@ -114,6 +114,42 @@ class BucketDynamicPruneSpec extends AnyFunSuite {
       s"left outer must keep every unmatched acct row: $withRule")
   }
 
+  test("chained two-hop: TWO bucketed targets inject without nesting " +
+      "subqueries, results equal the unpruned plan") {
+    // ((e1[src=K] ⋈ n) ⋈ e2) — both n (nodes on id) and e2 (edges on
+    // src) are bucketed targets; the rule's build plans are captured
+    // from the PRE-injection opposite sides, so neither pruning
+    // subquery may contain the other (nested DPP would fail planning
+    // or double-execute). Pins plan validity + result equality.
+    val (acct, own) = fixture()
+    val own2 = own.select(col("eid").as("eid2"), col("src").as("src2"),
+      col("dst").as("dst2"))
+    def q() = own.filter(col("src") === 9L)
+      .join(acct, col("dst") === col("id"))
+      .join(own2, col("id") === col("src2"))
+      .agg(count(lit(1)).as("n"), sum(col("dst2")).as("sd"))
+    val a = q().collect().toSeq
+    BucketDynamicPrune.enabled = false
+    val b = try q().collect().toSeq
+      finally BucketDynamicPrune.enabled = true
+    assert(a == b, s"chained: $a vs $b")
+    // the injected subqueries must not nest: no DynamicPruningSubquery
+    // whose build query itself contains one
+    import org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery
+    val optimized = q().queryExecution.optimizedPlan
+    val dpps = optimized.collect { case p =>
+      p.expressions.flatMap(_.collect { case d: DynamicPruningSubquery => d })
+    }.flatten
+    assert(dpps.nonEmpty, "expected at least one injected pruning subquery")
+    dpps.foreach { d =>
+      val nested = d.buildQuery.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case n: DynamicPruningSubquery => n })
+      }.flatten
+      assert(nested.isEmpty, s"nested pruning subquery: $d")
+    }
+  }
+
   test("randomized A/B: dynamic pruning never changes join results") {
     val (acct, own) = fixture()
     val rnd = new scala.util.Random(
