@@ -242,7 +242,9 @@ object Dedup {
     * (idCol, n_kept, clean_text) for EVERY input document — a fully
     * duplicated doc survives as an empty string (the caller's length
     * filter decides its fate), and a doc shorter than k passes through
-    * whitespace-normalized.
+    * whitespace-normalized. Zero-length tokens are dropped after
+    * tokenization, so blank/whitespace-only docs report n_kept=0 (not
+    * the phantom single empty token `split` would otherwise produce).
     *
     * Scale: covered token indexes are an explode of duplicated windows
     * by k (bounded by k× the duplicated-window count, not the corpus);
@@ -258,8 +260,12 @@ object Dedup {
     val covered = dupWins.select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(k.toLong - 1))).as("i"))
       .distinct()
+    // length filter AFTER posexplode: the only zero-length token
+    // split() can emit is the single [""] of a blank doc, so covered
+    // indexes (positions in the original array) stay aligned
     val tokPos = t.select(col(idCol), posexplode(col("__toks")).as(Seq("i", "tok")))
       .select(col(idCol), col("i").cast("long").as("i"), col("tok"))
+      .filter(length(col("tok")) > 0)
     val kept = tokPos.join(covered, Seq(idCol, "i"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),

@@ -816,7 +816,7 @@ object PipelineQueries {
       EventPipeline.streamStreamJoin(
           ev.filter($"event_type" === "click"),
           ev.filter($"event_type" === "purchase"))
-        .orderBy($"user_id", $"click_id", $"purchase_ts")
+        .orderBy($"user_id", $"click_id", $"purchase_ts", $"value")
     }),
 
     // ---- stream-stream ANTI join via watermarked LEFT OUTER + NULL
@@ -1372,7 +1372,7 @@ object PipelineQueries {
          |    unnest(list_transform(toks, (x, xi) -> {'i': xi - 1, 'tok': x}))
          |      AS s FROM t),
          |kept AS (SELECT tp.doc_id, tp.s.i AS i, tp.s.tok AS tok
-         |  FROM tok tp WHERE NOT EXISTS (
+         |  FROM tok tp WHERE len(tp.s.tok) > 0 AND NOT EXISTS (
          |    SELECT 1 FROM cov c WHERE c.doc_id = tp.doc_id AND c.i = tp.s.i)),
          |clean AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
          |    string_agg(tok, ' ' ORDER BY i) AS clean_text
@@ -1519,7 +1519,7 @@ object PipelineQueries {
         | AND b.ts >= a.ts - INTERVAL 30 MINUTE
         | AND b.ts <= a.ts + INTERVAL 30 MINUTE
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
-        |ORDER BY a.user_id, click_id, purchase_ts""".stripMargin,
+        |ORDER BY a.user_id, click_id, purchase_ts, b.value""".stripMargin,
     "ev05_stream_anti" ->
       """SELECT a.user_id, a.event_id AS click_id, a.ts AS click_ts
         |FROM events a

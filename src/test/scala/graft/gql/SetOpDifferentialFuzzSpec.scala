@@ -110,25 +110,50 @@ class SetOpDifferentialFuzzSpec extends AnyFunSuite {
       val ls = Vector.fill(n)(leaves(rnd.nextInt(leaves.size)))
       val chain = Vector.fill(n - 1)(
         (ops(rnd.nextInt(3)), rnd.nextBoolean()))
-      // occasionally parenthesize the FIRST two leaves as a group —
-      // same value as left-assoc, but exercises the group-operand path
-      val group = n >= 3 && rnd.nextInt(3) == 0
-      val gql = {
-        val parts = ls.map(leafGql)
-        val head =
-          if (group)
-            s"(${parts(0)} ${chain(0)._1}${if (chain(0)._2) " ALL" else ""} ${parts(1)})"
-          else parts(0)
-        val startIdx = if (group) 1 else 0
-        (startIdx until n - 1).foldLeft(head) { (acc, i) =>
-          s"$acc ${chain(i)._1}${if (chain(i)._2) " ALL" else ""} ${parts(i + 1)}"
-        }
+      // occasionally parenthesize a pair as a group. Leading-pair
+      // groups ((A op B) op C) exercise the group-operand path but are
+      // value-identical to the bare left-assoc chain; TRAILING-pair
+      // groups (A op (B op C)) actually re-associate — e.g.
+      // A EXCEPT (B UNION C) ≠ (A EXCEPT B) UNION C — so an engine
+      // that silently dropped parentheses diverges from the model here
+      val groupMode =
+        if (n >= 3) rnd.nextInt(4) else 0 // 0,1=none 2=lead 3=tail
+      def opTxt(i: Int) =
+        s"${chain(i)._1}${if (chain(i)._2) " ALL" else ""}"
+      val parts = ls.map(leafGql)
+      val gql = groupMode match {
+        case 2 => // ((L0 op0 L1) op1 L2 …) — same value as ungrouped
+          val head = s"(${parts(0)} ${opTxt(0)} ${parts(1)})"
+          (1 until n - 1).foldLeft(head) { (acc, i) =>
+            s"$acc ${opTxt(i)} ${parts(i + 1)}"
+          }
+        case 3 => // L0 op0 … op_{n-3} (L_{n-2} op_{n-2} L_{n-1})
+          val prefix = (0 until n - 3).foldLeft(parts(0)) { (acc, i) =>
+            s"$acc ${opTxt(i)} ${parts(i + 1)}"
+          }
+          val grp =
+            s"(${parts(n - 2)} ${opTxt(n - 2)} ${parts(n - 1)})"
+          s"$prefix ${opTxt(n - 3)} $grp"
+        case _ =>
+          (0 until n - 1).foldLeft(parts(0)) { (acc, i) =>
+            s"$acc ${opTxt(i)} ${parts(i + 1)}"
+          }
       }
       val want = {
         val ms = ls.map(l => counts(leafModel(l)))
-        (0 until n - 1).foldLeft(ms.head) { (acc, i) =>
-          applyOp(chain(i)._1, chain(i)._2, acc, ms(i + 1))
-        }
+        if (groupMode == 3) {
+          // fold with the matching tree shape: the trailing pair
+          // combines FIRST, then joins the left-assoc prefix
+          val grp = applyOp(chain(n - 2)._1, chain(n - 2)._2,
+            ms(n - 2), ms(n - 1))
+          val prefix = (0 until n - 3).foldLeft(ms.head) { (acc, i) =>
+            applyOp(chain(i)._1, chain(i)._2, acc, ms(i + 1))
+          }
+          applyOp(chain(n - 3)._1, chain(n - 3)._2, prefix, grp)
+        } else
+          (0 until n - 1).foldLeft(ms.head) { (acc, i) =>
+            applyOp(chain(i)._1, chain(i)._2, acc, ms(i + 1))
+          }
       }
       val got = counts(sess.gql(gql).collect().toSeq.map { r =>
         (if (r.isNullAt(0)) None else Some(r.getLong(0)),

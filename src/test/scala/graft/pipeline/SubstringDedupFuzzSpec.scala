@@ -96,7 +96,11 @@ class SubstringDedupFuzzSpec extends AnyFunSuite {
       .mapValues(_.flatMap(w => w._2 until w._2 + k).toSet).toMap
     toks.map { case (id, ts) =>
       val cov = covByDoc.getOrElse(id, Set.empty)
-      val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+      // zero-length tokens dropped, mirroring the engine: a blank doc
+      // keeps 0 tokens, not the phantom [""] of split-on-blank
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !cov(i) && t.nonEmpty => t
+      }
       (id, kept.size.toLong, kept.mkString(" "))
     }.sortBy(_._1)
   }
