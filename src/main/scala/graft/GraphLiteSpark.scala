@@ -2156,6 +2156,13 @@ final class GqlSession(private[graft] val gls: GraphLiteSpark, val user: String)
     * the parsed GQL AST, the pre-Catalyst join tree the compiler built
     * (the analyzed logical plan, before any optimizer rule has run),
     * the Catalyst-optimized logical plan, and the final physical plan.
+    *
+    * Plan-only by construction: this compile runs WITHOUT the subquery
+    * cache, so an uncorrelated scalar subquery shows its lazy
+    * crossJoin(broadcast(…)) shape and EXPLAIN never launches a Spark
+    * job — where the executed statement (RESULT_CACHE ON) may instead
+    * inline the memoized scalar as a literal. The shapes are
+    * value-equivalent; CacheSpec pins the zero-job property.
     */
   def explain(query: String): String = {
     def timed[A](body: => A): (A, Double) = {

@@ -1644,6 +1644,11 @@ final class Compiler(graph: PropertyGraph,
               // values) — a $param-dependent subquery re-evaluates when
               // the binding changes; NOW()-style subqueries skip the
               // memo entirely (nonDeterministic guard above).
+              // Plan-only flows stay job-free: GqlSession.explain
+              // compiles WITHOUT the cache (subqueries = None), so only
+              // an EXECUTED statement ever reaches this collect — the
+              // r17 watch item about EXPLAIN triggering execution is a
+              // non-path by construction (pinned in CacheSpec).
               val (v, dt) = sc.getOrCompute((q, params, f64Numbers), epoch) {
                 val row = inner.select(outCol(c1)).limit(1).collect().headOption
                 (row.map(_.get(0)).orNull, inner.schema(c1).dataType)

@@ -156,7 +156,10 @@ object Analytics {
     val vertices = g.nodeTables(nodeLabel).select(col("id"))
     val raw = g.edgeTables(edgeLabel)._2
     val directed = raw.select(col("src"), col("dst"))
-    val edgeCount = directed.count()
+    // no per-call count job on large graphs: statistics that already
+    // prove the edge frame over the limit skip straight to the
+    // distributed pointer-jumping loop (PropertyGraph.edgeCountOrBig)
+    val edgeCount = g.edgeCountOrBig(edgeLabel, localEdgeLimit)
 
     // Small-edge-set fast path: once the edge list fits comfortably on the
     // driver (≤2M pairs ≈ 32 MB), a single collect + union-find with path

@@ -78,6 +78,68 @@ final class PropertyGraph(
   def nodeCount(label: String): Long =
     nodeCountCache.getOrElseUpdate(label, nodeTables(label).count())
 
+  /** Memoized exact edge count per label — same contract as
+    * [[nodeCount]]: paid at most once per label per graph instance.
+    */
+  @transient private[graph] lazy val edgeCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  def edgeCount(label: String): Long =
+    edgeCountCache.getOrElseUpdate(label, edgeTables(label)._2.count())
+
+  /** Sentinel for "statistics already prove this edge frame is larger
+    * than the traversal's local-fast-path limit" — callers treat it as
+    * an over-limit count and go straight to the distributed loop.
+    */
+  val EdgeCountBig: Long = Long.MaxValue
+
+  /** Edge count for a traversal's local-fast-path gate WITHOUT paying a
+    * per-call count job on large graphs. Order of evidence:
+    *
+    *  1. a memoized exact count (free);
+    *  2. Catalyst statistics of the projected (src, dst) frame — when
+    *     they already put the frame well past `limit` (4× slack absorbs
+    *     parquet compression skewing bytes-per-row low), return
+    *     [[EdgeCountBig]] with ZERO jobs run. At warehouse scale this
+    *     is the common case: a seeded traversal over a 10^10-edge graph
+    *     must not pay a full pass over the edge frame just to learn it
+    *     cannot be collected to the driver;
+    *  3. otherwise the frame is small-or-unknown (in-memory test graphs
+    *     plan as LogicalRDDs whose default stats are the UNKNOWN
+    *     sentinel, never "proven big") — the exact count is then cheap,
+    *     runs once, and memoizes.
+    *
+    * The stats arm can only over-estimate toward the distributed path
+    * (e.g. an edge table carrying megabyte binary properties inflates
+    * the projected width estimate) — a wrong answer costs cluster-shaped
+    * execution on a collectible graph, never a driver OOM.
+    */
+  def edgeCountOrBig(label: String, limit: Long): Long =
+    edgeCountCache.get(label) match {
+      case Some(n) => n
+      case None =>
+        val projected = edgeTables(label)._2.select(col("src"), col("dst"))
+        if (statsProveRowsOver(projected, 4L * math.max(limit, 1L)))
+          EdgeCountBig
+        else edgeCount(label)
+    }
+
+  /** True only on affirmative statistics evidence that `df` has more
+    * than `rows` rows: a CBO row count, or a KNOWN sizeInBytes (strictly
+    * below the conf's unknown-stats default) at a conservative 24 B/row.
+    * Unknown statistics return false — the caller falls back to exact
+    * counting rather than guessing.
+    */
+  private def statsProveRowsOver(df: DataFrame, rows: Long): Boolean = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount match {
+      case Some(rc) => rc > BigInt(rows)
+      case None =>
+        val unknown =
+          BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+        st.sizeInBytes < unknown && st.sizeInBytes / 24 > BigInt(rows)
+    }
+  }
+
   /** Node tables whose ESTIMATED BYTES fit under this limit get an
     * explicit broadcast hint when joined against edge frames (~100 MB —
     * the point where a 1000-executor shuffle of the big side costs far
@@ -472,7 +534,14 @@ final class PropertyGraph(
     val sourcesT =
       if (sources.schema("root_id").dataType == idType) sources
       else sources.select(col("root_id").cast(idType).as("root_id"))
-    val edgeCount = e0.count()
+    // gate WITHOUT a per-call count job on large graphs: statistics that
+    // already prove the frame over the limit skip straight to the
+    // distributed loop (edgeCountOrBig); Both counts each edge twice
+    val rawCount = edgeCountOrBig(edgeLabel, localEdgeLimit)
+    val edgeCount =
+      if (rawCount == EdgeCountBig) EdgeCountBig
+      else if (direction == Direction.Both) 2L * rawCount
+      else rawCount
 
     // Small-edge-set fast path (same gate family as
     // Analytics.connectedComponents): once the oriented edge list fits on

@@ -175,6 +175,37 @@ class CacheSpec extends AnyFunSuite {
     assert(l2.collect().map(_.getString(0)).toSet == Set("s1", "s2"))
   }
 
+  test("EXPLAIN of a cached-subquery statement launches zero Spark jobs") {
+    val s = freshSession()
+    s.execute("SESSION SET RESULT_CACHE ON")
+    val q = "MATCH (a:Account) WHERE a.balance > " +
+      "(MATCH (b:Account) RETURN avg(b.balance)) RETURN count(a) AS n"
+    // warm compile-time memos (anchor rowcounts etc.) on an unrelated
+    // statement so only the subquery path is under the job counter
+    s.explain("MATCH (a:Account) RETURN count(a) AS n")
+    val sc = SparkFixture.spark.sparkContext
+    org.apache.spark.GraftTestAccess.drainListenerBus(sc)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(l)
+    try {
+      val trace = s.explain(q)
+      org.apache.spark.GraftTestAccess.drainListenerBus(sc)
+      // the plan-only compile takes the LAZY subquery arm — the trace
+      // shows the join-shaped plan and no job ever ran
+      assert(jobs.get() == 0,
+        s"EXPLAIN launched ${jobs.get()} job(s); must be plan-only")
+      assert(trace.contains("Physical plan"))
+    } finally sc.removeSparkListener(l)
+    // and the EXECUTED statement still gets the memoized-literal win
+    val n = s.execute(q).collect().head.getLong(0)
+    assert(n > 0)
+  }
+
   test("read-only CALLs do not invalidate the result cache") {
     val s = freshSession()
     s.execute("SESSION SET RESULT_CACHE ON")
