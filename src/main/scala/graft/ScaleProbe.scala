@@ -320,6 +320,49 @@ object ScaleProbe {
     s.range(n).toDF("n")
   }
 
+  /** Seeded VAR-LENGTH traversal over a 16-bucket NEXT-chain edge label
+    * (r18, verdict #1): the path loop's per-level frontier-driven
+    * pruning A/B. With pruning on, every level's edge scan lists and
+    * reads only the frontier's bucket directories (the read_rows of the
+    * warm pass track the frontier, not |E| × levels); off, each level
+    * re-reads the full edge label. The NEXT chain keeps the frontier at
+    * one node per level, the hardest case for the full path (4 complete
+    * passes) and the best for the pruned one (4 single-directory reads).
+    */
+  private def bpruneVarPathProbe(pruned: Boolean)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.graph.PropertyGraph
+    val wh = "/tmp/graft-bprune-vpath-" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val gls = GraphLiteSpark.open(s, wh)
+    val marker = new java.io.File(s"$wh/.setup_done")
+    if (!marker.exists()) {
+      val g = graft.graph.TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer")),
+        Map("NEXT" -> g.edgeTables("NEXT")))
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
+      sess.execute("CREATE GRAPH INDEX vpix ON edges_NEXT (src)")
+      sess.execute("ALTER INDEX vpix SET OPTION buckets = 16")
+      // node label bucketed too: the traversal's destination join then
+      // prunes at runtime (BucketDynamicPrune), so the A/B isolates the
+      // loop's per-level edge reads instead of a fixed full node scan
+      sess.execute("CREATE GRAPH INDEX vpix_n ON nodes_customer (id)")
+      sess.execute("ALTER INDEX vpix_n SET OPTION buckets = 16")
+      sess.saveGraphAs("/probe/bprunevp", force = true)
+      marker.createNewFile()
+    }
+    val sess = bpSessions.getOrElseUpdate(wh,
+      gls.session("driver").useGraph("/probe/bprunevp"))
+    val prev = graft.plans.BucketPrune.enabled
+    graft.plans.BucketPrune.enabled = pruned
+    val n =
+      try sess.gql("MATCH (c:customer {id: 100})-[:NEXT*1..4]->(d:customer) " +
+          "RETURN count(d) AS n, min(d.id) AS lo").count()
+      finally graft.plans.BucketPrune.enabled = prev
+    s.range(n).toDF("n")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nCopies = if (args.length > 2) args(2).toInt else 10
@@ -470,6 +513,9 @@ object ScaleProbe {
       // r17: the traversal variant — seeded hop through a bucketed edge label
       "bprune_hop_pruned" -> bpruneHopProbe(pruned = true),
       "bprune_hop_full" -> bpruneHopProbe(pruned = false),
+      // r18: the var-length loop's per-level pruning (verdict #1)
+      "bprune_varpath_pruned" -> bpruneVarPathProbe(pruned = true),
+      "bprune_varpath_full" -> bpruneVarPathProbe(pruned = false),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -517,7 +563,9 @@ object ScaleProbe {
           "d22_substring_dedup", "d23_substring_clean", "ev04_stream_join",
           // r17: so is the read-side pruning dividend
           "bprune_point_pruned", "bprune_point_full",
-          "bprune_hop_pruned", "bprune_hop_full")
+          "bprune_hop_pruned", "bprune_hop_full",
+          // r18: per-level var-path pruning dividend is a >10× story too
+          "bprune_varpath_pruned", "bprune_varpath_full")
           .contains(n)
       }
 

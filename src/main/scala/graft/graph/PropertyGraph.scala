@@ -471,9 +471,59 @@ final class PropertyGraph(
       case Direction.Both => raw.select(col("src"), col("dst"), col("eid"))
         .unionAll(raw.select(col("dst").as("src"), col("src").as("dst"), col("eid")))
     }).select(col("src"), col("dst"), col("eid"))
-    // materialize once when iterating multiple hops — a derived edge
-    // frame would otherwise recompute per hop
-    val e = if (cap >= 2) e0.localCheckpoint(true) else e0
+
+    // Frontier-driven bucket pruning (r17 verdict #1): over a persisted
+    // graph whose edge table is range-bucketed ON the oriented join key
+    // (edges_<label> clustered on `src` for Out, `dst` for In — after
+    // orientation either is this frame's `src`), each level's edge scan
+    // need only read the bucket directories the CURRENT frontier's end
+    // ids can join into — the warehouse analog of the reference's
+    // adjacency-index fetch (graph_cache.rs:16-38), applied per
+    // traversal level instead of joining the full edge table `cap`
+    // times. `pruning` flips off at runtime if the frontier saturates
+    // more than half the buckets (an unseeded traversal), falling back
+    // to the one-time full-edge checkpoint below.
+    var pruning: Option[graft.plans.BucketPrune.Spec] =
+      if (!graft.plans.BucketPrune.enabled) None
+      else origin.flatMap { dir =>
+        graft.plans.BucketPrune.specForPath(s"$dir/edges_$edgeLabel")
+      }.filter { spec =>
+        val oriented = direction match {
+          case Direction.Out => spec.keyCol == "src"
+          case Direction.In  => spec.keyCol == "dst"
+          case Direction.Both => false // two orientations, one clustered key
+        }
+        import org.apache.spark.sql.types.StringType
+        val endT = e0.schema("dst").dataType
+        oriented && (spec.stringKey == (endT == StringType)) &&
+          (spec.stringKey ||
+            endT.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      }
+    val pruneTrace = Seq.newBuilder[(Set[Int], String)]
+
+    // full-edge materialization for the unpruned loop — LAZY so a fully
+    // pruned traversal never pays the O(|E|) checkpoint at all
+    lazy val eFull = if (cap >= 2) e0.localCheckpoint(true) else e0
+
+    /** This level's edge frame: the full checkpoint, or the bucket
+      * directories the frontier can reach. The range filter is IMPLIED
+      * by the join (a row outside every frontier bucket cannot
+      * equi-match), and [[graft.plans.BucketPrune]] rewrites it into an
+      * `__ixb` partition filter on the scan.
+      */
+    var levelIds: Set[Int] = Set.empty
+    def edgeFor(frontier: DataFrame): DataFrame = pruning match {
+      case None => eFull
+      case Some(spec) =>
+        val ids = frontier
+          .select(spec.bucketIdCol(col("end_id")).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        levelIds = ids
+        if (ids.size * 2 > spec.buckets) {
+          pruning = None // saturated — full checkpoint serves the rest
+          eFull
+        } else e0.filter(spec.touchedRangeCol(col("src"), ids))
+    }
 
     var frontier = start.select(
       col("start_id"), col("start_id").as("end_id"),
@@ -483,6 +533,7 @@ final class PropertyGraph(
     var acc = if (minHops == 0) frontier else frontier.limit(0)
     var k = 1
     while (k <= cap) {
+      val e = edgeFor(frontier)
       val step = frontier.join(e, frontier("end_id") === e("src"))
       val legal = semantics match {
         case PathSemantics.Walk  => step
@@ -497,9 +548,18 @@ final class PropertyGraph(
         (col("depth") + 1).as("depth"),
         concat(col("path"), array(col("dst"))).as("path"),
         concat(col("epath"), array(col("eid"))).as("epath"))
+      if (pruning.isDefined) {
+        // materialize the level: the next level's bucket-set collect and
+        // the union below both reuse it instead of re-running the join
+        // chain; stats reset via checkpointReset (see Analytics scaladoc)
+        val qe = frontier.queryExecution
+        frontier = Analytics.checkpointReset(frontier)._1
+        pruneTrace += ((levelIds, qe.executedPlan.toString))
+      }
       if (k >= minHops) acc = acc.unionByName(frontier)
       k += 1
     }
+    PropertyGraph.lastPathPrune = pruneTrace.result()
     // epath (the per-path edge-id array) is exposed on request so a mixed
     // rigid+quantified TRAIL chain can enforce edge-distinctness across
     // segment boundaries (executor.rs:6623-6641 revisit rules)
@@ -739,4 +799,14 @@ object PropertyGraph {
     * full clustered rewrite is cheaper than analyzing the chain.
     */
   private[graph] val touchedKeyDepthCap = 64
+
+  /** Diagnostic trace of the LAST [[PropertyGraph.paths]] call's
+    * frontier-driven bucket pruning: one `(bucketIds, executedPlan)`
+    * pair per pruned level (empty when the edge table is not bucketed
+    * or pruning saturated before the first level). Read by PlanAudit
+    * and PathBucketPruneSpec to pin that each level's scan really
+    * carried an `__ixb` partition filter; volatile single-slot — a
+    * debugging/audit hook, not an API.
+    */
+  @volatile var lastPathPrune: Seq[(Set[Int], String)] = Seq.empty
 }

@@ -56,6 +56,49 @@ object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
     def buckets: Int =
       (if (stringKey) strBounds.length else numBounds.length) + 1
     def last: Int = buckets - 1
+
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{lit, when}
+
+    private def boundCols: Seq[Column] =
+      if (stringKey) strBounds.toSeq.map(b => lit(b.toString))
+      else numBounds.toSeq.map(lit(_))
+
+    /** This spec's bucket id of a key COLUMN — the Column-API mirror of
+      * [[GraphCatalog]]'s build-time `bucketExpr` (first boundary with
+      * key <= bound wins; NULL and NaN fall through to the last
+      * bucket). Numeric keys compare in the double domain like the
+      * layout's double boundary literals; string keys compare in
+      * Spark's native UTF8 binary order.
+      */
+    def bucketIdCol(c: Column): Column = {
+      val key = if (stringKey) c else c.cast("double")
+      boundCols.zipWithIndex.reverse.foldLeft(lit(last): Column) {
+        case (acc, (b, i)) => when(key <= b, lit(i)).otherwise(acc)
+      }
+    }
+
+    /** Pushable key predicate equivalent to `bucketIdCol(c) ∈ ids` —
+      * each touched bucket's explicit range, OR-ed, plus IS NULL when
+      * the last bucket is touched (same construction as
+      * GraphCatalog.touchedRangePred, from this spec's boundaries).
+      * Being plain comparisons on the clustered key, the ranges push
+      * to parquet row-group stats AND [[BucketPrune]] maps the
+      * disjunction to an `__ixb` partition filter — a frontier-derived
+      * bucket set becomes an O(touched directories) scan. An empty set
+      * yields `false` (an empty frontier reads nothing).
+      */
+    def touchedRangeCol(c: Column, ids: Set[Int]): Column =
+      if (ids.isEmpty) lit(false)
+      else {
+        val bs = boundCols
+        ids.toSeq.sorted.map { k =>
+          if (k == 0 && last == 0) lit(true) // single-bucket layout
+          else if (k == 0) c <= bs(0)
+          else if (k == last) (c > bs(last - 1)) || c.isNull
+          else (c > bs(k - 1)) && (c <= bs(k))
+        }.reduce(_ || _)
+      }
   }
 
   // canonical dataset-dir path -> spec; populated by GraphCatalog.loadGraph
@@ -83,8 +126,10 @@ object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
   private[plans] def registryEmpty: Boolean = registry.isEmpty
 
   /** Spec registered for a dataset directory, if any — shared with
-    * [[BucketDynamicPrune]], which matches relations inside joins. */
-  private[plans] def specForPath(p: String): Option[Spec] =
+    * [[BucketDynamicPrune]] (relations inside joins) and with
+    * [[graft.graph.PropertyGraph]]'s var-length path loop (per-level
+    * frontier-driven pruning of a bucketed edge table). */
+  private[graft] def specForPath(p: String): Option[Spec] =
     registry.get(canonical(p))
 
   private def canonical(p: String): String = {

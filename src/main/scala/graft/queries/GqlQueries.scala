@@ -535,6 +535,34 @@ object GqlQueries {
           |       max(o.totalprice) AS hi""".stripMargin)
     }),
 
+    // r18: frontier-driven bucket pruning through the VAR-LENGTH path
+    // loop (r17 verdict #1) on the oracle board: the NEXT chain's edge
+    // table persists range-bucketed on `src`, and a seeded *1..4
+    // traversal's every level reads only the bucket directories the
+    // current frontier can join into (PropertyGraph.paths per-level
+    // pruning; PathBucketPruneSpec + PlanAudit pin the per-level __ixb
+    // filters; this query pins the RESULT end to end on the DuckDB
+    // oracle). The reference serves this from its in-memory adjacency
+    // index (graph_cache.rs:16-38) — at warehouse scale the same
+    // economics come from the layout + the frontier's bucket set.
+    "gql36_varpath_pruned" -> ((s: SparkSession, d: String) => {
+      import graft.graph.PropertyGraph
+      val g = TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer")),
+        Map("NEXT" -> g.edgeTables("NEXT")))
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /bprune")
+      sess.execute("CREATE GRAPH INDEX vp_src ON edges_NEXT (src)")
+      sess.execute("ALTER INDEX vp_src SET OPTION buckets = 8")
+      sess.saveGraphAs("/bprune/chain", force = true)
+      gls.session("driver").useGraph("/bprune/chain")
+        .gql("""MATCH (c:customer {id: 100})-[:NEXT*1..4]->(d:customer)
+          |RETURN count(d) AS n, min(d.id) AS lo, max(d.id) AS hi,
+          |       min(d.acctbal) AS bal""".stripMargin)
+    }),
+
     // The STRING-keyed bucket-scoped DML save loop (string ids are the
     // reference's native id type, storage/types.rs:68-72): same shape as
     // gql32 but the customer label's identity is a zero-padded string id
@@ -806,6 +834,28 @@ object GqlQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n,
         | min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders WHERE o_custkey = 7""".stripMargin,
+    // gql36: WALK enumeration over the out-degree-<=1 NEXT chain = the
+    // UNION ALL of the 1..4-hop join chains (no DISTINCT — one row per
+    // path, matching ISO-GQL enumeration); NULL lead() ends break the
+    // chains on both engines identically
+    "gql36_varpath_pruned" ->
+      """WITH e AS (SELECT c_custkey AS src,
+        |  lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
+        | FROM customer),
+        |h AS (
+        | SELECT e1.dst AS id FROM e e1 WHERE e1.src = 100
+        | UNION ALL
+        | SELECT e2.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst WHERE e1.src = 100
+        | UNION ALL
+        | SELECT e3.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e2.dst WHERE e1.src = 100
+        | UNION ALL
+        | SELECT e4.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e2.dst JOIN e e4 ON e4.src = e3.dst
+        |  WHERE e1.src = 100)
+        |SELECT CAST(count(*) AS BIGINT) AS n, min(c.c_custkey) AS lo,
+        | max(c.c_custkey) AS hi, min(c.c_acctbal) AS bal
+        |FROM h JOIN customer c ON c.c_custkey = h.id""".stripMargin,
     // gql35: 'C' || lpad(custkey, 6, '0') <= 'C000100' in UTF8 order is
     // exactly custkey <= 100 for the zero-padded encoding
     "gql35_string_bucket_dml" ->
