@@ -484,6 +484,33 @@ object PipelineQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // ---- cross-run NEAR dedup (r18, verdict #2 — the last spec-only
+    // pipeline leg boarded): run 1 commits its LSH bucket + shingle
+    // state; run 2's admissions then reflect BOTH the within-batch
+    // MinHash/LSH/Jaccard drops and the bucket-join against run 1's
+    // persisted SURVIVOR state. The batch construction plants both drop
+    // classes deterministically: ids 1000000+x duplicate run-1 docs
+    // (state drops), ids 2000000+x duplicate run-2 docs (in-batch
+    // drops, higher id of each confirmed pair loses). The oracle
+    // re-derives the whole two-run flow from the d08 formula.
+    "d25_incremental_near" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val state = scratchDir("graft-incnear")
+      val run2 = docs.filter($"doc_id" >= 250)
+        .unionByName(docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        .unionByName(docs.filter($"doc_id" >= 250 && $"doc_id" < 270)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      graft.dedup.IncrementalDedup.dedupeNear(
+        docs.filter($"doc_id" < 250), "doc_id", "text", state,
+        n = 3, numHashes = 32, bands = 8, tau = 0.7).count()
+      graft.dedup.IncrementalDedup.dedupeNear(
+          run2, "doc_id", "text", state,
+          n = 3, numHashes = 32, bands = 8, tau = 0.7)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // ---- streaming ingestion dedup (batch mode — the degradation IS
     // the oracle contract, same as ev01-03): commit the first half as
     // batch history, then run the streaming front door over the full
@@ -962,6 +989,63 @@ object PipelineQueries {
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** d25 oracle: the TWO-RUN near-dedup flow re-derived end to end from
+    * the d08 formula — run-1 survivors first (within-run LSH candidates
+    * + exact Jaccard, the higher id of each confirmed pair drops), then
+    * run 2 against both itself and run-1's survivor state (bucket join
+    * to s1's band buckets, confirmed by Jaccard against s1's shingle
+    * sets — exactly what IncrementalDedup.dedupeNear persists and
+    * probes). Ids are globally unique across runs by construction, so
+    * the shared signature CTEs serve both runs.
+    */
+  private val incNearSql: String = {
+    val perms32 = Dedup.permutations(32)
+    val sig = perms32.map { case (a, b) =>
+      s"list_min(list_transform(h30, h -> (h * $a + $b) % ${Dedup.MinhashPrime}))"
+    }.mkString("[", ", ", "]")
+    val bucket = hash60Sql(
+      "CAST(to_json(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4)) AS VARCHAR)")
+    val jac = "CAST(len(list_intersect(x.h30, y.h30)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_cat(x.h30, y.h30))) AS DOUBLE)"
+    s"""WITH base AS (
+       |  SELECT doc_id, text, 1 AS run FROM documents WHERE doc_id < 250
+       |  UNION ALL
+       |  SELECT doc_id, text, 2 FROM documents WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, 2 FROM documents WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text, 2 FROM documents
+       |    WHERE doc_id >= 250 AND doc_id < 270),
+       |t AS (SELECT doc_id, run, $toksSql AS toks FROM base),
+       |sh AS (SELECT doc_id, run, ${shingleCaseSql(ShingleN)} AS shs FROM t),
+       |hs AS (SELECT doc_id, run, list_distinct(list_transform(shs,
+       |  sg -> ${hash60Sql("sg")} % 1073741824)) AS h30 FROM sh),
+       |sg AS (SELECT doc_id, run, h30, $sig AS sig FROM hs),
+       |banded AS (SELECT doc_id, run, b.band AS band, $bucket AS bucket
+       |  FROM sg CROSS JOIN range(8) AS b(band)),
+       |cand AS (SELECT DISTINCT l.run AS run, l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.bucket = r.bucket
+       |   AND l.doc_id < r.doc_id AND l.run = r.run),
+       |dropped AS (SELECT DISTINCT cand.run AS run, id_b FROM cand
+       |  JOIN sg x ON x.doc_id = id_a JOIN sg y ON y.doc_id = id_b
+       |  WHERE $jac >= 0.7),
+       |s1 AS (SELECT doc_id FROM base WHERE run = 1
+       |  AND doc_id NOT IN (SELECT id_b FROM dropped WHERE run = 1)),
+       |k2 AS (SELECT doc_id FROM base WHERE run = 2
+       |  AND doc_id NOT IN (SELECT id_b FROM dropped WHERE run = 2)),
+       |stdrop AS (SELECT DISTINCT n.doc_id
+       |  FROM banded n JOIN banded o
+       |    ON n.band = o.band AND n.bucket = o.bucket
+       |  JOIN sg x ON x.doc_id = n.doc_id JOIN sg y ON y.doc_id = o.doc_id
+       |  WHERE n.doc_id IN (SELECT doc_id FROM k2)
+       |    AND o.doc_id IN (SELECT doc_id FROM s1)
+       |    AND $jac >= 0.7)
+       |SELECT doc_id FROM k2
+       |WHERE doc_id NOT IN (SELECT doc_id FROM stdrop)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** d11 oracle: connected components over the verified pair set,
     * re-derived with a recursive label-propagation CTE — each node's
     * cluster id is the minimum id reachable through the (symmetrized)
@@ -1234,6 +1318,7 @@ object PipelineQueries {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM f p WHERE p.doc_id < 250 AND p.fp = k.fp)
          |ORDER BY fp""".stripMargin,
+    "d25_incremental_near" -> incNearSql,
     "d12_stratified_split" -> stratSampleSql,
     "d13_contamination" -> contaminationSql,
     // d15: identical PII injection + the same 3-stage regex chain
