@@ -212,7 +212,21 @@ object ScaleProbe {
     }
     val t = gls.session("driver").useGraph(s"/probe/dml_$variant")
     t.execute("MATCH (o:orders {id: 7}) SET o.totalprice = 1.0")
+    val t0 = System.nanoTime()
     t.saveGraphAs(s"/probe/dml_$variant") // incremental maintenance save
+    val reload0 = System.nanoTime()
+    // cold reload: the third leg of the warehouse-write class (the
+    // gql32/34/35 rows all pay it after their saves)
+    gls.session("driver").useGraph(s"/probe/dml_$variant")
+      .gql("MATCH (o:orders {id: 7}) RETURN count(o) AS n").count()
+    val reloadS = (System.nanoTime() - reload0) / 1e9
+    // stage decomposition (r17 #5): one line per measured save, so a
+    // write-path regression names its stage — write (bucket_scoped vs
+    // full), clean-dataset hard-link, swap rename, reload
+    val st = graft.graph.GraphCatalog.lastSaveStages
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+    println(f"""{"stage_probe":"dml_save_$variant","save_total":${
+      (reload0 - t0) / 1e9}%.3f,$st,"reload_query":$reloadS%.3f}""")
     t.gql("MATCH (o:orders {id: 7}) RETURN count(o) AS n")
   }
 

@@ -127,6 +127,18 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       if (incremental) g.dirty.get
       else g.nodeTables.keySet.map(l => s"nodes_$l") ++
         g.edgeTables.keySet.map(l => s"edges_$l")
+    // per-stage wall clock of THIS save, published to
+    // [[GraphCatalog.lastSaveStages]] — the warehouse-write board rows
+    // (gql32/34/35 class) are parquet-rewrite-dominated, and a future
+    // write-path regression should name its stage (staging write vs
+    // hard-link vs swap) instead of moving an opaque total (r17 #5)
+    val stages = Seq.newBuilder[(String, Double)]
+    def staged[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      stages += ((label, (System.nanoTime() - t0) / 1e9))
+      r
+    }
     Files.createDirectories(Paths.get(staging))
     val datasets: Seq[(String, DataFrame)] =
       g.nodeTables.toSeq.map { case (l, df) => (s"nodes_$l", df) } ++
@@ -160,13 +172,18 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
         // buckets and hard-link the rest — O(touched buckets) instead
         // of O(table), the incremental-maintenance economics of
         // [[reclusterBuckets]] applied at the copy-on-write boundary
-        if (!(incremental && writeBucketScoped(ds, t, dir, staging, g)))
-          writeClustered(ds, t, s"$staging/$ds")
+        val t0 = System.nanoTime()
+        val scoped = incremental && writeBucketScoped(ds, t, dir, staging, g)
+        if (!scoped) writeClustered(ds, t, s"$staging/$ds")
+        stages += ((s"write:$ds:${if (scoped) "bucket_scoped" else "full"}",
+          (System.nanoTime() - t0) / 1e9))
       }
     }
-    datasets.foreach { case (ds, _) =>
-      if (!dirtySet.contains(ds))
-        linkTree(Paths.get(s"$dir/$ds"), Paths.get(s"$staging/$ds"))
+    staged("link_clean") {
+      datasets.foreach { case (ds, _) =>
+        if (!dirtySet.contains(ds))
+          linkTree(Paths.get(s"$dir/$ds"), Paths.get(s"$staging/$ds"))
+      }
     }
     val meta = g.edgeTables.map { case (label, (et, _)) =>
       s"$label\t${et.srcLabel}\t${et.dstLabel}"
@@ -177,10 +194,11 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     // (a torn _meta would read as a COMPLETE staging with corrupt edge
     // metadata and get rolled forward)
     writeAtomic(Paths.get(s"$staging/_meta"), meta)
-    commitSwap(dir, staging)
+    staged("swap")(commitSwap(dir, staging))
     // the swap replaced this path's files — drop any pruning specs keyed
     // under it; the next loadGraph re-registers from current options
     graft.plans.BucketPrune.invalidateUnder(dir)
+    GraphCatalog.lastSaveStages = stages.result()
   }
 
   /** Promote `staging` to the live directory by rename-aside — the same
@@ -1121,4 +1139,15 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     }.toMap
     new PropertyGraph(merge(a.nodeTables, b.nodeTables), edges)
   }
+}
+
+object GraphCatalog {
+  /** Per-stage wall clock of the LAST [[GraphCatalog.saveGraph]] on this
+    * JVM: `(label, seconds)` rows — `write:<dataset>:<bucket_scoped|full>`
+    * per dirty dataset, `link_clean` for the hard-link pass, `swap` for
+    * the rename-aside promotion. Diagnostic single-slot (same contract
+    * as PropertyGraph.lastPathPrune): ScaleProbe's dml_save rows print
+    * it so a warehouse-write regression names its stage.
+    */
+  @volatile var lastSaveStages: Seq[(String, Double)] = Seq.empty
 }
