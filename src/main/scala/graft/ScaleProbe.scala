@@ -183,10 +183,21 @@ object ScaleProbe {
     * variant) so repeated measurement passes time only the maintenance
     * operation.
     */
-  private def dmlSaveProbe(buckets: Int)(
+  /** `mutateIndexed = true` SETs the clustered key itself (totalprice)
+    * — the worst case: the post-mutation range filter cannot push
+    * through the copy-on-write CASE projection, so the maintenance READ
+    * is O(table) even though the write stays O(touched buckets).
+    * `false` SETs a non-indexed property — the common case the layout
+    * optimizes: the key column passes through the projection untouched,
+    * the range pred pushes to the live bucketed scan, and read AND
+    * write are both O(touched buckets).
+    */
+  private def dmlSaveProbe(buckets: Int, mutateIndexed: Boolean = true,
+      keyOnId: Boolean = false)(
       s: SparkSession, d: String): DataFrame = {
     import graft.graph.PropertyGraph
-    val variant = if (buckets > 0) "bucketed" else "full"
+    val variant = (if (buckets > 0) "bucketed" else "full") +
+      (if (keyOnId) "_id" else if (mutateIndexed) "" else "_prop")
     val wh = "/tmp/graft-dml-save-probe-" + variant + "-" +
       d.replaceAll("[^A-Za-z0-9]", "_")
     val gls = GraphLiteSpark.open(s, wh)
@@ -204,14 +215,21 @@ object ScaleProbe {
         .useGraph(new PropertyGraph(Map("orders" -> ord), Map.empty))
       sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
       sess.saveGraphAs(s"/probe/dml_$variant", force = true)
-      sess.execute(s"CREATE GRAPH INDEX dmlix_$variant ON nodes_orders (totalprice)")
+      // keyOnId clusters on the IDENTITY column (the gql32/35 board-row
+      // shape): the touched-key discovery then pushes to the live
+      // layout too, making the whole maintenance pass O(touched
+      // buckets) — read, discovery, and write
+      sess.execute(s"CREATE GRAPH INDEX dmlix_$variant ON nodes_orders " +
+        (if (keyOnId) "(id)" else "(totalprice)"))
       if (buckets > 0)
         sess.execute(s"ALTER INDEX dmlix_$variant SET OPTION buckets = $buckets")
       sess.execute(s"OPTIMIZE INDEX dmlix_$variant")
       marker.createNewFile()
     }
     val t = gls.session("driver").useGraph(s"/probe/dml_$variant")
-    t.execute("MATCH (o:orders {id: 7}) SET o.totalprice = 1.0")
+    t.execute(if (mutateIndexed)
+      "MATCH (o:orders {id: 7}) SET o.totalprice = 1.0"
+    else "MATCH (o:orders {id: 7}) SET o.status = 'Z'")
     val t0 = System.nanoTime()
     t.saveGraphAs(s"/probe/dml_$variant") // incremental maintenance save
     val reload0 = System.nanoTime()
@@ -377,6 +395,31 @@ object ScaleProbe {
     s.range(n).toDF("n")
   }
 
+  /** Seeded distributed-BFS A/B over the same 16-bucket NEXT chain
+    * (r18): the bfs loop's per-level frontier pruning vs the one-time
+    * full-edge checkpoint. `localEdgeLimit = 0` forces the distributed
+    * loop at every tier — the path a warehouse-scale graph takes.
+    */
+  private def bpruneBfsProbe(pruned: Boolean)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.graph.PropertyGraph
+    val wh = "/tmp/graft-bprune-vpath-" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val gls = GraphLiteSpark.open(s, wh)
+    val marker = new java.io.File(s"$wh/.setup_done")
+    if (!marker.exists()) { // shared fixture with bpruneVarPathProbe
+      bpruneVarPathProbe(pruned)(s, d)
+    }
+    import s.implicits._
+    val lg = gls.catalog.loadGraph("probe", "bprunevp")
+    val prev = graft.plans.BucketPrune.enabled
+    graft.plans.BucketPrune.enabled = pruned
+    val n =
+      try lg.bfs(Seq(100L).toDF("root_id"), "NEXT", maxIter = 6,
+        localEdgeLimit = 0L).count()
+      finally graft.plans.BucketPrune.enabled = prev
+    s.range(n).toDF("n")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nCopies = if (args.length > 2) args(2).toInt else 10
@@ -514,6 +557,16 @@ object ScaleProbe {
       // so the measured passes time only the DML + maintenance save.
       "dml_save_full" -> dmlSaveProbe(buckets = 0),
       "dml_save_bucketed" -> dmlSaveProbe(buckets = 16),
+      // r18: the common case — DML on a NON-indexed property, where the
+      // touched-range read pushes to the live bucketed scan and the
+      // whole maintenance pass is O(touched buckets), read and write
+      "dml_save_bucketed_prop" ->
+        dmlSaveProbe(buckets = 16, mutateIndexed = false),
+      // r18: the gql32/35 board-row shape — layout keyed on the IDENTITY
+      // column, DML on a property: discovery, read, and write are all
+      // O(touched buckets)
+      "dml_save_bucketed_id" ->
+        dmlSaveProbe(buckets = 16, mutateIndexed = false, keyOnId = true),
       // r17: substring dedup (window-fingerprint explode + compact-key
       // group-by) and the stream-stream interval join — the explode
       // factor and the per-user join state are the profiles that change
@@ -530,6 +583,9 @@ object ScaleProbe {
       // r18: the var-length loop's per-level pruning (verdict #1)
       "bprune_varpath_pruned" -> bpruneVarPathProbe(pruned = true),
       "bprune_varpath_full" -> bpruneVarPathProbe(pruned = false),
+      // r18: the distributed-BFS loop's per-level pruning
+      "bprune_bfs_pruned" -> bpruneBfsProbe(pruned = true),
+      "bprune_bfs_full" -> bpruneBfsProbe(pruned = false),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -572,14 +628,16 @@ object ScaleProbe {
           "gql19_save_fact", "gql29_hop_dml", "gql30_edge_dml",
           "e03_pair_build", "e03_stage_buckets", "e03_stage_cand",
           // r16: the bucket-scoped maintenance dividend is a >10× story
-          "dml_save_full", "dml_save_bucketed",
+          "dml_save_full", "dml_save_bucketed", "dml_save_bucketed_prop",
+          "dml_save_bucketed_id",
           // r17: window-explode dedup + interval-join state at >10×
           "d22_substring_dedup", "d23_substring_clean", "ev04_stream_join",
           // r17: so is the read-side pruning dividend
           "bprune_point_pruned", "bprune_point_full",
           "bprune_hop_pruned", "bprune_hop_full",
-          // r18: per-level var-path pruning dividend is a >10× story too
-          "bprune_varpath_pruned", "bprune_varpath_full")
+          // r18: per-level var-path/bfs pruning dividend is a >10× story
+          "bprune_varpath_pruned", "bprune_varpath_full",
+          "bprune_bfs_pruned", "bprune_bfs_full")
           .contains(n)
       }
 

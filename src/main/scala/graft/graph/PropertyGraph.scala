@@ -594,6 +594,7 @@ final class PropertyGraph(
     val sourcesT =
       if (sources.schema("root_id").dataType == idType) sources
       else sources.select(col("root_id").cast(idType).as("root_id"))
+    PropertyGraph.lastBfsPrune = Seq.empty // local path leaves no trace
     // gate WITHOUT a per-call count job on large graphs: statistics that
     // already prove the frame over the limit skip straight to the
     // distributed loop (edgeCountOrBig); Both counts each edge twice
@@ -692,10 +693,58 @@ final class PropertyGraph(
       "spark.sql.adaptive.enabled").foreach { key =>
       sess.conf.getOption(key).foreach(work.conf.set(key, _))
     }
-    // checkpoint the edge frame ONCE, on the work session the loop runs
-    // on — a derived edge frame (e.g. built from a window function)
-    // would otherwise recompute on every BFS level
-    val e = work.createDataFrame(e0.rdd, e0.schema).localCheckpoint(true)
+    // Frontier-driven bucket pruning (same machinery as [[paths]]): a
+    // SEEDED reachability query over a bucketed persisted edge table
+    // reads only the frontier's bucket directories per level instead of
+    // materializing the full edge frame once — the warehouse analog of
+    // the reference's adjacency-index BFS (graph_cache.rs:16-38,
+    // physical.rs:42-67 FindNeighbors/IsReachable). Saturation (frontier
+    // touching > half the buckets — the unseeded whole-graph case)
+    // flips to the one-time full checkpoint below.
+    var pruning: Option[graft.plans.BucketPrune.Spec] =
+      if (!graft.plans.BucketPrune.enabled) None
+      else origin.flatMap { dir =>
+        graft.plans.BucketPrune.specForPath(s"$dir/edges_$edgeLabel")
+      }.filter { spec =>
+        val oriented = direction match {
+          case Direction.Out => spec.keyCol == "src"
+          case Direction.In  => spec.keyCol == "dst"
+          case Direction.Both => false
+        }
+        import org.apache.spark.sql.types.{NumericType, StringType}
+        oriented && (spec.stringKey == (idType == StringType)) &&
+          (spec.stringKey || idType.isInstanceOf[NumericType])
+      }
+    val bfsTrace = Seq.newBuilder[Set[Int]]
+
+    // checkpoint the full edge frame at most ONCE, on the work session
+    // the loop runs on (a derived edge frame would otherwise recompute
+    // per level) — LAZY so a fully pruned traversal never pays the
+    // O(|E|) materialization at all
+    var eFullRef: Option[DataFrame] = None
+    def eFull: DataFrame = eFullRef.getOrElse {
+      val m = work.createDataFrame(e0.rdd, e0.schema).localCheckpoint(true)
+      eFullRef = Some(m); m
+    }
+
+    /** This level's edge frame: the frontier's touched-bucket ranges
+      * (pushed to the parquet scan; rewritten to an `__ixb` partition
+      * filter by BucketPrune) or the full checkpoint. The frontier is
+      * always a checkpointed frame here, so the bucket collect is a
+      * cheap cached-read job.
+      */
+    def eFor(f: DataFrame): DataFrame = pruning match {
+      case None => eFull
+      case Some(spec) =>
+        val ids = f.select(spec.bucketIdCol(col("id")).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        bfsTrace += ids
+        if (ids.size * 2 > spec.buckets) {
+          pruning = None
+          eFull
+        } else work.createDataFrame(
+          e0.filter(spec.touchedRangeCol(col("src"), ids)).rdd, e0.schema)
+    }
     // one BFS per DISTINCT root — the local fast path dedups duplicate
     // root_ids, so the distributed loop must agree on duplicate inputs
     val src0 = sourcesT.select(col("root_id")).distinct()
@@ -711,6 +760,7 @@ final class PropertyGraph(
     // checkpoints stays linear, and Catalyst's exchange reuse shares the
     // level-1 subplan between the union's two branches.
     def expand(f: DataFrame, dist: Int, alsoVisited: Option[DataFrame]): DataFrame = {
+      val e = eFor(f)
       var nx = f.join(e, f("id") === e("src"))
         .select(col("root_id"), col("dst").as("id"), lit(dist.toLong).as("dist"))
         .distinct()
@@ -733,7 +783,12 @@ final class PropertyGraph(
     var visitedCp: DataFrame = visited
     var prevMat: Option[DataFrame] = None
     while (k <= maxIter && !done) {
-      val steps = math.min(2, maxIter - k + 1)
+      // one level per materialization while pruning: the 2-step batch's
+      // second expand would run its bucket collect against a LAZY f1
+      // (re-executing the first join); with pruned per-level reads the
+      // checkpoint is no longer the dominant cost, so simpler wins
+      val steps =
+        if (pruning.isDefined) 1 else math.min(2, maxIter - k + 1)
       val f1 = expand(frontier, k, None)
       val batch =
         if (steps == 2) f1.unionByName(expand(f1, k + 1, Some(f1)))
@@ -754,8 +809,9 @@ final class PropertyGraph(
       }
       k += steps
     }
-    Analytics.unpersistCheckpoint(e)
+    eFullRef.foreach(Analytics.unpersistCheckpoint)
     prevMat.foreach(Analytics.unpersistCheckpoint)
+    PropertyGraph.lastBfsPrune = bfsTrace.result()
     // re-bind onto the caller's session so results compose with its
     // frames; the final `visited` checkpoint stays alive — the returned
     // frame reads its blocks lazily
@@ -809,4 +865,11 @@ object PropertyGraph {
     * debugging/audit hook, not an API.
     */
   @volatile var lastPathPrune: Seq[(Set[Int], String)] = Seq.empty
+
+  /** Same contract for the DISTRIBUTED [[PropertyGraph.bfs]] loop: the
+    * bucket set each pruned level's edge scan was restricted to (empty
+    * when the local fast path ran, the table is unbucketed, or pruning
+    * saturated before the first level).
+    */
+  @volatile var lastBfsPrune: Seq[Set[Int]] = Seq.empty
 }

@@ -96,6 +96,40 @@ class PathBucketPruneSpec extends AnyFunSuite {
       (1L to 3L).map(d => (20L - d, d)).toSet)
   }
 
+  test("distributed bfs prunes each level to the frontier's buckets " +
+      "and agrees with local + unpruned runs") {
+    import spark.implicits._
+    val g = chainFixture()
+    def rows(limit: Long) =
+      g.bfs(Seq(10L).toDF("root_id"), "nx", maxIter = 5,
+          localEdgeLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = rows(0L) // force the distributed loop
+    val trace = PropertyGraph.lastBfsPrune
+    assert(trace.nonEmpty && trace.forall(_.size == 1),
+      s"expected 1-bucket levels, got $trace")
+    assert(dist == (0L to 5L).map(d => (10L, 10L + d, d)).toSet)
+    assert(rows(2000000L) == dist) // local adjacency path agrees
+    graft.plans.BucketPrune.enabled = false
+    try assert(rows(0L) == dist) // unpruned distributed loop agrees
+    finally graft.plans.BucketPrune.enabled = true
+    assert(PropertyGraph.lastBfsPrune.isEmpty)
+  }
+
+  test("unseeded distributed bfs saturates the bfs gate and falls back") {
+    import spark.implicits._
+    val g = chainFixture()
+    val roots = (1L to 2000L).toDF("root_id")
+    val n = g.bfs(roots, "nx", maxIter = 1, localEdgeLimit = 0L).count()
+    // first-level frontier covers all 8 buckets → trace stops at the
+    // saturating collect (recorded once, then the full checkpoint runs)
+    assert(PropertyGraph.lastBfsPrune.size <= 1)
+    graft.plans.BucketPrune.enabled = false
+    try assert(g.bfs(roots, "nx", maxIter = 1, localEdgeLimit = 0L)
+      .count() == n)
+    finally graft.plans.BucketPrune.enabled = true
+  }
+
   test("pruned vs unpruned parity on random graphs across semantics " +
       "(seeded mini-fuzz)") {
     import spark.implicits._
