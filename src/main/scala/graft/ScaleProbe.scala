@@ -574,6 +574,9 @@ object ScaleProbe {
       "d22_substring_dedup" -> SparkEntry.queries("d22_substring_dedup"),
       "d23_substring_clean" -> SparkEntry.queries("d23_substring_clean"),
       "ev04_stream_join" -> SparkEntry.queries("ev04_stream_join"),
+      // r18: cross-run NEAR dedup — run 2's bucket join against run 1's
+      // persisted survivor state is the leg that grows with state size
+      "d25_incremental_near" -> SparkEntry.queries("d25_incremental_near"),
       // r17: read-side pruning A/B on the same bucketed-layout economics
       "bprune_point_pruned" -> bpruneProbe(pruned = true),
       "bprune_point_full" -> bpruneProbe(pruned = false),
@@ -632,6 +635,7 @@ object ScaleProbe {
           "dml_save_bucketed_id",
           // r17: window-explode dedup + interval-join state at >10×
           "d22_substring_dedup", "d23_substring_clean", "ev04_stream_join",
+          "d25_incremental_near",
           // r17: so is the read-side pruning dividend
           "bprune_point_pruned", "bprune_point_full",
           "bprune_hop_pruned", "bprune_hop_full",

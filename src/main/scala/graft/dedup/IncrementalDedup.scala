@@ -243,11 +243,25 @@ object IncrementalDedup {
     val bucketsPath = s"$statePath/buckets"
     val shinglesPath = s"$statePath/shingles"
 
-    // one md5 pass per doc; everything downstream reads the materialized
-    // (id, shingles, sig) frame
+    // one md5 pass per doc, then EXACT-duplicate shingle sets collapse
+    // to their min id BEFORE the LSH join; everything downstream reads
+    // the single materialized representative frame. The collapse is
+    // bit-equivalent to the pair rule: identical sets share every band
+    // bucket (minhash is a set function) and confirm at jaccard exactly
+    // 1 >= tau, so every non-minimum group member drops no matter what
+    // else is in the batch, and the minimum's fate against OTHER
+    // sets/state depends only on its set — which the representative
+    // carries. Without it, a corpus with a large exact-duplicate group
+    // (the NORM in production dedup corpora) is a clique in the
+    // candidate join: one (band, bucket) key holding the whole group
+    // turns into a single ~|group|²-pair straggler task. One window
+    // shuffle on the sorted set, folded into the same materialization.
     val sigs = batch.select(col(idCol).as("id"),
         Dedup.shingleHashes(col(textCol), n).as("shingles"))
       .withColumn("sig", Dedup.minhashFromHashes(col("shingles"), numHashes))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(array_sort(col("shingles"))).orderBy(col("id"))))
+      .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint(true)
     val newBuckets = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)),
