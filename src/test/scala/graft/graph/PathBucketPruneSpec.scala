@@ -130,6 +130,34 @@ class PathBucketPruneSpec extends AnyFunSuite {
     finally graft.plans.BucketPrune.enabled = true
   }
 
+  test("GQL var-length route reaches the pruned loop (compiler wiring, " +
+      "gql36's shape)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-pathbp-gql").toString
+    val gls = graft.GraphLiteSpark.open(spark, wh)
+    val nodes = (1L to 4000L).toDF("id")
+    val edges = (1L until 4000L).map(i => (i, i + 1, i)).toDF("src", "dst", "eid")
+    val g = new PropertyGraph(Map("n" -> nodes),
+      Map("NX" -> (EdgeType("NX", "n", "n"), edges)))
+    val sess = gls.session("driver").useGraph(g)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS /pbq")
+    sess.execute("CREATE GRAPH INDEX pbq_src ON edges_NX (src)")
+    sess.execute("ALTER INDEX pbq_src SET OPTION buckets = 8")
+    sess.saveGraphAs("/pbq/chain", force = true)
+    val q = gls.session("driver").useGraph("/pbq/chain")
+    val rows = q.gql("MATCH (a:n {id: 10})-[:NX*1..4]->(b:n) " +
+        "RETURN count(b) AS c, min(b.id) AS lo, max(b.id) AS hi")
+      .collect().head
+    assert((rows.getLong(0), rows.getLong(1), rows.getLong(2)) ==
+      (4L, 11L, 14L))
+    // the compiled var-length hop must have run the PRUNED loop — a
+    // silent wiring regression (e.g. the session handing paths() a
+    // graph without its origin) would pass on values but fail here
+    val trace = PropertyGraph.lastPathPrune
+    assert(trace.size == 4 && trace.forall(_._1.size == 1),
+      s"GQL route lost per-level pruning: ${trace.map(_._1)}")
+  }
+
   test("pruned vs unpruned parity on random graphs across semantics " +
       "(seeded mini-fuzz)") {
     import spark.implicits._
