@@ -13,9 +13,19 @@ import graft.text.TextAnalysis
   * State layout (append-only parquet — a batch commit appends files, it
   * never rewrites history; at 100 TB the state grows by the survivors of
   * each batch only):
-  *  - `<state>/exact`     (fp: long)            — exact fingerprints
+  *  - `<state>/exact`     (fp, rid)             — exact fingerprints +
+  *    committing id (rid, string; NULL in pre-r18 files = always-drop)
   *  - `<state>/shingles`  (id, shingles)        — accepted docs' shingle sets
   *  - `<state>/buckets`   (id, band, bucket)    — accepted docs' LSH buckets
+  *
+  * Crash/retry contract: the returned admissions materialize BEFORE any
+  * state append, and the history probe never lets a doc's OWN committed
+  * entry suppress it — so re-running a batch whose process died at ANY
+  * point (before, between, or after the appends) returns the same
+  * admissions the failed attempt would have, and the duplicate state
+  * rows it may re-append are semantically inert (every probe is
+  * DISTINCT-folded) until [[compactState]] folds them away. Requires
+  * ids unique across different batches.
   *
   * Both entry points materialize the survivor set BEFORE appending it to
   * the state, so the returned DataFrame stays stable however often the
@@ -42,6 +52,17 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     recoverCompaction(statePath)
     val path = s"$statePath/exact"
+    // RETRY IDEMPOTENCE (r18): state rows carry the committing doc's id
+    // (as string — stable across callers' id types), and the history
+    // drop rule excludes a doc's OWN committed row. A batch whose
+    // process died after the state append can then simply be re-run:
+    // its docs match only their own entries and are re-admitted with
+    // the same result the crashed attempt would have returned — no
+    // "ghost suppression" where a fingerprint lives in state but its
+    // document surfaced in no successful run's output. Requires ids
+    // unique across DIFFERENT batches (the existing contract). Legacy
+    // state files lack the id column; their rows read as NULL and drop
+    // every probe (the old always-drop behavior).
     // v2 sidecar: keys are xxhash64(fp), built DISTRIBUTED by Spark's
     // BloomFilterAggregate and probed by the native BloomFilterMightContain
     // predicate (codegen stage, no Scala UDF, no driver-side build). The
@@ -66,7 +87,19 @@ object IncrementalDedup {
         "probing skipped — raise spark.sql.optimizer.runtime.bloomFilter." +
         "maxNumItems/maxNumBits to restore the pre-filter at this corpus size")
     if (hasHistory) {
-      val history = spark.read.parquet(path).select(col("fp").as("__fp"))
+      // mergeSchema: appends may mix legacy (fp) and current (fp, rid)
+      // footers; a missing rid column reads as NULL (always-drop)
+      val history0 = spark.read.option("mergeSchema", "true").parquet(path)
+      val history = (if (history0.columns.contains("rid")) history0
+        else history0.withColumn("rid", lit(null).cast("string")))
+        .select(col("fp").as("__hfp"), col("rid").as("__rid"))
+      // drop iff some history row carries this fingerprint under a
+      // DIFFERENT (or legacy-unknown) id — a doc's own committed row
+      // does not suppress its retry
+      def dropRule(b: DataFrame) =
+        b.join(history, b("__fp") === col("__hfp") &&
+          (col("__rid").isNull ||
+            col("__rid") =!= b(idCol).cast("string")), "left_anti")
       keep =
         if (Files.exists(bloomPath) && !bloomSaturated) {
           val bytes = Files.readAllBytes(bloomPath)
@@ -77,10 +110,9 @@ object IncrementalDedup {
           val mightSeen =
             graft.functions.BloomFunctions.mightContain(spark, bytes, col("__fp"))
           val novel = batchKeep.filter(!mightSeen)
-          val candidates = batchKeep.filter(mightSeen)
-            .join(history, Seq("__fp"), "left_anti")
+          val candidates = dropRule(batchKeep.filter(mightSeen))
           novel.unionByName(candidates)
-        } else batchKeep.join(history, Seq("__fp"), "left_anti")
+        } else dropRule(batchKeep)
     }
     val out = keep.localCheckpoint(true)
     // Bloom invariants:
@@ -165,7 +197,9 @@ object IncrementalDedup {
         saveBloomMeta(bloomPath, newMeta._1, newMeta._2)
       }
     }
-    out.select(col("__fp").as("fp")).write.mode("append").parquet(path)
+    out.select(col("__fp").as("fp"),
+        col(idCol).cast("string").as("rid"))
+      .write.mode("append").parquet(path)
     out.drop("__fp")
   }
 
@@ -286,6 +320,11 @@ object IncrementalDedup {
         .select(col("id").as("old_id"), col("shingles").as("sh_old"))
       val candOld = newBuckets.join(keep.select("id"), "id")
         .join(stBuckets, Seq("band", "bucket"))
+        // retry idempotence (r18, same contract as dedupeExact): a
+        // doc's own committed state entry must not suppress its re-run
+        // — exclude self-pairs, so re-processing a crashed batch
+        // returns exactly what the crashed attempt would have
+        .filter(col("id") =!= col("old_id"))
         .select("id", "old_id").distinct()
       val dupVsState = candOld
         .join(keep.select(col("id"), col("shingles").as("sh_new")), "id")
@@ -428,7 +467,10 @@ object IncrementalDedup {
       val p = Paths.get(s"$statePath/$sub")
       if (!Files.exists(p)) return
       val tmp = s"$statePath/.compact_$sub"
-      spark.read.parquet(p.toString).distinct()
+      // mergeSchema: the exact dataset may mix legacy (fp) and current
+      // (fp, rid) footers — a one-footer read would silently drop the
+      // retry-id column from the compacted snapshot
+      spark.read.option("mergeSchema", "true").parquet(p.toString).distinct()
         .repartitionByRange(sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
         .write.mode("overwrite").parquet(tmp)

@@ -647,8 +647,14 @@ class PipelineSpec extends AnyFunSuite {
     // doc 3 duplicates run-1's doc 1 → only doc 4 survives run 2
     val r2 = IncrementalDedup.dedupeExact(b2, "doc_id", "text", state)
     assert(r2.collect().map(_.getLong(0)).toSeq == Seq(4L))
-    // re-running the same batch against the grown state drops everything
-    assert(IncrementalDedup.dedupeExact(b2, "doc_id", "text", state).count() == 0)
+    // r18 retry contract: re-running the SAME batch is idempotent — a
+    // doc's own committed entry doesn't suppress it (doc 4 returns
+    // again; doc 3 still drops against run-1's doc 1). The pre-r18
+    // behavior (count 0: everything ghost-suppressed by its own state)
+    // made a crash between state append and downstream output LOSE the
+    // batch's content permanently. Full coverage: IncrementalRetrySpec.
+    assert(IncrementalDedup.dedupeExact(b2, "doc_id", "text", state)
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
   test("batch-commit dedup is exactly-once across a crash between state " +
