@@ -177,12 +177,30 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
         if (!scoped) writeClustered(ds, t, s"$staging/$ds")
         stages += ((s"write:$ds:${if (scoped) "bucket_scoped" else "full"}",
           (System.nanoTime() - t0) / 1e9))
+        // adjacency duality (opt-in `mirror = true`): the edge dataset's
+        // dual-keyed mirror stages alongside it — bucket-scoped when the
+        // main write was and the mirror's preconditions hold, full
+        // otherwise; a no-op when the option is off (and a stale mirror
+        // then vanishes at the swap)
+        if (mirrorOptSpec(ds, t).isDefined) {
+          val t1 = System.nanoTime()
+          val mScoped = scoped && writeMirrorBucketScoped(ds, t, dir, staging, g)
+          if (!mScoped) writeMirror(ds, t, staging)
+          stages += ((s"write:${GraphCatalog.MirrorPrefix}$ds:" +
+            (if (mScoped) "bucket_scoped" else "full"),
+            (System.nanoTime() - t1) / 1e9))
+        }
       }
     }
     staged("link_clean") {
       datasets.foreach { case (ds, _) =>
-        if (!dirtySet.contains(ds))
+        if (!dirtySet.contains(ds)) {
           linkTree(Paths.get(s"$dir/$ds"), Paths.get(s"$staging/$ds"))
+          // a clean edge dataset's mirror is clean too — link, don't copy
+          val m = Paths.get(s"$dir/${GraphCatalog.MirrorPrefix}$ds")
+          if (Files.exists(m))
+            linkTree(m, Paths.get(s"$staging/${GraphCatalog.MirrorPrefix}$ds"))
+        }
       }
     }
     val meta = g.edgeTables.map { case (label, (et, _)) =>
@@ -569,10 +587,10 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     * later rewrite regardless of how the boundaries were chosen.
     */
   private def bucketBounds(ixName: String, df: DataFrame, keyCol: String,
-      buckets: Int): Seq[org.apache.spark.sql.Column] = {
+      buckets: Int, optKey: String = "__bounds"): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.col
     val stringKey = stringKeyed(df, keyCol)
-    listIndexOptions(ixName).toMap.get("__bounds") match {
+    listIndexOptions(ixName).toMap.get(optKey) match {
       case Some(s) if s.nonEmpty => decodeBounds(s, stringKey)
       case _ =>
         val raw: Seq[String] =
@@ -594,7 +612,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
             val probs = (1 until buckets).map(_.toDouble / buckets).toArray
             df.stat.approxQuantile(keyCol, probs, 0.01).toSeq.map(_.toString)
           }
-        setIndexOption(ixName, "__bounds", encodeBounds(raw, stringKey))
+        setIndexOption(ixName, optKey, encodeBounds(raw, stringKey))
         decodeBounds(encodeBounds(raw, stringKey), stringKey)
     }
   }
@@ -620,6 +638,150 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
           .filter(b => b > 1 && keyOk)
           .map(b => (name, cols, b))
     }.to(LazyList).headOption
+
+  /** Mirror layout spec for an edge dataset — Some((index name, mirror
+    * key, buckets)) when `ds` is an `edges_*` table whose bucketed index
+    * leads on `src` or `dst` AND opted in via
+    * `ALTER INDEX <ix> SET OPTION mirror = true`.
+    *
+    * The mirror is the warehouse analog of the reference's adjacency
+    * DUALITY — graph_cache.rs:16-38 keeps every edge indexed by BOTH
+    * endpoints (adjacency_out and adjacency_in) so traversals of either
+    * orientation hit an index. A bucketed edge layout clusters on ONE
+    * key, which leaves the other orientation (and undirected
+    * traversals) reading the full label; the mirror persists the same
+    * rows re-clustered on the OTHER endpoint under
+    * `.mirror_edges_<label>/`, so [[PropertyGraph.paths]]/[[PropertyGraph.bfs]]
+    * can prune each orientation branch independently. Opt-in because at
+    * 100 TB doubling an edge label's storage is a deliberate
+    * space-for-read-volume trade, not a default.
+    */
+  private def mirrorOptSpec(ds: String,
+      df: DataFrame): Option[(String, String, Int)] =
+    if (!ds.startsWith("edges_")) None
+    else bucketedSpec(ds, df).flatMap { case (name, cols, b) =>
+      val mkOpt = cols.head match {
+        case "src" => Some("dst")
+        case "dst" => Some("src")
+        case _     => None
+      }
+      mkOpt.filter { mk =>
+        val on = listIndexOptions(name).toMap.get("mirror")
+          .exists(_.equalsIgnoreCase("true"))
+        on && df.columns.contains(mk) && {
+          val dt = df.schema(mk).dataType
+          dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            dt == org.apache.spark.sql.types.StringType
+        }
+      }.map(mk => (name, mk, b))
+    }
+
+  /** Write the mirror of an edge dataset into `stagingDir` (no-op when
+    * the dataset carries no `mirror = true` bucketed index): same rows,
+    * clustered on the OTHER endpoint under its own persisted boundaries
+    * (`__bounds_mirror` on the same index — stable across incremental
+    * rewrites exactly like the main layout's).
+    */
+  private def writeMirror(ds: String, df: DataFrame,
+      stagingDir: String): Unit =
+    mirrorOptSpec(ds, df).foreach { case (name, mk, b) =>
+      import org.apache.spark.sql.functions.col
+      val bounds = bucketBounds(name, df, mk, b, "__bounds_mirror")
+      df.withColumn(BucketCol, bucketExpr(col(mk), bounds))
+        .repartition(col(BucketCol))
+        .sortWithinPartitions(col(BucketCol), col(mk))
+        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .parquet(s"$stagingDir/${GraphCatalog.MirrorPrefix}$ds")
+    }
+
+  /** Bucket-scoped incremental write of an edge dataset's MIRROR —
+    * [[writeBucketScoped]]'s economics applied to the dual layout: the
+    * touched rows' OTHER-endpoint key values (pre and post mutation) map
+    * to mirror buckets through the mirror boundaries; only those are
+    * rewritten, the rest hard-link from the live mirror. Returns false
+    * (caller writes the mirror in full) when any precondition fails.
+    */
+  private def writeMirrorBucketScoped(ds: String, df: DataFrame,
+      liveDir: String, staging: String, g: PropertyGraph): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val (name, mk, _) = mirrorOptSpec(ds, df).getOrElse(return false)
+    val keys = g.touchedKeysFor(ds).orNull
+    if (keys == null) return false
+    val bounds = listIndexOptions(name).toMap.get("__bounds_mirror")
+      .filter(_.nonEmpty)
+      .map(decodeBounds(_, stringKeyed(df, mk))).orNull
+    if (bounds == null || bounds.isEmpty) return false
+    if (!df.columns.contains("eid")) return false
+    val mirName = s"${GraphCatalog.MirrorPrefix}$ds"
+    val oldPath = Paths.get(s"$liveDir/$mirName")
+    if (!Files.exists(oldPath)) return false
+    val bucketDirs = listDir(oldPath)
+      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+    if (bucketDirs.isEmpty) return false
+    val old = spark.read.parquet(oldPath.toString)
+    // same schema-change gate as the main layout: hard-linked buckets
+    // keep their original file schema
+    val oldSchema = old.drop(BucketCol).schema
+      .map(f => (f.name, f.dataType)).toSet
+    val newSchema = df.schema.map(f => (f.name, f.dataType)).toSet
+    if (oldSchema != newSchema) return false
+    val keysTyped = keys.select(
+      col("__k").cast(df.schema("eid").dataType).as("__k"))
+    def keyVals(f: DataFrame) =
+      f.join(keysTyped, f("eid") === col("__k"), "left_semi")
+        .select(col(mk))
+    val touchedBuckets = keyVals(old).union(keyVals(df))
+      .select(bucketExpr(col(mk), bounds).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touchedBuckets.size * 2 > bounds.size + 1) return false
+    if (touchedBuckets.isEmpty)
+      Files.createDirectories(Paths.get(s"$staging/$mirName"))
+    else
+      df.filter(touchedRangePred(col(mk), bounds, touchedBuckets))
+        .withColumn(BucketCol, bucketExpr(col(mk), bounds))
+        .filter(col(BucketCol)
+          .isin(touchedBuckets.toSeq.map(Integer.valueOf): _*))
+        .repartition(col(BucketCol))
+        .sortWithinPartitions(col(BucketCol), col(mk))
+        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .parquet(s"$staging/$mirName")
+    bucketDirs.foreach { d =>
+      val k = d.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+      if (!touchedBuckets.contains(k))
+        linkTree(d, Paths.get(s"$staging/$mirName/${d.getFileName}"))
+    }
+    true
+  }
+
+  /** Register a loaded edge dataset's MIRROR with the pruning rule (the
+    * dual of [[registerPrune]]): keyed on the mirror directory, spec on
+    * the OTHER endpoint with the `__bounds_mirror` boundaries. Absent
+    * boundaries or a vanished mirror dir register nothing.
+    */
+  private def registerMirror(ds: String, df: DataFrame,
+      graphDir: String): Unit =
+    mirrorOptSpec(ds, df).foreach { case (name, mk, _) =>
+      val mirDir = s"$graphDir/${GraphCatalog.MirrorPrefix}$ds"
+      if (Files.exists(Paths.get(mirDir))) {
+        val stringKey = stringKeyed(df, mk)
+        listIndexOptions(name).toMap.get("__bounds_mirror")
+          .filter(_.nonEmpty).foreach { raw =>
+            val parts = raw.split(",", -1).toSeq.filter(_.nonEmpty)
+            val spec =
+              if (stringKey) graft.plans.BucketPrune.Spec(mk,
+                Array.empty[Double],
+                parts.map(s => org.apache.spark.unsafe.types.UTF8String
+                  .fromString(java.net.URLDecoder.decode(s, "UTF-8")))
+                  .toArray,
+                stringKey = true)
+              else graft.plans.BucketPrune.Spec(mk,
+                parts.map(_.toDouble).toArray,
+                Array.empty[org.apache.spark.unsafe.types.UTF8String],
+                stringKey = false)
+            graft.plans.BucketPrune.register(mirDir, spec)
+          }
+      }
+    }
 
   /** Write `df` to `path` under the table's clustered layout.
     *
@@ -752,7 +914,11 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     val edges = entries.filter(_.startsWith("edges_")).map { e =>
       val label = e.stripPrefix("edges_")
       val et = meta.getOrElse(label, EdgeType(label, "", ""))
-      label -> (et, noBucket(e, spark.read.parquet(s"$dir/$e")))
+      val df = noBucket(e, spark.read.parquet(s"$dir/$e"))
+      // dual-keyed mirror (mirror = true layouts): register its pruning
+      // spec too, so traversals can prune the OTHER orientation's branch
+      registerMirror(e, df, dir)
+      label -> (et, df)
     }.toMap
     // loaded graphs know their origin and start clean — mutations mark
     // the touched datasets so saves back to the same path go incremental
@@ -1150,4 +1316,11 @@ object GraphCatalog {
     * it so a warehouse-write regression names its stage.
     */
   @volatile var lastSaveStages: Seq[(String, Double)] = Seq.empty
+
+  /** Directory-name prefix of an edge dataset's dual-keyed mirror layout
+    * (see [[GraphCatalog!.mirrorOptSpec]]). Dot-prefixed so loadGraph's
+    * `edges_*` dataset scan and external listings skip it — the mirror
+    * is storage metadata, not a separate edge label.
+    */
+  val MirrorPrefix = ".mirror_"
 }

@@ -472,32 +472,54 @@ final class PropertyGraph(
         .unionAll(raw.select(col("dst").as("src"), col("src").as("dst"), col("eid")))
     }).select(col("src"), col("dst"), col("eid"))
 
-    // Frontier-driven bucket pruning (r17 verdict #1): over a persisted
-    // graph whose edge table is range-bucketed ON the oriented join key
-    // (edges_<label> clustered on `src` for Out, `dst` for In — after
-    // orientation either is this frame's `src`), each level's edge scan
+    // Frontier-driven bucket pruning (r17 verdict #1; r19 extends it to
+    // Direction.Both and to orientations served by the dual-keyed
+    // MIRROR layout): over a persisted graph whose edge table is
+    // range-bucketed on the oriented join key, each level's edge scan
     // need only read the bucket directories the CURRENT frontier's end
     // ids can join into — the warehouse analog of the reference's
-    // adjacency-index fetch (graph_cache.rs:16-38), applied per
-    // traversal level instead of joining the full edge table `cap`
-    // times. `pruning` flips off at runtime if the frontier saturates
-    // more than half the buckets (an unseeded traversal), falling back
-    // to the one-time full-edge checkpoint below.
-    var pruning: Option[graft.plans.BucketPrune.Spec] =
+    // adjacency-index fetch (graph_cache.rs:16-38, which keeps BOTH
+    // adjacency_out and adjacency_in), applied per traversal level
+    // instead of joining the full edge table `cap` times. Each pruned
+    // BRANCH is one orientation over the physical layout clustered on
+    // its join key: Out/In take the main table when its key matches
+    // (else the mirror), Both takes main + mirror together. The mirror
+    // (GraphCatalog `mirror = true`) persists the SAME rows
+    // re-clustered on the other endpoint, so it may substitute only
+    // while this dataset is CLEAN since load — an in-session mutation
+    // diverges the in-memory frame from the persisted dual. Pruning
+    // flips off at runtime if any branch's frontier saturates more
+    // than half its buckets (an unseeded traversal), falling back to
+    // the one-time full-edge checkpoint below.
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val endT = e0.schema("dst").dataType
+    def typeOk(spec: graft.plans.BucketPrune.Spec): Boolean =
+      (spec.stringKey == (endT == StringType)) &&
+        (spec.stringKey || endT.isInstanceOf[NumericType])
+    val edsClean = dirty.exists(d => !d.contains(s"edges_$edgeLabel"))
+    val mainSpec = origin.flatMap { dir =>
+      graft.plans.BucketPrune.specForPath(s"$dir/edges_$edgeLabel")
+    }.filter(typeOk)
+    val mirSpec = if (!edsClean) None else origin.flatMap { dir =>
+      graft.plans.BucketPrune.specForPath(
+        s"$dir/${GraphCatalog.MirrorPrefix}edges_$edgeLabel")
+    }.filter(typeOk)
+    def orient(f: DataFrame, key: String): DataFrame =
+      if (key == "src") f.select(col("src"), col("dst"), col("eid"))
+      else f.select(col("dst").as("src"), col("src").as("dst"), col("eid"))
+    lazy val mirrorRaw = raw.sparkSession.read.parquet(
+      s"${origin.get}/${GraphCatalog.MirrorPrefix}edges_$edgeLabel")
+    def branchFor(key: String): Option[(graft.plans.BucketPrune.Spec, DataFrame)] =
+      mainSpec.filter(_.keyCol == key).map(sp => (sp, orient(raw, key)))
+        .orElse(mirSpec.filter(_.keyCol == key)
+          .map(sp => (sp, orient(mirrorRaw, key))))
+    var pruning: Option[Seq[(graft.plans.BucketPrune.Spec, DataFrame)]] =
       if (!graft.plans.BucketPrune.enabled) None
-      else origin.flatMap { dir =>
-        graft.plans.BucketPrune.specForPath(s"$dir/edges_$edgeLabel")
-      }.filter { spec =>
-        val oriented = direction match {
-          case Direction.Out => spec.keyCol == "src"
-          case Direction.In  => spec.keyCol == "dst"
-          case Direction.Both => false // two orientations, one clustered key
-        }
-        import org.apache.spark.sql.types.StringType
-        val endT = e0.schema("dst").dataType
-        oriented && (spec.stringKey == (endT == StringType)) &&
-          (spec.stringKey ||
-            endT.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      else direction match {
+        case Direction.Out  => branchFor("src").map(Seq(_))
+        case Direction.In   => branchFor("dst").map(Seq(_))
+        case Direction.Both =>
+          for { a <- branchFor("src"); b <- branchFor("dst") } yield Seq(a, b)
       }
     val pruneTrace = Seq.newBuilder[(Set[Int], String)]
 
@@ -505,24 +527,39 @@ final class PropertyGraph(
     // pruned traversal never pays the O(|E|) checkpoint at all
     lazy val eFull = if (cap >= 2) e0.localCheckpoint(true) else e0
 
-    /** This level's edge frame: the full checkpoint, or the bucket
+    /** This level's edge frame: the full checkpoint, or the union of
+      * the pruned orientation branches restricted to the bucket
       * directories the frontier can reach. The range filter is IMPLIED
       * by the join (a row outside every frontier bucket cannot
       * equi-match), and [[graft.plans.BucketPrune]] rewrites it into an
-      * `__ixb` partition filter on the scan.
+      * `__ixb` partition filter on each branch's scan.
       */
     var levelIds: Set[Int] = Set.empty
+    // per-branch bucket-id sets computed DURING the previous level's
+    // materialization (set-accumulators riding the checkpoint job — one
+    // job per level, not a checkpoint + a separate bucket-set collect;
+    // r18 watch #2). None on the first level, where the start frame
+    // pays one tiny aggregate job instead.
+    var pendingIds: Option[Seq[Set[Int]]] = None
     def edgeFor(frontier: DataFrame): DataFrame = pruning match {
       case None => eFull
-      case Some(spec) =>
-        val ids = frontier
-          .select(spec.bucketIdCol(col("end_id")).as("__b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        levelIds = ids
-        if (ids.size * 2 > spec.buckets) {
+      case Some(branches) =>
+        val specs = branches.map(_._1)
+        val idSets = pendingIds.getOrElse {
+          val aggs = specs.map(sp =>
+            collect_set(sp.bucketIdCol(col("end_id"))))
+          val row = frontier.agg(aggs.head, aggs.tail: _*).collect().head
+          specs.indices.map(i => row.getSeq[Int](i).toSet)
+        }
+        pendingIds = None
+        levelIds = idSets.reduce(_ ++ _)
+        if (branches.zip(idSets).exists {
+            case ((sp, _), ids) => ids.size * 2 > sp.buckets }) {
           pruning = None // saturated — full checkpoint serves the rest
           eFull
-        } else e0.filter(spec.touchedRangeCol(col("src"), ids))
+        } else branches.zip(idSets).map { case ((sp, f), ids) =>
+          f.filter(sp.touchedRangeCol(col("src"), ids))
+        }.reduce(_ unionAll _)
     }
 
     var frontier = start.select(
@@ -549,11 +586,26 @@ final class PropertyGraph(
         concat(col("path"), array(col("dst"))).as("path"),
         concat(col("epath"), array(col("eid"))).as("epath"))
       if (pruning.isDefined) {
-        // materialize the level: the next level's bucket-set collect and
-        // the union below both reuse it instead of re-running the join
-        // chain; stats reset via checkpointReset (see Analytics scaladoc)
-        val qe = frontier.queryExecution
-        frontier = Analytics.checkpointReset(frontier)._1
+        // materialize the level: the union below reuses it instead of
+        // re-running the join chain (stats reset via checkpointReset,
+        // see Analytics scaladoc), and the NEXT level's per-branch
+        // bucket-id sets ride this same job as set-accumulators over
+        // the new end ids — one job per level, not two (r18 watch #2)
+        val specs = pruning.get.map(_._1)
+        val accs = specs.map { _ =>
+          val a = new PropertyGraph.BucketSetAcc
+          frontier.sparkSession.sparkContext.register(a)
+          a
+        }
+        val tagged = specs.zip(accs).zipWithIndex.foldLeft(frontier) {
+          case (f, ((sp, acc), i)) =>
+            val rec = udf((b: Int) => { acc.add(b); b })
+            f.withColumn(s"__bk$i", rec(sp.bucketIdCol(col("end_id"))))
+        }
+        val qe = tagged.queryExecution
+        frontier = Analytics.checkpointReset(tagged)._1
+          .drop(specs.indices.map(i => s"__bk$i"): _*)
+        pendingIds = Some(accs.map(_.value))
         pruneTrace += ((levelIds, qe.executedPlan.toString))
       }
       if (k >= minHops) acc = acc.unionByName(frontier)
@@ -693,29 +745,50 @@ final class PropertyGraph(
       "spark.sql.adaptive.enabled").foreach { key =>
       sess.conf.getOption(key).foreach(work.conf.set(key, _))
     }
-    // Frontier-driven bucket pruning (same machinery as [[paths]]): a
-    // SEEDED reachability query over a bucketed persisted edge table
-    // reads only the frontier's bucket directories per level instead of
-    // materializing the full edge frame once — the warehouse analog of
-    // the reference's adjacency-index BFS (graph_cache.rs:16-38,
-    // physical.rs:42-67 FindNeighbors/IsReachable). Saturation (frontier
-    // touching > half the buckets — the unseeded whole-graph case)
-    // flips to the one-time full checkpoint below.
-    var pruning: Option[graft.plans.BucketPrune.Spec] =
+    // Frontier-driven bucket pruning (same machinery as [[paths]],
+    // including the r19 Both/mirror branches): a SEEDED reachability
+    // query over a bucketed persisted edge table reads only the
+    // frontier's bucket directories per level instead of materializing
+    // the full edge frame once — the warehouse analog of the
+    // reference's adjacency-index BFS (graph_cache.rs:16-38,
+    // physical.rs:42-67 FindNeighbors/IsReachable). Saturation (any
+    // branch's frontier touching > half its buckets — the unseeded
+    // whole-graph case) flips to the one-time full checkpoint below.
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    def typeOk(spec: graft.plans.BucketPrune.Spec): Boolean =
+      (spec.stringKey == (idType == StringType)) &&
+        (spec.stringKey || idType.isInstanceOf[NumericType])
+    val edsClean = dirty.exists(d => !d.contains(s"edges_$edgeLabel"))
+    val mainSpec = origin.flatMap { dir =>
+      graft.plans.BucketPrune.specForPath(s"$dir/edges_$edgeLabel")
+    }.filter(typeOk)
+    val mirSpec = if (!edsClean) None else origin.flatMap { dir =>
+      graft.plans.BucketPrune.specForPath(
+        s"$dir/${GraphCatalog.MirrorPrefix}edges_$edgeLabel")
+    }.filter(typeOk)
+    def orient(f: DataFrame, key: String): DataFrame =
+      if (key == "src") f.select(col("src"), col("dst"))
+      else f.select(col("dst").as("src"), col("src").as("dst"))
+    lazy val mirrorRaw = raw.sparkSession.read.parquet(
+      s"${origin.get}/${GraphCatalog.MirrorPrefix}edges_$edgeLabel")
+    def branchFor(key: String): Option[(graft.plans.BucketPrune.Spec, DataFrame)] =
+      mainSpec.filter(_.keyCol == key).map(sp => (sp, orient(raw, key)))
+        .orElse(mirSpec.filter(_.keyCol == key)
+          .map(sp => (sp, orient(mirrorRaw, key))))
+    var pruning: Option[Seq[(graft.plans.BucketPrune.Spec, DataFrame)]] =
       if (!graft.plans.BucketPrune.enabled) None
-      else origin.flatMap { dir =>
-        graft.plans.BucketPrune.specForPath(s"$dir/edges_$edgeLabel")
-      }.filter { spec =>
-        val oriented = direction match {
-          case Direction.Out => spec.keyCol == "src"
-          case Direction.In  => spec.keyCol == "dst"
-          case Direction.Both => false
-        }
-        import org.apache.spark.sql.types.{NumericType, StringType}
-        oriented && (spec.stringKey == (idType == StringType)) &&
-          (spec.stringKey || idType.isInstanceOf[NumericType])
+      else direction match {
+        case Direction.Out  => branchFor("src").map(Seq(_))
+        case Direction.In   => branchFor("dst").map(Seq(_))
+        case Direction.Both =>
+          for { a <- branchFor("src"); b <- branchFor("dst") } yield Seq(a, b)
       }
     val bfsTrace = Seq.newBuilder[Set[Int]]
+    // per-branch bucket-id sets computed DURING the previous level's
+    // materialization (set-accumulators riding the checkpoint job — one
+    // job per level; r18 watch #2); None at level 1, where the root
+    // checkpoint pays one cheap cached-read aggregate instead
+    var pendingIds: Option[Seq[Set[Int]]] = None
 
     // checkpoint the full edge frame at most ONCE, on the work session
     // the loop runs on (a derived edge frame would otherwise recompute
@@ -735,15 +808,25 @@ final class PropertyGraph(
       */
     def eFor(f: DataFrame): DataFrame = pruning match {
       case None => eFull
-      case Some(spec) =>
-        val ids = f.select(spec.bucketIdCol(col("id")).as("__b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        bfsTrace += ids
-        if (ids.size * 2 > spec.buckets) {
+      case Some(branches) =>
+        val specs = branches.map(_._1)
+        val idSets = pendingIds.getOrElse {
+          val aggs = specs.map(sp => collect_set(sp.bucketIdCol(col("id"))))
+          val row = f.agg(aggs.head, aggs.tail: _*).collect().head
+          specs.indices.map(i => row.getSeq[Int](i).toSet)
+        }
+        pendingIds = None
+        bfsTrace += idSets.reduce(_ ++ _)
+        if (branches.zip(idSets).exists {
+            case ((sp, _), ids) => ids.size * 2 > sp.buckets }) {
           pruning = None
           eFull
-        } else work.createDataFrame(
-          e0.filter(spec.touchedRangeCol(col("src"), ids)).rdd, e0.schema)
+        } else {
+          val filtered = branches.zip(idSets).map { case ((sp, fr), ids) =>
+            fr.filter(sp.touchedRangeCol(col("src"), ids))
+          }.reduce(_ unionAll _)
+          work.createDataFrame(filtered.rdd, e0.schema)
+        }
     }
     // one BFS per DISTINCT root — the local fast path dedups duplicate
     // root_ids, so the distributed loop must agree on duplicate inputs
@@ -793,7 +876,28 @@ final class PropertyGraph(
       val batch =
         if (steps == 2) f1.unionByName(expand(f1, k + 1, Some(f1)))
         else f1
-      val (mat, matCp) = Analytics.checkpointReset(batch)
+      // while pruning, the NEXT level's per-branch bucket-id sets ride
+      // the batch materialization job as set-accumulators (one job per
+      // level instead of a checkpoint + a bucket-set collect)
+      val (tagged, accs) = pruning match {
+        case Some(branches) =>
+          val specs = branches.map(_._1)
+          val as = specs.map { _ =>
+            val a = new PropertyGraph.BucketSetAcc
+            work.sparkContext.register(a); a
+          }
+          (specs.zip(as).zipWithIndex.foldLeft(batch) {
+            case (b, ((sp, a), i)) =>
+              val rec = udf((x: Int) => { a.add(x); x })
+              b.withColumn(s"__bk$i", rec(sp.bucketIdCol(col("id"))))
+          }, as)
+        case None =>
+          (batch, Seq.empty[PropertyGraph.BucketSetAcc])
+      }
+      val (mat0, matCp) = Analytics.checkpointReset(tagged)
+      val mat = if (accs.isEmpty) mat0
+        else mat0.drop(accs.indices.map(i => s"__bk$i"): _*)
+      if (accs.nonEmpty) pendingIds = Some(accs.map(_.value))
       if (mat.isEmpty) { done = true; Analytics.unpersistCheckpoint(matCp) }
       else {
         val (grown, grownCp) = Analytics.checkpointReset(
@@ -872,4 +976,31 @@ object PropertyGraph {
     * saturated before the first level).
     */
   @volatile var lastBfsPrune: Seq[Set[Int]] = Seq.empty
+
+  /** Set-accumulator of bucket ids (bounded — at most the layout's
+    * bucket count by construction). Rides a traversal level's
+    * materialization job so the NEXT level's pruned scan needs no
+    * separate bucket-set collect (one job per level, r18 watch #2).
+    * Task retries and speculative attempts only re-ADD members of the
+    * true set — rows processed by any attempt are real frontier rows —
+    * and the eager checkpoint completes every partition, so the final
+    * value equals the frontier's exact bucket-id set.
+    */
+  private[graph] class BucketSetAcc
+      extends org.apache.spark.util.AccumulatorV2[Int, Set[Int]] {
+    private val s = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    override def isZero: Boolean = s.isEmpty
+    override def copy(): BucketSetAcc = {
+      val c = new BucketSetAcc; c.s.addAll(s); c
+    }
+    override def reset(): Unit = s.clear()
+    override def add(v: Int): Unit = s.add(v)
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Int, Set[Int]]): Unit =
+      o.value.foreach(s.add(_))
+    override def value: Set[Int] = {
+      import scala.jdk.CollectionConverters._
+      s.asScala.toSet
+    }
+  }
 }
