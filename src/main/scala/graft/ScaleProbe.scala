@@ -395,6 +395,75 @@ object ScaleProbe {
     s.range(n).toDF("n")
   }
 
+  /** Seeded UNDIRECTED var-length traversal A/B over a 16-bucket NEXT
+    * chain WITH the dual-keyed mirror (r19, r18 watch #1): the last
+    * traversal shape without pruning economics. With pruning on, each
+    * level reads only the frontier's bucket directories of BOTH
+    * layouts (main src-keyed + `.mirror_edges_*` dst-keyed — the
+    * reference's adjacency_out/adjacency_in duality as layout,
+    * graph_cache.rs:16-38); off, each level re-reads the full edge
+    * label twice (both orientations of the checkpoint). read_rows of
+    * the warm pass is the evidence: O(frontier × levels) vs O(|E|).
+    */
+  private def bpruneVarPathBothProbe(pruned: Boolean)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.graph.PropertyGraph
+    val wh = "/tmp/graft-bprune-vboth-" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val gls = GraphLiteSpark.open(s, wh)
+    val marker = new java.io.File(s"$wh/.setup_done")
+    if (!marker.exists()) {
+      val g = graft.graph.TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer")),
+        Map("NEXT" -> g.edgeTables("NEXT")))
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
+      sess.execute("CREATE GRAPH INDEX vbix ON edges_NEXT (src)")
+      sess.execute("ALTER INDEX vbix SET OPTION buckets = 16")
+      sess.execute("ALTER INDEX vbix SET OPTION mirror = true")
+      // node label bucketed too (bpruneVarPathProbe parity): the
+      // destination join prunes at runtime, so the A/B isolates the
+      // loop's per-level edge reads instead of a fixed full node scan
+      sess.execute("CREATE GRAPH INDEX vbix_n ON nodes_customer (id)")
+      sess.execute("ALTER INDEX vbix_n SET OPTION buckets = 16")
+      sess.saveGraphAs("/probe/bprunevboth", force = true)
+      marker.createNewFile()
+    }
+    val sess = bpSessions.getOrElseUpdate(wh,
+      gls.session("driver").useGraph("/probe/bprunevboth"))
+    val prev = graft.plans.BucketPrune.enabled
+    graft.plans.BucketPrune.enabled = pruned
+    val n =
+      try sess.gql("MATCH (c:customer {id: 100})-[:NEXT*1..4]-(d:customer) " +
+          "RETURN count(d) AS n, min(d.id) AS lo").count()
+      finally graft.plans.BucketPrune.enabled = prev
+    s.range(n).toDF("n")
+  }
+
+  /** Seeded distributed Both-BFS A/B over the mirrored chain fixture
+    * (r19): the bfs loop's two pruned orientation branches vs the
+    * one-time doubled full-edge checkpoint.
+    */
+  private def bpruneBfsBothProbe(pruned: Boolean)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.graph.{Direction, PropertyGraph}
+    val wh = "/tmp/graft-bprune-vboth-" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val gls = GraphLiteSpark.open(s, wh)
+    val marker = new java.io.File(s"$wh/.setup_done")
+    if (!marker.exists()) { // shared fixture with bpruneVarPathBothProbe
+      bpruneVarPathBothProbe(pruned)(s, d)
+    }
+    import s.implicits._
+    val lg = gls.catalog.loadGraph("probe", "bprunevboth")
+    val prev = graft.plans.BucketPrune.enabled
+    graft.plans.BucketPrune.enabled = pruned
+    val n =
+      try lg.bfs(Seq(100L).toDF("root_id"), "NEXT", maxIter = 6,
+        direction = Direction.Both, localEdgeLimit = 0L).count()
+      finally graft.plans.BucketPrune.enabled = prev
+    s.range(n).toDF("n")
+  }
+
   /** Seeded distributed-BFS A/B over the same 16-bucket NEXT chain
     * (r18): the bfs loop's per-level frontier pruning vs the one-time
     * full-edge checkpoint. `localEdgeLimit = 0` forces the distributed
@@ -589,6 +658,11 @@ object ScaleProbe {
       // r18: the distributed-BFS loop's per-level pruning
       "bprune_bfs_pruned" -> bpruneBfsProbe(pruned = true),
       "bprune_bfs_full" -> bpruneBfsProbe(pruned = false),
+      // r19: the UNDIRECTED loops' two-branch (main + mirror) pruning
+      "bprune_varpath_both_pruned" -> bpruneVarPathBothProbe(pruned = true),
+      "bprune_varpath_both_full" -> bpruneVarPathBothProbe(pruned = false),
+      "bprune_bfs_both_pruned" -> bpruneBfsBothProbe(pruned = true),
+      "bprune_bfs_both_full" -> bpruneBfsBothProbe(pruned = false),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -641,7 +715,10 @@ object ScaleProbe {
           "bprune_hop_pruned", "bprune_hop_full",
           // r18: per-level var-path/bfs pruning dividend is a >10× story
           "bprune_varpath_pruned", "bprune_varpath_full",
-          "bprune_bfs_pruned", "bprune_bfs_full")
+          "bprune_bfs_pruned", "bprune_bfs_full",
+          // r19: the undirected (main + mirror) variant of the same
+          "bprune_varpath_both_pruned", "bprune_varpath_both_full",
+          "bprune_bfs_both_pruned", "bprune_bfs_both_full")
           .contains(n)
       }
 

@@ -563,6 +563,38 @@ object GqlQueries {
           |       min(d.acctbal) AS bal""".stripMargin)
     }),
 
+    // r19: the LAST traversal shape without pruning economics (r18 watch
+    // #1) — an UNDIRECTED seeded var-length traversal over a bucketed
+    // graph WITH the dual-keyed mirror (`mirror = true`): each level
+    // prunes BOTH orientation branches (the main table serves the
+    // src-keyed branch, `.mirror_edges_LINK` the dst-keyed one), so a
+    // friend-of-friend query over a clustered warehouse graph reads
+    // O(frontier buckets × levels) instead of the full edge checkpoint
+    // it read through r18. The reference serves undirected expansion
+    // from its PAIRED adjacency indexes (graph_cache.rs:16-38 keeps
+    // both directions); the mirror is that duality as layout. The edge
+    // label is a renamed NEXT chain so this row's bucketed index lives
+    // in its own dataset namespace (edges_LINK), not gql36's.
+    "gql37_varpath_both" -> ((s: SparkSession, d: String) => {
+      import graft.graph.{EdgeType, PropertyGraph}
+      val g = TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer")),
+        Map("LINK" -> (EdgeType("LINK", "customer", "customer"),
+          g.edgeTables("NEXT")._2)))
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /bprune")
+      sess.execute("CREATE GRAPH INDEX vpb_src ON edges_LINK (src)")
+      sess.execute("ALTER INDEX vpb_src SET OPTION buckets = 8")
+      sess.execute("ALTER INDEX vpb_src SET OPTION mirror = true")
+      sess.saveGraphAs("/bprune/bothchain", force = true)
+      gls.session("driver").useGraph("/bprune/bothchain")
+        .gql("""MATCH (c:customer {id: 100})-[:LINK*1..4]-(d:customer)
+          |RETURN count(d) AS n, min(d.id) AS lo, max(d.id) AS hi,
+          |       min(d.acctbal) AS bal""".stripMargin)
+    }),
+
     // The STRING-keyed bucket-scoped DML save loop (string ids are the
     // reference's native id type, storage/types.rs:68-72): same shape as
     // gql32 but the customer label's identity is a zero-padded string id
@@ -842,6 +874,31 @@ object GqlQueries {
       """WITH e AS (SELECT c_custkey AS src,
         |  lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
         | FROM customer),
+        |h AS (
+        | SELECT e1.dst AS id FROM e e1 WHERE e1.src = 100
+        | UNION ALL
+        | SELECT e2.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst WHERE e1.src = 100
+        | UNION ALL
+        | SELECT e3.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e2.dst WHERE e1.src = 100
+        | UNION ALL
+        | SELECT e4.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        |  JOIN e e3 ON e3.src = e2.dst JOIN e e4 ON e4.src = e3.dst
+        |  WHERE e1.src = 100)
+        |SELECT CAST(count(*) AS BIGINT) AS n, min(c.c_custkey) AS lo,
+        | max(c.c_custkey) AS hi, min(c.c_acctbal) AS bal
+        |FROM h JOIN customer c ON c.c_custkey = h.id""".stripMargin,
+    // gql37: WALK enumeration over the SYMMETRIZED chain (undirected =
+    // the union of both orientations, exactly what PropertyGraph.paths
+    // builds for Direction.Both) — the UNION ALL of the 1..4-hop join
+    // chains over e = chain ∪ flip(chain); one row per walk, revisits
+    // allowed (ISO-GQL WALK), matching gql36's enumeration convention
+    "gql37_varpath_both" ->
+      """WITH e0 AS (SELECT c_custkey AS src,
+        |  lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
+        | FROM customer),
+        |e AS (SELECT src, dst FROM e0 WHERE dst IS NOT NULL
+        | UNION ALL SELECT dst, src FROM e0 WHERE dst IS NOT NULL),
         |h AS (
         | SELECT e1.dst AS id FROM e e1 WHERE e1.src = 100
         | UNION ALL

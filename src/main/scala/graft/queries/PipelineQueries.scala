@@ -511,6 +511,38 @@ object PipelineQueries {
         .select($"doc_id").orderBy($"doc_id")
     }),
 
+    // ---- retry idempotence of the cross-run NEAR dedup, oracle-boarded
+    // (r19, r18 verdict #2): run 1 commits, then run 1 RE-RUNS (the
+    // crash-retry — caller lost the output after the state append), then
+    // run 2 runs. The retried batch must return exactly its original
+    // admissions (its own committed state entries are self-pair-excluded,
+    // no ghost suppression) and run 2 must be unaffected by the retry's
+    // duplicate state rows. Output: (run, doc_id) — run 1 = the retry's
+    // admissions, run 2 = the d25 flow's admissions.
+    "d26_retry_idempotent" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val state = scratchDir("graft-incretry")
+      val run1 = docs.filter($"doc_id" < 250)
+      val run2 = docs.filter($"doc_id" >= 250)
+        .unionByName(docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        .unionByName(docs.filter($"doc_id" >= 250 && $"doc_id" < 270)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+      graft.dedup.IncrementalDedup.dedupeNear(
+        run1, "doc_id", "text", state,
+        n = 3, numHashes = 32, bands = 8, tau = 0.7).count() // commit
+      val retry = graft.dedup.IncrementalDedup.dedupeNear(
+        run1, "doc_id", "text", state,
+        n = 3, numHashes = 32, bands = 8, tau = 0.7) // crash-retry
+      val out2 = graft.dedup.IncrementalDedup.dedupeNear(
+        run2, "doc_id", "text", state,
+        n = 3, numHashes = 32, bands = 8, tau = 0.7)
+      retry.select(lit(1L).as("run"), $"doc_id")
+        .unionByName(out2.select(lit(2L).as("run"), $"doc_id"))
+        .orderBy($"run", $"doc_id")
+    }),
+
     // ---- streaming ingestion dedup (batch mode — the degradation IS
     // the oracle contract, same as ev01-03): commit the first half as
     // batch history, then run the streaming front door over the full
@@ -998,7 +1030,7 @@ object PipelineQueries {
     * probes). Ids are globally unique across runs by construction, so
     * the shared signature CTEs serve both runs.
     */
-  private val incNearSql: String = {
+  private val incNearCtes: String = {
     val perms32 = Dedup.permutations(32)
     val sig = perms32.map { case (a, b) =>
       s"list_min(list_transform(h30, h -> (h * $a + $b) % ${Dedup.MinhashPrime}))"
@@ -1040,11 +1072,32 @@ object PipelineQueries {
        |  JOIN sg x ON x.doc_id = n.doc_id JOIN sg y ON y.doc_id = o.doc_id
        |  WHERE n.doc_id IN (SELECT doc_id FROM k2)
        |    AND o.doc_id IN (SELECT doc_id FROM s1)
-       |    AND $jac >= 0.7)
+       |    AND $jac >= 0.7)""".stripMargin
+  }
+
+  private val incNearSql: String =
+    s"""$incNearCtes
        |SELECT doc_id FROM k2
        |WHERE doc_id NOT IN (SELECT doc_id FROM stdrop)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** d26 oracle: RETRY idempotence of the two-run near-dedup flow. A
+    * retried run 1 (crash between state append and output delivery)
+    * must return exactly run 1's original within-batch survivors — its
+    * own committed state entries are self-pair-excluded, and two
+    * committed survivors are never τ-similar (their pair would have
+    * dropped the higher id in-batch) — and run 2's admissions are
+    * unchanged by the retry's duplicate state rows (the engine's
+    * candidate and confirm joins are DISTINCT over (id, old_id)). So
+    * the expected board: run 1 = s1, run 2 = the d25 output.
+    */
+  private val incRetrySql: String =
+    s"""$incNearCtes
+       |SELECT CAST(1 AS BIGINT) AS run, doc_id FROM s1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), doc_id FROM k2
+       |WHERE doc_id NOT IN (SELECT doc_id FROM stdrop)
+       |ORDER BY run, doc_id""".stripMargin
 
   /** d11 oracle: connected components over the verified pair set,
     * re-derived with a recursive label-propagation CTE — each node's
@@ -1319,6 +1372,7 @@ object PipelineQueries {
          |  SELECT 1 FROM f p WHERE p.doc_id < 250 AND p.fp = k.fp)
          |ORDER BY fp""".stripMargin,
     "d25_incremental_near" -> incNearSql,
+    "d26_retry_idempotent" -> incRetrySql,
     "d12_stratified_split" -> stratSampleSql,
     "d13_contamination" -> contaminationSql,
     // d15: identical PII injection + the same 3-stage regex chain

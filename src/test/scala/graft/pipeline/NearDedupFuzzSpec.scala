@@ -119,6 +119,14 @@ class NearDedupFuzzSpec extends AnyFunSuite {
       val got1 = engine(run1)
       assert(got1 == want1.map(_.id).sorted,
         s"case $c run 1 diverged (seed=$seed)\n got=$got1\nwant=${want1.map(_.id).sorted}")
+      // retry leg (r19, d26's contract): re-running the committed batch
+      // — the crash-between-append-and-delivery shape — must return
+      // exactly its original admissions (self-pairs excluded, and two
+      // committed survivors are never τ-similar), and the retry's
+      // duplicate state rows must leave the next run unaffected
+      val gotRetry = engine(run1)
+      assert(gotRetry == got1,
+        s"case $c retry diverged (seed=$seed)\n got=$gotRetry\nwant=$got1")
       val got2 = engine(run2)
       assert(got2 == want2.map(_.id).sorted,
         s"case $c run 2 diverged (seed=$seed)\n got=$got2\nwant=${want2.map(_.id).sorted}")
