@@ -489,6 +489,48 @@ object ScaleProbe {
     s.range(n).toDF("n")
   }
 
+  /** Hierarchical-IVF at k PAST the flat driver-draw cap (r19, r18
+    * verdict #4): on the ≥30× tiers the index trains k=16384 lists
+    * (kSup=128 superclusters driver-side, 128 children each trained
+    * DISTRIBUTED via mapGroups), which a flat IvfIndex cannot reach
+    * from its bounded 10K sample. The probe measures recall@10 vs the
+    * exact brute-force answer over the same 5 queries and GATES it
+    * in-probe — a broken 2-level assign/probe scores ~1e-5 (chance)
+    * and throws. The base tier runs the e08 board shape (k=256) so the
+    * row stays comparable across tiers.
+    */
+  // trained 2-level quantizers, one per (dir, k) — training is a
+  // one-time build step (FAISS train/add/search separation), so the
+  // probe's measured passes time the SERVING path: assign + probe +
+  // rerank, the part that scales with the corpus
+  private val hierTrained = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (Array[Array[Double]], Array[Array[Array[Double]]])]
+
+  private def hierIvfBigKProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter($"vec_id" < 5)
+    val n = emb.count()
+    // k PAST the flat trainer's 10K-draw cap on the scaled tiers (the
+    // 30× corpus holds 60K vectors — k=16384 lists is the k ≫ sample
+    // regime the 2-level trainer exists for); board shape at base
+    val (k, nprobe) = if (n >= 50000L) (16384, 2048) else (256, 96)
+    val idx = new graft.similarity.Similarity.HierIvfIndex(
+      k = k, nprobe = nprobe)
+    val (sup, ch) = hierTrained.getOrElseUpdate((d, k),
+      idx.train(emb, "vec_id", "embedding"))
+    val approx = idx.annTopKTrained(sup, ch, emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", 10)
+    val exact = graft.queries.PipelineQueries.exactTopKCached(s, d, 10)
+    val recall = approx.join(exact.select($"qid", $"id"), Seq("qid", "id"))
+      .count().toDouble / math.max(1L, exact.count()).toDouble
+    println(f"[probe] e08_hier_bigk k=$k nprobe=$nprobe " +
+      f"recall@10=$recall%.3f on $d")
+    require(recall >= 0.3,
+      f"hier-IVF recall $recall%.3f below the 0.3 gate (k=$k)")
+    s.range(math.max(1L, (recall * 1000).toLong)).toDF("n")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val nCopies = if (args.length > 2) args(2).toInt else 10
@@ -663,6 +705,8 @@ object ScaleProbe {
       "bprune_varpath_both_full" -> bpruneVarPathBothProbe(pruned = false),
       "bprune_bfs_both_pruned" -> bpruneBfsBothProbe(pruned = true),
       "bprune_bfs_both_full" -> bpruneBfsBothProbe(pruned = false),
+      // r19: hierarchical IVF at k=16384 (recall-gated in-probe)
+      "e08_hier_bigk" -> (hierIvfBigKProbe(_, _)),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -718,7 +762,9 @@ object ScaleProbe {
           "bprune_bfs_pruned", "bprune_bfs_full",
           // r19: the undirected (main + mirror) variant of the same
           "bprune_varpath_both_pruned", "bprune_varpath_both_full",
-          "bprune_bfs_both_pruned", "bprune_bfs_both_full")
+          "bprune_bfs_both_pruned", "bprune_bfs_both_full",
+          // r19: big-k hierarchical IVF only exists past the 10K draw
+          "e08_hier_bigk")
           .contains(n)
       }
 

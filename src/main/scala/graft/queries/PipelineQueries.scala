@@ -56,6 +56,14 @@ object PipelineQueries {
     */
   private val PqrRecallFloor = 0.3
   private val PqrNprobe = 12
+  /** e08: hierarchical 2-level IVF at k=256 (16× e04's flat k on the
+    * same corpus) — measured recall@10 at nprobe=96: 0.94 at sf0.01
+    * (0.40 @ nprobe=32, 1.00 @ 160); floor 0.6 keeps e04's margin
+    * convention while a broken 2-level assign/probe (recall ~0) trips.
+    */
+  private val HierRecallFloor = 0.6
+  private val HierK = 256
+  private val HierNprobe = 96
 
   /** d20 mixture weights (also interpolated into the oracle SQL): the
     * kept corpus targets 50/30/20 token mass across three sources; the
@@ -696,6 +704,31 @@ object PipelineQueries {
         .join(hits, Seq("qid"), "left")
         .select($"qid", $"n_exact",
           (coalesce($"n_hit", lit(0L)) / $"n_exact" >= PqrRecallFloor)
+            .as("recall_ok"))
+        .orderBy($"qid")
+    }),
+
+    // ---- hierarchical 2-level IVF (r19, r18 verdict #4): the
+    // k-past-the-driver-draw deployment shape — √k superclusters train
+    // driver-side on the bounded sample, each supercluster's children
+    // train DISTRIBUTED (mapGroups-local Lloyd on per-supercluster
+    // capped draws), so the list count scales to 64K-class without a
+    // bigger collect. Codebooks are seeded Lloyd (not SQL-replicable),
+    // so like e04 the oracle-checkable output is the per-query recall
+    // gate against the oracled brute-force answer.
+    "e08_hier_ivf" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter($"vec_id" < 5)
+      val approx = new Similarity.HierIvfIndex(k = HierK, nprobe = HierNprobe)
+        .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
+      val exact = exactTopKCached(s, d, 10)
+      val hits = approx.join(exact.select($"qid", $"id"), Seq("qid", "id"))
+        .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", $"n_exact",
+          (coalesce($"n_hit", lit(0L)) / $"n_exact" >= HierRecallFloor)
             .as("recall_ok"))
         .orderBy($"qid")
     }),
@@ -1538,6 +1571,13 @@ object PipelineQueries {
     // the contract — every query returns a full exact top-10 and clears
     // the recall floor. A quantizer/probe regression flips recall_ok.
     "e04_ann_ivf" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_exact,
+        | true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // e08 gate contract mirrors e04: hierarchical-IVF recall clears the
+    // floor for every query; a 2-level train/assign/probe regression
+    // flips recall_ok
+    "e08_hier_ivf" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_exact,
         | true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
