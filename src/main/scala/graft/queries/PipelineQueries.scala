@@ -176,7 +176,10 @@ object PipelineQueries {
       m1 = 8, m2 = 8, refineFactor = 8).train(emb, "vec_id", "embedding")
     val encR = idx.encode(emb, "vec_id", "embedding").localCheckpoint(true)
     val pqr = idx.annTopK(encR, qs, "vec_id", "embedding", 10)
-    Map("e04_ivf" -> mean(ivf), "e05_pq" -> mean(pq), "e06_pqr" -> mean(pqr))
+    val hier = new Similarity.HierIvfIndex(k = HierK, nprobe = HierNprobe)
+      .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
+    Map("e04_ivf" -> mean(ivf), "e05_pq" -> mean(pq),
+      "e06_pqr" -> mean(pqr), "e08_hier" -> mean(hier))
   }
 
   /** Shared e03/e07 surface: the salted embedding corpus → LSH candidate

@@ -19,16 +19,18 @@ class RecallDriftSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val sfDir = "/root/testdata/sf0.01"
 
-  /** Trailing measured recall@10 at sf0.01 (round 14). */
+  /** Trailing measured recall@10 at sf0.01 (round 14; e08 round 19). */
   private val trailing = Map(
     "e04_ivf" -> 0.94,
     "e05_pq" -> 0.34,
-    "e06_pqr" -> 0.62)
+    "e06_pqr" -> 0.62,
+    "e08_hier" -> 0.94)
 
   private val staticFloors = Map(
     "e04_ivf" -> 0.6,
     "e05_pq" -> 0.1,
-    "e06_pqr" -> 0.3)
+    "e06_pqr" -> 0.3,
+    "e08_hier" -> 0.6)
 
   test("measured recall stays within 0.15 of the recorded trail") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists,
