@@ -309,6 +309,156 @@ case class HierCid(vec: Expression, supLit: Expression,
       childLit = newChildren(2))
 }
 
+/** [[HierCid]] with the centroid matrices as PRIMITIVE constructor
+  * fields instead of literal children. The literal form pays a hidden
+  * per-task tax at large k: a k=16384×64 typedLit is a
+  * GenericArrayData graph of ~1M boxed java.lang.Float, and Spark
+  * deserializes the task closure (plan included) PER TASK — measured
+  * ~2.4 s of a 2.7 s assignment stage at 60K rows, re-paid by every
+  * stage referencing the literal. Primitive float[][] fields ship as
+  * compact array records instead (ms-class). Constructed through a
+  * closure-capturing function registration
+  * ([[VectorFunctions.hierCidRef]]) because Columns can only be built
+  * from registry functions, and matrices cannot ride through
+  * expression children without becoming literals again.
+  */
+case class HierCidRef(child: Expression, sup: Array[Array[Float]],
+    ch: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hier_cid_ref"
+
+  private def argmax(v: ArrayData, m: Array[Array[Float]]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < m.length) {
+      val row = m(c)
+      val n = math.min(v.numElements(), row.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble; val y = row(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      val sim = if (nn == 0.0) 0.0 else dot / nn
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val s = argmax(v, sup)
+    val kSub = if (ch.isEmpty) 0 else ch(0).length
+    s * kSub + argmax(v, ch(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val supRef = ctx.addReferenceObj("hierSupR", sup, "float[][]")
+    val chRef = ctx.addReferenceObj("hierChR", ch, "float[][][]")
+    val am = ctx.freshName("argmaxCosR")
+    ctx.addNewFunction(am,
+      s"""
+         |private int $am(org.apache.spark.sql.catalyst.util.ArrayData v,
+         |    float[][] m) {
+         |  int best = 0;
+         |  double bestSim = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int c = 0; c < m.length; c++) {
+         |    float[] row = m[c];
+         |    int n = java.lang.Math.min(v.numElements(), row.length);
+         |    double dot = 0.0, na = 0.0, nb = 0.0;
+         |    for (int i = 0; i < n; i++) {
+         |      double x = (double) v.getFloat(i);
+         |      double y = (double) row[i];
+         |      dot += x * y; na += x * x; nb += y * y;
+         |    }
+         |    double nn = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+         |    double sim = (nn == 0.0) ? 0.0 : dot / nn;
+         |    if (sim > bestSim) { bestSim = sim; best = c; }
+         |  }
+         |  return best;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s"); val kSub = ctx.freshName("kSub")
+      s"""
+         |int $s = $am($a, $supRef);
+         |int $kSub = ($chRef.length == 0) ? 0 : $chRef[0].length;
+         |${ev.value} = $s * $kSub + $am($a, $chRef[$s]);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Query-side probe of the hierarchical IVF: the nprobe list ids of a
+  * query vector — top pSup superclusters by cosine, all their children
+  * ranked together, global top nprobe. Matrices ride as primitive
+  * fields like [[HierCidRef]] so the probe plan carries no boxed
+  * literal into the candidate join's stages. CodegenFallback by
+  * design: this evaluates once per QUERY row (a handful), while the
+  * corpus-sized side uses the codegen'd [[HierCidRef]]. Ordering
+  * matches the previous higher-order-function formulation exactly
+  * (descending (sim, cid)) so recorded recall numbers carry over.
+  */
+case class HierProbeCids(child: Expression, sup: Array[Array[Float]],
+    ch: Array[Array[Array[Float]]], pSup: Int, nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hier_probe"
+
+  private def cos(v: ArrayData, row: Array[Float]): Double = {
+    val n = math.min(v.numElements(), row.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble; val y = row(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else dot / nn
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val kSub = if (ch.isEmpty) 0 else ch(0).length
+    // descending (sim, idx) — the reverse(array_sort(struct)) order
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse,
+      Ordering.Int.reverse)
+    val topSups = sup.indices.map(s => (cos(v, sup(s)), s))
+      .sorted(ord).take(pSup).map(_._2)
+    val scored = topSups.flatMap { s =>
+      val g = ch(s)
+      g.indices.map(j => (cos(v, g(j)), s * kSub + j))
+    }
+    val cids = scored.sorted(ord).take(nprobe).map(_._2)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cids.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorFunctions {
   val CosineName = "graft_cosine"
   val NearestName = "graft_nearest"
@@ -348,10 +498,59 @@ object VectorFunctions {
   }
 
   /** Codegen'd two-level IVF list id column (registers on first use);
-    * `supLit`/`childLit` must be centroid-matrix literals. */
+    * `supLit`/`childLit` must be centroid-matrix literals. Prefer
+    * [[hierCidRef]] for large k — the literal form re-pays boxed plan
+    * deserialization per task (see [[HierCidRef]]). */
   def hierCid(spark: SparkSession, vec: Column, supLit: Column,
       childLit: Column): Column = {
     register(spark)
     call_function(HierCidName, vec, supLit, childLit)
+  }
+
+  // one registered closure per trained matrix pair (reference-keyed;
+  // bounded by trained indexes per session)
+  private val hierRefNames =
+    scala.collection.concurrent.TrieMap.empty[(AnyRef, AnyRef), String]
+  // monotonically unique suffix: a map-size-based name could collide if
+  // two DIFFERENT matrix pairs raced to the same size, silently reusing
+  // the first pair's captured closure
+  private val hierRefCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Two-level IVF list id with PRIMITIVE matrices captured in the
+    * registered builder closure — the plan carries only the tiny
+    * function call, and tasks deserialize compact float arrays instead
+    * of a boxed literal graph (see [[HierCidRef]]).
+    */
+  def hierCidRef(spark: SparkSession, vec: Column,
+      sup: Array[Array[Float]], ch: Array[Array[Array[Float]]]): Column = {
+    val name = hierRefNames.getOrElseUpdate(
+      (sup.asInstanceOf[AnyRef], ch.asInstanceOf[AnyRef]),
+      s"graft_hier_cid_ref_${hierRefCounter.incrementAndGet()}")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(
+        name, exprs => HierCidRef(exprs(0), sup, ch), "built-in")
+    call_function(name, vec)
+  }
+
+  private val hierProbeNames =
+    scala.collection.concurrent.TrieMap.empty[(AnyRef, AnyRef, Int, Int), String]
+
+  /** Query-side nprobe list ids with primitive captured matrices (see
+    * [[HierProbeCids]]). */
+  def hierProbeRef(spark: SparkSession, vec: Column,
+      sup: Array[Array[Float]], ch: Array[Array[Array[Float]]],
+      pSup: Int, nprobe: Int): Column = {
+    val name = hierProbeNames.getOrElseUpdate(
+      (sup.asInstanceOf[AnyRef], ch.asInstanceOf[AnyRef], pSup, nprobe),
+      s"graft_hier_probe_${hierRefCounter.incrementAndGet()}")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(
+        name, exprs => HierProbeCids(exprs(0), sup, ch, pSup, nprobe),
+        "built-in")
+    call_function(name, vec)
   }
 }

@@ -287,10 +287,6 @@ object Similarity {
     private val pSup: Int =
       math.min(kSup, math.max(2, math.ceil(2.0 * nprobe / kSub).toInt))
 
-    private def cosTo(vec: Column, other: Column): Column =
-      graft.functions.VectorFunctions.cosine(
-        org.apache.spark.sql.SparkSession.active, vec, other)
-
     /** argmax-cosine index (0-based) of `vec` against a centroid-matrix
       * literal — one typedLit + the codegen'd [[graft.functions.NearestCosine]]
       * loop (√k cosines per row is the assignment hot path; the
@@ -342,35 +338,25 @@ object Similarity {
       (supers, children)
     }
 
-    private def childrenLit(children: Array[Array[Array[Double]]]): Column =
-      typedLit(children.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
-
-    /** List id from a vector column and a BOUND supercluster value —
-      * cid = sup·kSub + nearest child. `sup` must be a lambda variable
-      * or plain column reference, never the nearestCol expression
-      * inline: Catalyst evaluates a lambda body's non-lambda subtrees
-      * per element, so an inline sup re-runs the √k-cosine argmax for
-      * EVERY child — O(kSup·kSub) cosines per row instead of 2·√k
-      * (measured: 27 ms/row vs sub-ms at k=16384). A mere alias column
-      * does NOT protect either: CollapseProject re-inlines it. Use
-      * [[cidCol]], which let-binds sup through a one-element transform
-      * (lambda variables are bound once per element, optimizer-proof).
-      */
     /** List id of a vector column: nearest super, then nearest child
-      * within it — 2·√k cosines in ONE fused codegen'd expression
-      * ([[graft.functions.HierCid]]). Fusing matters twice over: a
+      * within it — 2·√k cosines in ONE fused codegen'd expression over
+      * PRIMITIVE captured matrices ([[graft.functions.HierCidRef]]).
+      * The fusing + primitives matter three times over at k=16384: a
       * two-expression spelling re-evaluates the √k-cosine super argmax
       * per child (lambda bodies re-run non-lambda subtrees, and
-      * CollapseProject re-inlines alias columns — measured 27 ms/row at
-      * k=16384), and even the fixed HOF shape pays a boxed ArrayData
-      * accessor per matrix element (~130 µs/row). The fused primitive
-      * loop is µs-class. */
+      * CollapseProject re-inlines alias columns — measured 27 ms/row);
+      * the HOF shape pays a boxed ArrayData accessor per matrix element
+      * (~130 µs/row); and a typedLit matrix is a ~1M-boxed-object plan
+      * literal whose closure deserialization re-taxes EVERY task of
+      * every stage referencing it (~2.4 s of a 2.7 s stage). The fused
+      * primitive loop is µs-class and the plan carries only a function
+      * call. */
     def cidCol(vec: Column, supers: Array[Array[Double]],
-        children: Array[Array[Array[Double]]]): Column =
-      graft.functions.VectorFunctions.hierCid(
-        org.apache.spark.sql.SparkSession.active, vec,
-        typedLit(supers.map(_.map(_.toFloat).toSeq).toSeq),
-        childrenLit(children))
+        children: Array[Array[Array[Double]]]): Column = {
+      val (sf, cf) = asFloats(supers, children)
+      graft.functions.VectorFunctions.hierCidRef(
+        org.apache.spark.sql.SparkSession.active, vec, sf, cf)
+    }
 
     /** The query's nprobe list ids: top pSup supers, all their children
       * ranked together, global top nprobe. */
@@ -379,20 +365,27 @@ object Similarity {
         children: Array[Array[Array[Double]]]): Column =
       probeCids(vec, supers, children)
 
+    // converted-to-float matrices memoized PER (supers, children)
+    // reference: the registered closure functions are keyed on the
+    // array references, so repeated annTopKTrained calls must hand the
+    // registry the SAME objects to reuse their registrations
+    private val floatCache = scala.collection.concurrent.TrieMap
+      .empty[(AnyRef, AnyRef),
+        (Array[Array[Float]], Array[Array[Array[Float]]])]
+    private def asFloats(supers: Array[Array[Double]],
+        children: Array[Array[Array[Double]]]):
+        (Array[Array[Float]], Array[Array[Array[Float]]]) =
+      floatCache.getOrElseUpdate(
+        (supers.asInstanceOf[AnyRef], children.asInstanceOf[AnyRef]),
+        (supers.map(_.map(_.toFloat)),
+          children.map(_.map(_.map(_.toFloat)))))
+
     private def probeCids(vec: Column, supers: Array[Array[Double]],
         children: Array[Array[Array[Double]]]): Column = {
-      val supLit = typedLit(supers.map(_.map(_.toFloat).toSeq).toSeq)
-      val supScored = transform(sequence(lit(0), lit(kSup - 1)),
-        i => struct(cosTo(vec, element_at(supLit, i + 1)).as("sim"),
-          i.cast("int").as("cid")))
-      val sups = slice(reverse(array_sort(supScored)), 1, pSup)
-        .getField("cid")
-      val cl = childrenLit(children)
-      val scored = flatten(transform(sups, s =>
-        transform(sequence(lit(0), lit(kSub - 1)), j =>
-          struct(cosTo(vec, element_at(element_at(cl, s + 1), j + 1))
-            .as("sim"), (s * kSub + j).cast("int").as("cid")))))
-      slice(reverse(array_sort(scored)), 1, nprobe).getField("cid")
+      val (sf, cf) = asFloats(supers, children)
+      graft.functions.VectorFunctions.hierProbeRef(
+        org.apache.spark.sql.SparkSession.active, vec, sf, cf,
+        pSup, nprobe)
     }
 
     /** Approximate top-k: assign the corpus once, probe the queries,

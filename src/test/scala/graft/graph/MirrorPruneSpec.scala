@@ -200,6 +200,44 @@ class MirrorPruneSpec extends AnyFunSuite {
     assert(after == before) // the w property does not change topology
   }
 
+  test("GQL undirected var-length route reaches the two-branch pruned " +
+      "loop (compiler wiring, gql37's shape)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-mirror-gql").toString
+    val gls = graft.GraphLiteSpark.open(spark, wh)
+    val nodes = (1L to 4000L).toDF("id")
+    val edges = (1L until 4000L).map(i => (i, i + 1, i)).toDF("src", "dst", "eid")
+    val g = new PropertyGraph(Map("n" -> nodes),
+      Map("NX" -> (EdgeType("NX", "n", "n"), edges)))
+    val sess = gls.session("driver").useGraph(g)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS /mbq")
+    sess.execute("CREATE GRAPH INDEX mbq_src ON edges_NX (src)")
+    sess.execute("ALTER INDEX mbq_src SET OPTION buckets = 8")
+    sess.execute("ALTER INDEX mbq_src SET OPTION mirror = true")
+    sess.saveGraphAs("/mbq/chain", force = true)
+    val q = gls.session("driver").useGraph("/mbq/chain")
+    val rows = q.gql("MATCH (a:n {id: 10})-[:NX*1..2]-(b:n) " +
+        "RETURN count(b) AS c, min(b.id) AS lo, max(b.id) AS hi")
+      .collect().head
+    // undirected WALK from 10 over the chain: depth1 {9,11}, depth2
+    // {8,10,10,12} — 6 paths, ends 8..12
+    assert((rows.getLong(0), rows.getLong(1), rows.getLong(2)) ==
+      (6L, 8L, 12L))
+    // the compiled undirected hop must have run the TWO-BRANCH pruned
+    // loop — a wiring regression (session handing paths() a graph
+    // without origin, or the mirror spec not registering on load)
+    // would pass on values but fail here
+    val trace = PropertyGraph.lastPathPrune
+    assert(trace.size == 2 &&
+      trace.forall { case (ids, plan) =>
+        ids.nonEmpty && ids.size <= 2 &&
+          plan.linesIterator.count(l =>
+            l.contains("PartitionFilters") && l.contains("__ixb")) >= 2
+      },
+      s"GQL undirected route lost two-branch pruning: ${trace.map(_._1)}")
+  }
+
   test("pruned vs unpruned Both/In parity on random graphs (seeded " +
       "mini-fuzz)") {
     import spark.implicits._
