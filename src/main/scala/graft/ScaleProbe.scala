@@ -395,6 +395,52 @@ object ScaleProbe {
     s.range(n).toDF("n")
   }
 
+  /** REVERSE seeded hop A/B (r19): a range predicate on the
+    * NON-clustered endpoint of a 16-bucket PLACED label. With
+    * MirrorSwap on, the scan re-points at `.mirror_edges_PLACED` and
+    * prunes to the dst range's buckets; off, the src-clustered label
+    * is read whole (dst pushes only to useless row-group stats). The
+    * warehouse analog of the reference's adjacency_in index
+    * (graph_cache.rs:16-38) measured directly.
+    */
+  private def mirrorRevHopProbe(swapped: Boolean)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.graph.PropertyGraph
+    val wh = "/tmp/graft-mswap-rev-" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val gls = GraphLiteSpark.open(s, wh)
+    val marker = new java.io.File(s"$wh/.setup_done")
+    if (!marker.exists()) {
+      val g = graft.graph.TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer"),
+          "orders" -> g.nodeTables("orders")),
+        Map("PLACED" -> g.edgeTables("PLACED")))
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
+      sess.execute("CREATE GRAPH INDEX rvix ON edges_PLACED (src)")
+      sess.execute("ALTER INDEX rvix SET OPTION buckets = 16")
+      sess.execute("ALTER INDEX rvix SET OPTION mirror = true")
+      sess.saveGraphAs("/probe/revhop", force = true)
+      marker.createNewFile()
+    }
+    // the measured body is the PURE edge scan (the swap's subject) —
+    // the GQL end-to-end shape is oracle-pinned by gql38; here the node
+    // joins would drown the edge read delta in unpruned node-scan rows
+    val lg = revGraphs.getOrElseUpdate(wh,
+      gls.catalog.loadGraph("probe", "revhop"))
+    val e = lg.edgeTables("PLACED")._2
+    val prev = graft.plans.MirrorSwap.enabled
+    graft.plans.MirrorSwap.enabled = swapped
+    val n =
+      try e.filter(col("dst") <= lit(50L))
+        .agg(count(lit(1)), min("totalprice")).count()
+      finally graft.plans.MirrorSwap.enabled = prev
+    s.range(n).toDF("n")
+  }
+
+  private val revGraphs = scala.collection.concurrent.TrieMap
+    .empty[String, graft.graph.PropertyGraph]
+
   /** Seeded UNDIRECTED var-length traversal A/B over a 16-bucket NEXT
     * chain WITH the dual-keyed mirror (r19, r18 watch #1): the last
     * traversal shape without pruning economics. With pruning on, each
@@ -707,6 +753,9 @@ object ScaleProbe {
       "bprune_bfs_both_full" -> bpruneBfsBothProbe(pruned = false),
       // r19: hierarchical IVF at k=16384 (recall-gated in-probe)
       "e08_hier_bigk" -> (hierIvfBigKProbe(_, _)),
+      // r19: the reverse seeded hop served by the mirror (MirrorSwap)
+      "mirror_revhop_swapped" -> mirrorRevHopProbe(swapped = true),
+      "mirror_revhop_full" -> mirrorRevHopProbe(swapped = false),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -764,7 +813,9 @@ object ScaleProbe {
           "bprune_varpath_both_pruned", "bprune_varpath_both_full",
           "bprune_bfs_both_pruned", "bprune_bfs_both_full",
           // r19: big-k hierarchical IVF only exists past the 10K draw
-          "e08_hier_bigk")
+          "e08_hier_bigk",
+          // r19: the mirror-served reverse hop is a read-volume story
+          "mirror_revhop_swapped", "mirror_revhop_full")
           .contains(n)
       }
 

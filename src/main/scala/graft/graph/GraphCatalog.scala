@@ -80,6 +80,13 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       .contains(graft.plans.BucketDynamicPrune))
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.BucketDynamicPrune
+  // MirrorSwap re-points reverse-keyed edge predicates at the dual
+  // layout; runs in the same fixed-point batch, so BucketPrune then
+  // injects the mirror's __ixb conjunct on the swapped scan
+  if (!spark.experimental.extraOptimizations
+      .contains(graft.plans.MirrorSwap))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.MirrorSwap
 
   def createSchema(schema: String): Unit =
     Files.createDirectories(Paths.get(s"$warehouse/$schema"))

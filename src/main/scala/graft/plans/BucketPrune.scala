@@ -170,6 +170,12 @@ object BucketPrune extends Rule[LogicalPlan] with PredicateHelper {
     // well-formed IN that matches no partition
     In(ixb, (if (ids.isEmpty) Seq(-1) else ids.toSeq.sorted).map(Literal(_)))
 
+  /** [[bucketSet]] for sibling rules ([[MirrorSwap]] asks whether a
+    * predicate is servable under a given layout's key before swapping
+    * relations). */
+  private[plans] def bucketSetFor(cond: Expression, key: Attribute,
+      spec: Spec): Option[Set[Int]] = bucketSet(cond, key, spec)
+
   /** Intersection of the bucket sets implied by the conjuncts of `cond`
     * that constrain `key` against literals; None when no conjunct does.
     */

@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Serve a reverse-keyed edge predicate from the dual-keyed MIRROR
+  * layout (GraphCatalog `mirror = true`).
+  *
+  * A bucketed edge table clusters on ONE endpoint; a point/range
+  * predicate on the OTHER endpoint (the dst of a src-clustered label —
+  * e.g. "who placed THIS order", the reverse of gql34's hop) cannot map
+  * to an `__ixb` partition filter there, so the scan reads the whole
+  * label. When the graph also persists the mirror
+  * (`.mirror_edges_<label>/` — the same rows re-clustered on the other
+  * endpoint; the reference keeps both adjacency orientations indexed,
+  * graph_cache.rs:16-38), this rule REPLACES the scan with the mirror's
+  * relation. [[BucketPrune]] then fires on the swapped filter in the
+  * same fixed-point batch and injects the mirror's `__ixb` conjunct —
+  * the reverse lookup becomes an O(touched buckets) read.
+  *
+  * Correctness: the mirror holds exactly the main layout's rows by the
+  * save protocol (written from the same frame in the same staging,
+  * hard-linked together when clean, both invalidated by
+  * [[BucketPrune.invalidateUnder]] on every save and re-registered only
+  * at loadGraph from the post-swap state), so swapping relations never
+  * changes results — only which clustering serves the scan. The
+  * original output attribute ids are preserved through an aliasing
+  * Project, so upstream references bind unchanged. The `__ixb` column
+  * itself is storage metadata (dropped by loadGraph before queries see
+  * it); a filter already constraining it is never swapped.
+  *
+  * The swap fires only when the predicate implies a PROPER bucket
+  * subset under the MIRROR's key and no subset under the main key —
+  * when both layouts serve the predicate, the main table wins (no
+  * reason to move), and when neither does, the scan stays put.
+  */
+object MirrorSwap extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** A/B toggle (ScaleProbe, specs). */
+  @volatile var enabled: Boolean = true
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || BucketPrune.registryEmpty) plan
+    else plan transform {
+      case f @ Filter(cond, rel: LogicalRelation) =>
+        trySwap(cond, rel).getOrElse(f)
+    }
+
+  private def trySwap(cond: Expression,
+      rel: LogicalRelation): Option[LogicalPlan] = for {
+    fsRel <- rel.relation match {
+      case h: HadoopFsRelation => Some(h); case _ => None
+    }
+    root <- fsRel.location.rootPaths.headOption
+    mainPath = root.toUri.getPath
+    // never re-swap a mirror scan, and never touch an already-pruned
+    // filter (__ixb constrained = BucketPrune got there first)
+    if !new java.io.File(mainPath).getName.startsWith(".mirror_")
+    if !cond.references.exists(_.name == BucketPrune.BucketCol)
+    mirrorPath = {
+      val p = java.nio.file.Paths.get(mainPath)
+      p.getParent.resolve(".mirror_" + p.getFileName).toString
+    }
+    mirSpec <- BucketPrune.specForPath(mirrorPath)
+    mirKey <- rel.output.find(_.name == mirSpec.keyCol)
+    // live type must match the registered key kind (BucketPrune's gate)
+    if mirSpec.stringKey ==
+      (mirKey.dataType == org.apache.spark.sql.types.StringType)
+    if mirSpec.stringKey ||
+      mirKey.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    mirIds <- BucketPrune.bucketSetFor(cond, mirKey, mirSpec)
+    if mirIds.size < mirSpec.buckets
+    // the main layout must NOT already serve this predicate
+    if !BucketPrune.specForPath(mainPath).exists { mainSpec =>
+      rel.output.find(_.name == mainSpec.keyCol).exists { mk =>
+        BucketPrune.bucketSetFor(cond, mk, mainSpec)
+          .exists(_.size < mainSpec.buckets)
+      }
+    }
+    spark <- SparkSession.getActiveSession
+    if java.nio.file.Files.exists(java.nio.file.Paths.get(mirrorPath))
+    swapped <- buildSwap(spark, cond, rel, mirrorPath)
+  } yield swapped
+
+  /** The mirror relation with the original filter re-bound onto its
+    * attributes, wrapped in a Project restoring the original output
+    * attribute ids (so every upstream reference binds unchanged).
+    */
+  private def buildSwap(spark: SparkSession, cond: Expression,
+      rel: LogicalRelation, mirrorPath: String): Option[LogicalPlan] = {
+    val mirPlan = spark.read.parquet(mirrorPath).queryExecution.analyzed
+    val mirRel = mirPlan.collectFirst { case r: LogicalRelation => r }
+      .getOrElse(return None)
+    val byName = mirRel.output.map(a => a.name -> a).toMap
+    // every referenced/projected column must exist in the mirror with
+    // the same type — a schema mismatch means a stale mirror; bail
+    val ok = rel.output.forall(o =>
+      byName.get(o.name).exists(_.dataType == o.dataType))
+    if (!ok) return None
+    val condM = cond.transform {
+      case a: AttributeReference if rel.outputSet.contains(a) =>
+        byName(a.name)
+    }
+    val proj = rel.output.map { o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier)
+    }
+    Some(Project(proj, Filter(condM, mirRel)))
+  }
+}

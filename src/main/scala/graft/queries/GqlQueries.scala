@@ -595,6 +595,35 @@ object GqlQueries {
           |       min(d.acctbal) AS bal""".stripMargin)
     }),
 
+    // r19: the REVERSE of gql34's hottest access path — a seeded hop
+    // keyed on the NON-clustered endpoint (who placed THESE orders, over
+    // a src-clustered PLACED label). Without the mirror this scan reads
+    // the whole edge label (dst carries no layout); with `mirror = true`
+    // the MirrorSwap rule re-points the scan at `.mirror_edges_PLACED`
+    // and BucketPrune prunes it to the dst range's buckets — the
+    // reference serves this from adjacency_in (graph_cache.rs:16-38).
+    // MirrorSwapSpec pins the plan; this row pins the RESULT end to end.
+    "gql38_reverse_hop" -> ((s: SparkSession, d: String) => {
+      import graft.graph.PropertyGraph
+      val g = TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer"),
+          "orders" -> g.nodeTables("orders")),
+        Map("PLACED" -> g.edgeTables("PLACED")))
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /bprune")
+      sess.execute("CREATE GRAPH INDEX rev_src ON edges_PLACED (src)")
+      sess.execute("ALTER INDEX rev_src SET OPTION buckets = 8")
+      sess.execute("ALTER INDEX rev_src SET OPTION mirror = true")
+      sess.saveGraphAs("/bprune/revhop", force = true)
+      gls.session("driver").useGraph("/bprune/revhop")
+        .gql("""MATCH (c:customer)-[p:PLACED]->(o:orders)
+          |WHERE o.id <= 50
+          |RETURN count(p) AS n, min(o.totalprice) AS lo,
+          |       max(o.totalprice) AS hi, min(c.acctbal) AS bal""".stripMargin)
+    }),
+
     // The STRING-keyed bucket-scoped DML save loop (string ids are the
     // reference's native id type, storage/types.rs:68-72): same shape as
     // gql32 but the customer label's identity is a zero-padded string id
@@ -913,6 +942,11 @@ object GqlQueries {
         |SELECT CAST(count(*) AS BIGINT) AS n, min(c.c_custkey) AS lo,
         | max(c.c_custkey) AS hi, min(c.c_acctbal) AS bal
         |FROM h JOIN customer c ON c.c_custkey = h.id""".stripMargin,
+    "gql38_reverse_hop" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, min(o_totalprice) AS lo,
+        | max(o_totalprice) AS hi, min(c_acctbal) AS bal
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |WHERE o_orderkey <= 50""".stripMargin,
     // gql35: 'C' || lpad(custkey, 6, '0') <= 'C000100' in UTF8 order is
     // exactly custkey <= 100 for the zero-padded encoding
     "gql35_string_bucket_dml" ->
