@@ -289,12 +289,18 @@ object IncrementalDedup {
     // (the NORM in production dedup corpora) is a clique in the
     // candidate join: one (band, bucket) key holding the whole group
     // turns into a single ~|group|²-pair straggler task. One window
-    // shuffle on the sorted set, folded into the same materialization.
+    // shuffle on a 16-byte DIGEST of the sorted set (the d22 unhex-md5
+    // convention — r19 verdict #3: partitioning the window by the full
+    // sorted array made the per-partition sort compare hundreds of
+    // longs per long document; md5 collisions are beyond corpus-scale
+    // odds and the digest is internal, never surfaced), folded into the
+    // same materialization.
     val sigs = batch.select(col(idCol).as("id"),
         Dedup.shingleHashes(col(textCol), n).as("shingles"))
       .withColumn("sig", Dedup.minhashFromHashes(col("shingles"), numHashes))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(array_sort(col("shingles"))).orderBy(col("id"))))
+        Window.partitionBy(unhex(md5(to_json(array_sort(col("shingles"))))))
+          .orderBy(col("id"))))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint(true)
     val newBuckets = sigs.select(col("id"),

@@ -409,9 +409,11 @@ case class HierCidRef(child: Expression, sup: Array[Array[Float]],
   * fields like [[HierCidRef]] so the probe plan carries no boxed
   * literal into the candidate join's stages. CodegenFallback by
   * design: this evaluates once per QUERY row (a handful), while the
-  * corpus-sized side uses the codegen'd [[HierCidRef]]. Ordering
-  * matches the previous higher-order-function formulation exactly
-  * (descending (sim, cid)) so recorded recall numbers carry over.
+  * corpus-sized side uses the codegen'd [[HierCidRef]]; batch-probe
+  * workloads use the codegen'd [[HierProbeCidsGen]]. Ranking:
+  * descending sim, exact ties to the LOWEST cid — the same tie side
+  * assignment takes, so the assigned list always outranks its padded
+  * duplicates.
   */
 case class HierProbeCids(child: Expression, sup: Array[Array[Float]],
     ch: Array[Array[Array[Float]]], pSup: Int, nprobe: Int)
@@ -442,9 +444,14 @@ case class HierProbeCids(child: Expression, sup: Array[Array[Float]],
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val kSub = if (ch.isEmpty) 0 else ch(0).length
-    // descending (sim, idx) — the reverse(array_sort(struct)) order
+    // descending sim; exact ties break to the LOWEST index, matching
+    // assignment ([[HierCidRef]]/[[NearestCosine]] argmax keeps the
+    // first best). Padded duplicate children (train() fills short
+    // groups with the super's own centroid) tie exactly — ranking the
+    // high-index pads first would let an nprobe cut probe EMPTY padded
+    // lists before the populated assigned one (ADVICE r19).
     val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse,
-      Ordering.Int.reverse)
+      Ordering.Int)
     val topSups = sup.indices.map(s => (cos(v, sup(s)), s))
       .sorted(ord).take(pSup).map(_._2)
     val scored = topSups.flatMap { s =>
@@ -453,6 +460,114 @@ case class HierProbeCids(child: Expression, sup: Array[Array[Float]],
     }
     val cids = scored.sorted(ord).take(nprobe).map(_._2)
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cids.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** The per-row probe computation behind [[HierProbeCidsGen]], hoisted
+  * into a plain serializable class so generated code can invoke one
+  * compiled method per row (`addReferenceObj` + a single virtual call)
+  * instead of dropping the whole stage to interpreted eval the way
+  * CodegenFallback does. All selection runs over primitive arrays — no
+  * per-row tuple boxing or Seq sorts. Ranking matches
+  * [[HierProbeCids]] exactly: descending sim under Double total order
+  * (NaN ranks first, like Ordering.Double.TotalOrdering.reverse), exact
+  * ties to the lowest index.
+  */
+final class HierProbeHelper(sup: Array[Array[Float]],
+    ch: Array[Array[Array[Float]]], pSup: Int, nprobe: Int)
+    extends Serializable {
+
+  private def cos(v: ArrayData, row: Array[Float]): Double = {
+    val n = math.min(v.numElements(), row.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble; val y = row(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else dot / nn
+  }
+
+  // indices of the top-n sims: descending total-order sim, ties to the
+  // lowest index (the comparator is total, so NaN sims cannot trip
+  // TimSort's contract check)
+  private def topIdx(sims: Array[Double], n: Int): Array[Int] = {
+    val idx = Array.range(0, sims.length).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(sims(a), sims(b))
+      if (c != 0) c > 0 else a < b
+    }
+    java.util.Arrays.copyOf(idx, math.min(n, idx.length))
+  }
+
+  def probe(v: ArrayData): ArrayData = {
+    val kSub = if (ch.isEmpty) 0 else ch(0).length
+    val supSims = new Array[Double](sup.length)
+    var s = 0
+    while (s < sup.length) { supSims(s) = cos(v, sup(s)); s += 1 }
+    val tops = topIdx(supSims, pSup)
+    val m = tops.length * kSub
+    val sims = new Array[Double](m)
+    val cids = new Array[Int](m)
+    var w = 0
+    var t = 0
+    while (t < tops.length) {
+      val sp = tops(t); val g = ch(sp)
+      var j = 0
+      while (j < g.length) {
+        sims(w) = cos(v, g(j)); cids(w) = sp * kSub + j
+        w += 1; j += 1
+      }
+      t += 1
+    }
+    // rank candidate cids by (sim desc, cid asc): tops are ascending in
+    // each group but groups interleave, so sort (sim, cid) pairs — the
+    // cid order within equal sims is ascending because lower sp*kSub+j
+    // sorts first under the same tie rule
+    val order = Array.range(0, m).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(sims(a), sims(b))
+      if (c != 0) c > 0 else cids(a) < cids(b)
+    }
+    val out = new Array[Int](math.min(nprobe, m))
+    var i = 0
+    while (i < out.length) { out(i) = cids(order(i)); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Codegen'd [[HierProbeCids]] for query-BATCH workloads (thousands of
+  * probe vectors — the serving shape of semantic retrieval over a
+  * training corpus). The generated code makes ONE call into the
+  * compiled [[HierProbeHelper]] per row, so the projection stays inside
+  * whole-stage codegen (CodegenFallback would interpret the entire
+  * stage and box an InternalRow per row). Results are identical to
+  * [[HierProbeCids]] — same cosine numerics, same (sim desc, cid asc)
+  * ranking.
+  */
+case class HierProbeCidsGen(child: Expression, helper: HierProbeHelper)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hier_probe_gen"
+
+  override def nullSafeEval(a: Any): Any =
+    helper.probe(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("hierProbeHelper", helper,
+      classOf[HierProbeHelper].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $h.probe($a);")
   }
 
   override protected def withNewChildInternal(
@@ -507,14 +622,79 @@ object VectorFunctions {
     call_function(HierCidName, vec, supLit, childLit)
   }
 
-  // one registered closure per trained matrix pair (reference-keyed;
-  // bounded by trained indexes per session)
-  private val hierRefNames =
-    scala.collection.concurrent.TrieMap.empty[(AnyRef, AnyRef), String]
-  // monotonically unique suffix: a map-size-based name could collide if
-  // two DIFFERENT matrix pairs raced to the same size, silently reusing
-  // the first pair's captured closure
+  // --- closure-capturing hier-IVF function registrations -------------
+  //
+  // Keyed on a CONTENT DIGEST of the matrices (not array references —
+  // each HierIvfIndex instance converts fresh float arrays, so a
+  // reference key re-registered a new function and pinned another k×dim
+  // matrix copy per construction for the JVM's lifetime; ADVICE r19),
+  // bounded by an LRU that DEREGISTERS the evicted temp function from
+  // every registry it was installed into, so long-lived sessions don't
+  // grow the registry and heap per trained index.
+
   private val hierRefCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val HierFnCacheMax = 64
+
+  private final class HierFnEntry(val name: String) {
+    val registries = scala.collection.mutable.Set
+      .empty[org.apache.spark.sql.catalyst.analysis.FunctionRegistry]
+  }
+  private val hierFnLru =
+    new java.util.LinkedHashMap[String, HierFnEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, HierFnEntry]): Boolean = {
+        val evict = size() > HierFnCacheMax
+        if (evict) e.getValue.registries.foreach(_.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(e.getValue.name)))
+        evict
+      }
+    }
+
+  /** MD5 of the matrices' float bits (+ shape) — content-equal matrix
+    * pairs share one registered closure. A k=16384×64 children matrix
+    * digests ~4 MB, a few ms ONCE PER QUERY BUILD (the per-row path
+    * never touches this). */
+  private def matDigest(sup: Array[Array[Float]],
+      ch: Array[Array[Array[Float]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def putRow(row: Array[Float]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(4 * row.length + 4)
+      bb.putInt(row.length)
+      row.foreach(bb.putFloat)
+      md.update(bb.array())
+    }
+    def putMat(m: Array[Array[Float]]): Unit = {
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(m.length).array())
+      m.foreach(putRow)
+    }
+    putMat(sup)
+    md.update(java.nio.ByteBuffer.allocate(4).putInt(ch.length).array())
+    ch.foreach(putMat)
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
+  /** The registered name for `key`, installing `build` into this
+    * session's registry when absent. One matrix copy pinned per
+    * (content, registry), LRU-bounded. */
+  private def hierFn(spark: SparkSession, key: String,
+      build: Seq[Expression] => Expression): String =
+    hierFnLru.synchronized {
+      val entry = Option(hierFnLru.get(key)).getOrElse {
+        val e = new HierFnEntry(
+          s"graft_hier_fn_${hierRefCounter.incrementAndGet()}")
+        hierFnLru.put(key, e); e
+      }
+      val reg = spark.sessionState.functionRegistry
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(entry.name))) {
+        reg.createOrReplaceTempFunction(entry.name, build, "built-in")
+        entry.registries += reg
+      }
+      entry.name
+    }
+
+  private[graft] def hierFnCacheSize: Int =
+    hierFnLru.synchronized(hierFnLru.size())
 
   /** Two-level IVF list id with PRIMITIVE matrices captured in the
     * registered builder closure — the plan carries only the tiny
@@ -523,34 +703,30 @@ object VectorFunctions {
     */
   def hierCidRef(spark: SparkSession, vec: Column,
       sup: Array[Array[Float]], ch: Array[Array[Array[Float]]]): Column = {
-    val name = hierRefNames.getOrElseUpdate(
-      (sup.asInstanceOf[AnyRef], ch.asInstanceOf[AnyRef]),
-      s"graft_hier_cid_ref_${hierRefCounter.incrementAndGet()}")
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(
-        name, exprs => HierCidRef(exprs(0), sup, ch), "built-in")
+    val name = hierFn(spark, s"ref:${matDigest(sup, ch)}",
+      exprs => HierCidRef(exprs(0), sup, ch))
     call_function(name, vec)
   }
 
-  private val hierProbeNames =
-    scala.collection.concurrent.TrieMap.empty[(AnyRef, AnyRef, Int, Int), String]
-
   /** Query-side nprobe list ids with primitive captured matrices (see
-    * [[HierProbeCids]]). */
+    * [[HierProbeCids]]) — the few-query-rows shape. */
   def hierProbeRef(spark: SparkSession, vec: Column,
       sup: Array[Array[Float]], ch: Array[Array[Array[Float]]],
       pSup: Int, nprobe: Int): Column = {
-    val name = hierProbeNames.getOrElseUpdate(
-      (sup.asInstanceOf[AnyRef], ch.asInstanceOf[AnyRef], pSup, nprobe),
-      s"graft_hier_probe_${hierRefCounter.incrementAndGet()}")
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(
-        name, exprs => HierProbeCids(exprs(0), sup, ch, pSup, nprobe),
-        "built-in")
+    val name = hierFn(spark, s"probe:$pSup:$nprobe:${matDigest(sup, ch)}",
+      exprs => HierProbeCids(exprs(0), sup, ch, pSup, nprobe))
+    call_function(name, vec)
+  }
+
+  /** Codegen'd query-side probe for BATCH workloads (see
+    * [[HierProbeCidsGen]]) — identical results to [[hierProbeRef]],
+    * stays inside whole-stage codegen. */
+  def hierProbeRefGen(spark: SparkSession, vec: Column,
+      sup: Array[Array[Float]], ch: Array[Array[Array[Float]]],
+      pSup: Int, nprobe: Int): Column = {
+    val helper = new HierProbeHelper(sup, ch, pSup, nprobe)
+    val name = hierFn(spark, s"probeGen:$pSup:$nprobe:${matDigest(sup, ch)}",
+      exprs => HierProbeCidsGen(exprs(0), helper))
     call_function(name, vec)
   }
 }

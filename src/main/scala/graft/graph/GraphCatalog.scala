@@ -200,12 +200,16 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
       }
     }
     staged("link_clean") {
-      datasets.foreach { case (ds, _) =>
+      datasets.foreach { case (ds, df) =>
         if (!dirtySet.contains(ds)) {
           linkTree(Paths.get(s"$dir/$ds"), Paths.get(s"$staging/$ds"))
-          // a clean edge dataset's mirror is clean too — link, don't copy
+          // a clean edge dataset's mirror is clean too — link, don't
+          // copy. Gated on the option still being ON: after
+          // `SET OPTION mirror = false` the next save must DROP the 2×
+          // storage even when the dataset itself never went dirty
+          // (ADVICE r19 — the opt-out otherwise never reclaims space).
           val m = Paths.get(s"$dir/${GraphCatalog.MirrorPrefix}$ds")
-          if (Files.exists(m))
+          if (Files.exists(m) && mirrorOptSpec(ds, df).isDefined)
             linkTree(m, Paths.get(s"$staging/${GraphCatalog.MirrorPrefix}$ds"))
         }
       }
@@ -223,6 +227,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     // the swap replaced this path's files — drop any pruning specs keyed
     // under it; the next loadGraph re-registers from current options
     graft.plans.BucketPrune.invalidateUnder(dir)
+    graft.plans.MirrorSwap.invalidateUnder(dir)
     GraphCatalog.lastSaveStages = stages.result()
   }
 
@@ -938,6 +943,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     else {
       deleteRecursive(p)
       graft.plans.BucketPrune.invalidateUnder(p.toString)
+      graft.plans.MirrorSwap.invalidateUnder(p.toString)
       true
     }
   }
@@ -948,6 +954,7 @@ final class GraphCatalog(spark: SparkSession, warehouse: String) {
     else {
       deleteRecursive(p)
       graft.plans.BucketPrune.invalidateUnder(p.toString)
+      graft.plans.MirrorSwap.invalidateUnder(p.toString)
       true
     }
   }

@@ -63,32 +63,35 @@ object BucketDynamicPrune extends Rule[LogicalPlan] with PredicateHelper {
     if (!enabled || !BucketPrune.enabled || BucketPrune.registryEmpty ||
       !conf.dynamicPartitionPruningEnabled)
       plan
-    else plan transform {
-      case j @ Join(left, right, joinType, Some(cond), _) =>
-        var newLeft = left
-        var newRight = right
-        splitConjunctivePredicates(cond).foreach {
-          case EqualTo(l, r) =>
-            // normalize: (leftSideKey, rightSideKey)
-            val lr: Option[(Expression, Expression)] =
-              if (l.references.subsetOf(left.outputSet) &&
-                r.references.subsetOf(right.outputSet)) Some((l, r))
-              else if (r.references.subsetOf(left.outputSet) &&
-                l.references.subsetOf(right.outputSet)) Some((r, l))
-              else None
-            // build plans are the ORIGINAL opposite sides: building from
-            // an already-injected side would nest pruning subqueries
-            // (B's build executing A's subquery executing B...)
-            lr.foreach { case (lk, rk) =>
-              if (canPruneLeft(joinType) && hasSelectiveFilter(right))
-                newLeft = inject(newLeft, lk, right, rk)
-              if (canPruneRight(joinType) && hasSelectiveFilter(left))
-                newRight = inject(newRight, rk, left, lk)
-            }
-          case _ =>
-        }
-        if (newLeft.eq(left) && newRight.eq(right)) j
-        else j.copy(left = newLeft, right = newRight)
+    else {
+      lazy val ixbConsumed = MirrorSwap.ixbConsumedIn(plan)
+      plan transform {
+        case j @ Join(left, right, joinType, Some(cond), _) =>
+          var newLeft = left
+          var newRight = right
+          splitConjunctivePredicates(cond).foreach {
+            case EqualTo(l, r) =>
+              // normalize: (leftSideKey, rightSideKey)
+              val lr: Option[(Expression, Expression)] =
+                if (l.references.subsetOf(left.outputSet) &&
+                  r.references.subsetOf(right.outputSet)) Some((l, r))
+                else if (r.references.subsetOf(left.outputSet) &&
+                  l.references.subsetOf(right.outputSet)) Some((r, l))
+                else None
+              // build plans are the ORIGINAL opposite sides: building from
+              // an already-injected side would nest pruning subqueries
+              // (B's build executing A's subquery executing B...)
+              lr.foreach { case (lk, rk) =>
+                if (canPruneLeft(joinType) && hasSelectiveFilter(right))
+                  newLeft = inject(newLeft, lk, right, rk, ixbConsumed)
+                if (canPruneRight(joinType) && hasSelectiveFilter(left))
+                  newRight = inject(newRight, rk, left, lk, ixbConsumed)
+              }
+            case _ =>
+          }
+          if (newLeft.eq(left) && newRight.eq(right)) j
+          else j.copy(left = newLeft, right = newRight)
+      }
     }
 
   private def canPruneLeft(jt: JoinType): Boolean = jt match {
@@ -165,11 +168,25 @@ object BucketDynamicPrune extends Rule[LogicalPlan] with PredicateHelper {
     * doesn't resolve, or a bucket filter (static or dynamic) is already
     * in place — the rule runs in a fixed-point batch, so idempotence is
     * load-bearing.
+    *
+    * When the key resolves to the NON-clustered endpoint of a relation
+    * whose dual-keyed MIRROR layout (GraphCatalog `mirror = true`)
+    * clusters on it — the seeded reverse/1-hop expand, the single most
+    * common real graph query shape, and the reverse-keyed second scan of
+    * an edge→edge chain — the scan is RE-POINTED at the mirror
+    * ([[MirrorSwap]]'s restoring-Project technique) and the dynamic
+    * filter lands on the mirror's `__ixb` instead: the runtime analog of
+    * the reference's adjacency_in fetch (graph_cache.rs:16-38) for join-
+    * seeded keys that no static rule can see. Correct under in-session
+    * mutations by construction — only the relation LEAF swaps (the
+    * mirror holds exactly the main relation's persisted rows, staged and
+    * committed together by every save), while the mutation lineage above
+    * the scan applies unchanged to either layout.
     */
   private def inject(side: LogicalPlan, sideKey: Expression,
-      buildPlan: LogicalPlan, buildKey: Expression): LogicalPlan =
+      buildPlan: LogicalPlan, buildKey: Expression,
+      ixbConsumed: => Set[ExprId]): LogicalPlan =
     findTarget(side, sideKey) match {
-      case None => side
       case Some(target) =>
         // top-down wrap (NOT transformUp — bottom-up would rewrite the
         // leaf before its parent Filter's constrainsBucket guard runs,
@@ -187,7 +204,100 @@ object BucketDynamicPrune extends Rule[LogicalPlan] with PredicateHelper {
           case other => other.mapChildren(wrap)
         }
         wrap(side)
+      case None =>
+        findMirrorTarget(side, sideKey) match {
+          case Some((target, key, mirPath, mirSpec))
+              if !target.output.exists(a =>
+                a.name == BucketPrune.BucketCol &&
+                  ixbConsumed(a.exprId)) =>
+            def wrap(p: LogicalPlan): LogicalPlan = p match {
+              case f @ Filter(c, rel: LogicalRelation) if rel eq target =>
+                if (constrainsBucket(c, rel)) f
+                else swapAndInject(rel, Some(c), key, mirPath, mirSpec,
+                  buildPlan, buildKey).getOrElse(f)
+              case rel: LogicalRelation if rel eq target =>
+                swapAndInject(rel, None, key, mirPath, mirSpec,
+                  buildPlan, buildKey).getOrElse(rel)
+              case other => other.mapChildren(wrap)
+            }
+            wrap(side)
+          case _ => side
+        }
     }
+
+  /** [[findTarget]]'s mirror arm: walk to the relation the join key
+    * resolves onto and return it when the key is NOT its clustered key
+    * (findTarget already failed) but IS the registered clustered key of
+    * its `.mirror_` dual. Never matches a mirror scan itself. */
+  private def findMirrorTarget(side: LogicalPlan, sideKey: Expression):
+      Option[(LogicalRelation, AttributeReference, String, BucketPrune.Spec)] = {
+    def loop(p: LogicalPlan, key: Expression):
+        Option[(LogicalRelation, AttributeReference, String, BucketPrune.Spec)] =
+      p match {
+        case org.apache.spark.sql.catalyst.plans.logical.Project(pl, child) =>
+          val aliases = pl.collect {
+            case a @ Alias(c, _) => a.exprId -> c
+          }.toMap
+          unwrap(key, aliases).flatMap(k => loop(child, k))
+        case Filter(_, child) => loop(child, key)
+        case rel: LogicalRelation =>
+          for {
+            k <- unwrap(key, Map.empty)
+            if rel.output.exists(_.semanticEquals(k))
+            h <- rel.relation match {
+              case h: HadoopFsRelation => Some(h); case _ => None
+            }
+            root <- h.location.rootPaths.headOption
+            mainPath = root.toUri.getPath
+            if !java.nio.file.Paths.get(mainPath).getFileName.toString
+              .startsWith(GraftMirrorPrefix)
+            mirPath = MirrorSwap.mirrorPathOf(mainPath)
+            mirSpec <- BucketPrune.specForPath(mirPath)
+            if mirSpec.keyCol == k.name
+            if mirSpec.stringKey == (k.dataType == StringType)
+            if mirSpec.stringKey || k.dataType.isInstanceOf[NumericType]
+          } yield (rel, k, mirPath, mirSpec)
+        case _ => None
+      }
+    loop(side, sideKey)
+  }
+
+  private val GraftMirrorPrefix = ".mirror_"
+
+  /** Replace `rel` with its mirror relation (original filter re-bound,
+    * original output attribute ids restored through an aliasing Project
+    * — [[MirrorSwap.buildSwap]]'s construction) and inject the dynamic
+    * `__ixb` filter on the MIRROR's partition column. Bails (no swap,
+    * no filter) when the mirror is missing or its schema diverged. */
+  private def swapAndInject(rel: LogicalRelation, cond: Option[Expression],
+      key: AttributeReference, mirPath: String, mirSpec: BucketPrune.Spec,
+      buildPlan: LogicalPlan, buildKey: Expression): Option[LogicalPlan] = for {
+    spark <- org.apache.spark.sql.SparkSession.getActiveSession
+    mirRel <- MirrorSwap.freshMirrorRelation(spark, mirPath)
+    byName = mirRel.output.map(a => a.name -> a).toMap
+    // every original column must exist in the mirror with the same type
+    // — a mismatch means a stale mirror; bail
+    if rel.output.forall(o =>
+      byName.get(o.name).exists(_.dataType == o.dataType))
+    ixb <- mirRel.output.find(_.name == BucketPrune.BucketCol)
+  } yield {
+    val dpp = DynamicPruningSubquery(
+      pruningKey = ixb,
+      buildQuery = buildPlan,
+      buildKeys = Seq(bucketIdExpr(buildKey, mirSpec)),
+      broadcastKeyIndices = Seq(0),
+      onlyInBroadcast = false)
+    val condM = cond.map(_.transform {
+      case a: AttributeReference if rel.outputSet.contains(a) =>
+        byName(a.name)
+    })
+    val filtered = Filter(condM.map(And(_, dpp)).getOrElse(dpp), mirRel)
+    val proj = rel.output.map { o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier)
+    }
+    org.apache.spark.sql.catalyst.plans.logical.Project(proj, filtered)
+  }
 
   private def isTarget(rel: LogicalRelation, key: AttributeReference): Boolean =
     specFor(rel).exists { spec =>

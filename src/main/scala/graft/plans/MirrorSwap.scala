@@ -44,9 +44,14 @@ object MirrorSwap extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || BucketPrune.registryEmpty) plan
-    else plan transform {
-      case f @ Filter(cond, rel: LogicalRelation) =>
-        trySwap(cond, rel).getOrElse(f)
+    else {
+      lazy val ixbConsumed: Set[ExprId] = ixbConsumedIn(plan)
+      plan transform {
+        case f @ Filter(cond, rel: LogicalRelation)
+            if !rel.output.exists(a =>
+              a.name == BucketPrune.BucketCol && ixbConsumed(a.exprId)) =>
+          trySwap(cond, rel).getOrElse(f)
+      }
     }
 
   private def trySwap(cond: Expression,
@@ -60,10 +65,7 @@ object MirrorSwap extends Rule[LogicalPlan] with PredicateHelper {
     // filter (__ixb constrained = BucketPrune got there first)
     if !new java.io.File(mainPath).getName.startsWith(".mirror_")
     if !cond.references.exists(_.name == BucketPrune.BucketCol)
-    mirrorPath = {
-      val p = java.nio.file.Paths.get(mainPath)
-      p.getParent.resolve(".mirror_" + p.getFileName).toString
-    }
+    mirrorPath = mirrorPathOf(mainPath)
     mirSpec <- BucketPrune.specForPath(mirrorPath)
     mirKey <- rel.output.find(_.name == mirSpec.keyCol)
     // live type must match the registered key kind (BucketPrune's gate)
@@ -81,9 +83,83 @@ object MirrorSwap extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
     spark <- SparkSession.getActiveSession
-    if java.nio.file.Files.exists(java.nio.file.Paths.get(mirrorPath))
     swapped <- buildSwap(spark, cond, rel, mirrorPath)
   } yield swapped
+
+  // canonical mirror path -> analyzed mirror LogicalRelation. Reading
+  // the relation (parquet footers + Files.exists) inside an optimizer
+  // rule that sits in a fixed-point batch would re-pay driver-side IO
+  // per matching Filter per pass (ADVICE r19); after the first build
+  // the swap is a map lookup. Invalidated by [[invalidateUnder]]
+  // alongside BucketPrune's registry on every save/drop; each USE
+  // re-instances the cached relation so two swapped scans in one plan
+  // (a self-join) never share attribute ids.
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[String, LogicalRelation]
+
+  /** Drop cached mirror relations under `dir` — called wherever
+    * [[BucketPrune.invalidateUnder]] is (save/drop rewrites the files
+    * the cached relation's file index lists). */
+  def invalidateUnder(dir: String): Unit = {
+    val c = java.nio.file.Paths.get(
+      if (dir.startsWith("file:")) dir.stripPrefix("file:") else dir)
+      .toAbsolutePath.normalize.toString
+    relCache.keys.filter(k => k == c || k.startsWith(c + "/"))
+      .foreach(relCache.remove)
+  }
+
+  /** exprIds of every __ixb attribute some plan node CONSUMES
+    * (referenced in an expression, or exposed in the final output).
+    * The restoring Project a mirror swap installs aliases the mirror's
+    * __ixb under the main relation's attribute id, and the two layouts'
+    * bucket ids differ — a consumer would silently read mirror ids
+    * (ADVICE r19), so a consumed __ixb blocks any swap. Supported
+    * readers (loadGraph) drop the column before queries see it, so this
+    * never fires for catalog-loaded graphs. Shared with
+    * [[BucketDynamicPrune]]'s mirror-aware join pruning.
+    */
+  private[plans] def ixbConsumedIn(plan: LogicalPlan): Set[ExprId] =
+    (plan.collect {
+      // leaves excluded: a LogicalRelation's `expressions` lists its
+      // own output attrs, which would make every bucketed relation
+      // self-report its __ixb as consumed
+      case p if !p.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
+        p.expressions.flatMap(_.collect {
+          case a: AttributeReference if a.name == BucketPrune.BucketCol =>
+            a.exprId
+        })
+    }.flatten ++ plan.output.collect {
+      case a if a.name == BucketPrune.BucketCol => a.exprId
+    }).toSet
+
+  /** Canonical mirror dataset path of a main dataset path (the
+    * GraphCatalog layout convention: `.mirror_<dataset>` sibling). */
+  private[plans] def mirrorPathOf(mainPath: String): String = {
+    val p = java.nio.file.Paths.get(mainPath)
+    p.getParent.resolve(".mirror_" + p.getFileName).toString
+  }
+
+  /** The mirror relation for `mirrorPath`, served from [[relCache]] and
+    * RE-INSTANCED per call (fresh attribute ids, so two swapped scans in
+    * one plan never alias). None when the directory doesn't exist.
+    * Shared with [[BucketDynamicPrune]]'s mirror-aware join pruning. */
+  private[plans] def freshMirrorRelation(spark: SparkSession,
+      mirrorPath: String): Option[LogicalRelation] = {
+    val canon = java.nio.file.Paths.get(mirrorPath)
+      .toAbsolutePath.normalize.toString
+    relCache.get(canon).orElse {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(mirrorPath)))
+        None
+      else {
+        val built = spark.read.parquet(mirrorPath)
+          .queryExecution.analyzed
+          .collectFirst { case r: LogicalRelation => r }
+        built.foreach(relCache.put(canon, _))
+        built
+      }
+    }.map(_.newInstance())
+  }
 
   /** The mirror relation with the original filter re-bound onto its
     * attributes, wrapped in a Project restoring the original output
@@ -91,9 +167,10 @@ object MirrorSwap extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def buildSwap(spark: SparkSession, cond: Expression,
       rel: LogicalRelation, mirrorPath: String): Option[LogicalPlan] = {
-    val mirPlan = spark.read.parquet(mirrorPath).queryExecution.analyzed
-    val mirRel = mirPlan.collectFirst { case r: LogicalRelation => r }
-      .getOrElse(return None)
+    val mirRel = freshMirrorRelation(spark, mirrorPath) match {
+      case Some(r) => r
+      case None => return None
+    }
     val byName = mirRel.output.map(a => a.name -> a).toMap
     // every referenced/projected column must exist in the mirror with
     // the same type — a schema mismatch means a stale mirror; bail

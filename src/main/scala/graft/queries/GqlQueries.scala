@@ -624,6 +624,38 @@ object GqlQueries {
           |       max(o.totalprice) AS hi, min(c.acctbal) AS bal""".stripMargin)
     }),
 
+    // r20: the JOIN-SEEDED reverse expand — the 1-hop case the r19
+    // verdict named as the single most common real graph query shape
+    // ("who also points at what X points at"). The second hop's scan is
+    // keyed on its dst with RUNTIME values (m's ids come out of h1's
+    // match — no literal for constraint propagation to hand MirrorSwap),
+    // so only the mirror-aware BucketDynamicPrune can serve it: the scan
+    // re-points at `.mirror_edges_LINKH` and a DynamicPruningSubquery on
+    // the mirror's __ixb prunes it to the frontier's buckets — the
+    // runtime analog of the reference's adjacency_in fetch
+    // (graph_cache.rs:16-38; Expand, executor.rs:6182-6337).
+    // MirrorDynamicPruneSpec pins the plan; this row pins the RESULT.
+    "gql39_seeded_reverse_hop" -> ((s: SparkSession, d: String) => {
+      import graft.graph.{EdgeType, PropertyGraph}
+      val g = TpchGraph.build(s, d)
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer")),
+        Map("LINKH" -> (EdgeType("LINKH", "customer", "customer"),
+          g.edgeTables("HOP")._2)))
+      val gls = GraphLiteSpark.open(s, "/tmp/graft-warehouse")
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /bprune")
+      sess.execute("CREATE GRAPH INDEX srh_src ON edges_LINKH (src)")
+      sess.execute("ALTER INDEX srh_src SET OPTION buckets = 8")
+      sess.execute("ALTER INDEX srh_src SET OPTION mirror = true")
+      sess.saveGraphAs("/bprune/hopchain", force = true)
+      gls.session("driver").useGraph("/bprune/hopchain")
+        .gql("""MATCH (x:customer {id: 100})-[h1:LINKH]->(m:customer)
+          |      <-[h2:LINKH]-(a:customer)
+          |RETURN count(*) AS n, min(a.id) AS lo, max(a.id) AS hi,
+          |       min(a.acctbal) AS bal""".stripMargin)
+    }),
+
     // The STRING-keyed bucket-scoped DML save loop (string ids are the
     // reference's native id type, storage/types.rs:68-72): same shape as
     // gql32 but the customer label's identity is a zero-padded string id
@@ -947,6 +979,24 @@ object GqlQueries {
         | max(o_totalprice) AS hi, min(c_acctbal) AS bal
         |FROM orders JOIN customer ON c_custkey = o_custkey
         |WHERE o_orderkey <= 50""".stripMargin,
+    // gql39: HOP's branching DAG (lead-1 and lead-2 within each nation),
+    // the same window construction TpchGraph builds; m = customer 100's
+    // hop targets, a = every customer with a hop edge INTO one of them
+    // (customer 100 itself included — WALK places no distinctness rule)
+    "gql39_seeded_reverse_hop" ->
+      """WITH h0 AS (SELECT c_custkey AS src,
+        |  lead(c_custkey, 1) OVER
+        |    (PARTITION BY c_nationkey ORDER BY c_custkey) AS d1,
+        |  lead(c_custkey, 2) OVER
+        |    (PARTITION BY c_nationkey ORDER BY c_custkey) AS d2
+        | FROM customer),
+        |e AS (SELECT src, d1 AS dst FROM h0 WHERE d1 IS NOT NULL
+        | UNION ALL SELECT src, d2 FROM h0 WHERE d2 IS NOT NULL),
+        |m AS (SELECT dst FROM e WHERE src = 100)
+        |SELECT CAST(count(*) AS BIGINT) AS n, min(a.src) AS lo,
+        | max(a.src) AS hi, min(c.c_acctbal) AS bal
+        |FROM m JOIN e a ON a.dst = m.dst
+        |JOIN customer c ON c.c_custkey = a.src""".stripMargin,
     // gql35: 'C' || lpad(custkey, 6, '0') <= 'C000100' in UTF8 order is
     // exactly custkey <= 100 for the zero-padded encoding
     "gql35_string_bucket_dml" ->

@@ -64,6 +64,24 @@ object PipelineQueries {
   private val HierRecallFloor = 0.6
   private val HierK = 256
   private val HierNprobe = 96
+  /** e09: hierarchical IVF at k=4096 — the k-past-the-driver-draw shape
+    * that motivated the 2-level trainer, on the driver board instead of
+    * probe-only evidence (r19 verdict #6). Measured recall@10 at sf0.01,
+    * nprobe=1024: mean 0.78, per-query min 0.70 (0.62/0.50 @ 512,
+    * 0.44/0.20 @ 256); floor 0.4 sits under the measured min with the
+    * e04 margin convention while a broken big-k train/assign/probe
+    * (recall ~chance = 0.02) trips it.
+    */
+  private val Hier4kK = 4096
+  private val Hier4kNprobe = 1024
+  private val Hier4kRecallFloor = 0.4
+  /** e10: query-BATCH probe (r19 verdict #4) — 1000 query vectors
+    * through e08's k=256 index via the codegen'd [[graft.functions.HierProbeCidsGen]]
+    * path. Measured per-query recall@10 at sf0.01: mean 0.92, min 0.50
+    * across the 1000 queries; floor 0.3 gates genuine ranking for EVERY
+    * query of the batch.
+    */
+  private val BatchRecallFloor = 0.3
 
   /** d20 mixture weights (also interpolated into the oracle SQL): the
     * kept corpus targets 50/30/20 token mass across three sources; the
@@ -127,19 +145,55 @@ object PipelineQueries {
     // dataset signature can't see code changes
     val sig = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|") + s"|q5k$k|v1"
+    exactCached(s, sig) {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter($"vec_id" < 5)
+      Similarity.knnBruteForce(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k)
+    }
+  }
+
+  /** [[exactTopKCached]] for e10's 1000-query BATCH set (vec_id < 500
+    * plus the same vectors re-idd +10000): the exact answer is the
+    * recall gate's yardstick, fully deterministic given the dataset —
+    * recomputing ~1000 × |corpus| cosines per bench pass would charge
+    * the GATE to the engine's cost line (the e06 lesson). */
+  private[graft] def exactTopKBatchCached(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName)
+      else Seq(src)
+    val sig = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|") + s"|qbatch1000k$k|v1"
+    exactCached(s, sig) {
+      val emb = Tables.embeddings(s, d)
+      val qs = batchQueries(emb)
+      Similarity.knnBruteForce(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k)
+    }
+  }
+
+  /** e10's query batch: the first 500 corpus vectors plus the SAME
+    * vectors under shifted ids (+10000 — present in the corpus, so their
+    * exact top-1 is the identical vector; 1000 queries at sf ≥ 0.01). */
+  private def batchQueries(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = emb.filter(col("vec_id") < 500)
+    base.unionByName(base.withColumn("vec_id", col("vec_id") + 10000))
+  }
+
+  private def exactCached(s: SparkSession, sig: String)
+      (compute: => DataFrame): DataFrame = {
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val cacheDir = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"), "graft-exact-oracle"),
       hash)
     // _SUCCESS gates validity: a killed half-written directory recomputes
-    if (!new java.io.File(cacheDir, "_SUCCESS").exists()) {
-      val emb = Tables.embeddings(s, d)
-      val qs = emb.filter($"vec_id" < 5)
-      Similarity.knnBruteForce(emb, "vec_id", "embedding",
-          qs, "vec_id", "embedding", k)
-        .write.mode("overwrite").parquet(cacheDir.toString)
-    }
+    if (!new java.io.File(cacheDir, "_SUCCESS").exists())
+      compute.write.mode("overwrite").parquet(cacheDir.toString)
     s.read.parquet(cacheDir.toString)
   }
 
@@ -732,6 +786,53 @@ object PipelineQueries {
         .join(hits, Seq("qid"), "left")
         .select($"qid", $"n_exact",
           (coalesce($"n_hit", lit(0L)) / $"n_exact" >= HierRecallFloor)
+            .as("recall_ok"))
+        .orderBy($"qid")
+    }),
+
+    // ---- hierarchical IVF at k=4096 (r19 verdict #6): the 16K-list
+    // class that motivated the 2-level trainer was probe-only evidence —
+    // this row makes the BIG-k path (64 superclusters, distributed child
+    // training, 128-cosine fused assignment) regression-visible on the
+    // driver board every round, recall-gated like e08.
+    "e09_hier_ivf_bigk" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter($"vec_id" < 5)
+      val approx = new Similarity.HierIvfIndex(k = Hier4kK,
+          nprobe = Hier4kNprobe)
+        .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
+      val exact = exactTopKCached(s, d, 10)
+      val hits = approx.join(exact.select($"qid", $"id"), Seq("qid", "id"))
+        .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", $"n_exact",
+          (coalesce($"n_hit", lit(0L)) / $"n_exact" >= Hier4kRecallFloor)
+            .as("recall_ok"))
+        .orderBy($"qid")
+    }),
+
+    // ---- query-BATCH hier-IVF probe (r19 verdict #4): 1000 query
+    // vectors through e08's index — the retrieval-serving shape of a
+    // training-data pipeline. The probe side is the codegen'd
+    // HierProbeCidsGen (one compiled call per row inside whole-stage
+    // codegen; the interpreted CodegenFallback expression would drop the
+    // whole projection stage to per-row interpreted eval at this query
+    // count). Per-query recall gate over the full batch.
+    "e10_hier_probe_batch" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val qs = batchQueries(emb)
+      val approx = new Similarity.HierIvfIndex(k = HierK, nprobe = HierNprobe)
+        .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10)
+      val exact = exactTopKBatchCached(s, d, 10)
+      val hits = approx.join(exact.select($"qid", $"id"), Seq("qid", "id"))
+        .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy($"qid").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", $"n_exact",
+          (coalesce($"n_hit", lit(0L)) / $"n_exact" >= BatchRecallFloor)
             .as("recall_ok"))
         .orderBy($"qid")
     }),
@@ -1584,6 +1685,22 @@ object PipelineQueries {
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_exact,
         | true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // e09 gate contract mirrors e08 at the big-k (4096-list) shape: the
+    // 2-level train/assign/probe must clear the floor for every query
+    "e09_hier_ivf_bigk" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_exact,
+        | true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // e10 gate contract: EVERY query of the 1000-vector batch (the first
+    // 500 corpus vectors + the same vectors re-idd +10000) returns a
+    // full exact top-10 and clears the batch recall floor through the
+    // codegen'd probe path
+    "e10_hier_probe_batch" ->
+      """WITH q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 500
+        | UNION ALL
+        | SELECT vec_id + 10000 FROM embeddings WHERE vec_id < 500)
+        |SELECT qid, CAST(10 AS BIGINT) AS n_exact, true AS recall_ok
+        |FROM q ORDER BY qid""".stripMargin,
     // e05 gate contract mirrors e04: PQ-ADC recall clears the (lossy-
     // quantization-aware) floor for every query; a codebook/encode/ADC
     // regression flips recall_ok

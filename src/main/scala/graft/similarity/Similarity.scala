@@ -275,7 +275,8 @@ object Similarity {
     * no cartesian).
     */
   final class HierIvfIndex(k: Int, nprobe: Int, seed: Long = 20240303L,
-      trainSample: Int = 10000, samplePerSup: Int = 2048) {
+      trainSample: Int = 10000, samplePerSup: Int = 2048,
+      codegenProbe: Boolean = true) {
     require(k > 1, "k must be > 1")
     val kSup: Int = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val kSub: Int = math.max(1, math.ceil(k.toDouble / kSup).toInt)
@@ -366,9 +367,9 @@ object Similarity {
       probeCids(vec, supers, children)
 
     // converted-to-float matrices memoized PER (supers, children)
-    // reference: the registered closure functions are keyed on the
-    // array references, so repeated annTopKTrained calls must hand the
-    // registry the SAME objects to reuse their registrations
+    // reference — the registry is content-digest-keyed (so even fresh
+    // conversions reuse one registration), but handing it the same
+    // objects also skips re-digesting the matrices per call
     private val floatCache = scala.collection.concurrent.TrieMap
       .empty[(AnyRef, AnyRef),
         (Array[Array[Float]], Array[Array[Array[Float]]])]
@@ -383,9 +384,21 @@ object Similarity {
     private def probeCids(vec: Column, supers: Array[Array[Double]],
         children: Array[Array[Array[Double]]]): Column = {
       val (sf, cf) = asFloats(supers, children)
-      graft.functions.VectorFunctions.hierProbeRef(
-        org.apache.spark.sql.SparkSession.active, vec, sf, cf,
-        pSup, nprobe)
+      // default: the codegen'd batch variant (HierProbeCidsGen) — one
+      // compiled call per row, probe projection stays inside whole-stage
+      // codegen, so a query-BATCH workload (thousands of probe vectors,
+      // the retrieval-serving shape) pays µs-class per row. Results are
+      // identical to the interpreted HierProbeCids (parity-spec'd);
+      // `codegenProbe = false` keeps the CodegenFallback expression
+      // reachable for that parity check.
+      if (codegenProbe)
+        graft.functions.VectorFunctions.hierProbeRefGen(
+          org.apache.spark.sql.SparkSession.active, vec, sf, cf,
+          pSup, nprobe)
+      else
+        graft.functions.VectorFunctions.hierProbeRef(
+          org.apache.spark.sql.SparkSession.active, vec, sf, cf,
+          pSup, nprobe)
     }
 
     /** Approximate top-k: assign the corpus once, probe the queries,

@@ -117,6 +117,85 @@ class MirrorSwapSpec extends AnyFunSuite {
     assert((row.getLong(0), row.getLong(1)) == (1L, 1999L))
   }
 
+  test("a raw reader consuming __ixb never swaps (bucket ids differ " +
+      "between the layouts)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-mswap-ixb").toString
+    val cat = new GraphCatalog(spark, wh)
+    val nodes = (1L to 4000L).toDF("id")
+    val edges = (1L until 4000L).map(i => (i, i, i + 1)).toDF("eid", "src", "dst")
+      .select(col("src"), col("dst"), col("eid"))
+    val g = new PropertyGraph(Map("n" -> nodes),
+      Map("nx" -> (EdgeType("nx", "n", "n"), edges)))
+    cat.createSchema("msi")
+    cat.createIndex("msi_src", "edges_nx", Seq("src"))
+    cat.setIndexOption("msi_src", "buckets", "8")
+    cat.setIndexOption("msi_src", "mirror", "true")
+    cat.saveGraph("msi", "chain", g, force = true)
+    cat.loadGraph("msi", "chain") // registers both layouts' specs
+    val raw = spark.read.parquet(s"$wh/msi/chain/edges_nx")
+    // filter at the ROOT: the plan output exposes __ixb → no swap
+    val q1 = raw.filter(col("dst") === 1234L)
+    assert(!q1.queryExecution.executedPlan.toString
+      .contains(".mirror_edges_nx"),
+      "__ixb-exposing root filter must stay on the main layout")
+    // explicit projection of __ixb above the filter → no swap either
+    val q2 = raw.filter(col("dst") === 1234L)
+      .select("src", "dst", "eid", graft.plans.BucketPrune.BucketCol)
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains(".mirror_edges_nx"),
+      "__ixb-projecting query must stay on the main layout")
+    // the returned bucket id must equal the rule-off read bit for bit —
+    // i.e. the MAIN layout's src-keyed id, never the mirror's
+    val withRule = q2.collect().map(_.getAs[Int](
+      graft.plans.BucketPrune.BucketCol)).toSet
+    MirrorSwap.enabled = false
+    val ruleOff = try {
+      raw.filter(col("dst") === 1234L)
+        .select(graft.plans.BucketPrune.BucketCol)
+        .collect().map(_.getInt(0)).toSet
+    } finally MirrorSwap.enabled = true
+    assert(withRule == ruleOff,
+      s"__ixb values drifted under the rule: $withRule vs $ruleOff")
+    // dropping __ixb from the projection re-enables the swap
+    val q3 = raw.filter(col("dst") === 1234L).select("src", "dst", "eid")
+    assert(q3.queryExecution.executedPlan.toString
+      .contains(".mirror_edges_nx"),
+      "__ixb-free projection over the same filter should swap")
+    assert(q3.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1233L, 1234L, 1233L)))
+  }
+
+  test("mirror = false reclaims the mirror directory at the next save " +
+      "even when the dataset stayed clean") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-mswap-off").toString
+    val cat = new GraphCatalog(spark, wh)
+    val nodes = (1L to 100L).toDF("id")
+    val edges = (1L until 100L).map(i => (i, i, i + 1)).toDF("eid", "src", "dst")
+      .select(col("src"), col("dst"), col("eid"))
+    val g0 = new PropertyGraph(Map("n" -> nodes),
+      Map("nx" -> (EdgeType("nx", "n", "n"), edges)))
+    cat.createSchema("mso")
+    cat.createIndex("mso_src", "edges_nx", Seq("src"))
+    cat.setIndexOption("mso_src", "buckets", "4")
+    cat.setIndexOption("mso_src", "mirror", "true")
+    cat.saveGraph("mso", "chain", g0, force = true)
+    val mirDir = java.nio.file.Paths.get(s"$wh/mso/chain/.mirror_edges_nx")
+    assert(java.nio.file.Files.exists(mirDir))
+    // opt out, then save the UNTOUCHED loaded graph (clean-link path):
+    // the disabled mirror must be dropped, not carried forward
+    cat.setIndexOption("mso_src", "mirror", "false")
+    val g1 = cat.loadGraph("mso", "chain")
+    cat.saveGraph("mso", "chain", g1)
+    assert(!java.nio.file.Files.exists(mirDir),
+      "disabled mirror must not survive a clean save")
+    // and queries still answer correctly from the main layout
+    val e = cat.loadGraph("mso", "chain").edgeTables("nx")._2
+    assert(e.filter(col("dst") === 50L).count() == 1L)
+  }
+
   test("swap parity on random graphs and random dst predicates " +
       "(seeded mini-fuzz)") {
     import spark.implicits._
