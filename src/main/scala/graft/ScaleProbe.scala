@@ -405,6 +405,25 @@ object ScaleProbe {
     */
   private def mirrorRevHopProbe(swapped: Boolean)(
       s: SparkSession, d: String): DataFrame = {
+    // the measured body is the PURE edge scan (the swap's subject) —
+    // the GQL end-to-end shape is oracle-pinned by gql38; here the node
+    // joins would drown the edge read delta in unpruned node-scan rows
+    val lg = revHopGraph(s, d)
+    val e = lg.edgeTables("PLACED")._2
+    val prev = graft.plans.MirrorSwap.enabled
+    graft.plans.MirrorSwap.enabled = swapped
+    val n =
+      try e.filter(col("dst") <= lit(50L))
+        .agg(count(lit(1)), min("totalprice")).count()
+      finally graft.plans.MirrorSwap.enabled = prev
+    s.range(n).toDF("n")
+  }
+
+  /** Marker-gated shared fixture for the reverse-hop probes: a
+    * 16-bucket src-clustered PLACED label with its `mirror = true`
+    * dual layout persisted, loaded once per warehouse path. */
+  private def revHopGraph(s: SparkSession,
+      d: String): graft.graph.PropertyGraph = {
     import graft.graph.PropertyGraph
     val wh = "/tmp/graft-mswap-rev-" + d.replaceAll("[^A-Za-z0-9]", "_")
     val gls = GraphLiteSpark.open(s, wh)
@@ -423,18 +442,63 @@ object ScaleProbe {
       sess.saveGraphAs("/probe/revhop", force = true)
       marker.createNewFile()
     }
-    // the measured body is the PURE edge scan (the swap's subject) —
-    // the GQL end-to-end shape is oracle-pinned by gql38; here the node
-    // joins would drown the edge read delta in unpruned node-scan rows
+    revGraphs.getOrElseUpdate(wh, gls.catalog.loadGraph("probe", "revhop"))
+  }
+
+  /** JOIN-SEEDED reverse expand A/B (r20, r19 verdict #1): the hop's
+    * dst keys arrive from a prior MATCH at RUNTIME (a persisted seed
+    * label filtered by a modulo predicate, on purpose — nothing
+    * constraint propagation can hand the static rules), so neither
+    * BucketPrune nor MirrorSwap can serve it. With BucketDynamicPrune
+    * on, the scan re-points at `.mirror_edges_PLACED` and a
+    * DynamicPruningSubquery keyed on the seed frame prunes to the
+    * seed's buckets under the MIRROR's key; off, the src-clustered
+    * label is read whole. The fixture mimics the real shape — a small
+    * watchlist of ~200 spread order ids, 64 mirror buckets, a handful
+    * of runtime survivors — so the read volume is O(seed buckets), and
+    * grows with the seed, not the label. The 1-hop runtime analog of
+    * `mirror_revhop_*` and the most common real graph query shape
+    * (ref: adjacency_in fetch, graph_cache.rs:16-38; Expand,
+    * executor.rs:6182-6337).
+    */
+  private def mirrorDppSeededProbe(pruned: Boolean)(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.graph.PropertyGraph
+    val wh = "/tmp/graft-mdpp-" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val gls = GraphLiteSpark.open(s, wh)
+    val marker = new java.io.File(s"$wh/.setup_done")
+    if (!marker.exists()) {
+      val g = graft.graph.TpchGraph.build(s, d)
+      val orders = g.nodeTables("orders")
+      // ~200 pseudo-randomly spread order ids (deterministic): the
+      // persisted watchlist a prior MATCH would bind against
+      val hot = orders
+        .orderBy(pmod(col("id"), lit(104729L)), col("id"))
+        .limit(200).select(col("id"), col("totalprice"))
+      val sub = new PropertyGraph(
+        Map("customer" -> g.nodeTables("customer"),
+          "orders" -> orders, "hot" -> hot),
+        Map("PLACED" -> g.edgeTables("PLACED")))
+      val sess = gls.session("driver").useGraph(sub)
+      sess.execute("CREATE SCHEMA IF NOT EXISTS /probe")
+      sess.execute("CREATE GRAPH INDEX mdix ON edges_PLACED (src)")
+      sess.execute("ALTER INDEX mdix SET OPTION buckets = 64")
+      sess.execute("ALTER INDEX mdix SET OPTION mirror = true")
+      sess.saveGraphAs("/probe/mdpp", force = true)
+      marker.createNewFile()
+    }
     val lg = revGraphs.getOrElseUpdate(wh,
-      gls.catalog.loadGraph("probe", "revhop"))
+      gls.catalog.loadGraph("probe", "mdpp"))
+    val seed = lg.nodeTables("hot")
+      .filter(pmod(col("id"), lit(41L)) === lit(0L))
+      .select(col("id").as("seed_id"))
     val e = lg.edgeTables("PLACED")._2
-    val prev = graft.plans.MirrorSwap.enabled
-    graft.plans.MirrorSwap.enabled = swapped
+    val prev = graft.plans.BucketDynamicPrune.enabled
+    graft.plans.BucketDynamicPrune.enabled = pruned
     val n =
-      try e.filter(col("dst") <= lit(50L))
+      try seed.join(e, col("seed_id") === col("dst"))
         .agg(count(lit(1)), min("totalprice")).count()
-      finally graft.plans.MirrorSwap.enabled = prev
+      finally graft.plans.BucketDynamicPrune.enabled = prev
     s.range(n).toDF("n")
   }
 
@@ -756,6 +820,10 @@ object ScaleProbe {
       // r19: the reverse seeded hop served by the mirror (MirrorSwap)
       "mirror_revhop_swapped" -> mirrorRevHopProbe(swapped = true),
       "mirror_revhop_full" -> mirrorRevHopProbe(swapped = false),
+      // r20: the JOIN-seeded variant — runtime keys through the mirror
+      // via BucketDynamicPrune's DPP subquery
+      "mirror_dpp_seeded_pruned" -> mirrorDppSeededProbe(pruned = true),
+      "mirror_dpp_seeded_full" -> mirrorDppSeededProbe(pruned = false),
       "gql19_save_fact" -> ((s: SparkSession, d: String) => {
         import graft.graph.PropertyGraph
         val g = graft.graph.TpchGraph.build(s, d)
@@ -815,7 +883,9 @@ object ScaleProbe {
           // r19: big-k hierarchical IVF only exists past the 10K draw
           "e08_hier_bigk",
           // r19: the mirror-served reverse hop is a read-volume story
-          "mirror_revhop_swapped", "mirror_revhop_full")
+          "mirror_revhop_swapped", "mirror_revhop_full",
+          // r20: the join-seeded (runtime-key) variant rides the same tiers
+          "mirror_dpp_seeded_pruned", "mirror_dpp_seeded_full")
           .contains(n)
       }
 

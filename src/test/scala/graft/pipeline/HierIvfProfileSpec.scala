@@ -39,4 +39,34 @@ class HierIvfProfileSpec extends AnyFunSuite {
     t("brute")(Similarity.knnBruteForce(emb, "vec_id", "embedding",
       qs, "vec_id", "embedding", 10).count())
   }
+
+  test("batch probe per-row cost at the 30x tier: codegen vs " +
+      "interpreted (skipped when tier absent)") {
+    val d = "/tmp/graft_scale30x"
+    assume(new java.io.File(s"$d/embeddings.parquet").exists())
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, d).localCheckpoint(true)
+    val nRows = emb.count()
+    val gen = new Similarity.HierIvfIndex(k = 16384, nprobe = 2048)
+    val interp = new Similarity.HierIvfIndex(k = 16384, nprobe = 2048,
+      codegenProbe = false)
+    val (sup, ch) = gen.train(emb, "vec_id", "embedding")
+    def perRow(label: String, idx: Similarity.HierIvfIndex): Double = {
+      // warm once (codegen compile, JIT), then measure
+      emb.limit(64)
+        .select(size(idx.probeCidsPublic($"embedding", sup, ch)).as("s"))
+        .agg(sum($"s")).collect()
+      val t0 = System.nanoTime()
+      emb.select(size(idx.probeCidsPublic($"embedding", sup, ch)).as("s"))
+        .agg(sum($"s")).collect()
+      val us = (System.nanoTime() - t0) / 1e3 / nRows
+      println(f"[hier-prof] batch-probe $label: $us%.1f us/row over $nRows rows")
+      us
+    }
+    val usGen = perRow("codegen", gen)
+    perRow("interpreted", interp)
+    // the serving contract: µs-class per probe row at the 16384-list
+    // shape (wall/row, 32 local threads — i.e. core-µs within ~100x)
+    assert(usGen < 1000.0, f"codegen batch probe $usGen%.1f us/row")
+  }
 }
