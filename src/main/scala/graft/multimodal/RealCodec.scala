@@ -21,6 +21,16 @@ package graft.multimodal
   */
 object RealCodec {
 
+  // ImageIO's default stream cache is DISK-backed: every ImageIO.read/
+  // write creates and deletes a temp file, so 32 concurrent decode
+  // tasks over tiny in-memory payloads serialize on filesystem churn —
+  // measured as m02's INVERSE core scaling (32 cores 2.6× slower than
+  // 8, r20 scaling block). All payloads here are byte arrays; the
+  // memory-backed cache is strictly correct and removes two file
+  // create/delete pairs per image. JVM-wide static, set once when the
+  // first task loads this object (each executor JVM re-runs this init).
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def u16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def u32(b: Array[Byte], o: Int): Long =

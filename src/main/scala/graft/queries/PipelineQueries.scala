@@ -945,7 +945,13 @@ object PipelineQueries {
     // closed-form generators — full hash gate, no stub anywhere.
     "m02_multimodal_stages" -> ((s: SparkSession, d: String) => {
       import s.implicits._
+      // materialize the synthesized files ONCE: both downstream stages
+      // (resize + frame sampling) consume every media row, and without
+      // the checkpoint each branch re-runs the WAV/BMP/PNG encoders —
+      // the PNG deflate pass is the dominant per-row cost (intra-query
+      // materialization, same convention as the d-pipeline legs)
       val media = Multimodal.syntheticMediaMixed(Tables.documents(s, d))
+        .localCheckpoint(true)
       val resized = Multimodal.resizeStage(media, 64, 64).toDF()
         .select($"media_id", $"kind", $"format",
           $"src_width".cast("long").as("src_width"),

@@ -443,6 +443,13 @@ class PipelineSpec extends AnyFunSuite {
     // and the BMP path through the same generator decodes identically
     val bmp = RealCodec.decodeRaster(RealCodec.encodeBmp24(9, 5, px))
     assert(bmp.pixels.sameElements(img.pixels))
+    // the decode path must run with ImageIO's memory-backed stream cache:
+    // the disk-backed default creates+deletes a temp file per read/write,
+    // which serialized 32 concurrent decode tasks on filesystem churn
+    // (m02's inverse core scaling, r20 verdict #3). RealCodec's class
+    // init turns it off; touching the codec above guarantees init ran.
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "ImageIO file cache re-enabled - m02's 32-core collapse returns")
   }
 
   test("streaming windowed counts equal batch") {
