@@ -480,6 +480,33 @@ final class HierProbeHelper(sup: Array[Array[Float]],
     ch: Array[Array[Array[Float]]], pSup: Int, nprobe: Int)
     extends Serializable {
 
+  // ---- fast-path precomputation (r21): at k=16384 a probe runs
+  // kSup + pSup·kSub (~4K) cosines per row, and the original loop
+  // re-read the query vector through ArrayData.getFloat AND re-summed
+  // BOTH squared norms inside every one of them (~270K virtual calls,
+  // 3× the necessary flops — measured 237 µs/row at the 30× tier).
+  // When every centroid row shares one dimensionality (always true for
+  // trained matrices; children are padded to kSub), the per-centroid
+  // norm is a constant: precompute sqrt(Σy²) once per centroid with
+  // the SAME sequential double accumulation, copy the query vector to
+  // a primitive array once per row, and the inner loop is a pure
+  // primitive dot product. sqrt(na)·sqrt(nb) then multiplies the same
+  // two doubles the fused loop produced — results are bit-identical
+  // (parity-pinned against the interpreted expression in HierIvfSpec).
+  // Ragged matrices or a query of a different length fall back to the
+  // original exact per-pair loop.
+  private val dim: Int = if (sup.nonEmpty) sup(0).length else -1
+  private val uniform: Boolean = dim >= 0 &&
+    sup.forall(_.length == dim) && ch.forall(_.forall(_.length == dim))
+  private def normOf(row: Array[Float]): Double = {
+    var nb = 0.0; var i = 0
+    while (i < row.length) { val y = row(i).toDouble; nb += y * y; i += 1 }
+    math.sqrt(nb)
+  }
+  private val supNorm: Array[Double] = if (uniform) sup.map(normOf) else null
+  private val chNorm: Array[Array[Double]] =
+    if (uniform) ch.map(_.map(normOf)) else null
+
   private def cos(v: ArrayData, row: Array[Float]): Double = {
     val n = math.min(v.numElements(), row.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -493,23 +520,88 @@ final class HierProbeHelper(sup: Array[Array[Float]],
     if (nn == 0.0) 0.0 else dot / nn
   }
 
-  // indices of the top-n sims: descending total-order sim, ties to the
-  // lowest index (the comparator is total, so NaN sims cannot trip
-  // TimSort's contract check)
-  private def topIdx(sims: Array[Double], n: Int): Array[Int] = {
-    val idx = Array.range(0, sims.length).sortWith { (a, b) =>
-      val c = java.lang.Double.compare(sims(a), sims(b))
-      if (c != 0) c > 0 else a < b
+  // Positions 0..m-1 in (sim desc, position asc) order via a STABLE
+  // LSD radix sort over the IEEE-754 sortable transform: ascending
+  // unsigned `bits ^ ((bits >> 63) | Long.MinValue)` is exactly
+  // java.lang.Double.compare order (canonical NaN above +Inf, -0.0
+  // below +0.0), so its complement descends, and radix stability
+  // resolves exact ties to the lower position — the same strict total
+  // order the interpreted expression's Ordering produces, with zero
+  // data-dependent branches (a comparison sort over ~4K candidates was
+  // the probe's dominant term after the cosine fast path).
+  private def rankOrder(sims: Array[Double]): Array[Int] = {
+    val m = sims.length
+    val keys = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val b = java.lang.Double.doubleToLongBits(sims(i))
+      keys(i) = ~(b ^ ((b >> 63) | java.lang.Long.MIN_VALUE))
+      i += 1
     }
-    java.util.Arrays.copyOf(idx, math.min(n, idx.length))
+    var src = new Array[Int](m)
+    i = 0; while (i < m) { src(i) = i; i += 1 }
+    if (m < 2) return src
+    var dst = new Array[Int](m)
+    val count = new Array[Int](257)
+    var shift = 0
+    while (shift < 64) {
+      java.util.Arrays.fill(count, 0)
+      i = 0
+      while (i < m) {
+        count((((keys(src(i)) >>> shift) & 0xffL).toInt) + 1) += 1
+        i += 1
+      }
+      // a byte every key shares sorts to a no-op — skip the scatter
+      // (cosines cluster in a narrow exponent range, so the high
+      // passes are usually uniform)
+      if (count((((keys(src(0)) >>> shift) & 0xffL).toInt) + 1) != m) {
+        i = 1
+        while (i < 257) { count(i) += count(i - 1); i += 1 }
+        i = 0
+        while (i < m) {
+          val b = (((keys(src(i)) >>> shift) & 0xffL).toInt)
+          dst(count(b)) = src(i)
+          count(b) += 1
+          i += 1
+        }
+        val tmp = src; src = dst; dst = tmp
+      }
+      shift += 8
+    }
+    src
   }
 
   def probe(v: ArrayData): ArrayData = {
+    val fast = uniform && v.numElements() == dim
+    val q: Array[Float] = if (fast) {
+      val a = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { a(i) = v.getFloat(i); i += 1 }
+      a
+    } else null
+    val qNorm: Double = if (fast) normOf(q) else 0.0
+    def fastCos(row: Array[Float], rowNorm: Double): Double = {
+      val nn = qNorm * rowNorm
+      if (nn == 0.0) return 0.0
+      var dot = 0.0; var i = 0
+      while (i < dim) { dot += q(i).toDouble * row(i).toDouble; i += 1 }
+      dot / nn
+    }
     val kSub = if (ch.isEmpty) 0 else ch(0).length
     val supSims = new Array[Double](sup.length)
     var s = 0
-    while (s < sup.length) { supSims(s) = cos(v, sup(s)); s += 1 }
-    val tops = topIdx(supSims, pSup)
+    while (s < sup.length) {
+      supSims(s) =
+        if (fast) fastCos(sup(s), supNorm(s)) else cos(v, sup(s))
+      s += 1
+    }
+    val supIdx = rankOrder(supSims)
+    // the selected supercluster SET is order-invariant downstream (the
+    // final ranking is a total order over cids); ascending sp keeps the
+    // candidate fill cid-monotonic so the rank tie-break below can use
+    // positions directly
+    val tops = java.util.Arrays.copyOf(supIdx, math.min(pSup, supIdx.length))
+    java.util.Arrays.sort(tops)
     val m = tops.length * kSub
     val sims = new Array[Double](m)
     val cids = new Array[Int](m)
@@ -517,21 +609,47 @@ final class HierProbeHelper(sup: Array[Array[Float]],
     var t = 0
     while (t < tops.length) {
       val sp = tops(t); val g = ch(sp)
+      val gn = if (fast) chNorm(sp) else null
       var j = 0
+      if (fast) {
+        // score 4 independent child centroids per pass: each dot's own
+        // accumulation order is untouched (bit-identical sims), but the
+        // four serial dependency chains interleave, hiding the FP-add
+        // latency the single-chain loop is bound by
+        while (j + 4 <= g.length) {
+          val r0 = g(j); val r1 = g(j + 1); val r2 = g(j + 2); val r3 = g(j + 3)
+          var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+          var i = 0
+          while (i < dim) {
+            val x = q(i).toDouble
+            d0 += x * r0(i).toDouble; d1 += x * r1(i).toDouble
+            d2 += x * r2(i).toDouble; d3 += x * r3(i).toDouble
+            i += 1
+          }
+          val base = sp * kSub + j
+          var u = 0
+          while (u < 4) {
+            val nn = qNorm * gn(j + u)
+            val d = u match { case 0 => d0; case 1 => d1; case 2 => d2
+              case _ => d3 }
+            sims(w) = if (nn == 0.0) 0.0 else d / nn
+            cids(w) = base + u
+            w += 1; u += 1
+          }
+          j += 4
+        }
+      }
       while (j < g.length) {
-        sims(w) = cos(v, g(j)); cids(w) = sp * kSub + j
+        sims(w) = if (fast) fastCos(g(j), gn(j)) else cos(v, g(j))
+        cids(w) = sp * kSub + j
         w += 1; j += 1
       }
       t += 1
     }
-    // rank candidate cids by (sim desc, cid asc): tops are ascending in
-    // each group but groups interleave, so sort (sim, cid) pairs — the
-    // cid order within equal sims is ascending because lower sp*kSub+j
-    // sorts first under the same tie rule
-    val order = Array.range(0, m).sortWith { (a, b) =>
-      val c = java.lang.Double.compare(sims(a), sims(b))
-      if (c != 0) c > 0 else cids(a) < cids(b)
-    }
+    // rank candidate cids by (sim desc, cid asc) — cids are strictly
+    // ascending in fill position, so the radix sort's stable
+    // position-asc tie-break IS the cid tie-break
+    val order = rankOrder(sims)
     val out = new Array[Int](math.min(nprobe, m))
     var i = 0
     while (i < out.length) { out(i) = cids(order(i)); i += 1 }
