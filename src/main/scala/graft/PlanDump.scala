@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.{ExplainMode, FormattedMode}
+import org.apache.spark.sql.execution.FormattedMode
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,8 +32,7 @@ object PlanDump {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
     def dump(file: String, header: String, df: => DataFrame): Unit = {
-      val plan = df.queryExecution.explainString(
-        ExplainMode.fromString("formatted"))
+      val plan = df.queryExecution.explainString(FormattedMode)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$outDir/$file.txt"),
         (header.stripMargin.trim + "\n\n" + plan).getBytes("UTF-8"))
@@ -48,8 +47,10 @@ object PlanDump {
     // Before: the rule disabled — the h2 hop scans the full main layout
     // (edges_LINKH) with no runtime filter.
     val gql39 = SparkEntry.queries("gql39_seeded_reverse_hop")
+    // try/finally: a throw inside the before-dump must not leave the
+    // optimizer rule disabled for the rest of a shared JVM (ADVICE r20)
     graft.plans.BucketDynamicPrune.enabled = false
-    dump("gql39_seeded_reverse_hop_before",
+    try dump("gql39_seeded_reverse_hop_before",
       """# gql39_seeded_reverse_hop — BEFORE (BucketDynamicPrune.enabled = false)
         |# The seeded reverse hop h2 reads the FULL src-clustered edges_LINKH
         |# layout: the hop key is the edge's dst, which carries no layout, and
@@ -57,7 +58,7 @@ object PlanDump {
         |# Generated at r20 HEAD with the r20 rule toggled off — this is the
         |# exact plan the r19 compiler produced for this shape.""",
       gql39(spark, sfDir))
-    graft.plans.BucketDynamicPrune.enabled = true
+    finally graft.plans.BucketDynamicPrune.enabled = true
     dump("gql39_seeded_reverse_hop_after",
       """# gql39_seeded_reverse_hop — AFTER (mirror-aware BucketDynamicPrune)
         |# The h2 scan is re-pointed at .mirror_edges_LINKH (dst-clustered
@@ -76,11 +77,15 @@ object PlanDump {
     // times (commit + crash-retry + run 2).
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
+    // the d25/e10 parameters come from the queries module itself, so the
+    // dump can never silently diverge from the board rows (ADVICE r20)
     def collapseStage(key: org.apache.spark.sql.Column): DataFrame =
       docs.select(col("doc_id").as("id"),
-          graft.dedup.Dedup.shingleHashes(col("text"), 3).as("shingles"))
+          graft.dedup.Dedup.shingleHashes(col("text"),
+            graft.queries.PipelineQueries.NearN).as("shingles"))
         .withColumn("sig",
-          graft.dedup.Dedup.minhashFromHashes(col("shingles"), 32))
+          graft.dedup.Dedup.minhashFromHashes(col("shingles"),
+            graft.queries.PipelineQueries.NearHashes))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(key).orderBy(col("id"))))
         .filter(col("__rn") === 1).drop("__rn")
@@ -119,7 +124,9 @@ object PlanDump {
         |# CodegenFallback expression whose matrix arguments are boxed plan
         |# objects, interpreted per row (301 us/row at 30x, k=16384 —
         |# HierIvfProfileSpec).""",
-      new graft.similarity.Similarity.HierIvfIndex(k = 256, nprobe = 96,
+      new graft.similarity.Similarity.HierIvfIndex(
+          k = graft.queries.PipelineQueries.HierK,
+          nprobe = graft.queries.PipelineQueries.HierNprobe,
           codegenProbe = false)
         .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10))
     dump("e10_hier_probe_batch_after",
@@ -130,7 +137,9 @@ object PlanDump {
         |# (HierIvfProfileSpec, gated < 1 ms). Bit-identical cid lists to
         |# the interpreted variant, and the Project shape's WholeStageCodegen
         |# span is pinned, both in HierIvfSpec ("codegen'd batch probe").""",
-      new graft.similarity.Similarity.HierIvfIndex(k = 256, nprobe = 96)
+      new graft.similarity.Similarity.HierIvfIndex(
+          k = graft.queries.PipelineQueries.HierK,
+          nprobe = graft.queries.PipelineQueries.HierNprobe)
         .annTopK(emb, "vec_id", "embedding", qs, "vec_id", "embedding", 10))
 
     // ---- e09_hier_ivf_bigk: NEW row this round (k=4096 on the driver

@@ -62,8 +62,15 @@ object PipelineQueries {
     * convention while a broken 2-level assign/probe (recall ~0) trips.
     */
   private val HierRecallFloor = 0.6
-  private val HierK = 256
-  private val HierNprobe = 96
+  // package-visible: PlanDump regenerates the e10/d25 plan evidence and
+  // must dump the SAME configuration the board rows run (ADVICE r20 —
+  // re-literal-ing these in the dump tool let the two silently diverge)
+  private[graft] val HierK = 256
+  private[graft] val HierNprobe = 96
+  private[graft] val NearN = 3
+  private[graft] val NearHashes = 32
+  private[graft] val NearBands = 8
+  private[graft] val NearTau = 0.7
   /** e09: hierarchical IVF at k=4096 — the k-past-the-driver-draw shape
     * that motivated the 2-level trainer, on the driver board instead of
     * probe-only evidence (r19 verdict #6). Measured recall@10 at sf0.01,
@@ -569,10 +576,10 @@ object PipelineQueries {
           .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
       graft.dedup.IncrementalDedup.dedupeNear(
         docs.filter($"doc_id" < 250), "doc_id", "text", state,
-        n = 3, numHashes = 32, bands = 8, tau = 0.7).count()
+        n = NearN, numHashes = NearHashes, bands = NearBands, tau = NearTau).count()
       graft.dedup.IncrementalDedup.dedupeNear(
           run2, "doc_id", "text", state,
-          n = 3, numHashes = 32, bands = 8, tau = 0.7)
+          n = NearN, numHashes = NearHashes, bands = NearBands, tau = NearTau)
         .select($"doc_id").orderBy($"doc_id")
     }),
 
@@ -596,13 +603,13 @@ object PipelineQueries {
           .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
       graft.dedup.IncrementalDedup.dedupeNear(
         run1, "doc_id", "text", state,
-        n = 3, numHashes = 32, bands = 8, tau = 0.7).count() // commit
+        n = NearN, numHashes = NearHashes, bands = NearBands, tau = NearTau).count() // commit
       val retry = graft.dedup.IncrementalDedup.dedupeNear(
         run1, "doc_id", "text", state,
-        n = 3, numHashes = 32, bands = 8, tau = 0.7) // crash-retry
+        n = NearN, numHashes = NearHashes, bands = NearBands, tau = NearTau) // crash-retry
       val out2 = graft.dedup.IncrementalDedup.dedupeNear(
         run2, "doc_id", "text", state,
-        n = 3, numHashes = 32, bands = 8, tau = 0.7)
+        n = NearN, numHashes = NearHashes, bands = NearBands, tau = NearTau)
       retry.select(lit(1L).as("run"), $"doc_id")
         .unionByName(out2.select(lit(2L).as("run"), $"doc_id"))
         .orderBy($"run", $"doc_id")

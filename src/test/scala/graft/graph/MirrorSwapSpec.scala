@@ -196,6 +196,26 @@ class MirrorSwapSpec extends AnyFunSuite {
     assert(e.filter(col("dst") === 50L).count() == 1L)
   }
 
+  test("out-of-band mirror rewrite is detected by the relation cache " +
+      "(freshness token, r20 verdict #4)") {
+    val g = fixture(mirror = true)
+    val e = g.edgeTables("nx")._2
+    // warm the relation cache through a swapped query
+    val q1 = e.filter(col("dst") === 777L)
+    assert(q1.queryExecution.executedPlan.toString.contains(".mirror_edges_nx"))
+    assert(q1.count() == 1L)
+    // rewrite the mirror WITHOUT routing through the catalog (so no
+    // invalidateUnder fires): same rows, brand-new files — a stale
+    // cached relation would list the deleted files and the next swapped
+    // scan would fail (or silently read nothing) at execution
+    val mirDir = s"${g.origin.get}/${GraphCatalog.MirrorPrefix}edges_nx"
+    val rows = spark.read.parquet(mirDir).localCheckpoint(true)
+    rows.write.mode("overwrite").partitionBy("__ixb").parquet(mirDir)
+    val q2 = e.filter(col("dst") === 777L)
+    assert(q2.queryExecution.executedPlan.toString.contains(".mirror_edges_nx"))
+    assert(q2.count() == 1L)
+  }
+
   test("swap parity on random graphs and random dst predicates " +
       "(seeded mini-fuzz)") {
     import spark.implicits._
