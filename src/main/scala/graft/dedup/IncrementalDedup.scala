@@ -341,9 +341,41 @@ object IncrementalDedup {
     }
 
     val out = keep.localCheckpoint(true)
-    out.select("id", "shingles").write.mode("append").parquet(shinglesPath)
-    newBuckets.join(out.select("id"), "id")
-      .select("id", "band", "bucket").write.mode("append").parquet(bucketsPath)
+    // the two state appends are independent — both read only the
+    // checkpointed survivor rows (and sigs, also checkpointed) and
+    // target different directories — so they run as CONCURRENT jobs
+    // (guide §2.6), overlapping each other's commit tails. Crash
+    // semantics are unchanged in kind: the serial order could already
+    // leave "shingles without buckets"; concurrency adds the mirror
+    // window ("buckets without shingles"), and the state probe treats
+    // both identically — a candidate pair whose old_id lacks its
+    // shingles row simply fails to confirm, and the crashed batch's
+    // retry re-admits the same rows (the self-pair exclusion never
+    // needs both datasets to agree). dedupeExact's bloom-then-append
+    // order, by contrast, IS an invariant (an early append could leave
+    // an under-covering bloom = false negatives) and stays serial.
+    val appendPool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-near-state-append")
+        t.setDaemon(true); t
+      })
+    try {
+      val fShingles = appendPool.submit(new Runnable {
+        def run(): Unit = out.select("id", "shingles")
+          .write.mode("append").parquet(shinglesPath)
+      })
+      val fBuckets = appendPool.submit(new Runnable {
+        def run(): Unit = newBuckets.join(out.select("id"), "id")
+          .select("id", "band", "bucket")
+          .write.mode("append").parquet(bucketsPath)
+      })
+      def await(f: java.util.concurrent.Future[_]): Unit =
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      await(fShingles); await(fBuckets)
+    } finally appendPool.shutdownNow()
     batch.join(out.select(col("id").as(idCol)).distinct(), Seq(idCol))
   }
 
